@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Upsert
+
+/** The relational operator inventory of SURVEY.md §2, re-hosted on the harness
+  * TPC-H-ish tables. Each query has a DuckDB oracle in [[oracles]] with
+  * identical output column names (the driver sorts columns by name before
+  * hashing).
+  *
+  * Determinism rules applied throughout:
+  *  - aggregate doubles are `round(_, 2..4)` on BOTH sides (summation order
+  *    differs between engines; per-row arithmetic is bit-exact and left raw);
+  *  - DuckDB integer `sum()` yields HUGEINT → oracle casts to BIGINT to match
+  *    Spark's LongType;
+  *  - every top-K has a total tie-break order;
+  *  - event timestamps are emitted `date_trunc`-ed (parquet is nanos; Spark
+  *    reads micros).
+  */
+object Relational {
+  import Tables._
+
+  /** Order-independent double aggregation: per-row doubles cast to
+    * DECIMAL(18,6) (never on a rounding boundary — no multiple of 5e-7 is
+    * dyadic), summed exactly, cast back. Bit-identical across engines and
+    * across partition orders, unlike round(sum(double), n) which can land on
+    * a half boundary. DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE). */
+  private def dsum(c: Column) = sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** A5/A1 hash aggregate, TPC-H Q1 shape: grouped multi-aggregate over the
+    * fact table. Partial (map-side) aggregation + single shuffle on the group
+    * keys; at 100 TB the 6-group cardinality makes the shuffle negligible. */
+  def q01GroupbyAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** S1/P1/P3/P4: scan + filter + projection with derived columns. The filter
+    * and the 5-column projection both reach the parquet scan (PushedFilters /
+    * ReadSchema) — at 100 TB this is the difference between reading one year
+    * and reading the whole fact. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        // raw double: per-row IEEE arithmetic is bit-identical across engines,
+        // while round() half-way semantics differ (Spark HALF_UP vs DuckDB)
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        to_date(col("l_shipdate")).as("ship_day"))
+
+  /** J2: fact ⋈ small dim with an explicit broadcast hint — no shuffle of the
+    * fact side (reference dims are ≤808 rows; SURVEY.md §2.4). */
+  def q03JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("total_spend"))
+  }
+
+  /** J1/F3: null-aware anti-join — the reference's `NOT IN (table station_ids)`
+    * new-station discovery (scripts/journey-data-transformation.py:65-90).
+    * `left_anti` is equivalent here because the subquery key is non-null
+    * (SURVEY.md §2.3 F3 semantics note). */
+  def q04AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, dir)
+      .join(broadcast(urgent.select("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** J3: role-playing dimension — `nation` joined twice under two aliases
+    * (customer-side and supplier-side), the reference's dim_station /
+    * dim_datetime double-FK pattern (CyclingERD.sql:60-66). Both nation sides
+    * broadcast; only orders⋈lineitem shuffles, on the join key both tables
+    * already share. */
+  def q05RoleplayJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val su = supplier(s, dir)
+    val cn = nation(s, dir).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sn = nation(s, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** U1: deduplicating UNION (SQL semantics) — start-side ∪ end-side distinct
+    * keys (scripts/journey-data-transformation.py:81). DataFrame `union` keeps
+    * duplicates, so `.distinct()` restores SQL UNION semantics. */
+  def q06UnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.filter(col("event_type") === "click").select("user_id")
+      .union(e.filter(col("event_type") === "view").select("user_id"))
+      .distinct()
+  }
+
+  /** A3 made deterministic: keep the LATEST event per user via a window
+    * tie-broken on event_id — the fix for the reference's nondeterministic
+    * `dropDuplicates` (SURVEY.md §7.5 #2). One shuffle on user_id. */
+  def q07DedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** A6: top-K with total order (count desc, key asc tie-break) — Spark plans
+    * TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def q08TopK(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(10)
+
+  /** P6 + U2 + A3: the dim_datetime build — datetime-part explosion from two
+    * timestamp sources, union, dedup by key
+    * (scripts/journey-data-transformation.py:117-150). `week_day` keeps
+    * Spark's dayofweek numbering 1=Sunday (SURVEY.md §7.5 #3). */
+  def q09DatetimeDim(s: SparkSession, dir: String): DataFrame = {
+    val d1 = orders(s, dir).select(col("o_orderdate").as("datetime_id"))
+    val d2 = lineitem(s, dir).select(col("l_shipdate").as("datetime_id"))
+    d1.union(d2).dropDuplicates("datetime_id")
+      .select(
+        col("datetime_id"),
+        year(col("datetime_id")).as("year"),
+        month(col("datetime_id")).as("month"),
+        dayofmonth(col("datetime_id")).as("day"),
+        hour(col("datetime_id")).as("hour"),
+        minute(col("datetime_id")).as("minute"),
+        second(col("datetime_id")).as("second"),
+        dayofweek(col("datetime_id")).as("week_day"))
+  }
+
+  /** A1/A2/F1/F2: single-pass missing-value profile — one wide conditional
+    * aggregate over all columns (scripts/init-data-transformation.py:41,71,76).
+    * `isnan` guarded to numeric columns only, as the reference's profile. */
+  def q10MissingProfile(s: SparkSession, dir: String): DataFrame = {
+    val df = orders(s, dir)
+    val numeric = Set("o_totalprice")
+    val exprs = df.columns.toSeq.map { c =>
+      val miss = if (numeric(c)) isnan(col(c)) || col(c).isNull else col(c).isNull
+      count(when(miss, c)).as(s"${c}_missing")
+    } :+ count(lit(1)).as("total")
+    df.select(exprs: _*)
+  }
+
+  /** F2 + A5: conditional aggregates (CASE WHEN inside count/sum). */
+  def q11ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        dsum(when(col("event_type") === "purchase", col("value"))).as("purchase_value"),
+        count(lit(1)).as("n_events"))
+
+  /** S7: the keyed UPSERT merge (updates win on collision) expressed as a
+    * query so the driver can oracle-check it. See [[graft.operators.Upsert]]. */
+  def q12Upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val target = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
+    Upsert.merge(target, updates, Seq("o_orderkey"))
+  }
+
+  /** §2.10 SQL surface: temp views, CTE, `TABLE ident` shorthand, NOT IN
+    * subquery, DISTINCT — the exact SQL shapes of
+    * scripts/journey-data-transformation.py:65-90. */
+  def q13SqlCte(s: SparkSession, dir: String): DataFrame = {
+    part(s, dir).createOrReplaceTempView("part_v")
+    lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """WITH big_parts AS (SELECT p_partkey FROM part_v WHERE p_size > 40)
+        |SELECT DISTINCT l_partkey FROM lineitem_v
+        |WHERE l_partkey NOT IN (TABLE big_parts)""".stripMargin)
+  }
+
+  /** P3: exact-pattern timestamp formatting + re-parsing round trip — the
+    * reference's `dd/MM/yyyy HH:mm` journey-date parse
+    * (scripts/journey-data-transformation.py:41-43). */
+  def q14ParseRoundtrip(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "dd/MM/yyyy HH:mm").as("formatted"),
+      to_timestamp(date_format(col("o_orderdate"), "dd/MM/yyyy HH:mm"), "dd/MM/yyyy HH:mm").as("parsed"))
+
+  // ---- §3.3 dashboard queries (Metabase→Redshift in the reference, first-class here) ----
+
+  /** A5 dashboard: rides-per-hour-of-day analog. */
+  def q15PerHour(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A5 dashboard: rides-per-weekday analog (dayofweek 1=Sunday). */
+  def q16PerWeekday(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(dayofweek(col("ts")).as("week_day"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+
+  /** A5 dashboard: daily trend. */
+  def q17DailyTrend(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), (dsum(col("value")) / count(lit(1))).as("avg_value"))
+
+  /** A6 dashboard: top-10 most active users (the top-stations bar chart). */
+  def q18TopUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_groupby_agg" -> (q01GroupbyAgg _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_antijoin" -> (q04AntiJoin _),
+    "q05_roleplay_join" -> (q05RoleplayJoin _),
+    "q06_union_distinct" -> (q06UnionDistinct _),
+    "q07_dedup_latest" -> (q07DedupLatest _),
+    "q08_topk" -> (q08TopK _),
+    "q09_datetime_dim" -> (q09DatetimeDim _),
+    "q10_missing_profile" -> (q10MissingProfile _),
+    "q11_conditional_agg" -> (q11ConditionalAgg _),
+    "q12_upsert" -> (q12Upsert _),
+    "q13_sql_cte" -> (q13SqlCte _),
+    "q14_parse_roundtrip" -> (q14ParseRoundtrip _),
+    "q15_per_hour" -> (q15PerHour _),
+    "q16_per_weekday" -> (q16PerWeekday _),
+    "q17_daily_trend" -> (q17DailyTrend _),
+    "q18_top_users" -> (q18TopUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_disc, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |l_extendedprice*(1-l_discount) AS net_price,
+        |CAST(l_shipdate AS DATE) AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount > 0.05""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q05_roleplay_join" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, count(*) AS cnt,
+        |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY cn.n_name, sn.n_name""".stripMargin,
+    "q06_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'view'""".stripMargin,
+    "q07_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q08_topk" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+        |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
+    "q09_datetime_dim" ->
+      """WITH dts AS (SELECT o_orderdate AS datetime_id FROM orders
+        |UNION SELECT l_shipdate FROM lineitem)
+        |SELECT datetime_id, CAST(year(datetime_id) AS INT) AS year,
+        |CAST(month(datetime_id) AS INT) AS month, CAST(dayofmonth(datetime_id) AS INT) AS day,
+        |CAST(hour(datetime_id) AS INT) AS hour, CAST(minute(datetime_id) AS INT) AS minute,
+        |CAST(second(datetime_id) AS INT) AS second,
+        |CAST(dayofweek(datetime_id) + 1 AS INT) AS week_day
+        |FROM dts""".stripMargin,
+    "q10_missing_profile" ->
+      """SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS o_orderkey_missing,
+        |count(CASE WHEN o_custkey IS NULL THEN 1 END) AS o_custkey_missing,
+        |count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS o_orderstatus_missing,
+        |count(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 END) AS o_totalprice_missing,
+        |count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS o_orderdate_missing,
+        |count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS o_orderpriority_missing,
+        |count(*) AS total
+        |FROM orders""".stripMargin,
+    "q11_conditional_agg" ->
+      """SELECT user_id, count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value,
+        |count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q12_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice*1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |UNION ALL SELECT * FROM updates""".stripMargin,
+    "q13_sql_cte" ->
+      """WITH big_parts AS (SELECT p_partkey FROM part WHERE p_size > 40)
+        |SELECT DISTINCT l_partkey FROM lineitem
+        |WHERE l_partkey NOT IN (SELECT p_partkey FROM big_parts)""".stripMargin,
+    "q14_parse_roundtrip" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y %H:%M') AS formatted,
+        |strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M'), '%d/%m/%Y %H:%M') AS parsed
+        |FROM orders""".stripMargin,
+    "q15_per_hour" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q16_per_weekday" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS week_day, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q17_daily_trend" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q18_top_users" ->
+      """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
+}
