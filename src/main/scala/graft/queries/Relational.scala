@@ -58,12 +58,14 @@ object Relational {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
         to_date(col("l_shipdate")).as("ship_day"))
 
-  /** J2: fact ⋈ small dim with an explicit broadcast hint — no shuffle of the
-    * fact side (reference dims are ≤808 rows; SURVEY.md §2.4). */
+  /** J2: fact ⋈ dim equi join. NO broadcast hint: customer is
+    * scale-proportional (unlike the reference's 808-row dims), so a forced
+    * broadcast OOMs at 100×. AQE picks broadcast at small SF and shuffle
+    * join at scale — a hint would override its size check. */
   def q03JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
     val c = customer(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("total_spend"))
   }
@@ -71,20 +73,24 @@ object Relational {
   /** J1/F3: null-aware anti-join — the reference's `NOT IN (table station_ids)`
     * new-station discovery (scripts/journey-data-transformation.py:65-90).
     * `left_anti` is equivalent here because the subquery key is non-null
-    * (SURVEY.md §2.3 F3 semantics note). */
+    * (SURVEY.md §2.3 F3 semantics note). Unhinted: the urgent-orders key set
+    * is ~20% of orders and scale-proportional — at 100 TB this must be a
+    * shuffle anti join, and AQE will still broadcast it when it's small. */
   def q04AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
     customer(s, dir)
-      .join(broadcast(urgent.select("o_custkey")),
+      .join(urgent.select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
 
   /** J3: role-playing dimension — `nation` joined twice under two aliases
     * (customer-side and supplier-side), the reference's dim_station /
-    * dim_datetime double-FK pattern (CyclingERD.sql:60-66). Both nation sides
-    * broadcast; only orders⋈lineitem shuffles, on the join key both tables
-    * already share. */
+    * dim_datetime double-FK pattern (CyclingERD.sql:60-66). Only the two
+    * nation aliases carry broadcast hints — nation is genuinely bounded at
+    * 25 rows at every scale. Customer/supplier are scale-proportional, so
+    * those joins are unhinted (AQE broadcasts them while small, shuffles at
+    * 100 TB); orders⋈lineitem shuffles on the key both sides share. */
   def q05RoleplayJoin(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
     val o = orders(s, dir)
@@ -93,8 +99,8 @@ object Relational {
     val cn = nation(s, dir).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val sn = nation(s, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
       .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
       .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
       .groupBy("cust_nation", "supp_nation")
@@ -155,10 +161,19 @@ object Relational {
     * `isnan` guarded to numeric columns only, as the reference's profile. */
   def q10MissingProfile(s: SparkSession, dir: String): DataFrame = {
     val df = orders(s, dir)
-    val numeric = Set("o_totalprice")
+    // NaN-eligibility derived from the schema, not a hardcoded name set —
+    // the profile must survive schema change (the reference profiles every
+    // column generically). `isnan` is only defined on floating types.
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val floating = df.schema.fields
+      .collect { case f if f.dataType == DoubleType || f.dataType == FloatType => f.name }.toSet
     val exprs = df.columns.toSeq.map { c =>
-      val miss = if (numeric(c)) isnan(col(c)) || col(c).isNull else col(c).isNull
-      count(when(miss, c)).as(s"${c}_missing")
+      val miss = if (floating(c)) isnan(col(c)) || col(c).isNull else col(c).isNull
+      // count(when(miss, lit(1))), NOT count(when(miss, c)): when c itself is
+      // NULL the counted expression would be NULL and count() would skip it —
+      // every null would go uncounted (the reference has this exact bug at
+      // init-data-transformation.py:41; our oracle uses the correct semantics).
+      count(when(miss, lit(1))).as(s"${c}_missing")
     } :+ count(lit(1)).as("total")
     df.select(exprs: _*)
   }
@@ -184,16 +199,21 @@ object Relational {
     Upsert.merge(target, updates, Seq("o_orderkey"))
   }
 
-  /** §2.10 SQL surface: temp views, CTE, `TABLE ident` shorthand, NOT IN
-    * subquery, DISTINCT — the exact SQL shapes of
-    * scripts/journey-data-transformation.py:65-90. */
+  /** §2.10 SQL surface: temp views, CTE, DISTINCT, anti-semijoin subquery —
+    * the SQL shapes of scripts/journey-data-transformation.py:65-90. Written
+    * as NOT EXISTS, not NOT IN: the key is non-null, and Catalyst plans NOT
+    * EXISTS as a plain (shuffle-able) anti join, whereas NOT IN's null-aware
+    * anti join degrades to BroadcastNestedLoopJoin once `big_parts` (~20% of
+    * part, scale-proportional) exceeds the broadcast threshold. The literal
+    * `NOT IN (TABLE ids)` surface is kept where the reference actually uses
+    * it — against the genuinely bounded stations dim (PipelineQueries). */
   def q13SqlCte(s: SparkSession, dir: String): DataFrame = {
     part(s, dir).createOrReplaceTempView("part_v")
     lineitem(s, dir).createOrReplaceTempView("lineitem_v")
     s.sql(
       """WITH big_parts AS (SELECT p_partkey FROM part_v WHERE p_size > 40)
         |SELECT DISTINCT l_partkey FROM lineitem_v
-        |WHERE l_partkey NOT IN (TABLE big_parts)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM big_parts WHERE p_partkey = l_partkey)""".stripMargin)
   }
 
   /** P3: exact-pattern timestamp formatting + re-parsing round trip — the
@@ -228,6 +248,19 @@ object Relational {
       .orderBy(col("cnt").desc, col("user_id").asc)
       .limit(10)
 
+  /** A5's two-level "most active hour IN AVERAGE" variant (README.md:35):
+    * per-day-per-hour counts first, then the mean over days per hour. The
+    * inner aggregate shuffles on (day, hour); the outer one is a near-free
+    * 24-group reduction. avg is computed as sum/count of exact integers so
+    * both engines divide the same two longs. */
+  def q19AvgHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("hour_of_day")
+      .agg((sum("cnt").cast("double") / count(lit(1))).as("avg_rides"),
+        count(lit(1)).as("n_days"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -246,7 +279,8 @@ object Relational {
     "q15_per_hour" -> (q15PerHour _),
     "q16_per_weekday" -> (q16PerWeekday _),
     "q17_daily_trend" -> (q17DailyTrend _),
-    "q18_top_users" -> (q18TopUsers _))
+    "q18_top_users" -> (q18TopUsers _),
+    "q19_avg_hourly" -> (q19AvgHourly _))
 
   val oracles: Map[String, String] = Map(
     "q01_groupby_agg" ->
@@ -282,9 +316,13 @@ object Relational {
       """SELECT user_id FROM events WHERE event_type = 'click'
         |UNION
         |SELECT user_id FROM events WHERE event_type = 'view'""".stripMargin,
+    // ORDER BY is on the microsecond-truncated ts: the parquet stores nanos,
+    // which Spark reads truncated to micros while DuckDB keeps full precision
+    // — ranking at different precisions could pick different "latest" rows.
     "q07_dedup_latest" ->
       """SELECT user_id, event_id, event_type, value FROM events
-        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) = 1""".stripMargin,
     "q08_topk" ->
       """SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
         |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
@@ -339,5 +377,11 @@ object Relational {
         |FROM events GROUP BY 1""".stripMargin,
     "q18_top_users" ->
       """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
-        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    "q19_avg_hourly" ->
+      """WITH per_day AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_of_day, CAST(sum(cnt) AS DOUBLE)/count(*) AS avg_rides, count(*) AS n_days
+        |FROM per_day GROUP BY hour_of_day""".stripMargin)
 }

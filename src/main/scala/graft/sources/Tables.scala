@@ -1,30 +1,71 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import scala.jdk.CollectionConverters._
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
-  * All reads use explicit parquet metadata schemas (no inference pass — the
+  * All reads use the parquet footer schema directly (no inference pass — the
   * reference re-infers on every read, an extra full scan we deliberately avoid;
   * see SURVEY.md §4 "Schema inference cost",
   * reference: airflow/dags/scripts/journey-data-transformation.py:28).
   */
 object Tables {
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-    * precision with integer division — NOT `/ 1000` (double division loses
-    * integer precision above 2^53; epoch-nanos is ~1.7e18).
+  /** Columns the parquet footer declares as TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Discovered by inspecting the footer of one
+    * file (a metadata-only read), NOT hardcoded per table — any nano-precision
+    * column in any table gets the same treatment instead of silently surfacing
+    * as a raw LongType. Cached per path: footers are immutable test data.
+    */
+  private val nanoColsCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def nanoTimestampColumns(spark: SparkSession, path: String): Seq[String] =
+    nanoColsCache.computeIfAbsent(path, { p =>
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        else hp
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq.collect {
+          case f if f.isPrimitive &&
+            (f.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => f.getName
+        }
+      } finally reader.close()
+    })
+
+  /** Nano-timestamp columns are read as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to Spark's
+    * microsecond precision with INTEGER division — NOT `/ 1000` (double
+    * division loses integer precision above 2^53; epoch-nanos is ~1.7e18).
+    * Session timezone is pinned to UTC here as well: hour()/to_date() on
+    * timestamps are session-tz-dependent in Spark while the DuckDB oracle
+    * treats parquet timestamps as naive wall-clock.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    nanoTimestampColumns(spark, path)
+      .filter(c => df.schema(c).dataType == LongType)
+      .foldLeft(df)((d, c) => d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
