@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+/** One SparkSession shared by every suite in the JVM (local[4]; sessions are
+  * expensive and the suites only read). */
+trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = SharedSpark.session
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SharedSpark {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
