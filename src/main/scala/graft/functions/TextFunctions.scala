@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for the LLM-data-pipeline
+  * operators (dedup, quality scoring, language ID, fingerprinting) over the
+  * harness `documents` table.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / transform / aggregate / regexp) — no UDFs, so every expression
+  * stays inside whole-stage codegen and each operator is a single narrow
+  * map over the corpus: at 100 TB these run scan-speed with zero shuffles
+  * until an aggregation downstream asks for one.
+  *
+  * Cross-engine determinism: hash primitives exposed to oracle-checked
+  * queries use md5 (bit-identical in Spark and DuckDB); ratio outputs are a
+  * SINGLE IEEE division of two exact integers (bit-identical across engines,
+  * unlike multi-term double sums).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, lowercased. The corpus is single-space
+    * separated; `split` on the literal separator matches DuckDB's
+    * `string_split(lower(text), ' ')` exactly (regex-free). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word k-shingles ("n-gram" units for near-dup Jaccard).
+    * Produces `concat_ws(" ", w[i..i+k-1])` for every window; rows with
+    * fewer than k tokens yield an empty array (sequence(0, negative) is
+    * empty after the filter guard upstream). */
+  def wordShingles(toks: Column, k: Int): Column = {
+    val idx = sequence(lit(0), size(toks) - k)
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** A BPE-ish surface tokenizer: maximal word runs plus single
+    * non-word-non-space symbols. Same pattern compiles identically under
+    * Java regex (Spark) and RE2 (DuckDB). */
+  val surfaceTokenPattern = "\\w+|[^\\w\\s]"
+  def surfaceTokens(text: Column): Column =
+    regexp_extract_all(text, lit(surfaceTokenPattern), lit(0))
+
+  /** Portable 60-bit integer hash: first 15 hex chars of md5, base-16
+    * decoded. DuckDB mirror: `('0x' || substring(md5(x),1,15))::BIGINT`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Portable 32-bit integer hash (first 8 md5 hex chars) — small enough
+    * for per-bit simhash arithmetic without overflow. */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Count of tokens belonging to a fixed lexicon. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(lexicon)))
+
+  /** Rolling polynomial fingerprint of the whole string:
+    * fold(ascii chars, acc = (acc*31 + code) mod 1e9+7). Built as an array
+    * fold so it is one codegen'd expression per row; DuckDB mirrors it with
+    * `list_reduce([0] || codes, ...)` (prepending 0 reproduces the zero
+    * initial accumulator — 0*31+c == c). */
+  def polyFingerprint(text: Column): Column = {
+    val codes = transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+}

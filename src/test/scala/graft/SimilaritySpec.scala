@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine of a vector with itself is exactly 1.0, orthogonal is 0.0") {
+    val d = emb((0L, Seq(1f, 2f, 3f), 0))
+      .select(
+        Similarity.cosine(col("embedding"), col("embedding")).as("self"),
+        Similarity.dot(col("embedding"), typedLit(Seq(0.0f, 0.0f, 0.0f))).as("zero"))
+    val r = d.collect().head
+    assert(r.getAs[Double]("self") == 1.0)
+    assert(r.getAs[Double]("zero") == 0.0)
+  }
+
+  test("knnBruteForce ranks by cosine desc with id tie-break and excludes the query") {
+    val d = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0.1f), 0),  // closest
+      (2L, Seq(1f, 1f), 0),
+      (3L, Seq(0f, 1f), 0),    // orthogonal, farthest
+      (4L, Seq(1f, 0.1f), 0))  // exact tie with 1 -> id order
+    val out = Similarity.knnBruteForce(d, "vec_id", "embedding", 0L, 3).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 4L, 2L))
+    assert(out.map(_.getAs[Double]("cos")).toSeq == out.map(_.getAs[Double]("cos")).toSeq.sorted.reverse)
+  }
+
+  test("knnBruteForce plans TakeOrderedAndProject (no global sort, no collect)") {
+    // a parquet-backed frame: over LocalRelations Catalyst takes a different
+    // (equally safe) path; the scale-relevant plan is the file-scan one
+    val d = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.knnBruteForce(d, "vec_id", "embedding", 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-planned:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort detected:\n$plan")
+  }
+
+  test("bucketedNearestNeighbor only searches within the bucket") {
+    val d = emb(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(1f, 0.01f), 1), // globally closest to 1 but in another bucket
+      (4L, Seq(0f, 1f), 1))
+    val out = Similarity.bucketedNearestNeighbor(d, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+  }
+
+  test("bucketedNearestNeighbor joins on the bucket key, not all pairs") {
+    val d = emb((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), (3L, Seq(1f, 1f), 1))
+    val plan = Similarity.bucketedNearestNeighbor(d, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan detected:\n$plan")
+  }
+}
