@@ -107,6 +107,31 @@ object Dedup {
     array_min(transform(shingles, sh =>
       substring(md5(concat(lit(s"$seed:"), sh)), 1, 16)))
 
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, found by
+    * byte-banding: the 32-bit signature splits into 4 exact 8-bit bands and
+    * candidates equi-join per band. By pigeonhole this is EXHAUSTIVE for
+    * maxHamming ≤ 3 (4 bands can't all contain one of ≤3 flipped bits), so
+    * unlike probabilistic MinHash-LSH the recall here is provably 1.0 —
+    * while the join still shuffles on (band, value), never all-pairs.
+    * Exact Hamming (`bit_count(xor)`) filters band collisions. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val sigs = simhash(docs, idCol, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
+      .toDF("doc_id", "simhash", "band", "value")
+    val a = banded.select(col("band"), col("value"), col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("value"), col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 32-bit SimHash over (multiset) whitespace tokens, md5-based so the
     * oracle can recompute it. Explode + one grouped aggregate: partial
     * (map-side) aggregation keeps the shuffle at one row per (doc, 32

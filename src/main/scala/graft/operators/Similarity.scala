@@ -55,6 +55,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-hyperplane LSH bucket id over `planes` sign bits. Hyperplane
+    * weights are pseudo-random ±1, derived deterministically from md5 of
+    * "plane:dim" — portable, so the DuckDB oracle reproduces the buckets
+    * bit-for-bit (the sign test compares a bit-exact double fold with 0).
+    * Bit p of the bucket = [dot(vec, w_p) > 0]. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    def planeSign(p: Int, i: Column): Column =
+      when(conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+    def planeDot(p: Int): Column =
+      aggregate(
+        transform(sequence(lit(1), size(vec)), i =>
+          element_at(vec, i).cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+    (0 until planes).map(p => when(planeDot(p) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: nearest neighbor within each vector's
+    * random-hyperplane bucket. Same equi-join shape as the IVF variant but
+    * the quantizer is data-independent — the pure scale path when no
+    * trained centroids exist. Vectors alone in their bucket emit no row
+    * (deterministically, in engine and oracle alike). */
+  def lshNearestNeighbor(emb: DataFrame, idCol: String, vecCol: String,
+                         planes: Int): DataFrame =
+    bucketedNearestNeighbor(
+      emb.withColumn("__lsh", lshBucket(col(vecCol), planes)),
+      idCol, vecCol, "__lsh")
+
   /** IVF-style search: each vector's nearest neighbor within its own
     * bucket. Equi-join on the bucket key, cosine per candidate pair, then
     * a window top-1 per probe vector. Emits (vec_id, nn_id). */

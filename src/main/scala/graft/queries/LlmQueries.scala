@@ -56,6 +56,12 @@ object LlmQueries {
   def q30Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
 
+  /** SimHash near-dup pairs at Hamming ≤ 3 via exact byte-banding —
+    * provably exhaustive (pigeonhole), still an equi-join, never
+    * all-pairs. */
+  def q40SimhashNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+
   /** Greedy near-dup removal: corpus minus the higher id of every verified
     * pair (anti-join on doc_id). */
   def q38NeardupDedup(s: SparkSession, dir: String): DataFrame =
@@ -74,6 +80,11 @@ object LlmQueries {
     * `label` bucket (the coarse quantizer), via equi-join on the bucket. */
   def q32BucketedNn(s: SparkSession, dir: String): DataFrame =
     Similarity.bucketedNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+
+  /** Random-hyperplane LSH ANN (6 sign bits → 64 buckets): the
+    * data-independent scale path when no trained quantizer exists. */
+  def q39LshAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding", 6)
 
   // ------------------------------------------------------------ multimodal
 
@@ -155,7 +166,9 @@ object LlmQueries {
     "q35_quality_score" -> (q35QualityScore _),
     "q36_lang_id" -> (q36LangId _),
     "q37_fingerprint" -> (q37Fingerprint _),
-    "q38_neardup_dedup" -> (q38NeardupDedup _))
+    "q38_neardup_dedup" -> (q38NeardupDedup _),
+    "q39_lsh_ann" -> (q39LshAnn _),
+    "q40_simhash_neardup" -> (q40SimhashNeardup _))
 
   // ------------------------------------------------------------- oracles
 
@@ -189,6 +202,25 @@ object LlmQueries {
     .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
     .mkString(" + ")
 
+  /** CTEs computing per-doc simhash signatures (shared by q30/q40). */
+  private val simhashCtes =
+    s"""h AS (
+       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+       |bits AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash FROM bits)""".stripMargin
+
+  /** Random-hyperplane LSH bucket over `planes` sign bits, mirror of
+    * [[Similarity.lshBucket]] (±1 weights from md5("plane:dim")). */
+  private def lshBucketSql(vec: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val dotP =
+        s"""list_reduce(list_transform(generate_series(1, len($vec)),
+           |      i -> $vec[i]::DOUBLE * (CASE WHEN (('0x' || substring(md5('$p:' || i), 1, 8))::BIGINT & 1) = 1
+           |                              THEN 1.0 ELSE -1.0 END)), (x,y) -> x+y)""".stripMargin
+      s"(CASE WHEN $dotP > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "q27_exact_dedup" ->
       """WITH corpus AS (
@@ -212,11 +244,24 @@ object LlmQueries {
          |SELECT doc_id, $mhs FROM sh""".stripMargin
     },
     "q30_simhash" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
-         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
-         |bits AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash FROM bits""".stripMargin,
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sigs""".stripMargin,
+    "q40_simhash_neardup" ->
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q39_lsh_ann" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${lshBucketSql("embedding", 6)} AS bkt
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id FROM c
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
     "q31_knn_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |c AS (

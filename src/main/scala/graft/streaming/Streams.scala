@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming re-hosting of the reference's incremental batch
+  * semantics (SURVEY.md §2.11): the Airflow weekly catchup run becomes a
+  * file-source stream with `Trigger.AvailableNow` — new-file discovery,
+  * exactly-once progress via checkpoint, then stop. No always-on cluster,
+  * same incremental guarantees.
+  *
+  * Scale notes: the file source lists and rate-limits new files
+  * (`maxFilesPerTrigger`), the windowed aggregate keeps state only until
+  * the watermark passes (bounded state at any corpus size), and
+  * [[latestPerUser]] shows the `flatMapGroupsWithState` shape for custom
+  * state — state is partitioned by key, so it scales horizontally like any
+  * keyed shuffle.
+  */
+object Streams {
+
+  /** Incremental ingestion: stream every file under `srcDir` into an
+    * append-mode parquet sink, processing exactly the files available now
+    * (the weekly catchup run, minus Airflow). Re-running with the same
+    * checkpoint ingests only files not yet seen — the idempotence the
+    * reference delegated to Redshift UPSERT. */
+  def ingestAvailableNow(spark: SparkSession, srcDir: String, schema: StructType,
+                         dstDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", dstDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window count per hour — the streaming analog of
+    * the per-hour dashboard rollup. Late data beyond the watermark is
+    * dropped; window state is freed once the watermark passes. */
+  def hourlyCounts(events: DataFrame, tsCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("cnt"))
+
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class Latest(user_id: Long, event_id: Long, value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: the streaming version
+    * of q07's deterministic dedup-latest — per user, keep the (ts,
+    * event_id)-max event across triggers. Emits the new champion whenever
+    * it changes (Update mode). */
+  def latestPerUser(events: Dataset[Event]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Event, Latest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Event]) =>
+          val ord = Ordering.by[Event, (Long, Long)](e => (e.ts.getTime, e.event_id))
+          val candidates = state.getOption.iterator ++ batch
+          val best = candidates.max(ord)
+          val changed = state.getOption.forall(prev => ord.compare(best, prev) > 0)
+          state.update(best)
+          if (changed) Iterator(Latest(user, best.event_id, best.value))
+          else Iterator.empty
+      }
+  }
+
+  /** Run the hourly-count aggregate over `dir/events.parquet` as a
+    * complete-mode AvailableNow stream into a memory sink and return the
+    * final table — lets the batch oracle verify the streaming path. The
+    * nano-timestamp column is truncated to micros exactly as the batch
+    * loader does (graft.sources.Tables.load). */
+  def hourlyCountsOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory or glob, not a bare file path
+    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    val q = hourlyCounts(stream, "ts")
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_hourly")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_hourly")
+  }
+}

@@ -65,6 +65,20 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(out(1L) >= 0L && out(1L) < (1L << 32))
   }
 
+  test("simhashNearDupPairs: identical docs at hamming 0; banding finds them without all-pairs") {
+    val d = docs(
+      1L -> "spark batch window join merge",
+      2L -> "spark batch window join merge",   // hamming 0
+      3L -> "totally unrelated vocabulary entirely elsewhere")
+    val out = Dedup.simhashNearDupPairs(d, "doc_id", "text")
+    val rows = out.collect()
+    assert(rows.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
+      && r.getAs[Long]("hamming") == 0L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan detected:\n$plan")
+  }
+
   test("portable minhash: equal shingle sets give equal signatures") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e")
     val sets = Dedup.shingleSets(d, "doc_id", "text", 3)

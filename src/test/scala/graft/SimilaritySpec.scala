@@ -53,6 +53,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
   }
 
+  test("lshBucket is deterministic and identical vectors share a bucket") {
+    // ±1±2±4 is never 0, so every plane-dot has a definite sign and
+    // negating the vector provably flips every bucket bit
+    val d = emb(
+      (1L, Seq(1f, 2f, 4f), 0),
+      (2L, Seq(1f, 2f, 4f), 0),
+      (3L, Seq(-1f, -2f, -4f), 0))
+    val out = d.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 6).as("b"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("b")).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) == (~out(3L) & 63)) // negating the vector flips every sign bit
+    assert(out.values.forall(b => b >= 0 && b < 64))
+  }
+
+  test("lshNearestNeighbor pairs identical vectors with each other") {
+    val d = emb(
+      (1L, Seq(1f, 2f, 3f), 0), (2L, Seq(1f, 2f, 3f), 0),
+      (3L, Seq(-5f, 1f, -9f), 0))
+    val out = Similarity.lshNearestNeighbor(d, "vec_id", "embedding", 6)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
+    assert(out.get(1L).contains(2L) && out.get(2L).contains(1L))
+  }
+
   test("bucketedNearestNeighbor joins on the bucket key, not all pairs") {
     val d = emb((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), (3L, Seq(1f, 1f), 1))
     val plan = Similarity.bucketedNearestNeighbor(d, "vec_id", "embedding", "label")
