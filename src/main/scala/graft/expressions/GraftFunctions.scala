@@ -1,0 +1,56 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.graft.GraftSqlBridge
+
+/** Column-API and SQL-surface entry points for graft's native Catalyst
+  * expressions ([[ArrayDotProduct]], [[MinHashSignature]]).
+  *
+  * Two registration paths, both idiomatic:
+  *  - `spark.sql.extensions=graft.expressions.GraftExtensions` at session
+  *    build (the standard plug-in route for a cluster);
+  *  - [[GraftFunctions.register]] imperatively — idempotent, used by the
+  *    operators so any session they touch gains the SQL functions.
+  */
+object GraftFunctions {
+
+  /** dot(a, b) as a native codegen'd expression (see [[ArrayDotProduct]]). */
+  def dotNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      ArrayDotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** One-pass MinHash signature (see [[MinHashSignature]]). */
+  def minhashNative(shingles: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      MinHashSignature(GraftSqlBridge.expression(shingles), numHashes))
+
+  private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+        ArrayDotProduct(children(0), children(1))
+      }),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(shingles, IntegerLiteral(n)) => MinHashSignature(shingles, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(shingles, numHashes) needs a literal int numHashes")
+      }))
+
+  /** Idempotent imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      GraftSqlBridge.registerFunction(spark, ident, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` plug-in: makes `graft_dot` / `graft_minhash`
+  * available to pure-SQL users at session build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -46,14 +46,14 @@ object Dedup {
       .select(col("doc_id"), wordShingles(col("toks"), k).as("shingles"))
   }
 
-  /** MinHash signature as an array<long>: element s is
-    * min over shingles of xxhash64(s, shingle). xxhash64 is Spark-native
-    * codegen (the oracle never sees raw signature values — only the
-    * verified pairs — so engine-portability of this hash is not needed;
-    * see [[portableMinhash]] for the cross-engine variant). */
+  /** MinHash signature as an array<long>, via the native one-pass
+    * [[graft.expressions.MinHashSignature]] expression: each shingle is
+    * xxhash64'd once and the k-th component is the min of a cheap
+    * avalanche-mix of that hash (the oracle never sees raw signature values
+    * — only the verified pairs — so engine-portability of this hash is not
+    * needed; see [[portableMinhash]] for the cross-engine variant). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(shingles, sh => xxhash64(s, sh))))
+    graft.expressions.GraftFunctions.minhashNative(shingles, numHashes)
 
   /** Banded LSH candidate pairs: signature → (band, bucketKey) → equi
     * self-join. Returns distinct (id_a < id_b) candidate pairs. */

@@ -1,8 +1,12 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -19,12 +23,17 @@ import org.apache.spark.sql.functions._
   *    Spark shuffles both sides on the bucket — cost is Σ bucket², never
   *    global n². The same shape holds for LSH random-projection buckets.
   *
-  * Determinism: all cosines are computed as a left fold in DOUBLE
-  * (`zip_with` products, `aggregate` sum, then /(sqrt·sqrt)). Every step is
-  * a correctly-rounded IEEE op on exactly-widened float32 inputs in a fixed
-  * order, so DuckDB's `list_reduce` mirror is bit-identical — which is why
-  * the oracle-checked queries can emit the cosine values themselves and
-  * still hash-match.
+  * Per-core cost: the dot product is [[graft.expressions.ArrayDotProduct]],
+  * a native codegen'd expression (tight primitive loop inside whole-stage
+  * codegen) — the higher-order-function formulation it replaced was
+  * `CodegenFallback` and dominated the ANN profile. Norms are computed once
+  * per VECTOR before the candidate join, not once per candidate pair.
+  *
+  * Determinism: every cosine is left-fold double arithmetic over
+  * exactly-widened float32 inputs in a fixed order, so DuckDB's
+  * `list_reduce` mirror is bit-identical — which is why the oracle-checked
+  * queries can emit or rank by the cosine values themselves and still
+  * hash-match.
   */
 object Similarity {
 
@@ -32,9 +41,7 @@ object Similarity {
     * DuckDB mirror: `list_reduce(list_transform(generate_series(1, len(a)),
     * i -> a[i]::DOUBLE * b[i]::DOUBLE), (x,y) -> x+y)` — list_reduce has no
     * init but 0.0 + x1 == x1 exactly, so the folds agree bit-for-bit. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
+  def dot(a: Column, b: Column): Column = GraftFunctions.dotNative(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -55,46 +62,67 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id over `planes` sign bits. Hyperplane
-    * weights are pseudo-random ±1, derived deterministically from md5 of
-    * "plane:dim" — portable, so the DuckDB oracle reproduces the buckets
-    * bit-for-bit (the sign test compares a bit-exact double fold with 0).
-    * Bit p of the bucket = [dot(vec, w_p) > 0]. */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    def planeSign(p: Int, i: Column): Column =
-      when(conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 8), 16, 10)
-        .cast("long").bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
-    def planeDot(p: Int): Column =
-      aggregate(
-        transform(sequence(lit(1), size(vec)), i =>
-          element_at(vec, i).cast("double") * planeSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-    (0 until planes).map(p => when(planeDot(p) > 0, lit(1 << p)).otherwise(lit(0)))
-      .reduce(_ + _)
+  /** The ±1 weight of LSH hyperplane `p` at (1-based) dimension `i`:
+    * lowest bit of the first 8 md5 hex chars of "p:i". Computed driver-side
+    * ONCE per (plane, dim) — the old formulation recomputed the md5 of
+    * every (plane, dim) pair per ROW, interpreted. Must stay bit-identical
+    * to the oracle's SQL mirror (md5 over the same string, same bit test). */
+  private[graft] def planeSign(p: Int, i: Int): Double = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes(StandardCharsets.UTF_8))
+    // first 8 hex chars == first 4 bytes; & 1 is the low bit of byte 3
+    if ((d(3) & 1) == 1) 1.0 else -1.0
   }
+
+  /** Random-hyperplane LSH bucket id over `planes` sign bits for vectors of
+    * dimension `dim`. Hyperplane weights are pseudo-random ±1, derived
+    * deterministically from md5 of "plane:dim" — portable, so the DuckDB
+    * oracle reproduces the buckets bit-for-bit (the sign test compares a
+    * bit-exact double fold with 0). Bit p of the bucket = [dot(vec, w_p) > 0].
+    * The weights ride along as array literals; each plane-dot is one native
+    * codegen'd [[dot]] (exact ±1.0 products — bit-identical to the previous
+    * per-element fold). */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val w = typedLit((1 to dim).map(i => planeSign(p, i)))
+      when(dot(vec, w) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: nearest neighbor within each vector's
     * random-hyperplane bucket. Same equi-join shape as the IVF variant but
     * the quantizer is data-independent — the pure scale path when no
     * trained centroids exist. Vectors alone in their bucket emit no row
-    * (deterministically, in engine and oracle alike). */
+    * (deterministically, in engine and oracle alike). The embedding
+    * dimension is probed from one row (a metadata-scale job) so the plane
+    * weights can be bound as literals. */
   def lshNearestNeighbor(emb: DataFrame, idCol: String, vecCol: String,
-                         planes: Int): DataFrame =
+                         planes: Int): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
     bucketedNearestNeighbor(
-      emb.withColumn("__lsh", lshBucket(col(vecCol), planes)),
+      emb.withColumn("__lsh", lshBucket(col(vecCol), planes, dim)),
       idCol, vecCol, "__lsh")
+  }
 
   /** IVF-style search: each vector's nearest neighbor within its own
-    * bucket. Equi-join on the bucket key, cosine per candidate pair, then
-    * a window top-1 per probe vector. Emits (vec_id, nn_id). */
+    * bucket. Equi-join on the bucket key, ONE dot per candidate pair (norms
+    * precomputed per row on each side — `sqrt(dot(v,v))` hoisted out of the
+    * pair loop; the quotient `dot/(na*nb)` is the exact same IEEE
+    * expression the per-pair form evaluated, so results are bit-identical),
+    * then a window top-1 per probe vector. Emits (vec_id, nn_id). */
   def bucketedNearestNeighbor(emb: DataFrame, idCol: String, vecCol: String,
                               bucketCol: String): DataFrame = {
-    val a = emb.select(col(bucketCol).as("__bkt"), col(idCol).as("vec_id"), col(vecCol).as("__va"))
-    val b = emb.select(col(bucketCol).as("__bkt"), col(idCol).as("nn_id"), col(vecCol).as("__vb"))
+    val normed = emb.select(
+      col(bucketCol).as("__bkt"), col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__norm"))
+    val a = normed.select(col("__bkt"), col(idCol).as("vec_id"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val b = normed.select(col("__bkt"), col(idCol).as("nn_id"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
     val w = Window.partitionBy("vec_id").orderBy(col("__cos").desc, col("nn_id").asc)
     a.join(b, "__bkt")
       .filter(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"), cosine(col("__va"), col("__vb")).as("__cos"))
+      .select(col("vec_id"), col("nn_id"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__cos"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("vec_id", "nn_id")

@@ -76,6 +76,18 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = scaleOut(load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = scaleOut(load(spark, dir, "embeddings"))
+
+  /** Scale-out guard for compute-heavy corpus scans (SURVEY.md §2 P7): the
+    * harness documents/embeddings files are single-row-group parquet — ONE
+    * scan split — which would serialize the whole per-row pipeline
+    * (shingling, signatures, cosines) on one core of local[32]. When the
+    * scan yields fewer splits than cores, round-robin repartition to
+    * defaultParallelism; at real scale (100 TB ⇒ ~10⁵ splits) the guard is
+    * a no-op and costs nothing. */
+  def scaleOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

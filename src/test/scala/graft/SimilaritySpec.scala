@@ -60,7 +60,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       (1L, Seq(1f, 2f, 4f), 0),
       (2L, Seq(1f, 2f, 4f), 0),
       (3L, Seq(-1f, -2f, -4f), 0))
-    val out = d.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 6).as("b"))
+    val out = d.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 6, 3).as("b"))
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("b")).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) == (~out(3L) & 63)) // negating the vector flips every sign bit
