@@ -132,6 +132,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT n-gram-Jaccard near-dup pairs via a prefix-filtered inverted
+    * index — no signatures, no probability: provably the same output as the
+    * all-pairs quadratic scan, at index-join cost.
+    *
+    * Shape: explode each doc's shingle PREFIX into an inverted index,
+    * equi-join the index with itself on the shingle (candidates = docs
+    * sharing >= 1 prefix shingle), then verify candidates exactly against
+    * the full shingle sets (same verify join as [[nearDupPairs]]).
+    *
+    * Prefix filter (PPJoin/AllPairs): under any global total order on
+    * shingles, two sets A, B with |A∩B| >= α must share an element among
+    * the first |A|-α+1 of A and the first |B|-α+1 of B. J(A,B) >= t implies
+    * |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|), so indexing only each doc's
+    * first |X| - ceil(t·|X|) + 1 shingles (by (hash, shingle) order —
+    * spreading hot prefixes) keeps recall at exactly 1.0 while indexing
+    * ~(1-t) of each doc — at t=0.8, a 5× smaller index and ~25× fewer
+    * candidate pairs than the naive inverted index.
+    *
+    * Scale notes: the index join shuffles on the shingle — a genuinely hot
+    * shingle still skews its bucket, which AQE skew-join splits; the
+    * (hash, shingle) prefix order means the INDEXED subset is
+    * pseudo-random per doc, so natural-language stop-shingles are mostly
+    * NOT in prefixes. The verify join is two shuffle equi-joins on doc id,
+    * same as the MinHash path. */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3,
+                        thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleK)
+    // global order: (md5Long(shingle), shingle) — deterministic, portable
+    val ordered = sets.select(col("doc_id"),
+      transform(
+        array_sort(transform(col("shingles"), s => struct(md5Long(s).as("h"), s.as("s")))),
+        p => p.getField("s")).as("ordered"))
+    // prefix length = |X| - ceil(t|X|) + 1, ceil in integer arithmetic
+    val sz = size(col("ordered"))
+    val plen = (sz - floor((sz * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
+    val prefixes = ordered.select(col("doc_id"),
+      explode(slice(col("ordered"), lit(1), plen)).as("sh"))
+    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
+  }
+
   /** 32-bit SimHash over (multiset) whitespace tokens, md5-based so the
     * oracle can recompute it. Explode + one grouped aggregate: partial
     * (map-side) aggregation keeps the shuffle at one row per (doc, 32

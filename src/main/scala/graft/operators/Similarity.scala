@@ -82,9 +82,9 @@ object Similarity {
     * The weights ride along as array literals; each plane-dot is one native
     * codegen'd [[dot]] (exact ±1.0 products — bit-identical to the previous
     * per-element fold). */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+  def lshBucket(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
-      val w = typedLit((1 to dim).map(i => planeSign(p, i)))
+      val w = typedLit((1 to dim).map(i => planeSign(planeOffset + p, i)))
       when(dot(vec, w) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -101,6 +101,46 @@ object Similarity {
     bucketedNearestNeighbor(
       emb.withColumn("__lsh", lshBucket(col(vecCol), planes, dim)),
       idCol, vecCol, "__lsh")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
+    * LSH candidates, exactly verified at `cos >= thresholdNum/thresholdDen`.
+    *
+    * Candidates: `tables` independent LSH tables of `planes` sign bits each
+    * (plane p of table t uses the hyperplane id `t*planes + p`, so tables
+    * share no planes). A pair is a candidate iff it collides in AT LEAST
+    * ONE table — each table is an equi self-join on its bucket key, unioned
+    * and deduped; never all-pairs. Per-table collision probability for a
+    * pair at angle θ is (1-θ/π)^planes, so recall after T tables is
+    * 1-(1-(1-θ/π)^p)^T — at cos 0.999 (θ=0.045 rad) with 4 tables × 8
+    * planes that is 0.9998; tune tables/planes to the miss rate the corpus
+    * tolerates. The threshold test itself compares the bit-exact cosine
+    * against an exact rational (single IEEE divide), so verification adds
+    * no error.
+    *
+    * Emits (id_a < id_b, cos). */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, tables: Int,
+                         thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val withBuckets = emb.select(
+      col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__norm"),
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col(vecCol), planes, dim, planeOffset = t * planes).as("b"))): _*).as("__bkts"))
+    val banded = withBuckets.select(col(idCol), col(vecCol), col("__norm"),
+      explode(col("__bkts")).as("__tb"))
+    val a = banded.select(col("__tb"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__norm").as("__na"))
+    val b = banded.select(col("__tb"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    a.join(b, Seq("__tb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
+      .distinct()
+      .filter(col("cos") * thresholdDen >= lit(thresholdNum))
   }
 
   /** IVF-style search: each vector's nearest neighbor within its own

@@ -69,6 +69,32 @@ object LlmQueries {
       Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
       .select("doc_id")
 
+  /** EXACT n-gram-Jaccard near-dup pairs via the prefix-filtered inverted
+    * index — zero false negatives by construction, so it must equal the
+    * all-pairs oracle exactly (the strongest correctness statement in the
+    * dedup suite: same output as q28's oracle with recall 1.0 guaranteed,
+    * not probabilistic). */
+  def q42JaccardExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsExact(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Embedding-cosine near-dup pairs at cos >= 999/1000 over the corpus
+    * plus a deterministically perturbed copy of every 20th vector
+    * (dimension 1 scaled by 1.05 — cos(v, v') >= 0.9997 for any v, while
+    * the corpus' natural pairs top out near 0.52). Candidates from 4
+    * independent LSH tables × 8 hyperplanes, exactly verified; the oracle
+    * mirrors the table/bucket derivation bit-for-bit. */
+  def q43CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val perturbed = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.05).cast("float")).otherwise(x))
+          .as("embedding"))
+    Similarity.cosineNearDupPairs(e.unionByName(perturbed),
+      "vec_id", "embedding", planes = 8, tables = 4,
+      thresholdNum = 999L, thresholdDen = 1000L)
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Exact brute-force cosine top-10 for the vector with vec_id 0 —
@@ -168,7 +194,9 @@ object LlmQueries {
     "q37_fingerprint" -> (q37Fingerprint _),
     "q38_neardup_dedup" -> (q38NeardupDedup _),
     "q39_lsh_ann" -> (q39LshAnn _),
-    "q40_simhash_neardup" -> (q40SimhashNeardup _))
+    "q40_simhash_neardup" -> (q40SimhashNeardup _),
+    "q42_jaccard_exact" -> (q42JaccardExact _),
+    "q43_cosine_neardup" -> (q43CosineNeardup _))
 
   // ------------------------------------------------------------- oracles
 
@@ -211,12 +239,14 @@ object LlmQueries {
        |sigs AS (SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash FROM bits)""".stripMargin
 
   /** Random-hyperplane LSH bucket over `planes` sign bits, mirror of
-    * [[Similarity.lshBucket]] (±1 weights from md5("plane:dim")). */
-  private def lshBucketSql(vec: String, planes: Int): String =
+    * [[Similarity.lshBucket]] (±1 weights from md5("plane:dim")); plane ids
+    * start at `planeOffset` for multi-table LSH. */
+  private def lshBucketSql(vec: String, planes: Int, planeOffset: Int = 0): String =
     (0 until planes).map { p =>
+      val pid = planeOffset + p
       val dotP =
         s"""list_reduce(list_transform(generate_series(1, len($vec)),
-           |      i -> $vec[i]::DOUBLE * (CASE WHEN (('0x' || substring(md5('$p:' || i), 1, 8))::BIGINT & 1) = 1
+           |      i -> $vec[i]::DOUBLE * (CASE WHEN (('0x' || substring(md5('$pid:' || i), 1, 8))::BIGINT & 1) = 1
            |                              THEN 1.0 ELSE -1.0 END)), (x,y) -> x+y)""".stripMargin
       s"(CASE WHEN $dotP > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
@@ -328,5 +358,35 @@ object LlmQueries {
       s"""WITH $shingleCte,
          |losers AS (SELECT DISTINCT b.doc_id AS id_b $pairsFrom)
          |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT id_b FROM losers)""".stripMargin)
+         |WHERE doc_id NOT IN (SELECT id_b FROM losers)""".stripMargin,
+    // q42 is the exact inverted-index path: recall is provably 1.0, so the
+    // oracle is the SAME all-pairs query as q28 — no mirroring of the index.
+    "q42_jaccard_exact" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+         |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
+         |$pairsFrom""".stripMargin,
+    "q43_cosine_neardup" -> {
+      val buckets = (0 until 4).map(t =>
+        s"${lshBucketSql("embedding", 8, planeOffset = t * 8)} AS b$t").mkString(",\n    ")
+      val anyTable = (0 until 4).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(generate_series(1, len(embedding)),
+         |      i -> CASE WHEN i = 1 THEN CAST(embedding[i]::DOUBLE * 1.05 AS FLOAT)
+         |           ELSE embedding[i] END)
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |bk AS (
+         |  SELECT vec_id, embedding,
+         |    ${buckets}
+         |  FROM corpus)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM bk a JOIN bk b
+         |  ON a.vec_id < b.vec_id AND ($anyTable)
+         |WHERE ${cosSql("a.embedding", "b.embedding")} * 1000 >= 999""".stripMargin
+    })
 }

@@ -86,4 +86,48 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("mh")).toMap
     assert(sigs(1L) == sigs(2L) && sigs(1L).length == 16)
   }
+
+  test("jaccardPairsExact equals brute-force all-pairs on a randomized corpus") {
+    // deterministic pseudo-random corpus with seeded exact copies, edits of
+    // one/two trailing words (J = (n-2)/n and lower), and unrelated docs —
+    // pairs land on both sides of the 0.8 threshold
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (1L to 30L).map { id =>
+      id -> (0 until 22).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val variants = base.take(8).map { case (id, t) =>
+      val words = t.split(" ")
+      (id + 100, (words.dropRight(1) :+ "omega").mkString(" "))
+    }
+    val copies = base.slice(8, 12).map { case (id, t) => (id + 200, t) }
+    val d = docs((base ++ variants ++ copies): _*)
+
+    val out = Dedup.jaccardPairsExact(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 3)
+    val expected = sets.as("x").crossJoin(sets.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("long").as("n_common"),
+        size(array_union(col("x.shingles"), col("y.shingles"))).cast("long").as("n_union"))
+      .filter(col("n_common") * 5 >= col("n_union") * 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(expected.nonEmpty, "test corpus seeded no above-threshold pairs")
+    assert(out == expected)
+  }
+
+  test("jaccardPairsExact candidate join is an equi-join on the shingle, never all-pairs") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
+    val out = Dedup.jaccardPairsExact(d, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan detected:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 1 &&
+      rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
+  }
 }

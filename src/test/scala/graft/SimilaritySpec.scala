@@ -76,6 +76,23 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out.get(1L).contains(2L) && out.get(2L).contains(1L))
   }
 
+  test("cosineNearDupPairs verifies candidates exactly and never goes all-pairs") {
+    val d = emb(
+      (1L, Seq(1f, 2f, 3f), 0),
+      (2L, Seq(1f, 2f, 3f), 0),          // identical: cos exactly 1.0, same bucket in every table
+      (3L, Seq(-5f, 1f, -9f), 0),
+      (4L, Seq(2f, -7f, 4f), 0))
+    val out = Similarity.cosineNearDupPairs(d, "vec_id", "embedding",
+      planes = 8, tables = 4, thresholdNum = 999L, thresholdDen = 1000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan detected:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L
+      && rows.head.getDouble(2) == 1.0)
+  }
+
   test("bucketedNearestNeighbor joins on the bucket key, not all pairs") {
     val d = emb((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), (3L, Seq(1f, 1f), 1))
     val plan = Similarity.bucketedNearestNeighbor(d, "vec_id", "embedding", "label")
