@@ -23,6 +23,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Untimed JVM/codegen warmup: a scan, a shuffle agg, and a broadcast
+    // join over the smallest SF so first-measured-query timings reflect
+    // steady state, not classloading + first codegen compile (~4s of JVM
+    // startup was previously attributed to whichever query sorted first).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      Seq("q01_groupby_agg", "q03_join_broadcast", "q02_filter_project")
+        .foreach { q =>
+          try SparkEntry.queries(q)(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

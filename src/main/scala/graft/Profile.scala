@@ -41,6 +41,9 @@ object Profile {
     val docsR = docs.repartition(32)
     time("nearDupPairs repart32")(Dedup.nearDupPairs(docsR, "doc_id", "text"))
 
+    // q42
+    time("q42 full")(Dedup.jaccardPairsExact(docs, "doc_id", "text"))
+
     val emb = Tables.embeddings(spark, dir)
     println(s"[profile] emb partitions = ${emb.rdd.getNumPartitions}")
     time("bucketedNN label")(Similarity.bucketedNearestNeighbor(emb, "vec_id", "embedding", "label"))

@@ -39,6 +39,13 @@ object GraftFunctions {
         case Seq(shingles, IntegerLiteral(n)) => MinHashSignature(shingles, n)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingles, numHashes) needs a literal int numHashes")
+      }),
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, IntegerLiteral(k)) => WordShingles(toks, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(tokens, k) needs a literal int k")
       }))
 
   /** Idempotent imperative registration into an existing session. */

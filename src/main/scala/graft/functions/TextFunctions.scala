@@ -25,14 +25,16 @@ object TextFunctions {
     * `string_split(lower(text), ' ')` exactly (regex-free). */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct word k-shingles ("n-gram" units for near-dup Jaccard).
-    * Produces `concat_ws(" ", w[i..i+k-1])` for every window; rows with
-    * fewer than k tokens yield an empty array (sequence(0, negative) is
-    * empty after the filter guard upstream). */
+  /** Distinct word k-shingles ("n-gram" units for near-dup Jaccard):
+    * `concat_ws(" ", w[i..i+k-1])` for every window, deduped keeping first
+    * occurrence. One native pass — see [[graft.expressions.WordShingles]]
+    * (the HOF formulation it replaced ran interpreted and dominated the
+    * dedup-suite profile). Rows with fewer than k tokens yield an empty
+    * array. */
   def wordShingles(toks: Column, k: Int): Column = {
-    val idx = sequence(lit(0), size(toks) - k)
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.WordShingles(GraftSqlBridge.expression(toks), k))
   }
 
   /** A BPE-ish surface tokenizer: maximal word runs plus single
