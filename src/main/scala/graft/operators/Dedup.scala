@@ -108,19 +108,31 @@ object Dedup {
       substring(md5(concat(lit(s"$seed:"), sh)), 1, 16)))
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, found by
-    * byte-banding: the 32-bit signature splits into 4 exact 8-bit bands and
+    * banding: the 60-bit signature splits into 4 exact 15-bit bands and
     * candidates equi-join per band. By pigeonhole this is EXHAUSTIVE for
     * maxHamming ≤ 3 (4 bands can't all contain one of ≤3 flipped bits), so
     * unlike probabilistic MinHash-LSH the recall here is provably 1.0 —
     * while the join still shuffles on (band, value), never all-pairs.
-    * Exact Hamming (`bit_count(xor)`) filters band collisions. */
+    * Exact Hamming (`bit_count(xor)`) filters band collisions.
+    *
+    * Scale: 15-bit bands give 2¹⁵ = 32,768 buckets per band, so expected
+    * bucket occupancy is n/32,768 and the per-band self-join cost is
+    * ~n²/2¹⁵ ONLY for genuinely colliding signatures — for a corpus whose
+    * signatures are near-uniform (they are: 60 independent md5-derived bit
+    * sums) the candidate count stays near-linear far beyond 10⁹ docs. The
+    * earlier 32-bit/8-bit-band scheme capped at 256 buckets per band
+    * (quadratic blowup past ~10⁵ docs) and collided at random for any
+    * corpus over 2¹⁶ docs; 60 bits keeps random hamming≤3 collisions
+    * negligible to ~2³⁰ docs. 60 (not 64) bits because the signature must
+    * stay oracle-portable: 15 md5 hex chars decode into a signed BIGINT in
+    * both engines with no unsigned/hugeint edge cases. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
     val sigs = simhash(docs, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
+        shiftright(col("simhash"), b * 15).bitwiseAND(32767)): _*)))
       .toDF("doc_id", "simhash", "band", "value")
     val a = banded.select(col("band"), col("value"), col("doc_id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("value"), col("doc_id").as("id_b"), col("simhash").as("sig_b"))
@@ -193,24 +205,24 @@ object Dedup {
       .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
   }
 
-  /** 32-bit SimHash over (multiset) whitespace tokens, md5-based so the
-    * oracle can recompute it. Explode + one grouped aggregate: partial
-    * (map-side) aggregation keeps the shuffle at one row per (doc, 32
-    * counters) — the canonical scalable simhash shape.
+  /** 60-bit SimHash over (multiset) whitespace tokens, md5-based (first 15
+    * hex chars) so the oracle can recompute it. Explode + one grouped
+    * aggregate: partial (map-side) aggregation keeps the shuffle at one row
+    * per (doc, 60 counters) — the canonical scalable simhash shape.
     *
     * Bit b of the signature is set iff
-    * sum over tokens of (bit b of md5Int(token) ? +1 : -1) > 0.
+    * sum over tokens of (bit b of md5Long(token) ? +1 : -1) > 0.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5Int(col("tok")))
-    val bitSums = (0 until 32).map { b =>
+      .withColumn("h", md5Long(col("tok")))
+    val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 }

@@ -118,28 +118,35 @@ object Similarity {
     * against an exact rational (single IEEE divide), so verification adds
     * no error.
     *
+    * Verification cost: candidate (id_a, id_b) pairs are DISTINCTed before
+    * vectors are joined back, so a pair colliding in all `tables` tables
+    * still costs exactly ONE dot and carries its vectors through exactly
+    * one shuffle row — the bucket self-join moves only (bucket, id) pairs,
+    * never embeddings (same shape as [[graft.operators.Dedup.nearDupPairs]]).
+    *
     * Emits (id_a < id_b, cos). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          planes: Int, tables: Int,
                          thresholdNum: Long, thresholdDen: Long): DataFrame = {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val withBuckets = emb.select(
-      col(idCol), col(vecCol),
-      sqrt(dot(col(vecCol), col(vecCol))).as("__norm"),
-      array((0 until tables).map(t =>
+    val banded = emb.select(
+      col(idCol),
+      explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col(vecCol), planes, dim, planeOffset = t * planes).as("b"))): _*).as("__bkts"))
-    val banded = withBuckets.select(col(idCol), col(vecCol), col("__norm"),
-      explode(col("__bkts")).as("__tb"))
-    val a = banded.select(col("__tb"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__norm").as("__na"))
-    val b = banded.select(col("__tb"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__norm").as("__nb"))
-    a.join(b, Seq("__tb"))
+          lshBucket(col(vecCol), planes, dim, planeOffset = t * planes).as("b"))): _*)).as("__tb"))
+    val a = banded.select(col("__tb"), col(idCol).as("id_a"))
+    val b = banded.select(col("__tb"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("__tb"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val normed = emb.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__norm"))
+    val va = normed.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__norm").as("__na"))
+    val vb = normed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    cands.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
-      .distinct()
       .filter(col("cos") * thresholdDen >= lit(thresholdNum))
   }
 

@@ -52,7 +52,7 @@ object LlmQueries {
       (0 until 4).map(k => Dedup.portableMinhash(col("shingles"), k).as(s"mh$k")): _*)
   }
 
-  /** 32-bit SimHash signatures (explode + partial-agg groupBy). */
+  /** 60-bit SimHash signatures (explode + partial-agg groupBy). */
   def q30Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
 
@@ -223,17 +223,18 @@ object LlmQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  private val simhashBitSums = (0 until 32)
+  private val simhashBitSums = (0 until 60)
     .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
     .mkString(", ")
-  private val simhashCombine = (0 until 32)
+  private val simhashCombine = (0 until 60)
     .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
     .mkString(" + ")
 
-  /** CTEs computing per-doc simhash signatures (shared by q30/q40). */
+  /** CTEs computing per-doc 60-bit simhash signatures (shared by q30/q40);
+    * 15 hex chars keep the decode inside signed BIGINT in both engines. */
   private val simhashCtes =
     s"""h AS (
-       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
+       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
        |bits AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id),
        |sigs AS (SELECT doc_id, CAST($simhashCombine AS BIGINT) AS simhash FROM bits)""".stripMargin

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.Upsert
 
 /** Parquet sinks as engine operations (SURVEY.md §2.1 S5/S6/S7).
@@ -45,6 +46,10 @@ object Sinks {
     * table lazily, merges (updates win on key collision), and swap-commits;
     * the temp-write means reading and replacing the same path is safe.
     * Idempotent: applying the same updates twice leaves the table unchanged.
+    *
+    * Rewrites the WHOLE table per merge — right for dimension-sized tables
+    * (stations/weather/datetime); for a fact table partitioned on a date key
+    * use [[upsertPartitioned]], which only rewrites touched partitions.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Unit = {
     val f = fs(spark, path)
@@ -52,5 +57,73 @@ object Sinks {
       if (f.exists(new Path(path))) Upsert.merge(spark.read.parquet(path), updates, keys)
       else updates
     overwriteSwap(merged, path)
+  }
+
+  /** Hive-style partitioned overwrite: `<path>/<partCol>=<value>/...` via
+    * `partitionBy`, with the same temp-write + swap commit as
+    * [[overwriteSwap]]. The layout mirrors the reference's monthly raw-zone
+    * folders (proc_0_ingestion_to_s3_dag.py:17) and is what makes
+    * [[upsertPartitioned]] and partition-pruned reads possible. */
+  def overwriteSwapPartitioned(df: DataFrame, path: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".__tmp")
+    val dst = new Path(path)
+    f.delete(tmp, true)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    f.delete(dst, true)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"swap-commit rename failed: $tmp -> $dst")
+  }
+
+  /** S7 at scale: keyed UPSERT into a table partitioned on `partCol`, that
+    * rewrites ONLY the partitions the update batch touches. A weekly merge
+    * into a 100 TB fact partitioned by date costs ~7 partition rewrites, not
+    * a 100 TB table rewrite (the whole-table [[upsert]] is quadratic-ish
+    * over the table's lifetime; this is linear in the batch).
+    *
+    * Contract: a row's `partCol` value is immutable under updates (true for
+    * fact_journey — weather_date derives from start_date which is part of
+    * the row identity). If a key could MOVE partitions, the stale copy in
+    * the old partition would survive; that needs a key→partition index and
+    * is out of scope for a date-partitioned fact.
+    *
+    * Mechanics: (1) partition-pruned read of the target restricted to the
+    * touched partition values (the pruning predicate is `partCol IN
+    * (<touched>)`, pushed to the directory listing — untouched partitions
+    * are never even read); (2) keyed merge of just those rows with the
+    * batch; (3) write the merged touched partitions to a temp dir with
+    * `partitionBy`; (4) swap each written `partCol=value` directory into the
+    * target individually. Commit is atomic PER PARTITION (two renames), the
+    * same granularity Hive/Spark dynamic partition overwrite provides; a
+    * mid-loop crash leaves each partition either fully old or fully new,
+    * and re-running the batch converges (the merge is idempotent).
+    *
+    * The touched-partition value list is collected driver-side: it is
+    * bounded by the number of DISTINCT partition values in one batch (days
+    * in a week), not by data size. */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        keys: Seq[String], partCol: String): Unit = {
+    val f = fs(spark, path)
+    val dst = new Path(path)
+    if (!f.exists(dst)) { overwriteSwapPartitioned(updates, path, partCol); return }
+    // bounded: distinct partition values of ONE batch (e.g. 7 days/week)
+    val touched = updates.select(partCol).distinct().collect().map(_.get(0))
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched: _*))
+      .select(updates.columns.map(col): _*) // partition col read-reordered to the end
+    val merged = Upsert.merge(existing, updates, keys)
+    val tmp = new Path(path + ".__tmp")
+    f.delete(tmp, true)
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    // swap exactly the partition dirs the merged write produced
+    f.listStatus(tmp).filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .foreach { s =>
+        val target = new Path(dst, s.getPath.getName)
+        f.delete(target, true)
+        if (!f.rename(s.getPath, target))
+          throw new java.io.IOException(s"partition swap failed: ${s.getPath} -> $target")
+      }
+    f.delete(tmp, true)
   }
 }

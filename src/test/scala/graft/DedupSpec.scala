@@ -62,7 +62,7 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
-    assert(out(1L) >= 0L && out(1L) < (1L << 32))
+    assert(out(1L) >= 0L && out(1L) < (1L << 60))
   }
 
   test("simhashNearDupPairs: identical docs at hamming 0; banding finds them without all-pairs") {

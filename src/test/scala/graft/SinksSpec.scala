@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 import graft.sources.Sinks
 
 /** The idempotent parquet sinks (S5/S6/S7): swap-commit overwrite, append,
@@ -45,5 +46,53 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(rows == Seq((1, "a"), (2, "B"), (3, "C")))
     val t = spark.read.parquet(path)
     assert(t.groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  /** (relative file name -> md5) for every data file under a partition dir. */
+  private def partitionFiles(root: String, part: String): Map[String, String] = {
+    val dir = java.nio.file.Paths.get(root, part)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_))
+      .iterator().asScala.map { p =>
+        dir.relativize(p).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("upsertPartitioned: merging one week rewrites ONLY touched partition dirs") {
+    val path = s"$tmpDir/fact"
+    val week1 = Seq(
+      (1L, "2021-01-04", 10), (2L, "2021-01-04", 20),
+      (3L, "2021-01-05", 30), (4L, "2021-01-06", 40))
+      .toDF("rid", "d", "v").withColumn("d", col("d").cast("date"))
+    Sinks.upsertPartitioned(spark, path, week1, Seq("rid"), "d")
+    val jan4Before = partitionFiles(path, "d=2021-01-04")
+    val jan5Before = partitionFiles(path, "d=2021-01-05")
+    assert(jan4Before.nonEmpty && jan5Before.nonEmpty)
+
+    // week 2 touches Jan 6 (update rid=4) and Jan 7 (new rows) only
+    val week2 = Seq((4L, "2021-01-06", 44), (5L, "2021-01-07", 50))
+      .toDF("rid", "d", "v").withColumn("d", col("d").cast("date"))
+    Sinks.upsertPartitioned(spark, path, week2, Seq("rid"), "d")
+
+    // untouched partitions: same files, byte-identical
+    assert(partitionFiles(path, "d=2021-01-04") == jan4Before)
+    assert(partitionFiles(path, "d=2021-01-05") == jan5Before)
+    // touched + new partitions hold the merged data; keys unique
+    val rows = spark.read.parquet(path).select("rid", "v").sort("rid")
+      .as[(Long, Int)].collect().toSeq
+    assert(rows == Seq((1L, 10), (2L, 20), (3L, 30), (4L, 44), (5L, 50)))
+    assert(!new java.io.File(path + ".__tmp").exists())
+  }
+
+  test("upsertPartitioned: rerunning the same batch is a no-op (idempotence)") {
+    val path = s"$tmpDir/fact"
+    val batch = Seq((1L, "2021-01-04", 1), (2L, "2021-01-05", 2))
+      .toDF("rid", "d", "v").withColumn("d", col("d").cast("date"))
+    Sinks.upsertPartitioned(spark, path, batch, Seq("rid"), "d")
+    val before = spark.read.parquet(path).sort("rid").collect().toSeq
+    Sinks.upsertPartitioned(spark, path, batch, Seq("rid"), "d")
+    val after = spark.read.parquet(path).sort("rid").collect().toSeq
+    assert(before == after && before.size == 2)
   }
 }
