@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.LlmQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.StarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.LlmQueries.oracles ++
-      graft.queries.StreamingQueries.oracles
+      graft.queries.StreamingQueries.oracles ++
+      graft.queries.StarQueries.oracles
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.app.StarSchema
+import graft.pipeline.{JourneyJob, Schemas}
+
+/** End-to-end star-schema queries: the warehouse is BUILT (init + two
+  * weekly increments, real `Sinks` writes to a temp dir) and the queries
+  * run over the WRITTEN parquet tables — so these entries verify the whole
+  * materialization chain (transform → partitioned upsert → read-back →
+  * dashboard), not just the transforms. The DuckDB oracles recompute the
+  * same results straight from the raw CSV/JSON fixtures: any divergence
+  * anywhere in the write path (lost rows, double merges, partition damage,
+  * schema drift) breaks the hash match. */
+object StarQueries {
+
+  private val fx = "/root/repo/fixtures"
+
+  /** Build the fixture warehouse once per JVM: init (stations + weather
+    * vintage A), then the journey fixture as TWO weekly batches split at
+    * 2021-01-25 — multi-batch incremental merge is the semantics under
+    * test (a single batch would never exercise merge-into-existing). */
+  @volatile private var cached: String = _
+  private def warehouse(spark: SparkSession): String = synchronized {
+    if (cached == null) {
+      val w = Files.createTempDirectory("graft-warehouse").toString
+      StarSchema.init(spark, w, s"$fx/stations.csv", s"$fx/weather_v1.json",
+        Schemas.weatherRoot(withSevererisk = true))
+      val journey = JourneyJob.transform(spark, s"$fx/journey.csv")
+      val cut = to_date(lit("2021-01-25"))
+      StarSchema.weekly(spark, w, journey.filter(col("weather_date") < cut))
+      StarSchema.weekly(spark, w, journey.filter(col("weather_date") >= cut))
+      cached = w
+    }
+    cached
+  }
+
+  /** Top-10 stations by NAME over the written star schema (the dashboard's
+    * headline chart), dim_station role-played for both endpoints. */
+  def q44RidesByStation(s: SparkSession, dir: String): DataFrame =
+    StarSchema.ridesByStation(s, warehouse(s), k = 10)
+
+  /** PK/FK validation counts over the written star schema — all zero on a
+    * correctly-merged warehouse. */
+  def q45Integrity(s: SparkSession, dir: String): DataFrame =
+    StarSchema.integrityReport(s, warehouse(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_rides_by_station" -> (q44RidesByStation _),
+    "q45_integrity" -> (q45Integrity _))
+
+  // ------------------------------------------------------------- oracles
+
+  private val journeyCsvCols =
+    """{'Rental Id':'INTEGER','Duration':'INTEGER','Bike Id':'INTEGER',
+      |'End Date':'VARCHAR','EndStation Id':'INTEGER','EndStation Name':'VARCHAR',
+      |'Start Date':'VARCHAR','StartStation Id':'INTEGER','StartStation Name':'VARCHAR'}""".stripMargin
+  private val stationsCsvCols =
+    """{'Station.Id':'INTEGER','StationName':'VARCHAR','longitude':'DOUBLE',
+      |'latitude':'DOUBLE','Easting':'DOUBLE','Northing':'DOUBLE'}""".stripMargin
+
+  /** CTEs reconstructing the warehouse tables from the raw fixtures —
+    * mirrors of what init + the weekly merges MATERIALIZE. `new_stations`
+    * mirrors JourneyJob.newStations incl. its deterministic name-dedup. */
+  private val warehouseCtes =
+    s"""journey AS (
+       |  SELECT * FROM read_csv('$fx/journey.csv', header=true, columns=$journeyCsvCols)),
+       |fact AS (
+       |  SELECT "Rental Id" AS rental_id,
+       |    strptime("Start Date", '%d/%m/%Y %H:%M') AS start_date,
+       |    strptime("End Date", '%d/%m/%Y %H:%M') AS end_date,
+       |    "StartStation Id" AS start_station, "EndStation Id" AS end_station,
+       |    CAST(strptime("Start Date", '%d/%m/%Y %H:%M') AS DATE) AS weather_date
+       |  FROM journey),
+       |stations AS (
+       |  SELECT "Station.Id" AS station_id, "StationName" AS station_name
+       |  FROM read_csv('$fx/stations.csv', header=true, columns=$stationsCsvCols)),
+       |new_stations AS (
+       |  SELECT station_id, station_name FROM (
+       |    SELECT DISTINCT "StartStation Id" AS station_id,
+       |           "StartStation Name" AS station_name
+       |    FROM journey WHERE "StartStation Id" NOT IN (SELECT station_id FROM stations)
+       |    UNION
+       |    SELECT DISTINCT "EndStation Id", "EndStation Name"
+       |    FROM journey WHERE "EndStation Id" NOT IN (SELECT station_id FROM stations))
+       |  QUALIFY row_number() OVER (PARTITION BY station_id ORDER BY station_name) = 1),
+       |dim_station AS (
+       |  SELECT * FROM stations UNION ALL SELECT * FROM new_stations),
+       |dim_datetime AS (
+       |  SELECT start_date AS datetime_id FROM fact
+       |  UNION SELECT end_date FROM fact),
+       |dim_weather AS (
+       |  SELECT CAST(d."datetime" AS DATE) AS weather_date
+       |  FROM (SELECT unnest(days) AS d
+       |        FROM read_json('$fx/weather_v1.json',
+       |          columns={'days': 'STRUCT("datetime" VARCHAR)[]'})))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q44_rides_by_station" ->
+      s"""WITH $warehouseCtes,
+         |roles AS (
+         |  SELECT start_station AS station_id, 1 AS is_start FROM fact
+         |  UNION ALL
+         |  SELECT end_station, 0 FROM fact)
+         |SELECT coalesce(s.station_name, 'Unknown') AS station_name,
+         |  CAST(sum(r.is_start) AS BIGINT) AS n_starts,
+         |  CAST(sum(1 - r.is_start) AS BIGINT) AS n_ends,
+         |  count(*) AS n_rides
+         |FROM roles r JOIN dim_station s USING (station_id)
+         |GROUP BY 1
+         |ORDER BY n_rides DESC, station_name ASC
+         |LIMIT 10""".stripMargin,
+    "q45_integrity" ->
+      s"""WITH $warehouseCtes
+         |SELECT
+         |  (SELECT count(*) - count(DISTINCT rental_id) FROM fact) AS dup_rental_id,
+         |  (SELECT count(*) - count(DISTINCT station_id) FROM dim_station) AS dup_station_id,
+         |  (SELECT count(*) - count(DISTINCT weather_date) FROM dim_weather) AS dup_weather_date,
+         |  (SELECT count(*) - count(DISTINCT datetime_id) FROM dim_datetime) AS dup_datetime_id,
+         |  (SELECT count(*) FROM fact
+         |   WHERE start_station NOT IN (SELECT station_id FROM dim_station)) AS orphan_start_station,
+         |  (SELECT count(*) FROM fact
+         |   WHERE end_station NOT IN (SELECT station_id FROM dim_station)) AS orphan_end_station,
+         |  (SELECT count(*) FROM fact
+         |   WHERE start_date NOT IN (SELECT datetime_id FROM dim_datetime)) AS orphan_start_date,
+         |  (SELECT count(*) FROM fact
+         |   WHERE end_date NOT IN (SELECT datetime_id FROM dim_datetime)) AS orphan_end_date,
+         |  (SELECT count(*) FROM fact
+         |   WHERE weather_date NOT IN (SELECT weather_date FROM dim_weather)) AS orphan_weather_date""".stripMargin)
+}

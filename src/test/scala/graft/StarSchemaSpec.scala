@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.app.StarSchema
+import graft.pipeline.{JourneyJob, Schemas}
+
+/** End-to-end star-schema materialization: init + two weekly increments
+  * against a temp warehouse, dashboard + integrity queries over the WRITTEN
+  * tables, and weekly-rerun idempotence. */
+class StarSchemaSpec extends AnyFunSuite with SharedSpark {
+
+  private val fx = "/root/repo/fixtures"
+
+  private def buildWarehouse(): String = {
+    val w = Files.createTempDirectory("graft-star").toString
+    StarSchema.init(spark, w, s"$fx/stations.csv", s"$fx/weather_v1.json",
+      Schemas.weatherRoot(withSevererisk = true))
+    val journey = JourneyJob.transform(spark, s"$fx/journey.csv")
+    val cut = to_date(lit("2021-01-25"))
+    StarSchema.weekly(spark, w, journey.filter(col("weather_date") < cut))
+    StarSchema.weekly(spark, w, journey.filter(col("weather_date") >= cut))
+    w
+  }
+
+  private def tableRows(w: String): Map[String, Set[String]] =
+    Seq(StarSchema.factJourney(w), StarSchema.dimStation(w),
+      StarSchema.dimWeather(w), StarSchema.dimDatetime(w)).map { p =>
+      val df = spark.read.parquet(p)
+      p -> df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toString).toSet
+    }.toMap
+
+  test("init + 2 weekly runs materialize the full star schema; rerunning a week changes nothing") {
+    val w = buildWarehouse()
+    val fact = spark.read.parquet(StarSchema.factJourney(w))
+    assert(fact.count() == 24) // every fixture journey landed exactly once
+    assert(fact.columns.contains("weather_date")) // partition column readable
+    val before = tableRows(w)
+
+    // rerun week 2 (same batch): every table must be row-identical
+    val journey = JourneyJob.transform(spark, s"$fx/journey.csv")
+    StarSchema.weekly(spark, w,
+      journey.filter(col("weather_date") >= to_date(lit("2021-01-25"))))
+    assert(tableRows(w) == before)
+  }
+
+  test("fact_journey is laid out as weather_date partitions and merges touch only their dates") {
+    val w = buildWarehouse()
+    val dirs = new java.io.File(StarSchema.factJourney(w))
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("weather_date=")))
+    assert(dirs.contains("weather_date=2021-01-15") && dirs.contains("weather_date=2021-02-10"))
+  }
+
+  test("ridesByStation role-plays dim_station over both endpoints with a broadcast join") {
+    val w = buildWarehouse()
+    val out = StarSchema.ridesByStation(spark, w, k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 10)
+    // every journey contributes one start + one end across the full table
+    val all = StarSchema.ridesByStation(spark, w, k = 1000).collect()
+    assert(all.map(_.getAs[Long]("n_starts")).sum == 24)
+    assert(all.map(_.getAs[Long]("n_ends")).sum == 24)
+    // station 9 has a NULL name in the dim -> surfaces as the Unknown bucket
+    assert(all.exists(_.getAs[String]("station_name") == "Unknown"))
+  }
+
+  test("integrityReport is all-zero on a correctly merged warehouse") {
+    val w = buildWarehouse()
+    val r = StarSchema.integrityReport(spark, w).collect().head
+    (0 until r.length).foreach { i =>
+      assert(r.getLong(i) == 0L, s"violation count ${r.schema.fieldNames(i)} nonzero")
+    }
+  }
+}

@@ -97,10 +97,18 @@ for rental, bike, ss, es, (d, m, hh, mm), dur in specs:
 with open(f"{OUT}/journey.csv", "w") as f:
     f.write("\n".join(rows) + "\n")
 
-# ---- weather_v1.json / weather_v2.json (14 days each) ----
+# ---- weather_v1.json / weather_v2.json ----
+# 41 days, 2021-01-01 .. 2021-02-10: covers every journey weather_date so the
+# star schema's weather_date FK is satisfiable (the reference's weather file
+# likewise spans the whole journey period).
+import datetime
+
+N_DAYS = 41
+
 def day(i, with_severerisk):
     d = {
-        "datetime": f"2021-01-{i + 1:02d}",
+        "datetime": (datetime.date(2021, 1, 1)
+                     + datetime.timedelta(days=i)).isoformat(),
         "datetimeEpoch": 1609459200 + i * 86400,
         "tempmax": round(5.0 + 0.3 * i, 2),
         "tempmin": round(-0.5 + 0.2 * i, 2),
@@ -125,7 +133,7 @@ def day(i, with_severerisk):
         "solarradiation": round(29.4 + 2 * i, 2),
         "solarenergy": round(0.8 + 0.2 * i, 2),
         "uvindex": float(i % 4),
-        "sunrise": f"08:{(6 - i // 3):02d}:14",
+        "sunrise": f"08:{(6 - i // 3) % 60:02d}:14",
         "sunriseEpoch": 1609488374 + i * 86340,
         "sunset": f"16:{(2 + i // 2):02d}:22",
         "sunsetEpoch": 1609516942 + i * 86460,
@@ -139,8 +147,9 @@ def day(i, with_severerisk):
         "tzoffset": None if i % 2 == 0 else 0.0,  # 50% missing -> kept
     }
     if with_severerisk:
-        # present only in vintage A, and >70% null there -> always dropped
-        d["severerisk"] = 30.0 + i if i >= 12 else None
+        # present only in vintage A, and >70% null there (non-null on fewer
+        # than 30% of days regardless of N_DAYS) -> always dropped
+        d["severerisk"] = 30.0 + i if i % 5 == 4 else None
     return d
 
 for variant, with_sev in (("v1", True), ("v2", False)):
@@ -150,7 +159,7 @@ for variant, with_sev in (("v1", True), ("v2", False)):
         "resolvedAddress": "London,UK",
         "address": "London,UK",
         "timezone": "Europe/London",
-        "days": [day(i, with_sev) for i in range(14)],
+        "days": [day(i, with_sev) for i in range(N_DAYS)],
     }
     with open(f"{OUT}/weather_{variant}.json", "w") as f:
         json.dump(root, f, indent=1)
