@@ -150,6 +150,96 @@ object Similarity {
       .filter(col("cos") * thresholdDen >= lit(thresholdNum))
   }
 
+  /** K-means-lite coarse quantizer: Lloyd iterations over a bounded,
+    * deterministic sample, trained DRIVER-side. This is the "trained
+    * centroids" IVF needs at scale (the fixed `label` bucket of
+    * [[bucketedNearestNeighbor]] only works when the corpus arrives
+    * pre-clustered; real corpora don't).
+    *
+    * Scale contract: the EXECUTOR-side cost is one narrow argmax-of-k-dots
+    * pass (see [[ivfAssign]]); only the training sample is collected, and
+    * it is bounded by `maxSample` regardless of corpus size (k-means on a
+    * uniform sample converges to near-identical centroids — the standard
+    * coarse-quantizer recipe; pick k ∝ √n and maxSample a small multiple
+    * of k·(vectors per centroid estimate)). Sampling is content-
+    * deterministic (`id % sampleMod = 0`, ascending id, capped), so reruns
+    * and independent engines derive the SAME centroids.
+    *
+    * Oracle-portable arithmetic, same discipline as every cosine here:
+    * float→double exact widening, left-fold dots, per-dimension mean =
+    * (ordered left-fold sum) / count — one IEEE op sequence both engines
+    * reproduce bit-for-bit. Assignment is argmax cosine with lowest-index
+    * tie-break; an empty cluster keeps its previous centroid. */
+  def trainCentroidsLite(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, sampleMod: Long, maxSample: Int,
+                         iters: Int = 1): Seq[Seq[Double]] = {
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+
+    val sample: Array[(Long, Array[Double])] =
+      emb.filter(col(idCol) % sampleMod === 0)
+        .orderBy(col(idCol)).limit(maxSample)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .sortBy(_._1)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+
+    var centroids: IndexedSeq[Array[Double]] = sample.take(k).map(_._2).toIndexedSeq
+    for (_ <- 0 until iters) {
+      // strict > while scanning ascending j keeps the LOWEST index on ties
+      val assigned = sample.map { case (_, v) =>
+        var bestJ = 0; var bestCos = cosD(v, centroids(0))
+        var j = 1
+        while (j < k) {
+          val c = cosD(v, centroids(j))
+          if (c > bestCos) { bestCos = c; bestJ = j }
+          j += 1
+        }
+        bestJ
+      }
+      centroids = (0 until k).map { j =>
+        val members = sample.indices.collect { case i if assigned(i) == j => sample(i)._2 }
+        if (members.isEmpty) centroids(j)
+        else {
+          val dim = members.head.length
+          // per-dimension left-fold in ascending-id order, single divide
+          Array.tabulate(dim)(d => members.map(_(d)).reduceLeft(_ + _) / members.length)
+        }
+      }
+    }
+    centroids.map(_.toSeq)
+  }
+
+  /** Centroid assignment as ONE narrow codegen'd expression: k native dots
+    * against centroid literals, argmax cosine with lowest-index tie-break
+    * (the struct array_max orders by cosine, then by negated index). No
+    * shuffle, no join — the quantizer rides the scan. */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(cosine(vec, typedLit(c)).as("c"), lit(-j).as("nj"))
+    }: _*)
+    -array_max(scored).getField("nj")
+  }
+
+  /** IVF search with a TRAINED coarse quantizer: train k-means-lite
+    * centroids on a bounded sample, assign every vector in one narrow
+    * pass, then nearest-neighbor within the assigned cell (the
+    * [[bucketedNearestNeighbor]] equi-join — cost Σ cell², never n²). */
+  def ivfNearestNeighbor(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, sampleMod: Long, maxSample: Int,
+                         iters: Int = 1): DataFrame = {
+    val centroids = trainCentroidsLite(emb, idCol, vecCol, k, sampleMod, maxSample, iters)
+    bucketedNearestNeighbor(
+      emb.withColumn("__ivf", ivfAssign(col(vecCol), centroids)),
+      idCol, vecCol, "__ivf")
+  }
+
   /** IVF-style search: each vector's nearest neighbor within its own
     * bucket. Equi-join on the bucket key, ONE dot per candidate pair (norms
     * precomputed per row on each side — `sqrt(dot(v,v))` hoisted out of the

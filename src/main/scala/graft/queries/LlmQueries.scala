@@ -112,6 +112,14 @@ object LlmQueries {
   def q39LshAnn(s: SparkSession, dir: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding", 6)
 
+  /** IVF with a TRAINED coarse quantizer: k-means-lite (1 Lloyd iteration)
+    * over a deterministic bounded sample, then NN within the assigned
+    * cell. The oracle retrains the same centroids in SQL — sampling,
+    * init, assignment, per-dim ordered-fold means — bit-for-bit. */
+  def q46IvfTrainedNn(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
+
   // ------------------------------------------------------------ multimodal
 
   /** Byte-level decode of binary image payloads (typed mapPartitions); the
@@ -196,7 +204,8 @@ object LlmQueries {
     "q39_lsh_ann" -> (q39LshAnn _),
     "q40_simhash_neardup" -> (q40SimhashNeardup _),
     "q42_jaccard_exact" -> (q42JaccardExact _),
-    "q43_cosine_neardup" -> (q43CosineNeardup _))
+    "q43_cosine_neardup" -> (q43CosineNeardup _),
+    "q46_ivf_trained_nn" -> (q46IvfTrainedNn _))
 
   // ------------------------------------------------------------- oracles
 
@@ -368,6 +377,48 @@ object LlmQueries {
          |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
          |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
          |$pairsFrom""".stripMargin,
+    // the oracle RETRAINS the quantizer: same sample (vec_id % 10, ascending,
+    // capped), same init (first 4), same argmax-cos assignment (QUALIFY cos
+    // DESC, j ASC mirrors the engine's strict-> scan), same per-dimension
+    // ordered-left-fold mean / count — so centroids, cells, and NNs all match
+    "q46_ivf_trained_nn" ->
+      s"""WITH samp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 1000),
+         |init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+         |         list_transform(embedding, x -> x::DOUBLE) AS c
+         |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 4)),
+         |scored0 AS (
+         |  SELECT s.vec_id, s.embedding, i.j,
+         |    ${cosSql("s.embedding", "i.c")} AS cos
+         |  FROM samp s CROSS JOIN init i),
+         |assign0 AS (
+         |  SELECT vec_id, embedding, j FROM scored0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1),
+         |clusters AS (
+         |  SELECT j, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
+         |  FROM assign0 GROUP BY j),
+         |trained AS (
+         |  SELECT j, list_transform(generate_series(1, len(vs[1])), d ->
+         |    list_reduce(list_transform(vs, v -> v[d]::DOUBLE), (x,y) -> x + y) / n) AS c
+         |  FROM clusters),
+         |centroids AS (
+         |  SELECT i.j, coalesce(t.c, i.c) AS c
+         |  FROM init i LEFT JOIN trained t USING (j)),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.j,
+         |    ${cosSql("e.embedding", "c.c")} AS cos
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |assign AS (
+         |  SELECT vec_id, embedding, j FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1),
+         |nn AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b ON a.j = b.j AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id FROM nn
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
     "q43_cosine_neardup" -> {
       val buckets = (0 until 4).map(t =>
         s"${lshBucketSql("embedding", 8, planeOffset = t * 8)} AS b$t").mkString(",\n    ")

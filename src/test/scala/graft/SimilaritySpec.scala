@@ -99,4 +99,38 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"all-pairs plan detected:\n$plan")
   }
+
+  test("trainCentroidsLite: deterministic, separates two obvious clusters") {
+    // ids 0..30 step 10 land in the sample (mod 10); the first two sampled
+    // vectors (the init centroids) already point along x and y, so one
+    // Lloyd step pulls each centroid to its direction-cluster mean
+    val d = emb(
+      (0L, Seq(1f, 0f), 0), (10L, Seq(0f, 1f), 0),
+      (20L, Seq(1f, 0.1f), 0), (30L, Seq(0.1f, 1f), 0),
+      (5L, Seq(9f, 9f), 0)) // not in the sample (5 % 10 != 0)
+    val c1 = Similarity.trainCentroidsLite(d, "vec_id", "embedding", k = 2, sampleMod = 10L, maxSample = 100)
+    val c2 = Similarity.trainCentroidsLite(d, "vec_id", "embedding", k = 2, sampleMod = 10L, maxSample = 100)
+    assert(c1 == c2)
+    assert(c1.length == 2)
+    // cluster 0 averaged the x-direction pair, cluster 1 the y-direction
+    // pair — exact float→double widening, so 0.1f widens then halves
+    val half = 0.1f.toDouble / 2
+    assert(c1(0) == Seq(1.0, half) && c1(1) == Seq(half, 1.0))
+  }
+
+  test("ivfNearestNeighbor: NN within trained cells, plan stays an equi-join") {
+    val d = emb(
+      (0L, Seq(1f, 0.1f), 0), (10L, Seq(1f, 0f), 0),
+      (20L, Seq(0f, 1f), 0), (30L, Seq(0.1f, 1f), 0),
+      (7L, Seq(0.9f, 0.2f), 0), (8L, Seq(0.2f, 0.9f), 0))
+    val out = Similarity.ivfNearestNeighbor(d, "vec_id", "embedding",
+      k = 2, sampleMod = 10L, maxSample = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan detected:\n$plan")
+    val nn = out.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
+    // 7 sits in the x cell with {0,10}: its NN must come from there, not 8
+    assert(nn(7L) == 0L || nn(7L) == 10L)
+    assert(nn(8L) == 20L || nn(8L) == 30L)
+  }
 }
