@@ -120,6 +120,32 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(out == expected)
   }
 
+  test("jaccardPairsExact stays exact on a deliberately skewed corpus (hot shared shingles)") {
+    // every doc shares the same hot 6-word prefix (one shingle posting list
+    // holds the ENTIRE corpus — the worst skew the index join can see),
+    // with distinct tails; plus seeded exact copies that must all surface
+    val hot = "the quick brown fox jumps over"
+    val tails = Vector("alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+      "kappa lambda mu", "nu xi omicron", "pi rho sigma")
+    val base = (1L to 24L).map(id => id -> s"$hot ${tails((id % 6).toInt)} t$id")
+    val copies = (1L to 8L).map(id => (id + 100) -> base(id.toInt - 1)._2)
+    val d = docs((base ++ copies): _*)
+
+    val out = Dedup.jaccardPairsExact(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 3)
+    val expected = sets.as("x").crossJoin(sets.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(size(array_intersect(col("x.shingles"), col("y.shingles"))) * 5 >=
+        size(array_union(col("x.shingles"), col("y.shingles"))) * 4)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(expected.size == 8, s"expected exactly the 8 seeded copies, got $expected")
+    assert(out == expected)
+  }
+
   test("jaccardPairsExact candidate join is an equi-join on the shingle, never all-pairs") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
     val out = Dedup.jaccardPairsExact(d, "doc_id", "text")
