@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.GraftFunctions
 
@@ -245,7 +244,13 @@ object Similarity {
     * precomputed per row on each side — `sqrt(dot(v,v))` hoisted out of the
     * pair loop; the quotient `dot/(na*nb)` is the exact same IEEE
     * expression the per-pair form evaluated, so results are bit-identical),
-    * then a window top-1 per probe vector. Emits (vec_id, nn_id). */
+    * then a per-probe top-1 as a `max(struct)` AGGREGATE, not a window:
+    * the aggregate partial-combines map-side, so the second shuffle moves
+    * one row per probe vector instead of every candidate pair into a
+    * per-key sort. Struct ordering is lexicographic — max cosine first,
+    * then max negated id = LOWEST nn_id — the identical deterministic
+    * tie-break the window's (cos DESC, nn_id ASC) row_number gave.
+    * Emits (vec_id, nn_id). */
   def bucketedNearestNeighbor(emb: DataFrame, idCol: String, vecCol: String,
                               bucketCol: String): DataFrame = {
     val normed = emb.select(
@@ -255,13 +260,12 @@ object Similarity {
       col(vecCol).as("__va"), col("__norm").as("__na"))
     val b = normed.select(col("__bkt"), col(idCol).as("nn_id"),
       col(vecCol).as("__vb"), col("__norm").as("__nb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("__cos").desc, col("nn_id").asc)
     a.join(b, "__bkt")
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__cos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select("vec_id", "nn_id")
+      .groupBy("vec_id")
+      .agg(max(struct(col("__cos"), (-col("nn_id")).as("__nid"))).as("__best"))
+      .select(col("vec_id"), (-col("__best.__nid")).as("nn_id"))
   }
 }
