@@ -62,6 +62,47 @@ object StarSchema {
   def weeklyFromCsv(spark: SparkSession, warehouse: String, journeyCsv: String): Unit =
     weekly(spark, warehouse, JourneyJob.transform(spark, journeyCsv))
 
+  private def ledgerPath(warehouse: String): String = s"$warehouse/_meta/ingested"
+
+  /** Logical dates already ingested into this warehouse, per the ledger. */
+  def ingestedDates(spark: SparkSession, warehouse: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath(warehouse))
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) Set.empty
+    else spark.read.parquet(ledgerPath(warehouse))
+      .select("logical_date").collect().map(_.getString(0)).toSet
+  }
+
+  /** The reference's weekly CATCHUP semantics (proc_0_ingestion_to_s3_dag.py:42-52:
+    * `catchup=True` + a logical-date-keyed file per weekly DAG run), re-hosted
+    * engine-side: the raw zone holds one `<rawDir>/<logical_date>/journey.csv`
+    * folder per week; the warehouse keeps a LEDGER of ingested logical dates;
+    * catchup ingests every not-yet-ingested week in ascending date order and
+    * appends each to the ledger after its merge completes.
+    *
+    * Idempotence is two-layer: the ledger skips completed weeks wholesale
+    * (cheap — no re-read of their raw files), and if a run crashes between a
+    * week's merge and its ledger append, the re-run re-merges that week
+    * through the KEYED upserts, which converge — so at-least-once ledger
+    * bookkeeping still yields exactly-once warehouse contents.
+    *
+    * The listing is driver-side and bounded by weeks-per-history (~52/year),
+    * not data size. Returns the logical dates ingested by THIS call. */
+  def catchup(spark: SparkSession, warehouse: String, rawDir: String,
+              file: String = "journey.csv"): Seq[String] = {
+    val raw = new org.apache.hadoop.fs.Path(rawDir)
+    val f = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    val weeks = f.listStatus(raw).filter(_.isDirectory).map(_.getPath.getName).sorted
+    val done = ingestedDates(spark, warehouse)
+    val todo = weeks.filterNot(done)
+    todo.foreach { d =>
+      weeklyFromCsv(spark, warehouse, s"$rawDir/$d/$file")
+      import spark.implicits._
+      Sinks.append(Seq(d).toDF("logical_date"), ledgerPath(warehouse))
+    }
+    todo.toSeq
+  }
+
   /** The dashboard's "top-10 stations by NAME" (README.md:35-41,
     * images/final-dashboard.png) over the WRITTEN star schema, with
     * dim_station role-played for both journey endpoints (CyclingERD.sql:63-66).

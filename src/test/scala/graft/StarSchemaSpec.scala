@@ -69,6 +69,35 @@ class StarSchemaSpec extends AnyFunSuite with SharedSpark {
     assert(all.exists(_.getAs[String]("station_name") == "Unknown"))
   }
 
+  test("catchup ingests only not-yet-ingested logical weeks, in order, idempotently") {
+    val w = Files.createTempDirectory("graft-star").toString
+    StarSchema.init(spark, w, s"$fx/stations.csv", s"$fx/weather_v1.json",
+      Schemas.weatherRoot(withSevererisk = true))
+    // date-keyed raw zone: split the fixture into two weekly files
+    val raw = Files.createTempDirectory("graft-raw").toString
+    val lines = scala.io.Source.fromFile(s"$fx/journey.csv").getLines().toVector
+    val (header, body) = (lines.head, lines.tail)
+    def writeWeek(date: String, rows: Seq[String]): Unit = {
+      val d = new java.io.File(s"$raw/$date"); d.mkdirs()
+      Files.write(java.nio.file.Paths.get(s"$raw/$date/journey.csv"),
+        (header +: rows).mkString("\n").getBytes)
+    }
+    writeWeek("2021-01-18", body.take(12))
+    writeWeek("2021-01-25", body.slice(12, 20))
+
+    assert(StarSchema.catchup(spark, w, raw) == Seq("2021-01-18", "2021-01-25"))
+    assert(spark.read.parquet(StarSchema.factJourney(w)).count() == 20)
+    // rerun: ledger makes it a no-op
+    assert(StarSchema.catchup(spark, w, raw).isEmpty)
+    assert(spark.read.parquet(StarSchema.factJourney(w)).count() == 20)
+    // a new week arrives: only it is ingested
+    writeWeek("2021-02-01", body.drop(20))
+    assert(StarSchema.catchup(spark, w, raw) == Seq("2021-02-01"))
+    assert(spark.read.parquet(StarSchema.factJourney(w)).count() == 24)
+    assert(StarSchema.ingestedDates(spark, w) ==
+      Set("2021-01-18", "2021-01-25", "2021-02-01"))
+  }
+
   test("integrityReport is all-zero on a correctly merged warehouse") {
     val w = buildWarehouse()
     val r = StarSchema.integrityReport(spark, w).collect().head
