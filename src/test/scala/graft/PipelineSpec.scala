@@ -72,7 +72,7 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
     val b = WeatherJob.run(spark, s"$fx/weather_v2.json", Schemas.weatherRoot(withSevererisk = false))
     assert(a.columns.length == 21 && b.columns.sorted.toSeq == a.columns.sorted.toSeq)
     assert(!a.columns.contains("severerisk") && !a.columns.contains("precipprob"))
-    assert(a.count() == 14 && b.count() == 14)
+    assert(a.count() == 41 && b.count() == 41) // one row per fixture day (Jan 1 - Feb 10)
     assert(a.schema("weather_date").dataType == DateType)
   }
 
