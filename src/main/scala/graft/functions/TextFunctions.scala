@@ -58,6 +58,25 @@ object TextFunctions {
   def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(lexicon)))
 
+  /** PII scrubbing patterns — the redaction pass every pretraining corpus
+    * runs before tokenization. ASCII classes only, no backreferences or
+    * lookaround, so each pattern compiles to the SAME automaton under Java
+    * regex (Spark codegen) and RE2 (DuckDB oracle). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longNumPattern = "\\b\\d{7,}\\b"
+
+  /** Replace emails, IPv4s, then long digit runs with typed placeholder
+    * tokens. Order matters: emails first (they contain dots and digits the
+    * later passes would mangle). Three codegen'd regexp_replace ops — one
+    * narrow pass, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      longNumPattern, "<ID>")
+
   /** Rolling polynomial fingerprint of the whole string:
     * fold(ascii chars, acc = (acc*31 + code) mod 1e9+7). Built as an array
     * fold so it is one codegen'd expression per row; DuckDB mirrors it with

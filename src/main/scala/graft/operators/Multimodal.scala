@@ -36,14 +36,18 @@ object Multimodal {
   private def u16be(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-  /** STUB decoder for the fixture's fake codec. A real deployment swaps
-    * this body for e.g. an ImageIO/JNI call; the signature, batching and
-    * schema stay identical. */
+  /** STUB decoder for the fixture's fake codec: dims header (4 bytes), plus
+    * a 3-byte frame header on video payloads (see [[videoMeta]]) before the
+    * checksummed body — the mime routes to the container layout, exactly as
+    * a real codec registry would. A real deployment swaps this body for
+    * e.g. an ImageIO/JNI call; the signature, batching and schema stay
+    * identical. */
   private def decodeOne(r: MediaRow): Decoded = {
     val p = r.payload
-    require(p.length >= 4, s"payload too short for media ${r.media_id}")
+    val bodyOff = if (r.mime.startsWith("video/")) 7 else 4
+    require(p.length >= bodyOff, s"payload too short for media ${r.media_id}")
     var sum = 0L
-    var i = 4
+    var i = bodyOff
     while (i < p.length) { sum += p(i) & 0xff; i += 1 }
     Decoded(r.media_id, r.mime, u16be(p, 0), u16be(p, 2), p.length.toLong, sum % 9973)
   }
@@ -75,4 +79,53 @@ object Multimodal {
     decode(readMedia(spark, path))
       .filter(col("mime").startsWith("image/"))
       .toDF()
+
+  /** Parsed video header (what a container demuxer would emit). */
+  case class VideoMeta(media_id: Long, n_frames: Int, fps: Int)
+
+  /** STUB video-header parse: n_frames (u16 BE @4) + fps (u8 @6) from the
+    * fixture codec's video layout. Same mapPartitions shape as [[decode]] —
+    * a real demuxer (ffmpeg probe) slots into this body unchanged. */
+  def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.mime.startsWith("video/")).mapPartitions { rows =>
+      rows.map { r =>
+        require(r.payload.length >= 7, s"video payload too short for media ${r.media_id}")
+        VideoMeta(r.media_id, u16be(r.payload, 4), r.payload(6) & 0xff)
+      }
+    }
+  }
+
+  /** Frame sampling: every `everyNth` frame of each video, with its
+    * millisecond timestamp. Only the 7-byte header parse touches the stub
+    * codec; the frame-index fan-out is a codegen'd generator
+    * (`explode(sequence(...))`) — per row it emits n_frames/everyNth rows
+    * with NO shuffle, which is exactly how a 100-TB video corpus feeds a
+    * frame-extraction stage (the heavy per-frame decode would hang off
+    * these (media_id, frame_idx) coordinates, repartitioned by byte
+    * volume). Timestamps are integer math: ts_ms = frame_idx*1000 div fps. */
+  def sampleFrames(spark: SparkSession, path: String, everyNth: Int): DataFrame =
+    videoMeta(readMedia(spark, path)).toDF()
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"),
+        col("fps"))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        expr("CAST((frame_idx * 1000) DIV fps AS BIGINT)").as("ts_ms"))
+
+  /** Resize planning (the compute-free half of a thumbnail stage): decode
+    * dimensions from BYTES, then emit the target geometry for a
+    * `maxDim`-bounded thumbnail — scale = min(1, maxDim/max(w,h)), floor'd
+    * target dims. The scale and dims are single IEEE ops on exact ints, so
+    * the oracle (reading the redundant metadata) reproduces them
+    * bit-for-bit. A real resize kernel consumes exactly these rows. */
+  def thumbSpec(spark: SparkSession, path: String, maxDim: Int = 64): DataFrame =
+    decode(readMedia(spark, path))
+      .filter(col("mime").startsWith("image/"))
+      .select(col("media_id"), col("dec_width"), col("dec_height"),
+        least(lit(1.0), lit(maxDim.toDouble) /
+          greatest(col("dec_width"), col("dec_height"))).as("scale"))
+      .select(col("media_id"),
+        floor(col("dec_width") * col("scale")).cast("int").as("thumb_w"),
+        floor(col("dec_height") * col("scale")).cast("int").as("thumb_h"),
+        col("scale"))
 }

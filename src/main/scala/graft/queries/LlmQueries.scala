@@ -127,6 +127,16 @@ object LlmQueries {
   def q33MediaDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImages(s, media)
 
+  /** Frame sampling over video payloads: stub header demux + codegen'd
+    * frame-index generator (every 5th frame + integer ms timestamps). */
+  def q47FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s, media, everyNth = 5)
+
+  /** Thumbnail geometry planning from byte-decoded dimensions (scale =
+    * min(1, 64/max(w,h)), floor'd target dims — single IEEE ops). */
+  def q48ThumbSpec(s: SparkSession, dir: String): DataFrame =
+    Multimodal.thumbSpec(s, media, maxDim = 64)
+
   // ---------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens, distinct types, BPE-ish surface
@@ -188,6 +198,38 @@ object LlmQueries {
       polyFingerprint(col("text")).as("poly_fp"),
       md5(col("text")).as("md5_fp"))
 
+  /** PII redaction: the corpus is augmented with deterministic synthetic
+    * PII (an email, an IP, an 8-digit account number per doc — the raw
+    * corpus contains none), then scrubbed with the typed-placeholder
+    * regexes and counted. One narrow pass. */
+  def q49PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat_ws(" ", col("text"),
+      lit("contact"), concat(lit("user"), col("doc_id"), lit("@example.com")),
+      lit("from ip"), concat(lit("10.0.0."), pmod(col("doc_id"), lit(256))),
+      lit("acct"), concat(lit("9"), lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 7, "0")))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      redactPii(aug).as("redacted"),
+      size(regexp_extract_all(aug, lit(emailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(aug, lit(ipv4Pattern), lit(0))).cast("long").as("n_ips"))
+  }
+
+  /** Deterministic source mixing: per-source keep rates (a formula of the
+    * source id here; a mixing-weights table in production), sampled by a
+    * content-stable hash — `md5(doc_id) % 100 < rate` — so the mix is
+    * reproducible run-over-run and engine-over-engine, then per-source
+    * kept-docs / kept-tokens rollup (what a token-budgeted pretraining mix
+    * computes before materializing the blend). Narrow filter + one
+    * partial-aggregating groupBy. */
+  def q50SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val rate = lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")
+    Tables.documents(s, dir)
+      .filter(pmod(md5Int(col("doc_id").cast("string")), lit(100)) < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -205,7 +247,11 @@ object LlmQueries {
     "q40_simhash_neardup" -> (q40SimhashNeardup _),
     "q42_jaccard_exact" -> (q42JaccardExact _),
     "q43_cosine_neardup" -> (q43CosineNeardup _),
-    "q46_ivf_trained_nn" -> (q46IvfTrainedNn _))
+    "q46_ivf_trained_nn" -> (q46IvfTrainedNn _),
+    "q47_frame_sample" -> (q47FrameSample _),
+    "q48_thumb_spec" -> (q48ThumbSpec _),
+    "q49_pii_redact" -> (q49PiiRedact _),
+    "q50_source_mix" -> (q50SourceMix _))
 
   // ------------------------------------------------------------- oracles
 
@@ -321,6 +367,45 @@ object LlmQueries {
          |  CAST(width AS INT) AS dec_width, CAST(height AS INT) AS dec_height,
          |  n_bytes AS dec_bytes, checksum AS dec_checksum
          |FROM read_parquet('$media') WHERE mime LIKE 'image/%'""".stripMargin,
+    // the oracle fans frames out from the REDUNDANT n_frames/fps metadata;
+    // the engine parsed them from payload bytes — matching proves the demux
+    "q47_frame_sample" ->
+      s"""SELECT media_id, CAST(f AS INT) AS frame_idx,
+         |  CAST((f * 1000) // fps AS BIGINT) AS ts_ms
+         |FROM read_parquet('$media'),
+         |  LATERAL unnest(generate_series(0, n_frames - 1, 5)) AS t(f)
+         |WHERE mime LIKE 'video/%'""".stripMargin,
+    "q48_thumb_spec" ->
+      s"""WITH sc AS (
+         |  SELECT media_id, width, height,
+         |    least(1.0, 64.0 / greatest(width, height)) AS scale
+         |  FROM read_parquet('$media') WHERE mime LIKE 'image/%')
+         |SELECT media_id,
+         |  CAST(floor(width * scale) AS INT) AS thumb_w,
+         |  CAST(floor(height * scale) AS INT) AS thumb_h,
+         |  scale
+         |FROM sc""".stripMargin,
+    "q49_pii_redact" -> {
+      val augSql =
+        """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||
+          |    (doc_id % 256) || ' acct 9' || lpad((doc_id % 100000)::VARCHAR, 7, '0')""".stripMargin
+      s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailPattern', '<EMAIL>', 'g'),
+         |    '$ipv4Pattern', '<IP>', 'g'),
+         |    '$longNumPattern', '<ID>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '$emailPattern')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ipv4Pattern')) AS BIGINT) AS n_ips
+         |FROM aug""".stripMargin
+    },
+    "q50_source_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      < 100 - 4 * substr(source, 4)::INT
+        |GROUP BY source""".stripMargin,
     "q34_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
