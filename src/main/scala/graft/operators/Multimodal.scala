@@ -72,13 +72,19 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Rows of one mime family, filtered COLUMN-level BEFORE the typed
+    * stage: a typed lambda filter would sit above DeserializeToObject and
+    * the scan would read every payload; the Column predicate reaches the
+    * parquet scan (PushedFilters: StringStartsWith on mime), so other
+    * families' payload bytes are never materialized. */
+  private def mediaOfFamily(spark: SparkSession, path: String, prefix: String): Dataset[MediaRow] =
+    readMedia(spark, path).filter(col("mime").startsWith(prefix))
+
   /** The oracle-checked query: decode every image payload from BYTES and
     * emit the features. The DuckDB oracle reads the independently stored
     * metadata columns — matching proves the byte-level decode. */
   def decodeImages(spark: SparkSession, path: String): DataFrame =
-    decode(readMedia(spark, path))
-      .filter(col("mime").startsWith("image/"))
-      .toDF()
+    decode(mediaOfFamily(spark, path, "image/")).toDF()
 
   /** Parsed video header (what a container demuxer would emit). */
   case class VideoMeta(media_id: Long, n_frames: Int, fps: Int)
@@ -88,7 +94,7 @@ object Multimodal {
     * a real demuxer (ffmpeg probe) slots into this body unchanged. */
   def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
     import media.sparkSession.implicits._
-    media.filter(_.mime.startsWith("video/")).mapPartitions { rows =>
+    media.filter(col("mime").startsWith("video/")).mapPartitions { rows =>
       rows.map { r =>
         require(r.payload.length >= 7, s"video payload too short for media ${r.media_id}")
         VideoMeta(r.media_id, u16be(r.payload, 4), r.payload(6) & 0xff)
@@ -119,8 +125,7 @@ object Multimodal {
     * the oracle (reading the redundant metadata) reproduces them
     * bit-for-bit. A real resize kernel consumes exactly these rows. */
   def thumbSpec(spark: SparkSession, path: String, maxDim: Int = 64): DataFrame =
-    decode(readMedia(spark, path))
-      .filter(col("mime").startsWith("image/"))
+    decode(mediaOfFamily(spark, path, "image/"))
       .select(col("media_id"), col("dec_width"), col("dec_height"),
         least(lit(1.0), lit(maxDim.toDouble) /
           greatest(col("dec_width"), col("dec_height"))).as("scale"))
