@@ -76,6 +76,21 @@ object Sinks {
       throw new java.io.IOException(s"swap-commit rename failed: $tmp -> $dst")
   }
 
+  /** Bucketed table write: pre-shuffle ONCE at write time into
+    * `numBuckets` hash buckets on `bucketCol` (sorted within buckets), so
+    * every later join or aggregation on that key is EXCHANGE-FREE — Spark
+    * reads matching buckets pairwise instead of shuffling either side.
+    * This is the 100-TB answer to "the same fact⋈dim join runs nightly":
+    * amortize the shuffle into the write. Catalog-registered
+    * (`saveAsTable`) because the bucket spec lives in the table metadata —
+    * path-based parquet cannot carry it. Pick `numBuckets` so a bucket is
+    * a few hundred MB at target scale; both sides of a co-located join
+    * must agree on (key, numBuckets). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S7 at scale: keyed UPSERT into a table partitioned on `partCol`, that
     * rewrites ONLY the partitions the update batch touches. A weekly merge
     * into a 100 TB fact partitioned by date costs ~7 partition rewrites, not

@@ -85,6 +85,26 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(!new java.io.File(path + ".__tmp").exists())
   }
 
+  test("bucketed tables join and aggregate with NO exchange (co-located join)") {
+    val n = 4
+    Sinks.writeBucketed((1 to 100).map(i => (i.toLong, s"f$i")).toDF("k", "fv"),
+      "graft_fact_b", "k", n)
+    Sinks.writeBucketed((1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "dv"),
+      "graft_dim_b", "k", n)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion is about bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_fact_b").join(spark.table("graft_dim_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 50)
+      // aggregation on the bucket key is exchange-free too
+      val agg = spark.table("graft_fact_b").groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("upsertPartitioned: rerunning the same batch is a no-op (idempotence)") {
     val path = s"$tmpDir/fact"
     val batch = Seq((1L, "2021-01-04", 1), (2L, "2021-01-05", 2))

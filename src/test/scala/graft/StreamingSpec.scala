@@ -30,6 +30,23 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(dst).count() == 3)
   }
 
+  test("dedupByKeyStream drops re-delivered keys across triggers within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams.dedupByKeyStream(mem.toDF.toDF("k", "ts", "v"), "k", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    // trigger 1: key 1 twice in-batch, key 2 once
+    mem.addData((1L, ts(100), "a"), (1L, ts(150), "a2"), (2L, ts(200), "b"))
+    q.processAllAvailable()
+    // trigger 2: key 1 re-delivered (dropped), key 3 new (kept)
+    mem.addData((1L, ts(300), "a3"), (3L, ts(400), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_test").select("k").as[Long].collect().sorted.toSeq
+    assert(keys == Seq(1L, 2L, 3L))
+  }
+
   test("hourlyCounts windows align to the hour and count all events (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
