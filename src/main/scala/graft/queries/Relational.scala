@@ -261,6 +261,22 @@ object Relational {
       .agg((sum("cnt").cast("double") / count(lit(1))).as("avg_rides"),
         count(lit(1)).as("n_days"))
 
+  /** As-of join (§2.4 extension): every 'view' event aligned to the same
+    * user's latest 'purchase' at-or-before it — one keyed window shuffle,
+    * no range join (see [[graft.operators.AsofJoin]]). The oracle is
+    * DuckDB's native ASOF LEFT JOIN, so the two engines cross-check
+    * independent as-of implementations. */
+  def q51AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    graft.operators.AsofJoin.asof(views, purchases,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightId = "event_id", rightVals = Seq("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -280,9 +296,27 @@ object Relational {
     "q16_per_weekday" -> (q16PerWeekday _),
     "q17_daily_trend" -> (q17DailyTrend _),
     "q18_top_users" -> (q18TopUsers _),
-    "q19_avg_hourly" -> (q19AvgHourly _))
+    "q19_avg_hourly" -> (q19AvgHourly _),
+    "q51_asof_join" -> (q51AsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
+    // ties at equal ts are pre-deduped (min event_id) on both sides, and
+    // nanos are truncated to Spark's microsecond precision BEFORE the
+    // comparison so both engines align the same pairs
+    "q51_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |         value, event_type
+        |  FROM events),
+        |v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, ts, value FROM e WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |       p.ts AS asof_ts, p.value AS asof_value
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
