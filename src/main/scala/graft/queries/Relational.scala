@@ -277,6 +277,24 @@ object Relational {
       rightId = "event_id", rightVals = Seq("value"))
   }
 
+  /** Range-containment join (§2.4 extension): every 'error' event matched
+    * to the same user's 2-hour post-'signup' windows containing it —
+    * bucketized to an equi join (see [[graft.operators.RangeJoin]]); the
+    * oracle runs the naive BETWEEN predicate, affordable only at oracle
+    * scale. */
+  def q52RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("w_start"), (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.operators.RangeJoin.containsJoin(errors, signups,
+      keys = Seq("user_id"), pointTs = "ts",
+      startCol = "w_start", endCol = "w_end", bucketWidth = "INTERVAL 2 HOURS")
+      .select("error_id", "signup_id", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -297,7 +315,8 @@ object Relational {
     "q17_daily_trend" -> (q17DailyTrend _),
     "q18_top_users" -> (q18TopUsers _),
     "q19_avg_hourly" -> (q19AvgHourly _),
-    "q51_asof_join" -> (q51AsofJoin _))
+    "q51_asof_join" -> (q51AsofJoin _),
+    "q52_range_join" -> (q52RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -317,6 +336,15 @@ object Relational {
         |       p.ts AS asof_ts, p.value AS asof_value
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+    "q52_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, event_type
+        |  FROM events)
+        |SELECT er.event_id AS error_id, s.event_id AS signup_id, er.user_id AS user_id
+        |FROM e er JOIN e s
+        |  ON er.user_id = s.user_id
+        | AND er.event_type = 'error' AND s.event_type = 'signup'
+        | AND er.ts >= s.ts AND er.ts <= s.ts + INTERVAL 2 HOUR""".stripMargin,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
