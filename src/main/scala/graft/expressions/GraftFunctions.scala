@@ -26,6 +26,12 @@ object GraftFunctions {
     GraftSqlBridge.column(
       MinHashSignature(GraftSqlBridge.expression(shingles), numHashes))
 
+  /** KMV distinct-count sketch over a 60-bit hash column
+    * (see [[KmvDistinctEstimate]]). */
+  def kmvDistinct(hash: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvDistinctEstimate(GraftSqlBridge.expression(hash), k).toAggregateExpression())
+
   private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

@@ -214,6 +214,22 @@ object LlmQueries {
       size(regexp_extract_all(aug, lit(ipv4Pattern), lit(0))).cast("long").as("n_ips"))
   }
 
+  /** KMV distinct-count sketch vs the exact count, per language: distinct
+    * token cardinality via the native bounded-state
+    * [[graft.expressions.KmvDistinctEstimate]] aggregate (k=16 longs of
+    * state per group at ANY scale) next to the exact `count_distinct`
+    * (whose partial state is every distinct value). Both columns are
+    * deterministic and oracle-checked — the point of a portable-hash
+    * sketch. */
+  def q53KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    toks.groupBy("lang").agg(
+      graft.expressions.GraftFunctions.kmvDistinct(col("h"), 16).as("kmv_estimate"),
+      count_distinct(col("tok")).as("exact_distinct"))
+  }
+
   /** Deterministic source mixing: per-source keep rates (a formula of the
     * source id here; a mixing-weights table in production), sampled by a
     * content-stable hash — `md5(doc_id) % 100 < rate` — so the mix is
@@ -251,7 +267,8 @@ object LlmQueries {
     "q47_frame_sample" -> (q47FrameSample _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
     "q49_pii_redact" -> (q49PiiRedact _),
-    "q50_source_mix" -> (q50SourceMix _))
+    "q50_source_mix" -> (q50SourceMix _),
+    "q53_kmv_distinct" -> (q53KmvDistinct _))
 
   // ------------------------------------------------------------- oracles
 
@@ -399,6 +416,24 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(t, '$ipv4Pattern')) AS BIGINT) AS n_ips
          |FROM aug""".stripMargin
     },
+    // the oracle rebuilds the KMV sketch relationally: distinct 60-bit md5
+    // hashes, rank per group, k-th smallest -> same two IEEE ops as eval()
+    "q53_kmv_distinct" ->
+      """WITH t AS (
+        |  SELECT lang, tok, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+        |d AS (SELECT DISTINCT lang, h FROM t),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
+        |a AS (
+        |  SELECT lang, count(*) AS n,
+        |    max(CASE WHEN rn <= 16 THEN h END) AS kth
+        |  FROM r GROUP BY lang),
+        |x AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM t GROUP BY lang)
+        |SELECT a.lang,
+        |  CASE WHEN a.n < 16 THEN CAST(a.n AS DOUBLE)
+        |       ELSE 15.0 * 1152921504606846976 / kth END AS kmv_estimate,
+        |  x.exact_distinct
+        |FROM a JOIN x USING (lang)""".stripMargin,
     "q50_source_mix" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens

@@ -1,4 +1,5 @@
 package graft
+// (KMV sketch tests appended below the existing expression tests)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -109,6 +110,28 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
       .collect().head
     assert(r.getDouble(0) == 4.0 && r.getInt(1) == 16)
     GraftFunctions.register(spark) // idempotent
+  }
+
+  test("KMV sketch: exact below k, estimator form at k, order/partition-invariant") {
+    import graft.functions.TextFunctions.md5Long
+    // 10 distinct values with k=16 -> buffer holds the full distinct set
+    val small = (1 to 30).map(i => (i % 10).toString).toDF("v")
+      .select(md5Long(col("v")).as("h"))
+    val exactSmall = small.agg(GraftFunctions.kmvDistinct(col("h"), 16)).head.getDouble(0)
+    assert(exactSmall == 10.0)
+
+    // 5000 distinct values, k=64: estimate within 25% of truth, and identical
+    // across different partitionings (merge path must be order-invariant)
+    val big = (1 to 5000).map(_.toString).toDF("v").select(md5Long(col("v")).as("h"))
+    val e1 = big.repartition(1).agg(GraftFunctions.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    val e8 = big.repartition(8).agg(GraftFunctions.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    assert(e1 == e8, "KMV estimate depends on partitioning")
+    assert(math.abs(e1 - 5000) / 5000 < 0.25, s"estimate $e1 too far from 5000")
+
+    // duplicates never inflate the sketch: same estimate after union with itself
+    val dup = big.union(big).repartition(5)
+      .agg(GraftFunctions.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    assert(dup == e1)
   }
 
   test("lshBucket literal-plane form matches the oracle's md5 sign derivation") {
