@@ -87,6 +87,8 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
 
   test("bucketed tables join and aggregate with NO exchange (co-located join)") {
     val n = 4
+    spark.sql("DROP TABLE IF EXISTS graft_fact_b")
+    spark.sql("DROP TABLE IF EXISTS graft_dim_b")
     Sinks.writeBucketed((1 to 100).map(i => (i.toLong, s"f$i")).toDF("k", "fv"),
       "graft_fact_b", "k", n)
     Sinks.writeBucketed((1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "dv"),
