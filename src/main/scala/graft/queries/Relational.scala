@@ -295,6 +295,39 @@ object Relational {
       .select("error_id", "signup_id", "user_id")
   }
 
+  /** Gap-based sessionization (§2.6 extension): per-user sessions split at
+    * >30-minute gaps (see [[graft.operators.Sessionize]]); emits each
+    * event's 1-based session index. */
+  def q54Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.assignSessions(
+      events(s, dir).select("event_id", "user_id", "ts"),
+      keys = Seq("user_id"), tsCol = "ts", idCol = "event_id")
+      .select("event_id", "user_id", "session_idx")
+
+  /** Pivot (§2.5 extension): per-user event counts fanned into one column
+    * per event type — the dashboard crosstab shape. The pivot values are
+    * EXPLICIT: Spark otherwise runs a driver-side distinct job to discover
+    * them, and the output schema becomes data-dependent (both wrong for a
+    * production pipeline). */
+  def q55Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+
+  /** ROLLUP (§2.5 extension): event counts + exact value sums at (type,
+    * day), (type), and grand-total levels in ONE pass — Spark expands the
+    * grouping sets before the shuffle, so it stays a single aggregate.
+    * Subtotal rows surface their grouping NULLs as the 'ALL' sentinel
+    * (cross-engine NULL-vs-NaT dtype coercion is not worth trusting). */
+  def q56Rollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .rollup(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        col("n"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -316,7 +349,10 @@ object Relational {
     "q18_top_users" -> (q18TopUsers _),
     "q19_avg_hourly" -> (q19AvgHourly _),
     "q51_asof_join" -> (q51AsofJoin _),
-    "q52_range_join" -> (q52RangeJoin _))
+    "q52_range_join" -> (q52RangeJoin _),
+    "q54_sessionize" -> (q54Sessionize _),
+    "q55_pivot" -> (q55Pivot _),
+    "q56_rollup" -> (q56Rollup _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -345,6 +381,37 @@ object Relational {
         |  ON er.user_id = s.user_id
         | AND er.event_type = 'error' AND s.event_type = 'signup'
         | AND er.ts >= s.ts AND er.ts <= s.ts + INTERVAL 2 HOUR""".stripMargin,
+    "q54_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |FROM m""".stripMargin,
+    // pivot cells with no rows are NULL in Spark (empty aggregation group),
+    // while FILTER'd count gives 0 -> nullif aligns them (a real 0 cannot
+    // occur: a present group always counts >= 1)
+    "q55_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        s"""CAST(nullif(count(*) FILTER (WHERE event_type = '$t'), 0) AS BIGINT) AS "$t"""")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+    "q56_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |GROUP BY ROLLUP (event_type, day)""".stripMargin,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -46,6 +46,20 @@ class AsofJoinSpec extends AnyFunSuite with SharedSpark {
     assert(out.getDouble(4) == 111.0)
   }
 
+  test("sessionize: new session after a gap > threshold, per key, 1-based") {
+    val d = Seq(
+      (1L, 1L, ts(0)),     // session 1
+      (2L, 1L, ts(1700)),  // 28m20s later -> same session
+      (3L, 1L, ts(3600)),  // 31m40s after event 2 -> session 2
+      (4L, 1L, ts(3700)),  // session 2
+      (5L, 2L, ts(3600))   // other user -> own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.operators.Sessionize.assignSessions(
+      d, Seq("user_id"), "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("asof plans one keyed window over a union — no range/nested-loop join") {
     val left = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
     val right = Seq((2L, 1L, ts(5), 1.0)).toDF("event_id", "user_id", "ts", "value")
