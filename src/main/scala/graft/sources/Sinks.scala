@@ -124,8 +124,17 @@ object Sinks {
     if (!f.exists(dst)) { overwriteSwapPartitioned(updates, path, partCol); return }
     // bounded: distinct partition values of ONE batch (e.g. 7 days/week)
     val touched = updates.select(partCol).distinct().collect().map(_.get(0))
+    // NULL partition values land in the default partition dir; `isin` never
+    // matches NULL, so without the explicit isNull arm a batch touching the
+    // null partition would fail to read its existing rows and the swap
+    // would silently drop them
+    val (nullTouched, nonNull) = touched.partition(_ == null)
+    val pruning =
+      if (nullTouched.isEmpty) col(partCol).isin(nonNull: _*)
+      else if (nonNull.isEmpty) col(partCol).isNull
+      else col(partCol).isin(nonNull: _*) || col(partCol).isNull
     val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(touched: _*))
+      .filter(pruning)
       .select(updates.columns.map(col): _*) // partition col read-reordered to the end
     val merged = Upsert.merge(existing, updates, keys)
     val tmp = new Path(path + ".__tmp")

@@ -107,6 +107,21 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("upsertPartitioned: rows in the NULL partition survive later merges touching it") {
+    val path = s"$tmpDir/fact"
+    // batch 1 seeds the null partition (e.g. an unparseable date) + a real date
+    val week1 = Seq((1L, Some("2021-01-04"), 10), (2L, None, 20))
+      .toDF("rid", "d", "v").withColumn("d", col("d").cast("date"))
+    Sinks.upsertPartitioned(spark, path, week1, Seq("rid"), "d")
+    // batch 2 adds another null-partition row: rid 2 must NOT be lost
+    val week2 = Seq((3L, None: Option[String], 30))
+      .toDF("rid", "d", "v").withColumn("d", col("d").cast("date"))
+    Sinks.upsertPartitioned(spark, path, week2, Seq("rid"), "d")
+    val rows = spark.read.parquet(path).select("rid", "v").sort("rid")
+      .as[(Long, Int)].collect().toSeq
+    assert(rows == Seq((1L, 10), (2L, 20), (3L, 30)))
+  }
+
   test("upsertPartitioned: rerunning the same batch is a no-op (idempotence)") {
     val path = s"$tmpDir/fact"
     val batch = Seq((1L, "2021-01-04", 1), (2L, "2021-01-05", 2))
