@@ -146,6 +146,36 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(out == expected)
   }
 
+  test("AQE splits a skewed shingle-index join when thresholds are crossed") {
+    // lower the AQE skew thresholds so the hot posting list (every doc
+    // shares one shingle) crosses them at test scale, then check the FINAL
+    // adaptive plan marked the sort-merge join skewed
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val hot = (1 to 300).map(i => s"the quick brown fox jumps tail$i word$i more$i")
+      val d = docs(hot.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }: _*)
+      val sets = Dedup.shingleSets(d, "doc_id", "text", 3)
+      val inv = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val joined = inv.as("a").join(inv.as("b"), "sh")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy().count() // aggregate so the materialized result stays tiny
+      joined.collect() // materialize THIS queryExecution: AQE finalizes its plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+      assert(plan.contains("skew=true"), s"skew join did not activate:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("jaccardPairsExact candidate join is an equi-join on the shingle, never all-pairs") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
     val out = Dedup.jaccardPairsExact(d, "doc_id", "text")
