@@ -129,6 +129,20 @@ object StarSchema {
       .limit(k)
   }
 
+  /** The dashboard's rides-per-hour chart (README.md:35) the way the
+    * warehouse actually serves it: fact ⋈ dim_datetime on the START-date
+    * role (CyclingERD.sql:60-61), grouped by the dim's hour attribute.
+    * dim_datetime is calendar-bounded, so AQE sizes the join; the
+    * aggregate partial-combines into 24 groups. */
+  def ridesPerHour(spark: SparkSession, warehouse: String): DataFrame = {
+    val fact = spark.read.parquet(factJourney(warehouse))
+    val dim = spark.read.parquet(dimDatetime(warehouse))
+      .select(col("datetime_id"), col("hour"))
+    fact.join(dim, fact("start_date") === dim("datetime_id"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_rides"))
+  }
+
   /** PK/FK validation over the written star schema (SURVEY.md §7.2 item 4):
     * Spark cannot DECLARE the constraints CyclingERD.sql:6-68 declares, so
     * the engine CHECKS them — duplicate-PK counts per table (rows minus

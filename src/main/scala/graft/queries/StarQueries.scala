@@ -47,9 +47,15 @@ object StarQueries {
   def q45Integrity(s: SparkSession, dir: String): DataFrame =
     StarSchema.integrityReport(s, warehouse(s))
 
+  /** Rides per hour served from the star schema: fact ⋈ dim_datetime
+    * (start-date role) — the reference dashboard's actual join shape. */
+  def q57RidesPerHour(s: SparkSession, dir: String): DataFrame =
+    StarSchema.ridesPerHour(s, warehouse(s))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_rides_by_station" -> (q44RidesByStation _),
-    "q45_integrity" -> (q45Integrity _))
+    "q45_integrity" -> (q45Integrity _),
+    "q57_rides_per_hour_star" -> (q57RidesPerHour _))
 
   // ------------------------------------------------------------- oracles
 
@@ -112,6 +118,16 @@ object StarQueries {
          |GROUP BY 1
          |ORDER BY n_rides DESC, station_name ASC
          |LIMIT 10""".stripMargin,
+    // the oracle joins through the dim exactly as the engine does (not a
+    // shortcut hour(start_date) scan) so the dim's correctness is load-bearing
+    "q57_rides_per_hour_star" ->
+      s"""WITH $warehouseCtes,
+         |dim_dt AS (
+         |  SELECT datetime_id, CAST(hour(datetime_id) AS INT) AS hour
+         |  FROM dim_datetime)
+         |SELECT d.hour, count(*) AS n_rides
+         |FROM fact f JOIN dim_dt d ON f.start_date = d.datetime_id
+         |GROUP BY d.hour""".stripMargin,
     "q45_integrity" ->
       s"""WITH $warehouseCtes
          |SELECT
