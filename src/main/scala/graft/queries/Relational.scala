@@ -328,6 +328,31 @@ object Relational {
         coalesce(col("day").cast("string"), lit("ALL")).as("day"),
         col("n"), col("total_value"))
 
+  /** Rolling window frame (§2.6 extension): 7-day trailing average of
+    * daily ride counts — the dashboard's smoothed daily-trend line. Frame
+    * sums use the exact-decimal trick so the trailing mean is
+    * order-independent; the average is one divide of two exact values. */
+  def q58RollingTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily.select(col("day").cast("string").as("day"), col("n"),
+      (sum(col("n").cast("decimal(18,6)")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("trailing_avg"))
+  }
+
+  /** Semi-structured extraction (§2.9 extension): pull a typed value out
+    * of the JSON `props` string per event and aggregate it — codegen'd
+    * JSON path evaluation, no UDF. */
+  def q59JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count_distinct(col("k")).as("n_distinct_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -352,7 +377,9 @@ object Relational {
     "q52_range_join" -> (q52RangeJoin _),
     "q54_sessionize" -> (q54Sessionize _),
     "q55_pivot" -> (q55Pivot _),
-    "q56_rollup" -> (q56Rollup _))
+    "q56_rollup" -> (q56Rollup _),
+    "q58_rolling_trend" -> (q58RollingTrend _),
+    "q59_json_extract" -> (q59JsonExtract _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -412,6 +439,20 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
         |GROUP BY ROLLUP (event_type, day)""".stripMargin,
+    "q58_rolling_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day, n,
+        |  CAST(sum(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+        |    count(*) OVER w AS trailing_avg
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q59_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum((props::JSON ->> 'k')::BIGINT) AS BIGINT) AS sum_k,
+        |  count(DISTINCT (props::JSON ->> 'k')::BIGINT) AS n_distinct_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
