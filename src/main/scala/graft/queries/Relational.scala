@@ -331,7 +331,10 @@ object Relational {
   /** Rolling window frame (§2.6 extension): 7-day trailing average of
     * daily ride counts — the dashboard's smoothed daily-trend line. Frame
     * sums use the exact-decimal trick so the trailing mean is
-    * order-independent; the average is one divide of two exact values. */
+    * order-independent; the average is one divide of two exact values.
+    * The unpartitioned window runs AFTER the per-day aggregate, whose
+    * cardinality is calendar-bounded (one row/day at any corpus size), so
+    * the single-partition sort is a non-issue at scale. */
   def q58RollingTrend(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
