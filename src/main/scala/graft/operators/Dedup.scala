@@ -173,9 +173,19 @@ object Dedup {
     * territory; the df table itself is shingle-keyed and shuffles evenly. */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3,
-                        thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+                        thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame =
+    jaccardPairsExactOnSets(shingleSets(docs, idCol, textCol, shingleK),
+      thresholdNum, thresholdDen)
+
+  /** [[jaccardPairsExact]] over a prebuilt (doc_id, shingles) table. The
+    * shingle table appears in the plan three times (index build + both
+    * verify sides); Spark recomputes each occurrence, so at scale — or in
+    * a session running several dedup passes — callers should
+    * `persist`/checkpoint the sets DataFrame and pass it here, paying the
+    * shingling scan once. */
+  def jaccardPairsExactOnSets(sets: DataFrame,
+                              thresholdNum: Int, thresholdDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleSets(docs, idCol, textCol, shingleK)
     val inv = sets.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
     val dfCounts = inv.groupBy("sh").agg(count(lit(1)).as("df"))
