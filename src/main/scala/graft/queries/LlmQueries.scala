@@ -191,6 +191,50 @@ object LlmQueries {
           .otherwise("de"))
   }
 
+  /** Fixed trigram profiles per language (the formula under test is the
+    * n-gram profile-overlap scorer, not the profiles' linguistic quality —
+    * real deployments learn profiles from held-out corpora). */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", "ing", " th", "and"),
+    "es" -> Seq(" el", "la ", "os ", "que", " de"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und"))
+
+  /** Language ID via character-n-gram profile overlap: count each doc's
+    * trigrams hitting each language's profile set, argmax with fixed
+    * tie-break order (en > es > de, 'und' when nothing hits) — the
+    * n-gram flavor of language ID next to q36's stopword-lexicon flavor.
+    * Narrow codegen'd pass: trigram HOF + array membership counts. */
+  def q60LangIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val tg = charTrigrams(col("text"))
+    val hits = trigramProfiles.map { case (l, prof) =>
+      size(filter(tg, t => t.isInCollection(prof))).cast("long").as(s"tg_$l")
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: hits: _*)
+      .withColumn("predicted_lang",
+        when(col("tg_en") === 0 && col("tg_es") === 0 && col("tg_de") === 0, "und")
+          .when(col("tg_en") >= col("tg_es") && col("tg_en") >= col("tg_de"), "en")
+          .when(col("tg_es") >= col("tg_de"), "es")
+          .otherwise("de"))
+  }
+
+  /** The TF-IDF machinery with integer determinism: global document
+    * frequency per token (the IDF table — one groupBy), then each doc's 3
+    * RAREST distinct tokens by (df asc, token asc) — pure integer/string
+    * ordering, no floating log-weights to disagree on. The same df table
+    * the prefix-filtered Jaccard index (q42) orders by. */
+  def q61RareTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+    toks.join(dfCounts, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("df"))
+  }
+
   /** Document fingerprints: rolling polynomial hash (mod 1e9+7) + md5. */
   def q37Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -268,7 +312,9 @@ object LlmQueries {
     "q48_thumb_spec" -> (q48ThumbSpec _),
     "q49_pii_redact" -> (q49PiiRedact _),
     "q50_source_mix" -> (q50SourceMix _),
-    "q53_kmv_distinct" -> (q53KmvDistinct _))
+    "q53_kmv_distinct" -> (q53KmvDistinct _),
+    "q60_langid_ngram" -> (q60LangIdNgram _),
+    "q61_rare_terms" -> (q61RareTerms _))
 
   // ------------------------------------------------------------- oracles
 
@@ -478,6 +524,32 @@ object LlmQueries {
          |       ELSE 'de' END AS predicted_lang
          |FROM base""".stripMargin
     },
+    "q60_langid_ngram" -> {
+      val hitCols = trigramProfiles.map { case (l, prof) =>
+        s"""CAST(len(list_filter(list_transform(generate_series(1, length(text) - 2),
+           |      i -> substring(text, i, 3)),
+           |    t -> t IN (${prof.map(p => s"'$p'").mkString(", ")}))) AS BIGINT) AS tg_$l""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, $hitCols
+         |  FROM documents)
+         |SELECT doc_id, tg_en, tg_es, tg_de,
+         |  CASE WHEN tg_en = 0 AND tg_es = 0 AND tg_de = 0 THEN 'und'
+         |       WHEN tg_en >= tg_es AND tg_en >= tg_de THEN 'en'
+         |       WHEN tg_es >= tg_de THEN 'es'
+         |       ELSE 'de' END AS predicted_lang
+         |FROM base""".stripMargin
+    },
+    "q61_rare_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+        |SELECT t.doc_id,
+        |  CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS INT) AS rank,
+        |  t.tok, d.df
+        |FROM toks t JOIN dfs d USING (tok)
+        |QUALIFY rank <= 3""".stripMargin,
     "q37_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce([0::BIGINT] || list_transform(generate_series(1, length(text)),
