@@ -235,6 +235,41 @@ object LlmQueries {
       .select(col("doc_id"), col("rank"), col("tok"), col("df"))
   }
 
+  /** Within-document repetition scoring (the Gopher-style repetition
+    * filter): duplicate-bigram fraction per doc — integers and one exact
+    * divide. Docs whose text loops score high and get flagged. */
+  def q62Repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = wordShingles(t, 2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (size(t) - 1).cast("long").as("n_bigrams"),
+        size(bigrams).cast("long").as("n_distinct_bigrams"))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("dup_ratio",
+        (col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))
+      .withColumn("is_repetitive", col("dup_ratio") > 0.2)
+  }
+
+  /** Sequence packing (the pre-tokenization batching step): docs concatenate
+    * in id order within each source and split at a fixed token budget; each
+    * doc's bin is floor(exclusive-prefix-token-count / budget). A running
+    * window sum per source — deterministic integers; partitioning by source
+    * is also the scale story (one unpartitioned cumsum would serialize the
+    * corpus; per-source streams pack independently, exactly like a real
+    * sharded packer). */
+  def q63SeqPacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1024L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("__prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"__prefix div $budget")) // integer div: exact at any scale
+      .select("doc_id", "source", "n_tokens", "bin")
+  }
+
   /** Document fingerprints: rolling polynomial hash (mod 1e9+7) + md5. */
   def q37Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -314,7 +349,9 @@ object LlmQueries {
     "q50_source_mix" -> (q50SourceMix _),
     "q53_kmv_distinct" -> (q53KmvDistinct _),
     "q60_langid_ngram" -> (q60LangIdNgram _),
-    "q61_rare_terms" -> (q61RareTerms _))
+    "q61_rare_terms" -> (q61RareTerms _),
+    "q62_repetition" -> (q62Repetition _),
+    "q63_seq_packing" -> (q63SeqPacking _))
 
   // ------------------------------------------------------------- oracles
 
@@ -550,6 +587,24 @@ object LlmQueries {
         |  t.tok, d.df
         |FROM toks t JOIN dfs d USING (tok)
         |QUALIFY rank <= 3""".stripMargin,
+    "q62_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct(list_transform(generate_series(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS n_distinct_bigrams
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+        |  (n_bigrams - n_distinct_bigrams) / n_bigrams AS dup_ratio,
+        |  (n_bigrams - n_distinct_bigrams) / n_bigrams > 0.2 AS is_repetitive
+        |FROM base WHERE n_bigrams > 0""".stripMargin,
+    "q63_seq_packing" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST((CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 1024 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, source,
+        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)""".stripMargin,
     "q37_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce([0::BIGINT] || list_transform(generate_series(1, length(text)),
