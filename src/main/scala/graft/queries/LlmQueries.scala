@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
 import graft.sources.Tables
 
 /** The LLM-training-data-pipeline operator suite (dedup, similarity search,
@@ -325,6 +325,36 @@ object LlmQueries {
         sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
   }
 
+  /** The composed corpus-cleaning pipeline — the capstone: language filter
+    * (q36's formula) → quality filter (q35's) → exact dedup (min-id per
+    * content hash) → near-dup removal (banded LSH + exact verify) over the
+    * SURVIVORS, emitting the final training corpus as (doc_id, content
+    * fingerprint). Each stage is the already-verified operator; this entry
+    * verifies they compose (filters narrow before the expensive dedup
+    * stages — the order a 100-TB pipeline must use). */
+  def q64CorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id") +: col("text") +: size(t).cast("long").as("n_tokens") +:
+        lexiconHits(t, stopwords).cast("long").as("n_stopwords") +: hits: _*)
+      .withColumn("predicted_lang",
+        when(col("n_en") === 0 && col("n_es") === 0 && col("n_de") === 0, "und")
+          .when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
+          .when(col("n_es") >= col("n_de"), "es")
+          .otherwise("de"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("n_stopwords") / col("n_tokens") >= 0.02)
+    val filtered = scored.filter(col("predicted_lang") === "en" && col("is_quality"))
+      .select("doc_id", "text")
+    val exact = Upsert.dedupByKey(
+      filtered.withColumn("__fp", md5(col("text"))), Seq("__fp"), Seq("doc_id"))
+      .drop("__fp")
+    Dedup.nearDupSurvivors(exact, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -351,7 +381,8 @@ object LlmQueries {
     "q60_langid_ngram" -> (q60LangIdNgram _),
     "q61_rare_terms" -> (q61RareTerms _),
     "q62_repetition" -> (q62Repetition _),
-    "q63_seq_packing" -> (q63SeqPacking _))
+    "q63_seq_packing" -> (q63SeqPacking _),
+    "q64_corpus_clean" -> (q64CorpusClean _))
 
   // ------------------------------------------------------------- oracles
 
@@ -587,6 +618,40 @@ object LlmQueries {
         |  t.tok, d.df
         |FROM toks t JOIN dfs d USING (tok)
         |QUALIFY rank <= 3""".stripMargin,
+    "q64_corpus_clean" -> {
+      val langHits = langLex.map { case (l, lex) =>
+        s"""CAST(len(list_filter(w, x -> x IN (${lex.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_$l"""
+      }.mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(w, x -> x IN (${stopwords.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_stop,
+         |    $langHits
+         |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)),
+         |langq AS (
+         |  SELECT doc_id, text FROM base
+         |  WHERE (CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
+         |              WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+         |              WHEN n_es >= n_de THEN 'es'
+         |              ELSE 'de' END) = 'en'
+         |    AND n_tokens >= 10 AND n_tokens <= 1000
+         |    AND n_stop / n_tokens >= 0.02),
+         |exact AS (
+         |  SELECT doc_id, text FROM langq
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(w)-2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exact)
+         |  WHERE len(w) >= 3),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |  WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s)))
+         |SELECT doc_id, md5(text) AS fp FROM exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    },
     "q62_repetition" ->
       """WITH base AS (
         |  SELECT doc_id,
