@@ -32,6 +32,11 @@ object GraftFunctions {
     GraftSqlBridge.column(
       KmvDistinctEstimate(GraftSqlBridge.expression(hash), k).toAggregateExpression())
 
+  /** One-pass 60-bit SimHash aggregate over token hashes (see [[SimhashAgg]]). */
+  def simhashAgg(hash: Column): Column =
+    GraftSqlBridge.column(
+      SimhashAgg(GraftSqlBridge.expression(hash)).toAggregateExpression())
+
   private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

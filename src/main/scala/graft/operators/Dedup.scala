@@ -216,23 +216,21 @@ object Dedup {
   }
 
   /** 60-bit SimHash over (multiset) whitespace tokens, md5-based (first 15
-    * hex chars) so the oracle can recompute it. Explode + one grouped
-    * aggregate: partial (map-side) aggregation keeps the shuffle at one row
-    * per (doc, 60 counters) — the canonical scalable simhash shape.
+    * hex chars) so the oracle can recompute it. Explode + ONE grouped
+    * native aggregate ([[graft.expressions.SimhashAgg]]): the 60 bit
+    * counters live in a single typed buffer updated by a tight loop per
+    * token hash, with map-side partial aggregation — one buffer row per
+    * (partition, doc) in the shuffle. (The previous formulation ran 60
+    * separate `sum(when(shiftright...))` aggregates — 60 expression-tree
+    * evaluations per token and 60 buffer slots; bit-identical output,
+    * ~60× more expression evaluation.)
     *
     * Bit b of the signature is set iff
     * sum over tokens of (bit b of md5Long(token) ? +1 : -1) > 0.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5Long(col("tok")))
-    val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.expressions.GraftFunctions.simhashAgg(md5Long(col("tok"))).as("simhash"))
 }
