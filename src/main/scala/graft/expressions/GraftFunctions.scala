@@ -57,6 +57,19 @@ object GraftFunctions {
         case Seq(toks, IntegerLiteral(k)) => WordShingles(toks, k)
         case _ => throw new IllegalArgumentException(
           "graft_shingles(tokens, k) needs a literal int k")
+      }),
+    (new FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinctEstimate].getName, "graft_kmv_distinct"),
+      (children: Seq[Expression]) => children match {
+        case Seq(hash, IntegerLiteral(k)) => KmvDistinctEstimate(hash, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_kmv_distinct(hash, k) needs a literal int k")
+      }),
+    (new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash(hash) takes 1 argument")
+        SimhashAgg(children.head).toAggregateExpression()
       }))
 
   /** Idempotent imperative registration into an existing session. */

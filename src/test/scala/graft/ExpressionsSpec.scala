@@ -134,6 +134,32 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(dup == e1)
   }
 
+  test("SimhashAgg is partition/order-invariant and matches the per-bit definition") {
+    import graft.functions.TextFunctions.md5Long
+    val toks = Seq("spark", "batch", "window", "join", "spark").map(Tuple1(_)).toDF("tok")
+      .select(md5Long(col("tok")).as("h"))
+    val viaAgg = toks.repartition(3).agg(GraftFunctions.simhashAgg(col("h"))).head.getLong(0)
+    val viaAgg1 = toks.repartition(1).agg(GraftFunctions.simhashAgg(col("h"))).head.getLong(0)
+    assert(viaAgg == viaAgg1)
+    // reference computation: per-bit ±1 counters over the same hashes
+    val hs = toks.collect().map(_.getLong(0))
+    val expected = (0 until 60).map { b =>
+      val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+      if (s > 0) 1L << b else 0L
+    }.sum
+    assert(viaAgg == expected)
+  }
+
+  test("graft_kmv_distinct / graft_simhash are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_kmv_distinct(h, 16) AS est, graft_simhash(h) AS sig
+        |FROM (SELECT cast(conv(substring(md5(cast(id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h
+        |      FROM range(10))""".stripMargin).collect().head
+    assert(r.getDouble(0) == 10.0) // 10 distinct < k -> exact
+    assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60))
+  }
+
   test("lshBucket literal-plane form matches the oracle's md5 sign derivation") {
     // plane sign for (p, i) must equal the SQL mirror's
     // ('0x' || substring(md5(p || ':' || i), 1, 8))::BIGINT & 1 test.

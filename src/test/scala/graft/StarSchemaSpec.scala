@@ -98,6 +98,17 @@ class StarSchemaSpec extends AnyFunSuite with SharedSpark {
       Set("2021-01-18", "2021-01-25", "2021-02-01"))
   }
 
+  test("date filters on the written fact prune to the matching partitions") {
+    val w = buildWarehouse()
+    val pruned = spark.read.parquet(StarSchema.factJourney(w))
+      .filter(col("weather_date") === to_date(lit("2021-01-15")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("weather_date"),
+      s"no partition filter pushed to the fact scan:\n$plan")
+    assert(pruned.count() == 3) // the three Jan-15 journeys only
+  }
+
   test("integrityReport is all-zero on a correctly merged warehouse") {
     val w = buildWarehouse()
     val r = StarSchema.integrityReport(spark, w).collect().head
