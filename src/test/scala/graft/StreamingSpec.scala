@@ -30,6 +30,33 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(dst).count() == 3)
   }
 
+  test("stream-static join enriches a stream with a batch dimension per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF.toDF("event_id", "user_id")
+      .join(dim, "user_id") // stream-static: dim re-read per microbatch, no state
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((10L, 1L), (11L, 2L), (12L, 99L)) // 99 has no dim row -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join_test")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(10L -> "gold", 11L -> "basic"))
+  }
+
+  test("mergeSchema read: later batches may add columns; earlier rows surface nulls") {
+    val dir = Files.createTempDirectory("graft-evolve-").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b", 7.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", true).parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val byId = merged.collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(7.5))
+  }
+
   test("dedupByKeyStream drops re-delivered keys across triggers within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
