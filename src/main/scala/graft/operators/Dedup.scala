@@ -38,6 +38,41 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Incremental exact dedup against HISTORY: drop new docs whose content
+    * hash is already in the fingerprint table, then append the survivors'
+    * fingerprints — so each ingestion batch dedups against everything ever
+    * seen while touching only (batch × fingerprint-index), never the
+    * accumulated corpus text. The fingerprint table is one 32-char hash +
+    * id per historical doc (~50 bytes/doc — a 10¹⁰-doc history is ~500 GB,
+    * join-able; the corpus it stands in for is the 100 TB). In-batch
+    * duplicates collapse first (min id wins), so the table stays unique.
+    * Returns the surviving rows; idempotent — re-ingesting a batch yields
+    * zero survivors. */
+  def incrementalExactDedup(spark: org.apache.spark.sql.SparkSession,
+                            newDocs: DataFrame, idCol: String, textCol: String,
+                            fpTablePath: String): DataFrame = {
+    import graft.sources.Sinks
+    val hashed = newDocs.withColumn("__fp", md5(col(textCol)))
+    val inBatch = Upsert.dedupByKey(hashed, Seq("__fp"), Seq(idCol))
+    val fs = new org.apache.hadoop.fs.Path(fpTablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val survivors =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(fpTablePath))) inBatch
+      else inBatch.join(
+        spark.read.parquet(fpTablePath).select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+    // sever lineage BEFORE appending: a cache is not enough — the append's
+    // refreshByPath(fpTablePath) invalidates any cached plan referencing
+    // the table, and a recompute after the append would see its own output
+    // and drop everything. localCheckpoint materializes the survivors as
+    // RDD blocks with no plan back to the path. (On a cluster, prefer a
+    // reliable checkpoint dir for fault tolerance; semantics identical.)
+    val kept = survivors.localCheckpoint(true)
+    if (!kept.isEmpty)
+      Sinks.append(kept.select(col("__fp").as("fp"), col(idCol).as("doc_id")), fpTablePath)
+    kept.drop("__fp")
+  }
+
   /** (id, shingles) pairs for docs with at least k tokens. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = tokens(col(textCol))
