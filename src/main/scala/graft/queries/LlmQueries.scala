@@ -355,6 +355,22 @@ object LlmQueries {
       .select(col("doc_id"), md5(col("text")).as("fp"))
   }
 
+  /** Deterministic train/val/test split: assignment is a pure function of
+    * content-stable id hash (md5 % 100 → 90/5/5), so membership never
+    * changes across runs, engines, or corpus growth (old docs keep their
+    * split when new docs arrive — the property random splits lose).
+    * Emits per-(source, split) doc/token counts — the stratification
+    * report a dataset card needs. */
+  def q65Split(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(md5Int(col("doc_id").cast("string")), lit(100))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -382,7 +398,8 @@ object LlmQueries {
     "q61_rare_terms" -> (q61RareTerms _),
     "q62_repetition" -> (q62Repetition _),
     "q63_seq_packing" -> (q63SeqPacking _),
-    "q64_corpus_clean" -> (q64CorpusClean _))
+    "q64_corpus_clean" -> (q64CorpusClean _),
+    "q65_split" -> (q65Split _))
 
   // ------------------------------------------------------------- oracles
 
@@ -652,6 +669,15 @@ object LlmQueries {
          |SELECT doc_id, md5(text) AS fp FROM exact
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
     },
+    "q65_split" ->
+      """SELECT source,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
     "q62_repetition" ->
       """WITH base AS (
         |  SELECT doc_id,
