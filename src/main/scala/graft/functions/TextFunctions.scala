@@ -91,11 +91,20 @@ object TextFunctions {
       longNumPattern, "<ID>")
 
   /** Rolling polynomial fingerprint of the whole string:
-    * fold(ascii chars, acc = (acc*31 + code) mod 1e9+7). Built as an array
-    * fold so it is one codegen'd expression per row; DuckDB mirrors it with
+    * fold(code points, acc = (acc*31 + code) mod 1e9+7), as the native
+    * one-pass [[graft.expressions.PolyFingerprint]] expression (the HOF
+    * fold it replaced ran interpreted per character). DuckDB mirror:
     * `list_reduce([0] || codes, ...)` (prepending 0 reproduces the zero
     * initial accumulator — 0*31+c == c). */
   def polyFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.PolyFingerprint(GraftSqlBridge.expression(text)))
+  }
+
+  /** The declarative HOF formulation [[polyFingerprint]] replaced — kept
+    * for the bit-equality test of the native expression. */
+  private[graft] def polyFingerprintHof(text: Column): Column = {
     val codes = transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))))
     aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
   }

@@ -134,6 +134,20 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(dup == e1)
   }
 
+  test("PolyFingerprint native expression equals the HOF fold on real corpus text") {
+    import graft.functions.TextFunctions
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatches = docs.select(
+      TextFunctions.polyFingerprint(col("text")).as("native"),
+      TextFunctions.polyFingerprintHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // empty string folds to the zero accumulator
+    val empty = Seq("").toDF("t")
+      .select(TextFunctions.polyFingerprint(col("t"))).head.getLong(0)
+    assert(empty == 0L)
+  }
+
   test("SimhashAgg is partition/order-invariant and matches the per-bit definition") {
     import graft.functions.TextFunctions.md5Long
     val toks = Seq("spark", "batch", "window", "join", "spark").map(Tuple1(_)).toDF("tok")
