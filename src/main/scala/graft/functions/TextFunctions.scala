@@ -54,8 +54,18 @@ object TextFunctions {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Count of tokens belonging to a fixed lexicon. */
-  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+  /** Count of tokens belonging to a fixed lexicon — one native hash-probe
+    * pass (see [[graft.expressions.LexiconHits]]; the `size(filter(...))`
+    * HOF it replaced interpreted a lambda per token). */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.LexiconHits(GraftSqlBridge.expression(toks), lexicon))
+  }
+
+  /** The declarative formulation [[lexiconHits]] replaced — kept for the
+    * bit-equality test of the native expression. */
+  private[graft] def lexiconHitsHof(toks: Column, lexicon: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(lexicon)))
 
   /** Character trigrams of the raw text (1-based sliding window) — the

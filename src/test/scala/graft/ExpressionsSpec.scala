@@ -134,6 +134,18 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(dup == e1)
   }
 
+  test("LexiconHits native expression equals the filter-HOF count on real corpus text") {
+    import graft.functions.TextFunctions
+    val lex = Seq("the", "a", "of", "and", "to", "in")
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = split(lower(col("text")), " ")
+    val mismatches = docs.select(
+      TextFunctions.lexiconHits(toks, lex).as("native"),
+      TextFunctions.lexiconHitsHof(toks, lex).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("PolyFingerprint native expression equals the HOF fold on real corpus text") {
     import graft.functions.TextFunctions
     val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
