@@ -92,6 +92,7 @@ object StarSchema {
               file: String = "journey.csv"): Seq[String] = {
     val raw = new org.apache.hadoop.fs.Path(rawDir)
     val f = raw.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(raw)) return Seq.empty // nothing delivered yet: a no-op run, not an error
     val weeks = f.listStatus(raw).filter(_.isDirectory).map(_.getPath.getName).sorted
     val done = ingestedDates(spark, warehouse)
     val todo = weeks.filterNot(done)
