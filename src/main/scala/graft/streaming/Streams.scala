@@ -49,6 +49,31 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("hour_start"), col("cnt"))
 
+  /** Stream INTO the keyed warehouse: each microbatch merges through
+    * [[graft.sources.Sinks.upsert]] (or the partition-scoped variant via
+    * `partitionCol`), so an at-least-once source converges to
+    * exactly-once-per-key table contents — the streaming version of the
+    * weekly UPSERT load. `foreachBatch` is the idiomatic bridge from a
+    * stream to a batch sink Spark has no streaming writer for; the
+    * checkpoint makes re-runs resume after the last merged batch, and a
+    * REPLAYED batch re-merges idempotently. */
+  def streamUpsert(stream: DataFrame, path: String, keys: Seq[String],
+                   checkpointDir: String, partitionCol: Option[String] = None): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        partitionCol match {
+          case Some(p) => graft.sources.Sinks.upsertPartitioned(spark, path, batch.toDF(), keys, p)
+          case None => graft.sources.Sinks.upsert(spark, path, batch.toDF(), keys)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exactly-once-per-key dedup: drop every record whose key was
     * already seen, keeping per-key state only within the event-time
     * watermark — the streaming half of the batch keyed dedup (A3) and what

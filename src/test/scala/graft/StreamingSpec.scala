@@ -30,6 +30,24 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(dst).count() == 3)
   }
 
+  test("streamUpsert merges file-stream batches into a keyed table; replays converge") {
+    val src = Files.createTempDirectory("graft-su-src-").toString
+    val table = Files.createTempDirectory("graft-su-t-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-su-ck-").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+    Streams.streamUpsert(spark.readStream.schema(schema).parquet(src), table, Seq("k"), ckpt)
+    assert(spark.read.parquet(table).count() == 2)
+    // a new file updates key 2 and adds key 3; keys stay unique
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    Streams.streamUpsert(spark.readStream.schema(schema).parquet(src), table, Seq("k"), ckpt)
+    val rows = spark.read.parquet(table).sort("k").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // rerun with the same checkpoint: nothing re-merged, table unchanged
+    Streams.streamUpsert(spark.readStream.schema(schema).parquet(src), table, Seq("k"), ckpt)
+    assert(spark.read.parquet(table).sort("k").as[(Long, String)].collect().toSeq == rows)
+  }
+
   test("stream-static join enriches a stream with a batch dimension per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
