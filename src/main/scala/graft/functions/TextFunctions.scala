@@ -70,16 +70,17 @@ object TextFunctions {
 
   /** Character trigrams of the raw text (1-based sliding window) — the
     * n-gram units a profile-based language identifier scores against.
-    * One codegen'd HOF pass; texts shorter than 3 chars yield an empty
-    * array (guarded: an unguarded `sequence(1, len-2)` would run BACKWARD
-    * for short strings — Spark infers step -1 when stop < start). DuckDB
-    * mirror: `list_transform(generate_series(1, length(t)-2),
+    * One native pass (see [[graft.expressions.CharNgrams]]; the
+    * transform-HOF it replaced interpreted a substr per position). Texts
+    * shorter than 3 chars yield an empty array. DuckDB mirror:
+    * `list_transform(generate_series(1, length(t)-2),
     * i -> substring(t, i, 3))` (generate_series is empty when stop <
-    * start, hence the explicit guard HERE, not there). */
-  def charTrigrams(text: Column): Column =
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    * start, so the mirror needs no short-string guard). */
+  def charTrigrams(text: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.expressions.CharNgrams(GraftSqlBridge.expression(text), 3))
+  }
 
   /** PII scrubbing patterns — the redaction pass every pretraining corpus
     * runs before tokenization. ASCII classes only, no backreferences or

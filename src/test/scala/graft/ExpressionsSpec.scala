@@ -134,6 +134,19 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(dup == e1)
   }
 
+  test("CharNgrams native expression matches the HOF substr windows incl. edge lengths") {
+    import graft.functions.TextFunctions
+    val d = Seq("abcdef", "abc", "ab", "").toDF("t")
+    val hof = when(length(col("t")) >= 3,
+      transform(sequence(lit(1), length(col("t")) - 2), i => col("t").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val rows = d.select(TextFunctions.charTrigrams(col("t")).as("native"), hof.as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(rows(0).getSeq[String](0) == Seq("abc", "bcd", "cde", "def"))
+    assert(rows(2).getSeq[String](0).isEmpty)
+  }
+
   test("LexiconHits native expression equals the filter-HOF count on real corpus text") {
     import graft.functions.TextFunctions
     val lex = Seq("the", "a", "of", "and", "to", "in")
