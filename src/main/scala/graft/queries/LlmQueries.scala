@@ -371,6 +371,28 @@ object LlmQueries {
         sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
   }
 
+  /** Exact discrete quantiles of the per-doc token count, per language:
+    * p10/p50/p90 as the value at rank ceil(q·n) — quantile_disc
+    * semantics, pure integer rank arithmetic with a (value, doc_id)
+    * tie-break, so both engines pick the identical row (float
+    * interpolation, whose last-ulp behavior differs across libm builds,
+    * never enters). One sort shuffle per group — what exact quantiles
+    * cost; production corpus profiling would use approx sketches, which
+    * are implementation-defined and therefore not oracle-checkable. */
+  def q66TokenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val ranked = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    def pick(q: Int, as: String) = // rank = ceil(q*n/100) in INTEGER arithmetic
+      max(when(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS INT)"), col("n_tokens"))).as(as)
+    ranked.groupBy("lang")
+      .agg(pick(10, "p10_tokens"), pick(50, "p50_tokens"), pick(90, "p90_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -399,7 +421,8 @@ object LlmQueries {
     "q62_repetition" -> (q62Repetition _),
     "q63_seq_packing" -> (q63SeqPacking _),
     "q64_corpus_clean" -> (q64CorpusClean _),
-    "q65_split" -> (q65Split _))
+    "q65_split" -> (q65Split _),
+    "q66_token_quantiles" -> (q66TokenQuantiles _))
 
   // ------------------------------------------------------------- oracles
 
@@ -669,6 +692,22 @@ object LlmQueries {
          |SELECT doc_id, md5(text) AS fp FROM exact
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
     },
+    "q66_token_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT lang,
+        |  max(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_tokens END) AS p10_tokens,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens,
+        |  count(*) AS n_docs
+        |FROM r GROUP BY lang""".stripMargin,
     "q65_split" ->
       """SELECT source,
         |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
