@@ -253,20 +253,22 @@ object LlmQueries {
 
   /** Sequence packing (the pre-tokenization batching step): docs concatenate
     * in id order within each source and split at a fixed token budget; each
-    * doc's bin is floor(exclusive-prefix-token-count / budget). A running
-    * window sum per source — deterministic integers; partitioning by source
-    * is also the scale story (one unpartitioned cumsum would serialize the
-    * corpus; per-source streams pack independently, exactly like a real
-    * sharded packer). */
+    * doc's bin is floor(exclusive-prefix-token-count / budget) — exact
+    * integers.
+    *
+    * The running sum is the two-level [[graft.operators.PrefixSum]], NOT a
+    * per-source window: real corpora are source-skewed (one "web" source can
+    * be 90% of 100 TB) and a `Window.partitionBy(source)` cumsum runs that
+    * whole source as ONE task. Here each (source, doc_id-shard) cumsum is a
+    * bounded partition and the per-shard offsets ride a broadcast —
+    * bit-identical bins at any partitioning. Costs one extra narrow pass
+    * (the shard-totals aggregate) over the single-task sort it replaces. */
   def q63SeqPacking(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 1024L
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("__prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("bin", expr(s"__prefix div $budget")) // integer div: exact at any scale
+    graft.operators.PrefixSum.inclusive(base, Seq("source"), "doc_id", "n_tokens", out = "__cum")
+      .withColumn("bin", expr(s"(__cum - n_tokens) div $budget")) // integer div: exact at any scale
       .select("doc_id", "source", "n_tokens", "bin")
   }
 
@@ -372,25 +374,40 @@ object LlmQueries {
   }
 
   /** Exact discrete quantiles of the per-doc token count, per language:
-    * p10/p50/p90 as the value at rank ceil(q·n) — quantile_disc
-    * semantics, pure integer rank arithmetic with a (value, doc_id)
-    * tie-break, so both engines pick the identical row (float
-    * interpolation, whose last-ulp behavior differs across libm builds,
-    * never enters). One sort shuffle per group — what exact quantiles
-    * cost; production corpus profiling would use approx sketches, which
-    * are implementation-defined and therefore not oracle-checkable. */
+    * p10/p50/p90 as the value at rank ceil(q·n) — quantile_disc semantics,
+    * pure integer rank arithmetic (float interpolation, whose last-ulp
+    * behavior differs across libm builds, never enters).
+    *
+    * Distributed selection, NOT a per-language rank window (which would
+    * sort each language — ~10 giant groups at 100 TB — in one task each):
+    *  1. per-(lang, value) counts — one partial-aggregating groupBy whose
+    *     output is bounded by the VALUE DOMAIN (distinct doc lengths),
+    *     not the corpus (persisted: it feeds three later passes);
+    *  2. cumulative count per value via the two-level
+    *     [[graft.operators.PrefixSum]] over that bounded table;
+    *  3. target ranks from per-lang totals (a tiny broadcast);
+    *  4. the value at rank r is min{v : cum(≤v) >= r} — one final
+    *     aggregate. The rank-window's (value, doc_id) tie-break is
+    *     unnecessary here: rows tied on value share that value, which is
+    *     all a value-quantile emits. */
   def q66TokenQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy(col("n_tokens").asc, col("doc_id").asc)
-    val ranked = Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-    def pick(q: Int, as: String) = // rank = ceil(q*n/100) in INTEGER arithmetic
-      max(when(col("rn") === expr(s"CAST((n * $q + 99) DIV 100 AS INT)"), col("n_tokens"))).as(as)
-    ranked.groupBy("lang")
-      .agg(pick(10, "p10_tokens"), pick(50, "p50_tokens"), pick(90, "p90_tokens"),
-        count(lit(1)).as("n_docs"))
+    val g = Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang", "n_tokens").agg(count(lit(1)).as("c"))
+      .persist() // bounded by #langs × distinct doc lengths; read 3×
+    val cum = graft.operators.PrefixSum.inclusive(
+      g, Seq("lang"), "n_tokens", "c", out = "cum")
+    val ranks = cum.groupBy("lang").agg(max(col("cum")).as("n"))
+      .select(col("lang"), col("n"),
+        expr("(n * 10 + 99) div 100").as("r10"),
+        expr("(n * 50 + 99) div 100").as("r50"),
+        expr("(n * 90 + 99) div 100").as("r90"))
+    def pick(r: String, as: String) =
+      min(when(col("cum") >= col(r), col("n_tokens"))).as(as)
+    cum.join(broadcast(ranks), "lang")
+      .groupBy("lang")
+      .agg(pick("r10", "p10_tokens"), pick("r50", "p50_tokens"), pick("r90", "p90_tokens"),
+        max(col("n")).as("n_docs"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
