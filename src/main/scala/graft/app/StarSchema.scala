@@ -144,6 +144,34 @@ object StarSchema {
       .agg(count(lit(1)).as("n_rides"))
   }
 
+  /** The dashboard's rides-per-weekday chart (README.md:35-41) over the
+    * WRITTEN star: fact ⋈ dim_datetime on the START-date role, grouped by
+    * the dim's `week_day` attribute (Spark dayofweek numbering, 1=Sunday —
+    * SURVEY.md §7.5 #3). Same AQE-sized join shape as [[ridesPerHour]];
+    * the aggregate partial-combines into 7 groups. */
+  def ridesPerWeekday(spark: SparkSession, warehouse: String): DataFrame = {
+    val fact = spark.read.parquet(factJourney(warehouse))
+    val dim = spark.read.parquet(dimDatetime(warehouse))
+      .select(col("datetime_id"), col("week_day"))
+    fact.join(dim, fact("start_date") === dim("datetime_id"))
+      .groupBy("week_day")
+      .agg(count(lit(1)).as("n_rides"))
+  }
+
+  /** The dashboard's daily-trend line (README.md:35-41) over the WRITTEN
+    * star: fact ⋈ dim_datetime on the START-date role, grouped by the dim's
+    * (year, month, day) attributes — the dim's date parts are load-bearing
+    * (a shortcut `to_date(start_date)` scan would not notice a corrupt
+    * dim). Calendar-bounded output (one row/day). */
+  def ridesDailyTrend(spark: SparkSession, warehouse: String): DataFrame = {
+    val fact = spark.read.parquet(factJourney(warehouse))
+    val dim = spark.read.parquet(dimDatetime(warehouse))
+      .select(col("datetime_id"), col("year"), col("month"), col("day"))
+    fact.join(dim, fact("start_date") === dim("datetime_id"))
+      .groupBy("year", "month", "day")
+      .agg(count(lit(1)).as("n_rides"))
+  }
+
   /** PK/FK validation over the written star schema (SURVEY.md §7.2 item 4):
     * Spark cannot DECLARE the constraints CyclingERD.sql:6-68 declares, so
     * the engine CHECKS them — duplicate-PK counts per table (rows minus
@@ -163,10 +191,17 @@ object StarSchema {
     def dups(df: DataFrame, key: String, as: String): DataFrame =
       df.agg((count(lit(1)) - count_distinct(col(key))).as(as))
 
+    // NULL fks are NOT orphans: a row with a missing EndStation Id violates
+    // no referential edge (there is nothing to reference). The explicit
+    // isNotNull filter pins that semantic — an unfiltered left_anti would
+    // count NULLs (null never equi-matches), silently diverging from the
+    // oracle's `fk IS NOT NULL AND NOT EXISTS` formulation on real journey
+    // data with absent end stations.
     def orphans(fk: String, dim: DataFrame, pk: String, as: String,
                 bounded: Boolean = true): DataFrame = {
       val keys = dim.select(col(pk).as(fk))
-      fact.join(if (bounded) broadcast(keys) else keys, Seq(fk), "left_anti")
+      fact.filter(col(fk).isNotNull)
+        .join(if (bounded) broadcast(keys) else keys, Seq(fk), "left_anti")
         .agg(count(lit(1)).as(as))
     }
 

@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 60-bit SimHash as ONE native aggregate: the buffer is the 60 bit
-  * counters, updated in a single tight loop per input hash.
+  * counters (Long — a group can exceed 2^31 token hashes without silent
+  * counter overflow; 480 bytes of state either way), updated in a single
+  * tight loop per input hash.
   *
   * Replaces the 60-separate-`sum(when(shiftright...))` formulation: that
   * plan evaluates 60 shift/compare/case expression trees per input row and
@@ -28,7 +30,7 @@ case class SimhashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]]
+  extends TypedImperativeAggregate[Array[Long]]
   with UnaryLike[Expression] {
 
   private val BITS = 60
@@ -41,46 +43,46 @@ case class SimhashAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"graft_simhash expects a BIGINT hash input, got ${child.dataType.sql}")
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](BITS)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](BITS)
 
-  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var b = 0
       while (b < BITS) {
-        buf(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        buf(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
         b += 1
       }
     }
     buf
   }
 
-  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var b = 0
     while (b < BITS) { buf(b) += other(b); b += 1 }
     buf
   }
 
-  override def eval(buf: Array[Int]): Any = {
+  override def eval(buf: Array[Long]): Any = {
     var sig = 0L
     var b = 0
-    while (b < BITS) { if (buf(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < BITS) { if (buf(b) > 0L) sig |= (1L << b); b += 1 }
     sig
   }
 
-  override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 * BITS)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * BITS)
     var b = 0
-    while (b < BITS) { bb.putInt(buf(b)); b += 1 }
+    while (b < BITS) { bb.putLong(buf(b)); b += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Int](BITS)
+    val buf = new Array[Long](BITS)
     var b = 0
-    while (b < BITS) { buf(b) = bb.getInt; b += 1 }
+    while (b < BITS) { buf(b) = bb.getLong; b += 1 }
     buf
   }
 

@@ -52,10 +52,23 @@ object StarQueries {
   def q57RidesPerHour(s: SparkSession, dir: String): DataFrame =
     StarSchema.ridesPerHour(s, warehouse(s))
 
+  /** Rides per weekday served from the star schema: fact ⋈ dim_datetime
+    * (start-date role) grouped on the dim's week_day — the third of the
+    * reference dashboard's four charts. */
+  def q67RidesPerWeekday(s: SparkSession, dir: String): DataFrame =
+    StarSchema.ridesPerWeekday(s, warehouse(s))
+
+  /** Daily ride trend served from the star schema via the dim's
+    * (year, month, day) parts — the fourth dashboard chart. */
+  def q68DailyTrend(s: SparkSession, dir: String): DataFrame =
+    StarSchema.ridesDailyTrend(s, warehouse(s))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_rides_by_station" -> (q44RidesByStation _),
     "q45_integrity" -> (q45Integrity _),
-    "q57_rides_per_hour_star" -> (q57RidesPerHour _))
+    "q57_rides_per_hour_star" -> (q57RidesPerHour _),
+    "q67_rides_per_weekday_star" -> (q67RidesPerWeekday _),
+    "q68_daily_trend_star" -> (q68DailyTrend _))
 
   // ------------------------------------------------------------- oracles
 
@@ -128,6 +141,27 @@ object StarQueries {
          |SELECT d.hour, count(*) AS n_rides
          |FROM fact f JOIN dim_dt d ON f.start_date = d.datetime_id
          |GROUP BY d.hour""".stripMargin,
+    // like q57: the oracle joins through the recomputed dim so the WRITTEN
+    // dim's weekday attribute is what's under test (DuckDB dayofweek is
+    // 0=Sunday; Spark's is 1=Sunday -> +1)
+    "q67_rides_per_weekday_star" ->
+      s"""WITH $warehouseCtes,
+         |dim_dt AS (
+         |  SELECT datetime_id, CAST(dayofweek(datetime_id) + 1 AS INT) AS week_day
+         |  FROM dim_datetime)
+         |SELECT d.week_day, count(*) AS n_rides
+         |FROM fact f JOIN dim_dt d ON f.start_date = d.datetime_id
+         |GROUP BY d.week_day""".stripMargin,
+    "q68_daily_trend_star" ->
+      s"""WITH $warehouseCtes,
+         |dim_dt AS (
+         |  SELECT datetime_id, CAST(year(datetime_id) AS INT) AS year,
+         |    CAST(month(datetime_id) AS INT) AS month,
+         |    CAST(dayofmonth(datetime_id) AS INT) AS day
+         |  FROM dim_datetime)
+         |SELECT d.year, d.month, d.day, count(*) AS n_rides
+         |FROM fact f JOIN dim_dt d ON f.start_date = d.datetime_id
+         |GROUP BY d.year, d.month, d.day""".stripMargin,
     "q45_integrity" ->
       s"""WITH $warehouseCtes
          |SELECT
@@ -135,14 +169,17 @@ object StarQueries {
          |  (SELECT count(*) - count(DISTINCT station_id) FROM dim_station) AS dup_station_id,
          |  (SELECT count(*) - count(DISTINCT weather_date) FROM dim_weather) AS dup_weather_date,
          |  (SELECT count(*) - count(DISTINCT datetime_id) FROM dim_datetime) AS dup_datetime_id,
-         |  (SELECT count(*) FROM fact
-         |   WHERE start_station NOT IN (SELECT station_id FROM dim_station)) AS orphan_start_station,
-         |  (SELECT count(*) FROM fact
-         |   WHERE end_station NOT IN (SELECT station_id FROM dim_station)) AS orphan_end_station,
-         |  (SELECT count(*) FROM fact
-         |   WHERE start_date NOT IN (SELECT datetime_id FROM dim_datetime)) AS orphan_start_date,
-         |  (SELECT count(*) FROM fact
-         |   WHERE end_date NOT IN (SELECT datetime_id FROM dim_datetime)) AS orphan_end_date,
-         |  (SELECT count(*) FROM fact
-         |   WHERE weather_date NOT IN (SELECT weather_date FROM dim_weather)) AS orphan_weather_date""".stripMargin)
+         |  -- NOT EXISTS with an IS NOT NULL guard, NOT `NOT IN`: the engine's
+         |  -- left_anti runs over non-null fks only, and NOT IN would return
+         |  -- zero rows for EVERY fk if a dim ever held a NULL key
+         |  (SELECT count(*) FROM fact f WHERE f.start_station IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM dim_station s WHERE s.station_id = f.start_station)) AS orphan_start_station,
+         |  (SELECT count(*) FROM fact f WHERE f.end_station IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM dim_station s WHERE s.station_id = f.end_station)) AS orphan_end_station,
+         |  (SELECT count(*) FROM fact f WHERE f.start_date IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM dim_datetime d WHERE d.datetime_id = f.start_date)) AS orphan_start_date,
+         |  (SELECT count(*) FROM fact f WHERE f.end_date IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM dim_datetime d WHERE d.datetime_id = f.end_date)) AS orphan_end_date,
+         |  (SELECT count(*) FROM fact f WHERE f.weather_date IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM dim_weather w WHERE w.weather_date = f.weather_date)) AS orphan_weather_date""".stripMargin)
 }

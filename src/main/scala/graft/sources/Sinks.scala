@@ -19,22 +19,35 @@ object Sinks {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** S5 made safe: materialize to `<path>.__tmp`, then atomically swap.
-    * Two properties a plain overwrite lacks: (1) readers of `path` (including
-    * the job itself, when merging into the table it reads) never observe a
-    * half-written table; (2) a mid-write crash leaves the previous table
-    * intact. The swap is two renames on the same filesystem — metadata-only
-    * on HDFS-likes. */
+  /** The swap commit: `dst` → `dst.__old`, `tmp` → `dst`, drop `__old`.
+    * Properties a plain overwrite lacks: (1) readers never observe a
+    * HALF-WRITTEN table — each rename is atomic, so `dst` is always either
+    * the complete old or the complete new table (there is a brief window
+    * between the two renames where the path is ABSENT — a reader can miss,
+    * but can never read a torn table); (2) no crash point loses data — a
+    * crash mid-write leaves `dst` untouched, and a crash between the
+    * renames leaves the previous table recoverable at `dst.__old` (rename
+    * it back by hand, or just re-run the job: the next swap clears it). */
+  private def swapCommit(f: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path): Unit = {
+    val old = new Path(dst.toString + ".__old")
+    f.delete(old, true) // leftover from a crashed swap of a PREVIOUS run
+    if (f.exists(dst) && !f.rename(dst, old))
+      throw new java.io.IOException(s"swap-commit backup rename failed: $dst -> $old")
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"swap-commit rename failed: $tmp -> $dst")
+    f.delete(old, true)
+  }
+
+  /** S5 made safe: materialize to `<path>.__tmp`, then swap-commit (see
+    * [[swapCommit]] for the exact crash/visibility guarantees). Renames are
+    * metadata-only on HDFS-likes. */
   def overwriteSwap(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val tmp = new Path(path + ".__tmp")
-    val dst = new Path(path)
     f.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
-    f.delete(dst, true)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"swap-commit rename failed: $tmp -> $dst")
+    swapCommit(f, tmp, new Path(path))
   }
 
   /** S6: incremental append (the fact-table write). */
@@ -68,12 +81,9 @@ object Sinks {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val tmp = new Path(path + ".__tmp")
-    val dst = new Path(path)
     f.delete(tmp, true)
     df.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
-    f.delete(dst, true)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"swap-commit rename failed: $tmp -> $dst")
+    swapCommit(f, tmp, new Path(path))
   }
 
   /** Bucketed table write: pre-shuffle ONCE at write time into

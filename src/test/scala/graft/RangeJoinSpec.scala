@@ -41,6 +41,25 @@ class RangeJoinSpec extends AnyFunSuite with SharedSpark {
     assert(rows.length == 1)
   }
 
+  test("a dirty open-ended interval fails fast instead of exploding") {
+    val points = Seq((1L, 1L, ts(100))).toDF("point_id", "user_id", "ts")
+    val intervals = Seq((2L, 1L, ts(0), ts(100L * 365 * 86400))) // ~100-year span
+      .toDF("iv_id", "user_id", "start", "end")
+    val e = intercept[Exception] {
+      RangeJoin.containsJoin(points, intervals, Seq("user_id"),
+        "ts", "start", "end", "INTERVAL 1 HOUR", maxBucketsPerInterval = 1000L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("range-join interval"),
+      s"expected the targeted guard error, got: $e")
+  }
+
+  test("a degenerate end-before-start interval matches nothing") {
+    val points = Seq((1L, 1L, ts(100))).toDF("point_id", "user_id", "ts")
+    val intervals = Seq((2L, 1L, ts(200), ts(0))).toDF("iv_id", "user_id", "start", "end")
+    assert(RangeJoin.containsJoin(points, intervals, Seq("user_id"),
+      "ts", "start", "end", "INTERVAL 1 HOUR").count() == 0)
+  }
+
   test("plans an equi join on (keys, bucket), never a nested loop") {
     val points = Seq((1L, 1L, ts(100))).toDF("point_id", "user_id", "ts")
     val intervals = Seq((2L, 1L, ts(0), ts(200))).toDF("iv_id", "user_id", "start", "end")
