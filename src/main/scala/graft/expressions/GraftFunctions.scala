@@ -37,6 +37,13 @@ object GraftFunctions {
     GraftSqlBridge.column(
       SimhashAgg(GraftSqlBridge.expression(hash)).toAggregateExpression())
 
+  /** Bounded-state fixed-edge histogram quantile estimate
+    * (see [[HistQuantile]]); `qNum` is a percent in [1, 100]. */
+  def histQuantile(value: Column, width: Long, maxBuckets: Int, qNum: Int): Column =
+    GraftSqlBridge.column(
+      HistQuantile(GraftSqlBridge.expression(value), width, maxBuckets, qNum)
+        .toAggregateExpression())
+
   private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -70,6 +77,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash(hash) takes 1 argument")
         SimhashAgg(children.head).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("graft_hist_quantile"),
+      new ExpressionInfo(classOf[HistQuantile].getName, "graft_hist_quantile"),
+      (children: Seq[Expression]) => children match {
+        case Seq(value, IntegerLiteral(w), IntegerLiteral(m), IntegerLiteral(q)) =>
+          HistQuantile(value, w.toLong, m, q).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_hist_quantile(value, width, maxBuckets, qPercent) needs literal int parameters")
       }))
 
   /** Idempotent imperative registration into an existing session. */

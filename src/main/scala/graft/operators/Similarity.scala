@@ -168,10 +168,21 @@ object Similarity {
     * float→double exact widening, left-fold dots, per-dimension mean =
     * (ordered left-fold sum) / count — one IEEE op sequence both engines
     * reproduce bit-for-bit. Assignment is argmax cosine with lowest-index
-    * tie-break; an empty cluster keeps its previous centroid. */
+    * tie-break; an empty cluster keeps its previous centroid.
+    *
+    * Adaptive sizing: pass `k = 0` and the cell count derives from ONE
+    * cheap corpus count as `max(2, floor(sqrt(n)))` — the standard IVF
+    * sizing (√n cells ⇒ ~√n vectors per cell, so the per-probe equi-join
+    * cost Σ cell² stays ~n^1.5/k ≈ n). The bounded-sample contract is
+    * unchanged: training still collects at most `maxSample` rows, so a
+    * derived k needs `maxSample >= k` (in production, a small multiple of
+    * k — the `require` below fails loudly rather than training k cells
+    * from fewer than k points). */
   def trainCentroidsLite(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, sampleMod: Long, maxSample: Int,
                          iters: Int = 1): Seq[Seq[Double]] = {
+    val cells = if (k > 0) k
+                else math.max(2, math.sqrt(emb.count().toDouble).toInt)
     def dotD(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -187,22 +198,22 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
         .sortBy(_._1)
-    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    require(sample.length >= cells, s"sample ${sample.length} smaller than k=$cells")
 
-    var centroids: IndexedSeq[Array[Double]] = sample.take(k).map(_._2).toIndexedSeq
+    var centroids: IndexedSeq[Array[Double]] = sample.take(cells).map(_._2).toIndexedSeq
     for (_ <- 0 until iters) {
       // strict > while scanning ascending j keeps the LOWEST index on ties
       val assigned = sample.map { case (_, v) =>
         var bestJ = 0; var bestCos = cosD(v, centroids(0))
         var j = 1
-        while (j < k) {
+        while (j < cells) {
           val c = cosD(v, centroids(j))
           if (c > bestCos) { bestCos = c; bestJ = j }
           j += 1
         }
         bestJ
       }
-      centroids = (0 until k).map { j =>
+      centroids = (0 until cells).map { j =>
         val members = sample.indices.collect { case i if assigned(i) == j => sample(i)._2 }
         if (members.isEmpty) centroids(j)
         else {

@@ -329,11 +329,20 @@ object LlmQueries {
 
   /** The composed corpus-cleaning pipeline — the capstone: language filter
     * (q36's formula) → quality filter (q35's) → exact dedup (min-id per
-    * content hash) → near-dup removal (banded LSH + exact verify) over the
-    * SURVIVORS, emitting the final training corpus as (doc_id, content
-    * fingerprint). Each stage is the already-verified operator; this entry
-    * verifies they compose (filters narrow before the expensive dedup
-    * stages — the order a 100-TB pipeline must use). */
+    * content hash) → near-dup removal over the SURVIVORS, emitting the
+    * final training corpus as (doc_id, content fingerprint). Each stage is
+    * the already-verified operator; this entry verifies they compose
+    * (filters narrow before the expensive dedup stages — the order a
+    * 100-TB pipeline must use).
+    *
+    * The near-dup stage is the EXACT prefix-filtered index
+    * ([[Dedup.jaccardPairsExactOnSets]], recall provably 1.0) over a
+    * PERSISTED shingle table — not probabilistic LSH: the all-pairs oracle
+    * then matches by construction, with no fixture-dependent recall
+    * assumption, and the persist pays the shingling scan once instead of
+    * the ~3 plan occurrences (index build + both verify sides) —
+    * exactly the multi-pass-session case [[Dedup.jaccardPairsExactOnSets]]
+    * documents. */
   def q64CorpusClean(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
@@ -353,7 +362,10 @@ object LlmQueries {
     val exact = Upsert.dedupByKey(
       filtered.withColumn("__fp", md5(col("text"))), Seq("__fp"), Seq("doc_id"))
       .drop("__fp")
-    Dedup.nearDupSurvivors(exact, "doc_id", "text")
+    val sets = Dedup.shingleSets(exact, "doc_id", "text", 3).persist()
+    val losers = Dedup.jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("fp"))
   }
 
@@ -410,6 +422,26 @@ object LlmQueries {
         max(col("n")).as("n_docs"))
   }
 
+  /** Bounded-state quantile PROFILING — the production-path counterpart to
+    * q66's exact selection: per-language p50/p90 token-count estimates from
+    * the native fixed-edge histogram aggregate
+    * ([[graft.expressions.HistQuantile]] — 1025 Long counters per group at
+    * ANY corpus size, estimate = bucket upper edge, error < width=16,
+    * deterministic integers so the oracle rebuilds the identical histogram
+    * relationally). One partial-aggregating pass, no sort, no selection
+    * join — what a 100-TB profiling sweep actually runs; q66 is the exact
+    * answer when the extra passes are worth it. */
+  def q69HistQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.GraftFunctions.histQuantile
+    Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        histQuantile(col("n_tokens"), width = 16L, maxBuckets = 1024, qNum = 50).as("p50_est"),
+        histQuantile(col("n_tokens"), width = 16L, maxBuckets = 1024, qNum = 90).as("p90_est"),
+        count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -439,7 +471,8 @@ object LlmQueries {
     "q63_seq_packing" -> (q63SeqPacking _),
     "q64_corpus_clean" -> (q64CorpusClean _),
     "q65_split" -> (q65Split _),
-    "q66_token_quantiles" -> (q66TokenQuantiles _))
+    "q66_token_quantiles" -> (q66TokenQuantiles _),
+    "q69_hist_quantile" -> (q69HistQuantile _))
 
   // ------------------------------------------------------------- oracles
 
@@ -675,6 +708,10 @@ object LlmQueries {
         |  t.tok, d.df
         |FROM toks t JOIN dfs d USING (tok)
         |QUALIFY rank <= 3""".stripMargin,
+    // the all-pairs losers CTE is a construction-level match: the engine's
+    // near-dup stage is the EXACT prefix-filtered index (recall 1.0 by the
+    // prefix-filter theorem), not probabilistic LSH — no fixture-dependent
+    // recall assumption hides here
     "q64_corpus_clean" -> {
       val langHits = langLex.map { case (l, lex) =>
         s"""CAST(len(list_filter(w, x -> x IN (${lex.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_$l"""
@@ -724,6 +761,24 @@ object LlmQueries {
         |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tokens END) AS p50_tokens,
         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens,
         |  count(*) AS n_docs
+        |FROM r GROUP BY lang""".stripMargin,
+    // the oracle rebuilds the engine's fixed-edge histogram relationally:
+    // same integer bucket edges (width 16, clamp at 1024), same
+    // 100*cum >= q*n rank test, same (bkt+1)*width upper-edge estimate
+    "q69_hist_quantile" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |b AS (SELECT lang, LEAST(v // 16, 1024) AS bkt, count(*) AS c FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, bkt, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM b)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN 100*cum >= 50*n THEN (bkt+1)*16 END) AS BIGINT) AS p50_est,
+        |  CAST(min(CASE WHEN 100*cum >= 90*n THEN (bkt+1)*16 END) AS BIGINT) AS p90_est,
+        |  CAST(max(n) AS BIGINT) AS n_docs
         |FROM r GROUP BY lang""".stripMargin,
     "q65_split" ->
       """SELECT source,

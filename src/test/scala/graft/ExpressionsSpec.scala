@@ -199,6 +199,30 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60))
   }
 
+  test("HistQuantile: upper-edge estimate within width of the exact quantile," +
+    " partition-invariant, clamped, null-safe") {
+    val vals = (0 until 500).map(i => (17L * i) % 431) // deterministic spread
+    val d = vals.map(v => ("g", v)).toDF("g", "v")
+    def est(df: org.apache.spark.sql.DataFrame, q: Int): Long =
+      df.groupBy("g").agg(GraftFunctions.histQuantile(col("v"), 16L, 64, q).as("e"))
+        .collect().head.getAs[Long]("e")
+    for (q <- Seq(10, 50, 90, 100)) {
+      val exact = vals.sorted.apply(((q * vals.length + 99) / 100) - 1)
+      val e = est(d, q)
+      assert(e > exact && e - exact <= 16, s"q=$q exact=$exact est=$e")
+      // merge path: same result however the rows are partitioned
+      assert(est(d.repartition(7), q) == e)
+    }
+    // clamp: values past maxBuckets*width saturate to the sentinel edge
+    val big = Seq(("g", 10L), ("g", 5000L), ("g", 6000L)).toDF("g", "v")
+    assert(est(big, 90) == 65L * 16L)
+    // empty group (all nulls) -> null estimate
+    val nulls = Seq(("g", None: Option[Long])).toDF("g", "v")
+    val r = nulls.groupBy("g")
+      .agg(GraftFunctions.histQuantile(col("v"), 16L, 64, 50).as("e")).collect().head
+    assert(r.isNullAt(1))
+  }
+
   test("lshBucket literal-plane form matches the oracle's md5 sign derivation") {
     // plane sign for (p, i) must equal the SQL mirror's
     // ('0x' || substring(md5(p || ':' || i), 1, 8))::BIGINT & 1 test.

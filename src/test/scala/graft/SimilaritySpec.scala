@@ -118,6 +118,17 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(c1(0) == Seq(1.0, half) && c1(1) == Seq(half, 1.0))
   }
 
+  test("trainCentroidsLite: k=0 derives the cell count as floor(sqrt(n))") {
+    def corpus(n: Int) = emb((0 until n).map(i =>
+      (i.toLong, Seq((i % 7).toFloat + 1f, (i % 5).toFloat + 1f), 0)): _*)
+    // 64 vectors -> 8 cells; 400 vectors -> 20 cells: k grows with the corpus
+    val c64 = Similarity.trainCentroidsLite(corpus(64), "vec_id", "embedding",
+      k = 0, sampleMod = 1L, maxSample = 1000)
+    val c400 = Similarity.trainCentroidsLite(corpus(400), "vec_id", "embedding",
+      k = 0, sampleMod = 1L, maxSample = 1000)
+    assert(c64.length == 8 && c400.length == 20)
+  }
+
   test("ivfNearestNeighbor: NN within trained cells, plan stays an equi-join") {
     val d = emb(
       (0L, Seq(1f, 0.1f), 0), (10L, Seq(1f, 0f), 0),
