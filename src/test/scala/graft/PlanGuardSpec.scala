@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guardrails over the ENTIRE query surface: walks every
+  * `SparkEntry.queries` physical plan and fails on the two plan shapes that
+  * are correct at test SF but serialize or explode at 100 TB —
+  *
+  *  1. cartesian / nested-loop joins (all-pairs candidate generation
+  *     sneaking back into a dedup/similarity path);
+  *  2. windows that put a scale-proportional group into ONE task: an
+  *     unpartitioned window, or a window partitioned solely by a
+  *     low-cardinality scale key (`source`, `lang` — ~10 groups whose
+  *     size grows with the corpus, so one group == one giant sort).
+  *
+  * Whitelists are per-query and justified inline — a new entry here needs
+  * the same boundedness argument the existing ones carry. This is the
+  * regression net for the q63/q66 class of fix: those queries were green on
+  * correctness for two rounds while hiding a single-task window.
+  */
+class PlanGuardSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Cross joins against a PROVABLY 1-row side: q31's broadcast query
+    * vector, q45's nine 1-row aggregate legs. */
+  private val boundedCross = Set("q31_knn_bruteforce", "q45_integrity")
+
+  /** Unpartitioned windows over CALENDAR-BOUNDED post-aggregate input
+    * (one row per day, regardless of corpus size). */
+  private val boundedGlobalWindow = Set("q58_rolling_trend")
+
+  /** Grouping keys whose per-group size is proportional to the corpus:
+    * a window partitioned by one of these alone is a single-task sort. */
+  private val scaleKeys = Set("source", "lang")
+
+  /** q41 executes a full AvailableNow stream inside the query function —
+    * there is no lazy plan to inspect (its operators are covered by
+    * StreamingSpec). */
+  private val skip = Set("q41_stream_hourly")
+
+  test("no query plans a cartesian product or a scale-key single-group window") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val cross = plan.collect {
+        case c: CartesianProductExec => c.nodeName
+        case b: BroadcastNestedLoopJoinExec => b.nodeName
+      }
+      if (cross.nonEmpty && !boundedCross(name))
+        failures += s"$name: ${cross.mkString(", ")} (all-pairs shape)"
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          if (!boundedGlobalWindow(name))
+            failures += s"$name: unpartitioned Window (single-task global sort)"
+        case w: WindowExec if w.partitionSpec.length == 1 =>
+          val names = w.partitionSpec.head.references.map(_.name).toSet
+          if (names.exists(scaleKeys))
+            failures += s"$name: Window partitioned by scale key ${names.mkString(",")} alone"
+        case _ =>
+      }
+    }
+    assert(failures.isEmpty,
+      s"scale-hostile plans detected:\n${failures.mkString("\n")}")
+  }
+}
