@@ -54,7 +54,10 @@ object PrefixSum {
         // column-pruned: Catalyst drops every other projection from the scan
         val r = df.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).first()
         if (r.isNullAt(0)) 1L // empty input — any width
-        else math.max(1L, (r.getLong(1) - r.getLong(0)) / targetShards + 1)
+        // floor of 256: below it the shard table approaches one row per
+        // input row (offsets stop being "tiny"), above it span/targetShards
+        // keeps the table ~targetShards rows per group at any scale
+        else math.max(256L, (r.getLong(1) - r.getLong(0)) / targetShards + 1)
       }
     val sharded = df.withColumn("__shard", expr(s"CAST(`$orderCol` AS BIGINT) div ${width}L"))
     val totalsDf = sharded
