@@ -43,6 +43,13 @@ object Profile {
 
     // q42
     time("q42 full")(Dedup.jaccardPairsExact(docs, "doc_id", "text"))
+    time("q42 full again")(Dedup.jaccardPairsExact(docs, "doc_id", "text"))
+
+    // q42 persisted-sets A/B: does caching beat the ~3x shingle recompute?
+    val setsP = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    time("q42 persisted cold")(Dedup.jaccardPairsExactOnSets(setsP, 4, 5))
+    time("q42 persisted warm")(Dedup.jaccardPairsExactOnSets(setsP, 4, 5))
+    setsP.unpersist()
 
     val emb = Tables.embeddings(spark, dir)
     println(s"[profile] emb partitions = ${emb.rdd.getNumPartitions}")

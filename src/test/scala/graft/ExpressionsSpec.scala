@@ -199,6 +199,15 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60))
   }
 
+  test("graft_hist_quantile is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    // values 0..99, width 10: p50 rank is 50 -> value 49 -> bucket 4 -> edge 50
+    val r = spark.sql(
+      "SELECT graft_hist_quantile(id, 10, 1000, 50) AS e FROM range(100)")
+      .collect().head
+    assert(r.getLong(0) == 50L)
+  }
+
   test("HistQuantile: upper-edge estimate within width of the exact quantile," +
     " partition-invariant, clamped, null-safe") {
     val vals = (0 until 500).map(i => (17L * i) % 431) // deterministic spread

@@ -21,6 +21,19 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(!new java.io.File(path + ".__tmp").exists())
   }
 
+  test("overwriteSwap cleans its backup and recovers from a stale one") {
+    val path = s"$tmpDir/t"
+    Sinks.overwriteSwap(Seq((1, "a")).toDF("k", "v"), path)
+    Sinks.overwriteSwap(Seq((2, "b")).toDF("k", "v"), path)
+    assert(!new java.io.File(path + ".__old").exists())
+    // a crash between the two swap renames leaves dst absent + .__old intact;
+    // the next run must clear the leftover and commit normally
+    new java.io.File(path).renameTo(new java.io.File(path + ".__old"))
+    Sinks.overwriteSwap(Seq((3, "c")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).as[(Int, String)].collect().toSeq == Seq((3, "c")))
+    assert(!new java.io.File(path + ".__old").exists())
+  }
+
   test("append grows the table") {
     val path = s"$tmpDir/t"
     Sinks.append(Seq((1, "a")).toDF("k", "v"), path)
