@@ -44,6 +44,13 @@ object GraftFunctions {
       HistQuantile(GraftSqlBridge.expression(value), width, maxBuckets, qNum)
         .toAggregateExpression())
 
+  /** Bounded-state per-group top-k by (score DESC, id ASC)
+    * (see [[TopKByScore]]). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByScore(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
+        .toAggregateExpression())
+
   private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -85,6 +92,14 @@ object GraftFunctions {
           HistQuantile(value, w.toLong, m, q).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_hist_quantile(value, width, maxBuckets, qPercent) needs literal int parameters")
+      }),
+    (new FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
+      (children: Seq[Expression]) => children match {
+        case Seq(score, id, IntegerLiteral(k)) =>
+          TopKByScore(score, id, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_top_k(score, id, k) needs a literal int k")
       }))
 
   /** Idempotent imperative registration into an existing session. */

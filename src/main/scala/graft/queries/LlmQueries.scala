@@ -442,6 +442,26 @@ object LlmQueries {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Per-group top-K selection at scale — "keep the best K docs per
+    * source/domain" (per-domain caps, best-of-domain sampling): the
+    * bounded-state [[graft.expressions.TopKByScore]] aggregate, NOT a
+    * rank window. `row_number() OVER (PARTITION BY source) <= 3` would
+    * single-task-sort each source (the q63/q66 failure class, banned by
+    * PlanGuardSpec); the aggregate ships K pairs per (partition, group)
+    * through the shuffle and merges heaps map-side. Total integer order
+    * (n_tokens DESC, doc_id ASC) so the oracle's QUALIFY mirror selects
+    * identically. */
+  def q70TopPerSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.GraftFunctions.topKByScore
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(topKByScore(col("n_tokens"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -472,7 +492,8 @@ object LlmQueries {
     "q64_corpus_clean" -> (q64CorpusClean _),
     "q65_split" -> (q65Split _),
     "q66_token_quantiles" -> (q66TokenQuantiles _),
-    "q69_hist_quantile" -> (q69HistQuantile _))
+    "q69_hist_quantile" -> (q69HistQuantile _),
+    "q70_top_per_source" -> (q70TopPerSource _))
 
   // ------------------------------------------------------------- oracles
 
@@ -762,6 +783,18 @@ object LlmQueries {
         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens,
         |  count(*) AS n_docs
         |FROM r GROUP BY lang""".stripMargin,
+    // the rank window is AFFORDABLE for the oracle (verification scale);
+    // the engine side must never plan one — that asymmetry is the point
+    "q70_top_per_source" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INT) AS rank,
+        |  doc_id, n_tokens
+        |FROM t
+        |QUALIFY rank <= 3""".stripMargin,
     // the oracle rebuilds the engine's fixed-edge histogram relationally:
     // same integer bucket edges (width 16, clamp at 1024), same
     // 100*cum >= q*n rank test, same (bkt+1)*width upper-edge estimate

@@ -232,6 +232,22 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(r.isNullAt(1))
   }
 
+  test("TopKByScore: rank order with id tie-break, partition-invariant, k-capped") {
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L), ("a", 5L, 5L),
+      ("b", 9L, 7L)).toDF("g", "id", "score")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(GraftFunctions.topKByScore(col("score"), col("id"), 3).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      ("a", 0, 30L, 2L), ("a", 1, 30L, 3L), ("a", 2, 20L, 4L), // ties: lower id first
+      ("b", 0, 7L, 9L)) // fewer than k rows -> all of them
+    assert(run(d) == expected)
+    assert(run(d.repartition(5)) == expected) // merge path: same selection
+  }
+
   test("lshBucket literal-plane form matches the oracle's md5 sign derivation") {
     // plane sign for (p, i) must equal the SQL mirror's
     // ('0x' || substring(md5(p || ':' || i), 1, 8))::BIGINT & 1 test.
