@@ -462,6 +462,23 @@ object LlmQueries {
         col("col.id").as("doc_id"), col("col.score").as("n_tokens"))
   }
 
+  /** Token-budget-capped selection: keep each source's docs, in id order,
+    * while the source's RUNNING token total stays within a fixed budget —
+    * how a pretraining mix fills "N tokens of source X" deterministically
+    * (same docs every run, every engine; growth only appends). The running
+    * total is the two-level [[graft.operators.PrefixSum]] — same scale
+    * argument as q63 — followed by one narrow filter; the budget boundary
+    * doc is excluded (cum > budget), making the cut exact, not
+    * approximate. */
+  def q71TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.inclusive(base, Seq("source"), "doc_id", "n_tokens", out = "cum")
+      .filter(col("cum") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -493,7 +510,8 @@ object LlmQueries {
     "q65_split" -> (q65Split _),
     "q66_token_quantiles" -> (q66TokenQuantiles _),
     "q69_hist_quantile" -> (q69HistQuantile _),
-    "q70_top_per_source" -> (q70TopPerSource _))
+    "q70_top_per_source" -> (q70TopPerSource _),
+    "q71_token_budget" -> (q71TokenBudget _))
 
   // ------------------------------------------------------------- oracles
 
@@ -783,6 +801,15 @@ object LlmQueries {
         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens,
         |  count(*) AS n_docs
         |FROM r GROUP BY lang""".stripMargin,
+    "q71_token_budget" ->
+      """SELECT doc_id, source, n_tokens, cum FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents))
+        |WHERE cum <= 800""".stripMargin,
     // the rank window is AFFORDABLE for the oracle (verification scale);
     // the engine side must never plan one — that asymmetry is the point
     "q70_top_per_source" ->
