@@ -479,6 +479,83 @@ object LlmQueries {
       .select("doc_id", "source", "n_tokens", "cum")
   }
 
+  /** Chunk-level (C4/Dolma "line"-level) dedup: the corpus-wide removal of
+    * REPEATED SPANS — boilerplate, licence blocks, navigation text — that
+    * doc-level dedup cannot see. Each doc splits into consecutive W-token
+    * chunks (the splitter is a parameter; real corpora split on '\n' — the
+    * synthetic corpus has no newlines, so fixed windows stand in); a chunk
+    * CONTENT survives only at its lexicographically-first (doc_id,
+    * chunk_idx) occurrence, and each doc is reconstructed from its
+    * surviving chunks in position order.
+    *
+    * Scale shape: explode is a narrow ~W× row map; the keeper choice is ONE
+    * shuffle on the chunk hash with a map-side-combining `min(struct)` (the
+    * same hash-groupBy as exact doc dedup — never all-pairs); the rebuild
+    * groups by doc_id, whose state is bounded by DOC size, not corpus size.
+    * Fully-duplicated docs come back empty-text (kept, flagged by
+    * n_chunks_kept=0) rather than silently dropped — removal is a separate
+    * policy decision. */
+  def q72ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val base = Tables.documents(s, dir).select(col("doc_id"), tokens(col("text")).as("w"))
+    val chunks = base
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST((size(w) + $W - 1) DIV $W AS INT) - 1), " +
+          s"i -> array_join(slice(w, i * $W + 1, $W), ' '))")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .withColumn("cfp", md5(col("chunk")))
+    val keepers = chunks.groupBy("cfp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("cfp"), col("k.doc_id").as("doc_id"), col("k.chunk_idx").as("chunk_idx"))
+    val kept = chunks.join(keepers, Seq("cfp", "doc_id", "chunk_idx"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            c => c.getField("chunk")),
+          " ").as("clean_text"))
+    base.select(col("doc_id"),
+        expr(s"CAST((size(w) + $W - 1) DIV $W AS BIGINT)").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check): flag
+    * every training doc sharing at least one word 5-gram with the eval
+    * set, with the overlap count as evidence. The eval set here is the
+    * deterministic held-out slice (the q65 hash split's "test" analog:
+    * md5(doc_id) % 20 == 0) — in production it is the actual benchmark
+    * suite, a table of at most a few million rows.
+    *
+    * Scale shape: both sides shingle narrowly (native [[wordShingles]]);
+    * the eval side collapses to DISTINCT 5-grams — bounded by the EVAL
+    * suite, not the corpus — and the overlap is one equi-join on the
+    * 5-gram string against the exploded train side, counted per doc. AQE
+    * broadcasts the eval side when it fits (it does, by construction);
+    * nothing ever compares all pairs, and clean docs survive via the
+    * left join with overlap 0 — decontamination must emit a verdict for
+    * EVERY doc, not just the dirty ones. */
+  def q73Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("__eval", pmod(md5Int(col("doc_id").cast("string")), lit(20)) === 0)
+    val shingled = docs
+      .select(col("doc_id"), col("__eval"), wordShingles(tokens(col("text")), 5).as("sh"))
+    val evalGrams = shingled.filter(col("__eval"))
+      .select(explode(col("sh")).as("gram")).distinct()
+    val trainGrams = shingled.filter(!col("__eval"))
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val overlaps = trainGrams.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    shingled.filter(!col("__eval"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -511,7 +588,9 @@ object LlmQueries {
     "q66_token_quantiles" -> (q66TokenQuantiles _),
     "q69_hist_quantile" -> (q69HistQuantile _),
     "q70_top_per_source" -> (q70TopPerSource _),
-    "q71_token_budget" -> (q71TokenBudget _))
+    "q71_token_budget" -> (q71TokenBudget _),
+    "q72_chunk_dedup" -> (q72ChunkDedup _),
+    "q73_contamination" -> (q73Contamination _))
 
   // ------------------------------------------------------------- oracles
 
@@ -810,6 +889,42 @@ object LlmQueries {
         |          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |WHERE cum <= 800""".stripMargin,
+    // keeper = first (doc_id, chunk_idx) occurrence of each chunk CONTENT:
+    // the oracle's rank window over the raw chunk string selects exactly
+    // the engine's min(struct) over the md5-grouped table
+    "q72_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |nums AS (SELECT doc_id, w, unnest(generate_series(1, (len(w)+9)//10)) AS i FROM d),
+        |c2 AS (
+        |  SELECT doc_id, i - 1 AS chunk_idx,
+        |    array_to_string(w[((i-1)*10+1):(i*10)], ' ') AS chunk
+        |  FROM nums),
+        |keep AS (
+        |  SELECT doc_id, chunk_idx, chunk FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_kept,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, CAST((len(d.w)+9)//10 AS BIGINT) AS n_chunks,
+        |  CAST(COALESCE(a.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q73_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 20 = 0 AS eval,
+        |    list_distinct(list_transform(generate_series(1, len(w)-4),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        |eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE eval),
+        |tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE NOT eval),
+        |ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM tg WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.s) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  COALESCE(o.n_overlap, 0) > 0 AS contaminated
+        |FROM sh t LEFT JOIN ov o USING (doc_id) WHERE NOT t.eval""".stripMargin,
     // the rank window is AFFORDABLE for the oracle (verification scale);
     // the engine side must never plan one — that asymmetry is the point
     "q70_top_per_source" ->
