@@ -125,6 +125,48 @@ object Dedup {
       .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
   }
 
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation — the transitive-closure step near-dup removal
+    * needs (similarity is not transitive; components, not pairs, are the
+    * dedup unit). Every node starts labeled with its own id; each round a
+    * node takes the min of its label and its neighbors' labels (one
+    * equi-join + partial-aggregating min — all shuffles are on the node
+    * id); fixpoint when no label improves.
+    *
+    * Rounds = component diameter. Near-dup components are near-cliques
+    * (most pairs are direct edges), so 2-3 rounds in practice; `maxRounds`
+    * is a hard `require`, not a silent stop — at pathological diameters a
+    * production job switches to large-star/small-star contraction
+    * (O(log n) rounds, same fixpoint). Lineage is severed per round
+    * (localCheckpoint), so the plan stays flat however many rounds run.
+    *
+    * @param nodes one row per node: `idCol`
+    * @param pairs undirected edges as (id_a, id_b); orientation irrelevant
+    * @return (idCol, cluster_id) — cluster_id = min node id in the component
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                          maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst")
+    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds, s"min-label propagation did not converge in $maxRounds " +
+        "rounds (component diameter exceeds it — use a star-contraction variant)")
+      val prop = edges.join(labels, edges("dst") === labels(idCol))
+        .groupBy("src").agg(min(col("cluster_id")).as("nl"))
+      val joined = labels.join(prop, labels(idCol) === prop("src"), "left")
+        .select(col(idCol), col("cluster_id"),
+          coalesce(col("nl"), col("cluster_id")).as("nl2"))
+        .localCheckpoint(true)
+      changed = joined.filter(col("nl2") < col("cluster_id")).count()
+      labels = joined.select(col(idCol), least(col("cluster_id"), col("nl2")).as("cluster_id"))
+    }
+    labels
+  }
+
   /** Greedy near-dup removal: drop the higher id of every verified pair
     * (one shuffle anti-join on the id). Survivors keep their full row. */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -556,6 +556,26 @@ object LlmQueries {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Near-dup CLUSTER assignment — the transitive-closure step after pair
+    * generation: near-duplication is not an equivalence relation (A~B and
+    * B~C do not imply A~C), so keeping one doc per PAIR over-deletes;
+    * production dedup groups docs into connected components of the
+    * similarity graph and keeps one representative per component.
+    *
+    * Pairs come from the EXACT prefix-filtered index (recall 1.0 — no
+    * probabilistic caveat in the oracle); components via
+    * [[Dedup.connectedComponents]] (iterative min-label propagation — see
+    * its scale notes). */
+  def q74NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    val pairs = Dedup.jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
+      .select("id_a", "id_b").persist()
+    val labels = Dedup.connectedComponents(docs, pairs, "doc_id")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "n_members")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -590,7 +610,8 @@ object LlmQueries {
     "q70_top_per_source" -> (q70TopPerSource _),
     "q71_token_budget" -> (q71TokenBudget _),
     "q72_chunk_dedup" -> (q72ChunkDedup _),
-    "q73_contamination" -> (q73Contamination _))
+    "q73_contamination" -> (q73Contamination _),
+    "q74_neardup_clusters" -> (q74NeardupClusters _))
 
   // ------------------------------------------------------------- oracles
 
@@ -889,6 +910,23 @@ object LlmQueries {
         |          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |WHERE cum <= 800""".stripMargin,
+    // the recursive CTE computes full reachability (affordable at
+    // verification scale); the engine's min-label fixpoint reaches the
+    // identical per-component minimum — both are "min id reachable from me"
+    "q74_neardup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  $pairsFrom),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(src, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src),
+         |lab AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM lab""".stripMargin,
     // keeper = first (doc_id, chunk_idx) occurrence of each chunk CONTENT:
     // the oracle's rank window over the raw chunk string selects exactly
     // the engine's min(struct) over the md5-grouped table

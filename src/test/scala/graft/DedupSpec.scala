@@ -25,6 +25,24 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(out(0).getSeq[String](1).toSeq == Seq("one two three", "two three four"))
   }
 
+  test("connectedComponents closes a diameter-3 chain and leaves singletons alone") {
+    // edges 1-2, 2-3, 3-4: node 4 learns label 1 only after several rounds
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, pairs, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("connectedComponents fails loudly past maxRounds instead of stopping early") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, pairs, "doc_id", maxRounds = 1)
+    }
+  }
+
   test("nearDupPairs finds the high-Jaccard pair with exact counts, nothing else") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = docs(
