@@ -203,20 +203,51 @@ object Dedup {
     * negligible to ~2³⁰ docs. 60 (not 64) bits because the signature must
     * stay oracle-portable: 15 md5 hex chars decode into a signed BIGINT in
     * both engines with no unsigned/hugeint edge cases. */
+  /** (doc_id, simhash, band, value): the 60-bit signature cut into 4 exact
+    * 15-bit bands — the shared candidate-generation layout for both the
+    * self-join and the incremental (batch-vs-history) variants. */
+  private def bandedSimhash(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(32767)): _*)))
+      .toDF("doc_id", "simhash", "band", "value")
+
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
     val sigs = simhash(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(32767)): _*)))
-      .toDF("doc_id", "simhash", "band", "value")
+    val banded = bandedSimhash(sigs)
     val a = banded.select(col("band"), col("value"), col("doc_id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("value"), col("doc_id").as("id_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("band", "value"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental near-dup check of an ingestion BATCH against the signature
+    * HISTORY — the production gate: each new batch screens against
+    * everything ever ingested while touching only (batch × history-index),
+    * never the accumulated corpus text. `batchSigs`/`histSigs` are
+    * (doc_id, simhash) tables ([[simhash]] output; the history is exactly
+    * what a signature table persists). Same 4×15-bit banding as
+    * [[simhashNearDupPairs]] — candidates equi-join on (band, value), recall
+    * provably 1.0 for hamming ≤ 3 by pigeonhole, and the history side of
+    * the shuffle carries 4 band rows per historical doc (~100 bytes),
+    * ~10⁹ docs per TB of shuffle — joinable long after the corpus itself
+    * is not. Returns (new_id, hist_id, hamming) matches. */
+  def simhashNearDupAgainst(batchSigs: DataFrame, histSigs: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val n = bandedSimhash(batchSigs)
+      .select(col("band"), col("value"), col("doc_id").as("new_id"), col("simhash").as("sig_n"))
+    val h = bandedSimhash(histSigs)
+      .select(col("band"), col("value"), col("doc_id").as("hist_id"), col("simhash").as("sig_h"))
+    n.join(h, Seq("band", "value"))
+      .select(col("new_id"), col("hist_id"),
+        bit_count(col("sig_n").bitwiseXOR(col("sig_h"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -576,6 +576,48 @@ object LlmQueries {
     labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "n_members")
   }
 
+  /** Incremental NEAR-dup ingestion gate — the counterpart to the exact
+    * incremental dedup ([[Dedup.incrementalExactDedup]]): each new batch
+    * screens against the signature HISTORY of everything ever ingested,
+    * touching (batch × history-index) only, never the accumulated corpus.
+    * SimHash (not MinHash-LSH) because its 4×15-bit banding has PROVABLE
+    * recall 1.0 at hamming ≤ 3 — an incremental gate with silent false
+    * negatives would leak dups forever, and a probabilistic gate could not
+    * be oracle-checked. History/batch here = even/odd doc ids (a
+    * deterministic stand-in for the persisted signature table at any sf);
+    * every batch doc gets a verdict — n_hits, its nearest (min-id) prior
+    * match, -1 when clean. */
+  def q75IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").persist()
+    val hist = sigs.filter(col("doc_id") % 2 === 0)
+    val batch = sigs.filter(col("doc_id") % 2 === 1)
+    val hits = Dedup.simhashNearDupAgainst(batch, hist)
+      .groupBy("new_id").agg(count(lit(1)).as("n_hits"), min(col("hist_id")).as("nearest"))
+    batch.select(col("doc_id"))
+      .join(hits, batch("doc_id") === hits("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("nearest"), lit(-1L)).as("nearest_hist_id"))
+      .withColumn("is_dup", col("n_hits") > 0)
+  }
+
+  /** Reproducible global training shuffle: every doc gets a deterministic
+    * position in a pseudo-random total order (60-bit md5 of its id,
+    * doc_id tie-break) and a training-shard assignment derived from it —
+    * the same order every run, every engine, every partitioning, so a
+    * training run is restartable and auditable. Ranking via
+    * [[graft.operators.GlobalOrder]]: monotone hash-prefix buckets +
+    * broadcast offsets + within-bucket row_number — never a global
+    * single-task sort. */
+  def q76GlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+    val shardSize = 100L
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), md5Long(col("doc_id").cast("string")).as("__h"))
+    graft.operators.GlobalOrder.rank(base, "__h", "doc_id", out = "pos")
+      .withColumn("shard", expr(s"(pos - 1) div $shardSize"))
+      .select("doc_id", "pos", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -611,7 +653,9 @@ object LlmQueries {
     "q71_token_budget" -> (q71TokenBudget _),
     "q72_chunk_dedup" -> (q72ChunkDedup _),
     "q73_contamination" -> (q73Contamination _),
-    "q74_neardup_clusters" -> (q74NeardupClusters _))
+    "q74_neardup_clusters" -> (q74NeardupClusters _),
+    "q75_incremental_neardup" -> (q75IncrementalNeardup _),
+    "q76_global_shuffle" -> (q76GlobalShuffle _))
 
   // ------------------------------------------------------------- oracles
 
@@ -910,6 +954,35 @@ object LlmQueries {
         |          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |WHERE cum <= 800""".stripMargin,
+    // the oracle's global rank window is the single-task sort the engine
+    // must never plan; same (hash, doc_id) total order, same positions
+    "q76_global_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
+        |    AS BIGINT) AS pos,
+        |  CAST((row_number() OVER (
+        |    ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) - 1) // 100
+        |    AS BIGINT) AS shard
+        |FROM documents""".stripMargin,
+    // the oracle joins batch x history ALL-PAIRS on exact hamming
+    // (affordable at verification scale); the engine's banded equi-join
+    // finds the identical matches because 4x15-bit banding is exhaustive
+    // for hamming <= 3 by pigeonhole
+    "q75_incremental_neardup" ->
+      s"""WITH $simhashCtes,
+         |hist AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % 2 = 0),
+         |n AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % 2 = 1),
+         |m AS (
+         |  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(hist.doc_id) AS nearest
+         |  FROM n JOIN hist ON bit_count(xor(n.simhash, hist.simhash)) <= 3
+         |  GROUP BY n.doc_id)
+         |SELECT n.doc_id,
+         |  CAST(COALESCE(m.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(m.nearest, -1) AS BIGINT) AS nearest_hist_id,
+         |  COALESCE(m.n_hits, 0) > 0 AS is_dup
+         |FROM n LEFT JOIN m USING (doc_id)""".stripMargin,
     // the recursive CTE computes full reachability (affordable at
     // verification scale); the engine's min-label fixpoint reaches the
     // identical per-component minimum — both are "min id reachable from me"

@@ -43,6 +43,20 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("simhashNearDupAgainst matches across sides at hamming <= 3 via the banded equi-join") {
+    // batch sig 0x7 differs from hist 0x0 in 3 bits (all inside one band)
+    // and from hist 0xFF0 in 11; batch 0x3C3C0 differs from both by 8 —
+    // only (1, 0) matches, and the banded join must still FIND it
+    // (pigeonhole: 3 flipped bits leave at least 3 of 4 bands identical)
+    val hist = Seq((0L, 0L), (2L, 0xFF0L)).toDF("doc_id", "simhash")
+    val batch = Seq((1L, 0x7L), (3L, 0x3C3C0L)).toDF("doc_id", "simhash")
+    val out = Dedup.simhashNearDupAgainst(batch, hist).collect()
+    assert(out.map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("hist_id"),
+      r.getAs[Long]("hamming"))).toSet == Set((1L, 0L, 3L)))
+    val plan = Dedup.simhashNearDupAgainst(batch, hist).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("nearDupPairs finds the high-Jaccard pair with exact counts, nothing else") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = docs(
