@@ -618,6 +618,31 @@ object LlmQueries {
       .select("doc_id", "pos", "shard")
   }
 
+  /** Per-source quality-percentile normalization — "keep each domain's top
+    * X%" needs a doc's PERCENTILE WITHIN ITS SOURCE, not its raw score
+    * (sources have wildly different score distributions; a raw threshold
+    * keeps all of one domain and none of another). decile =
+    * (10 · #strictly-lower-scored docs in source) div source-size — pure
+    * integer arithmetic on ranks, ties share a decile.
+    *
+    * The rank is NOT a per-source window (the q63/q66 single-task class):
+    * per-(source, score) counts — bounded by the VALUE DOMAIN — feed a
+    * [[graft.operators.PrefixSum]] cumulative, whose exclusive prefix IS
+    * "docs strictly below"; a broadcast of per-source totals finishes the
+    * decile, and docs pick up their decile by joining on (source, score). */
+  def q78QualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("score"))
+    val g = t.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val cum = graft.operators.PrefixSum.inclusive(g, Seq("source"), "score", "c", out = "cum")
+      .withColumn("below", col("cum") - col("c"))
+    val totals = cum.groupBy("source").agg(max(col("cum")).as("n"))
+    val deciles = cum.join(broadcast(totals), "source")
+      .select(col("source"), col("score"), expr("(10 * below) div n").as("decile"))
+    t.join(deciles, Seq("source", "score"))
+      .select("doc_id", "source", "score", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -655,7 +680,8 @@ object LlmQueries {
     "q73_contamination" -> (q73Contamination _),
     "q74_neardup_clusters" -> (q74NeardupClusters _),
     "q75_incremental_neardup" -> (q75IncrementalNeardup _),
-    "q76_global_shuffle" -> (q76GlobalShuffle _))
+    "q76_global_shuffle" -> (q76GlobalShuffle _),
+    "q78_quality_deciles" -> (q78QualityDeciles _))
 
   // ------------------------------------------------------------- oracles
 
@@ -954,6 +980,21 @@ object LlmQueries {
         |          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |WHERE cum <= 800""".stripMargin,
+    // rank()-1 = count of strictly-lower rows: the oracle's per-source
+    // rank window IS the single-task shape the engine's PrefixSum avoids
+    "q78_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    rank() OVER (PARTITION BY source ORDER BY score) - 1 AS below,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT doc_id, source, score,
+        |  CAST((10 * below) // n AS BIGINT) AS decile
+        |FROM r""".stripMargin,
     // the oracle's global rank window is the single-task sort the engine
     // must never plan; same (hash, doc_id) total order, same positions
     "q76_global_shuffle" ->

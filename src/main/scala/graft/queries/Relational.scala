@@ -356,6 +356,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         count_distinct(col("k")).as("n_distinct_k"))
 
+  /** Retention cohort matrix — the classic product-analytics rollup: users
+    * cohort by their FIRST active day; each later active day counts them at
+    * `offset = day - cohort_day`. Two partial-aggregating shuffles (per-user
+    * min; per-(user, day) distinct) and one equi-join on user_id — every
+    * stage map-side combines, no windows, no driver state; the output is
+    * bounded by days², not by users or events. */
+  def q77RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val active = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = active.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -382,7 +398,8 @@ object Relational {
     "q55_pivot" -> (q55Pivot _),
     "q56_rollup" -> (q56Rollup _),
     "q58_rolling_trend" -> (q58RollingTrend _),
-    "q59_json_extract" -> (q59JsonExtract _))
+    "q59_json_extract" -> (q59JsonExtract _),
+    "q77_retention_cohorts" -> (q77RetentionCohorts _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -451,6 +468,13 @@ object Relational {
         |    count(*) OVER w AS trailing_avg
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q77_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS offset_days,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q59_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum((props::JSON ->> 'k')::BIGINT) AS BIGINT) AS sum_k,

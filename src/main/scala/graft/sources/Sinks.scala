@@ -54,6 +54,25 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Small-file compaction: rewrite a table (or ONE partition directory of
+    * a partitioned table) into `ceil(rows / targetRowsPerFile)` files, with
+    * [[swapCommit]]'s crash guarantees. Incremental appends and streaming
+    * upserts fragment a table into per-batch files; at scale the resulting
+    * footer/open overhead dominates scans long before data volume does, so
+    * compaction is a scheduled maintenance pass, not an afterthought. The
+    * row count comes from parquet footers (no data scan); the rewrite is
+    * one round-robin repartition — no key shuffle, rows unchanged. Run it
+    * per PARTITION directory on partitioned tables so only fragmented
+    * partitions pay the rewrite. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    overwriteSwap(df.repartition(nFiles), path)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** S7: keyed UPSERT into a parquet table — the engine-level replacement for
     * the reference's Redshift `method='UPSERT'` load. Reads the current
     * table lazily, merges (updates win on key collision), and swap-commits;

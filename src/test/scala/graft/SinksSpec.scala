@@ -34,6 +34,19 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(!new java.io.File(path + ".__old").exists())
   }
 
+  test("compact shrinks the file count without changing a row") {
+    val path = s"$tmpDir/t"
+    // 8 one-row appends -> at least 8 part files (fragmented table)
+    (1 to 8).foreach(i => Sinks.append(Seq((i, s"v$i")).toDF("k", "v"), path))
+    def partFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(path).as[(Int, String)].collect().toSet
+    assert(partFiles >= 8)
+    Sinks.compact(spark, path, targetRowsPerFile = 4L)
+    assert(partFiles == 2) // ceil(8 rows / 4 per file)
+    assert(spark.read.parquet(path).as[(Int, String)].collect().toSet == before)
+  }
+
   test("append grows the table") {
     val path = s"$tmpDir/t"
     Sinks.append(Seq((1, "a")).toDF("k", "v"), path)
