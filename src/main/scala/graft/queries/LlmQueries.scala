@@ -343,7 +343,14 @@ object LlmQueries {
     * the ~3 plan occurrences (index build + both verify sides) —
     * exactly the multi-pass-session case [[Dedup.jaccardPairsExactOnSets]]
     * documents. */
-  def q64CorpusClean(s: SparkSession, dir: String): DataFrame = {
+  def q64CorpusClean(s: SparkSession, dir: String): DataFrame =
+    corpusSurvivors(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** The (doc_id, text) SURVIVORS of the standard corpus clean — q64's
+    * pipeline factored out so the runnable corpus app
+    * ([[graft.app.CorpusApp]]) materializes exactly the set the oracle
+    * checks. */
+  def corpusSurvivors(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
     val scored = Tables.documents(s, dir)
@@ -366,7 +373,6 @@ object LlmQueries {
     val losers = Dedup.jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
       .select(col("id_b").as("doc_id")).distinct()
     exact.join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), md5(col("text")).as("fp"))
   }
 
   /** Deterministic train/val/test split: assignment is a pure function of
@@ -643,6 +649,24 @@ object LlmQueries {
       .select("doc_id", "source", "score", "decile")
   }
 
+  /** Weighted source rebalancing — apply per-source KEEP RATES (the mixing
+    * weights of a pretraining recipe) by deterministic keyed-hash sampling:
+    * doc kept iff md5(source:doc_id) % 100 < rate(source). Same sample
+    * every run and every engine, growth only appends, no RNG state; the
+    * per-source rates here derive from the source name (a stand-in for the
+    * recipe config table a production run would broadcast-join). One
+    * narrow map + one partial-aggregating groupBy. */
+  def q80SourceRebalance(s: SparkSession, dir: String): DataFrame = {
+    val rate = pmod(md5Int(col("source")), lit(50)) + lit(50) // 50-99 pct per source
+    val keep = pmod(
+      md5Int(concat(col("source"), lit(":"), col("doc_id").cast("string"))), lit(100)) < rate
+    Tables.documents(s, dir)
+      .select(col("source"), rate.as("keep_rate_pct"), keep.as("keep"))
+      .groupBy("source", "keep_rate_pct")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -681,7 +705,8 @@ object LlmQueries {
     "q74_neardup_clusters" -> (q74NeardupClusters _),
     "q75_incremental_neardup" -> (q75IncrementalNeardup _),
     "q76_global_shuffle" -> (q76GlobalShuffle _),
-    "q78_quality_deciles" -> (q78QualityDeciles _))
+    "q78_quality_deciles" -> (q78QualityDeciles _),
+    "q80_source_rebalance" -> (q80SourceRebalance _))
 
   // ------------------------------------------------------------- oracles
 
@@ -980,6 +1005,17 @@ object LlmQueries {
         |          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |WHERE cum <= 800""".stripMargin,
+    "q80_source_rebalance" ->
+      """SELECT source,
+        |  CAST(('0x' || substring(md5(source), 1, 8))::BIGINT % 50 + 50 AS BIGINT)
+        |    AS keep_rate_pct,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN
+        |      ('0x' || substring(md5(source || ':' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |        < ('0x' || substring(md5(source), 1, 8))::BIGINT % 50 + 50
+        |      THEN 1 END) AS BIGINT) AS n_kept
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
     // rank()-1 = count of strictly-lower rows: the oracle's per-source
     // rank window IS the single-task shape the engine's PrefixSum avoids
     "q78_quality_deciles" ->

@@ -372,6 +372,29 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-touch funnel (view → click → purchase): a user advances a step
+    * only if their FIRST occurrence of each stage is strictly later than
+    * the previous stage's first occurrence. One conditional-min groupBy per
+    * user then a global 4-counter aggregate — both fully map-side
+    * combinable, no windows, no event-order shuffle (the min-per-stage
+    * trick replaces sequential scan-the-session logic). Strict `>` on
+    * micros-truncated timestamps is deterministic cross-engine. */
+  def q79Funnel(s: SparkSession, dir: String): DataFrame = {
+    val firsts = events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+      count(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"), 1))
+        .as("n_view_click_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -399,7 +422,8 @@ object Relational {
     "q56_rollup" -> (q56Rollup _),
     "q58_rolling_trend" -> (q58RollingTrend _),
     "q59_json_extract" -> (q59JsonExtract _),
-    "q77_retention_cohorts" -> (q77RetentionCohorts _))
+    "q77_retention_cohorts" -> (q77RetentionCohorts _),
+    "q79_funnel" -> (q79Funnel _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -468,6 +492,21 @@ object Relational {
         |    count(*) OVER w AS trailing_avg
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q79_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN date_trunc('microseconds', ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN date_trunc('microseconds', ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN date_trunc('microseconds', ts) END) AS t_purchase
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(t_view) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_click,
+        |  CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS BIGINT)
+        |    AS n_view_click_purchase
+        |FROM f""".stripMargin,
     "q77_retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
