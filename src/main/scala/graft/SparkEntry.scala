@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.StarQueries.queries
+      graft.queries.StarQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.LlmQueries.oracles ++
       graft.queries.StreamingQueries.oracles ++
-      graft.queries.StarQueries.oracles
+      graft.queries.StarQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

@@ -375,6 +375,48 @@ object LlmQueries {
     exact.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** The DuckDB mirror of [[corpusSurvivors]] as a CTE chain (no leading
+    * `WITH`), terminating in `surv(doc_id, text)` — shared by the q64
+    * oracle and every oracle that checks a table the corpus app
+    * ([[graft.app.CorpusApp]]) materialized from the survivor set, so
+    * engine and oracle can never drift apart on what "the clean corpus"
+    * means. */
+  lazy val corpusSurvivorCtes: String = {
+    val langHits = langLex.map { case (l, lex) =>
+      s"""CAST(len(list_filter(w, x -> x IN (${lex.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_$l"""
+    }.mkString(",\n    ")
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(w, x -> x IN (${stopwords.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_stop,
+       |    $langHits
+       |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)),
+       |langq AS (
+       |  SELECT doc_id, text FROM base
+       |  WHERE (CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
+       |              WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+       |              WHEN n_es >= n_de THEN 'es'
+       |              ELSE 'de' END) = 'en'
+       |    AND n_tokens >= 10 AND n_tokens <= 1000
+       |    AND n_stop / n_tokens >= 0.02),
+       |exact AS (
+       |  SELECT doc_id, text FROM langq
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(w)-2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exact)
+       |  WHERE len(w) >= 3),
+       |losers AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       |  WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s))),
+       |surv AS (
+       |  SELECT doc_id, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))""".stripMargin
+  }
+
   /** Deterministic train/val/test split: assignment is a pure function of
     * content-stable id hash (md5 % 100 → 90/5/5), so membership never
     * changes across runs, engines, or corpus growth (old docs keep their
@@ -946,40 +988,9 @@ object LlmQueries {
     // near-dup stage is the EXACT prefix-filtered index (recall 1.0 by the
     // prefix-filter theorem), not probabilistic LSH — no fixture-dependent
     // recall assumption hides here
-    "q64_corpus_clean" -> {
-      val langHits = langLex.map { case (l, lex) =>
-        s"""CAST(len(list_filter(w, x -> x IN (${lex.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_$l"""
-      }.mkString(",\n    ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    CAST(len(w) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter(w, x -> x IN (${stopwords.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_stop,
-         |    $langHits
-         |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)),
-         |langq AS (
-         |  SELECT doc_id, text FROM base
-         |  WHERE (CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
-         |              WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
-         |              WHEN n_es >= n_de THEN 'es'
-         |              ELSE 'de' END) = 'en'
-         |    AND n_tokens >= 10 AND n_tokens <= 1000
-         |    AND n_stop / n_tokens >= 0.02),
-         |exact AS (
-         |  SELECT doc_id, text FROM langq
-         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-         |sh2 AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, len(w)-2),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exact)
-         |  WHERE len(w) >= 3),
-         |losers AS (
-         |  SELECT DISTINCT b.doc_id AS doc_id
-         |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
-         |  WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s)))
-         |SELECT doc_id, md5(text) AS fp FROM exact
-         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
-    },
+    "q64_corpus_clean" ->
+      s"""WITH $corpusSurvivorCtes
+         |SELECT doc_id, md5(text) AS fp FROM surv""".stripMargin,
     "q66_token_quantiles" ->
       """WITH t AS (
         |  SELECT lang, doc_id,
