@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.app.CorpusApp
+
+/** End-to-end corpus materialization: one build over the sf0.001 documents
+  * table, then structural invariants over the WRITTEN tables (shard sizing,
+  * rank totality, manifest handshake) and byte-identical rebuild — the
+  * determinism contract a restartable 100-TB build depends on. */
+class CorpusAppSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def build(): String = {
+    val out = Files.createTempDirectory("graft-corpus-spec").toString
+    CorpusApp.build(spark, sf, out)
+    out
+  }
+
+  test("written corpus: positions are a total 1..n rank and shards are full except the last") {
+    val out = build()
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val n = corpus.count()
+    assert(n > 0)
+    // pos is exactly 1..n — no gaps, no dup ranks, no single-task sort needed to prove it
+    val agg = corpus.agg(
+      min("pos").as("mn"), max("pos").as("mx"),
+      countDistinct("pos").as("d")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n)
+    // every shard holds ShardSize docs except possibly the last
+    val sizes = corpus.groupBy("shard").agg(count(lit(1)).as("c"))
+      .orderBy("shard").collect()
+    sizes.dropRight(1).foreach(r => assert(r.getLong(1) == CorpusApp.ShardSize))
+    assert(sizes.last.getLong(1) <= CorpusApp.ShardSize)
+    // shard is derived from pos, so shard boundaries respect the global order
+    val crossCheck = corpus
+      .filter(expr(s"shard != (pos - 1) div ${CorpusApp.ShardSize}")).count()
+    assert(crossCheck == 0)
+  }
+
+  test("manifest agrees with the written tables; stats sum to the corpus") {
+    val out = build()
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val m = spark.read.parquet(s"$out/manifest").head()
+    assert(m.getAs[Long]("n_clean") == corpus.count())
+    assert(m.getAs[Long]("n_shards") == corpus.select("shard").distinct().count())
+    assert(m.getAs[Long]("n_raw") ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    val stats = spark.read.parquet(s"$out/corpus_stats")
+    val totals = stats.agg(sum("n_docs"), sum("n_tokens")).head()
+    val direct = corpus.agg(count(lit(1)), sum("n_tokens")).head()
+    assert(totals.getLong(0) == direct.getLong(0))
+    assert(totals.getLong(1) == direct.getLong(1))
+  }
+
+  test("rebuild over the same input is byte-identical (restartability contract)") {
+    val a = build()
+    val b = build()
+    for (t <- Seq("corpus", "corpus_stats", "manifest")) {
+      val da = spark.read.parquet(s"$a/$t")
+      val rows = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).toSet
+      assert(rows(da) == rows(spark.read.parquet(s"$b/$t")), s"table $t differs")
+    }
+  }
+}
