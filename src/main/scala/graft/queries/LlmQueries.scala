@@ -709,6 +709,93 @@ object LlmQueries {
         count(when(col("keep"), 1)).as("n_kept"))
   }
 
+  /** Pairwise cross-source content overlap from KMV (bottom-k) sketches —
+    * "how much of source A is also in source B", the question behind
+    * cross-source contamination and mix design, answered WITHOUT an exact
+    * intersection over the corpus.
+    *
+    * Per source: the k smallest distinct 60-bit content hashes — a
+    * bounded-state mergeable aggregate ([[graft.expressions.TopKByScore]]
+    * on the negated hash), so the shuffle carries at most k longs per
+    * (partition, source) no matter the corpus size. Per pair: the standard
+    * KMV intersection estimate — θ = k-th smallest of the UNION of the two
+    * sketches, J ≈ |{h ∈ A∩B : h ≤ θ}| / k — all integer arithmetic until
+    * one final IEEE divide, so an independent engine reproduces it
+    * bit-for-bit (no float-compare thresholds).
+    *
+    * The pair stage is a cross join of two PER-SOURCE AGGREGATES (≤
+    * #sources rows each — corpus-INDEPENDENT, like q45's 1-row legs):
+    * sources² · k longs total, trivially broadcastable at any corpus
+    * scale. PlanGuardSpec whitelists it with that argument. */
+  def q83SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.GraftFunctions.topKByScore
+    val k = 16
+    val hashes = Tables.documents(s, dir)
+      .select(col("source"), md5Long(col("text")).as("h")).distinct()
+    val sk = hashes.groupBy("source")
+      .agg(topKByScore(-col("h"), col("h"), k).as("top"))
+      .select(col("source"), expr("transform(top, x -> x.id)").as("hs"))
+    val pairs = sk.select(col("source").as("source_a"), col("hs").as("ha"))
+      .crossJoin(sk.select(col("source").as("source_b"), col("hs").as("hb")))
+      .filter(col("source_a") < col("source_b"))
+    pairs
+      .withColumn("u", array_sort(array_union(col("ha"), col("hb"))))
+      .withColumn("k_used", least(lit(k), size(col("u"))).cast("long"))
+      .withColumn("theta", element_at(col("u"), col("k_used").cast("int")))
+      .withColumn("n_common",
+        size(filter(array_intersect(col("ha"), col("hb")),
+          x => x <= col("theta"))).cast("long"))
+      .select(col("source_a"), col("source_b"), col("n_common"), col("k_used"),
+        (col("n_common").cast("double") / col("k_used").cast("double")).as("jaccard_est"))
+  }
+
+  /** One full DISTRIBUTED Lloyd (k-means) iteration over every embedding —
+    * the refinement step that turns the driver-side coarse quantizer
+    * ([[Similarity.trainCentroidsLite]], bounded sample) into centroids
+    * trained on the WHOLE corpus, and the building block a production IVF
+    * index re-trains with.
+    *
+    * Scale shape: assignment is [[Similarity.ivfAssign]] — k codegen'd
+    * dots riding the scan, NO shuffle, no join; the centroid recompute is
+    * posexplode → one partial-aggregating groupBy on (cluster, dim) whose
+    * output is k·dim rows regardless of corpus size. The per-dimension
+    * mean uses the DECIMAL(18,6) sum (associative — distributed partial
+    * sums are order-independent, unlike double addition) and ONE final
+    * divide, which is what makes a distributed float mean
+    * oracle-reproducible at all. */
+  def q84KmeansIteration(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
+    emb
+      .withColumn("cluster", Similarity.ivfAssign(col("embedding"), centroids).cast("long"))
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("d0", "x")))
+      .groupBy(col("cluster"), (col("d0") + 1).cast("long").as("dim"))
+      .agg(
+        (sum(col("x").cast("double").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("c_new"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Normalization-aware dedup profile: how many distinct docs each source
+    * REALLY has once text is canonicalized (lowercase, punctuation
+    * stripped, whitespace collapsed) vs raw byte-distinct — the gap is the
+    * trivial-variant duplication (casing/punct boilerplate) that raw exact
+    * dedup misses and every production corpus clean normalizes away first.
+    * One pass: codegen'd regex chain + a grouped multi-count-distinct
+    * (each count(distinct) partial-aggregates map-side; output is one row
+    * per source). */
+  def q85NormalizeDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("raw_fp"), md5(norm).as("norm_fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_fp")).as("n_raw_distinct"),
+        countDistinct(col("norm_fp")).as("n_norm_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -748,7 +835,10 @@ object LlmQueries {
     "q75_incremental_neardup" -> (q75IncrementalNeardup _),
     "q76_global_shuffle" -> (q76GlobalShuffle _),
     "q78_quality_deciles" -> (q78QualityDeciles _),
-    "q80_source_rebalance" -> (q80SourceRebalance _))
+    "q80_source_rebalance" -> (q80SourceRebalance _),
+    "q83_source_overlap" -> (q83SourceOverlap _),
+    "q84_kmeans_iteration" -> (q84KmeansIteration _),
+    "q85_normalize_dedup" -> (q85NormalizeDedup _))
 
   // ------------------------------------------------------------- oracles
 
@@ -774,6 +864,43 @@ object LlmQueries {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** DuckDB mirror of [[Similarity.trainCentroidsLite]] (k=4, mod-10
+    * sample, one Lloyd pass on the sample) + full-corpus assignment —
+    * terminates in `assign(vec_id, embedding, j)`. Shared by the q46 and
+    * q84 oracles so the quantizer definition cannot drift between them. */
+  private lazy val ivfAssignCtes: String =
+    s"""samp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 1000),
+       |init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+       |         list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 4)),
+       |scored0 AS (
+       |  SELECT s.vec_id, s.embedding, i.j,
+       |    ${cosSql("s.embedding", "i.c")} AS cos
+       |  FROM samp s CROSS JOIN init i),
+       |assign0 AS (
+       |  SELECT vec_id, embedding, j FROM scored0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1),
+       |clusters AS (
+       |  SELECT j, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
+       |  FROM assign0 GROUP BY j),
+       |trained AS (
+       |  SELECT j, list_transform(generate_series(1, len(vs[1])), d ->
+       |    list_reduce(list_transform(vs, v -> v[d]::DOUBLE), (x,y) -> x + y) / n) AS c
+       |  FROM clusters),
+       |centroids AS (
+       |  SELECT i.j, coalesce(t.c, i.c) AS c
+       |  FROM init i LEFT JOIN trained t USING (j)),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.j,
+       |    ${cosSql("e.embedding", "c.c")} AS cos
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |assign AS (
+       |  SELECT vec_id, embedding, j FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1)""".stripMargin
 
   private val simhashBitSums = (0 until 60)
     .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
@@ -1205,37 +1332,7 @@ object LlmQueries {
     // DESC, j ASC mirrors the engine's strict-> scan), same per-dimension
     // ordered-left-fold mean / count — so centroids, cells, and NNs all match
     "q46_ivf_trained_nn" ->
-      s"""WITH samp AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 1000),
-         |init AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
-         |         list_transform(embedding, x -> x::DOUBLE) AS c
-         |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 4)),
-         |scored0 AS (
-         |  SELECT s.vec_id, s.embedding, i.j,
-         |    ${cosSql("s.embedding", "i.c")} AS cos
-         |  FROM samp s CROSS JOIN init i),
-         |assign0 AS (
-         |  SELECT vec_id, embedding, j FROM scored0
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1),
-         |clusters AS (
-         |  SELECT j, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
-         |  FROM assign0 GROUP BY j),
-         |trained AS (
-         |  SELECT j, list_transform(generate_series(1, len(vs[1])), d ->
-         |    list_reduce(list_transform(vs, v -> v[d]::DOUBLE), (x,y) -> x + y) / n) AS c
-         |  FROM clusters),
-         |centroids AS (
-         |  SELECT i.j, coalesce(t.c, i.c) AS c
-         |  FROM init i LEFT JOIN trained t USING (j)),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.j,
-         |    ${cosSql("e.embedding", "c.c")} AS cos
-         |  FROM embeddings e CROSS JOIN centroids c),
-         |assign AS (
-         |  SELECT vec_id, embedding, j FROM scored
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1),
+      s"""WITH $ivfAssignCtes,
          |nn AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos
@@ -1263,5 +1360,47 @@ object LlmQueries {
          |FROM bk a JOIN bk b
          |  ON a.vec_id < b.vec_id AND ($anyTable)
          |WHERE ${cosSql("a.embedding", "b.embedding")} * 1000 >= 999""".stripMargin
-    })
+    },
+    "q83_source_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |sk AS (
+        |  SELECT source, h FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 16),
+        |arr AS (SELECT source, list(h ORDER BY h) AS hs FROM sk GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    a.hs AS ha, b.hs AS hb,
+        |    list_sort(list_distinct(a.hs || b.hs)) AS u
+        |  FROM arr a JOIN arr b ON a.source < b.source),
+        |q AS (
+        |  SELECT source_a, source_b, ha, hb,
+        |    CAST(least(16, len(u)) AS BIGINT) AS k_used,
+        |    u[least(16, len(u))] AS theta
+        |  FROM p)
+        |SELECT source_a, source_b,
+        |  CAST(len(list_filter(list_intersect(ha, hb), x -> x <= theta)) AS BIGINT) AS n_common,
+        |  k_used,
+        |  CAST(len(list_filter(list_intersect(ha, hb), x -> x <= theta)) AS DOUBLE)
+        |    / CAST(k_used AS DOUBLE) AS jaccard_est
+        |FROM q""".stripMargin,
+    "q84_kmeans_iteration" ->
+      s"""WITH $ivfAssignCtes,
+         |dims AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT max(len(embedding)) FROM embeddings))) AS dim)
+         |SELECT a.j AS cluster, CAST(d.dim AS BIGINT) AS dim,
+         |  CAST(sum(CAST(a.embedding[d.dim]::DOUBLE AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS BIGINT) AS c_new,
+         |  CAST(count(*) AS BIGINT) AS n_points
+         |FROM assign a CROSS JOIN dims d
+         |GROUP BY 1, 2""".stripMargin,
+    "q85_normalize_dedup" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS n_norm_distinct
+        |FROM documents GROUP BY source""".stripMargin)
 }

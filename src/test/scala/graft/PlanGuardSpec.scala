@@ -24,9 +24,12 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Cross joins against a PROVABLY 1-row side: q31's broadcast query
-    * vector, q45's nine 1-row aggregate legs. */
-  private val boundedCross = Set("q31_knn_bruteforce", "q45_integrity")
+  /** Cross joins against PROVABLY corpus-independent sides: q31's
+    * broadcast query vector and q45's nine 1-row aggregate legs; q83
+    * pairs two per-source SKETCH aggregates (≤ #sources rows of k longs
+    * each — sources²·k total regardless of corpus size). */
+  private val boundedCross =
+    Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap")
 
   /** Unpartitioned windows over CALENDAR-BOUNDED post-aggregate input
     * (one row per day, regardless of corpus size). */
