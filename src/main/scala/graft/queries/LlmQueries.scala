@@ -796,6 +796,27 @@ object LlmQueries {
         countDistinct(col("norm_fp")).as("n_norm_distinct"))
   }
 
+  /** Corpus-wide boilerplate report: the most-duplicated word-5-grams with
+    * occurrence and document counts — the diagnostic that tells you WHAT
+    * chunk-level dedup (q72) will remove (licence blocks, navigation
+    * text) before you run it. Explode → one partial-aggregating groupBy on
+    * the gram, then a global top-20 as TakeOrderedAndProject (each
+    * partition surrenders at most 20 rows — never a global sort). The
+    * (count DESC, gram ASC) order is total, so the rank-20 cutoff is
+    * deterministic in both engines. */
+  def q87NgramBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+    docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -838,7 +859,8 @@ object LlmQueries {
     "q80_source_rebalance" -> (q80SourceRebalance _),
     "q83_source_overlap" -> (q83SourceOverlap _),
     "q84_kmeans_iteration" -> (q84KmeansIteration _),
-    "q85_normalize_dedup" -> (q85NormalizeDedup _))
+    "q85_normalize_dedup" -> (q85NormalizeDedup _),
+    "q87_ngram_boilerplate" -> (q87NgramBoilerplate _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1402,5 +1424,15 @@ object LlmQueries {
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
         |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
         |    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT) AS n_norm_distinct
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+    "q87_ngram_boilerplate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gram
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 5)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin)
 }

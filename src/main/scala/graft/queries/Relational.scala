@@ -395,6 +395,54 @@ object Relational {
         .as("n_view_click_purchase"))
   }
 
+  /** SCD2 (type-2 slowly-changing dimension) build + point-in-time fact
+    * join — the warehouse pattern for "what was this customer's segment
+    * WHEN the order happened", which an SCD1 upserted dim cannot answer.
+    *
+    * Change feed (deterministic, derived from the data): a customer's
+    * observed segment version each year they ordered is
+    * `mktsegment + "-" + (year div 2) mod 2`, so consecutive years
+    * frequently repeat and the gaps-and-islands collapse is exercised.
+    * Build: lag-compare per customer marks version starts → running sum
+    * numbers the islands → min(year) per island is `valid_from` →
+    * lead(valid_from) is the exclusive `valid_to` (NULL = current). Every
+    * window partitions by c_custkey whose per-group size is bounded by the
+    * CALENDAR (≤ #years of history), not the corpus — the scale-safe kind
+    * of window; custkey cardinality scales, group size does not.
+    *
+    * Point-in-time join: equi on custkey (shuffle/broadcast-joinable at
+    * any scale) with the validity range as a residual predicate — never a
+    * range-only join. Output: orders per (segment version, order year)
+    * with exact-decimal revenue. */
+  def q86Scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(col("o_orderdate")).cast("long")
+    val feed = orders(s, dir).select(col("o_custkey"), yr.as("yr")).distinct()
+      .join(customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("yr"),
+        concat(col("c_mktsegment"), lit("-"),
+          expr("(yr div 2) % 2").cast("string")).as("seg_version"))
+    val byYear = Window.partitionBy("custkey").orderBy("yr")
+    val islands = feed
+      .withColumn("chg",
+        when(lag(col("seg_version"), 1).over(byYear).isNull
+          .or(lag(col("seg_version"), 1).over(byYear) =!= col("seg_version")), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        byYear.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dim = islands.groupBy("custkey", "island", "seg_version")
+      .agg(min(col("yr")).as("valid_from"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(Window.partitionBy("custkey").orderBy("valid_from")))
+    orders(s, dir)
+      .select(col("o_custkey"), yr.as("o_year"), col("o_totalprice"))
+      .join(dim, col("o_custkey") === col("custkey") &&
+        col("o_year") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_year") < col("valid_to")))
+      .groupBy("seg_version", "o_year")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -423,7 +471,8 @@ object Relational {
     "q58_rolling_trend" -> (q58RollingTrend _),
     "q59_json_extract" -> (q59JsonExtract _),
     "q77_retention_cohorts" -> (q77RetentionCohorts _),
-    "q79_funnel" -> (q79Funnel _))
+    "q79_funnel" -> (q79Funnel _),
+    "q86_scd2_dim" -> (q86Scd2Dim _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -513,6 +562,36 @@ object Relational {
         |SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS offset_days,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q86_scd2_dim" ->
+      """WITH feed AS (
+        |  SELECT DISTINCT o.o_custkey AS custkey,
+        |    CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |    c.c_mktsegment || '-' ||
+        |      CAST((CAST(year(o.o_orderdate) AS BIGINT) // 2) % 2 AS VARCHAR) AS seg_version
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |marks AS (
+        |  SELECT custkey, yr, seg_version,
+        |    CASE WHEN lag(seg_version) OVER w IS NULL
+        |           OR lag(seg_version) OVER w <> seg_version THEN 1 ELSE 0 END AS chg
+        |  FROM feed WINDOW w AS (PARTITION BY custkey ORDER BY yr)),
+        |isl AS (
+        |  SELECT custkey, yr, seg_version,
+        |    sum(chg) OVER (PARTITION BY custkey ORDER BY yr ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marks),
+        |dim AS (
+        |  SELECT custkey, island, seg_version, min(yr) AS valid_from
+        |  FROM isl GROUP BY 1, 2, 3),
+        |dim2 AS (
+        |  SELECT custkey, seg_version, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to
+        |  FROM dim)
+        |SELECT d.seg_version, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN dim2 d ON o.o_custkey = d.custkey
+        |  AND CAST(year(o.o_orderdate) AS BIGINT) >= d.valid_from
+        |  AND (d.valid_to IS NULL OR CAST(year(o.o_orderdate) AS BIGINT) < d.valid_to)
         |GROUP BY 1, 2""".stripMargin,
     "q59_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -179,4 +179,66 @@ object Sinks {
       }
     f.delete(tmp, true)
   }
+
+  /** Keyed DELETE (GDPR / right-to-be-forgotten): remove every row whose
+    * key appears in `victims`, rewriting the whole table under
+    * [[overwriteSwap]]'s crash guarantees. The anti join is null-safe
+    * equality-free (`left_anti` on the key columns), distributed, and
+    * broadcast-sized when the victim list is small — the common case.
+    * Idempotent: re-running with the same victims is a byte-identical
+    * rewrite. For date-partitioned facts prefer [[deletePartitioned]]. */
+  def deleteByKey(spark: SparkSession, path: String, victims: DataFrame,
+                  keys: Seq[String]): Unit = {
+    val remaining = spark.read.parquet(path)
+      .join(victims.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    overwriteSwap(remaining, path)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** [[deleteByKey]] at fact scale: the victim batch carries the partition
+    * column, so only TOUCHED partitions are read, anti-joined, and swapped
+    * — a deletion request against a 100 TB date-partitioned fact costs a
+    * handful of partition rewrites. Same per-partition atomic-swap commit
+    * and same bounded driver-side touched-value list as
+    * [[upsertPartitioned]]; a partition whose rows are ALL deleted is
+    * removed rather than left as an empty directory. */
+  def deletePartitioned(spark: SparkSession, path: String, victims: DataFrame,
+                        keys: Seq[String], partCol: String): Unit = {
+    val f = fs(spark, path)
+    val dst = new Path(path)
+    if (!f.exists(dst)) return
+    val touched = victims.select(partCol).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val (nullTouched, nonNull) = touched.partition(_ == null)
+    val pruning =
+      if (nullTouched.isEmpty) col(partCol).isin(nonNull: _*)
+      else if (nonNull.isEmpty) col(partCol).isNull
+      else col(partCol).isin(nonNull: _*) || col(partCol).isNull
+    val remaining = spark.read.parquet(path).filter(pruning)
+      .join(victims.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val tmp = new Path(path + ".__tmp")
+    f.delete(tmp, true)
+    remaining.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    val rewritten = f.listStatus(tmp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath.getName).toSet
+    // every touched partition is replaced by its rewrite, or dropped when
+    // nothing survived (the rewrite produced no dir for it)
+    val touchedDirs = touched.map { v =>
+      // the exact escaping Spark's file committer uses for partition dirs
+      val enc = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+                else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .escapePathName(v.toString)
+      s"$partCol=$enc"
+    }.toSet
+    touchedDirs.foreach { name =>
+      val target = new Path(dst, name)
+      f.delete(target, true)
+      if (rewritten.contains(name) &&
+          !f.rename(new Path(tmp, name), target))
+        throw new java.io.IOException(s"partition swap failed: $name")
+    }
+    f.delete(tmp, true)
+    spark.catalog.refreshByPath(path)
+  }
 }

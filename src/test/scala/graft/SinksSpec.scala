@@ -158,4 +158,36 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     val after = spark.read.parquet(path).sort("rid").collect().toSeq
     assert(before == after && before.size == 2)
   }
+
+  test("deleteByKey removes exactly the victims; rerun is a no-op") {
+    val path = s"$tmpDir/t"
+    Sinks.overwriteSwap(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    Sinks.deleteByKey(spark, path, Seq(2L).toDF("id"), Seq("id"))
+    assert(spark.read.parquet(path).sort("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    Sinks.deleteByKey(spark, path, Seq(2L).toDF("id"), Seq("id"))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("deletePartitioned rewrites ONLY touched partitions and drops emptied ones") {
+    val path = s"$tmpDir/fact"
+    val rows = Seq(
+      (1L, "2021-01-04", 10), (2L, "2021-01-04", 20),
+      (3L, "2021-01-05", 30), (4L, "2021-01-06", 40))
+      .toDF("rid", "d", "v").withColumn("d", col("d").cast("date"))
+    Sinks.upsertPartitioned(spark, path, rows, Seq("rid"), "d")
+    val jan5Before = partitionFiles(path, "d=2021-01-05")
+
+    // victims: one of two rows in Jan 4, the ONLY row in Jan 6
+    val victims = Seq((1L, "2021-01-04"), (4L, "2021-01-06"))
+      .toDF("rid", "d").withColumn("d", col("d").cast("date"))
+    Sinks.deletePartitioned(spark, path, victims, Seq("rid"), "d")
+
+    // untouched partition byte-identical; emptied partition dir is gone
+    assert(partitionFiles(path, "d=2021-01-05") == jan5Before)
+    assert(!new java.io.File(s"$path/d=2021-01-06").exists())
+    assert(spark.read.parquet(path).select("rid").sort("rid")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    assert(!new java.io.File(path + ".__tmp").exists())
+  }
 }
