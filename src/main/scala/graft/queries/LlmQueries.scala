@@ -732,9 +732,13 @@ object LlmQueries {
     val k = 16
     val hashes = Tables.documents(s, dir)
       .select(col("source"), md5Long(col("text")).as("h")).distinct()
+    // ≤ #sources rows of k longs; localCheckpoint severs the lineage so the
+    // self-join below reads the materialized sketch instead of scanning the
+    // corpus once per side (same pattern as Dedup.incrementalExactDedup)
     val sk = hashes.groupBy("source")
       .agg(topKByScore(-col("h"), col("h"), k).as("top"))
       .select(col("source"), expr("transform(top, x -> x.id)").as("hs"))
+      .localCheckpoint()
     val pairs = sk.select(col("source").as("source_a"), col("hs").as("ha"))
       .crossJoin(sk.select(col("source").as("source_b"), col("hs").as("hb")))
       .filter(col("source_a") < col("source_b"))
@@ -817,6 +821,29 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** BPE-style token accounting: the GPT-2-family pre-tokenizer splits
+    * text into contraction / space-prefixed-word / number / punctuation-run
+    * / whitespace pieces; a training-budget estimate needs that count, not
+    * the whitespace word count. The pattern here is the lookaround-free
+    * core of that tokenizer (Java regex and RE2 agree exactly: same
+    * alternation-order, leftmost-first semantics, ASCII classes), applied
+    * as one codegen'd `regexp_extract_all` riding the scan — per-source
+    * totals plus the bpe-per-word ratio as a single IEEE divide of two
+    * exact integer sums. */
+  def q88BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val bpe = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("long").as("bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("bpe_per_ws",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -860,7 +887,8 @@ object LlmQueries {
     "q83_source_overlap" -> (q83SourceOverlap _),
     "q84_kmeans_iteration" -> (q84KmeansIteration _),
     "q85_normalize_dedup" -> (q85NormalizeDedup _),
-    "q87_ngram_boilerplate" -> (q87NgramBoilerplate _))
+    "q87_ngram_boilerplate" -> (q87NgramBoilerplate _),
+    "q88_bpe_tokens" -> (q88BpeTokens _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1434,5 +1462,17 @@ object LlmQueries {
         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM g GROUP BY gram
-        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin)
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+    "q88_bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 '']+| +')) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS bpe_per_ws
+        |FROM t GROUP BY source""".stripMargin)
 }
