@@ -1,6 +1,6 @@
 package graft.app
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{md5Long, tokens}
@@ -33,20 +33,42 @@ object CorpusApp {
     * shards; production sizes this to the trainer's file budget. */
   val ShardSize = 100L
 
-  def build(spark: SparkSession, rawDir: String, outDir: String): Unit = {
+  /** Survivor rows of one cleaned batch, in the corpus schema minus
+    * position/shard (plus the 60-bit order hash `__h`). */
+  private def cleanBatch(spark: SparkSession, rawDir: String,
+                         pred: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables.documents(spark, rawDir)
-    val survivors = graft.queries.LlmQueries.corpusSurvivors(spark, rawDir)
+    graft.queries.LlmQueries.corpusSurvivors(spark, rawDir, pred)
       .join(docs.select("doc_id", "source", "lang"), "doc_id")
       .select(col("doc_id"), col("source"), col("lang"),
         md5(col("text")).as("fp"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         md5Long(col("doc_id").cast("string")).as("__h"))
-    val corpus = GlobalOrder.rank(survivors, "__h", "doc_id", out = "pos")
-      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
-      .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
-    Sinks.overwriteSwap(corpus, s"$outDir/corpus")
-    spark.catalog.refreshByPath(s"$outDir/corpus")
+  }
 
+  /** Applied-batch ledger (batch_id, n_raw) — the corpus counterpart of
+    * the star schema's catchup ledger: what makes [[append]] idempotent
+    * END TO END (data AND manifest counters) under at-least-once batch
+    * delivery. Bounded by the number of ingest batches, read driver-side. */
+  private def ledger(spark: SparkSession, outDir: String): Map[String, Long] = {
+    val p = s"$outDir/ledger"
+    if (!Sinks.exists(spark, p)) Map.empty
+    else spark.read.parquet(p).collect()
+      .map(r => r.getAs[String]("batch_id") -> r.getAs[Long]("n_raw")).toMap
+  }
+
+  private def writeLedger(spark: SparkSession, outDir: String,
+                          entries: Map[String, Long]): Unit = {
+    import spark.implicits._
+    Sinks.overwriteSwap(
+      entries.toSeq.sortBy(_._1).toDF("batch_id", "n_raw"), s"$outDir/ledger")
+    spark.catalog.refreshByPath(s"$outDir/ledger")
+  }
+
+  /** Recompute the derived tables from the WRITTEN corpus (so any write
+    * damage surfaces in their oracle checks). `nRaw` is the cumulative raw
+    * document count the manifest reports. */
+  private def refreshDerived(spark: SparkSession, outDir: String, nRaw: Long): Unit = {
     val written = spark.read.parquet(s"$outDir/corpus")
     Sinks.overwriteSwap(
       written.groupBy("source")
@@ -54,11 +76,67 @@ object CorpusApp {
       s"$outDir/corpus_stats")
     Sinks.overwriteSwap(
       written.agg(
-        lit(docs.count()).as("n_raw"),
+        lit(nRaw).as("n_raw"),
         count(lit(1)).as("n_clean"),
         countDistinct(col("shard")).as("n_shards")),
       s"$outDir/manifest")
     spark.catalog.refreshByPath(s"$outDir/corpus_stats")
     spark.catalog.refreshByPath(s"$outDir/manifest")
+  }
+
+  def build(spark: SparkSession, rawDir: String, outDir: String,
+            pred: org.apache.spark.sql.Column = lit(true)): Unit = {
+    val survivors = cleanBatch(spark, rawDir, pred)
+    val corpus = GlobalOrder.rank(survivors, "__h", "doc_id", out = "pos")
+      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
+      .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
+    Sinks.overwriteSwap(corpus, s"$outDir/corpus")
+    spark.catalog.refreshByPath(s"$outDir/corpus")
+    val nRaw = Tables.documents(spark, rawDir).filter(pred).count()
+    writeLedger(spark, outDir, Map("__init" -> nRaw))
+    refreshDerived(spark, outDir, nRaw)
+  }
+
+  /** Incremental ingest — the corpus counterpart of the star schema's
+    * weekly catchup: clean ONE batch, gate it against the WRITTEN corpus,
+    * and append; existing shards and positions never move (what keeps a
+    * 100-TB corpus append restartable and cheap — the write is linear in
+    * the batch, not the corpus).
+    *
+    *  - within-batch clean is the full verified pipeline
+    *    ([[graft.queries.LlmQueries.corpusSurvivors]] under `pred`);
+    *  - the history gate is an exact content-fingerprint anti join against
+    *    the written corpus (batch ⋈ corpus on `fp` — hash equi-join, never
+    *    re-reads raw history). Near-dup-vs-history is available as its own
+    *    operator ([[graft.operators.Dedup.simhashNearDupAgainst]], q75)
+    *    and is kept out of this append so the append's oracle stays an
+    *    exact-set mirror;
+    *  - new rows rank AFTER the current max position (same hash order
+    *    within the batch), so growth only appends shards; the last partial
+    *    shard fills up first by construction of `(pos-1) div ShardSize`.
+    *
+    * Re-running the same `batchId` is a FULL no-op (ledger-gated: data,
+    * stats, and manifest counters all unchanged); even without the ledger
+    * the data is safe — every row's fp is already in the corpus, so the
+    * anti join would leave nothing to append. */
+  def append(spark: SparkSession, rawDir: String, outDir: String,
+             batchId: String, pred: org.apache.spark.sql.Column): Unit = {
+    val applied = ledger(spark, outDir)
+    if (applied.contains(batchId)) return
+    val existing = spark.read.parquet(s"$outDir/corpus")
+    // bounded driver read: current max position
+    val maxPos = existing.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
+    val fresh = cleanBatch(spark, rawDir, pred)
+      .join(existing.select("fp"), Seq("fp"), "left_anti")
+    val ranked = GlobalOrder.rank(fresh, "__h", "doc_id", out = "pos0")
+      .withColumn("pos", col("pos0") + maxPos)
+      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
+      .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
+    Sinks.append(ranked, s"$outDir/corpus")
+    spark.catalog.refreshByPath(s"$outDir/corpus")
+    val nRawBatch = Tables.documents(spark, rawDir).filter(pred).count()
+    val entries = applied + (batchId -> nRawBatch)
+    writeLedger(spark, outDir, entries)
+    refreshDerived(spark, outDir, nRaw = entries.values.sum)
   }
 }

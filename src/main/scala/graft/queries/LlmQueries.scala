@@ -349,11 +349,14 @@ object LlmQueries {
   /** The (doc_id, text) SURVIVORS of the standard corpus clean — q64's
     * pipeline factored out so the runnable corpus app
     * ([[graft.app.CorpusApp]]) materializes exactly the set the oracle
-    * checks. */
-  def corpusSurvivors(s: SparkSession, dir: String): DataFrame = {
+    * checks. `pred` restricts the raw input (an ingest batch — see
+    * [[graft.app.CorpusApp.append]]); every stage, including the
+    * within-batch near-dup removal, then operates on that batch only. */
+  def corpusSurvivors(s: SparkSession, dir: String,
+                      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val t = tokens(col("text"))
     val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.documents(s, dir).filter(pred)
       .select(col("doc_id") +: col("text") +: size(t).cast("long").as("n_tokens") +:
         lexiconHits(t, stopwords).cast("long").as("n_stopwords") +: hits: _*)
       .withColumn("predicted_lang",
@@ -376,46 +379,50 @@ object LlmQueries {
   }
 
   /** The DuckDB mirror of [[corpusSurvivors]] as a CTE chain (no leading
-    * `WITH`), terminating in `surv(doc_id, text)` — shared by the q64
-    * oracle and every oracle that checks a table the corpus app
-    * ([[graft.app.CorpusApp]]) materialized from the survivor set, so
-    * engine and oracle can never drift apart on what "the clean corpus"
-    * means. */
-  lazy val corpusSurvivorCtes: String = {
+    * `WITH`), terminating in `surv<suffix>(doc_id, text)`. `where`
+    * mirrors the `pred` batch restriction; `suffix` disambiguates CTE
+    * names when one query instantiates the pipeline for several batches
+    * (q89). Shared by the q64 oracle and every oracle that checks a table
+    * the corpus app materialized from the survivor set, so engine and
+    * oracle can never drift apart on what "the clean corpus" means. */
+  def corpusSurvivorCtesFor(suffix: String, where: String): String = {
     val langHits = langLex.map { case (l, lex) =>
       s"""CAST(len(list_filter(w, x -> x IN (${lex.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_$l"""
     }.mkString(",\n    ")
-    s"""base AS (
+    s"""base$suffix AS (
        |  SELECT doc_id, text,
        |    CAST(len(w) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(w, x -> x IN (${stopwords.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_stop,
        |    $langHits
-       |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents)),
-       |langq AS (
-       |  SELECT doc_id, text FROM base
+       |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w
+       |        FROM documents WHERE $where)),
+       |langq$suffix AS (
+       |  SELECT doc_id, text FROM base$suffix
        |  WHERE (CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
        |              WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
        |              WHEN n_es >= n_de THEN 'es'
        |              ELSE 'de' END) = 'en'
        |    AND n_tokens >= 10 AND n_tokens <= 1000
        |    AND n_stop / n_tokens >= 0.02),
-       |exact AS (
-       |  SELECT doc_id, text FROM langq
+       |exact$suffix AS (
+       |  SELECT doc_id, text FROM langq$suffix
        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-       |sh2 AS (
+       |sh2$suffix AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(generate_series(1, len(w)-2),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exact)
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM exact$suffix)
        |  WHERE len(w) >= 3),
-       |losers AS (
+       |losers$suffix AS (
        |  SELECT DISTINCT b.doc_id AS doc_id
-       |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       |  FROM sh2$suffix a JOIN sh2$suffix b ON a.doc_id < b.doc_id
        |  WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s))),
-       |surv AS (
-       |  SELECT doc_id, text FROM exact
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))""".stripMargin
+       |surv$suffix AS (
+       |  SELECT doc_id, text FROM exact$suffix
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers$suffix))""".stripMargin
   }
+
+  lazy val corpusSurvivorCtes: String = corpusSurvivorCtesFor("", "TRUE")
 
   /** Deterministic train/val/test split: assignment is a pure function of
     * content-stable id hash (md5 % 100 → 90/5/5), so membership never

@@ -54,6 +54,10 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Does a table exist at `path`? (One namenode call.) */
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
   /** Small-file compaction: rewrite a table (or ONE partition directory of
     * a partitioned table) into `ceil(rows / targetRowsPerFile)` files, with
     * [[swapCommit]]'s crash guarantees. Incremental appends and streaming

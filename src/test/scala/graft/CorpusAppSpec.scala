@@ -57,6 +57,32 @@ class CorpusAppSpec extends AnyFunSuite with SharedSpark {
     assert(totals.getLong(1) == direct.getLong(1))
   }
 
+  test("append: init + batch covers the same survivor set; old positions never move; rerun is a no-op") {
+    val out = Files.createTempDirectory("graft-corpus-spec").toString
+    CorpusApp.build(spark, sf, out, pred = col("doc_id") % 2 === 0)
+    val phase1 = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    CorpusApp.append(spark, sf, out, batchId = "b1", pred = col("doc_id") % 2 === 1)
+    val after = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every phase-1 row kept its exact position
+    phase1.foreach { case (id, p) => assert(after(id) == p) }
+    // appended rows occupy max(phase1)+1 .. n contiguously
+    assert(after.values.toSeq.sorted == (1L to after.size.toLong))
+
+    // same batch id again: ledger-gated full no-op (data AND manifest)
+    CorpusApp.append(spark, sf, out, batchId = "b1", pred = col("doc_id") % 2 === 1)
+    assert(spark.read.parquet(s"$out/corpus").count() == after.size.toLong)
+
+    // the exact-fp history gate held: no content fingerprint appears twice
+    val c = spark.read.parquet(s"$out/corpus")
+    assert(c.select("fp").distinct().count() == c.count())
+    // manifest tracked the cumulative raw count across both phases
+    assert(spark.read.parquet(s"$out/manifest").head().getAs[Long]("n_raw") ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("rebuild over the same input is byte-identical (restartability contract)") {
     val a = build()
     val b = build()
