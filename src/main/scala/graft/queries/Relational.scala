@@ -443,6 +443,26 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** Skew-salted join + salted exact count-distinct over the WORST skew
+    * shape: `event_type` has a handful of values, each a scale-
+    * proportional share of the events table, so an unsalted shuffle join
+    * or count-distinct on it puts the whole corpus on ≤ #types reducers —
+    * the skew AQE's sort-merge-only split cannot fix when the plan is a
+    * hash join or an aggregate. [[graft.operators.Salted]] re-keys both
+    * shuffles on (event_type, hash(user_id) mod 8); the salt never
+    * reaches the output, so the result is byte-identical to the unsalted
+    * semantics the oracle computes. The shuffle_hash hint models the
+    * 100-TB case where the dim outgrows broadcast. */
+  def q90SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"))
+    val dim = graft.operators.Salted.countDistinctSkewed(
+      ev, Seq("event_type"), "user_id", salt = 8, out = "n_users")
+    graft.operators.Salted.joinSkewed(
+      ev, dim.hint("shuffle_hash"), Seq("event_type"), salt = 8, saltBy = col("user_id"))
+      .groupBy("event_type", "n_users")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -472,7 +492,8 @@ object Relational {
     "q59_json_extract" -> (q59JsonExtract _),
     "q77_retention_cohorts" -> (q77RetentionCohorts _),
     "q79_funnel" -> (q79Funnel _),
-    "q86_scd2_dim" -> (q86Scd2Dim _))
+    "q86_scd2_dim" -> (q86Scd2Dim _),
+    "q90_salted_join" -> (q90SaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -562,6 +583,13 @@ object Relational {
         |SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS offset_days,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q90_salted_join" ->
+      """WITH d AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, d.n_users, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events e JOIN d USING (event_type)
         |GROUP BY 1, 2""".stripMargin,
     "q86_scd2_dim" ->
       """WITH feed AS (
