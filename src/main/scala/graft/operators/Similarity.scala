@@ -279,4 +279,45 @@ object Similarity {
       .agg(max(struct(col("__cos"), (-col("nn_id")).as("__nid"))).as("__best"))
       .select(col("vec_id"), (-col("__best.__nid")).as("nn_id"))
   }
+
+  /** Multi-probe IVF search — the recall dial a production IVF index
+    * turns: candidates still sit ONLY in their argmax cell (the index is
+    * built once, nprobe=1), but each QUERY fans out to its `nprobe` best
+    * cells, recovering the neighbors that landed just across a cell
+    * boundary. Cost scales linearly in nprobe (probe rows × cell size —
+    * the equi-join stays Σ nprobe·cell², never n²); recall approaches
+    * brute force as nprobe → #cells.
+    *
+    * Same exactness discipline as [[bucketedNearestNeighbor]]: hoisted
+    * norms, one codegen'd dot per candidate pair, per-probe top-1 as a
+    * map-side-combining `max(struct)` aggregate with the (cos DESC, id
+    * ASC) tie-break. Probe-cell selection reuses the argmax ordering
+    * ([[ivfAssign]]'s (cos, -j) struct order), so rank-1 probe == the
+    * assignment cell, and ties prefer the lower cell index — both
+    * reproducible by an independent engine's `ORDER BY cos DESC, j`. */
+  def multiProbeNearestNeighbor(emb: DataFrame, idCol: String, vecCol: String,
+                                centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val k = centroids.length
+    require(nprobe >= 1 && nprobe <= k, s"nprobe in [1, $k]")
+    val scored = array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(cosine(col(vecCol), typedLit(c)).as("c"), lit(-j).as("nj"))
+    }: _*)
+    val normed = emb.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__norm"),
+      array_sort(scored).as("__scored")) // ascending (cos, nj): last = argmax
+    val cand = normed.select(
+      (-element_at(col("__scored"), k).getField("nj")).as("__bkt"),
+      col(idCol).as("nn_id"), col(vecCol).as("__vb"), col("__norm").as("__nb"))
+    val probes = normed.select(col(idCol).as("vec_id"), col(vecCol).as("__va"),
+      col("__norm").as("__na"),
+      explode(slice(col("__scored"), k - nprobe + 1, nprobe)).as("__p"))
+      .select(col("vec_id"), col("__va"), col("__na"), (-col("__p.nj")).as("__bkt"))
+    probes.join(cand, "__bkt")
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("__cos"), (-col("nn_id")).as("__nid"))).as("__best"))
+      .select(col("vec_id"), (-col("__best.__nid")).as("nn_id"))
+  }
 }

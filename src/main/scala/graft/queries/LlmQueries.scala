@@ -120,6 +120,15 @@ object LlmQueries {
     Similarity.ivfNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
 
+  /** q46's trained IVF with the recall dial turned to nprobe=2: same
+    * quantizer, each query probes its two best cells. */
+  def q91MultiprobeNn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
+    Similarity.multiProbeNearestNeighbor(emb, "vec_id", "embedding", centroids, nprobe = 2)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Byte-level decode of binary image payloads (typed mapPartitions); the
@@ -895,7 +904,8 @@ object LlmQueries {
     "q84_kmeans_iteration" -> (q84KmeansIteration _),
     "q85_normalize_dedup" -> (q85NormalizeDedup _),
     "q87_ngram_boilerplate" -> (q87NgramBoilerplate _),
-    "q88_bpe_tokens" -> (q88BpeTokens _))
+    "q88_bpe_tokens" -> (q88BpeTokens _),
+    "q91_multiprobe_nn" -> (q91MultiprobeNn _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1481,5 +1491,16 @@ object LlmQueries {
         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
         |  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS bpe_per_ws
-        |FROM t GROUP BY source""".stripMargin)
+        |FROM t GROUP BY source""".stripMargin,
+    "q91_multiprobe_nn" ->
+      s"""WITH $ivfAssignCtes,
+         |probes AS (
+         |  SELECT vec_id, embedding, j FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) <= 2),
+         |nn AS (
+         |  SELECT DISTINCT p.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${cosSql("p.embedding", "b.embedding")} AS cos
+         |  FROM probes p JOIN assign b ON p.j = b.j AND p.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id FROM nn
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin)
 }

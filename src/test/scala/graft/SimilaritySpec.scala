@@ -144,4 +144,24 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(nn(7L) == 0L || nn(7L) == 10L)
     assert(nn(8L) == 20L || nn(8L) == 30L)
   }
+
+  test("multiProbeNearestNeighbor: nprobe=#cells recovers brute-force NN exactly") {
+    // 45 degrees apart: each vector's true NN can sit in the OTHER cell,
+    // so nprobe=1 misses it and nprobe=k must find it
+    val d = emb(
+      (0L, Seq(1f, 0f), 0), (10L, Seq(0f, 1f), 0),
+      (1L, Seq(0.8f, 0.6f), 0), (2L, Seq(0.6f, 0.8f), 0))
+    val cents = Similarity.trainCentroidsLite(d, "vec_id", "embedding",
+      k = 2, sampleMod = 10L, maxSample = 100)
+    val full = Similarity.multiProbeNearestNeighbor(d, "vec_id", "embedding", cents, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
+    // brute-force truth: 1 and 2 are each other's NN (cos = .96) even if
+    // the quantizer puts them in different cells
+    assert(full(1L) == 2L && full(2L) == 1L)
+    // candidates come from argmax cells only: every probe still finds SOME
+    // neighbor, and nprobe=1 equals the single-cell search
+    val one = Similarity.multiProbeNearestNeighbor(d, "vec_id", "embedding", cents, nprobe = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
+    assert(one.keySet == full.keySet)
+  }
 }
