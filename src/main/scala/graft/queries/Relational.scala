@@ -463,6 +463,29 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Declarative data-quality gate (the Deequ-style pre-publish check a
+    * warehouse write runs): four constraints — key uniqueness, 99%
+    * date completeness, price non-negativity, status domain membership —
+    * computed in ONE partial-aggregating pass over the table (count /
+    * count-distinct / conditional counts all combine map-side), then
+    * unpivoted to a per-check report row with `stack` (no re-scan per
+    * check — the agg row is 1 row). Verdicts are integer arithmetic
+    * (`100*nn >= 99*n`), never float-rate compares. */
+  def q92QualityChecks(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("uk"),
+      count(col("o_orderdate")).as("nn"),
+      count(when(col("o_totalprice") >= 0, 1)).as("pp"),
+      count(when(col("o_orderstatus").isin("O", "F", "P"), 1)).as("st"))
+    .select(expr(
+      """stack(4,
+        |  'unique_orderkey',    uk, n, uk = n,
+        |  'orderdate_complete', nn, n, 100 * nn >= 99 * n,
+        |  'price_nonnegative',  pp, n, pp = n,
+        |  'status_in_domain',   st, n, st = n)
+        |  AS (check_name, value_num, value_den, passed)""".stripMargin))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -493,7 +516,8 @@ object Relational {
     "q77_retention_cohorts" -> (q77RetentionCohorts _),
     "q79_funnel" -> (q79Funnel _),
     "q86_scd2_dim" -> (q86Scd2Dim _),
-    "q90_salted_join" -> (q90SaltedJoin _))
+    "q90_salted_join" -> (q90SaltedJoin _),
+    "q92_quality_checks" -> (q92QualityChecks _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -584,6 +608,21 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q92_quality_checks" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS uk,
+        |    CAST(count(o_orderdate) AS BIGINT) AS nn,
+        |    CAST(count(CASE WHEN o_totalprice >= 0 THEN 1 END) AS BIGINT) AS pp,
+        |    CAST(count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS BIGINT) AS st
+        |  FROM orders)
+        |SELECT 'unique_orderkey' AS check_name, uk AS value_num, n AS value_den, uk = n AS passed FROM m
+        |UNION ALL
+        |SELECT 'orderdate_complete', nn, n, 100 * nn >= 99 * n FROM m
+        |UNION ALL
+        |SELECT 'price_nonnegative', pp, n, pp = n FROM m
+        |UNION ALL
+        |SELECT 'status_in_domain', st, n, st = n FROM m""".stripMargin,
     "q90_salted_join" ->
       """WITH d AS (
         |  SELECT event_type, count(DISTINCT user_id) AS n_users

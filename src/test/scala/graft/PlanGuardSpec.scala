@@ -37,7 +37,7 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
-  private val scaleKeys = Set("source", "lang")
+  private val scaleKeys = Set("source", "lang", "event_type")
 
   /** q41 executes a full AvailableNow stream inside the query function —
     * there is no lazy plan to inspect (its operators are covered by
