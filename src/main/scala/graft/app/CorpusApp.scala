@@ -35,16 +35,13 @@ object CorpusApp {
 
   /** Survivor rows of one cleaned batch, in the corpus schema minus
     * position/shard (plus the 60-bit order hash `__h`). */
-  private def cleanBatch(spark: SparkSession, rawDir: String,
-                         pred: org.apache.spark.sql.Column): DataFrame = {
-    val docs = Tables.documents(spark, rawDir)
-    graft.queries.LlmQueries.corpusSurvivors(spark, rawDir, pred)
-      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+  private def cleanBatch(batch: DataFrame): DataFrame =
+    graft.queries.LlmQueries.corpusSurvivorsOf(batch)
+      .join(batch.select("doc_id", "source", "lang"), "doc_id")
       .select(col("doc_id"), col("source"), col("lang"),
         md5(col("text")).as("fp"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         md5Long(col("doc_id").cast("string")).as("__h"))
-  }
 
   /** Applied-batch ledger (batch_id, n_raw) — the corpus counterpart of
     * the star schema's catchup ledger: what makes [[append]] idempotent
@@ -86,13 +83,14 @@ object CorpusApp {
 
   def build(spark: SparkSession, rawDir: String, outDir: String,
             pred: org.apache.spark.sql.Column = lit(true)): Unit = {
-    val survivors = cleanBatch(spark, rawDir, pred)
+    val batch = Tables.documents(spark, rawDir).filter(pred)
+    val survivors = cleanBatch(batch)
     val corpus = GlobalOrder.rank(survivors, "__h", "doc_id", out = "pos")
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
     Sinks.overwriteSwap(corpus, s"$outDir/corpus")
     spark.catalog.refreshByPath(s"$outDir/corpus")
-    val nRaw = Tables.documents(spark, rawDir).filter(pred).count()
+    val nRaw = batch.count()
     writeLedger(spark, outDir, Map("__init" -> nRaw))
     refreshDerived(spark, outDir, nRaw)
   }
@@ -120,22 +118,38 @@ object CorpusApp {
     * the data is safe — every row's fp is already in the corpus, so the
     * anti join would leave nothing to append. */
   def append(spark: SparkSession, rawDir: String, outDir: String,
-             batchId: String, pred: org.apache.spark.sql.Column): Unit = {
+             batchId: String, pred: org.apache.spark.sql.Column): Unit =
+    appendBatch(spark, outDir, batchId,
+      Tables.documents(spark, rawDir).filter(pred))
+
+  /** [[append]] over an arbitrary batch frame — the form a STREAMING
+    * ingest drives from `foreachBatch` (see
+    * [[graft.streaming.Streams.corpusIngest]]): Structured Streaming
+    * replays a failed micro-batch with the same batch id, and the ledger
+    * gate turns that at-least-once delivery into exactly-once corpus
+    * growth. The first batch creates the corpus (positions from 1). */
+  def appendBatch(spark: SparkSession, outDir: String, batchId: String,
+                  batch: DataFrame): Unit = {
     val applied = ledger(spark, outDir)
     if (applied.contains(batchId)) return
-    val existing = spark.read.parquet(s"$outDir/corpus")
+    val hasCorpus = Sinks.exists(spark, s"$outDir/corpus")
     // bounded driver read: current max position
-    val maxPos = existing.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
-    val fresh = cleanBatch(spark, rawDir, pred)
-      .join(existing.select("fp"), Seq("fp"), "left_anti")
+    val maxPos =
+      if (!hasCorpus) 0L
+      else spark.read.parquet(s"$outDir/corpus")
+        .agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
+    val cleaned = cleanBatch(batch)
+    val fresh =
+      if (!hasCorpus) cleaned
+      else cleaned.join(
+        spark.read.parquet(s"$outDir/corpus").select("fp"), Seq("fp"), "left_anti")
     val ranked = GlobalOrder.rank(fresh, "__h", "doc_id", out = "pos0")
       .withColumn("pos", col("pos0") + maxPos)
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
     Sinks.append(ranked, s"$outDir/corpus")
     spark.catalog.refreshByPath(s"$outDir/corpus")
-    val nRawBatch = Tables.documents(spark, rawDir).filter(pred).count()
-    val entries = applied + (batchId -> nRawBatch)
+    val entries = applied + (batchId -> batch.count())
     writeLedger(spark, outDir, entries)
     refreshDerived(spark, outDir, nRaw = entries.values.sum)
   }

@@ -362,10 +362,15 @@ object LlmQueries {
     * [[graft.app.CorpusApp.append]]); every stage, including the
     * within-batch near-dup removal, then operates on that batch only. */
   def corpusSurvivors(s: SparkSession, dir: String,
-                      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+                      pred: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    corpusSurvivorsOf(Tables.documents(s, dir).filter(pred))
+
+  /** [[corpusSurvivors]] over an arbitrary batch frame (a streaming
+    * micro-batch, a file drop) — same pipeline, no table read. */
+  def corpusSurvivorsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
-    val scored = Tables.documents(s, dir).filter(pred)
+    val scored = docs
       .select(col("doc_id") +: col("text") +: size(t).cast("long").as("n_tokens") +:
         lexiconHits(t, stopwords).cast("long").as("n_stopwords") +: hits: _*)
       .withColumn("predicted_lang",

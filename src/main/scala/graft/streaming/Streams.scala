@@ -133,4 +133,27 @@ object Streams {
     q.awaitTermination()
     spark.table("graft_stream_hourly")
   }
+
+  /** STREAMING corpus ingest: raw document micro-batches drive
+    * [[graft.app.CorpusApp.appendBatch]] through `foreachBatch` — each
+    * batch is cleaned by the full verified pipeline, gated against the
+    * written corpus, and appended after the current max position.
+    * Structured Streaming's contract is at-least-once `foreachBatch`
+    * delivery with a STABLE batch id on replay; the corpus app's
+    * applied-batch ledger keyed on that id turns it into exactly-once
+    * corpus growth (a replayed batch is a full no-op — data, stats, and
+    * manifest). This is the same ledger the batch caller uses, so batch
+    * backfill and streaming ingest can share one corpus. */
+  def corpusIngest(stream: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.app.CorpusApp.appendBatch(
+          batch.sparkSession, outDir, s"stream-$id", batch.toDF())
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

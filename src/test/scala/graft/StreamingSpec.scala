@@ -48,6 +48,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(table).sort("k").as[(Long, String)].collect().toSeq == rows)
   }
 
+  test("corpusIngest: streamed batches grow the corpus exactly once; replay run is a no-op") {
+    val src = Files.createTempDirectory("graft-ci-src-").toString
+    val out = Files.createTempDirectory("graft-ci-out-").toString
+    val ckpt = Files.createTempDirectory("graft-ci-ck-").toString
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema = raw.schema
+    raw.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    Streams.corpusIngest(spark.readStream.schema(schema).parquet(src), out, ckpt)
+    val n1 = spark.read.parquet(s"$out/corpus").count()
+    assert(n1 > 0)
+
+    // second file drop: only the new batch is cleaned and appended
+    raw.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    Streams.corpusIngest(spark.readStream.schema(schema).parquet(src), out, ckpt)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val n2 = corpus.count()
+    assert(n2 > n1)
+    // growth appended: positions stay a total 1..n rank, fps stay unique
+    val agg = corpus.agg(min("pos"), max("pos"), countDistinct("pos"),
+      countDistinct("fp")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n2 &&
+      agg.getLong(2) == n2 && agg.getLong(3) == n2)
+
+    // rerun with no new files: checkpoint + ledger leave everything unchanged
+    Streams.corpusIngest(spark.readStream.schema(schema).parquet(src), out, ckpt)
+    assert(spark.read.parquet(s"$out/corpus").count() == n2)
+    assert(spark.read.parquet(s"$out/manifest").head().getAs[Long]("n_raw") == raw.count())
+  }
+
   test("stream-static join enriches a stream with a batch dimension per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
