@@ -51,6 +51,19 @@ object GraftFunctions {
       TopKByScore(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** Bloom-filter build over a BIGINT key column (see [[BloomBuildAgg]]). */
+  def bloomBuild(key: Column, numBits: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      BloomBuildAgg(GraftSqlBridge.expression(key), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against built bloom bytes (see [[BloomMightContain]]);
+    * the bytes become a plan literal — bounded by numBits, not data. */
+  def bloomMightContain(value: Column, bloom: Array[Byte], numHashes: Int): Column =
+    GraftSqlBridge.column(
+      BloomMightContain(GraftSqlBridge.expression(value),
+        GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(bloom)), numHashes))
+
   private[expressions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -92,6 +105,21 @@ object GraftFunctions {
           HistQuantile(value, w.toLong, m, q).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_hist_quantile(value, width, maxBuckets, qPercent) needs literal int parameters")
+      }),
+    (new FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_build"),
+      (children: Seq[Expression]) => children match {
+        case Seq(key, IntegerLiteral(m), IntegerLiteral(k)) =>
+          BloomBuildAgg(key, m, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_build(key, numBits, numHashes) needs literal int parameters")
+      }),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(value, bloom, IntegerLiteral(k)) => BloomMightContain(value, bloom, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_contains(value, bloom, numHashes) needs a literal int numHashes")
       }),
     (new FunctionIdentifier("graft_top_k"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),

@@ -865,6 +865,31 @@ object LlmQueries {
         col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
   }
 
+  /** RAG-style document chunking: fixed 64-token windows on a 48-token
+    * stride (16-token overlap), the split a retrieval index or a
+    * context-window packer runs over every document. Pure per-doc narrow
+    * compute — tokenize once, generate the window starts with `sequence` +
+    * `posexplode` (codegen'd generator, no shuffle anywhere), slice each
+    * window out of the cached token array. Output rows are bounded by
+    * n_tokens/stride per doc and carry the chunk md5, not the text, so the
+    * oracle hash pins every chunk's exact content while the result stays
+    * small. At 100 TB this is scan-shaped: chunking cost is linear in the
+    * corpus and embarrassingly parallel. */
+  def q95DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val win = 64L
+    val stride = 48L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0L), col("n") - 1, lit(stride))).as(Seq("chunk_idx", "off")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(win), col("n") - col("off")).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), (col("off") + 1).cast("int"), lit(win.toInt))))
+          .as("chunk_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -910,7 +935,8 @@ object LlmQueries {
     "q85_normalize_dedup" -> (q85NormalizeDedup _),
     "q87_ngram_boilerplate" -> (q87NgramBoilerplate _),
     "q88_bpe_tokens" -> (q88BpeTokens _),
-    "q91_multiprobe_nn" -> (q91MultiprobeNn _))
+    "q91_multiprobe_nn" -> (q91MultiprobeNn _),
+    "q95_doc_chunks" -> (q95DocChunks _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1507,5 +1533,18 @@ object LlmQueries {
          |    ${cosSql("p.embedding", "b.embedding")} AS cos
          |  FROM probes p JOIN assign b ON p.j = b.j AND p.vec_id <> b.vec_id)
          |SELECT vec_id, nn_id FROM nn
-         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin)
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
+    // range(0, n, 48) (end-exclusive) = sequence(0, n-1, 48) (end-inclusive);
+    // list_slice clamps at the list end exactly like Spark's slice
+    "q95_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS off FROM t)
+        |SELECT doc_id, CAST(off // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(least(64, n - off) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, off + 1, off + 64), ' ')) AS chunk_md5
+        |FROM c""".stripMargin)
 }

@@ -486,6 +486,65 @@ object Relational {
         |  'status_in_domain',   st, n, st = n)
         |  AS (check_name, value_num, value_den, passed)""".stripMargin))
 
+  /** Bloom-pruned semi-join ([[graft.expressions.BloomBuildAgg]] /
+    * [[graft.expressions.BloomMightContain]]): the flagged-orders dim is
+    * folded into a fixed 2¹⁶-bit bloom (8 KB regardless of row count — size
+    * m ≈ 14·n bits for the expected key count at target scale), collected
+    * to the driver (bounded by numBits, never by data), and probed as a
+    * codegen'd filter on lineitem BEFORE the join's exchange — rows that
+    * cannot join never enter the shuffle. At 100 TB this is the case where
+    * the build side outgrows broadcast (the probe literal stays 8 KB when
+    * the dim is millions of keys) and the shuffle would otherwise carry the
+    * full fact. False positives are removed by the exact join that
+    * follows, so the result — and the oracle, a plain join — are exact. */
+  def q94BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val flagged = orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val bloom = flagged
+      .agg(graft.expressions.GraftFunctions.bloomBuild(col("o_orderkey"), 1 << 16, 5).as("bits"))
+      .head.getAs[Array[Byte]]("bits")
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(graft.expressions.GraftFunctions.bloomMightContain(col("l_orderkey"), bloom, 5))
+      .join(flagged, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+  }
+
+  /** CDC ordered-merge apply ([[graft.operators.Cdc]]): a Debezium-style
+    * change batch — several changes per key, out of order, upserts AND
+    * deletes — merged into the orders table in one pass. The feed here is
+    * synthesized deterministically from the data (test scaffolding — a real
+    * deployment reads the feed as its own table): updates to every 7th key
+    * (price +10), deletes of keys ≡1 (mod 7), a LATER delete superseding
+    * the update on keys ≡0 (mod 21), a later re-upsert (status X)
+    * resurrecting half the deleted keys, and brand-new keys (status N)
+    * offset by 10⁸. Exercises: latest-per-key wins across seq numbers,
+    * delete-after-update, update-after-delete, pure insert. The output
+    * aggregates the FINAL table state per status so any mis-merge shifts
+    * counts, exact-decimal revenue, or the max key. */
+  def q93CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir)
+    val k = col("o_orderkey")
+    def tag(df: DataFrame, seq: Long, op: String) =
+      df.withColumn("__seq", lit(seq)).withColumn("__op", lit(op))
+    val changes =
+      tag(base.filter(k % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(10.0)), 1L, "U")
+        .unionByName(tag(base.filter(k % 7 === 1), 1L, "D"))
+        .unionByName(tag(base.filter(k % 21 === 0), 2L, "D"))
+        .unionByName(tag(base.filter(k % 14 === 1)
+          .withColumn("o_orderstatus", lit("X")), 2L, "U"))
+        .unionByName(tag(base.filter(k % 97 === 0)
+          .withColumn("o_orderkey", k + lit(100000000L))
+          .withColumn("o_orderstatus", lit("N")), 1L, "U"))
+    graft.operators.Cdc.applyChanges(base, changes, Seq("o_orderkey"), "__seq", "__op")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -517,7 +576,9 @@ object Relational {
     "q79_funnel" -> (q79Funnel _),
     "q86_scd2_dim" -> (q86Scd2Dim _),
     "q90_salted_join" -> (q90SaltedJoin _),
-    "q92_quality_checks" -> (q92QualityChecks _))
+    "q92_quality_checks" -> (q92QualityChecks _),
+    "q93_cdc_apply" -> (q93CdcApply _),
+    "q94_bloom_join" -> (q94BloomJoin _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -623,6 +684,53 @@ object Relational {
         |SELECT 'price_nonnegative', pp, n, pp = n FROM m
         |UNION ALL
         |SELECT 'status_in_domain', st, n, st = n FROM m""".stripMargin,
+    // the bloom is pruning-only (false positives die in the exact join), so
+    // the oracle is the plain join the query is semantically equal to
+    "q94_bloom_join" ->
+      """SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN (SELECT o_orderkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F') o
+        |  ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // the change feed is rebuilt with the same deterministic arithmetic;
+    // latest-per-key via QUALIFY (seq unique per key by construction, so
+    // ORDER BY seq DESC alone fixes the winner)
+    "q93_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10 AS o_totalprice,
+        |         o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 1, 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 2, 'D'
+        |  FROM orders WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'X', o_totalprice,
+        |         o_orderdate, o_orderpriority, 2, 'U'
+        |  FROM orders WHERE o_orderkey % 14 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |         o_orderdate, o_orderpriority, 1, 'U'
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |latest AS (
+        |  SELECT * FROM chg
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
+        |fin AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM latest WHERE op <> 'D')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM fin GROUP BY 1""".stripMargin,
     "q90_salted_join" ->
       """WITH d AS (
         |  SELECT event_type, count(DISTINCT user_id) AS n_users
