@@ -323,6 +323,50 @@ object Dedup {
       .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
   }
 
+  /** Asymmetric EXACT containment pairs — C(A→B) = |A∩B| / |A| ≥ t — the
+    * quote/excerpt detector: finds documents whose shingle set lives
+    * (almost) entirely inside another document's, which symmetric Jaccard
+    * misses whenever |B| ≫ |A| (an excerpt of a long doc has tiny Jaccard
+    * but containment 1). Same AllPairs skeleton as
+    * [[jaccardPairsExactOnSets]] with the asymmetric prefix theorem:
+    * C ≥ t needs |A∩B| ≥ ceil(t·|A|), which depends only on A — so only
+    * the PROBE side gets a rarest-(df,shingle)-first prefix of length
+    * |A| − ceil(t·|A|) + 1, while the indexed side must carry every
+    * shingle (a contained doc may match any part of its container; that
+    * full inverted index is containment's inherent price, linear in corpus
+    * shingle volume — the same index TF-IDF search builds). Size filter:
+    * |A∩B| ≤ |B| forces den·|B| ≥ num·|A|. Exact verify against the full
+    * sets, integer threshold arithmetic. Returns (id_a, id_b, n_common,
+    * sz_a) with id_a the contained side; recall 1.0 by the prefix-filter
+    * argument, per-doc windows bounded by shingles-per-doc. */
+  def containmentPairsExact(sets: DataFrame,
+                            thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    val dfCounts = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val plen = (col("sz") -
+      floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    val probe = inv.join(dfCounts, "sh")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= plen)
+      .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val index = inv.select(col("sh"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    val cands = probe.join(index, Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("sz_b") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("sz_a"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        col("sz_a").cast("long").as("sz_a"))
+      .filter(col("n_common") * thresholdDen >= col("sz_a") * thresholdNum)
+  }
+
   /** 60-bit SimHash over (multiset) whitespace tokens, md5-based (first 15
     * hex chars) so the oracle can recompute it. Explode + ONE grouped
     * native aggregate ([[graft.expressions.SimhashAgg]]): the 60 bit

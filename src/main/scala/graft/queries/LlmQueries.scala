@@ -890,6 +890,28 @@ object LlmQueries {
           .as("chunk_md5"))
   }
 
+  /** Excerpt/quote detection via asymmetric exact containment
+    * ([[Dedup.containmentPairsExact]]): corpus plus a deterministic excerpt
+    * — the first max(3, ⌊3n/5⌋) tokens, re-keyed +2·10⁶ — of every 5th
+    * doc. Containment |A∩B|/|A| ≥ 9/10 recovers every excerpt→source edge
+    * even though each excerpt's JACCARD against its source is far below
+    * any near-dup threshold (the q42 operator is structurally blind to
+    * subset relations when the container is long — this operator is the
+    * complement). The oracle is the all-pairs quadratic scan the prefix
+    * index provably equals. */
+  def q96Containment(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = d
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("n", size(col("w")))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(col("w"), lit(1),
+          expr("greatest(3, (n * 3) div 5)").cast("int"))).as("text"))
+    val sets = Dedup.shingleSets(d.unionByName(excerpts), "doc_id", "text", 3)
+    Dedup.containmentPairsExact(sets, 9, 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -936,7 +958,8 @@ object LlmQueries {
     "q87_ngram_boilerplate" -> (q87NgramBoilerplate _),
     "q88_bpe_tokens" -> (q88BpeTokens _),
     "q91_multiprobe_nn" -> (q91MultiprobeNn _),
-    "q95_doc_chunks" -> (q95DocChunks _))
+    "q95_doc_chunks" -> (q95DocChunks _),
+    "q96_containment" -> (q96Containment _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1546,5 +1569,27 @@ object LlmQueries {
         |SELECT doc_id, CAST(off // 48 AS BIGINT) AS chunk_idx,
         |  CAST(least(64, n - off) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(list_slice(toks, off + 1, off + 64), ' ')) AS chunk_md5
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    // all-pairs quadratic containment scan — the semantics the prefix-
+    // filtered index provably equals (recall 1.0), affordable only at
+    // oracle fixture size
+    "q96_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(w, 1, greatest(3, (len(w) * 3) // 5)), ' ') AS text
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+        |  CAST(len(a.s) AS BIGINT) AS sz_a
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * len(a.s)""".stripMargin)
 }

@@ -545,6 +545,45 @@ object Relational {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** Build the two-version snapshot fixture once per (JVM, sf dir): v1 =
+    * per-user event counts EXCLUDING event_id ≡ 0 (mod 3), v2 = counts
+    * over everything — two real [[graft.sources.Sinks.writeSnapshot]]
+    * commits to a temp table, so version isolation, the `_latest` marker,
+    * and the read-back path are all under oracle test. */
+  @volatile private var snapCache: Map[String, String] = Map.empty
+  private def snapshotTable(s: SparkSession, dir: String): String = synchronized {
+    snapCache.getOrElse(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/user_counts"
+      val ev = events(s, dir).select(col("user_id"), col("event_id"))
+      graft.sources.Sinks.writeSnapshot(
+        ev.filter(col("event_id") % 3 =!= 0).groupBy("user_id")
+          .agg(count(lit(1)).as("n")), p)
+      graft.sources.Sinks.writeSnapshot(
+        ev.groupBy("user_id").agg(count(lit(1)).as("n")), p)
+      snapCache += dir -> p
+      p
+    })
+  }
+
+  /** Snapshot time-travel diff — the audit query a versioned warehouse
+    * exists for: "what changed for each user between snapshot v1 and
+    * now?". Reads version 1 PINNED and the latest via the `_latest`
+    * marker ([[graft.sources.Sinks.readSnapshot]]), joins on the key, and
+    * emits per-user deltas. The oracle recomputes both versions straight
+    * from the raw events table, so a broken commit, a version directory
+    * bleeding rows into another, or a stale marker all break the hash. */
+  def q97SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTable(s, dir)
+    val v1 = graft.sources.Sinks.readSnapshot(s, p, 1)
+      .select(col("user_id"), col("n").as("n_v1"))
+    val v2 = graft.sources.Sinks.readSnapshot(s, p)
+      .select(col("user_id"), col("n").as("n_v2"))
+    v2.join(v1, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_v2"),
+        (col("n_v2") - coalesce(col("n_v1"), lit(0L))).as("delta"))
+      .filter(col("delta") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -578,7 +617,8 @@ object Relational {
     "q90_salted_join" -> (q90SaltedJoin _),
     "q92_quality_checks" -> (q92QualityChecks _),
     "q93_cdc_apply" -> (q93CdcApply _),
-    "q94_bloom_join" -> (q94BloomJoin _))
+    "q94_bloom_join" -> (q94BloomJoin _),
+    "q97_snapshot_diff" -> (q97SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -684,6 +724,18 @@ object Relational {
         |SELECT 'price_nonnegative', pp, n, pp = n FROM m
         |UNION ALL
         |SELECT 'status_in_domain', st, n, st = n FROM m""".stripMargin,
+    // both snapshot versions recomputed from raw events — the engine reads
+    // them back from the WRITTEN versioned table
+    "q97_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT user_id, count(*) AS n FROM events
+        |  WHERE event_id % 3 <> 0 GROUP BY 1),
+        |v2 AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT v2.user_id, CAST(coalesce(v1.n, 0) AS BIGINT) AS n_v1,
+        |  CAST(v2.n AS BIGINT) AS n_v2,
+        |  CAST(v2.n - coalesce(v1.n, 0) AS BIGINT) AS delta
+        |FROM v2 LEFT JOIN v1 USING (user_id)
+        |WHERE v2.n - coalesce(v1.n, 0) > 0""".stripMargin,
     // the bloom is pruning-only (false positives die in the exact join), so
     // the oracle is the plain join the query is semantically equal to
     "q94_bloom_join" ->

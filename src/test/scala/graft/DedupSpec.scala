@@ -152,6 +152,44 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(out == expected)
   }
 
+  test("containmentPairsExact equals brute-force all-pairs and catches what Jaccard misses") {
+    // long base docs + short excerpts (first 8 words): containment(excerpt
+    // -> source) = 1.0 while Jaccard is ~6/20 — structurally invisible to
+    // the symmetric operator
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (1L to 20L).map { id =>
+      id -> (0 until 22).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val excerpts = base.take(6).map { case (id, t) =>
+      (id + 100, t.split(" ").take(8).mkString(" "))
+    }
+    val d = docs((base ++ excerpts): _*)
+    val sets = Dedup.shingleSets(d, "doc_id", "text", 3)
+
+    val out = Dedup.containmentPairsExact(sets, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val expected = sets.as("x").crossJoin(sets.as("y"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("long").as("n_common"),
+        size(col("x.shingles")).cast("long").as("sz_a"))
+      .filter(col("n_common") * 10 >= col("sz_a") * 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(expected.nonEmpty, "test corpus seeded no containment pairs")
+    assert(out == expected)
+    // every seeded excerpt edge surfaced, and none survives a 4/5 JACCARD check
+    val jacc = Dedup.jaccardPairsExact(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    excerpts.foreach { case (eid, _) =>
+      assert(out.exists(p => p._1 == eid && p._2 == eid - 100))
+      assert(!jacc.contains((eid - 100, eid)) && !jacc.contains((eid, eid - 100)))
+    }
+  }
+
   test("jaccardPairsExact stays exact on a deliberately skewed corpus (hot shared shingles)") {
     // every doc shares the same hot 6-word prefix (one shingle posting list
     // holds the ENTIRE corpus — the worst skew the index join can see),

@@ -159,6 +159,40 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(before == after && before.size == 2)
   }
 
+  test("snapshots: versions are immutable, latest follows the marker") {
+    val path = s"$tmpDir/snap"
+    assert(Sinks.writeSnapshot(Seq((1, "a")).toDF("k", "v"), path) == 1)
+    assert(Sinks.writeSnapshot(Seq((1, "a2"), (2, "b")).toDF("k", "v"), path) == 2)
+    assert(Sinks.snapshotVersions(spark, path) == Seq(1, 2))
+    assert(Sinks.readSnapshot(spark, path, 1).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(Sinks.readSnapshot(spark, path).sort("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a2"), (2, "b")))
+    // a third write changes latest but not the pinned past
+    Sinks.writeSnapshot(Seq((9, "z")).toDF("k", "v"), path)
+    assert(Sinks.readSnapshot(spark, path, 1).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((9, "z")))
+  }
+
+  test("snapshots: an orphan version dir (crashed commit) is skipped, never reused") {
+    val path = s"$tmpDir/snap"
+    Sinks.writeSnapshot(Seq((1, "a")).toDF("k", "v"), path)
+    // simulate a crash AFTER the v-dir rename but BEFORE the marker commit
+    new java.io.File(s"$path/v=00002").mkdirs()
+    // latest still resolves to the committed v1
+    assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // the next write must number PAST the orphan (no silent overwrite)
+    assert(Sinks.writeSnapshot(Seq((2, "b")).toDF("k", "v"), path) == 3)
+    assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((2, "b")))
+  }
+
+  test("snapshots: missing marker falls back to the highest committed version") {
+    val path = s"$tmpDir/snap"
+    Sinks.writeSnapshot(Seq((1, "a")).toDF("k", "v"), path)
+    Sinks.writeSnapshot(Seq((2, "b")).toDF("k", "v"), path)
+    new java.io.File(s"$path/_latest").delete()
+    assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((2, "b")))
+  }
+
   test("deleteByKey removes exactly the victims; rerun is a no-op") {
     val path = s"$tmpDir/t"
     Sinks.overwriteSwap(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
