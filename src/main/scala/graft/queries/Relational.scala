@@ -584,6 +584,42 @@ object Relational {
       .filter(col("delta") > 0)
   }
 
+  /** Z-ordered events table, written once per (JVM, sf dir) via
+    * [[graft.operators.ZOrder.writeZOrdered]] on (user_id, day). */
+  @volatile private var zCache: Map[String, String] = Map.empty
+  private def zTable(s: SparkSession, dir: String): String = synchronized {
+    zCache.getOrElse(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-z").toString + "/events_z"
+      val ev = events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("event_type"), col("value"))
+      graft.operators.ZOrder.writeZOrdered(ev, p, "user_id", "day", numFiles = 16)
+      zCache += dir -> p
+      p
+    })
+  }
+
+  /** Rectangle scan over the WRITTEN z-ordered table — the query shape
+    * z-ordering exists for: a predicate on BOTH clustering dimensions
+    * (a user band × a day band), served by parquet footer min/max
+    * skipping on files that are compact (user, day) rectangles (see
+    * [[graft.operators.ZOrder]]; ZOrderSpec proves the pruning geometry).
+    * Band bounds are derived from the table's own min/max with integer
+    * arithmetic so the oracle — which recomputes from RAW events —
+    * reproduces them exactly; any row lost or duplicated by the clustered
+    * rewrite breaks the hash. */
+  def q98ZOrderScan(s: SparkSession, dir: String): DataFrame = {
+    val t = s.read.parquet(zTable(s, dir))
+    val b = t.agg(min(col("user_id")), max(col("user_id")),
+      min(col("day")), max(col("day"))).head()
+    val (ul, uh, dl, dh) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (loU, hiU) = (ul + (uh - ul) / 5, ul + (2 * (uh - ul)) / 5)
+    val (loD, hiD) = (dl + (dh - dl) / 4, dl + (dh - dl) / 2)
+    t.filter(col("user_id").between(loU, hiU) && col("day").between(loD, hiD))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -618,7 +654,8 @@ object Relational {
     "q92_quality_checks" -> (q92QualityChecks _),
     "q93_cdc_apply" -> (q93CdcApply _),
     "q94_bloom_join" -> (q94BloomJoin _),
-    "q97_snapshot_diff" -> (q97SnapshotDiff _))
+    "q97_snapshot_diff" -> (q97SnapshotDiff _),
+    "q98_zorder_scan" -> (q98ZOrderScan _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -724,6 +761,23 @@ object Relational {
         |SELECT 'price_nonnegative', pp, n, pp = n FROM m
         |UNION ALL
         |SELECT 'status_in_domain', st, n, st = n FROM m""".stripMargin,
+    // rectangle bounds re-derived from raw events with the same floor-div
+    // arithmetic the engine runs on the written table's min/max
+    "q98_zorder_scan" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |         event_type, value
+        |  FROM events),
+        |b AS (
+        |  SELECT min(user_id) AS ul, max(user_id) AS uh,
+        |         min(day) AS dl, max(day) AS dh
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM ev, b
+        |WHERE user_id BETWEEN ul + (uh - ul) // 5 AND ul + (2 * (uh - ul)) // 5
+        |  AND day BETWEEN dl + (dh - dl) // 4 AND dl + (dh - dl) // 2
+        |GROUP BY 1""".stripMargin,
     // both snapshot versions recomputed from raw events — the engine reads
     // them back from the WRITTEN versioned table
     "q97_snapshot_diff" ->
