@@ -620,6 +620,36 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
   }
 
+  /** Temporal interval UNION per key — "total active time": each event
+    * opens a 30-minute activity interval, overlapping/touching intervals
+    * merge (gaps-and-islands: running `max(end)` over prior rows marks
+    * island starts, a running sum numbers them), and the answer is each
+    * user's merged-interval count and total covered micros — the metric
+    * raw `sum(duration)` double-counts whenever intervals overlap. All
+    * arithmetic is integer epoch-micros. The windows partition by
+    * user_id ordered by (ts, event_id): per-group size is one human's
+    * event history — bounded by behavior, not corpus scale (the same
+    * accepted shape as sessionization q54); island ids depend on the
+    * tie order but the per-user aggregate provably does not. */
+  def q99ActiveTime(s: SparkSession, dir: String): DataFrame = {
+    val gapMicros = 1800000000L // 30 min
+    val w = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+    val marked = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(gapMicros))
+      .withColumn("prev_end",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newi",
+        when(col("prev_end").isNull || col("st") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("newi")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("i_start"), max(col("en")).as("i_end"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("i_end") - col("i_start")).as("total_micros"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg" -> (q01GroupbyAgg _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -655,7 +685,8 @@ object Relational {
     "q93_cdc_apply" -> (q93CdcApply _),
     "q94_bloom_join" -> (q94BloomJoin _),
     "q97_snapshot_diff" -> (q97SnapshotDiff _),
-    "q98_zorder_scan" -> (q98ZOrderScan _))
+    "q98_zorder_scan" -> (q98ZOrderScan _),
+    "q99_active_time" -> (q99ActiveTime _))
 
   val oracles: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN vs the engine's union+window formulation:
@@ -761,6 +792,29 @@ object Relational {
         |SELECT 'price_nonnegative', pp, n, pp = n FROM m
         |UNION ALL
         |SELECT 'status_in_domain', st, n, st = n FROM m""".stripMargin,
+    "q99_active_time" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS st,
+        |    epoch_us(date_trunc('microseconds', ts)) + 1800000000 AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |i AS (
+        |  SELECT user_id, st, en,
+        |    sum(CASE WHEN prev_end IS NULL OR st > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY st, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, min(st) AS i_start, max(en) AS i_end
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(i_end - i_start) AS BIGINT) AS total_micros
+        |FROM g GROUP BY 1""".stripMargin,
     // rectangle bounds re-derived from raw events with the same floor-div
     // arithmetic the engine runs on the written table's min/max
     "q98_zorder_scan" ->

@@ -74,6 +74,24 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Watermarked stream-STREAM interval join — the attribution shape: each
+    * left event joins right events of the same key whose event time falls
+    * within [leftTs, leftTs + horizon]. Both inputs carry watermarks and
+    * the join condition bounds event-time distance in both directions —
+    * that bound is what lets Spark EXPIRE buffered join state (left rows
+    * are droppable `horizon`+watermark past their event time, right rows
+    * `watermark` past theirs); an unbounded-time stream-stream join would
+    * buffer both streams forever, the state-size failure mode at
+    * 100 TB/day. Inner-join rows emit as soon as both sides arrive. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         watermark: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
+          s"$rightTs <= $leftTs + INTERVAL $horizon"))
+
   /** Streaming exactly-once-per-key dedup: drop every record whose key was
     * already seen, keeping per-key state only within the event-time
     * watermark — the streaming half of the batch keyed dedup (A3) and what

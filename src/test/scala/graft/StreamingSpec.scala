@@ -13,6 +13,25 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
 
+  test("intervalJoinStream: purchases attribute to views within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Streams.intervalJoinStream(
+      views.toDF.toDF("v_user", "v_ts"), buys.toDF.toDF("b_user", "b_ts"),
+      "v_user", "b_user", "v_ts", "b_ts", watermark = "10 minutes", horizon = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ij_test")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    views.addData((1L, ts(1000)), (2L, ts(1000)))
+    buys.addData((1L, ts(1000 + 1800)), // 30 min later: in horizon
+      (2L, ts(1000 + 7200)),            // 2 h later: past horizon
+      (3L, ts(1200)))                   // no view for user 3
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_test").select("v_user").as[Long].collect().toSeq
+    assert(rows == Seq(1L))
+  }
+
   test("ingestAvailableNow ingests all files once; rerun with same checkpoint is a no-op") {
     val src = Files.createTempDirectory("graft-src-").toString
     val dst = Files.createTempDirectory("graft-dst-").toString + "/out"
