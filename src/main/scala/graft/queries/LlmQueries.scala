@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+import graft.operators.{Dedup, Multimodal, Pq, Similarity, Upsert}
 import graft.sources.Tables
 
 /** The LLM-training-data-pipeline operator suite (dedup, similarity search,
@@ -912,6 +912,22 @@ object LlmQueries {
     Dedup.containmentPairsExact(sets, 9, 10)
   }
 
+  /** Product-quantized ANN search ([[graft.operators.Pq]]): 64-dim
+    * embeddings → 4 subspaces × 4 centroids (codes compress 256 bytes of
+    * floats to 4 small ints; production would use M=8..16, K=256 — same
+    * machinery, bigger literals), ADC top-10 for the vec_id=7 query. The
+    * oracle RETRAINS every codebook, re-encodes the corpus, and rebuilds
+    * the query's distance table with the same fold arithmetic, so codes,
+    * ADC doubles, and ranking all match bit-for-bit. */
+  def q100PqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cbs = Pq.trainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 4, sampleMod = 10, maxSample = 1000)
+    val q = e.filter(col("vec_id") === 7).select(col("embedding")).first()
+      .getSeq[Float](0).toArray.map(_.toDouble) // one bounded driver read (1 row)
+    Pq.adcSearch(e, "vec_id", "embedding", q, cbs, excludeId = 7L, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
@@ -959,7 +975,8 @@ object LlmQueries {
     "q88_bpe_tokens" -> (q88BpeTokens _),
     "q91_multiprobe_nn" -> (q91MultiprobeNn _),
     "q95_doc_chunks" -> (q95DocChunks _),
-    "q96_containment" -> (q96Containment _))
+    "q96_containment" -> (q96Containment _),
+    "q100_pq_search" -> (q100PqSearch _))
 
   // ------------------------------------------------------------- oracles
 
@@ -978,6 +995,44 @@ object LlmQueries {
   private val pairsFrom =
     """FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s))""".stripMargin
+
+  /** Offset squared-L2 left-fold over a 16-long subspace of a float list
+    * against a double-list centroid — op order identical to [[Pq.l2]]. */
+  private def pqL2(vec: String, off: Int, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, 16), i -> " +
+      s"($vec[i + $off]::DOUBLE - $c[i]) * ($vec[i + $off]::DOUBLE - $c[i])), (x,y) -> x + y)"
+
+  /** Per-subspace PQ CTE chain (train + encode + query distance table),
+    * DuckDB mirror of [[Pq.trainCodebooks]] / [[Pq.codeCols]] at
+    * m=4, k=4, subLen=16, mod-10 sample capped at 1000. */
+  private def pqSubCtes(m: Int): String = {
+    val off = m * 16
+    s"""init_$m AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+       |    list_transform(generate_series(1, 16), i -> embedding[i + $off]::DOUBLE) AS c
+       |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 4)),
+       |sc0_$m AS (
+       |  SELECT s.vec_id, s.embedding, i.j, ${pqL2("s.embedding", off, "i.c")} AS d
+       |  FROM samp s CROSS JOIN init_$m i),
+       |as0_$m AS (
+       |  SELECT vec_id, embedding, j FROM sc0_$m
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) = 1),
+       |cl_$m AS (
+       |  SELECT j, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
+       |  FROM as0_$m GROUP BY j),
+       |tr_$m AS (
+       |  SELECT j, list_transform(generate_series(1, 16), d ->
+       |    list_reduce(list_transform(vs, v -> v[d + $off]::DOUBLE), (x,y) -> x + y) / n) AS c
+       |  FROM cl_$m),
+       |cb_$m AS (SELECT i.j, coalesce(t.c, i.c) AS c FROM init_$m i LEFT JOIN tr_$m t USING (j)),
+       |enc_$m AS (
+       |  SELECT e.vec_id, c.j FROM embeddings e CROSS JOIN cb_$m c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${pqL2("e.embedding", off, "c.c")} ASC, c.j ASC) = 1),
+       |dt_$m AS (
+       |  SELECT c.j, ${pqL2("q.embedding", off, "c.c")} AS d
+       |  FROM cb_$m c CROSS JOIN qv q)""".stripMargin
+  }
 
   /** Left-fold double dot product, same op order as [[Similarity.dot]]. */
   private def dotSql(a: String, b: String): String =
@@ -1591,5 +1646,19 @@ object LlmQueries {
         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
         |  CAST(len(a.s) AS BIGINT) AS sz_a
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-        |WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * len(a.s)""".stripMargin)
+        |WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * len(a.s)""".stripMargin,
+    "q100_pq_search" ->
+      s"""WITH samp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 1000),
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |${(0 until 4).map(pqSubCtes).mkString(",\n")}
+         |SELECT vec_id, d0.d + d1.d + d2.d + d3.d AS adc
+         |FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+         |  JOIN enc_2 e2 USING (vec_id) JOIN enc_3 e3 USING (vec_id)
+         |  JOIN dt_0 d0 ON d0.j = e0.j JOIN dt_1 d1 ON d1.j = e1.j
+         |  JOIN dt_2 d2 ON d2.j = e2.j JOIN dt_3 d3 ON d3.j = e3.j
+         |WHERE vec_id <> 7
+         |ORDER BY adc ASC, vec_id ASC
+         |LIMIT 10""".stripMargin)
 }
