@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise discipline: every query runs `SPARK_GRAFT_BENCH_REPS` times
   * (default 3) in INTERLEAVED passes — pass 1 runs all queries, then pass 2,
-  * then pass 3 — and the reported timing is the per-query MEDIAN, with the
-  * per-query MIN emitted alongside (`queries_min`). Interleaving decorrelates
+  * then pass 3 — and the reported timing is the per-query MEDIAN (also
+  * emitted explicitly as `queries_median`), with the per-query MIN
+  * (`queries_min`) and interquartile range (`queries_iqr`) alongside; the
+  * session cache is cleared between passes so persist()-ing queries pay
+  * their real cost every rep. Interleaving decorrelates
   * a transient box load from any one query's reps (back-to-back reps would
   * hand all three to the same spike); the median absorbs one bad pass, and
   * min is the cleanest floor estimate for regression attribution. Fixed-size
@@ -54,33 +57,56 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val failedSet = scala.collection.mutable.Set[String]()
-    for (_ <- 1 to reps; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failedSet += name
+    for (pass <- 1 to reps) {
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failedSet += name
+        }
       }
+      // queries that persist() intermediates (q42/q64/q74/q96/...) would
+      // otherwise serve passes 2+ from the session cache and read as
+      // near-free; every pass must pay the query's real cost
+      spark.sharedState.cacheManager.clearCache()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
+    // interquartile range via linear-interpolated quartiles — the per-query
+    // dispersion a regression gate can trust (min-vs-min hides noise; IQR
+    // says how much the median itself wobbles)
+    def iqr(xs: List[Double]): Double = {
+      val s = xs.sorted.toIndexedSeq
+      if (s.length < 2) return 0.0
+      def q(p: Double): Double = {
+        val pos = p * (s.length - 1)
+        val lo = pos.toInt
+        val hi = math.min(lo + 1, s.length - 1)
+        s(lo) + (pos - lo) * (s(hi) - s(lo))
+      }
+      q(0.75) - q(0.25)
+    }
     val results = names.map { case (name, _) =>
       val ok = !failedSet(name) && times(name).nonEmpty
       (name, if (ok) median(times(name)) else -1.0,
-        if (ok) times(name).min else -1.0, ok)
+        if (ok) times(name).min else -1.0, ok,
+        if (ok) iqr(times(name)) else -1.0)
     }
-    def obj(f: ((String, Double, Double, Boolean)) => Double) =
+    def obj(f: ((String, Double, Double, Boolean, Double)) => Double) =
       results.map(r => s""""${r._1}":${f(r)}""").mkString("{", ",", "}")
     val failed = results.filterNot(_._4).map(r => s""""${r._1}"""").mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-        s""""queries":${obj(_._2)},"queries_min":${obj(_._3)},"failed":$failed,"sf":"$sfDir"}"""
+        s""""queries":${obj(_._2)},"queries_median":${obj(_._2)},""" +
+        s""""queries_min":${obj(_._3)},"queries_iqr":${obj(_._5)},""" +
+        s""""failed":$failed,"sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
     spark.stop()

@@ -68,4 +68,25 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     assert(failures.isEmpty,
       s"scale-hostile plans detected:\n${failures.mkString("\n")}")
   }
+
+  test("q42/q96 read the shingle table from cache — exactly one shingling scan") {
+    // the prefix-filter operators reference the (doc_id, shingles) frame
+    // ~3x (index build + both verify sides); the queries persist it, so the
+    // physical plan must serve every occurrence from InMemoryTableScan and
+    // contain NO direct parquet scan (the only parquet input is documents,
+    // which feeds the cached shingling) — i.e. shingling runs once.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    try {
+      for (name <- Seq("q42_jaccard_exact", "q96_containment")) {
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+        val parquetScans = plan.collect { case f: FileSourceScanExec => f }
+        val cachedScans = plan.collect { case c: InMemoryTableScanExec => c }
+        assert(parquetScans.isEmpty,
+          s"$name: ${parquetScans.length} direct file scans — shingle table not cached")
+        assert(cachedScans.length >= 3,
+          s"$name: expected >=3 cached shingle-table scans, got ${cachedScans.length}")
+      }
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }
