@@ -15,9 +15,12 @@ import graft.sources.{Sinks, Tables}
   * tables with [[Sinks.overwriteSwap]]'s crash guarantees:
   *
   *  - `corpus`       — doc_id, source, lang, fp, n_tokens, pos, shard
-  *  - `corpus_stats` — per-source doc/token counts, computed from the
-  *                     WRITTEN corpus (not the in-flight frame), so any
-  *                     write damage breaks the stats' oracle match
+  *  - `corpus_stats` — per-source doc/token counts: computed from the
+  *                     WRITTEN corpus at [[build]] (so write damage breaks
+  *                     the oracle match), folded incrementally per
+  *                     [[append]] batch (old stats ⊎ batch delta — an
+  *                     append never rescans the corpus), re-derivable in
+  *                     full via [[auditDerived]]
   *  - `manifest`     — one row: raw/clean counts and shard count, the
   *                     handshake a downstream trainer validates before
   *                     reading a single shard
@@ -62,10 +65,16 @@ object CorpusApp {
     spark.catalog.refreshByPath(s"$outDir/ledger")
   }
 
-  /** Recompute the derived tables from the WRITTEN corpus (so any write
-    * damage surfaces in their oracle checks). `nRaw` is the cumulative raw
-    * document count the manifest reports. */
-  private def refreshDerived(spark: SparkSession, outDir: String, nRaw: Long): Unit = {
+  /** Recompute the derived tables from the WRITTEN corpus — the AUDIT
+    * path (any write damage surfaces against the oracle) and the [[build]]
+    * init path, where the corpus IS the batch so full-scan cost is batch
+    * cost. Appends use [[mergeDerived]] instead: a weekly 100-TB append
+    * must not pay a full-corpus scan for a ≤#sources-row stats table.
+    * The cumulative raw count comes from the ledger, so an audit after any
+    * append sequence reproduces exactly what the increments maintained —
+    * CorpusAppSpec asserts that equality. */
+  def auditDerived(spark: SparkSession, outDir: String): Unit = {
+    val nRaw = ledger(spark, outDir).values.sum
     val written = spark.read.parquet(s"$outDir/corpus")
     Sinks.overwriteSwap(
       written.groupBy("source")
@@ -81,6 +90,37 @@ object CorpusApp {
     spark.catalog.refreshByPath(s"$outDir/manifest")
   }
 
+  /** Incrementally fold ONE appended batch into the derived tables: old
+    * stats ⊎ batch delta (a ≤#sources-row union-aggregate — the batch rows
+    * are already in memory as the append's checkpoint), manifest counters
+    * from the ledger and position arithmetic. Nothing here reads the
+    * written corpus; positions are contiguous 1..n (CorpusAppSpec), so
+    * `n_shards = ceil(n_clean / ShardSize)` exactly equals the audit
+    * path's `countDistinct(shard)`. */
+  private def mergeDerived(spark: SparkSession, outDir: String, delta: DataFrame,
+                           nRaw: Long, nClean: Long): Unit = {
+    import spark.implicits._
+    val deltaStats = delta.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val statsPath = s"$outDir/corpus_stats"
+    val merged =
+      (if (Sinks.exists(spark, statsPath))
+        spark.read.parquet(statsPath).unionByName(deltaStats)
+      else deltaStats)
+        .groupBy("source")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        // sever lineage from the path being overwritten (tiny: ≤#sources rows)
+        .localCheckpoint(true)
+    Sinks.overwriteSwap(merged, statsPath)
+    val nShards = (nClean + ShardSize - 1) / ShardSize
+    Sinks.overwriteSwap(
+      Seq((nRaw, nClean, nShards)).toDF("n_raw", "n_clean", "n_shards"),
+      s"$outDir/manifest")
+    spark.catalog.refreshByPath(statsPath)
+    spark.catalog.refreshByPath(s"$outDir/manifest")
+  }
+
   def build(spark: SparkSession, rawDir: String, outDir: String,
             pred: org.apache.spark.sql.Column = lit(true)): Unit = {
     val batch = Tables.documents(spark, rawDir).filter(pred)
@@ -92,7 +132,7 @@ object CorpusApp {
     spark.catalog.refreshByPath(s"$outDir/corpus")
     val nRaw = batch.count()
     writeLedger(spark, outDir, Map("__init" -> nRaw))
-    refreshDerived(spark, outDir, nRaw)
+    auditDerived(spark, outDir)
   }
 
   /** Incremental ingest — the corpus counterpart of the star schema's
@@ -143,14 +183,20 @@ object CorpusApp {
       if (!hasCorpus) cleaned
       else cleaned.join(
         spark.read.parquet(s"$outDir/corpus").select("fp"), Seq("fp"), "left_anti")
+    // sever lineage BEFORE the append: the delta-stats fold below re-reads
+    // these rows, and a recompute after refreshByPath would re-run the fp
+    // anti-join against a corpus that now CONTAINS them (the same self-read
+    // trap incrementalExactDedup documents). Batch-sized, never corpus-sized.
     val ranked = GlobalOrder.rank(fresh, "__h", "doc_id", out = "pos0")
       .withColumn("pos", col("pos0") + maxPos)
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
+      .localCheckpoint(true)
     Sinks.append(ranked, s"$outDir/corpus")
     spark.catalog.refreshByPath(s"$outDir/corpus")
     val entries = applied + (batchId -> batch.count())
     writeLedger(spark, outDir, entries)
-    refreshDerived(spark, outDir, nRaw = entries.values.sum)
+    mergeDerived(spark, outDir, delta = ranked,
+      nRaw = entries.values.sum, nClean = maxPos + ranked.count())
   }
 }

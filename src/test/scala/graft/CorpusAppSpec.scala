@@ -83,6 +83,62 @@ class CorpusAppSpec extends AnyFunSuite with SharedSpark {
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("append never rescans the written corpus beyond the fp gate and max-pos read") {
+    // the O(batch)-not-O(corpus) claim, asserted structurally: register a
+    // QueryExecutionListener for the whole append and record every column
+    // each file scan reads from the written corpus. The exact-fp gate reads
+    // `fp`, the position offset reads `pos` — a derived-table rescan would
+    // read source/n_tokens/shard and fail the subset check.
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft-corpus-spec").toString
+    CorpusApp.build(spark, sf, out, pred = col("doc_id") % 2 === 0)
+    val scans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.sparkPlan.foreach {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            scans.add((f.relation.location.rootPaths.map(_.toString).mkString(","),
+              f.output.map(_.name)))
+          case _ => ()
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      CorpusApp.append(spark, sf, out, batchId = "b1", pred = col("doc_id") % 2 === 1)
+      // the execution listener drains asynchronously; wait for the corpus
+      // scans (gate + max-pos) to land before asserting on them
+      val deadline = System.nanoTime() + 30e9.toLong
+      def corpusScans = scans.asScala
+        .filter(_._1.startsWith(s"file:$out/corpus"))
+        .filterNot(_._1.contains("corpus_stats")).toSeq
+      while (corpusScans.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(corpusScans.nonEmpty, s"no corpus scans observed; saw ${scans.asScala.toSeq}")
+      Thread.sleep(500) // let any straggler scan events land
+      val colsRead = corpusScans.flatMap(_._2).toSet
+      assert(colsRead.subsetOf(Set("fp", "pos")),
+        s"append scanned written-corpus columns beyond the gate: $colsRead")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("incremental derived tables equal the full audit recompute") {
+    val out = Files.createTempDirectory("graft-corpus-spec").toString
+    CorpusApp.build(spark, sf, out, pred = col("doc_id") % 3 === 0)
+    CorpusApp.append(spark, sf, out, batchId = "b1", pred = col("doc_id") % 3 === 1)
+    CorpusApp.append(spark, sf, out, batchId = "b2", pred = col("doc_id") % 3 === 2)
+    def snap(t: String) =
+      spark.read.parquet(s"$out/$t").collect().map(_.toString).toSet
+    val incStats = snap("corpus_stats")
+    val incManifest = snap("manifest")
+    CorpusApp.auditDerived(spark, out)
+    assert(snap("corpus_stats") == incStats, "audit recompute diverged from folded stats")
+    assert(snap("manifest") == incManifest, "audit recompute diverged from folded manifest")
+  }
+
   test("rebuild over the same input is byte-identical (restartability contract)") {
     val a = build()
     val b = build()
