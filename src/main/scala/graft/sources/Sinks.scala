@@ -196,8 +196,7 @@ object Sinks {
     * references (the next write skips past it: version numbering comes
     * from the directory listing, not the marker). Old versions are never
     * rewritten — audit/time-travel reads ([[readSnapshot]]) are stable
-    * forever, at the storage cost of retained snapshots (a retention
-    * sweep deleting `v<K` dirs is one namenode loop, omitted here).
+    * until a retention sweep ([[expireSnapshots]]) reclaims them.
     * Returns the committed version number. */
   def writeSnapshot(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
@@ -232,6 +231,47 @@ object Sinks {
     else f.listStatus(dst).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.drop(2).toInt).sorted
+  }
+
+  /** Retention sweep for [[writeSnapshot]] tables: keep the newest `keep`
+    * committed versions — plus, unconditionally, whichever version the
+    * `_latest` marker references — delete every older `v=` directory, and
+    * reclaim orphan `.__tmp_v*` sibling dirs left by crashed commits.
+    *
+    * Crash-safety by the same argument as the commit path: the marker and
+    * every retained version directory are never touched, each delete is
+    * independent and idempotent, so a crash mid-sweep leaves a strict
+    * subset of the expired versions still present and a re-run converges.
+    * Version NUMBERS are still never reused — [[writeSnapshot]] numbers
+    * from the remaining listing's max, which the sweep keeps (keep ≥ 1).
+    * Single-maintenance-writer assumption (already required by the swap
+    * commits): don't run the sweep concurrently with a snapshot write, or
+    * the orphan-temp reclaim could delete an in-flight commit's staging
+    * dir. Returns the expired version numbers. */
+  def expireSnapshots(spark: SparkSession, path: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, "keep must be >= 1 (the latest snapshot must survive)")
+    val f = fs(spark, path)
+    val dst = new Path(path)
+    if (!f.exists(dst)) return Seq.empty
+    val versions = snapshotVersions(spark, path)
+    val marker = new Path(dst, "_latest")
+    val latestRef: Option[Int] =
+      if (!f.exists(marker)) None
+      else {
+        val in = f.open(marker)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
+        finally in.close()
+      }
+    val keepSet = versions.takeRight(keep).toSet ++ latestRef
+    val expired = versions.filterNot(keepSet)
+    expired.foreach(v => f.delete(new Path(dst, f"v=$v%05d"), true))
+    val parent = dst.getParent
+    if (parent != null && f.exists(parent))
+      f.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(dst.getName + ".__tmp_v"))
+        .foreach(s => f.delete(s.getPath, true))
+    expired
   }
 
   /** Time-travel read: `version > 0` pins a snapshot; `version = 0` reads

@@ -185,6 +185,40 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((2, "b")))
   }
 
+  test("expireSnapshots keeps the newest K and the marker's version; old reads fail cleanly") {
+    val path = s"$tmpDir/snap"
+    (1 to 4).foreach(i => Sinks.writeSnapshot(Seq((i, s"v$i")).toDF("k", "v"), path))
+    // simulate a crashed commit's orphan staging dir next to the table
+    new java.io.File(s"$path.__tmp_v9").mkdirs()
+    assert(Sinks.expireSnapshots(spark, path, keep = 2) == Seq(1, 2))
+    assert(Sinks.snapshotVersions(spark, path) == Seq(3, 4))
+    // retained reads intact, latest marker untouched
+    assert(Sinks.readSnapshot(spark, path, 3).as[(Int, String)].collect().toSeq == Seq((3, "v3")))
+    assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((4, "v4")))
+    // expired reads fail cleanly (path gone), orphan staging dir reclaimed
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Sinks.readSnapshot(spark, path, 1).collect()
+    }
+    assert(!new java.io.File(s"$path.__tmp_v9").exists())
+    // idempotent: a second sweep expires nothing
+    assert(Sinks.expireSnapshots(spark, path, keep = 2).isEmpty)
+    // numbering continues past the expired range, never reusing a version
+    assert(Sinks.writeSnapshot(Seq((9, "z")).toDF("k", "v"), path) == 5)
+  }
+
+  test("expireSnapshots never deletes the version the marker references, even when old") {
+    val path = s"$tmpDir/snap"
+    (1 to 3).foreach(i => Sinks.writeSnapshot(Seq((i, s"v$i")).toDF("k", "v"), path))
+    // pin the marker back to v1 (an operator rolled latest back by hand);
+    // drop the sidecar checksum the raw rewrite invalidates
+    val f = new java.io.FileOutputStream(s"$path/_latest")
+    f.write("1".getBytes("UTF-8")); f.close()
+    new java.io.File(s"$path/._latest.crc").delete()
+    assert(Sinks.expireSnapshots(spark, path, keep = 1) == Seq(2))
+    assert(Sinks.snapshotVersions(spark, path) == Seq(1, 3))
+    assert(Sinks.readSnapshot(spark, path).as[(Int, String)].collect().toSeq == Seq((1, "v1")))
+  }
+
   test("snapshots: missing marker falls back to the highest committed version") {
     val path = s"$tmpDir/snap"
     Sinks.writeSnapshot(Seq((1, "a")).toDF("k", "v"), path)
