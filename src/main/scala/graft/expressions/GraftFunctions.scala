@@ -128,6 +128,32 @@ object GraftFunctions {
           TopKByScore(score, id, k).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_top_k(score, id, k) needs a literal int k")
+      }),
+    (new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, IntegerLiteral(n)) => CharNgrams(text, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_char_ngrams(text, n) needs a literal int n")
+      }),
+    (new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[PolyFingerprint].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_fingerprint(tokens) takes 1 argument")
+        PolyFingerprint(children.head)
+      }),
+    (new FunctionIdentifier("graft_lexicon_hits"),
+      new ExpressionInfo(classOf[LexiconHits].getName, "graft_lexicon_hits"),
+      (children: Seq[Expression]) => children match {
+        // the lexicon must be a plan-time constant (it is hashed once and
+        // shipped to the generated code), so require a foldable array
+        case Seq(toks, lex) if lex.foldable &&
+            lex.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          val arr = lex.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          LexiconHits(toks, arr.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.toString).toSeq)
+        case _ => throw new IllegalArgumentException(
+          "graft_lexicon_hits(tokens, lexicon) needs a constant array<string> lexicon")
       }))
 
   /** Idempotent imperative registration into an existing session. */

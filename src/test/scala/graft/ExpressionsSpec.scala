@@ -112,6 +112,42 @@ class ExpressionsSpec extends AnyFunSuite with SharedSpark {
     GraftFunctions.register(spark) // idempotent
   }
 
+  test("graft_shingles / graft_char_ngrams / graft_fingerprint / graft_lexicon_hits from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_shingles(array('a', 'b', 'c'), 2) AS sh, " +
+        "graft_char_ngrams('abcd', 3) AS ng, " +
+        "graft_fingerprint('ab') AS fp, " +
+        "graft_lexicon_hits(array('the', 'fox', 'the'), array('the', 'a')) AS hits")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r.getLong(2) == (97L * 31 + 98) % 1000000007L) // fold of 'a','b' code points
+    assert(r.getInt(3) == 2)
+    // a non-constant lexicon must be rejected, not silently mis-planned
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_lexicon_hits(array('x'), array(CAST(rand() AS STRING)))")
+        .collect()
+    }
+    assert(err.getMessage.contains("constant array<string> lexicon"))
+  }
+
+  test("graft_top_k and the bloom build/probe pair are callable from SQL") {
+    GraftFunctions.register(spark)
+    // top-3 of ids 0..9 scored by themselves: (9,9),(8,8),(7,7) in rank order
+    val t = spark.sql(
+      "SELECT graft_top_k(id, id, 3) AS t FROM range(10)").collect().head
+    assert(t.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(9L, 8L, 7L))
+    // build over 0..99, probe a member and a non-member (65536 bits / 3
+    // hashes at 100 keys: deterministic, and FP odds ~1e-7 if it weren't)
+    val b = spark.sql(
+      """WITH b AS (SELECT graft_bloom_build(id, 65536, 3) AS bf FROM range(100))
+        |SELECT graft_bloom_contains(CAST(50 AS BIGINT), (SELECT bf FROM b), 3) AS hit,
+        |       graft_bloom_contains(CAST(999999999 AS BIGINT), (SELECT bf FROM b), 3) AS miss
+        |""".stripMargin).collect().head
+    assert(b.getBoolean(0) && !b.getBoolean(1))
+  }
+
   test("KMV sketch: exact below k, estimator form at k, order/partition-invariant") {
     import graft.functions.TextFunctions.md5Long
     // 10 distinct values with k=16 -> buffer holds the full distinct set
