@@ -12,11 +12,24 @@ import org.apache.spark.sql.functions._
   * instantiation per partition, the same shape a JNI image codec or an
   * Arrow-batched Python worker needs — per-partition setup cost is
   * amortized over the whole partition, and partitions stream: nothing is
-  * collected). The codec itself is a STUB — real image/audio libraries are
-  * not in this container — implemented as a deterministic parse of our
-  * fixture's fake header (u16-BE width/height) + a byte checksum, so the
-  * byte-level path is still exercised and oracle-verified against
-  * independently stored metadata (tools/gen_media_fixture.py).
+  * collected).
+  *
+  * Codec capability, stated precisely:
+  *  - IMAGE DIMENSION decode is REAL for JPEG and PNG: [[imageDims]]
+  *    parses the actual container bytes (JPEG SOI + marker-segment walk to
+  *    the frame header, PNG signature + IHDR) with no image library, and
+  *    [[decodeOne]] dispatches on the files' magic bytes — point the
+  *    pipeline at real .jpg/.png payloads and the emitted dims are the
+  *    true ones (MultimodalSpec proves it on ImageIO-encoded and
+  *    hand-built-segment fixtures).
+  *  - PIXEL decode / video demux are NOT real: payloads beyond those
+  *    headers route to a FIXTURE codec (u16-BE dims header + byte
+  *    checksum; 3-byte frame header for "video") that stands in for an
+  *    ffmpeg/ImageIO call so the byte-level path is still exercised and
+  *    oracle-verified against independently stored metadata
+  *    (tools/gen_media_fixture.py). A real deployment swaps exactly the
+  *    bodies marked FIXTURE below; signatures, batching, and schemas are
+  *    final.
   *
   * At 100 TB: payloads dominate row size, so the scan must prune them when
   * a query touches only metadata (parquet column pruning gives this for
@@ -36,21 +49,86 @@ object Multimodal {
   private def u16be(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-  /** STUB decoder for the fixture's fake codec: dims header (4 bytes), plus
-    * a 3-byte frame header on video payloads (see [[videoMeta]]) before the
-    * checksummed body — the mime routes to the container layout, exactly as
-    * a real codec registry would. A real deployment swaps this body for
-    * e.g. an ImageIO/JNI call; the signature, batching and schema stay
-    * identical. */
-  private def decodeOne(r: MediaRow): Decoded = {
-    val p = r.payload
-    val bodyOff = if (r.mime.startsWith("video/")) 7 else 4
-    require(p.length >= bodyOff, s"payload too short for media ${r.media_id}")
-    var sum = 0L
-    var i = bodyOff
-    while (i < p.length) { sum += p(i) & 0xff; i += 1 }
-    Decoded(r.media_id, r.mime, u16be(p, 0), u16be(p, 2), p.length.toLong, sum % 9973)
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** REAL JPEG dimension parse: verify the SOI marker (FFD8), then walk
+    * the marker segments — each `FF <marker> <u16 length incl. itself>` —
+    * to the first frame header (SOF0–SOF15, excluding the non-frame C4/C8/
+    * CC codes), whose payload is `precision(1) height(2) width(2) ...`.
+    * Handles standalone markers (RST0–7, TEM) and padding FF fill bytes,
+    * per ITU-T T.81 §B.1; stops cleanly (None) at SOS/EOI or any
+    * malformed length, so a truncated or non-JPEG payload can never
+    * produce garbage dims. Covers baseline AND progressive (SOF2) files. */
+  private[graft] def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xff) == 0xff) j += 1 // FF fill bytes
+      if (j >= p.length) return None
+      val marker = p(j) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1 // standalone
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI / entropy data ahead
+      else {
+        if (j + 2 >= p.length) return None
+        val len = u16be(p, j + 1)
+        if (len < 2) return None
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (j + 7 >= p.length) return None
+          return Some((u16be(p, j + 6), u16be(p, j + 4))) // (width, height)
+        }
+        i = j + 1 + len
+      }
+    }
+    None
   }
+
+  /** REAL PNG dimension parse: the 8-byte signature, then the IHDR chunk
+    * (mandated first by the PNG spec): length(4) "IHDR"(4) width(4)
+    * height(4). Width/height are u31; anything malformed yields None. */
+  private[graft] def pngDims(p: Array[Byte]): Option[(Int, Int)] = {
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 24) return None
+    if (!magic.indices.forall(i => (p(i) & 0xff) == magic(i))) return None
+    if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')) return None
+    val w = u32be(p, 16)
+    val h = u32be(p, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some((w.toInt, h.toInt))
+  }
+
+  /** Dimensions from REAL image container bytes, dispatched on magic
+    * bytes; None when the payload is neither a JPEG nor a PNG. */
+  def imageDims(payload: Array[Byte]): Option[(Int, Int)] =
+    jpegDims(payload).orElse(pngDims(payload))
+
+  /** Decode one payload. Real JPEG/PNG containers (recognized by magic
+    * bytes) get the REAL header parse — dims are the file's true dims and
+    * the checksum spans the whole payload. Everything else routes to the
+    * FIXTURE codec: u16-BE dims header (4 bytes), plus a 3-byte frame
+    * header on video payloads (see [[videoMeta]]) before the checksummed
+    * body. The fixture's first header byte is a small width's high byte,
+    * never 0xFF/0x89, so the magic-byte dispatch cannot misroute it. */
+  private def decodeOne(r: MediaRow): Decoded =
+    imageDims(r.payload) match {
+      case Some((w, h)) =>
+        var sum = 0L
+        var i = 0
+        while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+        Decoded(r.media_id, r.mime, w, h, r.payload.length.toLong, sum % 9973)
+      case None =>
+        val p = r.payload
+        val bodyOff = if (r.mime.startsWith("video/")) 7 else 4
+        require(p.length >= bodyOff, s"payload too short for media ${r.media_id}")
+        var sum = 0L
+        var i = bodyOff
+        while (i < p.length) { sum += p(i) & 0xff; i += 1 }
+        Decoded(r.media_id, r.mime, u16be(p, 0), u16be(p, 2), p.length.toLong, sum % 9973)
+    }
 
   /** Batched decode: mapPartitions so decoder setup happens once per
     * partition and rows stream through without materializing. */
@@ -89,9 +167,10 @@ object Multimodal {
   /** Parsed video header (what a container demuxer would emit). */
   case class VideoMeta(media_id: Long, n_frames: Int, fps: Int)
 
-  /** STUB video-header parse: n_frames (u16 BE @4) + fps (u8 @6) from the
-    * fixture codec's video layout. Same mapPartitions shape as [[decode]] —
-    * a real demuxer (ffmpeg probe) slots into this body unchanged. */
+  /** FIXTURE video-header parse (no real demuxer in this engine): n_frames
+    * (u16 BE @4) + fps (u8 @6) from the fixture codec's video layout. Same
+    * mapPartitions shape as [[decode]] — a real demuxer (ffmpeg probe)
+    * slots into this body unchanged. */
   def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
     import media.sparkSession.implicits._
     media.filter(col("mime").startsWith("video/")).mapPartitions { rows =>

@@ -54,6 +54,56 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("imageDims parses REAL JPEG and PNG containers (ImageIO-encoded fixtures)") {
+    // genuine files produced by the JDK's encoders — not our fixture codec
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val jpg = encode("jpg", 123, 45)
+    val png = encode("png", 7, 300)
+    assert(jpg.take(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd8)) // really a JPEG
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P')           // really a PNG
+    assert(Multimodal.imageDims(jpg).contains((123, 45)))
+    assert(Multimodal.imageDims(png).contains((7, 300)))
+    // and through the full distributed decode path, dims are the file's
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/jpeg", jpg),
+      Multimodal.MediaRow(2L, "image/png", png)).toDS()
+    val decoded = Multimodal.decode(media).collect().map(d =>
+      d.media_id -> ((d.dec_width, d.dec_height))).toMap
+    assert(decoded(1L) == ((123, 45)) && decoded(2L) == ((7, 300)))
+  }
+
+  test("jpegDims walks marker segments to a non-leading SOF and rejects non-frames") {
+    // hand-built container: SOI, APP0 (16 bytes), COM, DHT (must be
+    // skipped: C4 is not a frame marker), then a PROGRESSIVE SOF2 —
+    // exercises the segment walk beyond what ImageIO's baseline layout does
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val sof2 = Array[Byte](8, 0x01, 0x00, 0x02, 0x38, 3) // precision, h=256, w=568, 3 comps
+    val bytes = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, Array.fill[Byte](14)(0)) ++
+      seg(0xfe, "comment".getBytes("US-ASCII")) ++
+      seg(0xc4, Array.fill[Byte](5)(1)) ++
+      seg(0xc2, sof2)
+    assert(Multimodal.jpegDims(bytes).contains((568, 256)))
+    // truncated mid-segment: clean None, never garbage
+    assert(Multimodal.jpegDims(bytes.dropRight(3)).isEmpty)
+    // SOS before any SOF: clean None
+    val noSof = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xda, Array.fill[Byte](3)(0))
+    assert(Multimodal.jpegDims(noSof).isEmpty)
+    // the fixture codec's payloads must NOT be mistaken for real containers
+    val fixturePayload = Array[Byte](0x00, 0x40, 0x00, 0x30, 1, 2, 3)
+    assert(Multimodal.imageDims(fixturePayload).isEmpty)
+  }
+
   test("decode streams through mapPartitions on the typed Dataset (no collect)") {
     val ds = Multimodal.decode(Multimodal.readMedia(spark, fixture))
     val plan = ds.queryExecution.executedPlan.toString
