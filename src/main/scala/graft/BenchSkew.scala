@@ -1,0 +1,214 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicReference
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Skew stress bench: runs the dedup/join/window suite over the
+  * [[SkewFixture]] (one hot source / hot user / hot shingle at ~50% mass)
+  * and records the work DISTRIBUTION, not just wall time — per query:
+  * the worst stage's max-task/median-task ratio, max task ms, and shuffle
+  * read/write volume, via a SparkListener over task-end events.
+  *
+  * What the ratios mean: a skew-resilient plan (salted join, PrefixSum
+  * mixing, df-ordered prefix index) keeps max/median low — the hot key's
+  * work is spread across tasks. A per-key-sequential operator (sessionize:
+  * ONE user's timeline is inherently one ordered group) honestly shows its
+  * hot-key ratio instead of hiding it in a total. The JSON gates the
+  * salted paths at ratio < [[SaltedRatioBound]] and separately reports
+  * whether AQE's skew-join split fires on the raw (un-prefix-filtered)
+  * shingle-index join — the safety net behind q42's own df-ordering, which
+  * removes the hot posting list before the join ever sees it.
+  *
+  * One pass per query (after an untimed warmup): stage ratios are
+  * structural — they reflect the plan's key distribution, not JIT noise,
+  * so reps buy little here.
+  */
+object BenchSkew {
+
+  /** Queries whose skew resilience is an explicit design claim. */
+  val SaltedPaths = Seq("q90_salted_join", "q63_seq_packing", "q70_top_per_source",
+    "q76_global_shuffle", "q78_quality_deciles", "q42_jaccard_exact")
+
+  /** Per-key-sequential semantics (one user's ordered timeline): reported,
+    * not gated — the honest cost of a hot key under such an operator. */
+  val PerKeySequential = Set("q54_sessionize")
+
+  val SaltedRatioBound = 4.0
+
+  /** Suite: every query reading only documents/events tables whose plan
+    * has a skewable shuffle (dedup banding, source mixing, user joins). */
+  val Suite = Seq(
+    "q27_exact_dedup", "q28_neardup_pairs", "q40_simhash_neardup",
+    "q42_jaccard_exact", "q54_sessionize", "q63_seq_packing",
+    "q70_top_per_source", "q76_global_shuffle", "q77_retention_cohorts",
+    "q78_quality_deciles", "q90_salted_join")
+
+  private case class TaskObs(query: String, stageId: Int, durMs: Long,
+                             shufReadB: Long, shufWriteB: Long)
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_SRC", "/root/testdata/sf0.1")
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "fixtures/skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!graft.sources.Sinks.exists(spark, s"$skewDir/documents.parquet"))
+      SkewFixture.generate(spark, srcDir, skewDir)
+
+    val current = new AtomicReference[String](null)
+    val obs = new ConcurrentLinkedQueue[TaskObs]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val q = current.get()
+        if (q != null && te.taskInfo != null && te.taskMetrics != null) {
+          val sr = te.taskMetrics.shuffleReadMetrics
+          obs.add(TaskObs(q, te.stageId, te.taskInfo.duration,
+            sr.localBytesRead + sr.remoteBytesRead,
+            te.taskMetrics.shuffleWriteMetrics.bytesWritten))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // untimed warmup on the small uniform dir: classloading + codegen
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      Seq("q27_exact_dedup", "q28_neardup_pairs", "q54_sessionize").foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+
+    /** Wait until the listener queue stops growing (task events drain
+      * asynchronously; attribution needs them all before switching query). */
+    def drain(): Unit = {
+      var last = -1
+      var same = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (same < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = obs.size
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+    }
+
+    val secs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- Suite) {
+      current.set(name)
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, skewDir)
+          .write.format("noop").mode("overwrite").save()
+        secs(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-skew] $name FAILED: ${e.getMessage}")
+          failed += name
+      }
+      drain()
+      current.set(null)
+      spark.sharedState.cacheManager.clearCache() // q42 persists its shingle sets
+    }
+
+    // AQE-skew safety-net check. q42's OWN join needs no AQE split on this
+    // fixture — that is the finding, not a gap: the df-ordered prefix
+    // index exiles the hot posting list (df=50k shingles rank last per
+    // doc, so they never enter the index), and the measured stage ratio
+    // above confirms no skewed partition survives. The net must still
+    // exist for skew the operator does NOT remove, so verify AQE's
+    // skew-join split fires on the RAW (un-prefix-filtered) inverted-index
+    // self-join over the same hot-prefix fixture — the shape q42 would
+    // degrade to without its filter. Sampled (1% of docs) and with
+    // thresholds tuned to local-mode volumes: the check is of the
+    // MECHANISM (does the final adaptive plan mark the join skewed), which
+    // is volume-threshold-relative at any scale.
+    import org.apache.spark.sql.functions.{col, explode}
+    val aqeConfs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = aqeConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val aqeFired =
+      try {
+        aqeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val docs = graft.sources.Tables.documents(spark, skewDir)
+          .filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+        val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+        val inv = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val joined = inv.as("a").join(inv.as("b"), "sh")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy().count()
+        joined.collect()
+        joined.queryExecution.executedPlan.toString.contains("skew=true")
+      } catch { case _: Throwable => false }
+      finally {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        spark.sharedState.cacheManager.clearCache()
+      }
+
+    val byQuery = obs.asScala.toSeq.groupBy(_.query)
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    case class QStat(sec: Double, ratio: Double, maxTaskMs: Long, medTaskMs: Double,
+                     nTasks: Int, shufReadMb: Double, shufWriteMb: Double)
+    val stats = Suite.filterNot(failed.contains).map { name =>
+      val ts = byQuery.getOrElse(name, Seq.empty)
+      // ratio per STAGE (a stage is one parallelism domain), worst stage
+      // wins; stages whose max task is < 250 ms are noise, not skew
+      val stageRatios = ts.groupBy(_.stageId).values.toSeq
+        .filter(st => st.map(_.durMs).max >= 250 && st.length >= 4)
+        .map { st =>
+          val durs = st.map(_.durMs)
+          durs.max / math.max(med(durs), 1.0)
+        }
+      val durs = ts.map(_.durMs)
+      name -> QStat(
+        secs(name),
+        if (stageRatios.isEmpty) 1.0 else stageRatios.max,
+        if (durs.isEmpty) 0L else durs.max,
+        med(durs),
+        ts.length,
+        ts.map(_.shufReadB).sum / 1048576.0,
+        ts.map(_.shufWriteB).sum / 1048576.0)
+    }
+    val saltedOk = stats.filter(s => SaltedPaths.contains(s._1))
+      .forall(_._2.ratio < SaltedRatioBound)
+    def f(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qJson = stats.map { case (n, s) =>
+      s""""$n":{"sec":${f(s.sec)},"ratio":${f(s.ratio)},"max_task_ms":${s.maxTaskMs},""" +
+        s""""med_task_ms":${f(s.medTaskMs)},"n_tasks":${s.nTasks},""" +
+        s""""shuffle_read_mb":${f(s.shufReadMb)},"shuffle_write_mb":${f(s.shufWriteMb)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"skew_suite","sf":"$skewDir","queries":$qJson,""" +
+        s""""failed":${failed.map(q => s""""$q"""").mkString("[", ",", "]")},""" +
+        s""""salted_paths":${SaltedPaths.map(q => s""""$q"""").mkString("[", ",", "]")},""" +
+        s""""salted_ratio_bound":$SaltedRatioBound,"salted_ratio_ok":$saltedOk,""" +
+        s""""aqe_skew_fired_raw_index_join":$aqeFired}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SKEW.json"), json)
+    spark.stop()
+  }
+}
