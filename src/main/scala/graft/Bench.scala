@@ -35,6 +35,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // catalog-managed tables (bucketed joins) go to a throwaway dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Untimed JVM/codegen warmup: a scan, a shuffle agg, a broadcast join,

@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.StarQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.LlmQueries.oracles ++
       graft.queries.StreamingQueries.oracles ++
       graft.queries.StarQueries.oracles ++
-      graft.queries.CorpusQueries.oracles
+      graft.queries.CorpusQueries.oracles ++
+      graft.queries.ScaleQueries.oracles
 }

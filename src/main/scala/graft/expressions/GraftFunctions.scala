@@ -51,6 +51,12 @@ object GraftFunctions {
       TopKByScore(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** Misra-Gries heavy-hitter candidate keys, bounded to k counters
+    * (see [[MisraGriesCandidates]]). */
+  def misraGries(item: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MisraGriesCandidates(GraftSqlBridge.expression(item), k).toAggregateExpression())
+
   /** Bloom-filter build over a BIGINT key column (see [[BloomBuildAgg]]). */
   def bloomBuild(key: Column, numBits: Int, numHashes: Int): Column =
     GraftSqlBridge.column(
@@ -128,6 +134,14 @@ object GraftFunctions {
           TopKByScore(score, id, k).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_top_k(score, id, k) needs a literal int k")
+      }),
+    (new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesCandidates].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => children match {
+        case Seq(item, IntegerLiteral(k)) =>
+          MisraGriesCandidates(item, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_heavy_hitters(item, k) needs a literal int k")
       }),
     (new FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.md5Long
+
+/** Deterministic, shuffle-free sampling for corpus construction.
+  *
+  * Every sampler here is a pure scan-side FILTER on an md5-derived integer
+  * hash of the row key — no shuffle, no sort, no per-partition state, no
+  * RNG. That is the only sampling shape that holds at 100 TB: each of the
+  * ~1e6 input splits decides membership independently and the decision is
+  * reproducible row-by-row (re-runs, backfills, and a DuckDB oracle all
+  * agree), unlike `df.sample()`, whose `BernoulliCellSampler` draws from a
+  * partition-seeded RNG and so changes membership whenever partitioning
+  * changes.
+  *
+  * All inclusion tests are INTEGER comparisons against precomputed
+  * thresholds (`p ≈ threshold / 2^bits`) — no floating-point boundary to
+  * disagree across engines.
+  */
+object Sampling {
+
+  /** 2^60 as a Long; md5Long is uniform on [0, 2^60). */
+  val HashSpace60: Long = 1L << 60
+
+  /** 40-bit hash (first 10 md5 hex chars) — headroom for integer
+    * cross-multiplication in weighted tests: `hash40 * w` stays inside
+    * Int64 for any weight below 2^23. DuckDB mirror:
+    * `('0x' || substring(md5(x), 1, 10))::BIGINT`. */
+  def md5Long40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+
+  /** The threshold for inclusion probability `rate` over the 60-bit hash
+    * space. Exact for any rate expressible at double precision. */
+  def threshold60(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (rate * HashSpace60.toDouble).toLong
+  }
+
+  /** The salted per-row hash every sampler keys on: uniform on [0, 2^60),
+    * independent across salts (distinct salts give independent samples —
+    * e.g. a train/validation split and a QA sample never correlate). */
+  def rowHash(key: Column, salt: String): Column =
+    md5Long(concat(key.cast("string"), lit(":" + salt)))
+
+  /** Uniform Bernoulli sample: keep a row iff its salted hash lands below
+    * the rate threshold. One scan, zero shuffles, filter pushed to the
+    * source when the key is a stored column. */
+  def bernoulli(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
+    df.filter(rowHash(col(keyCol), salt) < lit(threshold60(rate)))
+
+  /** Stratified Bernoulli sample: per-stratum rates (e.g. downsample web
+    * crawl, keep all of wikipedia). `rates` is a SMALL plan-time map —
+    * it compiles into a CASE chain, so the plan stays a single scan+filter
+    * with zero shuffles; strata missing from the map get `defaultRate`.
+    *
+    * This is the deterministic, scan-parallel alternative to
+    * `df.stat.sampleBy` (seeded-RNG, not reproducible across
+    * repartitioning) and to exact-count stratified sampling (which needs a
+    * per-stratum rank — a shuffle — to pick exactly ceil(f·n) rows; at
+    * corpus scale the binomial deviation from the target fraction is
+    * O(1/sqrt(n)) and irrelevant). */
+  def stratifiedBernoulli(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String): DataFrame = {
+    val thr = rates.foldLeft(lit(threshold60(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === lit(stratum), lit(threshold60(rate))).otherwise(acc)
+    }
+    df.filter(rowHash(col(keyCol), salt) < thr)
+  }
+
+  /** Weighted Bernoulli sample: inclusion probability proportional to a
+    * per-row integer weight, `p = min(1, weight / weightScale)`. The test
+    * is a pure-integer cross-multiplication over the 40-bit hash —
+    * `hash40 * weightScale < weight * 2^40` — so it is exact for any
+    * weight (no float rounding at the boundary) as long as
+    * `weight * 2^40` fits in Int64, i.e. weight < 2^23 ≈ 8.3M.
+    *
+    * This is how a quality-weighted or length-weighted corpus draw runs at
+    * scale: the weight is a stored column, the decision is scan-local. */
+  def weightedBernoulli(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      weightScale: Long,
+      salt: String): DataFrame = {
+    require(weightScale > 0 && weightScale < (1L << 23),
+      s"weightScale must be in (0, 2^23) for overflow-free integer math, got $weightScale")
+    val hash40 = md5Long40(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    df.filter(hash40 * lit(weightScale) < col(weightCol).cast("long") * lit(1L << 40))
+  }
+
+  /** Exact heavy hitters in two bounded passes (the MG candidate pass +
+    * an exact verify pass), for thresholds `cnt * thresholdDen >= N`:
+    *
+    *   pass 1 — ONE scan computing `graft_heavy_hitters(k)` and `count(*)`
+    *     together: ≤ k candidate keys + the total N. Bounded driver read
+    *     (≤ k strings — a scalar report, not data).
+    *   pass 2 — exact `groupBy.count` over ONLY the candidate keys (an
+    *     `isin` scan filter: the shuffle carries ≤ k groups, not the
+    *     vocabulary), keeping those with `cnt * thresholdDen >= N`.
+    *
+    * Sound whenever `k + 1 >= thresholdDen` (the MG bound guarantees the
+    * candidate set is a superset of items with frequency > N/(k+1), and
+    * the threshold N/thresholdDen is at least that). The result is EXACT —
+    * identical to the full `GROUP BY ... HAVING cnt * den >= N` the oracle
+    * runs — but the full-vocabulary shuffle never happens.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int, thresholdDen: Long): DataFrame = {
+    require(k + 1 >= thresholdDen,
+      s"k=$k too small for threshold N/$thresholdDen: need k+1 >= $thresholdDen for the MG superset guarantee")
+    import graft.expressions.GraftFunctions
+    val row = items.agg(
+      GraftFunctions.misraGries(col(itemCol), k).as("cand"),
+      count(lit(1)).as("n")).first()
+    val cands: Seq[String] = row.getSeq[String](0)
+    val n: Long = row.getLong(1)
+    items.filter(col(itemCol).isin(cands: _*))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(thresholdDen) >= lit(n))
+  }
+}

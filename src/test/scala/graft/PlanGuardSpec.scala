@@ -31,9 +31,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
   private val boundedCross =
     Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap")
 
-  /** Unpartitioned windows over CALENDAR-BOUNDED post-aggregate input
-    * (one row per day, regardless of corpus size). */
-  private val boundedGlobalWindow = Set("q58_rolling_trend")
+  /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
+    * row per calendar day; q106: one row per source — the window input is
+    * the aggregate, never the corpus). */
+  private val boundedGlobalWindow = Set("q58_rolling_trend", "q106_temperature_mix")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
