@@ -149,6 +149,35 @@ object Similarity {
       .filter(col("cos") * thresholdDen >= lit(thresholdNum))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: coarse-cluster the corpus
+    * with the k-means-lite quantizer ([[trainCentroidsLite]] +
+    * [[ivfAssign]]), then exact-verify cosine ONLY within each cluster —
+    * the embedding-space analogue of LSH banding when duplicates are
+    * semantic neighbors rather than hash-colliders (Abbas et al.'s
+    * SemDeDup recipe). The within-cluster pair join is an equi-join on
+    * the cluster id, never an all-pairs cross; its cost is Σ cell², so at
+    * scale k is sized ∝ √n (pass k = 0 for the derived sizing) to keep
+    * cells — and the quadratic term — bounded. Recall is heuristic (near
+    * twins land in one cell because assignment is argmax-cosine; a pair
+    * straddling a cell boundary is missed) — that approximation is the
+    * documented SemDeDup trade, in exchange for no signature machinery at
+    * all. Integer-literal threshold compare and fold-ordered cosine keep
+    * it oracle-checkable. */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, sampleMod: Long, maxSample: Int,
+                    thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    val centroids = trainCentroidsLite(emb, idCol, vecCol, k, sampleMod, maxSample)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      ivfAssign(col(vecCol), centroids).cast("long").as("cluster"))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cos"))
+      .filter(col("cos") * thresholdDen >= lit(thresholdNum))
+  }
+
   /** K-means-lite coarse quantizer: Lloyd iterations over a bounded,
     * deterministic sample, trained DRIVER-side. This is the "trained
     * centroids" IVF needs at scale (the fixed `label` bucket of

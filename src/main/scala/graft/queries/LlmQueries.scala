@@ -1040,24 +1040,25 @@ object LlmQueries {
   }
 
   /** Left-fold double dot product, same op order as [[Similarity.dot]]. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x+y)"
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** DuckDB mirror of [[Similarity.trainCentroidsLite]] (k=4, mod-10
-    * sample, one Lloyd pass on the sample) + full-corpus assignment —
-    * terminates in `assign(vec_id, embedding, j)`. Shared by the q46 and
-    * q84 oracles so the quantizer definition cannot drift between them. */
-  private lazy val ivfAssignCtes: String =
+  /** DuckDB mirror of [[Similarity.trainCentroidsLite]] (k cells, mod-10
+    * sample, one Lloyd pass on the sample) + assignment of every vector in
+    * `corpus` — terminates in `assign(vec_id, embedding, j)`. Shared by the
+    * q46/q84 oracles (k=4 over `embeddings`) and q110 (k=8 over its
+    * perturbed corpus) so the quantizer definition cannot drift. */
+  private[queries] def ivfAssignCtesK(k: Int, corpus: String): String =
     s"""samp AS (
-       |  SELECT vec_id, embedding FROM embeddings
+       |  SELECT vec_id, embedding FROM $corpus
        |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 1000),
        |init AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
        |         list_transform(embedding, x -> x::DOUBLE) AS c
-       |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT 4)),
+       |  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT $k)),
        |scored0 AS (
        |  SELECT s.vec_id, s.embedding, i.j,
        |    ${cosSql("s.embedding", "i.c")} AS cos
@@ -1078,10 +1079,12 @@ object LlmQueries {
        |scored AS (
        |  SELECT e.vec_id, e.embedding, c.j,
        |    ${cosSql("e.embedding", "c.c")} AS cos
-       |  FROM embeddings e CROSS JOIN centroids c),
+       |  FROM $corpus e CROSS JOIN centroids c),
        |assign AS (
        |  SELECT vec_id, embedding, j FROM scored
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1)""".stripMargin
+
+  private lazy val ivfAssignCtes: String = ivfAssignCtesK(4, "embeddings")
 
   private val simhashBitSums = (0 until 60)
     .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")

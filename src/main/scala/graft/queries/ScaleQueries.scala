@@ -168,13 +168,94 @@ object ScaleQueries {
       .select("source", "n_docs", "weight", "alloc")
   }
 
+  // q107: the ORC copy is written once per (JVM, sf-dir); the query reads
+  // it back — the round-trip is the operator under test.
+  private val orcFor = scala.collection.concurrent.TrieMap[String, String]()
+  private def orcLineitem(s: SparkSession, dir: String): String =
+    orcFor.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/lineitem"
+      Tables.lineitem(s, dir).write.mode("overwrite").orc(tmp)
+      tmp
+    })
+
+  /** q107: ORC source/sink round-trip — lineitem written as ORC, read
+    * back, filtered and aggregated. ORC is Spark-native (columnar,
+    * predicate-pushdown, vectorized reader — see the ScaleQueriesSpec
+    * pushdown assertion); the oracle aggregates the original parquet, so
+    * identical results prove the format round-trip is lossless including
+    * timestamp fidelity. */
+  def q107OrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(orcLineitem(s, dir))
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
+  /** q108: the schema-inference on-ramp ([[graft.sources.InferredRead]]):
+    * journey CSV read with inferred types, then aggregated on columns
+    * whose inferred types must have come out integral for the result to
+    * match the oracle's typed read. Covers SURVEY §2.1's inferSchema
+    * surface (the reference's default read mode) as an explicit
+    * exploration entry point. */
+  def q108InferredCsv(s: SparkSession, dir: String): DataFrame =
+    graft.sources.InferredRead.csv(s, "/root/repo/fixtures/journey.csv")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("Bike Id")).as("n_bikes"),
+        sum(col("Duration")).cast("long").as("total_duration"))
+
+  /** q109: PageRank over the trade graph — nations as nodes, customer
+    * nation → supplier nation order flow as weighted edges (built by the
+    * full lineitem⋈orders⋈customer⋈supplier join: the SCALE part of this
+    * query is the edge derivation over the fact table; the 3 rank
+    * iterations then run as joins on the small node set). Fixed-point
+    * integer arithmetic throughout ([[graft.operators.PageRank]]), so the
+    * iterated ranks are bit-identical on any engine. */
+  def q109NationPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nation = Tables.nation(s, dir)
+    val nodes = nation.select(col("n_nationkey").as("node"))
+    graft.operators.PageRank.ranks(s, nodes, edges, iters = 3)
+      .join(nation, col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("rank"))
+  }
+
+  /** q110: SemDeDup — semantic near-duplicate pairs via coarse k-means
+    * clustering + within-cluster exact cosine verify
+    * ([[Similarity.semDedupPairs]]), over the q43 corpus (embeddings plus
+    * perturbed copies of every 20th vector, cos ≥ 0.9997 to their
+    * original). Same planted dups, different discovery machinery: q43
+    * finds them by LSH hash collision, this by cluster co-residency. */
+  def q110SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val perturbed = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.05).cast("float")).otherwise(x))
+          .as("embedding"))
+    graft.operators.Similarity.semDedupPairs(e.unionByName(perturbed),
+      "vec_id", "embedding", k = 8, sampleMod = 10L, maxSample = 1000,
+      thresholdNum = 999L, thresholdDen = 1000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_heavy_hitters" -> (q101HeavyHitters _),
     "q102_bucketed_join" -> (q102BucketedJoin _),
     "q103_stratified_sample" -> (q103StratifiedSample _),
     "q104_weighted_sample" -> (q104WeightedSample _),
     "q105_bm25_search" -> (q105Bm25Search _),
-    "q106_temperature_mix" -> (q106TemperatureMix _))
+    "q106_temperature_mix" -> (q106TemperatureMix _),
+    "q107_orc_roundtrip" -> (q107OrcRoundtrip _),
+    "q108_inferred_csv" -> (q108InferredCsv _),
+    "q109_nation_pagerank" -> (q109NationPagerank _),
+    "q110_semdedup" -> (q110SemDedup _))
 
   // ------------------------------------------------------------- oracles
 
@@ -246,5 +327,77 @@ object ScaleQueries {
         |        CAST(floor(sqrt(n_docs::DOUBLE)) AS BIGINT) AS weight FROM c),
         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM w)
         |SELECT source, n_docs, weight, (100000 * weight) // total AS alloc
-        |FROM w, t""".stripMargin)
+        |FROM w, t""".stripMargin,
+    // The oracle reads the ORIGINAL parquet — identical results prove the
+    // ORC round-trip lossless.
+    "q107_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    // The oracle reads the same CSV with EXPLICIT types: matching sums
+    // prove inference landed on integral types that parse identically.
+    "q108_inferred_csv" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT "Bike Id") AS n_bikes,
+        |  CAST(sum("Duration") AS BIGINT) AS total_duration
+        |FROM read_csv('/root/repo/fixtures/journey.csv', header=true,
+        |  columns={'Rental Id':'INTEGER','Duration':'INTEGER','Bike Id':'INTEGER',
+        |    'End Date':'VARCHAR','EndStation Id':'INTEGER','EndStation Name':'VARCHAR',
+        |    'Start Date':'VARCHAR','StartStation Id':'INTEGER','StartStation Name':'VARCHAR'})""".stripMargin,
+    // Three unrolled fixed-point iterations, mirroring PageRank.ranks
+    // constant-for-constant (RankScale 1e12, ProbScale 1e6, damping 85/100,
+    // per-term floor division so every sum is exact integer addition).
+    "q109_nation_pagerank" -> {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    (SELECT base15 FROM consts) +
+           |      (85 * COALESCE(c.s, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT p.dst, CAST(sum((r.rank * p.p) // 1000000) AS BIGINT) AS s
+           |    FROM p JOIN $prev r ON p.src = r.node GROUP BY p.dst) c
+           |  ON n.node = c.dst)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY src, dst),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+         |p AS (SELECT e.src, e.dst, (e.w * 1000000) // outw.ow AS p
+         |      FROM e JOIN outw ON e.src = outw.src),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |consts AS (
+         |  SELECT 1000000000000 // count(*) AS base,
+         |         (15 * (1000000000000 // count(*))) // 100 AS base15
+         |  FROM nodes),
+         |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+         |${iterCte("r0", "r1")},
+         |${iterCte("r1", "r2")},
+         |${iterCte("r2", "r3")}
+         |SELECT nat.n_name, r3.rank
+         |FROM r3 JOIN nation nat ON r3.node = nat.n_nationkey""".stripMargin
+    },
+    // Same trained quantizer as q46/q84 (k=8 over the perturbed corpus),
+    // then all pairs WITHIN a cluster, exact cosine, integer threshold.
+    "q110_semdedup" -> {
+      import LlmQueries.{cosSql, ivfAssignCtesK}
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(generate_series(1, len(embedding)),
+         |      i -> CASE WHEN i = 1 THEN CAST(embedding[i]::DOUBLE * 1.05 AS FLOAT)
+         |           ELSE embedding[i] END)
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |${ivfAssignCtesK(8, "corpus")}
+         |SELECT * FROM (
+         |  SELECT a.j AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b ON a.j = b.j AND a.vec_id < b.vec_id)
+         |WHERE cos * 1000 >= 999""".stripMargin
+    })
 }

@@ -77,6 +77,40 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q107: the shipdate filter is pushed into the ORC scan") {
+    val df = ScaleQueries.q107OrcRoundtrip(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan orc")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushdown into ORC scan:\n$scan")
+  }
+
+  test("q108: inference recovers the explicit journey schema; drifted files still read") {
+    import org.apache.spark.sql.types._
+    val inferred = graft.sources.InferredRead.csv(spark, "/root/repo/fixtures/journey.csv")
+    val byName = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("Rental Id") == IntegerType && byName("Duration") == IntegerType &&
+      byName("Bike Id") == IntegerType && byName("EndStation Name") == StringType,
+      s"inference drifted: ${inferred.schema.treeString}")
+    // a drifted vintage (new trailing column) must read without code changes
+    val drifted = java.nio.file.Files.createTempFile("journey-drift", ".csv")
+    java.nio.file.Files.writeString(drifted,
+      "Rental Id,Duration,Bike Id,Battery Level\n1,300,77,0.5\n2,360,78,0.9\n")
+    val d = graft.sources.InferredRead.csv(spark, drifted.toString)
+    assert(d.count() == 2 &&
+      d.schema.fields.map(_.name).contains("Battery Level"))
+  }
+
+  test("q110: every planted near-twin pair is recovered, and only planted pairs") {
+    val pairs = ScaleQueries.q110SemDedup(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").as[Long].collect().filter(_ % 20 == 0)
+      .map(v => (v, v + 1000000)).toSet
+    assert(pairs == planted,
+      s"missed ${planted -- pairs}, spurious ${pairs -- planted}")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
