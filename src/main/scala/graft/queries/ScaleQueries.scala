@@ -245,7 +245,48 @@ object ScaleQueries {
       thresholdNum = 999L, thresholdDen = 1000L)
   }
 
+  /** q111: distributed Pearson correlation from EXACT integer moment sums
+    * — per source, corr(n_chars, token_count). Float `corr()` sums doubles
+    * in partition order and is unreproducible; here all five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) are integer sums (one partial-aggregating
+    * pass, order-free), and the correlation is four IEEE ops on the exact
+    * scalars — bit-identical on any engine, at any parallelism. Overflow
+    * headroom is structural: per-group n·Σxy stays under 2^63 whenever
+    * n·(max·max)·n fits, which holds to ~10^9 docs per group at these
+    * value ranges. */
+  def q111CorrExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"),
+      col("n_chars").as("x"),
+      size(split(col("text"), " ")).cast("long").as("y"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+  }
+
+  /** q113: CUBE grouping sets — counts and exact-decimal value sums at
+    * (type, day), (type), (day), and grand-total levels in one pass (the
+    * companion to q56's ROLLUP; the (day)-only slice is the one a rollup
+    * cannot produce). Subtotal NULLs surface as the 'ALL' sentinel. */
+  def q113Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+        col("n"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_corr_exact" -> (q111CorrExact _),
+    "q113_cube" -> (q113Cube _),
     "q101_heavy_hitters" -> (q101HeavyHitters _),
     "q102_bucketed_join" -> (q102BucketedJoin _),
     "q103_stratified_sample" -> (q103StratifiedSample _),
@@ -262,6 +303,29 @@ object ScaleQueries {
   private val curatedIn = CuratedSources.map(s => s"'$s'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q111_corr_exact" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS x, len(string_split(text, ' ')) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM d GROUP BY source)
+        |SELECT source, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM a""".stripMargin,
+    "q113_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |GROUP BY CUBE (event_type, day)""".stripMargin,
     // The oracle affords the full-vocabulary GROUP BY the engine avoids;
     // the answers must be identical because pass 2 is exact.
     "q101_heavy_hitters" ->

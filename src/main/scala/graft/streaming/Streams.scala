@@ -152,6 +152,36 @@ object Streams {
     spark.table("graft_stream_hourly")
   }
 
+  /** Gap-based session windows (`session_window`, 30-minute gap) per user
+    * over `dir/events.parquet`, run as a complete-mode AvailableNow stream
+    * into a memory sink. This is the STREAMING sessionizer — state merges
+    * windows as events arrive, so sessions form incrementally without the
+    * batch sessionizer's per-user sort ([[graft.operators.Sessionize]]
+    * computes the same islands with a lag window); the batch oracle
+    * (islands SQL with a >= gap cut, matching session_window's
+    * close-at-exactly-gap rule) verifies the unification. */
+  def sessionCountsOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    val q = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_sessions")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_sessions")
+  }
+
   /** STREAMING corpus ingest: raw document micro-batches drive
     * [[graft.app.CorpusApp.appendBatch]] through `foreachBatch` — each
     * batch is cleaned by the full verified pipeline, gated against the

@@ -40,10 +40,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     * a window partitioned by one of these alone is a single-task sort. */
   private val scaleKeys = Set("source", "lang", "event_type")
 
-  /** q41 executes a full AvailableNow stream inside the query function —
-    * there is no lazy plan to inspect (its operators are covered by
+  /** q41/q112 execute a full AvailableNow stream inside the query function
+    * — there is no lazy plan to inspect (their operators are covered by
     * StreamingSpec). */
-  private val skip = Set("q41_stream_hourly")
+  private val skip = Set("q41_stream_hourly", "q112_stream_sessions")
 
   test("no query plans a cartesian product or a scale-key single-group window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
