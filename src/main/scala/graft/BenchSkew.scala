@@ -46,7 +46,11 @@ object BenchSkew {
     "q27_exact_dedup", "q28_neardup_pairs", "q40_simhash_neardup",
     "q42_jaccard_exact", "q54_sessionize", "q63_seq_packing",
     "q70_top_per_source", "q76_global_shuffle", "q77_retention_cohorts",
-    "q78_quality_deciles", "q90_salted_join")
+    "q78_quality_deciles", "q90_salted_join",
+    // round-6 additions: heavy hitters IS the zipf case (its shuffles carry
+    // <=k counters / <=k candidate groups by construction — ratios should
+    // stay flat however hot the keys); BM25 shuffles only term-filtered rows
+    "q101_heavy_hitters", "q105_bm25_search")
 
   private case class TaskObs(query: String, stageId: Int, durMs: Long,
                              shufReadB: Long, shufWriteB: Long)

@@ -284,8 +284,24 @@ object ScaleQueries {
         coalesce(col("day").cast("string"), lit("ALL")).as("day"),
         col("n"), col("total_value"))
 
+  /** q114: SQL set operations with SET (distinct) semantics — the §2.8
+    * completion beyond UNION: (A INTERSECT B) EXCEPT C over three
+    * overlapping doc-id slices (independent salted-hash halves, so each
+    * pairwise overlap is ~50% and the result is ~1/8 of the corpus —
+    * non-degenerate at any sf). Spark plans INTERSECT as a distinct
+    * left-semi and EXCEPT as a distinct left-anti — both hash-partitioned
+    * equi-joins, no sort, no cross. */
+  def q114SetOps(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    def slice(tag: Int) = d.filter(
+      graft.functions.TextFunctions.md5Long(
+        concat(col("doc_id").cast("string"), lit(s":sl$tag"))) % 2 === 0)
+    slice(1).intersect(slice(2)).except(slice(3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corr_exact" -> (q111CorrExact _),
+    "q114_setops" -> (q114SetOps _),
     "q113_cube" -> (q113Cube _),
     "q101_heavy_hitters" -> (q101HeavyHitters _),
     "q102_bucketed_join" -> (q102BucketedJoin _),
@@ -303,6 +319,15 @@ object ScaleQueries {
   private val curatedIn = CuratedSources.map(s => s"'$s'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "q114_setops" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':sl1'), 1, 15))::BIGINT % 2 = 0
+        |INTERSECT
+        |SELECT doc_id FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':sl2'), 1, 15))::BIGINT % 2 = 0
+        |EXCEPT
+        |SELECT doc_id FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':sl3'), 1, 15))::BIGINT % 2 = 0""".stripMargin,
     "q111_corr_exact" ->
       """WITH d AS (
         |  SELECT source, n_chars AS x, len(string_split(text, ' ')) AS y

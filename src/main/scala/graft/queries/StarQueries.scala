@@ -68,7 +68,8 @@ object StarQueries {
     "q45_integrity" -> (q45Integrity _),
     "q57_rides_per_hour_star" -> (q57RidesPerHour _),
     "q67_rides_per_weekday_star" -> (q67RidesPerWeekday _),
-    "q68_daily_trend_star" -> (q68DailyTrend _))
+    "q68_daily_trend_star" -> (q68DailyTrend _),
+    "q115_dpp_hot_days" -> (q115DppHotDays _))
 
   // ------------------------------------------------------------- oracles
 
@@ -116,7 +117,38 @@ object StarQueries {
        |        FROM read_json('$fx/weather_v1.json',
        |          columns={'days': 'STRUCT("datetime" VARCHAR)[]'})))""".stripMargin
 
+  /** q115: DYNAMIC PARTITION PRUNING over the written star — rides per
+    * warm day, fact ⋈ dim_weather on the fact's PARTITION column with a
+    * selective dim filter. The fact is date-partitioned
+    * ([[StarSchema.weekly]] / `Sinks.upsertPartitioned`), so Catalyst
+    * plants a dynamic-pruning subquery on the fact scan: only partitions
+    * whose dates survive the dim filter are read at all — at 100 TB the
+    * difference between scanning 7 warm days and the whole history (the
+    * ScaleQueriesSpec asserts `dynamicpruning` in the scan's partition
+    * filters). The oracle recomputes from raw fixtures, so the WRITTEN
+    * partition layout is what's under test. */
+  def q115DppHotDays(s: SparkSession, dir: String): DataFrame = {
+    val w = warehouse(s)
+    val fact = s.read.parquet(StarSchema.factJourney(w))
+    val warm = s.read.parquet(StarSchema.dimWeather(w))
+      .filter(col("tempmax") > lit(10.0)).select("weather_date")
+    fact.join(warm, "weather_date")
+      .groupBy(col("weather_date").cast("string").as("weather_date"))
+      .agg(count(lit(1)).as("n_rides"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q115_dpp_hot_days" ->
+      s"""WITH $warehouseCtes,
+         |warm AS (
+         |  SELECT CAST(d."datetime" AS DATE) AS weather_date
+         |  FROM (SELECT unnest(days) AS d
+         |        FROM read_json('$fx/weather_v1.json',
+         |          columns={'days': 'STRUCT("datetime" VARCHAR, tempmax DOUBLE)[]'}))
+         |  WHERE d.tempmax > 10)
+         |SELECT CAST(f.weather_date AS VARCHAR) AS weather_date, count(*) AS n_rides
+         |FROM fact f JOIN warm USING (weather_date)
+         |GROUP BY 1""".stripMargin,
     "q44_rides_by_station" ->
       s"""WITH $warehouseCtes,
          |roles AS (

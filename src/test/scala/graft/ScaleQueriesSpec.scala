@@ -111,6 +111,14 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
       s"missed ${planted -- pairs}, spurious ${pairs -- planted}")
   }
 
+  test("q115: the fact scan is dynamically partition-pruned by the dim filter") {
+    val df = graft.queries.StarQueries.q115DppHotDays(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
