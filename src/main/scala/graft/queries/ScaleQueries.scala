@@ -299,9 +299,57 @@ object ScaleQueries {
     slice(1).intersect(slice(2)).except(slice(3))
   }
 
+  /** q116: fuzzy string self-join at Levenshtein ≤ 1 via the FastSS
+    * deletion-neighborhood equi-join ([[graft.operators.Fuzzy]]) — never
+    * all-pairs (that's the oracle's job). Corpus: distinct word-trigram
+    * strings from a bounded doc slice, plus planted second-char-deletion
+    * typos of a hash-chosen subset — every planted typo is exactly one
+    * edit from its source, so the operator's recall is directly on trial. */
+  def q116FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Dedup.shingleSets(
+        Tables.documents(s, dir).filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", 3)
+      .select(explode(col("shingles")).as("str")).distinct()
+    val typos = base
+      .filter(graft.functions.TextFunctions.md5Long(col("str")) % 5 === 0)
+      .select(concat(substring(col("str"), 1, 1),
+        col("str").substr(lit(3), lit(1000))).as("str"))
+    val corpus = base.union(typos).distinct()
+    graft.operators.Fuzzy.editDistance1Pairs(corpus, "str")
+  }
+
+  /** q117: calendar gap-fill with forward fill — the time-series repair a
+    * dashboard needs when sparse daily aggregates leave holes. The spine is
+    * generated per event type (explode of a date sequence — no cross join),
+    * the sparse aggregate left-joins on, and `last(ignoreNulls)` over a
+    * per-type calendar window carries the latest observation forward
+    * (NULL before the first). The window partitions by a scale key, but
+    * its input is the POST-AGGREGATE grid — one row per (type, day),
+    * calendar-bounded regardless of corpus size (PlanGuard carries the
+    * exemption with this justification). */
+  def q117GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val daily = ev.filter(col("value") > lit(300.0))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("day_value"), count(lit(1)).as("n"))
+    val mm = ev.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).first()
+    val spine = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(mm.getDate(0)), lit(mm.getDate(1)))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
+    "q116_fuzzy_join" -> (q116FuzzyJoin _),
+    "q117_gap_fill" -> (q117GapFill _),
     "q113_cube" -> (q113Cube _),
     "q101_heavy_hitters" -> (q101HeavyHitters _),
     "q102_bucketed_join" -> (q102BucketedJoin _),
@@ -319,6 +367,41 @@ object ScaleQueries {
   private val curatedIn = CuratedSources.map(s => s"'$s'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // The oracle affords all-pairs levenshtein over the bounded corpus;
+    // the engine must meet it through the deletion-neighborhood join.
+    "q116_fuzzy_join" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS str
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |        WHERE doc_id % 37 = 0)
+        |  WHERE len(w) >= 3),
+        |typos AS (
+        |  SELECT substring(str, 1, 1) || substring(str, 3, 1000) AS str
+        |  FROM sh
+        |  WHERE ('0x' || substring(md5(str), 1, 15))::BIGINT % 5 = 0),
+        |corpus AS (SELECT str FROM sh UNION SELECT str FROM typos)
+        |SELECT a.str AS a, b.str AS b
+        |FROM corpus a JOIN corpus b ON a.str < b.str
+        |WHERE levenshtein(a.str, b.str) <= 1""".stripMargin,
+    "q117_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+        |    count(*) AS n
+        |  FROM events WHERE value > 300.0 GROUP BY 1, 2),
+        |mm AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |       FROM events),
+        |spine AS (
+        |  SELECT t.event_type,
+        |    unnest(generate_series(mm.d0, mm.d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT DISTINCT event_type FROM events) t, mm)
+        |SELECT s.event_type, CAST(s.day AS VARCHAR) AS day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS UNBOUNDED PRECEDING) AS ffill_value,
+        |  COALESCE(d.n, 0) AS n
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin,
     "q114_setops" ->
       """SELECT doc_id FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':sl1'), 1, 15))::BIGINT % 2 = 0

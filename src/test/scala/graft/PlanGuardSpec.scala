@@ -40,6 +40,12 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     * a window partitioned by one of these alone is a single-task sort. */
   private val scaleKeys = Set("source", "lang", "event_type")
 
+  /** Windows partitioned by a scale key whose INPUT is a post-aggregate
+    * calendar grid — one row per (key, day) at any corpus size, so the
+    * per-key sort is bounded by the calendar, not the data (q117: the
+    * forward-fill spine). */
+  private val boundedKeyedWindow = Set("q117_gap_fill")
+
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect (their operators are covered by
     * StreamingSpec). */
@@ -61,7 +67,7 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
             failures += s"$name: unpartitioned Window (single-task global sort)"
         case w: WindowExec if w.partitionSpec.length == 1 =>
           val names = w.partitionSpec.head.references.map(_.name).toSet
-          if (names.exists(scaleKeys))
+          if (names.exists(scaleKeys) && !boundedKeyedWindow(name))
             failures += s"$name: Window partitioned by scale key ${names.mkString(",")} alone"
         case _ =>
       }
