@@ -1,0 +1,115 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch as a native `TypedImperativeAggregate` — the
+  * bounded-state FREQUENCY TABLE to [[MisraGriesCandidates]]'s top-k list:
+  * MG answers "which items are heavy", CMS answers "roughly how often is
+  * item X" for ANY x, from d·w longs of state however many rows flow
+  * through. Partials merge by element-wise addition (the sketch is a
+  * linear projection of the count vector), so it partial-aggregates
+  * map-side like any built-in, and sketches of separate batches can be
+  * added later — the incremental-corpus use: keep last week's sketch,
+  * add this week's, never rescan.
+  *
+  * Estimate (computed by the caller from the flattened output): for row
+  * r, bucket = md5-hash(r ":" item) mod w; est = min over rows of
+  * counters[r·w + bucket]. Guarantees: never an undercount; overcount
+  * ≤ 2N/w with probability ≥ 1 − 2^−d.
+  *
+  * Determinism (what makes it ORACLE-REBUILDABLE, unlike
+  * `count_min_sketch`'s implementation-defined hash): buckets come from
+  * the first 15 md5 hex chars of `"r:" + item` mod w — an independent
+  * engine reproduces every counter exactly (DuckDB mirror:
+  * `('0x' || substring(md5(r || ':' || item), 1, 15))::BIGINT % w`).
+  *
+  * Output: the d·w counters, row-major, as `array<long>`.
+  */
+case class CountMinSketch(
+    child: Expression,
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(d >= 1 && d <= 8, "CMS depth must be in [1, 8]")
+  require(w >= 2, "CMS width must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_count_min expects a STRING input, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      var r = 0
+      while (r < d) {
+        buf(r * w + CountMinSketch.bucket(r, item, w)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(l => l: Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(d * w)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_count_min"
+}
+
+object CountMinSketch {
+
+  /** Row-r bucket of `item`: first 15 md5 hex chars of "r:item", base-16,
+    * mod w — the same engine-portable 60-bit hash family the rest of the
+    * library keys on ([[graft.functions.TextFunctions.md5Long]]). */
+  def bucket(r: Int, item: String, w: Int): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$r:$item".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % w).toInt
+  }
+}

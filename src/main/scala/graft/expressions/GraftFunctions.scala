@@ -57,6 +57,12 @@ object GraftFunctions {
     GraftSqlBridge.column(
       MisraGriesCandidates(GraftSqlBridge.expression(item), k).toAggregateExpression())
 
+  /** Count-Min sketch build (d rows × w buckets of the portable md5
+    * family), flattened row-major (see [[CountMinSketch]]). */
+  def countMin(item: Column, d: Int, w: Int): Column =
+    GraftSqlBridge.column(
+      CountMinSketch(GraftSqlBridge.expression(item), d, w).toAggregateExpression())
+
   /** Bloom-filter build over a BIGINT key column (see [[BloomBuildAgg]]). */
   def bloomBuild(key: Column, numBits: Int, numHashes: Int): Column =
     GraftSqlBridge.column(
@@ -134,6 +140,14 @@ object GraftFunctions {
           TopKByScore(score, id, k).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_top_k(score, id, k) needs a literal int k")
+      }),
+    (new FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "graft_count_min"),
+      (children: Seq[Expression]) => children match {
+        case Seq(item, IntegerLiteral(d), IntegerLiteral(w)) =>
+          CountMinSketch(item, d, w).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_count_min(item, d, w) needs literal int d and w")
       }),
     (new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesCandidates].getName, "graft_heavy_hitters"),

@@ -345,11 +345,96 @@ object ScaleQueries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  // q118 constants: 3×256 sketch, probes covering a frequent word, a
+  // mid word, and an ABSENT word (whose estimate is pure collision mass —
+  // the overcount-only guarantee on display).
+  private val CmsD = 3
+  private val CmsW = 256
+  private val CmsProbes = Seq("join", "vector", "zzz_absent")
+
+  /** q118: Count-Min sketch frequency estimates
+    * ([[graft.expressions.CountMinSketch]]): ONE distributed pass builds
+    * the d·w-counter sketch (map-side mergeable; the shuffle carries 768
+    * longs per partition, never the vocabulary), then the probe estimates
+    * are bounded driver arithmetic over the returned array — min over d
+    * of the probe's bucket counters. The oracle REBUILDS every probed
+    * counter from the raw words with the same md5 bucket function, so the
+    * sketch contents (not just the shape) are verified. */
+  def q118CmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{CountMinSketch, GraftFunctions}
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+    val sk: Seq[Long] = words
+      .agg(GraftFunctions.countMin(col("word"), CmsD, CmsW))
+      .first().getSeq[Long](0) // bounded driver read: d*w longs
+    val rows = CmsProbes.map { p =>
+      val est = (0 until CmsD)
+        .map(r => sk(r * CmsW + CountMinSketch.bucket(r, p, CmsW))).min
+      (p, est)
+    }
+    import s.implicits._
+    rows.toDF("word", "est")
+  }
+
+  /** q119: the TYPED-API face of q111 — the same exact-integer-moment
+    * correlation computed through `Dataset`/`KeyValueGroupedDataset.agg`
+    * with a case-class [[graft.operators.MomentsAgg]] Aggregator (the
+    * `org.apache.spark.sql.expressions.Aggregator` surface, compile-time
+    * typed end to end). Same oracle SQL as q111: the two API paths must
+    * produce bit-identical doubles. */
+  def q119TypedCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, dir)
+      .select(col("source"),
+        col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+      .as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.operators.MomentsAgg().toColumn.name("m"))
+      .toDF("source", "m")
+      .select(col("source"), col("m.n").as("n"),
+        ((col("m.n") * col("m.sxy") - col("m.sx") * col("m.sy")).cast("double") /
+          (sqrt((col("m.n") * col("m.sxx") - col("m.sx") * col("m.sx")).cast("double")) *
+            sqrt((col("m.n") * col("m.syy") - col("m.sy") * col("m.sy")).cast("double"))))
+          .as("corr"))
+  }
+
+  // q120: the bloom-filtered copy is written once per (JVM, sf-dir)
+  private val bloomFor = scala.collection.concurrent.TrieMap[String, String]()
+  private def bloomLineitem(s: SparkSession, dir: String): String =
+    bloomFor.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pqbloom").toString + "/lineitem"
+      Sinks.writeParquetBloom(Tables.lineitem(s, dir), tmp,
+        Seq("l_orderkey" -> 20000L))
+      tmp
+    })
+
+  /** Test hook: the bloom-filtered table's path (builds it if needed). */
+  private[graft] def bloomLineitemPathForTest(s: SparkSession, dir: String): String =
+    bloomLineitem(s, dir)
+
+  /** q120: point lookup over a parquet table written with a COLUMN BLOOM
+    * FILTER on the key ([[Sinks.writeParquetBloom]]) — at 100 TB, a
+    * `key = x` probe skips every row group whose bloom rejects x without
+    * touching data pages (ScaleQueriesSpec asserts the filter bytes exist
+    * in the footer and the predicate reaches the scan). The oracle runs
+    * the same lookup on the original parquet: the bloom may only skip,
+    * never change results. */
+  def q120BloomLookup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(bloomLineitem(s, dir))
+      .filter(col("l_orderkey") === 42L)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
     "q117_gap_fill" -> (q117GapFill _),
+    "q118_cms_counts" -> (q118CmsCounts _),
+    "q119_typed_corr" -> (q119TypedCorr _),
+    "q120_bloom_lookup" -> (q120BloomLookup _),
     "q113_cube" -> (q113Cube _),
     "q101_heavy_hitters" -> (q101HeavyHitters _),
     "q102_bucketed_join" -> (q102BucketedJoin _),
@@ -366,7 +451,55 @@ object ScaleQueries {
 
   private val curatedIn = CuratedSources.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  private val q111OracleSql =
+    """WITH d AS (
+      |  SELECT source, n_chars AS x, len(string_split(text, ' ')) AS y
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM d GROUP BY source)
+      |SELECT source, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+      |FROM a""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Rebuild every probed CMS counter from the raw words with the same
+    // md5 bucket function — the sketch contents are what's verified.
+    "q118_cms_counts" -> {
+      val probeValues = CmsProbes.map(p => s"('$p')").mkString(", ")
+      val rowValues = (0 until CmsD).map(r => s"($r)").mkString(", ")
+      // grid LEFT JOIN so an EMPTY probe bucket contributes 0 to the min
+      // (the absent-probe case), exactly like the sketch's zero counter
+      s"""WITH wds AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |probes(p) AS (VALUES $probeValues),
+         |rws(r) AS (VALUES $rowValues),
+         |cells AS (
+         |  SELECT pr.p, ro.r, count(*) AS cnt
+         |  FROM wds w
+         |  CROSS JOIN rws ro
+         |  JOIN probes pr
+         |    ON ('0x' || substring(md5(ro.r || ':' || w.word), 1, 15))::BIGINT % $CmsW
+         |     = ('0x' || substring(md5(ro.r || ':' || pr.p), 1, 15))::BIGINT % $CmsW
+         |  GROUP BY pr.p, ro.r)
+         |SELECT g.p AS word, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+         |FROM (SELECT p, r FROM probes CROSS JOIN rws) g
+         |LEFT JOIN cells c ON g.p = c.p AND g.r = c.r
+         |GROUP BY g.p""".stripMargin
+    },
+    // The typed-Aggregator path must land on the same doubles as q111.
+    "q119_typed_corr" -> q111OracleSql,
+    "q120_bloom_lookup" ->
+      """SELECT l_orderkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey = 42
+        |GROUP BY l_orderkey""".stripMargin,
     // The oracle affords all-pairs levenshtein over the bounded corpus;
     // the engine must meet it through the deletion-neighborhood join.
     "q116_fuzzy_join" ->
@@ -411,22 +544,7 @@ object ScaleQueries {
         |EXCEPT
         |SELECT doc_id FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':sl3'), 1, 15))::BIGINT % 2 = 0""".stripMargin,
-    "q111_corr_exact" ->
-      """WITH d AS (
-        |  SELECT source, n_chars AS x, len(string_split(text, ' ')) AS y
-        |  FROM documents),
-        |a AS (
-        |  SELECT source, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM d GROUP BY source)
-        |SELECT source, n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
-        |FROM a""".stripMargin,
+    "q111_corr_exact" -> q111OracleSql,
     "q113_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(CAST(day AS VARCHAR), 'ALL') AS day,

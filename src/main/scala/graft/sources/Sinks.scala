@@ -124,6 +124,28 @@ object Sinks {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Parquet write with COLUMN BLOOM FILTERS on the named key columns —
+    * the point-lookup accelerator for keys too high-cardinality to sort or
+    * partition by: each row group carries a bloom of its key values, so a
+    * `key = x` scan skips every row group whose bloom rejects x WITHOUT
+    * reading data pages (parquet-mr applies it under Spark's pushed
+    * filters). Complements [[graft.operators.ZOrder]] (min/max pruning
+    * needs clustered values; blooms don't care about order) at the cost of
+    * `ndv`-sized filter bytes per group. */
+  def writeParquetBloom(df: DataFrame, path: String,
+                        bloomCols: Seq[(String, Long)]): Unit = {
+    val base = df.write.mode("overwrite").format("parquet")
+    bloomCols.foldLeft(base) { case (w, (c, ndv)) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        // parquet-mr omits the bloom when a chunk stays fully
+        // dictionary-encoded (the dictionary already answers membership);
+        // a true high-cardinality key overflows the dictionary anyway —
+        // opting out here makes the test data behave like the real case
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.save(path)
+  }
+
   /** S7 at scale: keyed UPSERT into a table partitioned on `partCol`, that
     * rewrites ONLY the partitions the update batch touches. A weekly merge
     * into a 100 TB fact partitioned by date costs ~7 partition rewrites, not

@@ -55,6 +55,34 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(cands.nonEmpty && cands.size <= 15)
   }
 
+  test("countMin never undercounts, and the merged sketch equals a single-partition build") {
+    val df = zipfStream
+    val exact = df.groupBy("item").count().as[(String, Long)].collect().toMap
+    def estimates(d: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val sk = d.agg(GraftFunctions.countMin($"item", 4, 64)).first().getSeq[Long](0)
+      exact.keys.map { k =>
+        k -> (0 until 4).map(r =>
+          sk(r * 64 + graft.expressions.CountMinSketch.bucket(r, k, 64))).min
+      }.toMap
+    }
+    val est = estimates(df)
+    for ((k, c) <- exact)
+      assert(est(k) >= c, s"CMS undercounted $k: ${est(k)} < $c")
+    val n = exact.values.sum
+    val grosslyOver = est.count { case (k, e) => e > exact(k) + 2 * n / 64 }
+    assert(grosslyOver < exact.size / 4, s"too many far-overcounts: $grosslyOver")
+    assert(est == estimates(df.coalesce(1)),
+      "merged partials differ from a single-partition build (linearity broken)")
+  }
+
+  test("graft_count_min is callable from SQL") {
+    GraftFunctions.register(spark)
+    zipfStream.createOrReplaceTempView("cms_items")
+    val sk = spark.sql("SELECT graft_count_min(item, 3, 32) FROM cms_items")
+      .first().getSeq[Long](0)
+    assert(sk.length == 96 && sk.sum == 3 * zipfStream.count())
+  }
+
   private def docs = (0L until 2000L).map(i =>
     (i, if (i % 4 == 0) "keep" else "cut", (i % 500 + 50).toInt))
     .toDF("id", "stratum", "w")

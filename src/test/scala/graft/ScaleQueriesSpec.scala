@@ -119,6 +119,40 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
     assert(df.count() > 0)
   }
 
+  test("q119 typed-Aggregator path is bit-identical to the q111 Column path") {
+    val typed = ScaleQueries.q119TypedCorr(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val col = ScaleQueries.q111CorrExact(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(typed == col)
+  }
+
+  test("q120: the written parquet carries a bloom filter on l_orderkey and the scan pushes the predicate") {
+    val df = graft.queries.ScaleQueries.q120BloomLookup(spark, sf)
+    assert(df.count() >= 1)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)"),
+      s"point predicate not pushed:\n$scan")
+    // footer check: at least one row group exposes a bloom offset for the key
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = new java.io.File(
+      graft.queries.ScaleQueries.bloomLineitemPathForTest(spark, sf))
+    val file = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(file.getAbsolutePath), spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val offsets = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "l_orderkey")
+        .map(_.getBloomFilterOffset)
+      assert(offsets.nonEmpty && offsets.exists(_ >= 0),
+        s"no bloom filter in footer for l_orderkey: $offsets")
+    } finally reader.close()
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
