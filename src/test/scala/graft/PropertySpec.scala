@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{CountMinSketch, GraftFunctions}
+import graft.operators.{Fuzzy, PageRank, PrefixSum, Sampling}
+
+/** Randomized property checks over the deterministic operator kernels —
+  * the guarantees hold for EVERY input, so they are checked against
+  * generated inputs, not fixtures. ScalaCheck drives generation/shrinking;
+  * success counts stay small because each case runs real Spark jobs. */
+class PropertySpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  // ---------------------------------------------------------------- fuzzy
+
+  private val genStrings: Gen[List[String]] =
+    Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
+      .map(_.distinct)
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("Fuzzy: deletion-neighborhood pairs equal brute-force levenshtein<=1 on any string set") {
+    check("fuzzy", Prop.forAll(genStrings) { ss =>
+      val nonEmpty = ss.filter(_.nonEmpty) // engine operates on distinct non-empty strings
+      val got = Fuzzy.editDistance1Pairs(nonEmpty.toDF("str"), "str")
+        .as[(String, String)].collect().toSet
+      val want = (for { a <- nonEmpty; b <- nonEmpty if a < b && lev(a, b) <= 1 }
+        yield (a, b)).toSet
+      got == want
+    })
+  }
+
+  // ----------------------------------------------------------- misra-gries
+
+  private val genStream: Gen[List[String]] =
+    Gen.choose(5, 40).flatMap(vocab =>
+      Gen.listOfN(vocab, Gen.choose(1, 60)).map(_.zipWithIndex.flatMap {
+        case (cnt, i) => List.fill(cnt)(s"w$i")
+      }))
+
+  test("MisraGries: every item above N/(k+1) survives any stream and partitioning") {
+    check("mg", Prop.forAll(genStream, Gen.choose(1, 9)) { (items, parts) =>
+      val k = 7
+      val df = items.toDF("item").repartition(parts)
+      val cands = df.agg(GraftFunctions.misraGries($"item", k))
+        .first().getSeq[String](0).toSet
+      val n = items.size
+      val exact = items.groupBy(identity).view.mapValues(_.size)
+      val mustKeep = exact.collect { case (w, c) if c * (k + 1) > n => w }.toSet
+      cands.size <= k && mustKeep.subsetOf(cands)
+    })
+  }
+
+  test("CountMin: estimates never undercount, on any stream and partitioning") {
+    check("cms", Prop.forAll(genStream, Gen.choose(1, 9)) { (items, parts) =>
+      val (d, w) = (3, 16)
+      val sk = items.toDF("item").repartition(parts)
+        .agg(GraftFunctions.countMin($"item", d, w)).first().getSeq[Long](0)
+      items.distinct.forall { item =>
+        val est = (0 until d).map(r => sk(r * w + CountMinSketch.bucket(r, item, w))).min
+        est >= items.count(_ == item)
+      }
+    })
+  }
+
+  // ------------------------------------------------------------ prefix sum
+
+  test("PrefixSum: sharded running sum equals the naive per-group scan, any data") {
+    val genRows: Gen[List[(String, Long, Long)]] =
+      Gen.choose(1, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+          Gen.choose(0L, 5000L), Gen.choose(0L, 9L))))
+        .map(_.groupBy(r => (r._1, r._2)).map(_._2.head).toList) // unique order keys
+    check("prefixsum", Prop.forAll(genRows, Gen.oneOf(64L, 512L, 0L)) { (rows, width) =>
+      val df = rows.toDF("g", "ord", "v").repartition(5)
+      val got = PrefixSum.inclusive(df, Seq("g"), "ord", "v", "ps", shardWidth = width)
+        .select("g", "ord", "ps").as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail).map { case (r, s) => (g, r._2) -> s }
+      }
+      got == want
+    }, n = 6)
+  }
+
+  // -------------------------------------------------------------- pagerank
+
+  test("PageRank: bit-deterministic under repartitioning and mass-bounded, any digraph") {
+    val genGraph: Gen[List[(Long, Long, Long)]] =
+      Gen.choose(1, 25).flatMap(m =>
+        Gen.listOfN(m, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L), Gen.choose(1L, 5L))))
+        .map(_.groupBy(e => (e._1, e._2)).map(_._2.head).toList)
+    check("pagerank", Prop.forAll(genGraph) { edges =>
+      val nodes = (0L until 10L).toDF("node")
+      val e = edges.toDF("src", "dst", "w")
+      val a = PageRank.ranks(spark, nodes, e, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      val b = PageRank.ranks(spark, nodes.repartition(3), e.repartition(4), iters = 2)
+        .as[(Long, Long)].collect().toMap
+      val total = a.values.sum
+      a == b && total <= PageRank.RankScale && a.values.forall(_ >= 0L)
+    }, n = 6)
+  }
+
+  // -------------------------------------------------------------- sampling
+
+  test("Sampling: threshold60 brackets the rate exactly at the integer boundary") {
+    check("threshold", Prop.forAll(Gen.choose(0.0, 1.0)) { rate =>
+      val t = Sampling.threshold60(rate)
+      t >= 0L && t <= Sampling.HashSpace60 &&
+        math.abs(t.toDouble / Sampling.HashSpace60.toDouble - rate) < 1e-9
+    }, n = 30)
+  }
+}
