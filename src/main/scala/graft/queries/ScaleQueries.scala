@@ -427,6 +427,37 @@ object ScaleQueries {
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** q121: INCREMENTAL sketch maintenance end-to-end — the corpus is split
+    * into two disjoint "weekly batches" (hash halves), each batch builds
+    * its own Count-Min sketch in its own aggregation, and the MERGED
+    * sketch (element-wise `zip_with` addition — CMS is a linear projection
+    * of the count vector) answers the same probes as q118's whole-corpus
+    * build. This is the weekly-100-TB contract: sketch the new batch,
+    * ADD it to the stored sketch, never rescan history — and the oracle
+    * (identical to q118's whole-corpus rebuild) proves additivity is
+    * lossless, not just shape-compatible. */
+  def q121SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{CountMinSketch, GraftFunctions}
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+    val half = graft.functions.TextFunctions.md5Long(
+      concat(col("doc_id").cast("string"), lit(":wk"))) % 2
+    def sketch(df: DataFrame): DataFrame =
+      df.agg(GraftFunctions.countMin(col("word"), CmsD, CmsW).as("sk"))
+    val merged = sketch(words.filter(half === 0))
+      .crossJoin(sketch(words.filter(half === 1)).withColumnRenamed("sk", "sk2"))
+      .select(zip_with(col("sk"), col("sk2"), (a, b) => a + b).as("sk"))
+      .first().getSeq[Long](0) // bounded driver read: d*w longs (1x1 row join)
+    val rows = CmsProbes.map { p =>
+      val est = (0 until CmsD)
+        .map(r => merged(r * CmsW + CountMinSketch.bucket(r, p, CmsW))).min
+      (p, est)
+    }
+    import s.implicits._
+    rows.toDF("word", "est")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
@@ -435,6 +466,7 @@ object ScaleQueries {
     "q118_cms_counts" -> (q118CmsCounts _),
     "q119_typed_corr" -> (q119TypedCorr _),
     "q120_bloom_lookup" -> (q120BloomLookup _),
+    "q121_sketch_union" -> (q121SketchUnion _),
     "q113_cube" -> (q113Cube _),
     "q101_heavy_hitters" -> (q101HeavyHitters _),
     "q102_bucketed_join" -> (q102BucketedJoin _),
@@ -468,31 +500,38 @@ object ScaleQueries {
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
       |FROM a""".stripMargin
 
+  /** Whole-corpus CMS rebuild: every probed counter recomputed from raw
+    * words with the same md5 bucket function (grid LEFT JOIN so an EMPTY
+    * probe bucket contributes 0 to the min, like the sketch's zero
+    * counter). Shared by q118 (single build) and q121 (merged halves). */
+  private lazy val cmsOracleSql: String = {
+    val probeValues = CmsProbes.map(p => s"('$p')").mkString(", ")
+    val rowValues = (0 until CmsD).map(r => s"($r)").mkString(", ")
+    s"""WITH wds AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+       |probes(p) AS (VALUES $probeValues),
+       |rws(r) AS (VALUES $rowValues),
+       |cells AS (
+       |  SELECT pr.p, ro.r, count(*) AS cnt
+       |  FROM wds w
+       |  CROSS JOIN rws ro
+       |  JOIN probes pr
+       |    ON ('0x' || substring(md5(ro.r || ':' || w.word), 1, 15))::BIGINT % $CmsW
+       |     = ('0x' || substring(md5(ro.r || ':' || pr.p), 1, 15))::BIGINT % $CmsW
+       |  GROUP BY pr.p, ro.r)
+       |SELECT g.p AS word, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+       |FROM (SELECT p, r FROM probes CROSS JOIN rws) g
+       |LEFT JOIN cells c ON g.p = c.p AND g.r = c.r
+       |GROUP BY g.p""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Rebuild every probed CMS counter from the raw words with the same
     // md5 bucket function — the sketch contents are what's verified.
-    "q118_cms_counts" -> {
-      val probeValues = CmsProbes.map(p => s"('$p')").mkString(", ")
-      val rowValues = (0 until CmsD).map(r => s"($r)").mkString(", ")
-      // grid LEFT JOIN so an EMPTY probe bucket contributes 0 to the min
-      // (the absent-probe case), exactly like the sketch's zero counter
-      s"""WITH wds AS (
-         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
-         |probes(p) AS (VALUES $probeValues),
-         |rws(r) AS (VALUES $rowValues),
-         |cells AS (
-         |  SELECT pr.p, ro.r, count(*) AS cnt
-         |  FROM wds w
-         |  CROSS JOIN rws ro
-         |  JOIN probes pr
-         |    ON ('0x' || substring(md5(ro.r || ':' || w.word), 1, 15))::BIGINT % $CmsW
-         |     = ('0x' || substring(md5(ro.r || ':' || pr.p), 1, 15))::BIGINT % $CmsW
-         |  GROUP BY pr.p, ro.r)
-         |SELECT g.p AS word, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
-         |FROM (SELECT p, r FROM probes CROSS JOIN rws) g
-         |LEFT JOIN cells c ON g.p = c.p AND g.r = c.r
-         |GROUP BY g.p""".stripMargin
-    },
+    "q118_cms_counts" -> cmsOracleSql,
+    // additivity must be lossless: the merged-halves sketch answers
+    // exactly like the whole-corpus build the oracle recomputes
+    "q121_sketch_union" -> cmsOracleSql,
     // The typed-Aggregator path must land on the same doubles as q111.
     "q119_typed_corr" -> q111OracleSql,
     "q120_bloom_lookup" ->

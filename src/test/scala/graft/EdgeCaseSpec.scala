@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.GraftFunctions
+import graft.operators._
+
+/** Degenerate-input robustness: every operator family must return a sane
+  * empty/identity answer on empty and single-row inputs — the shapes a
+  * production pipeline hits on day one (empty first batch), after an
+  * aggressive filter, or on a cold backfill partition. */
+class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val oneDoc = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+
+  test("dedup family: empty and singleton corpora") {
+    assert(Dedup.exactClusters(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupPairs(oneDoc, "doc_id", "text").count() == 0)
+    val sets = Dedup.shingleSets(oneDoc, "doc_id", "text", 3)
+    assert(Dedup.jaccardPairsExactOnSets(sets, 4, 5).count() == 0)
+  }
+
+  test("sampling: empty input, all rates") {
+    for (rate <- Seq(0.0, 0.5, 1.0))
+      assert(Sampling.bernoulli(emptyDocs, "doc_id", rate, "e").count() == 0)
+    assert(Sampling.heavyHitters(
+      emptyDocs.select($"text".as("item")), "item", 15, 10L).count() == 0)
+  }
+
+  test("aggregates: empty input yields empty-state results, not errors") {
+    val empty = Seq.empty[String].toDF("item")
+    assert(empty.agg(GraftFunctions.misraGries($"item", 5))
+      .first().getSeq[String](0).isEmpty)
+    val sk = empty.agg(GraftFunctions.countMin($"item", 2, 8)).first().getSeq[Long](0)
+    assert(sk.length == 16 && sk.forall(_ == 0L))
+  }
+
+  test("pagerank: no edges means pure teleport shares; empty node set is empty") {
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val r = PageRank.ranks(spark, Seq(1L, 2L).toDF("node"), noEdges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val teleport = (15L * (PageRank.RankScale / 2)) / 100L
+    assert(r == Map(1L -> teleport, 2L -> teleport))
+  }
+
+  test("fuzzy: empty set and identical strings") {
+    assert(Fuzzy.editDistance1Pairs(Seq.empty[String].toDF("str"), "str").count() == 0)
+    // distinct inputs assumed, but duplicates must not produce (x, x) pairs
+    assert(Fuzzy.editDistance1Pairs(Seq("aa", "aa").toDF("str"), "str").count() == 0)
+  }
+
+  test("prefix sum: empty input and one row") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "ord", "v")
+    assert(PrefixSum.inclusive(empty, Seq("g"), "ord", "v", "ps").count() == 0)
+    val one = PrefixSum.inclusive(Seq(("g", 5L, 7L)).toDF("g", "ord", "v"),
+      Seq("g"), "ord", "v", "ps").select("ps").as[Long].collect()
+    assert(one.toSeq == Seq(7L))
+  }
+
+  test("sessionize: single event is session 1; empty stream is empty") {
+    val empty = Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("event_id", "user_id", "ts")
+    assert(Sessionize.assignSessions(empty, Seq("user_id"), "ts", "event_id").count() == 0)
+    val one = Seq((1L, 9L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    assert(Sessionize.assignSessions(one, Seq("user_id"), "ts", "event_id")
+      .select("session_idx").as[Long].head() == 1L)
+  }
+
+  test("similarity: semDedup on a corpus smaller than k fails loudly, not wrongly") {
+    // trainCentroidsLite requires enough sample points for k cells — a
+    // 2-vector corpus cannot train 8 centroids and must say so
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.semDedupPairs(tiny, "vec_id", "embedding",
+        k = 8, sampleMod = 1L, maxSample = 10, thresholdNum = 99L, thresholdDen = 100L)
+    }
+  }
+}

@@ -29,7 +29,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     * pairs two per-source SKETCH aggregates (≤ #sources rows of k longs
     * each — sources²·k total regardless of corpus size). */
   private val boundedCross =
-    Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap")
+    Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap",
+      "q121_sketch_union") // two 1-row sketch legs
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
