@@ -167,6 +167,67 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round variant the min-label
+    * propagation docs point to for high-diameter graphs: label
+    * propagation needs diameter-many rounds (a 10⁶-long chain = 10⁶
+    * shuffles), star contraction halves path lengths every other round
+    * regardless of diameter.
+    *
+    * Each round is two groupBy-min + join passes over the edge set:
+    *  - large-star(u): connect every LARGER neighbor of u to
+    *    m = min(N(u) ∪ u);
+    *  - small-star(u): connect every not-larger neighbor AND u itself
+    *    to m.
+    * The fixed point is one star per component rooted at its min node;
+    * convergence is detected by edge-set equality (two anti-joins), and
+    * lineage is severed per round. Same output contract as
+    * [[connectedComponents]] — (idCol, cluster_id = component min) —
+    * equality on random graphs is property-tested. */
+  def connectedComponentsContracted(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                                    maxRounds: Int = 25): DataFrame = {
+    def canonical(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    def mins(e: DataFrame): DataFrame = {
+      val directed = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      directed.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val directed = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      canonical(directed.join(mins(e), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = mins(e)
+      canonical(
+        directed.join(m, "u").filter(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v"))))
+    }
+    var e = canonical(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"star contraction did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+    }
+    // fixed point: one (child, root) edge per non-root node (root = min)
+    val lbl = e.groupBy(col("u").as(idCol)).agg(min(col("v")).as("cluster_id"))
+    nodes.select(col(idCol)).join(lbl, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** Greedy near-dup removal: drop the higher id of every verified pair
     * (one shuffle anti-join on the id). Survivors keep their full row. */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

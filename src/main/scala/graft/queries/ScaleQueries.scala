@@ -458,7 +458,26 @@ object ScaleQueries {
     rows.toDF("word", "est")
   }
 
+  /** q122: q74's near-dup clustering with the STAR-CONTRACTION component
+    * algorithm ([[graft.operators.Dedup.connectedComponentsContracted]],
+    * O(log n) rounds vs label propagation's O(diameter)) — same exact
+    * pairs, same recursive-CTE oracle as q74, so the two algorithms are
+    * proven interchangeable through the correctness gate, not just in
+    * unit tests. */
+  def q122CcContracted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    val pairs = graft.operators.Dedup
+      .jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
+      .select("id_a", "id_b").persist()
+    val labels = graft.operators.Dedup
+      .connectedComponentsContracted(docs, pairs, "doc_id")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "n_members")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_cc_contracted" -> (q122CcContracted _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -534,6 +553,8 @@ object ScaleQueries {
     "q121_sketch_union" -> cmsOracleSql,
     // The typed-Aggregator path must land on the same doubles as q111.
     "q119_typed_corr" -> q111OracleSql,
+    // same pairs, same answer, different component algorithm
+    "q122_cc_contracted" -> LlmQueries.oracles("q74_neardup_clusters"),
     "q120_bloom_lookup" ->
       """SELECT l_orderkey, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

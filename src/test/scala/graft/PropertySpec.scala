@@ -122,6 +122,24 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }, n = 6)
   }
 
+  // ------------------------------------------------- connected components
+
+  test("star-contraction components equal min-label propagation on any graph") {
+    val genPairs: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 20).flatMap(m =>
+        Gen.listOfN(m, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L))))
+        .map(_.filter(p => p._1 != p._2).distinct)
+    check("cc", Prop.forAll(genPairs) { ps =>
+      val nodes = (0L until 15L).toDF("doc_id")
+      val pairs = ps.toDF("id_a", "id_b")
+      val a = graft.operators.Dedup.connectedComponents(nodes, pairs, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      val b = graft.operators.Dedup.connectedComponentsContracted(nodes, pairs, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      a == b
+    }, n = 6)
+  }
+
   // -------------------------------------------------------------- sampling
 
   test("Sampling: threshold60 brackets the rate exactly at the integer boundary") {
