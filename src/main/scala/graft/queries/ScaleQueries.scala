@@ -476,8 +476,34 @@ object ScaleQueries {
     labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "n_members")
   }
 
+  /** q123: FULL OUTER reconciliation — the table-diff shape (§2.4's one
+    * missing join type): two derived order snapshots (overlapping key
+    * slices, a deterministic "price update" on part of the overlap) full-
+    * outer-joined on the key and classified added / removed / changed /
+    * unchanged with exact-decimal net price deltas. One shuffle on the
+    * key; the classification is pure row-local arithmetic. */
+  def q123FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val a = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("p_a"))
+    val b = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("p_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("p_a").isNull, "added")
+          .when(col("p_b").isNull, "removed")
+          .when(col("p_a") =!= col("p_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("p_b"), lit(0.0)) - coalesce(col("p_a"), lit(0.0))).as("d"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), dsum(col("d")).as("net_delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cc_contracted" -> (q122CcContracted _),
+    "q123_full_outer" -> (q123FullOuter _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -555,6 +581,24 @@ object ScaleQueries {
     "q119_typed_corr" -> q111OracleSql,
     // same pairs, same answer, different component algorithm
     "q122_cc_contracted" -> LlmQueries.oracles("q74_neardup_clusters"),
+    "q123_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice AS p_a FROM orders WHERE o_orderkey % 3 <> 0),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p_b
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (
+        |  SELECT CASE WHEN a.p_a IS NULL THEN 'added'
+        |              WHEN b.p_b IS NULL THEN 'removed'
+        |              WHEN a.p_a <> b.p_b THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |    COALESCE(b.p_b, 0.0) - COALESCE(a.p_a, 0.0) AS d
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS net_delta
+        |FROM j GROUP BY status""".stripMargin,
     "q120_bloom_lookup" ->
       """SELECT l_orderkey, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
