@@ -501,9 +501,27 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n"), dsum(col("d")).as("net_delta"))
   }
 
+  /** q124: SQL-surface subquery forms — a correlated EXISTS plus a scalar
+    * aggregate subquery in one statement, run through `spark.sql` over
+    * registered views (Catalyst rewrites EXISTS to a left-semi join and
+    * the scalar subquery to a broadcast one-row join — no per-row
+    * re-execution). The scalar threshold uses the exact-decimal mean so
+    * both engines compare against the same double. */
+  def q124SubquerySql(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT s_name, s_acctbal FROM supplier_v s
+        |WHERE s_acctbal > (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |                          / count(*) FROM supplier_v)
+        |  AND EXISTS (SELECT 1 FROM lineitem_v l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cc_contracted" -> (q122CcContracted _),
     "q123_full_outer" -> (q123FullOuter _),
+    "q124_subquery_sql" -> (q124SubquerySql _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -581,6 +599,12 @@ object ScaleQueries {
     "q119_typed_corr" -> q111OracleSql,
     // same pairs, same answer, different component algorithm
     "q122_cc_contracted" -> LlmQueries.oracles("q74_neardup_clusters"),
+    "q124_subquery_sql" ->
+      """SELECT s_name, s_acctbal FROM supplier s
+        |WHERE s_acctbal > (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |                          / count(*) FROM supplier)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)""".stripMargin,
     "q123_full_outer" ->
       """WITH a AS (
         |  SELECT o_orderkey, o_totalprice AS p_a FROM orders WHERE o_orderkey % 3 <> 0),
