@@ -362,10 +362,17 @@ object Dedup {
     val plen = (col("sz") -
       floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    // persisted: the prefix table feeds BOTH sides of the candidate
+    // self-join, and Spark does not reuse the exchange across the two
+    // occurrences (verified: zero ReusedExchange in the executed plan) —
+    // without this the df-join + per-doc ranking window runs twice. The
+    // table is a prefix-filtered SUBSET of the inverted index (~1/5 of it
+    // at t = 4/5), so caching it is strictly cheaper than recomputing it.
     val prefixes = inv.join(dfCounts, "sh")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= plen)
       .select(col("sh"), col("doc_id"), col("sz"))
+      .persist()
     val a = prefixes.select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
     val b = prefixes.select(col("sh"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
     val cands = a.join(b, Seq("sh"))
