@@ -212,6 +212,7 @@ object Dedup {
     }
     var e = canonical(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
+    var eCount = e.count()
     var stable = false
     var rounds = 0
     while (!stable) {
@@ -219,8 +220,12 @@ object Dedup {
       require(rounds <= maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nextCount = next.count()
+      // both sides are distinct sets, so equal counts + empty one-sided
+      // difference IS set equality — the second anti-join is redundant
+      stable = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
     }
     // fixed point: one (child, root) edge per non-root node (root = min)
     val lbl = e.groupBy(col("u").as(idCol)).agg(min(col("v")).as("cluster_id"))
