@@ -518,10 +518,32 @@ object ScaleQueries {
         |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)""".stripMargin)
   }
 
+  /** q125: uniform random k-per-group sample (the corpus-QA draw: "show me
+    * 5 random docs from every source") as a BOUNDED-STATE aggregate — the
+    * per-row priority is the salted 60-bit hash (uniform, deterministic,
+    * partitioning-independent) and [[graft.expressions.TopKByScore]] keeps
+    * the k best per group map-side, so the shuffle carries k pairs per
+    * (partition, source) instead of rank-window-sorting each source in one
+    * task. Pure-integer ordering (hash DESC, id ASC) — the oracle's rank
+    * window selects identically. Distinct salts give independent draws. */
+  def q125GroupSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.GraftFunctions.topKByScore
+    val h = graft.functions.TextFunctions.md5Long(
+      concat(col("doc_id").cast("string"), lit(":q125")))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .groupBy("source")
+      .agg(topKByScore(col("h"), col("doc_id"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cc_contracted" -> (q122CcContracted _),
     "q123_full_outer" -> (q123FullOuter _),
     "q124_subquery_sql" -> (q124SubquerySql _),
+    "q125_group_sample" -> (q125GroupSample _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -599,6 +621,17 @@ object ScaleQueries {
     "q119_typed_corr" -> q111OracleSql,
     // same pairs, same answer, different component algorithm
     "q122_cc_contracted" -> LlmQueries.oracles("q74_neardup_clusters"),
+    "q125_group_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':q125'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY h DESC, doc_id ASC) AS rank
+        |  FROM h)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q124_subquery_sql" ->
       """SELECT s_name, s_acctbal FROM supplier s
         |WHERE s_acctbal > (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
