@@ -539,11 +539,58 @@ object ScaleQueries {
         col("col.id").as("doc_id"))
   }
 
+  // q126: CTAS target, created once per (JVM, sf-dir)
+  private val ctasFor = scala.collection.concurrent.TrieMap[String, String]()
+  private def ctasTable(s: SparkSession, dir: String): String =
+    ctasFor.getOrElseUpdate(dir, {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val t = s"graft_ctas_pri_$tag"
+      Tables.orders(s, dir).createOrReplaceTempView(s"orders_ctas_src_$tag")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(
+        s"""CREATE TABLE $t USING parquet AS
+           |SELECT o_orderpriority, o_orderstatus,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+           |FROM orders_ctas_src_$tag
+           |GROUP BY o_orderpriority, o_orderstatus""".stripMargin)
+      t
+    })
+
+  /** q126: SQL DDL surface — CREATE TABLE AS SELECT into the catalog
+    * (managed parquet), then query the WRITTEN table. The oracle recomputes
+    * the aggregate from raw orders, so the materialization round-trip
+    * (CTAS write + catalog read-back) is what's under test. */
+  def q126Ctas(s: SparkSession, dir: String): DataFrame =
+    s.table(ctasTable(s, dir))
+      .filter(col("n") > lit(0L))
+      .select("o_orderpriority", "o_orderstatus", "n", "total")
+
+  /** q127: schema-evolution union — an old snapshot (no `priority_class`
+    * column) unioned with a new vintage that carries it, via
+    * `unionByName(allowMissingColumns = true)`: old rows surface NULL for
+    * the new column, positions don't matter, and the combined aggregate is
+    * what a reader over mixed table vintages computes. The oracle uses
+    * UNION ALL BY NAME over the same two projections. */
+  def q127UnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldVintage = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val newVintage = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        substring(col("o_orderpriority"), 1, 1).as("priority_class"))
+    oldVintage.unionByName(newVintage, allowMissingColumns = true)
+      .groupBy(coalesce(col("priority_class"), lit("legacy")).as("priority_class"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_orderpriority")).as("n_priorities"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cc_contracted" -> (q122CcContracted _),
     "q123_full_outer" -> (q123FullOuter _),
     "q124_subquery_sql" -> (q124SubquerySql _),
     "q125_group_sample" -> (q125GroupSample _),
+    "q126_ctas" -> (q126Ctas _),
+    "q127_union_evolve" -> (q127UnionEvolve _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -621,6 +668,22 @@ object ScaleQueries {
     "q119_typed_corr" -> q111OracleSql,
     // same pairs, same answer, different component algorithm
     "q122_cc_contracted" -> LlmQueries.oracles("q74_neardup_clusters"),
+    "q126_ctas" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderpriority, o_orderstatus
+        |HAVING count(*) > 0""".stripMargin,
+    "q127_union_evolve" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderpriority,
+        |    substring(o_orderpriority, 1, 1) AS priority_class
+        |  FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT COALESCE(priority_class, 'legacy') AS priority_class,
+        |  count(*) AS n, count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM u GROUP BY 1""".stripMargin,
     "q125_group_sample" ->
       """WITH h AS (
         |  SELECT source, doc_id,
