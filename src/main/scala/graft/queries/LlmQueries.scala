@@ -1010,7 +1010,7 @@ object LlmQueries {
   /** Per-subspace PQ CTE chain (train + encode + query distance table),
     * DuckDB mirror of [[Pq.trainCodebooks]] / [[Pq.codeCols]] at
     * m=4, k=4, subLen=16, mod-10 sample capped at 1000. */
-  private def pqSubCtes(m: Int): String = {
+  private[queries] def pqSubCtes(m: Int): String = {
     val off = m * 16
     s"""init_$m AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,

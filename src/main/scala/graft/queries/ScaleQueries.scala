@@ -584,6 +584,32 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n"), countDistinct(col("o_orderpriority")).as("n_priorities"))
   }
 
+  /** q128: IVF-PQ composite ANN — the billion-scale index architecture in
+    * miniature: the trained coarse quantizer (q46's machinery) routes the
+    * query to ONE cell, and the PQ ADC scan (q100's machinery, codebooks
+    * trained corpus-wide) ranks only that cell's members. Search cost is
+    * cell-size × M table lookups instead of corpus × dim multiplies; the
+    * oracle recomputes quantizer, cell membership, codebooks, codes, and
+    * distance tables from scratch, so both stages compose bit-exactly.
+    * Recall is the IVF trade (nprobe = 1 here; q91 shows the multi-probe
+    * dial). */
+  def q128IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Pq, Similarity}
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.trainCentroidsLite(
+      e, "vec_id", "embedding", k = 4, sampleMod = 10L, maxSample = 1000)
+    val assigned = e.withColumn("cell",
+      Similarity.ivfAssign(col("embedding"), centroids).cast("long"))
+    // two bounded driver reads: the query vector and its cell (1 row each)
+    val qRow = assigned.filter(col("vec_id") === 7).first()
+    val q = qRow.getSeq[Float](1).toArray.map(_.toDouble)
+    val qCell = qRow.getLong(2)
+    val cell = assigned.filter(col("cell") === qCell).select("vec_id", "embedding")
+    val cbs = Pq.trainCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 4, sampleMod = 10, maxSample = 1000)
+    Pq.adcSearch(cell, "vec_id", "embedding", q, cbs, excludeId = 7L, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cc_contracted" -> (q122CcContracted _),
     "q123_full_outer" -> (q123FullOuter _),
@@ -591,6 +617,7 @@ object ScaleQueries {
     "q125_group_sample" -> (q125GroupSample _),
     "q126_ctas" -> (q126Ctas _),
     "q127_union_evolve" -> (q127UnionEvolve _),
+    "q128_ivf_pq" -> (q128IvfPq _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -668,6 +695,24 @@ object ScaleQueries {
     "q119_typed_corr" -> q111OracleSql,
     // same pairs, same answer, different component algorithm
     "q122_cc_contracted" -> LlmQueries.oracles("q74_neardup_clusters"),
+    // quantizer + cell + codebooks + codes + distance tables all rebuilt
+    // from scratch; only the query's cell competes in the final ranking
+    "q128_ivf_pq" -> {
+      import LlmQueries.{ivfAssignCtesK, pqSubCtes}
+      s"""WITH ${ivfAssignCtesK(4, "embeddings")},
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |${(0 until 4).map(pqSubCtes).mkString(",\n")},
+         |qcell AS (SELECT j AS qj FROM assign WHERE vec_id = 7)
+         |SELECT e0.vec_id, d0.d + d1.d + d2.d + d3.d AS adc
+         |FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+         |  JOIN enc_2 e2 USING (vec_id) JOIN enc_3 e3 USING (vec_id)
+         |  JOIN dt_0 d0 ON d0.j = e0.j JOIN dt_1 d1 ON d1.j = e1.j
+         |  JOIN dt_2 d2 ON d2.j = e2.j JOIN dt_3 d3 ON d3.j = e3.j
+         |  JOIN assign a ON a.vec_id = e0.vec_id
+         |WHERE e0.vec_id <> 7 AND a.j = (SELECT qj FROM qcell)
+         |ORDER BY adc ASC, e0.vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
     "q126_ctas" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
