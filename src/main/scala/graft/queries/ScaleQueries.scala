@@ -610,6 +610,21 @@ object ScaleQueries {
     Pq.adcSearch(cell, "vec_id", "embedding", q, cbs, excludeId = 7L, topK = 10)
   }
 
+  /** q129: COMPRESSED text ingestion — the gzip'd journey CSV runs through
+    * the same transform as the plain file (Spark's text sources decompress
+    * by extension, schema/parse code untouched). The oracle reads the .gz
+    * directly too. Scale note, documented not hidden: gzip is a
+    * NON-SPLITTABLE codec — one stream per file — so 100-TB compressed
+    * ingest wants many ~100 MB-1 GB .gz files (or zstd/bzip2 splittable
+    * alternatives), never one giant archive; the engine's behavior is
+    * identical either way. */
+  def q129GzipCsv(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.JourneyJob
+      .transform(s, "/root/repo/fixtures/journey.csv.gz")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("bike_id")).as("n_bikes"),
+        sum(col("Duration")).cast("long").as("total_duration"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cc_contracted" -> (q122CcContracted _),
     "q123_full_outer" -> (q123FullOuter _),
@@ -618,6 +633,7 @@ object ScaleQueries {
     "q126_ctas" -> (q126Ctas _),
     "q127_union_evolve" -> (q127UnionEvolve _),
     "q128_ivf_pq" -> (q128IvfPq _),
+    "q129_gzip_csv" -> (q129GzipCsv _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -713,6 +729,14 @@ object ScaleQueries {
          |ORDER BY adc ASC, e0.vec_id ASC
          |LIMIT 10""".stripMargin
     },
+    "q129_gzip_csv" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT "Bike Id") AS n_bikes,
+        |  CAST(sum("Duration") AS BIGINT) AS total_duration
+        |FROM read_csv('/root/repo/fixtures/journey.csv.gz', header=true,
+        |  columns={'Rental Id':'INTEGER','Duration':'INTEGER','Bike Id':'INTEGER',
+        |    'End Date':'VARCHAR','EndStation Id':'INTEGER','EndStation Name':'VARCHAR',
+        |    'Start Date':'VARCHAR','StartStation Id':'INTEGER','StartStation Name':'VARCHAR'})""".stripMargin,
     "q126_ctas" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

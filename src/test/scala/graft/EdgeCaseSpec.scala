@@ -70,6 +70,36 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .select("session_idx").as[Long].head() == 1L)
   }
 
+  test("malformed CSV rows: PERMISSIVE quarantines into _corrupt_record, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val bad = java.nio.file.Files.createTempFile("graft-bad", ".csv")
+    java.nio.file.Files.writeString(bad,
+      "id,n\n1,10\n2,not_a_number\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("n", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(bad.toString).cache() // corrupt-record column needs a materialized read
+    assert(permissive.count() == 3)
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() == 1)
+    assert(permissive.filter($"n".isNotNull).count() == 2)
+    val strictSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("n", IntegerType)))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(strictSchema)
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(bad.toString).collect()
+    }
+  }
+
+  test("gzip and plain CSV of the same content transform identically") {
+    val plain = graft.pipeline.JourneyJob.transform(spark, "/root/repo/fixtures/journey.csv")
+    val gz = graft.pipeline.JourneyJob.transform(spark, "/root/repo/fixtures/journey.csv.gz")
+    assert(plain.exceptAll(gz).isEmpty && gz.exceptAll(plain).isEmpty)
+  }
+
   test("similarity: semDedup on a corpus smaller than k fails loudly, not wrongly") {
     // trainCentroidsLite requires enough sample points for k cells — a
     // 2-vector corpus cannot train 8 centroids and must say so
