@@ -140,6 +140,63 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }, n = 6)
   }
 
+  // --------------------------------------------------------------- temporal
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("AsofJoin: matches the naive latest-preceding-right scan on any event layout") {
+    val genEvents: Gen[(List[(String, Long, Long)], List[(String, Long, Long, Long)])] =
+      for {
+        nl <- Gen.choose(1, 25)
+        nr <- Gen.choose(0, 25)
+        l <- Gen.listOfN(nl, Gen.zip(Gen.oneOf("k1", "k2"), Gen.choose(0L, 50L), Gen.choose(0L, 999L)))
+        r <- Gen.listOfN(nr, Gen.zip(Gen.oneOf("k1", "k2"), Gen.choose(0L, 50L),
+          Gen.choose(0L, 99L), Gen.choose(0L, 999L)))
+      } yield (l.zipWithIndex.map { case ((k, t, v), i) => (k, t * 1000000L, i.toLong) },
+        r.map { case (k, t, id, v) => (k, t * 1000000L, id, v) })
+    check("asof", Prop.forAll(genEvents) { case (lrows, rrows) =>
+      val left = lrows.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "lts", "lid")
+      val right = rrows.map { case (k, t, id, v) => (k, ts(t), id, v) }.toDF("k", "rts", "rid", "rv")
+      val got = graft.operators.AsofJoin.asof(left, right, Seq("k"), "lts", "rts", "rid", Seq("rv"))
+        .select($"lid", $"asof_rv").as[(Long, Option[Long])].collect().toMap
+      // naive: per left row, latest right at rts <= lts; ties on rts -> min rid
+      val want = lrows.map { case (k, t, id) =>
+        val prec = rrows.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (prec.isEmpty) None else {
+          val maxTs = prec.map(_._2).max
+          Some(prec.filter(_._2 == maxTs).minBy(_._3)._4)
+        })
+      }.toMap
+      got == want
+    }, n = 6)
+  }
+
+  test("RangeJoin: matches the naive containment filter on any intervals") {
+    val genData: Gen[(List[(String, Long, Long)], List[(String, Long, Long, Long)])] =
+      for {
+        np <- Gen.choose(1, 20)
+        ni <- Gen.choose(0, 10)
+        p <- Gen.listOfN(np, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 100L), Gen.choose(0L, 999L)))
+        i <- Gen.listOfN(ni, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 100L),
+          Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
+      } yield (p.zipWithIndex.map { case ((k, t, _), idx) => (k, t * 60000000L, idx.toLong) },
+        i.zipWithIndex.map { case ((k, s, len, _), idx) => (k, s * 60000000L, (s + len) * 60000000L, idx.toLong) })
+    check("range", Prop.forAll(genData) { case (prows, irows) =>
+      val points = prows.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "pts", "pid")
+      val ivals = irows.map { case (k, s, e, id) => (k, ts(s), ts(e), id) }
+        .toDF("k", "istart", "iend", "iid")
+      val got = graft.operators.RangeJoin.containsJoin(points, ivals, Seq("k"),
+        "pts", "istart", "iend")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (pk, pt, pid) <- prows
+        (ik, is, ie, iid) <- irows
+        if pk == ik && pt >= is && pt <= ie
+      } yield (pid, iid)).toSet
+      got == want
+    }, n = 6)
+  }
+
   // -------------------------------------------------------------- sampling
 
   test("Sampling: threshold60 brackets the rate exactly at the integer boundary") {
