@@ -197,6 +197,31 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }, n = 6)
   }
 
+  test("Sessionize: matches the naive gap-scan on any event stream") {
+    val genEv: Gen[List[(Long, Long, Long)]] =
+      Gen.choose(1, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 200L))))
+        .map(_.zipWithIndex.map { case ((u, mins), i) => (i.toLong, u, mins * 60000000L) })
+    check("sessionize", Prop.forAll(genEv) { evs =>
+      val df = evs.map { case (id, u, t) => (id, u, ts(t)) }.toDF("event_id", "user_id", "ts")
+      val got = graft.operators.Sessionize
+        .assignSessions(df, Seq("user_id"), "ts", "event_id")
+        .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+      val gap = 1800000000L // 30 min, the operator default
+      val want = evs.groupBy(_._2).flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._1))
+        var idx = 0L
+        var prev = Long.MinValue
+        sorted.map { case (id, _, t) =>
+          if (prev == Long.MinValue || t - prev > gap) idx += 1
+          prev = t
+          id -> idx
+        }
+      }
+      got == want
+    }, n = 6)
+  }
+
   // -------------------------------------------------------------- sampling
 
   test("Sampling: threshold60 brackets the rate exactly at the integer boundary") {
