@@ -67,7 +67,8 @@ object BenchSkew {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!graft.sources.Sinks.exists(spark, s"$skewDir/documents.parquet"))
+    if (!graft.sources.Sinks.exists(spark, s"$skewDir/documents.parquet") ||
+        !graft.sources.Sinks.exists(spark, s"$skewDir/embeddings.parquet"))
       SkewFixture.generate(spark, srcDir, skewDir)
 
     val current = new AtomicReference[String](null)
@@ -168,6 +169,52 @@ object BenchSkew {
         spark.sharedState.cacheManager.clearCache()
       }
 
+    // ------------------- candidate-volume gates (structural) -------------------
+    // Wall time on a fixture tracks the box; CANDIDATE volume is a pure
+    // function of (fixture, operator parameters) — the machine-independent
+    // gate that catches banding/quantizer parameter regressions. Budgets
+    // are justified against the operators' own scale claims:
+    //
+    //  * q28 (MinHash LSH, 16 bands × 4 rows): candidates must stay
+    //    corpus-PROPORTIONAL. Measured volume on this fixture is ~100
+    //    candidates/doc (9.9M over 100k docs): ~65 intra-base pairs per
+    //    base doc (cross-replica J≈0.4 → per-pair collision
+    //    p = 1-(1-0.4⁴)¹⁶ ≈ 0.34 over 190 replica pairs) plus the hot-
+    //    prefix tail — SHORT hot docs reach J≈0.1-0.25 against each other
+    //    (6 shared prefix tokens over few total), where 16×4 banding
+    //    collides at 0.2-6%. Budget 512×n_docs is ~5× headroom over that
+    //    measured linear volume, while a banding regression (e.g. 32
+    //    bands × 2 rows: p(J=0.1) = 1-(1-0.01)³² ≈ 0.28) puts ≥340M
+    //    candidates through the hot half alone — 6× past the budget.
+    //  * SemDeDup cells at the documented k=√n sizing: in-cell pair
+    //    volume ≤ 8·n^1.5 — 16× the perfectly-balanced volume (√n cells
+    //    of √n vectors → n^1.5/2 pairs). A quantizer that fails to SPLIT
+    //    the 50%-mass hot cluster leaves (n/2)²/2 pairs in one cell, two
+    //    orders past the budget. (q110 itself pins k=8 for its sf-scale
+    //    oracle; the gate runs the same train/assign path at the sizing
+    //    the operator documents for scale.)
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum}
+    val gateDocs = graft.sources.Tables.documents(spark, skewDir)
+    val nDocs = gateDocs.count()
+    val gateSets = graft.operators.Dedup.shingleSets(gateDocs, "doc_id", "text", 3)
+    val gateSigs = gateSets.select(col("doc_id"),
+      graft.operators.Dedup.minhashSignature(col("shingles"), 64).as("sig"))
+    val q28Cands = graft.operators.Dedup.lshCandidates(gateSigs, 16, 4).count()
+    val q28Budget = 512L * nDocs
+    val gateEmb = graft.sources.Tables.embeddings(spark, skewDir)
+      .select("vec_id", "embedding")
+    val nVecs = gateEmb.count()
+    val semCentroids = graft.operators.Similarity.trainCentroidsLite(
+      gateEmb, "vec_id", "embedding", k = 0, sampleMod = 10L, maxSample = 2000)
+    val semCellPairs = gateEmb
+      .select(graft.operators.Similarity.ivfAssign(col("embedding"), semCentroids)
+        .as("cluster"))
+      .groupBy("cluster").agg(fcount(lit(1)).as("c"))
+      .agg(fsum(col("c") * (col("c") - lit(1L)))).first().getLong(0) / 2
+    val semBudget = (8.0 * math.pow(nVecs.toDouble, 1.5)).toLong
+    val gatesOk = q28Cands <= q28Budget && semCellPairs <= semBudget
+    spark.sharedState.cacheManager.clearCache()
+
     val byQuery = obs.asScala.toSeq.groupBy(_.query)
     def med(xs: Seq[Long]): Double = {
       val s = xs.sorted
@@ -210,6 +257,10 @@ object BenchSkew {
         s""""failed":${failed.map(q => s""""$q"""").mkString("[", ",", "]")},""" +
         s""""salted_paths":${SaltedPaths.map(q => s""""$q"""").mkString("[", ",", "]")},""" +
         s""""salted_ratio_bound":$SaltedRatioBound,"salted_ratio_ok":$saltedOk,""" +
+        s""""candidate_gates":{"q28_lsh_candidates":$q28Cands,""" +
+        s""""q28_budget":$q28Budget,"n_docs":$nDocs,""" +
+        s""""semdedup_cell_pairs":$semCellPairs,"semdedup_budget":$semBudget,""" +
+        s""""n_vecs":$nVecs},"candidate_gates_ok":$gatesOk,""" +
         s""""aqe_skew_fired_raw_index_join":$aqeFired}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SKEW.json"), json)

@@ -23,15 +23,23 @@ import org.apache.spark.sql.functions._
   *  - `events` ×`EventReplicas`: one HOT user owns ~50% of all events
   *    (stresses the salted join/count-distinct paths and honestly exposes
   *    the per-key-sequential operators like sessionize).
+  *  - `embeddings` ×`EmbReplicas`: one HOT semantic cluster holds ~50% of
+  *    all vectors — the hot half is rewritten to a common dominant
+  *    direction (10·e₀ + 0.15·original), giving pairwise hot cosine
+  *    ~0.97-0.99: tight enough that a coarse quantizer MUST split the
+  *    cluster across cells or leave a quadratic in-cell pair volume
+  *    (the SemDeDup candidate gate in BenchSkew), while staying below the
+  *    0.999 dup threshold so outputs stay corpus-proportional.
   *
   * Layout matches the testdata dirs (`<out>/documents.parquet`,
-  * `<out>/events.parquet`), so any `SparkEntry` query over those tables
-  * runs on it unchanged.
+  * `<out>/events.parquet`, `<out>/embeddings.parquet`), so any
+  * `SparkEntry` query over those tables runs on it unchanged.
   */
 object SkewFixture {
 
   val DocReplicas = 20
   val EventReplicas = 10
+  val EmbReplicas = 10
   val HotPrefix = "zq0 zq1 zq2 zq3 zq4 zq5" // 6 tokens no real doc contains
 
   /** 50/50 deterministic coin from any column (md5-derived, engine-stable). */
@@ -74,6 +82,26 @@ object SkewFixture {
           .otherwise(col("user_id") + col("__r").cast("long") * 1000L))
       .drop("__r")
     graft.sources.Sinks.overwriteSwap(eSkewed, s"$outDir/events.parquet")
+
+    val emb = graft.sources.Tables.load(spark, srcDir, "embeddings")
+    val vreps = spark.range(EmbReplicas).select(col("id").cast("int").as("__r"))
+    val vAmplified = emb.crossJoin(broadcast(vreps))
+      .select(
+        (col("vec_id") + col("__r").cast("long") * 10000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    // hot half: dominant shared direction + a 0.15-scaled copy of the
+    // original as angular spread — pairwise hot cosine ~0.97-0.99 (one
+    // tight semantic cluster at half the corpus mass, nothing at the
+    // 0.999 dup threshold); cosine is scale-invariant so the 0.15 only
+    // sets the spread relative to the 10.0 spike
+    val vSkewed = vAmplified
+      .withColumn("embedding",
+        when(coin(col("vec_id")),
+          transform(col("embedding"), (x, i) =>
+            (when(i === 0, x.cast("double") * 0.15 + 10.0)
+              .otherwise(x.cast("double") * 0.15)).cast("float")))
+          .otherwise(col("embedding")))
+    graft.sources.Sinks.overwriteSwap(vSkewed, s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {

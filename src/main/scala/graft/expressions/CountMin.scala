@@ -103,13 +103,25 @@ case class CountMinSketch(
 
 object CountMinSketch {
 
+  // MessageDigest is stateful and not thread-safe; bucket() runs per
+  // (row, d) in the aggregate's update path, so the instance is
+  // thread-local and reused — no per-row allocation.
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Row-r bucket of `item`: first 15 md5 hex chars of "r:item", base-16,
     * mod w — the same engine-portable 60-bit hash family the rest of the
-    * library keys on ([[graft.functions.TextFunctions.md5Long]]). */
+    * library keys on ([[graft.functions.TextFunctions.md5Long]]).
+    *
+    * Computed WITHOUT the hex round-trip: the first 15 hex chars are
+    * exactly the top 60 bits of the digest, i.e. the big-endian Long of
+    * bytes 0-7 shifted right (unsigned) by one nibble — bit-identical to
+    * `parseLong(hex.substring(0, 15), 16)` (SamplingSpec asserts the
+    * equivalence), ~40 fewer allocations per (row, d) in the hot path. */
   def bucket(r: Int, item: String, w: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$r:$item".getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % w).toInt
+    val d = mdLocal.get().digest(s"$r:$item".getBytes(StandardCharsets.UTF_8))
+    val top60 = ByteBuffer.wrap(d).getLong >>> 4
+    (top60 % w).toInt
   }
 }

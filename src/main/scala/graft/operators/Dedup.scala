@@ -289,8 +289,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming cut is per-row, so applying it
+      // first shrinks the distinct's shuffle to just the matching pairs —
+      // identical output, strictly less data moved
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Incremental near-dup check of an ingestion BATCH against the signature
@@ -314,8 +317,9 @@ object Dedup {
     n.join(h, Seq("band", "value"))
       .select(col("new_id"), col("hist_id"),
         bit_count(col("sig_n").bitwiseXOR(col("sig_h"))).cast("long").as("hamming"))
-      .distinct()
+      // same filter-before-distinct ordering as simhashNearDupPairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** EXACT n-gram-Jaccard near-dup pairs via a frequency-ordered
@@ -415,16 +419,29 @@ object Dedup {
   def containmentPairsExact(sets: DataFrame,
                             thresholdNum: Int, thresholdDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the exploded inverted index feeds THREE subtrees (the df
+    // table, the probe-prefix build, and the full index side) and Spark
+    // recomputes each occurrence from the cached sets otherwise — the
+    // same no-exchange-reuse fact jaccardPairsExactOnSets documents. At
+    // cluster scale this is a MEMORY_AND_DISK cache of the corpus shingle
+    // volume — the operator's working set either way, paid once not 3x.
     val inv = sets.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("sh"))
+      .persist()
     val dfCounts = inv.groupBy("sh").agg(count(lit(1)).as("df"))
     val plen = (col("sz") -
       floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
+    // persisted: the probe prefix is the expensive subtree (df join + per-
+    // doc ranking window) and is a prefix-filtered ~1/thresholdDen subset
+    // of inv; materializing it keeps the candidate join's probe side a
+    // cache scan (PlanGuardSpec asserts this) instead of re-running the
+    // window under the join
     val probe = inv.join(dfCounts, "sh")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= plen)
       .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .persist()
     val index = inv.select(col("sh"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
     val cands = probe.join(index, Seq("sh"))
       .filter(col("id_a") =!= col("id_b"))

@@ -29,7 +29,9 @@ object Fuzzy {
     val variants = concat(
       array(s),
       transform(sequence(lit(1), length(s)), i =>
-        concat(substring(s, lit(1), i - lit(1)), s.substr(i + lit(1), lit(1000)))))
+        // suffix length: length(s) always covers the remainder — a fixed
+        // cap would corrupt variants of strings longer than the cap
+        concat(substring(s, lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
     val fanned = strings
       .select(s.as("s"), explode(variants).as("v"))
     val a = fanned.select(col("v"), col("s").as("a"))

@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   *    pipeline at real .jpg/.png payloads and the emitted dims are the
   *    true ones (MultimodalSpec proves it on ImageIO-encoded and
   *    hand-built-segment fixtures).
-  *  - PIXEL decode / video demux are NOT real: payloads beyond those
-  *    headers route to a FIXTURE codec (u16-BE dims header + byte
+  *  - AUDIO HEADER decode is REAL for WAV: [[wavMeta]] walks actual
+  *    RIFF/WAVE container chunks ("fmt " for sample rate / channels /
+  *    bits, "data" for sample count → duration) per the RIFF spec,
+  *    including non-canonical chunk orders and odd-size padding; the
+  *    fixture codec is retired for audio (fixtures/media.parquet stores
+  *    genuine WAV containers, and MultimodalSpec proves the parse on
+  *    javax.sound-encoded bytes).
+  *  - PIXEL/SAMPLE decode / video demux are NOT real: payloads beyond
+  *    those headers route to a FIXTURE codec (u16-BE dims header + byte
   *    checksum; 3-byte frame header for "video") that stands in for an
   *    ffmpeg/ImageIO call so the byte-level path is still exercised and
   *    oracle-verified against independently stored metadata
@@ -163,6 +170,79 @@ object Multimodal {
     * metadata columns — matching proves the byte-level decode. */
   def decodeImages(spark: SparkSession, path: String): DataFrame =
     decode(mediaOfFamily(spark, path, "image/")).toDF()
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+  /** REAL WAV/RIFF header parse: "RIFF" + u32-LE riff size + "WAVE", then
+    * a chunk walk — each chunk is `id(4) + u32-LE size + payload`, with
+    * odd sizes padded to even per the RIFF spec — to the "fmt " chunk
+    * (channels u16-LE @2, sample rate u32-LE @4, block align u16-LE @12,
+    * bits u16-LE @14) and the "data" chunk (n_samples = chunk size /
+    * block align). Tolerates extra chunks (LIST, fact, cue) in any
+    * position, but requires "fmt " before "data" as the spec mandates
+    * (block align is needed to size the samples). Anything malformed —
+    * truncated chunk, zero block align, missing magic — yields None, so a
+    * corrupt payload can never produce garbage metadata.
+    * Returns (sample_rate, channels, bits, n_samples). */
+  private[graft] def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (p.length < 12) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')) return None
+    if (!(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12
+    var sr = -1; var ch = -1; var bits = -1; var block = -1
+    var nSamples = -1L
+    while (i + 8 <= p.length && (sr < 0 || nSamples < 0)) {
+      val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
+      val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a'
+      val size = u32le(p, i + 4)
+      if (i + 8 + size > p.length) return None // truncated chunk
+      if (isFmt) {
+        if (size < 16) return None
+        ch = u16le(p, i + 8 + 2)
+        val rate = u32le(p, i + 8 + 4)
+        if (rate <= 0 || rate > Int.MaxValue) return None
+        sr = rate.toInt
+        block = u16le(p, i + 8 + 12)
+        bits = u16le(p, i + 8 + 14)
+      } else if (isData) {
+        if (block <= 0) return None // fmt must precede data
+        nSamples = size / block
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // odd chunk sizes pad to even
+    }
+    if (sr > 0 && ch > 0 && bits > 0 && nSamples >= 0) Some((sr, ch, bits, nSamples))
+    else None
+  }
+
+  /** Parsed audio container metadata (what a real audio decoder emits
+    * before touching a sample). Duration is integer math —
+    * `n_samples * 1000 div sample_rate` — so the oracle reproduces it. */
+  case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                       bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** REAL audio metadata from RIFF/WAVE container BYTES, same
+    * mapPartitions batching as [[decode]]. Fails loudly on a non-WAV
+    * payload under an audio mime — silently fabricated metadata is how a
+    * corrupt corpus poisons a pipeline. */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime").startsWith("audio/")).mapPartitions { rows =>
+      rows.map { r =>
+        wavMeta(r.payload) match {
+          case Some((sr, ch, bits, n)) =>
+            AudioMeta(r.media_id, sr, ch, bits, n, n * 1000L / sr)
+          case None =>
+            throw new IllegalArgumentException(
+              s"not a RIFF/WAVE payload: media ${r.media_id}")
+        }
+      }
+    }
+  }
 
   /** Parsed video header (what a container demuxer would emit). */
   case class VideoMeta(media_id: Long, n_frames: Int, fps: Int)

@@ -47,6 +47,9 @@ object PageRank {
         expr(s"CAST((w * $ProbScale) DIV out_w AS BIGINT)").as("p"))
       .persist()
     val n = nodes.count() // bounded driver read: one scalar
+    // empty node universe: the answer is the empty rank vector, not a
+    // divide-by-zero deep in the base-share arithmetic
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
     val base = RankScale / n
     val teleport = ((100L - dampNum) * base) / 100L
     var r = nodes.select(col("node"), lit(base).as("rank"))

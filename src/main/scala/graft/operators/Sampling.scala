@@ -79,9 +79,15 @@ object Sampling {
   /** Weighted Bernoulli sample: inclusion probability proportional to a
     * per-row integer weight, `p = min(1, weight / weightScale)`. The test
     * is a pure-integer cross-multiplication over the 40-bit hash —
-    * `hash40 * weightScale < weight * 2^40` — so it is exact for any
-    * weight (no float rounding at the boundary) as long as
-    * `weight * 2^40` fits in Int64, i.e. weight < 2^23 ≈ 8.3M.
+    * `hash40 * weightScale < min(weight, weightScale) * 2^40` — so it is
+    * exact for ANY row weight (no float rounding at the boundary, no
+    * overflow): the data-side weight is clamped to `weightScale` before
+    * the multiply, which both implements the documented `min(1, ·)`
+    * exactly (a clamped weight == weightScale makes the test
+    * `hash40 < 2^40`, always true) and keeps the product inside Int64
+    * however large a row's stored weight is. The `weightScale < 2^23`
+    * bound is what makes `weightScale * 2^40 < 2^63` — a requirement on
+    * the CALLER's constant, checked here; the data needs no precondition.
     *
     * This is how a quality-weighted or length-weighted corpus draw runs at
     * scale: the weight is a stored column, the decision is scan-local. */
@@ -94,7 +100,8 @@ object Sampling {
     require(weightScale > 0 && weightScale < (1L << 23),
       s"weightScale must be in (0, 2^23) for overflow-free integer math, got $weightScale")
     val hash40 = md5Long40(concat(col(keyCol).cast("string"), lit(":" + salt)))
-    df.filter(hash40 * lit(weightScale) < col(weightCol).cast("long") * lit(1L << 40))
+    val wClamped = least(col(weightCol).cast("long"), lit(weightScale))
+    df.filter(hash40 * lit(weightScale) < wClamped * lit(1L << 40))
   }
 
   /** Exact heavy hitters in two bounded passes (the MG candidate pass +
@@ -107,15 +114,22 @@ object Sampling {
     *     `isin` scan filter: the shuffle carries ≤ k groups, not the
     *     vocabulary), keeping those with `cnt * thresholdDen >= N`.
     *
-    * Sound whenever `k + 1 >= thresholdDen` (the MG bound guarantees the
-    * candidate set is a superset of items with frequency > N/(k+1), and
-    * the threshold N/thresholdDen is at least that). The result is EXACT —
-    * identical to the full `GROUP BY ... HAVING cnt * den >= N` the oracle
-    * runs — but the full-vocabulary shuffle never happens.
+    * Sound whenever `k >= thresholdDen` (i.e. k + 1 > thresholdDen,
+    * STRICTLY): the MG bound only guarantees survival of items with
+    * frequency strictly greater than N/(k+1), while pass 2 keeps
+    * `cnt * den >= N` INCLUSIVELY — so the guard must force
+    * N/(k+1) < N/thresholdDen, not <=. At k + 1 == thresholdDen an item
+    * with frequency exactly N/thresholdDen can be evicted from the
+    * candidates and silently dropped (k=1, den=2, stream a,b,a,c: true
+    * answer {a}, MG candidates end empty). With the strict guard the
+    * result is EXACT — identical to the full
+    * `GROUP BY ... HAVING cnt * den >= N` the oracle runs — but the
+    * full-vocabulary shuffle never happens.
     */
   def heavyHitters(items: DataFrame, itemCol: String, k: Int, thresholdDen: Long): DataFrame = {
-    require(k + 1 >= thresholdDen,
-      s"k=$k too small for threshold N/$thresholdDen: need k+1 >= $thresholdDen for the MG superset guarantee")
+    require(k >= thresholdDen,
+      s"k=$k too small for threshold N/$thresholdDen: need k >= $thresholdDen " +
+        "(k+1 strictly above the denominator) for the MG superset guarantee")
     import graft.expressions.GraftFunctions
     val row = items.agg(
       GraftFunctions.misraGries(col(itemCol), k).as("cand"),

@@ -42,6 +42,28 @@ object CorpusQueries {
     })
   }
 
+  /** Drop every materialized corpus (and the memo pointing at it) so the
+    * next query call rebuilds from scratch. This is the BENCH HONESTY
+    * hook: without it, rep 1 of q81/q89 pays the real build/append and
+    * later reps hit the ledger/memo no-op, so the reported median times
+    * the no-op and a regression in build cost is invisible. Bench calls
+    * this between passes; Verify (one pass) and interactive use keep the
+    * amortized memo. */
+  def resetMaterializedState(): Unit = synchronized {
+    for (dir <- cached.values ++ cachedInc.values) {
+      try {
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      } catch { case _: java.io.IOException => () } // best-effort tmp cleanup
+    }
+    cached = Map.empty
+    cachedInc = Map.empty
+  }
+
   /** Per-source doc/token totals read from the WRITTEN corpus_stats table. */
   def q81CorpusStats(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${built(s, dir)}/corpus_stats")

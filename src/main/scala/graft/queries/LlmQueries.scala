@@ -151,6 +151,14 @@ object LlmQueries {
   def q48ThumbSpec(s: SparkSession, dir: String): DataFrame =
     Multimodal.thumbSpec(s, media, maxDim = 64)
 
+  /** REAL WAV/RIFF header decode over binary audio payloads — sample
+    * rate / channels / bits from the "fmt " chunk, sample count and
+    * integer-ms duration from the "data" chunk; the oracle reads the
+    * independently stored metadata columns, so a byte off in the chunk
+    * walk breaks the hash match. */
+  def q130WavMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioMeta(Multimodal.readMedia(s, media)).toDF()
+
   // ---------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens, distinct types, BPE-ish surface
@@ -953,6 +961,7 @@ object LlmQueries {
     "q46_ivf_trained_nn" -> (q46IvfTrainedNn _),
     "q47_frame_sample" -> (q47FrameSample _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
+    "q130_wav_meta" -> (q130WavMeta _),
     "q49_pii_redact" -> (q49PiiRedact _),
     "q50_source_mix" -> (q50SourceMix _),
     "q53_kmv_distinct" -> (q53KmvDistinct _),
@@ -1193,6 +1202,13 @@ object LlmQueries {
          |  CAST(floor(height * scale) AS INT) AS thumb_h,
          |  scale
          |FROM sc""".stripMargin,
+    // the engine chunk-walks the actual RIFF/WAVE container bytes; the
+    // oracle reads the redundantly stored metadata — matching proves the
+    // byte-level parse, duration included (pure integer division)
+    "q130_wav_meta" ->
+      s"""SELECT media_id, sample_rate, channels, bits, n_samples,
+         |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+         |FROM read_parquet('$media') WHERE mime LIKE 'audio/%'""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

@@ -59,23 +59,27 @@ object ScaleQueries {
     * and the trailing cast reproducible). */
   private def dsum(c: Column) = sum(c.cast("decimal(18,6)")).cast("double")
 
-  // q102: bucketed tables are built once per (JVM, sf-dir) — the point of
-  // bucketing is precisely that the write-time shuffle is amortized across
-  // every later join on the key.
-  private val bucketedFor = scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedFor.getOrElseUpdate(dir, {
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val li = s"graft_b_lineitem_$tag"
-      val ord = s"graft_b_orders_$tag"
+  // q102: bucketed tables are built once per (catalog, sf-dir) — the point
+  // of bucketing is precisely that the write-time shuffle is amortized
+  // across every later join on the key. The build guard probes the SESSION
+  // CATALOG rather than a JVM-level memo: the bucket spec lives in catalog
+  // metadata (saveAsTable), so a session with a fresh catalog in the same
+  // JVM — or a dropped table — must trigger a rebuild, not a skipped write
+  // against a table that is not there.
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val li = s"graft_b_lineitem_$tag"
+    val ord = s"graft_b_orders_$tag"
+    if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
       Sinks.writeBucketed(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         li, "l_orderkey", 8)
       Sinks.writeBucketed(Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority")),
         ord, "o_orderkey", 8)
-      (li, ord)
-    })
+    }
+    (li, ord)
+  }
 
   /** q102: the co-located fact⋈fact join over bucketed tables — both
     * sides pre-hashed into 8 buckets on the order key at WRITE time
@@ -863,7 +867,7 @@ object ScaleQueries {
     "q104_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':s104'), 1, 10))::BIGINT * 4096
-         |  < n_chars * ${1L << 40}""".stripMargin,
+         |  < least(n_chars, 4096) * ${1L << 40}""".stripMargin,
     // The oracle joins the RAW parquet: identical rows prove the bucketed
     // write round-trip lost nothing.
     "q102_bucketed_join" ->

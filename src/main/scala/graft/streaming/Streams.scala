@@ -21,6 +21,32 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Executed physical plan of the FINAL micro-batch of each one-shot
+    * streaming run, keyed by the sink query name — the PlanGuard hook.
+    * Batch queries hand PlanGuardSpec a lazy DataFrame whose plan it
+    * inspects; q41/q112 execute their stream inside the query function, so
+    * the runner records the micro-batch's `IncrementalExecution` plan here
+    * and the spec applies the same cartesian/scale-key-window checks to
+    * streaming plans that batch plans get. (Every micro-batch of an
+    * AvailableNow run compiles the same shape; the last one is as good as
+    * any.) */
+  val recordedMicroBatchPlans =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.execution.SparkPlan]()
+
+  /** Reflective unwrap of the StreamingQueryWrapper → StreamExecution →
+    * lastExecution chain (diagnostics-only internals access; the data path
+    * never touches it). Silently skips if Spark internals move — the
+    * PlanGuard test asserts the plan WAS recorded, so breakage surfaces
+    * there, loudly, not here. */
+  private def recordMicroBatchPlan(
+      name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val se = q.getClass.getMethod("streamingQuery").invoke(q)
+      val qe = se.getClass.getMethod("lastExecution").invoke(se)
+        .asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+      if (qe != null) recordedMicroBatchPlans(name) = qe.executedPlan
+    } catch { case _: ReflectiveOperationException => () }
+
   /** Incremental ingestion: stream every file under `srcDir` into an
     * append-mode parquet sink, processing exactly the files available now
     * (the weekly catchup run, minus Airflow). Re-running with the same
@@ -149,6 +175,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_hourly", q)
     spark.table("graft_stream_hourly")
   }
 
@@ -179,6 +206,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_sessions", q)
     spark.table("graft_stream_sessions")
   }
 

@@ -45,6 +45,9 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
       .as[(Long, Long)].collect().toMap
     val teleport = (15L * (PageRank.RankScale / 2)) / 100L
     assert(r == Map(1L -> teleport, 2L -> teleport))
+    // empty node universe: empty rank vector, not a divide-by-zero
+    val noNodes = Seq.empty[Long].toDF("node")
+    assert(PageRank.ranks(spark, noNodes, noEdges, iters = 2).count() == 0)
   }
 
   test("fuzzy: empty set and identical strings") {

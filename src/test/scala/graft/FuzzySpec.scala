@@ -33,6 +33,22 @@ class FuzzySpec extends AnyFunSuite with SharedSpark {
     assert(!got.contains(("kitten", "ktiten")), "transposition is distance 2")
   }
 
+  test("strings longer than 1000 chars still pair (no suffix truncation)") {
+    // deletion variants are built by splicing prefix + suffix; a fixed-cap
+    // suffix silently corrupted variants past the cap, missing genuine
+    // pairs whose differing position sits beyond it
+    val base = ("abcdefghij" * 150) // 1500 chars
+    val sub = base.updated(1200, 'Z') // substitution at position 1200
+    val del = base.substring(0, 1300) + base.substring(1301) // deletion at 1300
+    val far = base.updated(10, 'Q').updated(1400, 'R') // distance 2
+    val got = Fuzzy.editDistance1Pairs(Seq(base, sub, del, far).toDF("str"), "str")
+      .as[(String, String)].collect().toSet
+    val want = Set((base, sub), (base, del)).map { case (a, b) =>
+      if (a < b) (a, b) else (b, a)
+    }
+    assert(got == want, s"long-string pairs wrong: got ${got.size}, want ${want.size}")
+  }
+
   test("the candidate stage is an equi-join, not a cross") {
     val plan = Fuzzy.editDistance1Pairs(corpus.toDF("str"), "str")
       .queryExecution.sparkPlan.toString

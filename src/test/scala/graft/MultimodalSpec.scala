@@ -9,7 +9,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
   private val fixture = "/root/repo/fixtures/media.parquet"
 
   test("byte-level decode reproduces the independently stored metadata for every row") {
-    val decoded = Multimodal.decode(Multimodal.readMedia(spark, fixture)).toDF()
+    // image + video rows run the dims codec; audio rows are REAL WAV
+    // containers with their own parse (audioMeta tests below)
+    val visual = Multimodal.readMedia(spark, fixture)
+      .filter(!col("mime").startsWith("audio/"))
+    val decoded = Multimodal.decode(visual).toDF()
     val stored = spark.read.parquet(fixture)
       .select(col("media_id"), col("width"), col("height"), col("n_bytes"), col("checksum"))
     val mismatches = decoded.join(stored, "media_id")
@@ -17,7 +21,62 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 60)
+    assert(decoded.count() == 45)
+  }
+
+  test("audioMeta parses the fixture's real WAV containers and matches stored metadata") {
+    val parsed = Multimodal.audioMeta(Multimodal.readMedia(spark, fixture)).toDF()
+    val stored = spark.read.parquet(fixture)
+      .filter(col("mime").startsWith("audio/"))
+      .select(col("media_id"), col("sample_rate").as("m_sr"), col("channels").as("m_ch"),
+        col("bits").as("m_bits"), col("n_samples").as("m_n"))
+    val mismatches = parsed.join(stored, "media_id")
+      .filter(col("sample_rate") =!= col("m_sr") || col("channels") =!= col("m_ch") ||
+        col("bits") =!= col("m_bits") || col("n_samples") =!= col("m_n") ||
+        col("duration_ms") =!= expr("m_n * 1000 DIV m_sr"))
+      .count()
+    assert(mismatches == 0)
+    assert(parsed.count() == 15)
+  }
+
+  test("wavMeta parses REAL javax.sound-encoded WAV bytes") {
+    // a genuine file produced by the JDK's WAVE writer — not our generator
+    import javax.sound.sampled._
+    def encode(rate: Float, bits: Int, ch: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, ch, true, false)
+      val pcm = Array.tabulate[Byte](frames * fmt.getFrameSize)(i => (i * 13).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(Multimodal.wavMeta(encode(8000f, 16, 2, 123)).contains((8000, 2, 16, 123L)))
+    assert(Multimodal.wavMeta(encode(44100f, 16, 1, 999)).contains((44100, 1, 16, 999L)))
+  }
+
+  test("wavMeta chunk walk: extra chunks, odd-size padding, malformed inputs") {
+    def le32(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte)
+    def le16(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val fmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(22050) ++ le32(22050 * 4) ++
+      le16(4) ++ le16(16))
+    val data = chunk("data", Array.fill[Byte](40)(7)) // 40 / blockAlign 4 = 10 samples
+    val odd = chunk("LIST", Array.fill[Byte](7)(3))   // odd size: walk must pad
+    def riff(chunks: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+        "WAVE".getBytes("US-ASCII") ++ chunks
+    // canonical, plus an odd-size LIST chunk between fmt and data
+    assert(Multimodal.wavMeta(riff(fmt ++ data)).contains((22050, 2, 16, 10L)))
+    assert(Multimodal.wavMeta(riff(fmt ++ odd ++ data)).contains((22050, 2, 16, 10L)))
+    assert(Multimodal.wavMeta(riff(odd ++ fmt ++ data)).contains((22050, 2, 16, 10L)))
+    // data before fmt (block align unknown): clean None
+    assert(Multimodal.wavMeta(riff(data ++ fmt)).isEmpty)
+    // truncated mid-chunk and wrong magic: clean None, never garbage
+    assert(Multimodal.wavMeta(riff(fmt ++ data).dropRight(5)).isEmpty)
+    assert(Multimodal.wavMeta("RIFX1234WAVE".getBytes("US-ASCII")).isEmpty)
   }
 
   test("metadata-only queries prune the payload column at the parquet scan") {

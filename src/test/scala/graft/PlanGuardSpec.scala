@@ -48,29 +48,45 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
   private val boundedKeyedWindow = Set("q117_gap_fill")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
-    * — there is no lazy plan to inspect (their operators are covered by
-    * StreamingSpec). */
-  private val skip = Set("q41_stream_hourly", "q112_stream_sessions")
+    * — there is no lazy plan to inspect. The stream runner records each
+    * run's executed micro-batch plan under its memory-sink name
+    * ([[graft.streaming.Streams.recordedMicroBatchPlans]]); running the
+    * query then fetching that plan puts the streaming micro-batch shapes
+    * under the SAME guard as every batch plan. */
+  private val streamingSinks = Map(
+    "q41_stream_hourly" -> "graft_stream_hourly",
+    "q112_stream_sessions" -> "graft_stream_sessions")
 
   test("no query plans a cartesian product or a scale-key single-group window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
-      val plan = fn(spark, sf).queryExecution.sparkPlan
-      val cross = plan.collect {
-        case c: CartesianProductExec => c.nodeName
-        case b: BroadcastNestedLoopJoinExec => b.nodeName
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val planOpt = streamingSinks.get(name) match {
+        case Some(sink) =>
+          fn(spark, sf) // executes the AvailableNow stream, recording its plan
+          val p = graft.streaming.Streams.recordedMicroBatchPlans.get(sink)
+          if (p.isEmpty)
+            failures += s"$name: no recorded micro-batch plan for sink $sink " +
+              "(recording hook broken — streaming plans are unguarded)"
+          p
+        case None => Some(fn(spark, sf).queryExecution.sparkPlan)
       }
-      if (cross.nonEmpty && !boundedCross(name))
-        failures += s"$name: ${cross.mkString(", ")} (all-pairs shape)"
-      plan.foreach {
-        case w: WindowExec if w.partitionSpec.isEmpty =>
-          if (!boundedGlobalWindow(name))
-            failures += s"$name: unpartitioned Window (single-task global sort)"
-        case w: WindowExec if w.partitionSpec.length == 1 =>
-          val names = w.partitionSpec.head.references.map(_.name).toSet
-          if (names.exists(scaleKeys) && !boundedKeyedWindow(name))
-            failures += s"$name: Window partitioned by scale key ${names.mkString(",")} alone"
-        case _ =>
+      for (plan <- planOpt) {
+        val cross = plan.collect {
+          case c: CartesianProductExec => c.nodeName
+          case b: BroadcastNestedLoopJoinExec => b.nodeName
+        }
+        if (cross.nonEmpty && !boundedCross(name))
+          failures += s"$name: ${cross.mkString(", ")} (all-pairs shape)"
+        plan.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            if (!boundedGlobalWindow(name))
+              failures += s"$name: unpartitioned Window (single-task global sort)"
+          case w: WindowExec if w.partitionSpec.length == 1 =>
+            val names = w.partitionSpec.head.references.map(_.name).toSet
+            if (names.exists(scaleKeys) && !boundedKeyedWindow(name))
+              failures += s"$name: Window partitioned by scale key ${names.mkString(",")} alone"
+          case _ =>
+        }
       }
     }
     assert(failures.isEmpty,
@@ -94,6 +110,16 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
           s"$name: ${parquetScans.length} direct file scans — shingle table not cached")
         assert(cachedScans.length >= 3,
           s"$name: expected >=3 cached shingle-table scans, got ${cachedScans.length}")
+        if (name == "q96_containment") {
+          // the probe prefix (sh, id_a, sz_a) must itself be cache-served:
+          // its df-join + per-doc ranking window is the expensive prep and
+          // must not re-run under the candidate join
+          val probeCached = cachedScans.exists(
+            _.output.map(_.name).toSet == Set("sh", "id_a", "sz_a"))
+          assert(probeCached,
+            s"$name: probe prefix table not served from cache " +
+              s"(cached outputs: ${cachedScans.map(_.output.map(_.name).mkString(","))})")
+        }
       }
     } finally spark.sharedState.cacheManager.clearCache()
   }

@@ -222,6 +222,50 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }, n = 6)
   }
 
+  // ---------------------------------------------------------------- ppjoin
+
+  /** Random small corpora of shingle SETS over a 12-token vocabulary —
+    * dense enough that prefixes genuinely cut (shared hot shingles, sets
+    * of mixed size), small enough that the quadratic scan is instant. */
+  private val genShingleSets: Gen[List[(Long, Set[String])]] =
+    Gen.choose(2, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 8).flatMap(sz =>
+        Gen.listOfN(sz, Gen.oneOf((0 until 12).map(i => s"sh$i"))).map(_.toSet))))
+      .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+
+  private val genThreshold: Gen[(Int, Int)] =
+    Gen.oneOf((1, 2), (4, 5), (7, 10), (1, 1))
+
+  test("PPJoin: prefix-filtered exact Jaccard equals the all-pairs quadratic scan, any sets") {
+    // the EXECUTABLE form of the prefix-filter recall proof documented on
+    // jaccardPairsExactOnSets: under any global total order, two sets with
+    // J >= t share an element inside both prefixes, so the indexed join
+    // loses nothing vs brute force — for every corpus and threshold
+    check("ppjoin", Prop.forAll(genShingleSets, genThreshold) { case (sets, (num, den)) =>
+      val df = sets.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("doc_id", "shingles")
+      val got = graft.operators.Dedup.jaccardPairsExactOnSets(df, num, den)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        if sa.intersect(sb).size.toLong * den >= sa.union(sb).size.toLong * num
+      } yield (ia, ib)).toSet
+      got == want
+    }, n = 6)
+  }
+
+  test("containment: asymmetric prefix filter equals the quadratic scan, any sets") {
+    check("containment", Prop.forAll(genShingleSets, genThreshold) { case (sets, (num, den)) =>
+      val df = sets.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("doc_id", "shingles")
+      val got = graft.operators.Dedup.containmentPairsExact(df, num, den)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+        if sa.intersect(sb).size.toLong * den >= sa.size.toLong * num
+      } yield (ia, ib)).toSet
+      got == want
+    }, n = 6)
+  }
+
   // -------------------------------------------------------------- sampling
 
   test("Sampling: threshold60 brackets the rate exactly at the integer boundary") {

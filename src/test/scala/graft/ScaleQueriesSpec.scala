@@ -30,6 +30,20 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q102 rebuilds its bucketed tables when the catalog no longer has them") {
+    // the build guard must probe the session catalog, not a JVM memo: a
+    // session whose catalog lost the tables (fresh session, dropped table)
+    // has to rewrite them — a stale memo would join a nonexistent table
+    val before = ScaleQueries.q102BucketedJoin(spark, sf)
+      .orderBy("o_orderpriority").collect().toSeq
+    val tag = java.lang.Long.toHexString(sf.hashCode.toLong & 0xffffffffL)
+    spark.sql(s"DROP TABLE IF EXISTS graft_b_lineitem_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_b_orders_$tag")
+    val after = ScaleQueries.q102BucketedJoin(spark, sf)
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(after == before)
+  }
+
   test("q102 matches the plain unbucketed join") {
     val got = ScaleQueries.q102BucketedJoin(spark, sf)
       .orderBy("o_orderpriority").collect().toSeq
