@@ -51,6 +51,12 @@ object GraftFunctions {
       TopKByScore(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** HyperLogLog register vector over a 60-bit hash column, m = 2^b
+    * one-byte registers merged by element-wise max (see [[HllRegisters]]). */
+  def hllRegisters(hash: Column, b: Int): Column =
+    GraftSqlBridge.column(
+      HllRegisters(GraftSqlBridge.expression(hash), b).toAggregateExpression())
+
   /** Misra-Gries heavy-hitter candidate keys, bounded to k counters
     * (see [[MisraGriesCandidates]]). */
   def misraGries(item: Column, k: Int): Column =
@@ -148,6 +154,14 @@ object GraftFunctions {
           CountMinSketch(item, d, w).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "graft_count_min(item, d, w) needs literal int d and w")
+      }),
+    (new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll"),
+      (children: Seq[Expression]) => children match {
+        case Seq(hash, IntegerLiteral(b)) =>
+          HllRegisters(hash, b).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "graft_hll(hash, b) needs a literal int precision b")
       }),
     (new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesCandidates].getName, "graft_heavy_hitters"),

@@ -614,6 +614,131 @@ object ScaleQueries {
     Pq.adcSearch(cell, "vec_id", "embedding", q, cbs, excludeId = 7L, topK = 10)
   }
 
+  // q132: the manifest table is written once per (JVM, sf-dir) — data
+  // skipping amortizes the clustering write across every later range read,
+  // exactly like q102's bucketed tables amortize their shuffle.
+  private val manifestFor = scala.collection.concurrent.TrieMap[String, String]()
+  private def manifestOrders(s: SparkSession, dir: String): String =
+    manifestFor.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip").toString + "/orders"
+      Sinks.writeWithManifest(Tables.orders(s, dir), tmp, "o_orderkey", numFiles = 16)
+      tmp
+    })
+
+  /** q132: manifest-driven data skipping ([[Sinks.writeWithManifest]] /
+    * [[Sinks.readSkipping]]): orders range-clustered on o_orderkey into 16
+    * files with a one-file min/max manifest; a narrow key-range query then
+    * opens ONLY the files whose span intersects the range — the
+    * ScaleQueriesSpec assertion pins the pruning (≤2 of 16 files read).
+    * The oracle runs the same range over the ORIGINAL parquet, so the
+    * result also proves the clustered rewrite is lossless. */
+  def q132SkippingScan(s: SparkSession, dir: String): DataFrame =
+    Sinks.readSkipping(s, manifestOrders(s, dir), "o_orderkey", 4000L, 4999L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+
+  // q131 constants — b=6 gives m=64 one-byte registers; maxRho = 60-6+1.
+  // AlphaNum is alpha_64 * m^2 * 2^maxRho with alpha_64 = 0.709 (the HLL
+  // paper's constant for m=64), multiplied LEFT-TO-RIGHT so the oracle's
+  // `CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0` lands on the
+  // bit-identical double.
+  private val HllB = 6
+  private val HllMaxRho = 55
+  private val HllAlphaNum: Double = 0.709 * 4096.0 * 36028797018963968.0
+
+  /** zeros / integer-harmonic-sum / raw-estimate summary of an HLL
+    * register vector — every op integer until the single final divide. */
+  private def hllZeros(regs: String): Column =
+    expr(s"CAST(size(filter($regs, x -> x = 0)) AS INT)")
+  private def hllHsum(regs: String): Column =
+    expr(s"aggregate($regs, CAST(0 AS BIGINT), " +
+      s"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $HllMaxRho - x))")
+  private def hllEst(hsum: Column): Column = lit(HllAlphaNum) / hsum.cast("double")
+
+  /** q131: HyperLogLog distinct-part estimate per return flag PLUS the
+    * union row — the `*ALL*` sketch is the element-wise MAX of the three
+    * per-group register vectors (union of sketches), while the oracle
+    * rebuilds it from the raw rows (sketch of union): equality IS HLL's
+    * lossless-merge property, the same proof shape as q121's Count-Min
+    * additivity. State is 64 BYTES per group at any scale; the exact
+    * count-distinct column rides along as the accuracy baseline (~13%
+    * expected error at m=64). See [[graft.expressions.HllRegisters]]. */
+  def q131HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.GraftFunctions
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("grp"), col("l_partkey"),
+      graft.functions.TextFunctions.md5Long(col("l_partkey").cast("string")).as("h"))
+    val perGrp = li.groupBy("grp").agg(
+      GraftFunctions.hllRegisters(col("h"), HllB).as("regs"),
+      countDistinct(col("l_partkey")).as("exact_nd"))
+      .persist()
+    val grpRows = perGrp.select(col("grp"), hllZeros("regs").as("zeros"),
+      hllHsum("regs").as("hsum"), hllEst(hllHsum("regs")).as("est"), col("exact_nd"))
+    // union of sketches: element-wise max over the per-group vectors
+    // (m rows per group, m bounded by the sketch parameter, never data)
+    val mergedStats = perGrp
+      .select(posexplode(col("regs")).as(Seq("j", "r")))
+      .groupBy(col("j")).agg(max(col("r")).as("r"))
+      .agg(sum(when(col("r") === 0, 1).otherwise(0)).cast("int").as("zeros"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRho - r)")).cast("long").as("hsum"))
+      .withColumn("k", lit(1))
+    val allExact = li.agg(countDistinct(col("l_partkey")).as("exact_nd"))
+      .withColumn("k", lit(1))
+    val allRow = mergedStats.join(allExact, "k") // 1x1 broadcast equi join
+      .select(lit("*ALL*").as("grp"), col("zeros"), col("hsum"),
+        hllEst(col("hsum")).as("est"), col("exact_nd"))
+    grpRows.unionByName(allRow)
+  }
+
+  /** q133: distributed BPE tokenizer TRAINING over the documents table —
+    * 8 merge rounds learned from the word-frequency table (corpus scanned
+    * once; every round iterates over the vocabulary, not the text — see
+    * [[graft.operators.BpeTrain]]). The oracle REPLAYS training verbatim:
+    * 8 unrolled rounds of pair-count → deterministic argmax → bracketed
+    * `replace`, so every learned rule (choice AND count) is independently
+    * reproduced by a second engine. */
+  def q133BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.trainOnText(s, Tables.documents(s, dir), "text",
+      numMerges = 8)
+
+  /** The q133 oracle: `n` unrolled training rounds in plain SQL. Each
+    * round's CTE pair is the direct transliteration of one
+    * [[graft.operators.BpeTrain.train]] iteration — pair counts from the
+    * bracketed encoding, argmax under (cnt DESC, lhs ASC, rhs ASC), then
+    * one non-regex `replace` (greedy merge, see BpeTrain's object doc).
+    * Generated rather than hand-written so the round count stays in one
+    * place; the output is a fixed literal string per n. */
+  private def bpeOracleSql(n: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |v0 AS (SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS seq, cnt FROM w)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      val m =
+        s"""m$i AS (
+           |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS cnt
+           |  FROM (SELECT regexp_extract_all(seq, '<([a-z]+)>', 1) AS syms, cnt
+           |        FROM v${i - 1}) t,
+           |       LATERAL (SELECT unnest(generate_series(1, len(t.syms)-1)) AS i) g
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+      val v = if (i == n) "" else
+        s""",
+           |v$i AS (
+           |  SELECT replace(v.seq, '<' || m.lhs || '><' || m.rhs || '>',
+           |                 '<' || m.lhs || m.rhs || '>') AS seq, v.cnt AS cnt
+           |  FROM v${i - 1} v, m$i m)""".stripMargin
+      m + v
+    }
+    val finalSel = (1 to n).map { i =>
+      s"SELECT CAST($i AS INT) AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    (head +: rounds).mkString(",\n") + "\n" + finalSel
+  }
+
   /** q129: COMPRESSED text ingestion — the gzip'd journey CSV runs through
     * the same transform as the plain file (Spark's text sources decompress
     * by extension, schema/parse code untouched). The oracle reads the .gz
@@ -638,6 +763,9 @@ object ScaleQueries {
     "q127_union_evolve" -> (q127UnionEvolve _),
     "q128_ivf_pq" -> (q128IvfPq _),
     "q129_gzip_csv" -> (q129GzipCsv _),
+    "q131_hll_distinct" -> (q131HllDistinct _),
+    "q132_skipping_scan" -> (q132SkippingScan _),
+    "q133_bpe_train" -> (q133BpeTrain _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -711,6 +839,59 @@ object ScaleQueries {
     // additivity must be lossless: the merged-halves sketch answers
     // exactly like the whole-corpus build the oracle recomputes
     "q121_sketch_union" -> cmsOracleSql,
+    // Full training replay: 8 unrolled rounds, each recomputing the pair
+    // table, taking the same deterministic argmax, and applying the same
+    // bracketed replace. DuckDB learns the identical merge table or the
+    // hash breaks.
+    "q133_bpe_train" -> bpeOracleSql(8),
+    // The skipping read must return exactly the rows of the range — the
+    // oracle scans the WHOLE original table, so any file wrongly pruned
+    // (or rows lost in the clustered rewrite) breaks the match.
+    "q132_skipping_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 4000 AND 4999
+        |GROUP BY o_orderpriority""".stripMargin,
+    // Every HLL register rebuilt from the raw md5 hashes with string ops;
+    // the *ALL* row's equality proves merge-by-max is lossless union.
+    "q131_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS grp, l_partkey,
+         |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT grp, l_partkey, CAST(h >> 54 AS INT) AS j,
+         |    CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+         |         ELSE strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)), 54, '0'), '1')
+         |    END AS rho
+         |  FROM h),
+         |mx AS (SELECT grp, j, max(rho) AS mr FROM r GROUP BY grp, j),
+         |g AS (
+         |  SELECT grp, CAST(64 - count(*) AS INT) AS zeros,
+         |    CAST(sum(1::BIGINT << (55 - mr))
+         |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS hsum
+         |  FROM mx GROUP BY grp),
+         |e AS (SELECT grp, count(DISTINCT l_partkey) AS exact_nd FROM h GROUP BY grp),
+         |amx AS (SELECT j, max(rho) AS mr FROM r GROUP BY j),
+         |ag AS (
+         |  SELECT CAST(64 - count(*) AS INT) AS zeros,
+         |    CAST(sum(1::BIGINT << (55 - mr))
+         |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS hsum
+         |  FROM amx),
+         |ae AS (SELECT count(DISTINCT l_partkey) AS exact_nd FROM h)
+         |SELECT g.grp, g.zeros, g.hsum,
+         |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+         |    / CAST(g.hsum AS DOUBLE) AS est,
+         |  e.exact_nd
+         |FROM g JOIN e USING (grp)
+         |UNION ALL
+         |SELECT '*ALL*', ag.zeros, ag.hsum,
+         |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+         |    / CAST(ag.hsum AS DOUBLE) AS est,
+         |  ae.exact_nd
+         |FROM ag, ae""".stripMargin,
     // The typed-Aggregator path must land on the same doubles as q111.
     "q119_typed_corr" -> q111OracleSql,
     // same pairs, same answer, different component algorithm

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, element_at, input_file_name, lit, max, min, split}
 import graft.operators.Upsert
 
 /** Parquet sinks as engine operations (SURVEY.md §2.1 S5/S6/S7).
@@ -145,6 +145,68 @@ object Sinks {
         .option(s"parquet.enable.dictionary#$c", "false")
     }.save(path)
   }
+
+  /** File-level min/max stats manifest — the lake-format "data skipping"
+    * primitive (Delta's per-file stats / Iceberg's manifest entries, as an
+    * engine operation over plain parquet). The table is RANGE-CLUSTERED on
+    * `statsCol` into `numFiles` files, and a one-file `_manifest` parquet
+    * inside the table dir records each data file's (file, lo, hi, rows).
+    * Underscore-prefixed paths are invisible to Spark/Hadoop parquet
+    * readers, so the table stays a perfectly ordinary parquet dir.
+    *
+    * Why this exists when parquet already has row-group min/max and
+    * [[writeParquetBloom]]: those prune AFTER a file is opened (footer
+    * read per file). The manifest prunes files WITHOUT opening them — one
+    * bounded read (a row per data file) replaces 10^5-10^6 footer reads
+    * at 100-TB scale, and the range clustering makes the per-file spans
+    * disjoint so a point/range predicate touches O(selectivity) files.
+    * Written via the same swap-commit as [[overwriteSwap]]: stats and data
+    * can never be observed torn. */
+  def writeWithManifest(df: DataFrame, path: String, statsCol: String,
+                        numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".__tmp")
+    f.delete(tmp, true)
+    df.repartitionByRange(numFiles, col(statsCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // one scan of the just-written files builds the stats rows; file
+    // identity is the basename so the manifest survives the swap rename
+    val stats = spark.read.parquet(tmp.toString)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+        count(lit(1)).as("rows"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(tmp, "_manifest").toString)
+    swapCommit(f, tmp, new Path(path))
+  }
+
+  /** Data-skipping range read over a [[writeWithManifest]] table: reads
+    * the manifest (one row per data file — the ONLY driver-side
+    * materialization, bounded by file count, never rows), keeps the files
+    * whose [lo, hi] span intersects `[lo, hi]`, and scans just those with
+    * the residual predicate applied. Returns the rows of the table with
+    * `statsCol` in the closed interval. */
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+                   lo: Any, hi: Any): DataFrame = {
+    val files = skippingFiles(spark, path, lo, hi)
+    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    if (files.isEmpty) {
+      // empty result, correct schema: one footer read, zero data pages
+      val any = spark.read.parquet(s"$path/_manifest")
+        .select(col("file")).as[String](org.apache.spark.sql.Encoders.STRING)
+        .first()
+      spark.read.parquet(s"$path/$any").filter(lit(false))
+    } else spark.read.parquet(files: _*).filter(pred)
+  }
+
+  /** The surviving file paths for a skipping read — split out so tests
+    * (and curious operators) can assert how much was pruned. */
+  def skippingFiles(spark: SparkSession, path: String,
+                    lo: Any, hi: Any): Seq[String] =
+    spark.read.parquet(s"$path/_manifest")
+      .filter(col("hi") >= lit(lo) && col("lo") <= lit(hi))
+      .select(col("file")).collect().map(r => s"$path/${r.getString(0)}").toSeq
 
   /** S7 at scale: keyed UPSERT into a table partitioned on `partCol`, that
     * rewrites ONLY the partitions the update batch touches. A weekly merge

@@ -167,6 +167,30 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
     } finally reader.close()
   }
 
+  test("q132: the manifest prunes the range read to a fraction of the files") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-skiptest").toString + "/orders"
+    Sinks.writeWithManifest(spark.read.parquet(s"$sf/orders.parquet"),
+      dir, "o_orderkey", numFiles = 16)
+    val total = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(total >= 8, s"range clustering produced too few files: $total")
+    // a ~1/15th key range must touch at most 2 of the range-disjoint files
+    val narrow = Sinks.skippingFiles(spark, dir, 400L, 499L)
+    assert(narrow.nonEmpty && narrow.size <= 2,
+      s"narrow range read ${narrow.size} of $total files")
+    // the skipping read returns exactly the full-scan answer
+    val got = Sinks.readSkipping(spark, dir, "o_orderkey", 400L, 499L)
+      .orderBy("o_orderkey").collect().toSeq
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey").between(400L, 499L))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
+    // a range outside the table prunes everything and still answers
+    assert(Sinks.skippingFiles(spark, dir, -100L, -1L).isEmpty)
+    assert(Sinks.readSkipping(spark, dir, "o_orderkey", -100L, -1L).count() == 0)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
