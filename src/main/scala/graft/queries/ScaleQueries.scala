@@ -698,46 +698,129 @@ object ScaleQueries {
     * 8 unrolled rounds of pair-count → deterministic argmax → bracketed
     * `replace`, so every learned rule (choice AND count) is independently
     * reproduced by a second engine. */
-  def q133BpeTrain(s: SparkSession, dir: String): DataFrame =
-    graft.operators.BpeTrain.trainOnText(s, Tables.documents(s, dir), "text",
-      numMerges = 8)
+  // Trained merges are deterministic per corpus, so q133/q134 share one
+  // training run per (JVM, sf-dir) — the same amortization pattern as
+  // manifestOrders above. Plain data (not catalog state), so session
+  // turnover can't invalidate it.
+  private val bpeMergesFor =
+    scala.collection.concurrent.TrieMap[String, Seq[graft.operators.BpeTrain.Merge]]()
+  private def trainedMerges(s: SparkSession, dir: String): Seq[graft.operators.BpeTrain.Merge] =
+    bpeMergesFor.getOrElseUpdate(dir, graft.operators.BpeTrain.train(
+      graft.operators.BpeTrain.wordFreq(Tables.documents(s, dir), "text"), numMerges = 8))
 
-  /** The q133 oracle: `n` unrolled training rounds in plain SQL. Each
-    * round's CTE pair is the direct transliteration of one
+  def q133BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    s.createDataFrame(merges)
+      .select(col("step"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
+  }
+
+  /** q134: BPE ENCODE — tokenize the corpus with q133's learned rules.
+    * The merge table (8 rows, driver-side by construction) is folded into
+    * the plan as a chain of narrow `replace` literals
+    * ([[graft.operators.BpeTrain.applyMerges]]): no join, no shuffle until
+    * the final per-language aggregate. The oracle re-derives the rules AND
+    * re-tokenizes every word through training's final vocabulary state, so
+    * token boundaries are verified end-to-end. */
+  def q134BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrain
+    val merges = trainedMerges(s, dir)
+    val words = Tables.documents(s, dir).select(col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+    words
+      .select(col("lang"),
+        explode(BpeTrain.symbols(BpeTrain.applyMerges(BpeTrain.initialSeq(col("word")), merges))).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"),
+        sum(length(col("tok"))).cast("long").as("total_chars"))
+  }
+
+  /** q135: unseen-bigram rate — an LM-style fluency/novelty signal with
+    * integer-exact semantics. One scan builds the corpus bigram-count
+    * table (hash groupBy — the "language model"); each document's bigrams
+    * then equi-join back to their corpus counts and a bigram is RARE when
+    * its corpus count is ≤ 2. Per language: document/bigram/rare totals
+    * (pure integers) plus one final divide for the rate — the only double
+    * op, bit-exact cross-engine. At 100 TB both sides of the join are
+    * corpus-scale but it is a plain shuffled equi-join on (w1, w2);
+    * no window, no driver state. */
+  def q135BigramRarity(s: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
+      // docs with < 2 words have no bigrams; also keeps slice() off the
+      // negative-length path for word-free docs
+      .filter(size(col("ws")) >= 2)
+    val bg = ws.select(col("doc_id"), col("lang"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
+    val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    bg.join(counts, Seq("w1", "w2"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_rate",
+        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** The shared BPE training-replay CTE block: `n` unrolled rounds in
+    * plain SQL, each the direct transliteration of one
     * [[graft.operators.BpeTrain.train]] iteration — pair counts from the
     * bracketed encoding, argmax under (cnt DESC, lhs ASC, rhs ASC), then
     * one non-regex `replace` (greedy merge, see BpeTrain's object doc).
-    * Generated rather than hand-written so the round count stays in one
-    * place; the output is a fixed literal string per n. */
-  private def bpeOracleSql(n: Int): String = {
+    * `v$n` (the fully-encoded vocabulary, keyed by original word) is
+    * emitted so the q134 encode oracle can join against training's final
+    * state; q133 leaves it unreferenced. Generated rather than
+    * hand-written so the round count stays in one place; the output is a
+    * fixed literal string per n. */
+  private def bpeCtes(n: Int): String = {
     val head =
       """WITH w AS (
         |  SELECT word, count(*) AS cnt
         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
         |        FROM documents)
         |  GROUP BY word),
-        |v0 AS (SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS seq, cnt FROM w)""".stripMargin
+        |v0 AS (SELECT word, regexp_replace(word, '(.)', '<\1>', 'g') AS seq, cnt FROM w)""".stripMargin
     val rounds = (1 to n).map { i =>
-      val m =
-        s"""m$i AS (
-           |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS cnt
-           |  FROM (SELECT regexp_extract_all(seq, '<([a-z]+)>', 1) AS syms, cnt
-           |        FROM v${i - 1}) t,
-           |       LATERAL (SELECT unnest(generate_series(1, len(t.syms)-1)) AS i) g
-           |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
-      val v = if (i == n) "" else
-        s""",
-           |v$i AS (
-           |  SELECT replace(v.seq, '<' || m.lhs || '><' || m.rhs || '>',
-           |                 '<' || m.lhs || m.rhs || '>') AS seq, v.cnt AS cnt
-           |  FROM v${i - 1} v, m$i m)""".stripMargin
-      m + v
+      s"""m$i AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT regexp_extract_all(seq, '<([a-z]+)>', 1) AS syms, cnt
+         |        FROM v${i - 1}) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(t.syms)-1)) AS i) g
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$i AS (
+         |  SELECT v.word, replace(v.seq, '<' || m.lhs || '><' || m.rhs || '>',
+         |                 '<' || m.lhs || m.rhs || '>') AS seq, v.cnt AS cnt
+         |  FROM v${i - 1} v, m$i m)""".stripMargin
     }
-    val finalSel = (1 to n).map { i =>
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** q133 oracle: the learned merge table itself. */
+  private def bpeOracleSql(n: Int): String =
+    bpeCtes(n) + "\n" + (1 to n).map { i =>
       s"SELECT CAST($i AS INT) AS step, lhs, rhs, lhs || rhs AS merged, cnt FROM m$i"
     }.mkString("\nUNION ALL\n")
-    (head +: rounds).mkString(",\n") + "\n" + finalSel
-  }
+
+  /** q134 oracle: re-tokenize every word occurrence with training's final
+    * vocabulary state (`v$n`, joined by word) and aggregate per language —
+    * identical token boundaries or the hash breaks. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    bpeCtes(n) +
+      s""",
+         |dw AS (
+         |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |toks AS (
+         |  SELECT dw.lang, unnest(regexp_extract_all(v.seq, '<([a-z]+)>', 1)) AS tok
+         |  FROM dw JOIN v$n v USING (word))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+         |  CAST(sum(length(tok)) AS BIGINT) AS total_chars
+         |FROM toks GROUP BY lang""".stripMargin
 
   /** q129: COMPRESSED text ingestion — the gzip'd journey CSV runs through
     * the same transform as the plain file (Spark's text sources decompress
@@ -766,6 +849,8 @@ object ScaleQueries {
     "q131_hll_distinct" -> (q131HllDistinct _),
     "q132_skipping_scan" -> (q132SkippingScan _),
     "q133_bpe_train" -> (q133BpeTrain _),
+    "q134_bpe_encode" -> (q134BpeEncode _),
+    "q135_bigram_rarity" -> (q135BigramRarity _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -844,6 +929,27 @@ object ScaleQueries {
     // bracketed replace. DuckDB learns the identical merge table or the
     // hash breaks.
     "q133_bpe_train" -> bpeOracleSql(8),
+    // End-to-end tokenizer check: the oracle re-learns the rules and
+    // re-tokenizes every word occurrence through the final vocabulary.
+    "q134_bpe_encode" -> bpeEncodeOracleSql(8),
+    // Integer bigram counts + one final divide; threshold and join
+    // reproduced verbatim.
+    "q135_bigram_rarity" ->
+      """WITH dw AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM dw, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN bc.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN bc.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rare_rate
+        |FROM bg JOIN bc USING (w1, w2)
+        |GROUP BY lang""".stripMargin,
     // The skipping read must return exactly the rows of the range — the
     // oracle scans the WHOLE original table, so any file wrongly pruned
     // (or rows lost in the clustered rewrite) breaks the match.

@@ -30,7 +30,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     * each — sources²·k total regardless of corpus size). */
   private val boundedCross =
     Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap",
-      "q121_sketch_union") // two 1-row sketch legs
+      "q121_sketch_union", // two 1-row sketch legs
+      "q131_hll_distinct") // merged-sketch row x exact-count row, both 1-row aggregates
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -111,14 +112,15 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
         assert(cachedScans.length >= 3,
           s"$name: expected >=3 cached shingle-table scans, got ${cachedScans.length}")
         if (name == "q96_containment") {
-          // the probe prefix (sh, id_a, sz_a) must itself be cache-served:
-          // its df-join + per-doc ranking window is the expensive prep and
-          // must not re-run under the candidate join
+          // the probe prefix (sh, id_a, sz_a) has exactly ONE consumer, so
+          // it must NOT be separately cached (a single-use materialization
+          // measured ~2x slower cold); its inv input is cache-served, which
+          // the >=3 InMemoryTableScan assertion above already pins
           val probeCached = cachedScans.exists(
             _.output.map(_.name).toSet == Set("sh", "id_a", "sz_a"))
-          assert(probeCached,
-            s"$name: probe prefix table not served from cache " +
-              s"(cached outputs: ${cachedScans.map(_.output.map(_.name).mkString(","))})")
+          assert(!probeCached,
+            s"$name: single-consumer probe prefix is being cached — " +
+              "pure materialization overhead on a cold run")
         }
       }
     } finally spark.sharedState.cacheManager.clearCache()
