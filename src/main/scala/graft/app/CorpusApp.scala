@@ -124,11 +124,17 @@ object CorpusApp {
   def build(spark: SparkSession, rawDir: String, outDir: String,
             pred: org.apache.spark.sql.Column = lit(true)): Unit = {
     val batch = Tables.documents(spark, rawDir).filter(pred)
-    val survivors = cleanBatch(batch)
-    val corpus = GlobalOrder.rank(survivors, "__h", "doc_id", out = "pos")
-      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
-      .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
-    Sinks.overwriteSwap(corpus, s"$outDir/corpus")
+    // persisted: GlobalOrder.rank makes TWO passes over its input (bucket
+    // counts, then the rank itself) — without the cache each pass re-runs
+    // the whole 4-stage clean, the most expensive subtree of the build.
+    // The cached rows are corpus-thin (ids + counters, no text).
+    val survivors = cleanBatch(batch).persist()
+    try {
+      val corpus = GlobalOrder.rank(survivors, "__h", "doc_id", out = "pos")
+        .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
+        .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
+      Sinks.overwriteSwap(corpus, s"$outDir/corpus")
+    } finally survivors.unpersist()
     spark.catalog.refreshByPath(s"$outDir/corpus")
     val nRaw = batch.count()
     writeLedger(spark, outDir, Map("__init" -> nRaw))
@@ -179,10 +185,13 @@ object CorpusApp {
       else spark.read.parquet(s"$outDir/corpus")
         .agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
     val cleaned = cleanBatch(batch)
+    // persisted for rank's two passes, same as build — otherwise the
+    // batch clean + fp anti-join both run twice
     val fresh =
-      if (!hasCorpus) cleaned
+      (if (!hasCorpus) cleaned
       else cleaned.join(
-        spark.read.parquet(s"$outDir/corpus").select("fp"), Seq("fp"), "left_anti")
+        spark.read.parquet(s"$outDir/corpus").select("fp"), Seq("fp"), "left_anti"))
+        .persist()
     // sever lineage BEFORE the append: the delta-stats fold below re-reads
     // these rows, and a recompute after refreshByPath would re-run the fp
     // anti-join against a corpus that now CONTAINS them (the same self-read
@@ -192,6 +201,7 @@ object CorpusApp {
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
       .localCheckpoint(true)
+    fresh.unpersist() // the eager checkpoint owns the rows now
     Sinks.append(ranked, s"$outDir/corpus")
     spark.catalog.refreshByPath(s"$outDir/corpus")
     val entries = applied + (batchId -> batch.count())
