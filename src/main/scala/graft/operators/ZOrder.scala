@@ -53,7 +53,16 @@ object ZOrder {
     * ids/dates/hours at the default 16 bits; callers with wider domains
     * pre-scale. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    numFiles: Int, bits: Int = 16): Unit = {
+                    numFiles: Int, bits: Int = 16): Unit =
+    Sinks.overwriteSwap(zOrdered(df, xCol, yCol, numFiles, bits), path)
+
+  /** The z-ordered frame itself (range-partitioned + sorted on the Morton
+    * value, z column dropped) — split out so other sinks can write the
+    * layout with their own commit/stats machinery, e.g.
+    * [[Sinks.writeClusteredWithManifest]] for manifest-based
+    * multi-dimensional data skipping. */
+  def zOrdered(df: DataFrame, xCol: String, yCol: String,
+               numFiles: Int, bits: Int = 16): DataFrame = {
     val b = df.agg(min(col(xCol)), max(col(xCol)), min(col(yCol)), max(col(yCol))).head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
       s"writeZOrdered needs non-null $xCol/$yCol bounds (empty table or all-null keys)")
@@ -62,10 +71,9 @@ object ZOrder {
       s"key range too wide for $bits-bit grid normalization; pre-scale the keys")
     val z = zValue(normalize(col(xCol), loX, hiX, bits),
       normalize(col(yCol), loY, hiY, bits), bits)
-    val clustered = df.withColumn("__z", z)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    Sinks.overwriteSwap(clustered, path)
   }
 }

@@ -638,6 +638,37 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
         min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
 
+  // q136: one z-ordered write per (JVM, sf-dir), amortized like q132's
+  // range-clustered table.
+  private val zorderFor = scala.collection.concurrent.TrieMap[String, String]()
+  private def zorderOrders(s: SparkSession, dir: String): String =
+    zorderFor.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zskip").toString + "/orders"
+      Sinks.writeClusteredWithManifest(
+        graft.operators.ZOrder.zOrdered(Tables.orders(s, dir),
+          "o_custkey", "o_orderkey", numFiles = 16),
+        tmp, Seq("o_custkey", "o_orderkey"))
+      tmp
+    })
+
+  /** q136: MULTI-DIMENSIONAL data skipping — [[q132SkippingScan]]'s
+    * manifest generalized to several stats columns over a Z-ORDER
+    * clustered layout ([[graft.operators.ZOrder.zOrdered]] +
+    * [[Sinks.writeClusteredWithManifest]]). Because Morton-curve files
+    * cover compact rectangles in (custkey, orderkey) space, a 2-D box
+    * predicate prunes files on BOTH dimensions from the one-file manifest
+    * — a 1-D clustering can only ever prune on its own sort key (the
+    * ScaleQueriesSpec case proves the contrast). The oracle runs the box
+    * over the ORIGINAL parquet, so the clustered rewrite is also checked
+    * lossless. */
+  def q136ZorderSkipping(s: SparkSession, dir: String): DataFrame =
+    Sinks.readSkipping(s, zorderOrders(s, dir),
+      Seq(("o_custkey", 300L, 449L), ("o_orderkey", 2000L, 5999L)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+
   // q131 constants — b=6 gives m=64 one-byte registers; maxRho = 60-6+1.
   // AlphaNum is alpha_64 * m^2 * 2^maxRho with alpha_64 = 0.709 (the HLL
   // paper's constant for m=64), multiplied LEFT-TO-RIGHT so the oracle's
@@ -851,6 +882,7 @@ object ScaleQueries {
     "q133_bpe_train" -> (q133BpeTrain _),
     "q134_bpe_encode" -> (q134BpeEncode _),
     "q135_bigram_rarity" -> (q135BigramRarity _),
+    "q136_zorder_skipping" -> (q136ZorderSkipping _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -950,6 +982,17 @@ object ScaleQueries {
         |    / CAST(count(*) AS DOUBLE) AS rare_rate
         |FROM bg JOIN bc USING (w1, w2)
         |GROUP BY lang""".stripMargin,
+    // The 2-D box over the z-ordered rewrite must return exactly the
+    // full-scan rows — wrong pruning on EITHER dimension, or rows lost in
+    // the Morton rewrite, breaks the match.
+    "q136_zorder_skipping" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_custkey BETWEEN 300 AND 449 AND o_orderkey BETWEEN 2000 AND 5999
+        |GROUP BY o_orderpriority""".stripMargin,
     // The skipping read must return exactly the rows of the range — the
     // oracle scans the WHOLE original table, so any file wrongly pruned
     // (or rows lost in the clustered rewrite) breaks the match.

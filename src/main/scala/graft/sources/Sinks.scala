@@ -163,34 +163,52 @@ object Sinks {
     * Written via the same swap-commit as [[overwriteSwap]]: stats and data
     * can never be observed torn. */
   def writeWithManifest(df: DataFrame, path: String, statsCol: String,
-                        numFiles: Int): Unit = {
-    val spark = df.sparkSession
+                        numFiles: Int): Unit =
+    writeClusteredWithManifest(
+      df.repartitionByRange(numFiles, col(statsCol)), path, Seq(statsCol))
+
+  /** Write an ALREADY-CLUSTERED frame with a min/max manifest over any
+    * set of stats columns. The caller picks the layout — range
+    * partitioning for 1-D predicates ([[writeWithManifest]]), a Z-order
+    * curve for multi-dimensional boxes
+    * ([[graft.operators.ZOrder.zOrdered]]) — and the manifest records
+    * `lo_<col>`/`hi_<col>` per data file for every stats column, so
+    * [[readSkipping]] can prune on any conjunction of ranges. How tight
+    * the per-file spans are (and so how much skipping buys) is exactly
+    * the quality of the chosen clustering. */
+  def writeClusteredWithManifest(clustered: DataFrame, path: String,
+                                 statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val spark = clustered.sparkSession
     val f = fs(spark, path)
     val tmp = new Path(path + ".__tmp")
     f.delete(tmp, true)
-    df.repartitionByRange(numFiles, col(statsCol))
-      .write.mode("overwrite").parquet(tmp.toString)
+    clustered.write.mode("overwrite").parquet(tmp.toString)
     // one scan of the just-written files builds the stats rows; file
     // identity is the basename so the manifest survives the swap rename
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))) :+
+      count(lit(1)).as("rows")
     val stats = spark.read.parquet(tmp.toString)
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
-        count(lit(1)).as("rows"))
+      .agg(aggs.head, aggs.tail: _*)
     stats.coalesce(1).write.mode("overwrite")
       .parquet(new Path(tmp, "_manifest").toString)
     swapCommit(f, tmp, new Path(path))
   }
 
-  /** Data-skipping range read over a [[writeWithManifest]] table: reads
-    * the manifest (one row per data file — the ONLY driver-side
+  /** Data-skipping range read over a manifest-carrying table: reads the
+    * manifest (one row per data file — the ONLY driver-side
     * materialization, bounded by file count, never rows), keeps the files
-    * whose [lo, hi] span intersects `[lo, hi]`, and scans just those with
-    * the residual predicate applied. Returns the rows of the table with
-    * `statsCol` in the closed interval. */
-  def readSkipping(spark: SparkSession, path: String, statsCol: String,
-                   lo: Any, hi: Any): DataFrame = {
-    val files = skippingFiles(spark, path, lo, hi)
-    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    * whose per-column spans intersect EVERY requested range, and scans
+    * just those with the residual predicate applied. Returns the rows of
+    * the table with each range column in its closed interval. */
+  def readSkipping(spark: SparkSession, path: String,
+                   ranges: Seq[(String, Any, Any)]): DataFrame = {
+    val files = skippingFiles(spark, path, ranges)
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     if (files.isEmpty) {
       // empty result, correct schema: one footer read, zero data pages
       val any = spark.read.parquet(s"$path/_manifest")
@@ -200,13 +218,25 @@ object Sinks {
     } else spark.read.parquet(files: _*).filter(pred)
   }
 
+  /** 1-D convenience overload. */
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+                   lo: Any, hi: Any): DataFrame =
+    readSkipping(spark, path, Seq((statsCol, lo, hi)))
+
   /** The surviving file paths for a skipping read — split out so tests
     * (and curious operators) can assert how much was pruned. */
   def skippingFiles(spark: SparkSession, path: String,
-                    lo: Any, hi: Any): Seq[String] =
+                    ranges: Seq[(String, Any, Any)]): Seq[String] =
     spark.read.parquet(s"$path/_manifest")
-      .filter(col("hi") >= lit(lo) && col("lo") <= lit(hi))
+      .filter(ranges.map { case (c, lo, hi) =>
+        col(s"hi_$c") >= lit(lo) && col(s"lo_$c") <= lit(hi)
+      }.reduce(_ && _))
       .select(col("file")).collect().map(r => s"$path/${r.getString(0)}").toSeq
+
+  /** 1-D convenience overload. */
+  def skippingFiles(spark: SparkSession, path: String,
+                    lo: Any, hi: Any, statsCol: String): Seq[String] =
+    skippingFiles(spark, path, Seq((statsCol, lo, hi)))
 
   /** S7 at scale: keyed UPSERT into a table partitioned on `partCol`, that
     * rewrites ONLY the partitions the update batch touches. A weekly merge

@@ -176,7 +176,7 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
       .count(f => f.getName.endsWith(".parquet"))
     assert(total >= 8, s"range clustering produced too few files: $total")
     // a ~1/15th key range must touch at most 2 of the range-disjoint files
-    val narrow = Sinks.skippingFiles(spark, dir, 400L, 499L)
+    val narrow = Sinks.skippingFiles(spark, dir, 400L, 499L, "o_orderkey")
     assert(narrow.nonEmpty && narrow.size <= 2,
       s"narrow range read ${narrow.size} of $total files")
     // the skipping read returns exactly the full-scan answer
@@ -187,8 +187,51 @@ class ScaleQueriesSpec extends AnyFunSuite with SharedSpark {
       .orderBy("o_orderkey").collect().toSeq
     assert(got == want)
     // a range outside the table prunes everything and still answers
-    assert(Sinks.skippingFiles(spark, dir, -100L, -1L).isEmpty)
+    assert(Sinks.skippingFiles(spark, dir, -100L, -1L, "o_orderkey").isEmpty)
     assert(Sinks.readSkipping(spark, dir, "o_orderkey", -100L, -1L).count() == 0)
+  }
+
+  test("q136: z-order + multi-column manifest prunes on BOTH dimensions") {
+    import graft.operators.ZOrder
+    import graft.sources.Sinks
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-ztest").toString + "/orders"
+    Sinks.writeClusteredWithManifest(
+      ZOrder.zOrdered(orders, "o_custkey", "o_orderkey", numFiles = 16),
+      zdir, Seq("o_custkey", "o_orderkey"))
+    // the comparison layout: 1-D range clustering on o_orderkey only
+    val rdir = java.nio.file.Files.createTempDirectory("graft-rtest").toString + "/orders"
+    Sinks.writeClusteredWithManifest(
+      orders.repartitionByRange(16, col("o_orderkey")), rdir, Seq("o_custkey", "o_orderkey"))
+    val total = new java.io.File(zdir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(total >= 8, s"z-order produced too few files: $total")
+    // ~20% ranges on each dimension (sf0.001: custkey 0-149, orderkey 0-1499)
+    val custRange = Seq(("o_custkey", 30L, 59L))
+    val keyRange = Seq(("o_orderkey", 300L, 599L))
+    // z-order files cover rectangles: BOTH single-dimension ranges prune
+    // (boundary effects at ~94 rows/file keep this loose; the box below
+    // is the sharp claim)
+    val zCust = Sinks.skippingFiles(spark, zdir, custRange).size
+    val zKey = Sinks.skippingFiles(spark, zdir, keyRange).size
+    assert(zCust < total && zKey < total,
+      s"z-order pruned nothing: cust $zCust, key $zKey of $total")
+    // the 1-D layout cannot prune on the OTHER dimension: every file
+    // spans the full custkey domain
+    val rCust = Sinks.skippingFiles(spark, rdir, custRange).size
+    assert(rCust == total, s"range layout unexpectedly pruned custkey: $rCust of $total")
+    // the sharp claim: a 2-D box (4% of the key space) needs few files —
+    // rectangles make pruning MULTIPLICATIVE across dimensions
+    val box = custRange ++ keyRange
+    val zBox = Sinks.skippingFiles(spark, zdir, box).size
+    assert(zBox <= math.min(zCust, zKey) && zBox <= total / 2,
+      s"2-D box read $zBox of $total files (cust $zCust, key $zKey)")
+    // and the skipping read over the box is exactly the full-scan answer
+    val got = Sinks.readSkipping(spark, zdir, box)
+      .orderBy("o_orderkey").collect().toSeq
+    val want = orders
+      .filter(col("o_custkey").between(30L, 59L) && col("o_orderkey").between(300L, 599L))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(got == want)
   }
 
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
