@@ -20,9 +20,17 @@ object StreamingQueries {
   def q112StreamSessions(s: SparkSession, dir: String): DataFrame =
     Streams.sessionCountsOnce(s, dir)
 
+  /** HyperLogLog distinct-user estimate per event type, maintained as
+    * 64-byte streaming aggregation state (exact streaming DISTINCT is
+    * unsupported and unboundable); the oracle rebuilds every register
+    * from the raw rows. */
+  def q137StreamDistinct(s: SparkSession, dir: String): DataFrame =
+    Streams.hllDistinctOnce(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_stream_hourly" -> (q41StreamHourly _),
-    "q112_stream_sessions" -> (q112StreamSessions _))
+    "q112_stream_sessions" -> (q112StreamSessions _),
+    "q137_stream_distinct" -> (q137StreamDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q41_stream_hourly" ->
@@ -45,5 +53,29 @@ object StreamingQueries {
         |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM m)
         |SELECT user_id, min(ts)::TIMESTAMP AS session_start, count(*) AS n_events
-        |FROM g GROUP BY user_id, sid""".stripMargin)
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // every HLL register rebuilt from the raw md5 hashes (same derivation
+    // as the batch q131 oracle), so the streaming state-store merge path
+    // must land on identical registers
+    "q137_stream_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, CAST(h >> 54 AS INT) AS j,
+        |    CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+        |         ELSE strpos(lpad(bin(h & ((1::BIGINT << 54) - 1)), 54, '0'), '1')
+        |    END AS rho
+        |  FROM h),
+        |mx AS (SELECT event_type, j, max(rho) AS mr FROM r GROUP BY event_type, j),
+        |g AS (
+        |  SELECT event_type, CAST(64 - count(*) AS INT) AS zeros,
+        |    CAST(sum(1::BIGINT << (55 - mr))
+        |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS hsum
+        |  FROM mx GROUP BY event_type)
+        |SELECT event_type, zeros, hsum,
+        |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0
+        |    / CAST(hsum AS DOUBLE) AS est
+        |FROM g""".stripMargin)
 }

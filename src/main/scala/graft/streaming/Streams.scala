@@ -210,6 +210,47 @@ object Streams {
     spark.table("graft_stream_sessions")
   }
 
+  /** STREAMING distinct-count sketch: HyperLogLog register vectors
+    * ([[graft.expressions.HllRegisters]], 64 one-byte registers) as the
+    * aggregation state of a streaming groupBy — per event type, the
+    * distinct-user estimate is maintained in 64 bytes of state per group
+    * no matter how many events or users flow through. Exact streaming
+    * `count(DISTINCT ...)` is unsupported by Spark (unbounded state and
+    * non-mergeable retraction); the sketch is the scale-correct
+    * replacement, and its merge-by-max is exactly the state-store merge a
+    * micro-batch needs. The final registers are summarized to
+    * zeros/harmonic-sum/estimate with integer ops so the batch oracle
+    * reproduces them bit-for-bit from the raw table (same derivation as
+    * the batch q131). */
+  def hllDistinctOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.*")
+    val maxRho = 55 // 60-bit hash, b=6 -> 64 registers, rho in [1, 55]
+    val q = stream
+      .select(col("event_type"),
+        graft.functions.TextFunctions.md5Long(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(graft.expressions.GraftFunctions.hllRegisters(col("h"), 6).as("regs"))
+      .select(col("event_type"),
+        expr("CAST(size(filter(regs, x -> x = 0)) AS INT)").as("zeros"),
+        expr(s"aggregate(regs, CAST(0 AS BIGINT), " +
+          s"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $maxRho - x))").as("hsum"))
+      .withColumn("est",
+        lit(0.709 * 4096.0 * 36028797018963968.0) / col("hsum").cast("double"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_distinct")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_distinct", q)
+    spark.table("graft_stream_distinct")
+  }
+
   /** STREAMING corpus ingest: raw document micro-batches drive
     * [[graft.app.CorpusApp.appendBatch]] through `foreachBatch` — each
     * batch is cleaned by the full verified pipeline, gated against the

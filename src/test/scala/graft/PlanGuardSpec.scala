@@ -56,7 +56,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     * under the SAME guard as every batch plan. */
   private val streamingSinks = Map(
     "q41_stream_hourly" -> "graft_stream_hourly",
-    "q112_stream_sessions" -> "graft_stream_sessions")
+    "q112_stream_sessions" -> "graft_stream_sessions",
+    "q137_stream_distinct" -> "graft_stream_distinct")
 
   test("no query plans a cartesian product or a scale-key single-group window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()

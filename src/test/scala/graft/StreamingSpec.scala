@@ -181,4 +181,26 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .orderBy("hour_start").collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
     assert(streamed == batch)
   }
+
+  test("hllDistinctOnce: streaming sketch state equals the batch-built registers") {
+    val streamed = Streams.hllDistinctOnce(spark, "/root/testdata/sf0.001")
+      .select("event_type", "zeros", "hsum")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // batch rebuild: same expression, same registers — the micro-batch
+    // state-store merge must be invisible in the final sketch
+    val maxRho = 55
+    val batch = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"),
+        graft.functions.TextFunctions.md5Long(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(graft.expressions.GraftFunctions.hllRegisters(col("h"), 6).as("regs"))
+      .select(col("event_type"),
+        expr("CAST(size(filter(regs, x -> x = 0)) AS INT)").as("zeros"),
+        expr(s"aggregate(regs, CAST(0 AS BIGINT), " +
+          s"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $maxRho - x))").as("hsum"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+  }
 }
