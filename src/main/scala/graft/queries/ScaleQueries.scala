@@ -669,6 +669,36 @@ object ScaleQueries {
         min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
         min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
 
+  // q138: base write + manifest append, once per (JVM, sf-dir).
+  private val manifestAppendFor = scala.collection.concurrent.TrieMap[String, String]()
+  private def appendedOrders(s: SparkSession, dir: String): String =
+    manifestAppendFor.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mappend").toString + "/orders"
+      val orders = Tables.orders(s, dir)
+      Sinks.writeWithManifest(orders.filter(col("o_orderkey") % 10 =!= 0),
+        tmp, "o_orderkey", numFiles = 12)
+      Sinks.appendWithManifest(orders.filter(col("o_orderkey") % 10 === 0)
+        .repartition(2), tmp, Seq("o_orderkey"))
+      tmp
+    })
+
+  /** q138: MANIFEST MAINTENANCE UNDER APPEND — the week-2 story of q132.
+    * The table is initialized with 90% of orders (range-clustered +
+    * manifest), then the remaining 10% arrives as an append batch through
+    * [[Sinks.appendWithManifest]]: staged files, stats computed, files
+    * moved in, manifest swap-committed LAST (so skipping reads see a
+    * complete snapshot on either side of the commit). The range read then
+    * must serve rows from BOTH vintages — `n_appended` counts the
+    * append-batch rows in range, so a manifest that missed the new files
+    * zeroes a column and breaks the hash. Oracle: the same range over the
+    * original un-split table. */
+  def q138ManifestAppend(s: SparkSession, dir: String): DataFrame =
+    Sinks.readSkipping(s, appendedOrders(s, dir), "o_orderkey", 6000L, 7499L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        sum(when(col("o_orderkey") % 10 === 0, 1L).otherwise(0L)).as("n_appended"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+
   // q131 constants — b=6 gives m=64 one-byte registers; maxRho = 60-6+1.
   // AlphaNum is alpha_64 * m^2 * 2^maxRho with alpha_64 = 0.709 (the HLL
   // paper's constant for m=64), multiplied LEFT-TO-RIGHT so the oracle's
@@ -883,6 +913,7 @@ object ScaleQueries {
     "q134_bpe_encode" -> (q134BpeEncode _),
     "q135_bigram_rarity" -> (q135BigramRarity _),
     "q136_zorder_skipping" -> (q136ZorderSkipping _),
+    "q138_manifest_append" -> (q138ManifestAppend _),
     "q111_corr_exact" -> (q111CorrExact _),
     "q114_setops" -> (q114SetOps _),
     "q116_fuzzy_join" -> (q116FuzzyJoin _),
@@ -982,6 +1013,18 @@ object ScaleQueries {
         |    / CAST(count(*) AS DOUBLE) AS rare_rate
         |FROM bg JOIN bc USING (w1, w2)
         |GROUP BY lang""".stripMargin,
+    // Rows from BOTH the clustered base and the appended batch must
+    // surface in the range read — a manifest that missed the appended
+    // files zeroes n_appended and breaks the hash.
+    "q138_manifest_append" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_appended,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 6000 AND 7499
+        |GROUP BY o_orderpriority""".stripMargin,
     // The 2-D box over the z-ordered rewrite must return exactly the
     // full-scan rows — wrong pruning on EITHER dimension, or rows lost in
     // the Morton rewrite, breaks the match.

@@ -176,6 +176,19 @@ object Sinks {
     * [[readSkipping]] can prune on any conjunction of ranges. How tight
     * the per-file spans are (and so how much skipping buys) is exactly
     * the quality of the chosen clustering. */
+  /** Per-data-file min/max stats rows for a parquet dir — one scan, one
+    * row per file (file identity is the basename, so the rows survive a
+    * directory rename). */
+  private def fileStats(spark: SparkSession, dir: String,
+                        statsCols: Seq[String]): DataFrame = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))) :+
+      count(lit(1)).as("rows")
+    spark.read.parquet(dir)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def writeClusteredWithManifest(clustered: DataFrame, path: String,
                                  statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "need at least one stats column")
@@ -184,18 +197,55 @@ object Sinks {
     val tmp = new Path(path + ".__tmp")
     f.delete(tmp, true)
     clustered.write.mode("overwrite").parquet(tmp.toString)
-    // one scan of the just-written files builds the stats rows; file
-    // identity is the basename so the manifest survives the swap rename
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))) :+
-      count(lit(1)).as("rows")
-    val stats = spark.read.parquet(tmp.toString)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    stats.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(tmp, "_manifest").toString)
+    fileStats(spark, tmp.toString, statsCols).coalesce(1)
+      .write.mode("overwrite").parquet(new Path(tmp, "_manifest").toString)
     swapCommit(f, tmp, new Path(path))
   }
+
+  /** Append a batch to a manifest-carrying table with SNAPSHOT semantics
+    * for skipping reads: the batch lands in a stage dir, its per-file
+    * stats are computed there, the data files are then renamed into the
+    * table, and ONLY afterwards is the merged manifest swap-committed.
+    * Because [[readSkipping]] opens exclusively manifest-listed files, a
+    * concurrent skipping read serves either the complete pre-append or the
+    * complete post-append table — never a torn middle (the same
+    * manifest-last commit order the lake formats use). The appended files
+    * keep whatever clustering the caller gave the batch; their manifest
+    * spans are conservative, so pruning quality degrades gracefully until
+    * a re-cluster ([[writeClusteredWithManifest]]) — correctness never
+    * depends on layout. */
+  def appendWithManifest(batch: DataFrame, path: String,
+                         statsCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val f = fs(spark, path)
+    require(f.exists(new Path(path, "_manifest")),
+      s"$path has no _manifest — write it with writeWithManifest first")
+    val stage = new Path(path + ".__stage")
+    f.delete(stage, true)
+    batch.write.mode("overwrite").parquet(stage.toString)
+    val newStats = fileStats(spark, stage.toString, statsCols)
+      // the manifest swap below rewrites _manifest while this frame's
+      // lineage still points at it via the union — materialize first
+      .unionByName(spark.read.parquet(s"$path/_manifest"))
+      .localCheckpoint(true)
+    val parts = f.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    parts.foreach { p =>
+      val dst = new Path(path, p.getName) // UUID part names: collision-free
+      if (!f.rename(p, dst))
+        throw new java.io.IOException(s"manifest append move failed: $p -> $dst")
+    }
+    overwriteSwap(newStats.coalesce(1), s"$path/_manifest")
+    f.delete(stage, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Recompute `_manifest` from the table's current data files — the
+    * repair/maintenance path after any operation that rewrote files
+    * without manifest bookkeeping (e.g. [[compact]]). */
+  def rebuildManifest(spark: SparkSession, path: String,
+                      statsCols: Seq[String]): Unit =
+    overwriteSwap(fileStats(spark, path, statsCols).coalesce(1), s"$path/_manifest")
 
   /** Data-skipping range read over a manifest-carrying table: reads the
     * manifest (one row per data file — the ONLY driver-side

@@ -111,6 +111,34 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(!new java.io.File(path + ".__tmp").exists())
   }
 
+  test("appendWithManifest: snapshot-consistent skipping reads across the append") {
+    val path = s"$tmpDir/m"
+    val base = (1L to 900L).map(i => (i, s"v$i")).toDF("k", "v")
+    Sinks.writeWithManifest(base, path, "k", numFiles = 8)
+    val before = Sinks.skippingFiles(spark, path, Seq(("k", 1L, 2000L))).size
+    // append a batch ABOVE the existing key range
+    val batch = (901L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    Sinks.appendWithManifest(batch.repartition(2), path, Seq("k"))
+    // the stage dir is gone and the manifest grew by the batch's files
+    assert(!new java.io.File(path + ".__stage").exists())
+    val after = Sinks.skippingFiles(spark, path, Seq(("k", 1L, 2000L))).size
+    assert(after > before, s"manifest did not grow: $before -> $after")
+    // rows from BOTH vintages come back, exactly
+    val got = Sinks.readSkipping(spark, path, "k", 850L, 950L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (850L to 950L).map(i => (i, s"v$i")))
+    // the appended range alone is served from the new files only
+    val newOnly = Sinks.skippingFiles(spark, path, Seq(("k", 950L, 1000L)))
+    assert(newOnly.nonEmpty && newOnly.size <= 2,
+      s"appended range touched ${newOnly.size} files")
+    // rebuildManifest after a compaction repairs the stats (compact's
+    // swap drops the old _manifest with the rest of the dir)
+    Sinks.compact(spark, path, targetRowsPerFile = 400L)
+    Sinks.rebuildManifest(spark, path, Seq("k"))
+    val all = Sinks.readSkipping(spark, path, "k", 1L, 1000L).count()
+    assert(all == 1000L)
+  }
+
   test("bucketed tables join and aggregate with NO exchange (co-located join)") {
     val n = 4
     spark.sql("DROP TABLE IF EXISTS graft_fact_b")
