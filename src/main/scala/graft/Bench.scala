@@ -92,6 +92,9 @@ object Bench {
       // join-many is the operator's contract, so its measured cost is the
       // join. CorpusAppSpec pins this reset's rebuild behavior.)
       graft.queries.CorpusQueries.resetMaterializedState()
+      // q133 measures TRAINING — drop the learned-merges memo so every
+      // pass retrains (storage-layout memos stay amortized by contract)
+      graft.queries.ScaleQueries.resetTrainedMerges()
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted

@@ -50,7 +50,12 @@ object BenchSkew {
     // round-6 additions: heavy hitters IS the zipf case (its shuffles carry
     // <=k counters / <=k candidate groups by construction — ratios should
     // stay flat however hot the keys); BM25 shuffles only term-filtered rows
-    "q101_heavy_hitters", "q105_bm25_search")
+    "q101_heavy_hitters", "q105_bm25_search",
+    // round-7 additions: the bigram-count join probes hot (w1,w2) keys
+    // from the zipf text (partial agg caps the count side; AQE owns probe
+    // skew); streaming HLL carries 64-byte state per group however hot
+    // the user — both observed for evidence, not gated
+    "q135_bigram_rarity", "q137_stream_distinct")
 
   private case class TaskObs(query: String, stageId: Int, durMs: Long,
                              shufReadB: Long, shufWriteB: Long)

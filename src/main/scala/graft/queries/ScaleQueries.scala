@@ -769,6 +769,15 @@ object ScaleQueries {
     bpeMergesFor.getOrElseUpdate(dir, graft.operators.BpeTrain.train(
       graft.operators.BpeTrain.wordFreq(Tables.documents(s, dir), "text"), numMerges = 8))
 
+  /** BENCH HONESTY hook (same policy as
+    * [[CorpusQueries.resetMaterializedState]]): q133 IS the training run,
+    * so the bench drops the merge memo between passes — otherwise pass-2+
+    * medians time an 8-row createDataFrame instead of training. The
+    * STORAGE-LAYOUT memos (q132/q136/q138 manifest tables, q102 buckets)
+    * intentionally stay amortized: write-once/read-many is those
+    * operators' contract and the measured cost is the read path. */
+  def resetTrainedMerges(): Unit = bpeMergesFor.clear()
+
   def q133BpeTrain(s: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(s, dir)
     s.createDataFrame(merges)
