@@ -113,4 +113,34 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
         k = 8, sampleMod = 1L, maxSample = 10, thresholdNum = 99L, thresholdDen = 100L)
     }
   }
+
+  test("hll: empty input gives the all-zero register vector, not an error") {
+    val regs = Seq.empty[Long].toDF("h")
+      .agg(GraftFunctions.hllRegisters(col("h"), 6).as("regs"))
+      .select(expr("aggregate(regs, 0, (a, x) -> a + CAST(x AS INT))"))
+      .head().getInt(0)
+    assert(regs == 0) // 64 registers, all zero => harmonic sum is defined, no div-by-zero
+  }
+
+  test("bpe: empty corpus and single-character vocab train zero merges") {
+    assert(BpeTrain.trainOnText(spark, emptyDocs, "text", numMerges = 4).count() == 0)
+    val singles = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(BpeTrain.trainOnText(spark, singles, "text", numMerges = 4).count() == 0)
+  }
+
+  test("zOrdered: empty table fails loudly on unbounded keys") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      ZOrder.zOrdered(empty, "x", "y", numFiles = 4)
+    }
+  }
+
+  test("appendWithManifest without a manifest fails loudly, not silently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-m").toString + "/t"
+    val df = Seq((1L, "a")).toDF("k", "v")
+    df.write.parquet(dir) // plain table, no manifest
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.appendWithManifest(df, dir, Seq("k"))
+    }
+  }
 }
