@@ -455,6 +455,60 @@ object Dedup {
       .filter(col("n_common") * thresholdDen >= col("sz_a") * thresholdNum)
   }
 
+  /** EXACT duplicated-substring SPANS — the token-level formulation of
+    * suffix-array substring dedup (the "dedup by duplicated 50-token
+    * spans, not whole documents" policy of modern corpus cleans; cf.
+    * reference-corpus document dedup at
+    * `reference/airflow/dags/init_2_transformation_dag.py` which stops at
+    * whole-row dedup). A token position is DUPLICATED when the k-gram
+    * starting there occurs ≥ 2 times in the corpus (anywhere — including
+    * elsewhere in the same document); maximal runs of duplicated
+    * positions merge into spans. Every length-k window of a duplicated
+    * substring of length ≥ k is itself duplicated, so the merged spans
+    * are exactly the maximal duplicated substrings of length ≥ k — the
+    * suffix-array answer — without building a suffix array:
+    *
+    *  1. one narrow generator pass emits (doc_id, pos, gram-md5);
+    *  2. gram occurrence counts: one hash groupBy (map-side partials);
+    *  3. duplicated positions: LEFT SEMI equi-join of positions against
+    *     the cnt ≥ 2 grams — never an all-pairs comparison, and no
+    *     doc×doc pair row ever materializes (the known blow-up of
+    *     pairwise formulations when one gram is corpus-boilerplate);
+    *  4. span merge: per-document gap-and-islands — windows PARTITIONED
+    *     BY doc_id (state = one document's hit list, scale-safe), break
+    *     when consecutive hit positions are > k apart (hits at p1 < p2
+    *     with p2 - p1 ≤ k overlap or touch: [p1, p1+k-1] ∪ [p2, p2+k-1]
+    *     is contiguous).
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens) with 1-based
+    * inclusive token positions. Exact, engine-portable: positions and
+    * span bounds are pure integers; gram identity is md5 (any second
+    * engine computes the identical 128-bit key). */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(w, i, $k))))")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gh"))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    grams.join(dupGrams, Seq("gh"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** 60-bit SimHash over (multiset) whitespace tokens, md5-based (first 15
     * hex chars) so the oracle can recompute it. Explode + ONE grouped
     * native aggregate ([[graft.expressions.SimhashAgg]]): the 60 bit

@@ -907,7 +907,42 @@ object ScaleQueries {
         countDistinct(col("bike_id")).as("n_bikes"),
         sum(col("Duration")).cast("long").as("total_duration"))
 
+  /** q139: exact duplicated-substring spans at k=5 word-grams — the
+    * token-level suffix-array-dedup answer, computed by k-gram df +
+    * per-doc island merge with no pairwise doc×doc row anywhere
+    * ([[graft.operators.Dedup.duplicateSpans]]). The oracle rebuilds
+    * grams, df filter, and the gap-and-islands merge in SQL, so span
+    * boundaries are pinned exactly. */
+  def q139DupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicateSpans(
+      Tables.documents(s, dir), "doc_id", "text", k = 5)
+
+  /** q140: the span-dedup POLICY view — per-source duplicated-token mass
+    * and the "more than 20% duplicated" doc counts a corpus clean acts
+    * on. Integer policy test (dup_tokens·5 > n_tokens ⟺ rate > 0.2: no
+    * float boundary), one final divide for the reported rate. */
+  def q140DupProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val spans = graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", k = 5)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("span_tokens")).cast("long").as("dup_tokens"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_tokens")).as("docs_with_dups"),
+        sum(when(col("dup_tokens") * 5 > col("n_toks"), 1L).otherwise(0L))
+          .as("docs_over_20pct"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n_toks")).as("total_tokens"))
+      .withColumn("dup_rate",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_dup_spans" -> (q139DupSpans _),
+    "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
     "q123_full_outer" -> (q123FullOuter _),
     "q124_subquery_sql" -> (q124SubquerySql _),
@@ -989,7 +1024,62 @@ object ScaleQueries {
        |GROUP BY g.p""".stripMargin
   }
 
+  /** The q139/q140 shared span pipeline in SQL: k=5 grams with
+    * positions, df ≥ 2 filter, then the textbook gap-and-islands merge —
+    * the direct transliteration of
+    * [[graft.operators.Dedup.duplicateSpans]]. Ends with the `spans`
+    * CTE; callers append their final SELECT. */
+  private val dupSpanCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 5),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos,
+      |    md5(array_to_string(w[i:i+4], ' ')) AS gh
+      |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(tk.w)-4)) AS i) t),
+      |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+      |b AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM h),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM b),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+      |    CAST(max(pos) + 4 AS INT) AS span_end,
+      |    CAST(max(pos) + 5 - min(pos) AS INT) AS span_tokens
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Gram positions, df filter, and island merge replayed in SQL — span
+    // boundaries must match token-for-token.
+    "q139_dup_spans" ->
+      (dupSpanCtes + "\nSELECT doc_id, span_start, span_end, span_tokens FROM spans"),
+    // Per-source mass + the integer 20% policy counter over the same
+    // spans; docs without spans enter via LEFT JOIN with zero mass.
+    "q140_dup_profile" ->
+      (dupSpanCtes +
+        """,
+          |pd AS (
+          |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+          |  FROM spans GROUP BY doc_id),
+          |tok AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+          |  FROM documents)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(pd.dup_tokens) AS BIGINT) AS docs_with_dups,
+          |  CAST(sum(CASE WHEN pd.dup_tokens * 5 > t.n_toks THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS docs_over_20pct,
+          |  CAST(sum(COALESCE(pd.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+          |  CAST(sum(t.n_toks) AS BIGINT) AS total_tokens,
+          |  CAST(sum(COALESCE(pd.dup_tokens, 0)) AS DOUBLE)
+          |    / CAST(sum(t.n_toks) AS DOUBLE) AS dup_rate
+          |FROM tok t LEFT JOIN pd USING (doc_id) GROUP BY source""".stripMargin),
     // Rebuild every probed CMS counter from the raw words with the same
     // md5 bucket function — the sketch contents are what's verified.
     "q118_cms_counts" -> cmsOracleSql,

@@ -25,6 +25,23 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(out(0).getSeq[String](1).toSeq == Seq("one two three", "two three four"))
   }
 
+  test("duplicateSpans merges overlapping hits, finds within-doc repeats, skips unique docs") {
+    val d = docs(
+      // docs 1/2 share the 6-token phrase "a b c d e f" at different offsets:
+      // two overlapping 5-gram hits each, merged to one 6-token span
+      1L -> "a b c d e f x y z w",
+      2L -> "q0 r0 a b c d e f s t",
+      // within-doc repetition: "m n o p q" at pos 1 and 6 — adjacent
+      // intervals [1,5] and [6,10] merge into one 10-token span
+      3L -> "m n o p q m n o p q",
+      4L -> "u1 u2 u3 u4 u5 u6")
+    val out = Dedup.duplicateSpans(d, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens")))
+    assert(out.toSeq == Seq((1L, 1, 6, 6), (2L, 3, 8, 6), (3L, 1, 10, 10)))
+  }
+
   test("connectedComponents closes a diameter-3 chain and leaves singletons alone") {
     // edges 1-2, 2-3, 3-4: node 4 learns label 1 only after several rounds
     val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")

@@ -266,6 +266,45 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }, n = 6)
   }
 
+  // ------------------------------------------------------------- dup spans
+
+  /** Random tiny corpora over a 3-word vocabulary — repeats are near
+    * certain, so island merging, within-doc duplicates, and cross-doc
+    * hits all occur. */
+  private val genCorpus: Gen[List[(Long, String)]] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("duplicateSpans equals the naive corpus-wide gram scan, any corpus") {
+    // naive reference: mark position i of doc d duplicated iff the
+    // k-gram starting there occurs >= 2 times across ALL (doc, pos),
+    // then merge maximal runs of covered token positions
+    check("dupspans", Prop.forAll(genCorpus, Gen.oneOf(2, 3)) { (docs, k) =>
+      val toks = docs.map { case (id, t) => (id, t.toLowerCase.split(" ", -1).toSeq) }
+      val grams = for { (id, w) <- toks; i <- 1 to w.size - k + 1 }
+        yield (id, i, w.slice(i - 1, i - 1 + k).mkString(" "))
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = (for ((id, w) <- toks) yield {
+        val covered = (for {
+          (d, i, g) <- grams if d == id && counts(g) >= 2
+          p <- i until i + k } yield p).toSet
+        // maximal runs of covered positions
+        val runs = covered.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }
+        runs.map { case (s, e) => (id, s, e, e - s + 1) }
+      }).flatten.toSet
+      val got = graft.operators.Dedup.duplicateSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+          r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens"))).toSet
+      got == want
+    }, n = 8)
+  }
+
   // -------------------------------------------------------------- sampling
 
   test("Sampling: threshold60 brackets the rate exactly at the integer boundary") {
