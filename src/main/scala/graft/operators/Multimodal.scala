@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   *    fixture codec is retired for audio (fixtures/media.parquet stores
   *    genuine WAV containers, and MultimodalSpec proves the parse on
   *    javax.sound-encoded bytes).
-  *  - PIXEL/SAMPLE decode / video demux are NOT real: payloads beyond
+  *  - AUDIO SAMPLE decode is REAL for 8/16-bit PCM WAV: [[pcmStats]]
+  *    decodes every sample frame from the data chunk (unsigned 8-bit,
+  *    signed little-endian 16-bit per the WAVE spec) and folds exact
+  *    integer amplitude statistics.
+  *  - PIXEL decode / video demux are NOT real: payloads beyond
   *    those headers route to a FIXTURE codec (u16-BE dims header + byte
   *    checksum; 3-byte frame header for "video") that stands in for an
   *    ffmpeg/ImageIO call so the byte-level path is still exercised and
@@ -189,12 +193,20 @@ object Multimodal {
     * truncated chunk, zero block align, missing magic — yields None, so a
     * corrupt payload can never produce garbage metadata.
     * Returns (sample_rate, channels, bits, n_samples). */
-  private[graft] def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  private[graft] def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    wavChunks(p).map { case (sr, ch, bits, _, _, n) => (sr, ch, bits, n) }
+
+  /** The full chunk-walk result, for consumers that also read the sample
+    * bytes: (sample_rate, channels, bits, block_align, data_offset,
+    * n_samples), where data_offset is the byte offset of the first sample
+    * frame inside the payload. See [[wavMeta]] for the walk's contract. */
+  private[graft] def wavChunks(p: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long)] = {
     if (p.length < 12) return None
     if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')) return None
     if (!(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
     var i = 12
     var sr = -1; var ch = -1; var bits = -1; var block = -1
+    var dataOff = -1
     var nSamples = -1L
     while (i + 8 <= p.length && (sr < 0 || nSamples < 0)) {
       val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
@@ -211,11 +223,13 @@ object Multimodal {
         bits = u16le(p, i + 8 + 14)
       } else if (isData) {
         if (block <= 0) return None // fmt must precede data
+        dataOff = i + 8
         nSamples = size / block
       }
       i += 8 + size.toInt + (size.toInt & 1) // odd chunk sizes pad to even
     }
-    if (sr > 0 && ch > 0 && bits > 0 && nSamples >= 0) Some((sr, ch, bits, nSamples))
+    if (sr > 0 && ch > 0 && bits > 0 && nSamples >= 0)
+      Some((sr, ch, bits, block, dataOff, nSamples))
     else None
   }
 
@@ -236,6 +250,61 @@ object Multimodal {
         wavMeta(r.payload) match {
           case Some((sr, ch, bits, n)) =>
             AudioMeta(r.media_id, sr, ch, bits, n, n * 1000L / sr)
+          case None =>
+            throw new IllegalArgumentException(
+              s"not a RIFF/WAVE payload: media ${r.media_id}")
+        }
+      }
+    }
+  }
+
+  /** Per-payload PCM amplitude statistics (REAL sample decode): exact
+    * integer sums over every decoded sample, plus one final IEEE divide. */
+  case class PcmStats(media_id: Long, n_frames: Long, sum_abs: Long,
+                      sum_sq: Long, max_abs: Int, n_silent: Long,
+                      mean_square: Double)
+
+  /** REAL PCM SAMPLE decode over WAV payloads — the pixel/sample-level
+    * step [[audioMeta]] stops short of. Walks to the data chunk and
+    * decodes every sample frame: 8-bit PCM is unsigned (amplitude =
+    * byte - 128), 16-bit PCM is signed little-endian, per the WAVE spec.
+    * Emits exact integer aggregates — sum |amp|, sum amp², max |amp|,
+    * and a silence counter (|amp| < full_scale/64, i.e. < 2 at 8-bit,
+    * < 512 at 16-bit — an integer threshold both engines share) — plus
+    * mean_square as the single IEEE divide of two exact integers, so an
+    * independent decoder reproduces every column bit-for-bit. Tight
+    * per-payload loop inside mapPartitions: the genuinely imperative
+    * byte-crunching a codec needs, amortized per partition, streaming.
+    * Fails loudly on non-WAV or non-8/16-bit payloads. */
+  def pcmStats(media: Dataset[MediaRow]): Dataset[PcmStats] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime").startsWith("audio/")).mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        wavChunks(p) match {
+          case Some((_, ch, bits, _, off, n)) =>
+            require(bits == 8 || bits == 16,
+              s"unsupported PCM depth $bits for media ${r.media_id}")
+            val total = n * ch
+            val thr = (1 << (bits - 1)) / 64
+            var sumAbs = 0L; var sumSq = 0L; var maxAbs = 0; var silent = 0L
+            var j = 0L
+            while (j < total) {
+              val amp =
+                if (bits == 8) (p(off + j.toInt) & 0xff) - 128
+                else {
+                  val lo = p(off + 2 * j.toInt) & 0xff
+                  (p(off + 2 * j.toInt + 1).toInt << 8) | lo // sign-extends
+                }
+              val a = if (amp < 0) -amp else amp
+              sumAbs += a
+              sumSq += a.toLong * a
+              if (a > maxAbs) maxAbs = a
+              if (a < thr) silent += 1
+              j += 1
+            }
+            PcmStats(r.media_id, n, sumAbs, sumSq, maxAbs, silent,
+              if (total == 0) 0.0 else sumSq.toDouble / total.toDouble)
           case None =>
             throw new IllegalArgumentException(
               s"not a RIFF/WAVE payload: media ${r.media_id}")

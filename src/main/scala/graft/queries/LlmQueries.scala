@@ -159,6 +159,16 @@ object LlmQueries {
   def q130WavMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioMeta(Multimodal.readMedia(s, media)).toDF()
 
+  /** REAL PCM SAMPLE decode — every 8/16-bit sample frame of every WAV
+    * payload decoded and folded into exact integer amplitude stats. The
+    * oracle never touches the bytes: it REGENERATES the identical sample
+    * stream from the fixture's deterministic byte formula
+    * (tools/gen_media_fixture.py: body[j] = (media_id·31 + j·7) mod 256)
+    * and computes the same sums — two independent decoders agreeing on
+    * every amplitude, not a metadata read-back. */
+  def q141PcmStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pcmStats(Multimodal.readMedia(s, media)).toDF()
+
   // ---------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens, distinct types, BPE-ish surface
@@ -962,6 +972,7 @@ object LlmQueries {
     "q47_frame_sample" -> (q47FrameSample _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
     "q130_wav_meta" -> (q130WavMeta _),
+    "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
     "q50_source_mix" -> (q50SourceMix _),
     "q53_kmv_distinct" -> (q53KmvDistinct _),
@@ -1209,6 +1220,37 @@ object LlmQueries {
       s"""SELECT media_id, sample_rate, channels, bits, n_samples,
          |  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
          |FROM read_parquet('$media') WHERE mime LIKE 'audio/%'""".stripMargin,
+    // INDEPENDENT sample-level decode check: the engine decodes the WAV
+    // data-chunk bytes; the oracle regenerates the identical PCM stream
+    // from the fixture's byte formula (body[j] = (id*31 + j*7) % 256;
+    // 8-bit unsigned, 16-bit signed LE) and folds the same integer stats.
+    // Any byte the chunk walk mis-addresses breaks the hash.
+    "q141_pcm_stats" ->
+      s"""WITH a AS (
+         |  SELECT media_id, channels, bits, n_samples,
+         |    channels * n_samples AS tot
+         |  FROM read_parquet('$media') WHERE mime LIKE 'audio/%'),
+         |s0 AS (
+         |  SELECT a.media_id, a.bits, a.tot, a.n_samples,
+         |    (a.media_id*31 + (2*j)*7) % 256 AS lo,
+         |    (a.media_id*31 + (2*j+1)*7) % 256 AS hi,
+         |    ((a.media_id*31 + j*7) % 256) - 128 AS amp8
+         |  FROM a, LATERAL (SELECT unnest(generate_series(0, a.tot - 1)) AS j) g),
+         |s AS (
+         |  SELECT media_id, bits, tot, n_samples,
+         |    CASE WHEN bits = 8 THEN amp8
+         |         WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+         |         ELSE lo + 256*hi END AS amp
+         |  FROM s0)
+         |SELECT media_id,
+         |  CAST(min(n_samples) AS BIGINT) AS n_frames,
+         |  CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+         |  CAST(sum(abs(amp) * abs(amp)) AS BIGINT) AS sum_sq,
+         |  CAST(max(abs(amp)) AS INT) AS max_abs,
+         |  CAST(sum(CASE WHEN abs(amp) < (CASE WHEN bits = 8 THEN 2 ELSE 512 END)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+         |  CAST(sum(amp * amp) AS DOUBLE) / CAST(min(tot) AS DOUBLE) AS mean_square
+         |FROM s GROUP BY media_id""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

@@ -55,6 +55,42 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Multimodal.wavMeta(encode(44100f, 16, 1, 999)).contains((44100, 1, 16, 999L)))
   }
 
+  test("pcmStats decodes REAL javax.sound-encoded samples to exact amplitude stats") {
+    import javax.sound.sampled._
+    import spark.implicits._
+    // 16-bit mono: known signed samples, stats computable by hand
+    val samples16 = Array[Short](0, 1000, -1000, 32767, -32768, 511, -511, 3)
+    val pcm16 = samples16.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val fmt16 = new AudioFormat(8000f, 16, 1, true, false)
+    val out16 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm16), fmt16, samples16.length.toLong),
+      AudioFileFormat.Type.WAVE, out16)
+    // 8-bit mono is UNSIGNED in WAV: bytes 128+d decode to amplitude d
+    val bytes8 = Array[Byte](128.toByte, 129.toByte, 127.toByte, 255.toByte, 0.toByte)
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val out8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes8), fmt8, bytes8.length.toLong),
+      AudioFileFormat.Type.WAVE, out8)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", out16.toByteArray),
+      Multimodal.MediaRow(2L, "audio/wav", out8.toByteArray)).toDS()
+    val got = Multimodal.pcmStats(media).collect().map(s => s.media_id -> s).toMap
+    val s16 = got(1L)
+    val abs16 = samples16.map(s => math.abs(s.toInt))
+    assert(s16.n_frames == 8 && s16.sum_abs == abs16.map(_.toLong).sum &&
+      s16.sum_sq == abs16.map(a => a.toLong * a).sum &&
+      s16.max_abs == 32768 && s16.n_silent == abs16.count(_ < 512) &&
+      s16.mean_square == abs16.map(a => a.toLong * a).sum.toDouble / 8.0)
+    val s8 = got(2L)
+    // amplitudes: 0, 1, -1, 127, -128 -> abs 0,1,1,127,128; silent (<2): 3
+    assert(s8.n_frames == 5 && s8.sum_abs == 257 && s8.sum_sq == 32515 &&
+      s8.max_abs == 128 && s8.n_silent == 3 &&
+      s8.mean_square == 32515.0 / 5.0)
+  }
+
   test("wavMeta chunk walk: extra chunks, odd-size padding, malformed inputs") {
     def le32(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte)
     def le16(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte)
