@@ -940,7 +940,27 @@ object ScaleQueries {
         col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
   }
 
+  /** q142: exact per-part triangle counts over the co-purchase graph —
+    * parts are nodes, an edge joins two parts bought in the same order
+    * (the lineitem self-join on l_orderkey is the scale-heavy edge
+    * derivation, like q109's). The count itself is
+    * [[graft.operators.Triangles.perNodeCounts]]' degree-oriented wedge
+    * join, whose O(√m) oriented out-degree is what survives hub parts at
+    * 100 TB. The oracle re-counts with a DIFFERENT algorithm — naive
+    * id-ordered enumeration over the canonical a<b edge list — so the
+    * hash match is algorithm-independent agreement, not a mirror. */
+  def q142TriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") =!= col("y.l_partkey"))
+      .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+    graft.operators.Triangles.perNodeCounts(edges, "pa", "pb")
+      .select(col("node").as("part"), col("triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_triangle_counts" -> (q142TriangleCounts _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1055,6 +1075,25 @@ object ScaleQueries {
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // A DIFFERENT triangle algorithm on purpose: naive id-ordered
+    // enumeration (x<y<z) over the canonical edge list, vs the engine's
+    // degree-oriented wedge join — agreement is algorithm-independent.
+    "q142_triangle_counts" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        |tris AS (
+        |  SELECT p1.a AS u, p1.b AS v, p2.b AS w
+        |  FROM pairs p1
+        |  JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+        |  JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b)
+        |SELECT part, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |  SELECT u AS part FROM tris
+        |  UNION ALL SELECT v FROM tris
+        |  UNION ALL SELECT w FROM tris)
+        |GROUP BY part""".stripMargin,
     // Gram positions, df filter, and island merge replayed in SQL — span
     // boundaries must match token-for-token.
     "q139_dup_spans" ->

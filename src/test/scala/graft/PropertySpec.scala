@@ -140,6 +140,29 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }, n = 6)
   }
 
+  // -------------------------------------------------------------- triangles
+
+  test("Triangles: degree-oriented counts equal naive subset enumeration on any graph") {
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 30).flatMap(m =>
+        Gen.listOfN(m, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))))
+    check("triangles", Prop.forAll(genEdges) { es =>
+      val got = graft.operators.Triangles.perNodeCounts(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val adj = es.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (k, vs) => (k, vs.map(_._2).toSet) }.withDefaultValue(Set.empty[Long])
+      val nodes = adj.keys.toList.sorted
+      val tris = for {
+        x <- nodes; y <- nodes if y > x && adj(x)(y)
+        z <- nodes if z > y && adj(x)(z) && adj(y)(z)
+      } yield (x, y, z)
+      val want = tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (k, vs) => (k, vs.size.toLong) }
+      got == want
+    }, n = 6)
+  }
+
   // --------------------------------------------------------------- temporal
 
   private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
