@@ -951,10 +951,16 @@ object ScaleQueries {
     * hash match is algorithm-independent agreement, not a mirror. */
   def q142TriangleCounts(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-    val edges = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") =!= col("y.l_partkey"))
-      .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+    // pair generation via per-order part sets, not a lineitem self-join:
+    // one scan + one shuffle keyed by order, and the collected set is
+    // bounded by the order's line count (≤ 7 in this schema) — emitting
+    // each unordered pair once, where the self-join would scan the fact
+    // table twice and shuffle both ordered directions
+    val edges = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
     graft.operators.Triangles.perNodeCounts(edges, "pa", "pb")
       .select(col("node").as("part"), col("triangles"))
   }
