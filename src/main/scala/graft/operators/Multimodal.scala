@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * collected).
   *
   * Codec capability, stated precisely:
-  *  - IMAGE DIMENSION decode is REAL for JPEG and PNG: [[imageDims]]
-  *    parses the actual container bytes (JPEG SOI + marker-segment walk to
-  *    the frame header, PNG signature + IHDR) with no image library, and
-  *    [[decodeOne]] dispatches on the files' magic bytes — point the
-  *    pipeline at real .jpg/.png payloads and the emitted dims are the
-  *    true ones (MultimodalSpec proves it on ImageIO-encoded and
-  *    hand-built-segment fixtures).
+  *  - IMAGE DIMENSION decode is REAL for JPEG, PNG, GIF, and BMP:
+  *    [[imageDims]] parses the actual container bytes (JPEG SOI +
+  *    marker-segment walk to the frame header, PNG signature + IHDR, GIF
+  *    signature + logical screen descriptor, BMP file header + DIB
+  *    header in both the INFO and OS/2 CORE variants) with no image
+  *    library, and [[decodeOne]] dispatches on the files' magic bytes —
+  *    point the pipeline at real .jpg/.png/.gif/.bmp payloads and the
+  *    emitted dims are the true ones (MultimodalSpec proves it on
+  *    ImageIO-encoded and hand-built fixtures; fixtures/media.parquet
+  *    rows 60-75 store complete valid GIF/BMP files).
   *  - AUDIO HEADER decode is REAL for WAV: [[wavMeta]] walks actual
   *    RIFF/WAVE container chunks ("fmt " for sample rate / channels /
   *    bits, "data" for sample count → duration) per the RIFF spec,
@@ -112,18 +115,54 @@ object Multimodal {
     else Some((w.toInt, h.toInt))
   }
 
+  /** REAL GIF dimension parse: "GIF87a"/"GIF89a" signature, then the
+    * logical screen descriptor's u16-LE width/height at offsets 6/8 —
+    * the canvas dims, per the GIF spec the first thing after the header
+    * in every valid file. Zero dims (legal nowhere) yield None. */
+  private[graft] def gifDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 13) return None
+    if (!(p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a')) return None
+    val w = u16le(p, 6)
+    val h = u16le(p, 8)
+    if (w == 0 || h == 0) None else Some((w, h))
+  }
+
+  /** REAL BMP dimension parse: "BM" file header, then dims from the DIB
+    * header, dispatched on its declared size at offset 14 — s32-LE
+    * width/height at 18/22 for BITMAPINFOHEADER (40) and its V2-V5
+    * extensions, u16-LE at 18/20 for the OS/2 BITMAPCOREHEADER (12).
+    * Height is SIGNED in the INFO family: negative means a top-down row
+    * order, and the image height is its magnitude. */
+  private[graft] def bmpDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 26 || p(0) != 'B' || p(1) != 'M') return None
+    u32le(p, 14) match {
+      case dib if dib >= 40 =>
+        val w = u32le(p, 18).toInt
+        val h = math.abs(u32le(p, 22).toInt)
+        if (w <= 0 || h == 0) None else Some((w, h))
+      case 12 =>
+        val w = u16le(p, 18)
+        val h = u16le(p, 20)
+        if (w == 0 || h == 0) None else Some((w, h))
+      case _ => None
+    }
+  }
+
   /** Dimensions from REAL image container bytes, dispatched on magic
-    * bytes; None when the payload is neither a JPEG nor a PNG. */
+    * bytes; None when the payload is not a JPEG/PNG/GIF/BMP container. */
   def imageDims(payload: Array[Byte]): Option[(Int, Int)] =
     jpegDims(payload).orElse(pngDims(payload))
+      .orElse(gifDims(payload)).orElse(bmpDims(payload))
 
-  /** Decode one payload. Real JPEG/PNG containers (recognized by magic
-    * bytes) get the REAL header parse — dims are the file's true dims and
-    * the checksum spans the whole payload. Everything else routes to the
-    * FIXTURE codec: u16-BE dims header (4 bytes), plus a 3-byte frame
-    * header on video payloads (see [[videoMeta]]) before the checksummed
-    * body. The fixture's first header byte is a small width's high byte,
-    * never 0xFF/0x89, so the magic-byte dispatch cannot misroute it. */
+  /** Decode one payload. Real JPEG/PNG/GIF/BMP containers (recognized by
+    * magic bytes) get the REAL header parse — dims are the file's true
+    * dims and the checksum spans the whole payload. Everything else
+    * routes to the FIXTURE codec: u16-BE dims header (4 bytes), plus a
+    * 3-byte frame header on video payloads (see [[videoMeta]]) before
+    * the checksummed body. The fixture's first header byte is a small
+    * width's high byte, never 0xFF/0x89/'G'/'B', so the magic-byte
+    * dispatch cannot misroute it. */
   private def decodeOne(r: MediaRow): Decoded =
     imageDims(r.payload) match {
       case Some((w, h)) =>

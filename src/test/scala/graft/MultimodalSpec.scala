@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 45)
+    assert(decoded.count() == 61) // 30 fixture-codec image + 15 video + 16 real GIF/BMP
   }
 
   test("audioMeta parses the fixture's real WAV containers and matches stored metadata") {
@@ -173,6 +173,68 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val decoded = Multimodal.decode(media).collect().map(d =>
       d.media_id -> ((d.dec_width, d.dec_height))).toMap
     assert(decoded(1L) == ((123, 45)) && decoded(2L) == ((7, 300)))
+  }
+
+  test("imageDims parses REAL GIF and BMP containers (ImageIO-encoded fixtures)") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val gif = encode("gif", 61, 17)
+    val bmp = encode("bmp", 9, 250)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8")) // really a GIF
+    assert(bmp(0) == 'B' && bmp(1) == 'M')                         // really a BMP
+    assert(Multimodal.imageDims(gif).contains((61, 17)))
+    assert(Multimodal.imageDims(bmp).contains((9, 250)))
+  }
+
+  test("fixture GIF/BMP rows are valid files: ImageIO decodes them to the same dims") {
+    // the INDEPENDENT decoder check (the oracle only reads metadata):
+    // javax.imageio fully decodes the generated containers — palette,
+    // LZW data, pixel rows — and agrees with our header parse
+    val rows = spark.read.parquet(fixture)
+      .filter(col("mime").isin("image/gif", "image/bmp"))
+      .select(col("media_id"), col("payload"), col("width"), col("height"))
+      .collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null, s"ImageIO rejected media ${r.getLong(0)}")
+      assert(img.getWidth == r.getInt(2) && img.getHeight == r.getInt(3))
+      assert(Multimodal.imageDims(p).contains((r.getInt(2), r.getInt(3))))
+    }
+  }
+
+  test("gifDims/bmpDims edge cases: top-down BMP, OS/2 core header, malformed rejects") {
+    def le16(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte)
+    def le32(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte)
+    def bmp(dibSize: Int, wh: Array[Byte]) =
+      "BM".getBytes ++ le32(100) ++ le32(0) ++ le32(54) ++ le32(dibSize) ++ wh ++
+        Array.fill[Byte](8)(0)
+    // INFO header with NEGATIVE height = top-down row order, dims (12, 34)
+    assert(Multimodal.bmpDims(bmp(40, le32(12) ++ le32(-34))).contains((12, 34)))
+    // V5 header (124) takes the same field layout
+    assert(Multimodal.bmpDims(bmp(124, le32(7) ++ le32(9))).contains((7, 9)))
+    // OS/2 CORE header: u16 dims at 18/20
+    assert(Multimodal.bmpDims(bmp(12, le16(5) ++ le16(6) ++ le16(0) ++ le16(0))).contains((5, 6)))
+    // rejects: unknown DIB size, zero dims, truncation, wrong magic
+    assert(Multimodal.bmpDims(bmp(16, le32(5) ++ le32(5))).isEmpty)
+    assert(Multimodal.bmpDims(bmp(40, le32(0) ++ le32(5))).isEmpty)
+    assert(Multimodal.bmpDims("BM".getBytes ++ le32(100)).isEmpty)
+    assert(Multimodal.bmpDims(bmp(40, le32(5) ++ le32(5)).updated(0, 'X'.toByte)).isEmpty)
+    // GIF: version dispatch, zero-dim reject, truncation reject
+    def gif(ver: String, w: Int, h: Int) =
+      s"GIF$ver".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+    assert(Multimodal.gifDims(gif("87a", 640, 480)).contains((640, 480)))
+    assert(Multimodal.gifDims(gif("89a", 1, 65535)).contains((1, 65535)))
+    assert(Multimodal.gifDims(gif("88a", 5, 5)).isEmpty)
+    assert(Multimodal.gifDims(gif("89a", 0, 5)).isEmpty)
+    assert(Multimodal.gifDims("GIF89a".getBytes).isEmpty)
   }
 
   test("jpegDims walks marker segments to a non-leading SOF and rejects non-frames") {

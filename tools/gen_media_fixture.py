@@ -89,6 +89,91 @@ for i in range(60):
     bitss.append(bits)
     n_sampless.append(nsamp)
 
+# ---- rows 60-75: REAL GIF and BMP containers (the fixture codec is
+# retired for these two formats as well — complete valid files, parsed
+# byte-level by graft's gifDims/bmpDims; metadata stays the independent
+# verification channel). Checksum convention for real containers matches
+# the engine's real-codec path: sum over the WHOLE payload, mod 9973.
+
+
+def gif_bytes(i, w, h, version):
+    """A complete valid GIF: header + logical screen descriptor + 4-color
+    global palette + image descriptor + LZW data (min code size 2, a
+    clear code before every pixel code so the code width never grows —
+    the standard 'uncompressed GIF' trick) + trailer."""
+    hdr = b"GIF" + version
+    # flags 0x91: global palette, color resolution 2 bits, palette 2^(1+1)=4
+    lsd = w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0x91, 0, 0])
+    palette = bytes(((i * 7 + k * 11) % 256) for k in range(12))
+    desc = b"\x2c" + (0).to_bytes(2, "little") * 2 \
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    codes = []
+    for j in range(w * h):
+        codes.append(4)                       # clear
+        codes.append((i * 31 + j * 7) % 4)    # pixel index
+    codes.append(5)                           # end of information
+    bits, nbits = 0, 0
+    stream = bytearray()
+    for c in codes:                           # LSB-first packing, 3-bit codes
+        bits |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            stream.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(bits & 0xFF)
+    blocks = b""
+    for off in range(0, len(stream), 255):
+        chunk = stream[off:off + 255]
+        blocks += bytes([len(chunk)]) + bytes(chunk)
+    return hdr + lsd + palette + desc + b"\x02" + blocks + b"\x00" + b"\x3b"
+
+
+def bmp_bytes(i, w, h):
+    """A complete valid bottom-up 24-bpp BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 4-byte-aligned pixel rows."""
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    rows = b"".join(
+        bytes((i * 31 + (r * row + j) * 7) % 256 for j in range(row))
+        + b"\x00" * pad
+        for r in range(h))
+    dib = ((40).to_bytes(4, "little") + w.to_bytes(4, "little")
+           + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+           + len(rows).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+           + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    filehdr = (b"BM" + (14 + 40 + len(rows)).to_bytes(4, "little")
+               + (0).to_bytes(4, "little") + (54).to_bytes(4, "little"))
+    return filehdr + dib + rows
+
+
+for i in range(60, 76):
+    k = i - 60
+    w = 3 + (k * 5) % 14
+    h = 2 + (k * 3) % 9
+    if k % 2 == 0:
+        mime = "image/gif"
+        payload = gif_bytes(i, w, h, b"87a" if k % 4 == 0 else b"89a")
+    else:
+        mime = "image/bmp"
+        payload = bmp_bytes(i, w, h)
+    ids.append(i)
+    mimes.append(mime)
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
 table = pa.table({
     "media_id": pa.array(ids, pa.int64()),
     "mime": pa.array(mimes, pa.string()),
