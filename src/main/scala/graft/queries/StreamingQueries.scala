@@ -27,10 +27,18 @@ object StreamingQueries {
   def q137StreamDistinct(s: SparkSession, dir: String): DataFrame =
     Streams.hllDistinctOnce(s, dir)
 
+  /** Stream-stream interval join (view → purchase attribution within 2
+    * hours, per user) across two watermarked file-source streams; the
+    * two-sided time bound keeps join state expirable, and the batch
+    * interval-join SQL verifies every emitted pair. */
+  def q143StreamJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.intervalJoinOnce(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_stream_hourly" -> (q41StreamHourly _),
     "q112_stream_sessions" -> (q112StreamSessions _),
-    "q137_stream_distinct" -> (q137StreamDistinct _))
+    "q137_stream_distinct" -> (q137StreamDistinct _),
+    "q143_stream_join" -> (q143StreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q41_stream_hourly" ->
@@ -57,6 +65,16 @@ object StreamingQueries {
     // every HLL register rebuilt from the raw md5 hashes (same derivation
     // as the batch q131 oracle), so the streaming state-store merge path
     // must land on identical registers
+    // the batch interval join over the same truncated-to-micros event
+    // times; pairs must match exactly, including both boundary instants
+    "q143_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', v.ts)
+        | AND date_trunc('microseconds', p.ts)
+        |     <= date_trunc('microseconds', v.ts) + INTERVAL 2 HOUR""".stripMargin,
     "q137_stream_distinct" ->
       """WITH h AS (
         |  SELECT event_type,

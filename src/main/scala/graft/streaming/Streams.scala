@@ -251,6 +251,44 @@ object Streams {
     spark.table("graft_stream_distinct")
   }
 
+  /** The stream-STREAM interval join as an oracle-checked query: view →
+    * purchase attribution over the events table, each view matched to the
+    * same user's purchases within the following 2 hours. TWO independent
+    * file-source streams (not a self-join on one) drive
+    * [[intervalJoinStream]], whose two-sided event-time bound is what
+    * keeps the buffered join state expirable; inner-join rows emit as
+    * soon as both sides arrive (append mode — matched pairs never need
+    * to wait for the watermark), so the AvailableNow run terminates with
+    * every pair present and the batch interval-join SQL is an exact
+    * oracle. */
+  def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src(): DataFrame = spark.readStream.schema(rawSchema)
+      .parquet(s"$dir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val q = intervalJoinStream(views, purchases, "v_user", "p_user",
+        "v_ts", "p_ts", watermark = "1 hour", horizon = "2 hours")
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_join")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_join", q)
+    spark.table("graft_stream_join")
+  }
+
   /** STREAMING corpus ingest: raw document micro-batches drive
     * [[graft.app.CorpusApp.appendBatch]] through `foreachBatch` — each
     * batch is cleaned by the full verified pipeline, gated against the

@@ -57,7 +57,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
   private val streamingSinks = Map(
     "q41_stream_hourly" -> "graft_stream_hourly",
     "q112_stream_sessions" -> "graft_stream_sessions",
-    "q137_stream_distinct" -> "graft_stream_distinct")
+    "q137_stream_distinct" -> "graft_stream_distinct",
+    "q143_stream_join" -> "graft_stream_join")
 
   test("no query plans a cartesian product or a scale-key single-group window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
