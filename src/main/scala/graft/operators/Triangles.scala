@@ -41,7 +41,27 @@ object Triangles {
     * injective BIGINT order key. Returns (node, triangles) for every node
     * that closes at least one triangle; each triangle credits all three
     * corners. */
-  def perNodeCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def perNodeCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    counted(edges, aCol, bCol)._2
+
+  /** [[perNodeCounts]] extended to the LOCAL CLUSTERING COEFFICIENT view:
+    * every node of degree ≥ 2 (the ones whose coefficient is defined),
+    * with its degree, triangle count (0 when it closes none), and
+    * coeff = 2T / (d·(d−1)) — the fraction of its neighbor pairs that are
+    * themselves connected. The division is one per-row IEEE operation on
+    * exact integers, so it is bit-identical on any engine. */
+  def perNodeStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (deg, tri) = counted(edges, aCol, bCol)
+    deg.filter(col("d") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+          (col("d") * (col("d") - 1)).cast("double")).as("coeff"))
+  }
+
+  /** The shared pipeline: (degrees, per-node triangle counts). */
+  private def counted(edges: DataFrame, aCol: String, bCol: String): (DataFrame, DataFrame) = {
     // persisted: the canonical edge list (the expensive upstream — for a
     // derived graph, a fact-table self-join + global distinct) feeds the
     // degree count TWICE (one scan per endpoint column) and the keyed
@@ -100,7 +120,8 @@ object Triangles {
       transform(col("closing"), wk =>
         struct(wk.bitwiseAND(lit(4294967295L)).as("node"), lit(1L).as("c")))))
       .as("cr"))
-    credits.select(col("cr.node").as("node"), col("cr.c").as("c"))
+    val tri = credits.select(col("cr.node").as("node"), col("cr.c").as("c"))
       .groupBy("node").agg(sum(col("c")).as("triangles"))
+    (deg, tri)
   }
 }

@@ -949,24 +949,36 @@ object ScaleQueries {
     * 100 TB. The oracle re-counts with a DIFFERENT algorithm — naive
     * id-ordered enumeration over the canonical a<b edge list — so the
     * hash match is algorithm-independent agreement, not a mirror. */
-  def q142TriangleCounts(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-    // pair generation via per-order part sets, not a lineitem self-join:
-    // one scan + one shuffle keyed by order, and the collected set is
-    // bounded by the order's line count (≤ 7 in this schema) — emitting
-    // each unordered pair once, where the self-join would scan the fact
-    // table twice and shuffle both ordered directions
-    val edges = li.groupBy("l_orderkey")
+  // pair generation via per-order part sets, not a lineitem self-join:
+  // one scan + one shuffle keyed by order, and the collected set is
+  // bounded by the order's line count (≤ 7 in this schema) — emitting
+  // each unordered pair once, where the self-join would scan the fact
+  // table twice and shuffle both ordered directions
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(col("ps")).as("pa"), col("ps"))
       .select(col("pa"), explode(col("ps")).as("pb"))
       .filter(col("pa") < col("pb"))
-    graft.operators.Triangles.perNodeCounts(edges, "pa", "pb")
+
+  def q142TriangleCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.perNodeCounts(coPurchaseEdges(s, dir), "pa", "pb")
       .select(col("node").as("part"), col("triangles"))
-  }
+
+  /** q144: local clustering coefficients over the same co-purchase graph —
+    * for every part of degree ≥ 2, the fraction of its co-purchase
+    * neighbor pairs that are themselves co-purchased
+    * ([[graft.operators.Triangles.perNodeStats]]). Degrees and triangle
+    * counts are exact integers; the coefficient is the single per-row
+    * IEEE division 2T/(d·(d−1)), bit-identical on any engine. */
+  def q144Clustering(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.perNodeStats(coPurchaseEdges(s, dir), "pa", "pb")
+      .select(col("node").as("part"), col("degree"), col("triangles"), col("coeff"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_triangle_counts" -> (q142TriangleCounts _),
+    "q144_clustering" -> (q144Clustering _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1080,26 +1092,45 @@ object ScaleQueries {
       |    CAST(max(pos) + 5 - min(pos) AS INT) AS span_tokens
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
+  // A DIFFERENT triangle algorithm on purpose: naive id-ordered
+  // enumeration (x<y<z) over the canonical edge list, vs the engine's
+  // degree-oriented intersection — agreement is algorithm-independent.
+  private val triangleCtes =
+    """WITH pairs AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |                  greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+      |tris AS (
+      |  SELECT p1.a AS u, p1.b AS v, p2.b AS w
+      |  FROM pairs p1
+      |  JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+      |  JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b),
+      |tc AS (
+      |  SELECT part, CAST(count(*) AS BIGINT) AS triangles FROM (
+      |    SELECT u AS part FROM tris
+      |    UNION ALL SELECT v FROM tris
+      |    UNION ALL SELECT w FROM tris)
+      |  GROUP BY part)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // A DIFFERENT triangle algorithm on purpose: naive id-ordered
-    // enumeration (x<y<z) over the canonical edge list, vs the engine's
-    // degree-oriented wedge join — agreement is algorithm-independent.
     "q142_triangle_counts" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
-        |                  greatest(x.l_partkey, y.l_partkey) AS b
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
-        |tris AS (
-        |  SELECT p1.a AS u, p1.b AS v, p2.b AS w
-        |  FROM pairs p1
-        |  JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
-        |  JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b)
-        |SELECT part, CAST(count(*) AS BIGINT) AS triangles FROM (
-        |  SELECT u AS part FROM tris
-        |  UNION ALL SELECT v FROM tris
-        |  UNION ALL SELECT w FROM tris)
-        |GROUP BY part""".stripMargin,
+      (triangleCtes + "\nSELECT part, triangles FROM tc"),
+    // same naive recount, extended with exact degrees and the one-IEEE-op
+    // coefficient; every degree-≥2 node appears, zero-triangle included
+    "q144_clustering" ->
+      (triangleCtes +
+        """,
+          |deg AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+          |    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+          |  GROUP BY node)
+          |SELECT deg.node AS part, deg.d AS degree,
+          |  COALESCE(tc.triangles, 0) AS triangles,
+          |  CAST(COALESCE(tc.triangles, 0) AS DOUBLE) * 2.0
+          |    / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coeff
+          |FROM deg LEFT JOIN tc ON tc.part = deg.node
+          |WHERE deg.d >= 2""".stripMargin),
     // Gram positions, df filter, and island merge replayed in SQL — span
     // boundaries must match token-for-token.
     "q139_dup_spans" ->

@@ -38,6 +38,25 @@ class TrianglesSpec extends AnyFunSuite with SharedSpark {
     assert(count(noisy) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("perNodeStats: degrees, zero-triangle nodes, and exact coefficients") {
+    // square plus one diagonal: 0 and 2 have degree 3 (coeff 2/6+... wait:
+    // each sits on 2 triangles of its C(3,2)=3 neighbor pairs -> 2/3);
+    // 1 and 3 have degree 2 and sit on 1 of their 1 neighbor pair -> 1.0;
+    // an appended pendant path keeps 4 (degree 2, no triangles, coeff 0)
+    // and excludes the degree-1 leaf 5 entirely
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (2L, 4L), (0L, 4L), (4L, 5L))
+    val got = graft.operators.Triangles.perNodeStats(sq.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((4L, 3L, 0.5)))       // 3 of C(4,2)=6 pairs closed
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((4L, 3L, 0.5)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((3L, 1L, 1.0 / 3.0))) // pendant edge adds degree only
+    assert(!got.contains(5L))                // degree-1: coefficient undefined
+  }
+
   test("hub: high-degree center with one closing edge yields exactly one triangle") {
     // node 0 connects to 1..20; only (1,2) closes. Degree orientation
     // points both hub edges of the triangle INTO the hub (its (deg, id)
