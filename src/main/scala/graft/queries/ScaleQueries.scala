@@ -120,7 +120,10 @@ object ScaleQueries {
     * match DuckDB bit-for-bit. The per-doc sum is a fixed-order 3-term
     * coalesce chain, not a float groupBy-sum (whose addend order is
     * partition-dependent). */
-  def q105Bm25Search(s: SparkSession, dir: String): DataFrame = {
+  def q105Bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(s, dir, 10)
+
+  private def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toksCol = split(lower(col("text")), " ")
     // bounded driver read: corpus doc count + total token count
@@ -148,6 +151,38 @@ object ScaleQueries {
         (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
           coalesce(col("s2"), lit(0.0))).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** q145: HYBRID retrieval — reciprocal-rank fusion of the lexical BM25
+    * ranking (q105's scorer, top-50) and the dense cosine ranking against
+    * the vec_id-0 query embedding (q31's scorer, top-50; embeddings align
+    * 1:1 with documents by id). RRF is the standard zero-tuning fusion:
+    * score = Σ 1/(60 + rank), a doc missing from one list contributing 0.
+    * Ranks are integer row_numbers with (score DESC, id) tiebreaks over
+    * the two ≤50-row candidate lists — the windows are unpartitioned but
+    * their input is post-TakeOrdered, bounded by k, not the corpus (the
+    * corpus-scale work is the two scorers' TakeOrderedAndProject passes).
+    * The fused score is two IEEE divisions + one addition in fixed order,
+    * bit-identical on any engine. */
+  def q145HybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val lex = bm25TopK(s, dir, k)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val dense = graft.operators.Similarity.knnBruteForce(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0L, k)
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(10)
   }
 
@@ -979,6 +1014,7 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_triangle_counts" -> (q142TriangleCounts _),
     "q144_clustering" -> (q144Clustering _),
+    "q145_hybrid_search" -> (q145HybridSearch _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1091,6 +1127,40 @@ object ScaleQueries {
       |    CAST(max(pos) + 4 AS INT) AS span_end,
       |    CAST(max(pos) + 5 - min(pos) AS INT) AS span_tokens
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The q105 scorer as SQL, parameterized by the top-k cut — shared by
+    * the BM25 query's oracle and the hybrid-search oracle's lexical leg. */
+  private def bm25OracleSql(k: Int): String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val caseSums = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN sc END) AS s$i"
+    }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM d),
+       |hits AS (
+       |  SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf FROM hits
+       |  WHERE tok IN $termList GROUP BY doc_id, dl, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    ((CAST(stats.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * $Bm25K1p1)
+       |      / (CAST(tf.tf AS DOUBLE) + $Bm25K1
+       |         * ($Bm25OneMinusB + $Bm25B * (CAST(tf.dl AS DOUBLE) / stats.avgdl))) AS sc
+       |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats),
+       |agg AS (SELECT doc_id, $caseSums FROM sc GROUP BY doc_id)
+       |SELECT doc_id,
+       |  COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score
+       |FROM agg
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
 
   // A DIFFERENT triangle algorithm on purpose: naive id-ordered
   // enumeration (x<y<z) over the canonical edge list, vs the engine's
@@ -1425,37 +1495,29 @@ object ScaleQueries {
         |GROUP BY o_orderpriority""".stripMargin,
     // Same IEEE arithmetic in the same order as the engine: rational idf,
     // per-term CASE sums, fixed-order 3-way addition, (score, doc_id) cut.
-    "q105_bm25_search" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-      val caseSums = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN tok = '$t' THEN sc END) AS s$i"
-      }.mkString(", ")
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         |stats AS (
-         |  SELECT count(*) AS n,
-         |         CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |  FROM d),
-         |hits AS (
-         |  SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, tok, count(*) AS tf FROM hits
-         |  WHERE tok IN $termList GROUP BY doc_id, dl, tok),
-         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.tok,
-         |    ((CAST(stats.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
-         |      * (CAST(tf.tf AS DOUBLE) * $Bm25K1p1)
-         |      / (CAST(tf.tf AS DOUBLE) + $Bm25K1
-         |         * ($Bm25OneMinusB + $Bm25B * (CAST(tf.dl AS DOUBLE) / stats.avgdl))) AS sc
-         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats),
-         |agg AS (SELECT doc_id, $caseSums FROM sc GROUP BY doc_id)
-         |SELECT doc_id,
-         |  COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score
-         |FROM agg
-         |ORDER BY score DESC, doc_id
-         |LIMIT 10""".stripMargin
-    },
+    "q105_bm25_search" -> bm25OracleSql(10),
+    // Both candidate lists re-ranked with the same strict (score, id)
+    // orders, fused with the same fixed-order IEEE sum.
+    "q145_hybrid_search" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+         |  FROM (${bm25OracleSql(50)})),
+         |dense AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS r_dense
+         |  FROM (
+         |    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |    c AS (
+         |      SELECT vec_id, ${LlmQueries.cosSql("embedding", "qe")} AS cos
+         |      FROM embeddings, q WHERE vec_id <> 0)
+         |    SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 50))
+         |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense,
+         |  COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+         |    + COALESCE(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS rrf
+         |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 10""".stripMargin,
     "q106_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
         |w AS (SELECT source, n_docs,

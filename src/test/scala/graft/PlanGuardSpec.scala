@@ -31,12 +31,17 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
   private val boundedCross =
     Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap",
       "q121_sketch_union", // two 1-row sketch legs
-      "q131_hll_distinct") // merged-sketch row x exact-count row, both 1-row aggregates
+      "q131_hll_distinct", // merged-sketch row x exact-count row, both 1-row aggregates
+      "q145_hybrid_search") // q31's broadcast 1-row query vector, reused by the dense leg
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
     * the aggregate, never the corpus). */
-  private val boundedGlobalWindow = Set("q58_rolling_trend", "q106_temperature_mix")
+  private val boundedGlobalWindow = Set("q58_rolling_trend", "q106_temperature_mix",
+    // q145: the two row_number windows rank POST-TakeOrdered candidate
+    // lists (<= 50 rows each, the RRF k) — the corpus-scale work is the
+    // scorers' TakeOrderedAndProject passes below them
+    "q145_hybrid_search")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
