@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-CORE decomposition by iterative peeling — the standard distributed
+  * formulation: repeatedly delete every node of degree < k (with its
+  * edges) until none remains; what survives is the k-core, the unique
+  * maximal subgraph of minimum degree ≥ k. Each round is two canonical
+  * keyed shuffles (a degree aggregation + an endpoint semi-join), so a
+  * round costs what one groupBy+join costs at any scale; there is no
+  * all-pairs stage and no driver-side graph state. Lineage is severed
+  * with `localCheckpoint` every round (the CC precedent — an iterative
+  * plan that doubles per round is unplannable long before it is slow).
+  *
+  * Convergence: peeling strictly shrinks the node set until fixpoint, so
+  * it terminates in ≤ |V| rounds; in practice a handful (each round
+  * removes every node whose degree fell below k, cascades included one
+  * hop per round). `maxRounds` bounds the loop and the operator THROWS if
+  * the fixpoint is not reached — a silent truncation would return a
+  * superset of the k-core and hash-mismatch the oracle, so loud is the
+  * only honest failure mode. The convergence check is one count() per
+  * round — a bounded driver read of a single scalar, same as PageRank's.
+  *
+  * The oracle unrolls the SAME peel a fixed number of rounds in SQL
+  * (rounds past the fixpoint are no-ops, so engine-at-convergence equals
+  * oracle-at-R for any R ≥ the convergence round — the PageRank unrolled-
+  * iteration precedent, with the no-op tail making the fixed R safe). */
+object KCore {
+
+  /** The k-core of the undirected graph given as an edge list (self-loops
+    * dropped, duplicate/reversed edges collapsed). Returns every
+    * surviving node with its degree INSIDE the core (≥ k by definition).
+    * Throws if the fixpoint is not reached within `maxRounds`. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    var cur = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = cur.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = cur.select(col("a").as("node"))
+        .unionAll(cur.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("node")
+      // both endpoints must survive: two semi-joins, each a keyed shuffle
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val n = next.count() // bounded driver read: one scalar per round
+      converged = n == nEdges
+      nEdges = n
+      cur = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peel did not reach fixpoint in $maxRounds rounds " +
+          s"($nEdges edges remain in motion) — raise maxRounds")
+    cur.select(col("a").as("node"))
+      .unionAll(cur.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+}

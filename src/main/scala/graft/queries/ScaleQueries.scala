@@ -186,6 +186,18 @@ object ScaleQueries {
       .limit(10)
   }
 
+  /** q146: the 80-core of the co-purchase graph — iterative peeling
+    * ([[graft.operators.KCore.kCore]]: drop degree<k nodes until
+    * fixpoint), the canonical dense-substructure extraction. The engine
+    * iterates to convergence (throwing if `maxRounds` isn't enough); the
+    * oracle unrolls the same peel 12 rounds in SQL — rounds past the
+    * fixpoint are no-ops, so the two agree exactly (the PageRank
+    * unrolled-iteration precedent). */
+  def q146KCore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KCore.kCore(coPurchaseEdges(s, dir), "pa", "pb",
+        k = 80, maxRounds = 12)
+      .select(col("node").as("part"), col("core_deg"))
+
   /** q106: temperature-scaled source mixing (alpha = 0.5): each source's
     * share of a fixed sampling budget is proportional to sqrt(n_docs) —
     * the standard flattening that keeps small high-quality sources from
@@ -1015,6 +1027,7 @@ object ScaleQueries {
     "q142_triangle_counts" -> (q142TriangleCounts _),
     "q144_clustering" -> (q144Clustering _),
     "q145_hybrid_search" -> (q145HybridSearch _),
+    "q146_kcore" -> (q146KCore _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1162,6 +1175,39 @@ object ScaleQueries {
        |LIMIT $k""".stripMargin
   }
 
+  /** The q146 peel unrolled in SQL: `rounds` rounds of degree-filter +
+    * endpoint semi-join over the co-purchase edge list. Rounds past the
+    * fixpoint are no-ops, so this equals the engine's run-to-convergence
+    * result for any rounds ≥ the convergence round (the engine throws
+    * rather than return early, so a mismatch cannot hide). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor three times — 3^rounds inlined
+    // parquet scans without it (observed as an fd-exhaustion error)
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |d$r AS MATERIALIZED (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+        |  GROUP BY node),
+        |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= $k),
+        |e$r AS MATERIALIZED (
+        |  SELECT a, b FROM e${r - 1}
+        |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node AS part, CAST(count(*) AS BIGINT) AS core_deg FROM (
+      |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      |GROUP BY node""".stripMargin)
+    sb.toString
+  }
+
   // A DIFFERENT triangle algorithm on purpose: naive id-ordered
   // enumeration (x<y<z) over the canonical edge list, vs the engine's
   // degree-oriented intersection — agreement is algorithm-independent.
@@ -1186,6 +1232,7 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     "q142_triangle_counts" ->
       (triangleCtes + "\nSELECT part, triangles FROM tc"),
+    "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
     // same naive recount, extended with exact degrees and the one-IEEE-op
     // coefficient; every degree-≥2 node appears, zero-triangle included
     "q144_clustering" ->
