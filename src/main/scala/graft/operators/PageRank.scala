@@ -65,4 +65,52 @@ object PageRank {
     }
     r
   }
+
+  /** PERSONALIZED PageRank: same fixed-point iteration, but all teleport
+    * mass returns to the seed set `seeds` (one column `node`, assumed a
+    * subset of `nodes`) instead of spreading uniformly — the standard
+    * seed-set-expansion measure (rank ≙ stationary probability of a walk
+    * that restarts at a random seed), used for "find more data like this
+    * trusted slice" curation. Initial mass RankScale/|seeds| on each seed,
+    * zero elsewhere; the per-node teleport table is computed once and
+    * reused across iterations. Arithmetic is the same order-free integer
+    * fixed point as [[ranks]] (same overflow bound: seed ranks start at
+    * RankScale/|seeds| ≤ RankScale and mass only shrinks), so results are
+    * bit-identical on any engine. */
+  def personalizedRanks(spark: SparkSession, nodes: DataFrame,
+                        edges: DataFrame, seeds: DataFrame,
+                        iters: Int, dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val p = edges.join(outW, "src")
+      .select(col("src"), col("dst"),
+        expr(s"CAST((w * $ProbScale) DIV out_w AS BIGINT)").as("p"))
+      .persist()
+    val nSeeds = seeds.count() // bounded driver read: one scalar
+    if (nSeeds == 0) return nodes.select(col("node"), lit(0L).as("rank"))
+    val seedBase = RankScale / nSeeds
+    val teleport = ((100L - dampNum) * seedBase) / 100L
+    // (node, is_seed teleport mass) — joined every iteration, so persist
+    val tele = nodes.join(
+        seeds.select(col("node").as("seed_node")),
+        nodes("node") === col("seed_node"), "left")
+      .select(col("node"),
+        when(col("seed_node").isNotNull, lit(teleport)).otherwise(lit(0L))
+          .as("tele"),
+        when(col("seed_node").isNotNull, lit(seedBase)).otherwise(lit(0L))
+          .as("r0"))
+      .persist()
+    var r = tele.select(col("node"), col("r0").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = p.join(r, p("src") === r("node"))
+        .select(col("dst"),
+          expr(s"CAST((rank * p) DIV $ProbScale AS BIGINT)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_rank"))
+      r = tele.join(contrib, tele("node") === contrib("dst"), "left")
+        .select(tele("node"),
+          (col("tele") +
+            expr(s"CAST(($dampNum * COALESCE(in_rank, 0)) DIV 100 AS BIGINT)")).as("rank"))
+    }
+    r
+  }
 }

@@ -262,18 +262,45 @@ object ScaleQueries {
     * integer arithmetic throughout ([[graft.operators.PageRank]]), so the
     * iterated ranks are bit-identical on any engine. */
   def q109NationPagerank(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir)
+    val nodes = nation.select(col("n_nationkey").as("node"))
+    graft.operators.PageRank.ranks(s, nodes, nationTradeEdges(s, dir),
+        iters = 3)
+      .join(nation, col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("rank"))
+  }
+
+  /** The q109/q147 trade graph: customer nation → supplier nation order
+    * flow, weighted by lineitem count. The SCALE part is this fact-table
+    * join; both rank queries then iterate over the 25-node result. */
+  private def nationTradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
     val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+  }
+
+  /** q147: PERSONALIZED PageRank over the same trade graph — teleport
+    * restricted to the ASIA nations ([[graft.operators.PageRank
+    * .personalizedRanks]]), i.e. "which nations does trade flow reach
+    * from this trusted seed slice", the seed-set-expansion measure a
+    * curation pipeline uses to pull in data similar to a vetted subset.
+    * Fixed-point integer arithmetic as in q109, so the oracle's unrolled
+    * iterations agree bit-for-bit. */
+  def q147PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(s, dir)
     val nodes = nation.select(col("n_nationkey").as("node"))
-    graft.operators.PageRank.ranks(s, nodes, edges, iters = 3)
+    val seeds = nation
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("node"))
+    graft.operators.PageRank.personalizedRanks(s, nodes,
+        nationTradeEdges(s, dir), seeds, iters = 3)
       .join(nation, col("node") === col("n_nationkey"))
       .select(col("n_name"), col("rank"))
   }
@@ -1063,6 +1090,7 @@ object ScaleQueries {
     "q107_orc_roundtrip" -> (q107OrcRoundtrip _),
     "q108_inferred_csv" -> (q108InferredCsv _),
     "q109_nation_pagerank" -> (q109NationPagerank _),
+    "q147_personalized_pagerank" -> (q147PersonalizedPagerank _),
     "q110_semdedup" -> (q110SemDedup _))
 
   // ------------------------------------------------------------- oracles
@@ -1619,6 +1647,51 @@ object ScaleQueries {
          |         (15 * (1000000000000 // count(*))) // 100 AS base15
          |  FROM nodes),
          |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+         |${iterCte("r0", "r1")},
+         |${iterCte("r1", "r2")},
+         |${iterCte("r2", "r3")}
+         |SELECT nat.n_name, r3.rank
+         |FROM r3 JOIN nation nat ON r3.node = nat.n_nationkey""".stripMargin
+    },
+    // q147: same unrolled fixed point, but the teleport term is per-node
+    // (RankScale/|seeds| to ASIA nations, zero elsewhere) and iteration 0
+    // starts from the seed distribution — PageRank.personalizedRanks
+    // constant-for-constant.
+    "q147_personalized_pagerank" -> {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT t.node,
+           |    t.tele + (85 * COALESCE(c.s, 0)) // 100 AS rank
+           |  FROM tele t LEFT JOIN (
+           |    SELECT p.dst, CAST(sum((r.rank * p.p) // 1000000) AS BIGINT) AS s
+           |    FROM p JOIN $prev r ON p.src = r.node GROUP BY p.dst) c
+           |  ON t.node = c.dst)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY src, dst),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+         |p AS (SELECT e.src, e.dst, (e.w * 1000000) // outw.ow AS p
+         |      FROM e JOIN outw ON e.src = outw.src),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |seeds AS (
+         |  SELECT n_nationkey AS node FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+         |consts AS (
+         |  SELECT 1000000000000 // count(*) AS sbase,
+         |         (15 * (1000000000000 // count(*))) // 100 AS sbase15
+         |  FROM seeds),
+         |tele AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |         THEN (SELECT sbase15 FROM consts) ELSE 0 END AS tele,
+         |    CASE WHEN s.node IS NOT NULL
+         |         THEN (SELECT sbase FROM consts) ELSE 0 END AS r0rank
+         |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         |r0 AS (SELECT node, r0rank AS rank FROM tele),
          |${iterCte("r0", "r1")},
          |${iterCte("r1", "r2")},
          |${iterCte("r2", "r3")}

@@ -49,6 +49,62 @@ class PageRankSpec extends AnyFunSuite with SharedSpark {
     assert(a == b, "fixed-point ranks changed under repartitioning")
   }
 
+  test("personalized: the all-nodes seed set degenerates to uniform PageRank") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val ns = nodes(1L, 2L, 3L)
+    val uniform = PageRank.ranks(spark, ns, e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val seeded = PageRank.personalizedRanks(spark, ns, e, ns, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(uniform == seeded,
+      s"seeds == nodes must reproduce uniform PageRank: $uniform vs $seeded")
+  }
+
+  test("personalized: mass stays on the seed component of a disconnected graph") {
+    // two disjoint cycles; seed in the first only
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L)).toDF("src", "dst", "w")
+    val r = PageRank.personalizedRanks(spark, nodes(1L, 2L, 3L, 4L, 5L, 6L),
+        e, nodes(1L), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(4L, 5L, 6L).forall(r(_) == 0L),
+      s"unreachable component must hold zero mass: $r")
+    assert(r(1L) > 0 && r(2L) > 0 && r(3L) > 0,
+      s"walk mass must reach every node of the seed cycle: $r")
+    val total = Seq(1L, 2L, 3L).map(r).sum
+    assert(total <= PageRank.RankScale && total > (PageRank.RankScale * 9) / 10,
+      s"seed-component mass must stay near 1.0 (minus floor loss): $r")
+  }
+
+  test("personalized: a non-seed pure source holds exactly zero rank") {
+    // 2 -> 1 with seed 1: node 2 gets neither teleport nor in-flow;
+    // empty seed set short-circuits to the all-zero vector
+    val e = Seq((2L, 1L, 1L)).toDF("src", "dst", "w")
+    val ns = nodes(1L, 2L)
+    val r = PageRank.personalizedRanks(spark, ns, e, nodes(1L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) == 0L, s"non-seed source must hold zero: $r")
+    assert(r(1L) > 0L, s"seed must hold mass: $r")
+    val empty = PageRank.personalizedRanks(spark, ns, e, nodes(), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(empty.values.forall(_ == 0L), s"empty seed set must zero out: $empty")
+  }
+
+  test("personalized: bit-deterministic under repartitioning") {
+    val e = Seq.tabulate(200)(i =>
+      ((i % 17).toLong, (i % 13).toLong, (i % 5 + 1).toLong))
+      .toDF("src", "dst", "w")
+    val ns = nodes((0L until 17L): _*)
+    val seeds = nodes(0L, 3L, 7L)
+    val a = PageRank.personalizedRanks(spark, ns, e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.personalizedRanks(spark, ns.repartition(7),
+        e.repartition(11), seeds.repartition(3), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "personalized fixed-point ranks changed under repartitioning")
+  }
+
   test("total mass is conserved to within the documented floor loss") {
     val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
     val r = PageRank.ranks(spark, nodes(1L, 2L, 3L), e, iters = 3)
