@@ -105,6 +105,58 @@ class PageRankSpec extends AnyFunSuite with SharedSpark {
     assert(a == b, "personalized fixed-point ranks changed under repartitioning")
   }
 
+  /** Naive in-memory evaluator mirroring PageRank's integer arithmetic
+    * op-for-op (probabilities `(w·1e6) DIV out_w`, per-term floor
+    * division) — a second implementation the distributed one must match
+    * exactly, on graphs too tangled to hand-check. */
+  private def naiveRanks(ns: Seq[Long], es: Seq[(Long, Long, Long)],
+                         seeds: Option[Seq[Long]], iters: Int): Map[Long, Long] = {
+    val outW = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val p = es.map { case (s, d, w) => (s, d, (w * PageRank.ProbScale) / outW(s)) }
+    val seedSet = seeds.map(_.toSet)
+    val base = seedSet match {
+      case Some(ss) => PageRank.RankScale / ss.size
+      case None     => PageRank.RankScale / ns.size
+    }
+    def tele(n: Long) = seedSet match {
+      case Some(ss) => if (ss(n)) (15L * base) / 100L else 0L
+      case None     => (15L * base) / 100L
+    }
+    def r0(n: Long) = seedSet match {
+      case Some(ss) => if (ss(n)) base else 0L
+      case None     => base
+    }
+    var r = ns.map(n => n -> r0(n)).toMap
+    for (_ <- 1 to iters) {
+      val in = p.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _, pp) => (r(s) * pp) / PageRank.ProbScale }.sum
+      }
+      r = ns.map(n => n -> (tele(n) + (85L * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("both variants match a naive evaluator on a pseudo-random multigraph") {
+    // deterministic LCG so the graph is tangled but reproducible
+    var x = 42L
+    def nxt(m: Long) = { x = (x * 6364136223846793005L + 1442695040888963407L); math.floorMod(x >>> 33, m) }
+    val ns = (0L until 23L)
+    val es = Seq.fill(300)((nxt(23), nxt(23), nxt(9) + 1))
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+    val e = es.toDF("src", "dst", "w")
+    val nsDf = nodes(ns: _*)
+    val got = PageRank.ranks(spark, nsDf, e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naiveRanks(ns, es, None, iters = 3),
+      "distributed uniform ranks diverge from the naive evaluator")
+    val seeds = Seq(1L, 5L, 17L)
+    val gotP = PageRank.personalizedRanks(spark, nsDf, e, nodes(seeds: _*), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotP == naiveRanks(ns, es, Some(seeds), iters = 3),
+      "distributed personalized ranks diverge from the naive evaluator")
+  }
+
   test("total mass is conserved to within the documented floor loss") {
     val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
     val r = PageRank.ranks(spark, nodes(1L, 2L, 3L), e, iters = 3)
