@@ -198,6 +198,18 @@ object ScaleQueries {
         k = 80, maxRounds = 12)
       .select(col("node").as("part"), col("core_deg"))
 
+  /** q148: label-propagation communities over the co-purchase graph — 3
+    * synchronous rounds ([[graft.operators.LabelProp.communities]]: adopt
+    * the most frequent neighbor label, ties to the smallest), the
+    * classic near-linear community detector. Deterministic by
+    * construction (synchronous updates, total tie order), so the oracle
+    * replays the SAME 3 rounds unrolled in SQL and the labels agree
+    * bit-for-bit (the PageRank unrolled-iteration precedent). */
+  def q148LabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelProp.communities(coPurchaseEdges(s, dir), "pa", "pb",
+        rounds = 3)
+      .select(col("node").as("part"), col("label").as("community"))
+
   /** q106: temperature-scaled source mixing (alpha = 0.5): each source's
     * share of a fixed sampling budget is proportional to sqrt(n_docs) —
     * the standard flattening that keeps small high-quality sources from
@@ -1055,6 +1067,7 @@ object ScaleQueries {
     "q144_clustering" -> (q144Clustering _),
     "q145_hybrid_search" -> (q145HybridSearch _),
     "q146_kcore" -> (q146KCore _),
+    "q148_label_prop" -> (q148LabelProp _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1236,6 +1249,40 @@ object ScaleQueries {
     sb.toString
   }
 
+  /** Unrolled synchronous label propagation: each round recomputes
+    * neighbor-label counts from the previous round's labels and takes the
+    * same (cnt DESC, label ASC) argmax — a per-node rank window here (the
+    * oracle may be lazy; the ENGINE's argmax is an aggregate).
+    * AS MATERIALIZED for the same reason as the k-core oracle: each round
+    * references its predecessor, and DuckDB would inline the chain into
+    * exponentially many parquet scans otherwise. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH und AS MATERIALIZED (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM adj)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |c$r AS MATERIALIZED (
+        |  SELECT adj.dst AS node, l.label, count(*) AS cnt
+        |  FROM adj JOIN l${r - 1} l ON l.node = adj.src
+        |  GROUP BY 1, 2),
+        |l$r AS MATERIALIZED (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |    FROM c$r) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node AS part, label AS community FROM l$rounds""".stripMargin)
+    sb.toString
+  }
+
   // A DIFFERENT triangle algorithm on purpose: naive id-ordered
   // enumeration (x<y<z) over the canonical edge list, vs the engine's
   // degree-oriented intersection — agreement is algorithm-independent.
@@ -1261,6 +1308,7 @@ object ScaleQueries {
     "q142_triangle_counts" ->
       (triangleCtes + "\nSELECT part, triangles FROM tc"),
     "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
+    "q148_label_prop" -> labelPropOracleSql(rounds = 3),
     // same naive recount, extended with exact degrees and the one-IEEE-op
     // coefficient; every degree-≥2 node appears, zero-triangle included
     "q144_clustering" ->
