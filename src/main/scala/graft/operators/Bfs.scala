@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first hop distance — "how many hops is every node
+  * from the nearest seed", the seed-set-expansion primitive a curation
+  * pipeline uses to pull in everything within k links of a vetted slice
+  * (and the unit-weight core of shortest paths).
+  *
+  * FRONTIER-expanded, which is the shape that survives scale: round r
+  * joins the adjacency list against ONLY the round-(r-1) frontier (the
+  * nodes first reached last round), so a round's shuffle is proportional
+  * to the frontier's adjacency, not to the graph or the visited set; the
+  * visited set is touched only by the anti-join that keeps distances
+  * minimal. Every step is a canonical keyed shuffle (equi-join, distinct,
+  * anti-join) — no all-pairs stage, no driver-side graph state. Lineage is
+  * severed with `localCheckpoint` per round (the CC/k-core precedent).
+  *
+  * A FIXED hop budget is the contract — "everything within `maxHops`" is
+  * the curation question, and it is exactly what an unrolled-SQL oracle
+  * can replay (the PageRank unrolled-iteration precedent). Determinism is
+  * structural: the reached set and minimal distances are unique, no tie
+  * order exists to break.
+  */
+object Bfs {
+
+  /** Hop distances over the undirected graph given as an edge list
+    * (self-loops dropped, duplicate/reversed edges collapsed): every node
+    * reachable from `seeds` within `maxHops` hops, with the MINIMAL hop
+    * count (seeds themselves at 0 — including seeds isolated from the
+    * graph, which are still distance-0 members of the expansion). */
+  def hopDistances(edges: DataFrame, aCol: String, bCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // both directions once, reused every round
+    val adj = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select("node")
+    var r = 0
+    var exhausted = false
+    while (r < maxHops && !exhausted) {
+      r += 1
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select("node")
+      // bounded driver read: one scalar per round — an empty frontier
+      // means every later round is a no-op, so stop shuffling for them
+      exhausted = next.isEmpty
+    }
+    visited
+  }
+}

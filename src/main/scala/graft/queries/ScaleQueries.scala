@@ -210,6 +210,21 @@ object ScaleQueries {
         rounds = 3)
       .select(col("node").as("part"), col("label").as("community"))
 
+  /** q149: seed-set expansion by multi-source BFS — hop distance from the
+    * Brand#11 parts over the co-purchase graph, capped at 2 hops
+    * ([[graft.operators.Bfs.hopDistances]]): "everything co-purchased
+    * within two links of the vetted slice", the unit-weight shortest-path
+    * primitive. Frontier-expanded on the engine side; the oracle unrolls
+    * the same two rounds in SQL (minimal distances are unique, so there
+    * is no tie order to disagree on). */
+  def q149BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey").as("node"))
+    graft.operators.Bfs.hopDistances(coPurchaseEdges(s, dir), "pa", "pb",
+        seeds, "node", maxHops = 2)
+      .select(col("node").as("part"), col("dist"))
+  }
+
   /** q106: temperature-scaled source mixing (alpha = 0.5): each source's
     * share of a fixed sampling budget is proportional to sqrt(n_docs) —
     * the standard flattening that keeps small high-quality sources from
@@ -1068,6 +1083,7 @@ object ScaleQueries {
     "q145_hybrid_search" -> (q145HybridSearch _),
     "q146_kcore" -> (q146KCore _),
     "q148_label_prop" -> (q148LabelProp _),
+    "q149_bfs_hops" -> (q149BfsHops _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1283,6 +1299,38 @@ object ScaleQueries {
     sb.toString
   }
 
+  /** Unrolled multi-source BFS: round r adds the not-yet-visited neighbors
+    * of the round-(r-1) frontier at distance r. MATERIALIZED for the same
+    * predecessor-chain reason as the other iterative oracles. */
+  private def bfsOracleSql(brand: String, hops: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH und AS MATERIALIZED (
+         |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+         |                  greatest(x.l_partkey, y.l_partkey) AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM part WHERE p_brand = '$brand'),
+         |f0 AS MATERIALIZED (SELECT node FROM v0)""".stripMargin)
+    for (r <- 1 to hops) {
+      sb.append(s""",
+        |n$r AS MATERIALIZED (
+        |  SELECT DISTINCT adj.dst AS node
+        |  FROM adj JOIN f${r - 1} f ON adj.src = f.node
+        |  WHERE adj.dst NOT IN (SELECT node FROM v${r - 1})),
+        |v$r AS MATERIALIZED (
+        |  SELECT node, dist FROM v${r - 1}
+        |  UNION ALL SELECT node, CAST($r AS BIGINT) FROM n$r),
+        |f$r AS MATERIALIZED (SELECT node FROM n$r)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node AS part, dist FROM v$hops""".stripMargin)
+    sb.toString
+  }
+
   // A DIFFERENT triangle algorithm on purpose: naive id-ordered
   // enumeration (x<y<z) over the canonical edge list, vs the engine's
   // degree-oriented intersection — agreement is algorithm-independent.
@@ -1309,6 +1357,7 @@ object ScaleQueries {
       (triangleCtes + "\nSELECT part, triangles FROM tc"),
     "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
     "q148_label_prop" -> labelPropOracleSql(rounds = 3),
+    "q149_bfs_hops" -> bfsOracleSql(brand = "Brand#11", hops = 2),
     // same naive recount, extended with exact degrees and the one-IEEE-op
     // coefficient; every degree-≥2 node appears, zero-triangle included
     "q144_clustering" ->
