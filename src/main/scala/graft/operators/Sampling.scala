@@ -104,6 +104,51 @@ object Sampling {
     df.filter(hash40 * lit(weightScale) < wClamped * lit(1L << 40))
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup): a FIXED-SIZE weighted
+    * sample without replacement per group — the complement of
+    * [[weightedBernoulli]], whose output size is binomial. Each row draws
+    * u uniform on (0,1] and gets priority w/u; the k highest-priority rows
+    * of each group are the sample (heavier rows get proportionally higher
+    * priorities, equal-weight rows compete uniformly — DLT prove the
+    * resulting top-k supports near-optimal subset-sum estimation).
+    *
+    * Exactness: u = (h+1)/2^40 from the salted 40-bit md5 hash, and the
+    * ORDER is taken on `(w' * 2^40) div (h+1)` — floor division of two
+    * Longs, identical on any engine, ties broken by id ASC. The weight is
+    * clamped to 2^23−1 before the multiply (the [[weightedBernoulli]]
+    * overflow guard, `w' * 2^40 < 2^63`); among rows at the cap the order
+    * degrades to the hash alone, i.e. saturated weights compete uniformly
+    * — clamp-aware callers scale weights below the cap.
+    *
+    * The per-group top-k runs as the [[graft.expressions.TopKByScore]]
+    * aggregate — a K-entry buffer merged map-side, so the shuffle carries
+    * ≤ k (priority, id) pairs per (partition, group), NEVER the group
+    * (the rank-window shape PlanGuardSpec bans). One scan, one keyed
+    * shuffle of k-bounded state: the fixed-size weighted draw at 100 TB.
+    *
+    * Returns one row per selected element: (group, rnk, id, priority),
+    * rnk 1-based by priority DESC. */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      groupCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.expressions.GraftFunctions.topKByScore
+    val h40 = md5Long40(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val wClamped = least(col(weightCol).cast("long"), lit((1L << 23) - 1))
+    df.withColumn("__h", h40)
+      .withColumn("__w", wClamped)
+      .withColumn("__p", expr(s"CAST((__w * ${1L << 40}) DIV (__h + 1) AS BIGINT)"))
+      .groupBy(col(groupCol))
+      .agg(topKByScore(col("__p"), col(keyCol).cast("long"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(keyCol), col("col.score").as("priority"))
+  }
+
   /** Exact heavy hitters in two bounded passes (the MG candidate pass +
     * an exact verify pass), for thresholds `cnt * thresholdDen >= N`:
     *

@@ -54,6 +54,19 @@ object ScaleQueries {
       keyCol = "doc_id", weightCol = "n_chars",
       weightScale = 4096L, salt = "s104")
 
+  /** q150: FIXED-SIZE weighted sample per source — 32 docs each, drawn by
+    * length-weighted priority sampling ([[Sampling.prioritySample]]:
+    * priority w/u, top-k per group), the complement of q104's
+    * variable-size Bernoulli draw. Integer floor-division priorities over
+    * the same salted md5 hash space, so the oracle's rank-window mirror
+    * selects identically (the ENGINE side is the TopKByScore aggregate,
+    * not a window). */
+  def q150PrioritySample(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      keyCol = "doc_id", weightCol = "n_chars",
+      groupCol = "source", k = 32, salt = "s150")
+
   /** Exact-decimal double sum (the [[Relational]] dsum trick: sf-scale
     * doubles are exact at DECIMAL(18,6), so the sum is order-independent
     * and the trailing cast reproducible). */
@@ -1084,6 +1097,7 @@ object ScaleQueries {
     "q146_kcore" -> (q146KCore _),
     "q148_label_prop" -> (q148LabelProp _),
     "q149_bfs_hops" -> (q149BfsHops _),
+    "q150_priority_sample" -> (q150PrioritySample _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1358,6 +1372,22 @@ object ScaleQueries {
     "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
     "q148_label_prop" -> labelPropOracleSql(rounds = 3),
     "q149_bfs_hops" -> bfsOracleSql(brand = "Brand#11", hops = 2),
+    // Same salted hash, same integer floor-division priority, rank-window
+    // mirror of the engine's TopKByScore selection (score DESC, id ASC).
+    "q150_priority_sample" ->
+      s"""WITH p AS (
+         |  SELECT source, doc_id,
+         |    (least(n_chars, ${(1L << 23) - 1}) * ${1L << 40})
+         |      // (('0x' || substring(md5(doc_id::VARCHAR || ':s150'), 1, 10))::BIGINT + 1)
+         |      AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, priority,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY priority DESC, doc_id) AS rnk
+         |  FROM p)
+         |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, priority
+         |FROM r WHERE rnk <= 32""".stripMargin,
     // same naive recount, extended with exact degrees and the one-IEEE-op
     // coefficient; every degree-≥2 node appears, zero-triangle included
     "q144_clustering" ->
