@@ -238,6 +238,23 @@ object ScaleQueries {
       .select(col("node").as("part"), col("dist"))
   }
 
+  /** q151: widest-path ASSOCIATION STRENGTH from the same Brand#11 seed
+    * slice — edge weight = number of orders co-purchasing the pair, a
+    * node's strength = the best bottleneck over ≤2-hop paths
+    * ([[graft.operators.WidestPath.capacities]], the (max, min) semiring
+    * complement of q149's hop distance: not "how far" but "how strongly
+    * linked"). Integer min/max throughout, so the oracle's unrolled
+    * relaxations agree exactly. */
+  def q151WidestPath(s: SparkSession, dir: String): DataFrame = {
+    val weighted = coPurchaseEdges(s, dir)
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+    val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey").as("node"))
+    graft.operators.WidestPath.capacities(weighted, "pa", "pb", "w",
+        seeds, "node", rounds = 2)
+      .select(col("node").as("part"), col("cap").as("strength"))
+  }
+
   /** q106: temperature-scaled source mixing (alpha = 0.5): each source's
     * share of a fixed sampling budget is proportional to sqrt(n_docs) —
     * the standard flattening that keeps small high-quality sources from
@@ -1098,6 +1115,7 @@ object ScaleQueries {
     "q148_label_prop" -> (q148LabelProp _),
     "q149_bfs_hops" -> (q149BfsHops _),
     "q150_priority_sample" -> (q150PrioritySample _),
+    "q151_widest_path" -> (q151WidestPath _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_dup_profile" -> (q140DupProfile _),
     "q122_cc_contracted" -> (q122CcContracted _),
@@ -1345,6 +1363,41 @@ object ScaleQueries {
     sb.toString
   }
 
+  /** Unrolled (max, min)-semiring relaxation: round r maxes the previous
+    * capacities with min(neighbor capacity, edge weight). Monotone
+    * integers, so engine-at-R equals oracle-at-R exactly. */
+  private def widestPathOracleSql(brand: String, rounds: Int): String = {
+    val inf = graft.operators.WidestPath.CapInf
+    val sb = new StringBuilder(
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_orderkey AS ok,
+         |                  least(x.l_partkey, y.l_partkey) AS a,
+         |                  greatest(x.l_partkey, y.l_partkey) AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+         |und AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM op GROUP BY a, b),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM und
+         |  UNION ALL SELECT b, a, w FROM und),
+         |c0 AS MATERIALIZED (
+         |  SELECT DISTINCT p_partkey AS node, CAST($inf AS BIGINT) AS cap
+         |  FROM part WHERE p_brand = '$brand')""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |u$r AS MATERIALIZED (
+        |  SELECT adj.dst AS node, least(c.cap, adj.w) AS cap
+        |  FROM adj JOIN c${r - 1} c ON adj.src = c.node),
+        |c$r AS MATERIALIZED (
+        |  SELECT node, max(cap) AS cap FROM (
+        |    SELECT node, cap FROM c${r - 1} UNION ALL SELECT node, cap FROM u$r)
+        |  GROUP BY node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node AS part, cap AS strength FROM c$rounds""".stripMargin)
+    sb.toString
+  }
+
   // A DIFFERENT triangle algorithm on purpose: naive id-ordered
   // enumeration (x<y<z) over the canonical edge list, vs the engine's
   // degree-oriented intersection — agreement is algorithm-independent.
@@ -1372,6 +1425,7 @@ object ScaleQueries {
     "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
     "q148_label_prop" -> labelPropOracleSql(rounds = 3),
     "q149_bfs_hops" -> bfsOracleSql(brand = "Brand#11", hops = 2),
+    "q151_widest_path" -> widestPathOracleSql(brand = "Brand#11", rounds = 2),
     // Same salted hash, same integer floor-division priority, rank-window
     // mirror of the engine's TopKByScore selection (score DESC, id ASC).
     "q150_priority_sample" ->
