@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.StarQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracles ++
       graft.queries.StarQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
-      graft.queries.ScaleQueries.oracles
+      graft.queries.ScaleQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 }

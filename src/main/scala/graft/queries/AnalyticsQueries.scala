@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Analytics operators beyond the warehouse/LLM families: multi-criteria
+  * skyline, graph link prediction, sweep-line concurrency, digit-law data
+  * quality, exact distributional outliers, and Markov transition matrices.
+  * Every query keeps the oracle-portability discipline: integer / decimal
+  * arithmetic end to end, deterministic tiebreaks on every ordering. */
+object AnalyticsQueries {
+
+  /** Price in exact integer cents: double → DECIMAL(18,2) → ×100 → BIGINT.
+    * The test data carries ≤2 decimals, so the decimal cast is exact and
+    * both engines land on the same integer. */
+  private def cents(c: Column): Column =
+    c.cast("decimal(18,2)").multiply(100).cast("long")
+
+  /** Distinct undirected co-purchase edges (pa < pb): parts appearing in
+    * the same order, each pair once. Same derivation as the weighted
+    * variant in [[ScaleQueries]] minus the multiplicity. */
+  private def coPurchaseDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .distinct()
+
+  // ------------------------------------------------------------- queries
+
+  /** q152: the part catalog's Pareto frontier — parts where no other part
+    * both sells more (total quantity) and sells cheaper (minimum price).
+    * [[graft.operators.Skyline.skyline2D]]: two-phase sort-scan, no
+    * shuffle, no window, no quadratic join; the oracle pays the quadratic
+    * NOT EXISTS price the operator exists to avoid. Metrics are exact
+    * integers (unit quantities; prices in cents). */
+  def q152Skyline(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        min(cents(col("l_extendedprice"))).as("min_cents"))
+    graft.operators.Skyline.skyline2D(m, "l_partkey", "sum_qty", "min_cents")
+      .select(col("l_partkey").as("part"), col("sum_qty"), col("min_cents"))
+  }
+
+  /** q153: link prediction over the distinct co-purchase graph — the
+    * resource-allocation index (Zhou/Lü/Zhang 2009: Σ_z 1/deg(z) over
+    * common neighbors z, the degree-discounted cousin of Adamic-Adar that
+    * needs no logarithm) in exact fixed point (10^12 // deg). Hubs with
+    * deg > 200 are excluded from the intermediary role BEFORE the two-hop
+    * self-join — the standard bound that caps the join at Σ deg(z)² ≤
+    * 200·Σdeg while discarding only negligible 1/deg weight. Candidates
+    * already linked are anti-joined away; top 50 by (score, pa, pb) is a
+    * deterministic TakeOrderedAndProject. */
+  def q153LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val und = coPurchaseDistinct(s, dir)
+    val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val viaZ = adj.join(deg.filter(col("deg") <= 200), "src")
+      .withColumn("w", expr("CAST(1000000000000 DIV deg AS BIGINT)"))
+    val cand = viaZ.as("z1").join(viaZ.as("z2"),
+        col("z1.src") === col("z2.src") && col("z1.dst") < col("z2.dst"))
+      .select(col("z1.dst").as("a"), col("z2.dst").as("b"), col("z1.w").as("w"))
+    cand
+      .join(und, cand("a") === und("pa") && cand("b") === und("pb"), "left_anti")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum("w").as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(50)
+      .select(col("a").as("pa"), col("b").as("pb"), col("common"), col("score"))
+  }
+
+  /** q154: peak supplier backlog by sweep line — each lineitem is "open"
+    * from its order date to its ship date; exploding intervals into
+    * +1/−1 deltas and running a RANGE-framed cumulative sum per supplier
+    * gives the concurrency at every instant (the frame is the orderBy
+    * DEFAULT — RANGE UNBOUNDED PRECEDING — so tied timestamps all land in
+    * the same sum and the result is order-deterministic; ship-date deltas
+    * count at their own instant, i.e. end-exclusive intervals). Suppliers
+    * and lineitems both scale with SF, so per-supplier timelines stay
+    * ~constant-size — the same per-key-bounded window justification as
+    * sessionize. */
+  def q154BacklogPeak(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"), col("o_orderdate").as("od"),
+        col("l_shipdate").as("sd"))
+    val deltas = li.select(col("supp"), col("od").as("ts"), lit(1L).as("delta"))
+      .union(li.select(col("supp"), col("sd").as("ts"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("supp").orderBy("ts")
+    deltas.withColumn("conc", sum("delta").over(w))
+      .groupBy("supp").agg(max("conc").as("peak"))
+      .select(col("supp").as("supplier"), col("peak"))
+  }
+
+  /** q155: Benford-style first-digit profile of the price column — the
+    * classic fabricated-data screen, as a data-quality operator. Exact:
+    * the leading digit comes from the DECIMAL integer part as a string,
+    * the share is integer permille. The total flows through a window over
+    * the 9 POST-AGGREGATE digit rows (bounded, like the mix queries). */
+  def q155Benford(s: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, dir)
+      .select(substring(floor(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(all))
+      .withColumn("permille", expr("CAST((1000 * cnt) DIV total AS BIGINT)"))
+      .select("digit", "cnt", "permille")
+  }
+
+  /** q156: exact 2σ outliers without a single float — a document is an
+    * outlier iff |x − μ| > 2σ over its source, tested as the equivalent
+    * integer inequality (n·x − S)² > 4·(n·Q − S²) where S=Σx, Q=Σx²
+    * (both sides exact BIGINTs at bench scale; at warehouse scale the
+    * same test lifts to DECIMAL(38,0) unchanged). One aggregate pass
+    * builds the per-source moment table (bounded by #sources →
+    * broadcast); one scan flags. Zero IEEE rounding, so the oracle
+    * agrees bit for bit — which no sqrt-based z-score can promise. */
+  def q156CharOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val moments = docs.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s1"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+    docs.join(broadcast(moments), "source")
+      .filter((col("n") * col("n_chars") - col("s1")) *
+        (col("n") * col("n_chars") - col("s1")) >
+        lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** q157: first-order Markov transition matrix over user event streams —
+    * next-event via `lead` on the per-user timeline (total order: ts then
+    * the unique event_id, so ties cannot reorder), transition counts
+    * grouped globally, probabilities as integer permille over a window
+    * partitioned by the POST-AGGREGATE from-state (bounded by the event
+    * vocabulary). Per-user windows are per-key-bounded, as sessionize. */
+  def q157Markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("permille", expr("CAST((1000 * n) DIV total AS BIGINT)"))
+      .select("from_type", "to_type", "n", "permille")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_skyline" -> (q152Skyline _),
+    "q153_link_predict" -> (q153LinkPredict _),
+    "q154_backlog_peak" -> (q154BacklogPeak _),
+    "q155_benford" -> (q155Benford _),
+    "q156_char_outliers" -> (q156CharOutliers _),
+    "q157_markov" -> (q157Markov _))
+
+  // ------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    // The oracle pays the quadratic NOT-EXISTS dominance price the
+    // operator's two-phase sort-scan avoids.
+    "q152_skyline" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT m.l_partkey AS part, m.sum_qty, m.min_cents
+        |FROM m
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m o
+        |  WHERE o.sum_qty >= m.sum_qty AND o.min_cents <= m.min_cents
+        |    AND (o.sum_qty > m.sum_qty OR o.min_cents < m.min_cents))""".stripMargin,
+    "q153_link_predict" ->
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM op UNION ALL SELECT b, a FROM op),
+        |deg AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY src),
+        |viaz AS MATERIALIZED (
+        |  SELECT adj.src AS z, adj.dst, 1000000000000 // deg.deg AS w
+        |  FROM adj JOIN deg ON adj.src = deg.src WHERE deg.deg <= 200),
+        |cand AS MATERIALIZED (
+        |  SELECT z1.dst AS a, z2.dst AS b, z1.w
+        |  FROM viaz z1 JOIN viaz z2 ON z1.z = z2.z AND z1.dst < z2.dst),
+        |nc AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+        |         CAST(sum(w) AS BIGINT) AS score
+        |  FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM op WHERE op.a = cand.a AND op.b = cand.b)
+        |  GROUP BY a, b)
+        |SELECT a AS pa, b AS pb, common, score FROM nc
+        |ORDER BY score DESC, a, b LIMIT 50""".stripMargin,
+    // Identical RANGE-default window frame on both engines: tied
+    // timestamps share one cumulative value, so the sweep is
+    // order-deterministic.
+    "q154_backlog_peak" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_suppkey AS supp, o_orderdate AS od, l_shipdate AS sd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS MATERIALIZED (
+        |  SELECT supp, od AS ts, CAST(1 AS BIGINT) AS delta FROM li
+        |  UNION ALL
+        |  SELECT supp, sd, CAST(-1 AS BIGINT) FROM li),
+        |c AS (SELECT supp,
+        |        CAST(sum(delta) OVER (PARTITION BY supp ORDER BY ts) AS BIGINT) AS conc
+        |      FROM d)
+        |SELECT supp AS supplier, max(conc) AS peak FROM c GROUP BY supp""".stripMargin,
+    "q155_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT digit, cnt, (1000 * cnt) // total AS permille FROM c, t""".stripMargin,
+    "q156_char_outliers" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN m ON d.source = m.source
+        |WHERE (m.n * d.n_chars - m.s1) * (m.n * d.n_chars - m.s1)
+        |    > 4 * (m.n * m.s2 - m.s1 * m.s1)""".stripMargin,
+    "q157_markov" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+        |      FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n, (1000 * c.n) // t.total AS permille
+        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin)
+}

@@ -41,7 +41,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q145: the two row_number windows rank POST-TakeOrdered candidate
     // lists (<= 50 rows each, the RRF k) — the corpus-scale work is the
     // scorers' TakeOrderedAndProject passes below them
-    "q145_hybrid_search")
+    "q145_hybrid_search",
+    // q155: the window totals the 9 POST-AGGREGATE first-digit rows
+    "q155_benford")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
