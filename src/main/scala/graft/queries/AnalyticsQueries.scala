@@ -58,12 +58,19 @@ object AnalyticsQueries {
     * already linked are anti-joined away; top 50 by (score, pa, pb) is a
     * deterministic TakeOrderedAndProject. */
   def q153LinkPredict(s: SparkSession, dir: String): DataFrame = {
-    val und = coPurchaseDistinct(s, dir)
+    // persisted: the distinct-edge derivation (groupBy/collect_set/double
+    // explode/distinct over the whole fact table) feeds the adj union
+    // TWICE and the final anti-join once — the same multi-consumer shape
+    // [[graft.operators.Triangles.counted]] persists its canon for;
+    // unpersisted, Spark recomputes the dominant shuffle per consumer
+    val und = coPurchaseDistinct(s, dir).persist()
     val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    // persisted: both sides of the two-hop self-join read this subtree
     val viaZ = adj.join(deg.filter(col("deg") <= 200), "src")
       .withColumn("w", expr("CAST(1000000000000 DIV deg AS BIGINT)"))
+      .persist()
     val cand = viaZ.as("z1").join(viaZ.as("z2"),
         col("z1.src") === col("z2.src") && col("z1.dst") < col("z2.dst"))
       .select(col("z1.dst").as("a"), col("z2.dst").as("b"), col("z1.w").as("w"))
