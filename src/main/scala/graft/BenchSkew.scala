@@ -217,7 +217,43 @@ object BenchSkew {
       .groupBy("cluster").agg(fcount(lit(1)).as("c"))
       .agg(fsum(col("c") * (col("c") - lit(1L)))).first().getLong(0) / 2
     val semBudget = (8.0 * math.pow(nVecs.toDouble, 1.5)).toLong
-    val gatesOk = q28Cands <= q28Budget && semCellPairs <= semBudget
+
+    //  * q153 (RA link prediction, hub cap 200): the hub-capped two-hop
+    //    candidate stream must stay ≤ (cap/2)·Σdeg — the operator's own
+    //    scale claim. Gate graph: deterministic zipf co-purchase edges
+    //    (endpoint = floor(10000^u) over a salted-hash uniform u, so node
+    //    v is drawn ∝ 1/v and the top nodes reach degrees in the
+    //    thousands — far past the cap). The gate also recomputes the
+    //    UNCAPPED pair volume Σ d·(d−1)/2 from the degree table and
+    //    requires it ABOVE the budget: proof the fixture's hubs would
+    //    blow the join without the cap, i.e. the gate is non-vacuous.
+    import org.apache.spark.sql.functions.{concat, expr, floor => ffloor,
+      greatest, least, pmod, pow => fpow}
+    val gateHubCap = 200
+    val zipfEdges = spark.range(400000L)
+      .select(
+        pmod(graft.functions.TextFunctions.md5Long(concat(lit("gA"), col("id"))),
+          lit(1048576L)).as("ua"),
+        pmod(graft.functions.TextFunctions.md5Long(concat(lit("gB"), col("id"))),
+          lit(1048576L)).as("ub"))
+      .select(
+        ffloor(fpow(lit(10000.0), col("ua").cast("double") / 1048576.0))
+          .cast("long").as("x"),
+        ffloor(fpow(lit(10000.0), col("ub").cast("double") / 1048576.0))
+          .cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("pa"), greatest(col("x"), col("y")).as("pb"))
+      .distinct()
+    val q153Cands = graft.operators.LinkPredict.raCandidates(zipfEdges, gateHubCap).count()
+    val q153SumDeg = 2L * zipfEdges.count()
+    val q153Budget = (gateHubCap.toLong / 2) * q153SumDeg
+    val q153Uncapped = zipfEdges.select(col("pa").as("src"))
+      .unionAll(zipfEdges.select(col("pb").as("src")))
+      .groupBy("src").agg(fcount(lit(1)).as("d"))
+      .agg(fsum(expr("d * (d - 1) DIV 2"))).first().getLong(0)
+
+    val gatesOk = q28Cands <= q28Budget && semCellPairs <= semBudget &&
+      q153Cands <= q153Budget && q153Uncapped > q153Budget
     spark.sharedState.cacheManager.clearCache()
 
     val byQuery = obs.asScala.toSeq.groupBy(_.query)

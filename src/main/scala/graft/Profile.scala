@@ -24,6 +24,9 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.contains("q153")) { profileQ153(spark, dir); spark.stop(); return }
+    if (args.contains("q142")) { profileQ142(spark, dir); spark.stop(); return }
+
     val docs = Tables.documents(spark, dir)
     println(s"[profile] docs partitions = ${docs.rdd.getNumPartitions}")
     time("warmup")(docs.select(col("doc_id")))
@@ -59,5 +62,61 @@ object Profile {
     emb.groupBy("label").count().orderBy(desc("count")).show(5)
     time("lsh ann 6 planes")(Similarity.lshNearestNeighbor(emb, "vec_id", "embedding", 6))
     spark.stop()
+  }
+
+  /** Refresh the Triangles.counted persist-vs-recompute constant on the
+    * CURRENT fixtures (the "17 s → 4 s" comment predates the r8 testdata
+    * regeneration): q142 as shipped (persisted canon+deg) vs the same
+    * pipeline with no persists. */
+  def profileQ142(spark: SparkSession, dir: String): Unit = {
+    time("warmup")(Tables.lineitem(spark, dir).select(col("l_orderkey")))
+    time("q142 as shipped (persisted)")(
+      graft.queries.ScaleQueries.q142TriangleCounts(spark, dir))
+    spark.sharedState.cacheManager.clearCache()
+    time("q142 as shipped rep2")(
+      graft.queries.ScaleQueries.q142TriangleCounts(spark, dir))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  /** Stage decomposition of q153 link prediction (judge flagged ~50 s cold
+    * at sf0.1, with the round-8 persists a measured no-op). */
+  def profileQ153(spark: SparkSession, dir: String): Unit = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    time("warmup scan")(li)
+    val und = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .distinct()
+    time("und (distinct edges)")(und)
+    println(s"[profile] |und| = ${und.count()}")
+    val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    time("deg")(deg)
+    deg.selectExpr("count(*) n", "sum(deg) sum_deg", "max(deg) max_deg",
+      "sum(CASE WHEN deg <= 200 THEN deg * deg ELSE 0 END) sum_deg2_capped").show()
+    val viaZ = adj.join(deg.filter(col("deg") <= 200), "src")
+      .withColumn("w", expr("CAST(1000000000000 DIV deg AS BIGINT)"))
+    time("viaZ")(viaZ)
+    val cand = viaZ.as("z1").join(viaZ.as("z2"),
+        col("z1.src") === col("z2.src") && col("z1.dst") < col("z2.dst"))
+      .select(col("z1.dst").as("a"), col("z2.dst").as("b"), col("z1.w").as("w"))
+    time("cand (two-hop join)")(cand)
+    println(s"[profile] |cand| = ${cand.count()}")
+    val pairs = cand.groupBy("a", "b").agg(count(lit(1)).as("common"), sum("w").as("score"))
+    time("pairs (agg first)")(pairs)
+    println(s"[profile] |pairs| = ${pairs.count()}")
+    time("current order: anti then agg")(
+      cand.join(und, cand("a") === und("pa") && cand("b") === und("pb"), "left_anti")
+        .groupBy("a", "b").agg(count(lit(1)).as("common"), sum("w").as("score"))
+        .orderBy(col("score").desc, col("a"), col("b")).limit(50))
+    time("agg-first then anti")(
+      pairs.join(und, pairs("a") === und("pa") && pairs("b") === und("pb"), "left_anti")
+        .orderBy(col("score").desc, col("a"), col("b")).limit(50))
+    time("full q153 (as shipped)")(
+      graft.queries.AnalyticsQueries.q153LinkPredict(spark, dir))
+    spark.sharedState.cacheManager.clearCache()
   }
 }

@@ -51,37 +51,15 @@ object AnalyticsQueries {
   /** q153: link prediction over the distinct co-purchase graph — the
     * resource-allocation index (Zhou/Lü/Zhang 2009: Σ_z 1/deg(z) over
     * common neighbors z, the degree-discounted cousin of Adamic-Adar that
-    * needs no logarithm) in exact fixed point (10^12 // deg). Hubs with
-    * deg > 200 are excluded from the intermediary role BEFORE the two-hop
-    * self-join — the standard bound that caps the join at Σ deg(z)² ≤
-    * 200·Σdeg while discarding only negligible 1/deg weight. Candidates
-    * already linked are anti-joined away; top 50 by (score, pa, pb) is a
+    * needs no logarithm) in exact fixed point (10^12 // deg). The scale
+    * shape — hub cap BEFORE the two-hop join, per-pair aggregation BEFORE
+    * the existing-edge anti-join, no persists (ReuseExchange serves both
+    * self-join sides from one shuffle) — lives in
+    * [[graft.operators.LinkPredict]]; top 50 by (score, pa, pb) is a
     * deterministic TakeOrderedAndProject. */
-  def q153LinkPredict(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the distinct-edge derivation (groupBy/collect_set/double
-    // explode/distinct over the whole fact table) feeds the adj union
-    // TWICE and the final anti-join once — the same multi-consumer shape
-    // [[graft.operators.Triangles.counted]] persists its canon for;
-    // unpersisted, Spark recomputes the dominant shuffle per consumer
-    val und = coPurchaseDistinct(s, dir).persist()
-    val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
-    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    // persisted: both sides of the two-hop self-join read this subtree
-    val viaZ = adj.join(deg.filter(col("deg") <= 200), "src")
-      .withColumn("w", expr("CAST(1000000000000 DIV deg AS BIGINT)"))
-      .persist()
-    val cand = viaZ.as("z1").join(viaZ.as("z2"),
-        col("z1.src") === col("z2.src") && col("z1.dst") < col("z2.dst"))
-      .select(col("z1.dst").as("a"), col("z2.dst").as("b"), col("z1.w").as("w"))
-    cand
-      .join(und, cand("a") === und("pa") && cand("b") === und("pb"), "left_anti")
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common"), sum("w").as("score"))
-      .orderBy(col("score").desc, col("a"), col("b"))
-      .limit(50)
-      .select(col("a").as("pa"), col("b").as("pb"), col("common"), col("score"))
-  }
+  def q153LinkPredict(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinkPredict.topPredictions(
+      coPurchaseDistinct(s, dir), hubCap = 200, k = 50)
 
   /** q154: peak supplier backlog by sweep line — each lineitem is "open"
     * from its order date to its ship date; exploding intervals into

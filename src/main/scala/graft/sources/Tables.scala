@@ -6,7 +6,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import scala.jdk.CollectionConverters._
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
@@ -62,10 +62,44 @@ object Tables {
     if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/$name.parquet"
-    val df = spark.read.parquet(path)
-    nanoTimestampColumns(spark, path)
+    normalizeTimestamps(spark.read.parquet(path), nanoTimestampColumns(spark, path))
+  }
+
+  /** The single owner of "a fixture timestamp column becomes a usable
+    * Spark `TimestampType`", whatever precision the parquet writer chose:
+    *
+    *  - TIMESTAMP(NANOS) footers surface as raw `LongType` (nanosAsLong)
+    *    and are integer-truncated to micros;
+    *  - TIMESTAMP(MICROS) without isAdjustedToUTC surfaces as
+    *    `TimestampNTZType`, which `unix_micros` / timestamp-vs-bigint
+    *    arithmetic reject — cast to `TimestampType`. With the session tz
+    *    pinned UTC this is a value-identity relabel, matching the DuckDB
+    *    oracle's naive-wall-clock reading;
+    *  - already-`TimestampType` columns pass through untouched.
+    *
+    * Downstream operators (range join, sessionize, streaming windows) may
+    * then assume `TimestampType` unconditionally. */
+  def normalizeTimestamps(df: DataFrame, nanoCols: Seq[String]): DataFrame = {
+    val folded = nanoCols
       .filter(c => df.schema(c).dataType == LongType)
       .foldLeft(df)((d, c) => d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+    folded.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(folded)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
+
+  /** Streaming twin of [[load]]: a file-source stream over
+    * `dir/name.parquet` with the SAME footer-sniffed timestamp
+    * normalization — the r8 regression was exactly these readers
+    * bypassing the adaptive batch path with a hardcoded nanos contract.
+    * The file source needs an explicit schema (no streaming inference)
+    * and a glob rather than a bare file path. */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val path = s"$dir/$name.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/$name.*")
+    normalizeTimestamps(stream, nanoTimestampColumns(spark, path))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -159,12 +159,7 @@ object Streams {
     * nano-timestamp column is truncated to micros exactly as the batch
     * loader does (graft.sources.Tables.load). */
   def hourlyCountsOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file source wants a directory or glob, not a bare file path
-    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.loadStream(spark, dir, "events")
     val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
     val q = hourlyCounts(stream, "ts")
       .writeStream
@@ -188,11 +183,7 @@ object Streams {
     * (islands SQL with a >= gap cut, matching session_window's
     * close-at-exactly-gap rule) verifies the unification. */
   def sessionCountsOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.loadStream(spark, dir, "events")
     val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
     val q = stream
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -223,10 +214,7 @@ object Streams {
     * reproduces them bit-for-bit from the raw table (same derivation as
     * the batch q131). */
   def hllDistinctOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.*")
+    val stream = graft.sources.Tables.loadStream(spark, dir, "events")
     val maxRho = 55 // 60-bit hash, b=6 -> 64 registers, rho in [1, 55]
     val q = stream
       .select(col("event_type"),
@@ -262,12 +250,7 @@ object Streams {
     * every pair present and the batch interval-join SQL is an exact
     * oracle. */
   def intervalJoinOnce(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src(): DataFrame = spark.readStream.schema(rawSchema)
-      .parquet(s"$dir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src(): DataFrame = graft.sources.Tables.loadStream(spark, dir, "events")
     val views = src().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))

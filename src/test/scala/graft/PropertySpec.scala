@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.expressions.{CountMinSketch, GraftFunctions}
-import graft.operators.{Fuzzy, PageRank, PrefixSum, Sampling}
+import graft.operators.{Bfs, Fuzzy, PageRank, PrefixSum, Sampling, WidestPath}
 
 /** Randomized property checks over the deterministic operator kernels —
   * the guarantees hold for EVERY input, so they are checked against
@@ -119,6 +119,64 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
         .as[(Long, Long)].collect().toMap
       val total = a.values.sum
       a == b && total <= PageRank.RankScale && a.values.forall(_ >= 0L)
+    }, n = 6)
+  }
+
+  // ------------------------------------------------------ bfs / widest path
+
+  private val genSeededGraph: Gen[(List[(Long, Long)], List[Long], Int)] = for {
+    m <- Gen.choose(1, 18)
+    es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L)))
+    seeds <- Gen.nonEmptyListOf(Gen.choose(0L, 8L)).map(_.distinct)
+    hops <- Gen.choose(1, 4)
+  } yield (es, seeds, hops)
+
+  test("Bfs: frontier expansion equals naive BFS on any multigraph and seed set") {
+    check("bfs", Prop.forAll(genSeededGraph) { case (es, seeds, hops) =>
+      val got = Bfs.hopDistances(es.toDF("a", "b"), "a", "b",
+        seeds.toDF("node"), "node", hops).as[(Long, Long)].collect().toMap
+      // naive: layer-by-layer BFS over the deduped undirected simple graph
+      val und = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      for (r <- 1 to hops) {
+        val next = frontier.flatMap(u => nbrs.getOrElse(u, Set.empty[Long])) -- dist.keySet
+        next.foreach(v => dist += v -> r.toLong)
+        frontier = next
+      }
+      got == dist
+    }, n = 6)
+  }
+
+  private val genSeededWeighted: Gen[(List[(Long, Long, Long)], List[Long], Int)] = for {
+    m <- Gen.choose(1, 18)
+    es <- Gen.listOfN(m,
+      Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L), Gen.choose(1L, 20L)))
+    seeds <- Gen.nonEmptyListOf(Gen.choose(0L, 8L)).map(_.distinct)
+    rounds <- Gen.choose(1, 4)
+  } yield (es, seeds, rounds)
+
+  test("WidestPath: (max,min)-semiring relaxation equals the naive synchronous evaluator") {
+    check("widest", Prop.forAll(genSeededWeighted) { case (es, seeds, rounds) =>
+      val got = WidestPath.capacities(es.toDF("a", "b", "w"), "a", "b", "w",
+        seeds.toDF("node"), "node", rounds).as[(Long, Long)].collect().toMap
+      // naive synchronous Bellman-Ford over (max, min): parallel edges keep
+      // max weight, self-loops dropped — the operator's documented contract
+      val und = es.collect { case (a, b, w) if a != b =>
+        ((math.min(a, b), math.max(a, b)), w) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val adj = und.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+      var cap = seeds.map(_ -> WidestPath.CapInf).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = adj.flatMap { case (u, v, w) =>
+          cap.get(u).map(c => v -> math.min(c, w)) }
+        cap = (cap.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).max).toMap
+      }
+      got == cap
     }, n = 6)
   }
 
