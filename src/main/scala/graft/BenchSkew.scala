@@ -301,7 +301,9 @@ object BenchSkew {
         s""""candidate_gates":{"q28_lsh_candidates":$q28Cands,""" +
         s""""q28_budget":$q28Budget,"n_docs":$nDocs,""" +
         s""""semdedup_cell_pairs":$semCellPairs,"semdedup_budget":$semBudget,""" +
-        s""""n_vecs":$nVecs},"candidate_gates_ok":$gatesOk,""" +
+        s""""n_vecs":$nVecs,"q153_two_hop_candidates":$q153Cands,""" +
+        s""""q153_budget":$q153Budget,"q153_uncapped_pairs":$q153Uncapped,""" +
+        s""""q153_sum_deg":$q153SumDeg},"candidate_gates_ok":$gatesOk,""" +
         s""""aqe_skew_fired_raw_index_join":$aqeFired}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SKEW.json"), json)

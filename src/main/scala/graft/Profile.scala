@@ -69,13 +69,25 @@ object Profile {
     * regeneration): q142 as shipped (persisted canon+deg) vs the same
     * pipeline with no persists. */
   def profileQ142(spark: SparkSession, dir: String): Unit = {
+    // same co-purchase edge derivation as ScaleQueries.coPurchaseEdges
+    def edges() = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
     time("warmup")(Tables.lineitem(spark, dir).select(col("l_orderkey")))
-    time("q142 as shipped (persisted)")(
-      graft.queries.ScaleQueries.q142TriangleCounts(spark, dir))
-    spark.sharedState.cacheManager.clearCache()
-    time("q142 as shipped rep2")(
-      graft.queries.ScaleQueries.q142TriangleCounts(spark, dir))
-    spark.sharedState.cacheManager.clearCache()
+    // interleaved A/B, 2 reps each, cache cleared between — rep 1 carries
+    // first-codegen cost, rep 2 is the steady-state number to quote
+    for (rep <- 1 to 2) {
+      time(s"q142 persisted rep$rep")(
+        graft.operators.Triangles.perNodeCounts(edges(), "pa", "pb"))
+      spark.sharedState.cacheManager.clearCache()
+      time(s"q142 no-persist rep$rep")(
+        graft.operators.Triangles.perNodeCounts(edges(), "pa", "pb",
+          persistIntermediates = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   /** Stage decomposition of q153 link prediction (judge flagged ~50 s cold
@@ -115,6 +127,26 @@ object Profile {
     time("agg-first then anti")(
       pairs.join(und, pairs("a") === und("pa") && pairs("b") === und("pb"), "left_anti")
         .orderBy(col("score").desc, col("a"), col("b")).limit(50))
+    // variant: pack (a,b) into ONE long group key — halves key width and
+    // hash cost for the 100M-group aggregate
+    val packed = cand.select(
+        (shiftleft(col("a"), 32) + col("b")).as("ab"), col("w"))
+      .groupBy("ab").agg(count(lit(1)).as("common"), sum("w").as("score"))
+      .select(shiftright(col("ab"), 32).as("a"),
+        (col("ab") - shiftleft(shiftright(col("ab"), 32), 32)).as("b"),
+        col("common"), col("score"))
+    time("packed-key agg")(packed)
+    // variant: shuffle raw candidates FIRST, then aggregate with the
+    // distribution already satisfied — skips the useless partial pass
+    // (map-side hash probe over ~unique keys)
+    val preShuffled = cand.repartition(col("a"), col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"), sum("w").as("score"))
+    time("repartition+complete agg")(preShuffled)
+    val packedPre = cand.select(
+        (shiftleft(col("a"), 32) + col("b")).as("ab"), col("w"))
+      .repartition(col("ab"))
+      .groupBy("ab").agg(count(lit(1)).as("common"), sum("w").as("score"))
+    time("packed+preshuffle agg")(packedPre)
     time("full q153 (as shipped)")(
       graft.queries.AnalyticsQueries.q153LinkPredict(spark, dir))
     spark.sharedState.cacheManager.clearCache()

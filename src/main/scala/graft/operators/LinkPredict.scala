@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link prediction over an undirected graph by the resource-allocation
@@ -17,15 +17,12 @@ import org.apache.spark.sql.functions._
   *     linear in edges, hub-proof — while discarding only negligible
   *     1/deg weight. Without the cap a zipf hub alone contributes
   *     deg²/2 pairs (quadratic blowup). BENCH_SKEW gates this volume.
-  *  2. AGGREGATE BEFORE THE ANTI-JOIN. The per-(a,b) score aggregation
-  *     runs directly on the two-hop join output — map-side partial
-  *     aggregation combines candidates inside the join stage, so the
-  *     shuffle that follows carries |distinct pairs|, not |candidates|.
-  *     Only then are existing edges anti-joined away: the anti-join
-  *     (and every operator after it) processes the far smaller pair
-  *     set. Filtering on (a,b) commutes with grouping on (a,b), so the
-  *     result is unchanged — but the candidate-volume stream never
-  *     crosses a second shuffle.
+  *  2. AGGREGATE BEFORE THE ANTI-JOIN, on a PACKED single-long key,
+  *     with the shuffle issued explicitly first (see
+  *     [[topPredictions]]): grouping commutes with the existing-edge
+  *     filter, so the anti-join and everything after it process
+  *     |distinct pairs| once, on an already-satisfied partitioning —
+  *     the candidate stream crosses exactly one shuffle.
   *  3. NO persist() ANYWHERE. The two self-join sides are identical
   *     subplans, and Spark's ReuseExchange already serves both from one
   *     shuffle; round-8 measured the explicit persist as a no-op
@@ -58,15 +55,65 @@ object LinkPredict {
   }
 
   /** Top-k predicted links: non-adjacent pairs with the highest RA
-    * score, ordered (score desc, a, b) for a deterministic result. */
-  def topPredictions(und: DataFrame, hubCap: Int, k: Int): DataFrame = {
-    val pairs = raCandidates(und, hubCap)
-      .groupBy("a", "b")
+    * score, ordered (score desc, a, b) for a deterministic result.
+    *
+    * The per-pair aggregate is the measured hot spot, not the join: on a
+    * dense graph nearly every candidate pair has ONE common neighbor
+    * (sf0.1: 147M candidates → 101M distinct pairs), so map-side partial
+    * aggregation combines almost nothing and a two-column group key pays
+    * full generic-hash-map cost per row. Three measured moves (cold,
+    * sf0.1, local[32]) take the aggregate from ~50 s to ~20 s:
+    *
+    *  1. PACK the pair into ONE long, ab = a·2^32 + b — Spark's
+    *     single-long-key aggregate fast path (~50 s → ~38 s);
+    *  2. REPARTITION by ab BEFORE aggregating — the required
+    *     distribution is already satisfied, so the plan runs one
+    *     complete aggregate and skips the useless partial hash probe
+    *     over ~unique keys (with packing: ~20 s);
+    *  3. downstream stays packed: the anti-join runs on ab (the pairs
+    *     side reuses the repartition's hash partitioning — ZERO extra
+    *     shuffle of the big side; the edge side is one long per row,
+    *     AQE broadcasts it when small), and the top-k orders by
+    *     (score desc, ab), which equals (score desc, a, b) because the
+    *     packing is order-isomorphic for non-negative ids. Only the
+    *     final k rows unpack.
+    *
+    * PRECONDITION: node ids in [0, 2^31) — enforced per-edge with
+    * `assert_true` (a filter over |E| rows, negligible next to the
+    * candidate stream; fails LOUDLY, never corrupts). Ids wider than 31
+    * bits (e.g. synthetic 64-bit hashes) must be densified first or use
+    * `packKeys = false`, which keeps the same plan on the two-column
+    * key (~35 s — still ahead of the naive shape, no precondition). */
+  def topPredictions(und: DataFrame, hubCap: Int, k: Int,
+                     packKeys: Boolean = true): DataFrame = {
+    if (!packKeys) {
+      val pairs = raCandidates(und, hubCap)
+        .repartition(col("a"), col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"), sum("w").as("score"))
+      return pairs
+        .join(und, pairs("a") === und("pa") && pairs("b") === und("pb"), "left_anti")
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(k)
+        .select(col("a").as("pa"), col("b").as("pb"), col("common"), col("score"))
+    }
+    val idBound = 1L << 31
+    val guarded = und.filter(assert_true(
+      col("pa") >= 0 && col("pa") < idBound && col("pb") >= 0 && col("pb") < idBound,
+      lit(s"LinkPredict packed keys require node ids in [0, 2^31); " +
+        "densify ids or call with packKeys = false")).isNull)
+    def pack(a: Column, b: Column): Column = shiftleft(a, 32) + b
+    val packedPairs = raCandidates(guarded, hubCap)
+      .select(pack(col("a"), col("b")).as("ab"), col("w"))
+      .repartition(col("ab"))
+      .groupBy("ab")
       .agg(count(lit(1)).as("common"), sum("w").as("score"))
-    pairs
-      .join(und, pairs("a") === und("pa") && pairs("b") === und("pb"), "left_anti")
-      .orderBy(col("score").desc, col("a"), col("b"))
+    packedPairs
+      .join(guarded.select(pack(col("pa"), col("pb")).as("ab")), Seq("ab"), "left_anti")
+      .orderBy(col("score").desc, col("ab"))
       .limit(k)
-      .select(col("a").as("pa"), col("b").as("pb"), col("common"), col("score"))
+      .select(shiftright(col("ab"), 32).as("pa"),
+        col("ab").bitwiseAND(lit(0xFFFFFFFFL)).as("pb"),
+        col("common"), col("score"))
   }
 }
