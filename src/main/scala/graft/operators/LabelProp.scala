@@ -33,15 +33,35 @@ object LabelProp {
   /** Labels after `rounds` synchronous propagation rounds over the
     * undirected graph given as an edge list (self-loops dropped,
     * duplicate/reversed edges collapsed). Returns (node, label) for every
-    * node incident to at least one surviving edge. */
+    * node incident to at least one surviving edge.
+    *
+    * Node ids must be in [0, 2^31) — enforced loudly per edge, the same
+    * contract [[Triangles]] documents for its order key — because the
+    * hot (node, label) count aggregates on the PACKED key
+    * node·2^32 + label: in early rounds nearly every (node, label) pair
+    * is unique (round 1 has one per directed edge), the regime where
+    * map-side partial aggregation combines nothing and the measured
+    * LinkPredict numbers show single-long-key + repartition-first at
+    * 2.5× over the two-column partial-agg shape. At sf0.1 volumes
+    * (2.4M pairs over 32 partitions) the two shapes measure THE SAME
+    * (~6.6 s either way — per-round cost there is the join plus the
+    * eager checkpoint, not the agg); the packed key is carried for the
+    * scale regime, not a local win. Labels are always node ids (start
+    * values and mode winners), so the guard on edges covers the label
+    * side for every round. */
   def communities(edges: DataFrame, aCol: String, bCol: String,
                   rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val idBound = 1L << 31
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .filter(assert_true(
+        col("a") >= 0 && col("a") < idBound && col("b") >= 0 && col("b") < idBound,
+        lit("LabelProp requires node ids in [0, 2^31) for packed count keys"))
+        .isNull)
     // both directions once, reused every round
     val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
@@ -52,8 +72,12 @@ object LabelProp {
     for (_ <- 1 to rounds) {
       val nbr = adj
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      val cnt = nbr.groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .select((shiftleft(col("dst"), 32) + col("label")).as("nl"))
+      val cnt = nbr
+        .repartition(col("nl"))
+        .groupBy("nl").agg(count(lit(1)).as("cnt"))
+        .select(shiftright(col("nl"), 32).as("node"),
+          col("nl").bitwiseAND(lit(0xFFFFFFFFL)).as("label"), col("cnt"))
       // argmax by (cnt DESC, label ASC) as an aggregate: min over the
       // struct's lexicographic order — partial-aggregable, no window
       labels = cnt.groupBy("node")

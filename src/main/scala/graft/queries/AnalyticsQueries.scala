@@ -140,13 +140,23 @@ object AnalyticsQueries {
       .select("from_type", "to_type", "n", "permille")
   }
 
+  /** q158: top principal component of the embedding cloud — exact
+    * distributed moments (DECIMAL fixed point, O(d²·partitions) shuffle)
+    * + a bounded d×d integer power iteration on the driver
+    * ([[graft.operators.Pca.topComponent]]); the oracle recomputes the
+    * moments and unrolls the same 3 rounds in HUGEINT CTEs. */
+  def q158PcaTop(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.topComponent(
+      Tables.embeddings(s, dir), "embedding", rounds = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_skyline" -> (q152Skyline _),
     "q153_link_predict" -> (q153LinkPredict _),
     "q154_backlog_peak" -> (q154BacklogPeak _),
     "q155_benford" -> (q155Benford _),
     "q156_char_outliers" -> (q156CharOutliers _),
-    "q157_markov" -> (q157Markov _))
+    "q157_markov" -> (q157Markov _),
+    "q158_pca_top" -> (q158PcaTop _))
 
   // ------------------------------------------------------------- oracles
 
@@ -233,5 +243,61 @@ object AnalyticsQueries {
         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total
         |      FROM c GROUP BY from_type)
         |SELECT c.from_type, c.to_type, c.n, (1000 * c.n) // t.total AS permille
-        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin)
+        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
+    "q158_pca_top" -> pcaOracleSql(rounds = 3))
+
+  /** DuckDB mirror of [[graft.operators.Pca.topComponent]]: exact
+    * DECIMAL(18,6) moments over per-row double products, scaled
+    * covariance D = n·S·10⁶ − s·sᵀ in HUGEINT (int128 — |D·v| peaks
+    * ~10²⁹, well inside), and `rounds` unrolled power-iteration CTEs.
+    * The rescale divides NON-NEGATIVE operands and carries the sign in
+    * a CASE, because DuckDB `//` and Spark `DIV`/BigInt division only
+    * agree on truncation for non-negative values. DuckDB arrays are
+    * 1-based; `dim` re-bases to 0 at the end. */
+  private def pcaOracleSql(rounds: Int): String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS (
+         |  SELECT d.i AS i, SUM(d.dij * v.v) AS w
+         |  FROM dmat d JOIN $prev v ON v.i = d.j GROUP BY d.i),
+         |m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+         |v$r AS (
+         |  SELECT i, CASE WHEN w < 0 THEN CAST(-1 AS HUGEINT)
+         |                 ELSE CAST(1 AS HUGEINT) END
+         |    * ((ABS(w) * 1000000) // (SELECT m FROM m$r)) AS v FROM w$r)"""
+        .stripMargin
+    }
+    s"""WITH ex AS (
+       |  SELECT vec_id, UNNEST(generate_series(1, len(embedding))) AS i,
+       |         embedding
+       |  FROM embeddings),
+       |ex2 AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi, embedding FROM ex),
+       |fm AS (
+       |  SELECT i, SUM(CAST(xi AS DECIMAL(18,6))) AS s, COUNT(*) AS n
+       |  FROM ex2 GROUP BY i),
+       |pp AS (
+       |  SELECT vec_id, i, xi,
+       |         UNNEST(generate_series(i, len(embedding))) AS j, embedding
+       |  FROM ex2),
+       |sm AS (
+       |  SELECT i, j, SUM(CAST(xi * embedding[j]::DOUBLE AS DECIMAL(18,6))) AS sp
+       |  FROM pp GROUP BY i, j),
+       |nn AS (SELECT MAX(n) AS n FROM fm),
+       |bb AS (SELECT i, CAST(s * 1000000 AS HUGEINT) AS b FROM fm),
+       |aa AS (SELECT i, j, CAST(sp * 1000000 AS HUGEINT) AS a FROM sm),
+       |du AS (
+       |  SELECT a.i AS i, a.j AS j,
+       |    CAST((SELECT n FROM nn) AS HUGEINT) * a.a * 1000000
+       |      - b1.b * b2.b AS dij
+       |  FROM aa a JOIN bb b1 ON b1.i = a.i JOIN bb b2 ON b2.i = a.j),
+       |dmat AS (
+       |  SELECT i, j, dij FROM du
+       |  UNION ALL SELECT j AS i, i AS j, dij FROM du WHERE i <> j),
+       |v0 AS (
+       |  SELECT UNNEST(generate_series(1, (SELECT MAX(i) FROM fm))) AS i,
+       |         CAST(1000000 AS HUGEINT) AS v),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT i - 1 AS dim, CAST(v AS BIGINT) AS loading FROM v$rounds
+       |ORDER BY dim""".stripMargin
+  }
 }
