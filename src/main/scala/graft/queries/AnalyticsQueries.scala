@@ -149,6 +149,30 @@ object AnalyticsQueries {
     graft.operators.Pca.topComponent(
       Tables.embeddings(s, dir), "embedding", rounds = 3)
 
+  /** q159: drift extremes along the top principal axis — the 10 most-
+    * positive and 10 most-negative vectors by principal score, the 1-D
+    * projection a curation pipeline reads to see WHAT the dominant
+    * variance direction is made of. The loadings come from
+    * [[graft.operators.Pca.topComponent]] (bounded d-row collect) and
+    * fold into the scan as a literal array; the score is the native
+    * left-fold dot ([[graft.expressions.ArrayDotProduct]] — the same
+    * bit-exactness contract as the cosine queries), so the plan is
+    * scan → project → two TakeOrderedAndProject heads, no shuffle of
+    * the corpus. */
+  def q159PcaExtremes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val l = graft.operators.Pca.topComponent(emb, "embedding", rounds = 3)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val lv = array(l.map(x => lit(x.toDouble)): _*)
+    val scored = emb.select(col("vec_id"),
+      graft.expressions.GraftFunctions.dotNative(col("embedding"), lv).as("score"))
+    val hi = scored.orderBy(col("score").desc, col("vec_id")).limit(10)
+      .select(lit("hi").as("side"), col("vec_id"), col("score"))
+    val lo = scored.orderBy(col("score").asc, col("vec_id")).limit(10)
+      .select(lit("lo").as("side"), col("vec_id"), col("score"))
+    hi.unionAll(lo)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_skyline" -> (q152Skyline _),
     "q153_link_predict" -> (q153LinkPredict _),
@@ -156,7 +180,8 @@ object AnalyticsQueries {
     "q155_benford" -> (q155Benford _),
     "q156_char_outliers" -> (q156CharOutliers _),
     "q157_markov" -> (q157Markov _),
-    "q158_pca_top" -> (q158PcaTop _))
+    "q158_pca_top" -> (q158PcaTop _),
+    "q159_pca_extremes" -> (q159PcaExtremes _))
 
   // ------------------------------------------------------------- oracles
 
@@ -244,17 +269,38 @@ object AnalyticsQueries {
         |      FROM c GROUP BY from_type)
         |SELECT c.from_type, c.to_type, c.n, (1000 * c.n) // t.total AS permille
         |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
-    "q158_pca_top" -> pcaOracleSql(rounds = 3))
+    "q158_pca_top" ->
+      s"""WITH ${pcaCtes(rounds = 3)}
+         |SELECT i - 1 AS dim, CAST(v AS BIGINT) AS loading FROM v3
+         |ORDER BY dim""".stripMargin,
+    // same loadings CTE chain; the projection mirrors the engine's
+    // left-fold double dot exactly (dotSql's list_reduce order)
+    "q159_pca_extremes" ->
+      s"""WITH ${pcaCtes(rounds = 3)},
+         |lds AS (SELECT LIST(CAST(v AS DOUBLE) ORDER BY i) AS lv FROM v3),
+         |sc AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_transform(generate_series(1, len(embedding)),
+         |      k -> embedding[k]::DOUBLE * lv[k]), (x,y) -> x + y) AS score
+         |  FROM embeddings, lds),
+         |hi AS (SELECT 'hi' AS side, vec_id, score FROM sc
+         |       ORDER BY score DESC, vec_id LIMIT 10),
+         |lo AS (SELECT 'lo' AS side, vec_id, score FROM sc
+         |       ORDER BY score ASC, vec_id LIMIT 10)
+         |SELECT * FROM hi UNION ALL SELECT * FROM lo""".stripMargin)
 
-  /** DuckDB mirror of [[graft.operators.Pca.topComponent]]: exact
-    * DECIMAL(18,6) moments over per-row double products, scaled
-    * covariance D = n·S·10⁶ − s·sᵀ in HUGEINT (int128 — |D·v| peaks
-    * ~10²⁹, well inside), and `rounds` unrolled power-iteration CTEs.
-    * The rescale divides NON-NEGATIVE operands and carries the sign in
-    * a CASE, because DuckDB `//` and Spark `DIV`/BigInt division only
-    * agree on truncation for non-negative values. DuckDB arrays are
-    * 1-based; `dim` re-bases to 0 at the end. */
-  private def pcaOracleSql(rounds: Int): String = {
+  /** DuckDB mirror of [[graft.operators.Pca.topComponent]] as a CTE
+    * chain ending in `v<rounds>` (i 1-based, v HUGEINT loading) — shared
+    * by the q158 (loadings) and q159 (projection) oracles so the
+    * component definition cannot drift between them. Exact DECIMAL(18,6)
+    * moments over per-row double products, scaled covariance
+    * D = n·S·10⁶ − s·sᵀ in HUGEINT (int128 — |D·v| peaks ~10²⁹, well
+    * inside), and `rounds` unrolled power-iteration CTEs. The rescale
+    * divides NON-NEGATIVE operands and carries the sign in a CASE,
+    * because DuckDB `//` and Spark `DIV`/BigInt division only agree on
+    * truncation for non-negative values. DuckDB arrays are 1-based;
+    * consumers re-base `dim` to 0. */
+  private def pcaCtes(rounds: Int): String = {
     def round(r: Int): String = {
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""w$r AS (
@@ -267,7 +313,7 @@ object AnalyticsQueries {
          |    * ((ABS(w) * 1000000) // (SELECT m FROM m$r)) AS v FROM w$r)"""
         .stripMargin
     }
-    s"""WITH ex AS (
+    s"""ex AS (
        |  SELECT vec_id, UNNEST(generate_series(1, len(embedding))) AS i,
        |         embedding
        |  FROM embeddings),
@@ -296,8 +342,6 @@ object AnalyticsQueries {
        |v0 AS (
        |  SELECT UNNEST(generate_series(1, (SELECT MAX(i) FROM fm))) AS i,
        |         CAST(1000000 AS HUGEINT) AS v),
-       |${(1 to rounds).map(round).mkString(",\n")}
-       |SELECT i - 1 AS dim, CAST(v AS BIGINT) AS loading FROM v$rounds
-       |ORDER BY dim""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 }
