@@ -951,7 +951,57 @@ object LlmQueries {
     Pq.adcSearch(e, "vec_id", "embedding", q, cbs, excludeId = 7L, topK = 10)
   }
 
+  /** q160: skip-gram co-occurrence extraction + PMI ranking — the
+    * word2vec/GloVe training-data prep step: every unordered token pair
+    * within a ±3 window becomes a co-occurrence observation, and the top
+    * collocations by pointwise mutual information surface. Rare words
+    * (unigram count < 20) are dropped before scoring, the standard PMI
+    * noise guard.
+    *
+    * Exactness: PMI itself needs a log, so the score is the exact integer
+    * `1000·exp(PMI) = (c_ab·T²·1000) div (c_a·c_b)` — a strictly monotone
+    * transform of PMI over positive counts (same ranking, zero floats);
+    * HUGEINT-range products ride DECIMAL(38,0) in Spark and HUGEINT in
+    * DuckDB, both truncating division on positives.
+    *
+    * Scale shape: pair generation is a pure map — per row, `zip_with` over
+    * the token array against its o-shifted self for o=1..3 (no positional
+    * self-join, no per-doc explode²; output is ≤3·|tokens| rows). One
+    * (wa,wb) hash aggregate with map-side combine gives c_ab; the unigram
+    * table is vocabulary-sized (zipf-bounded, ≪ corpus) and joins twice by
+    * equi-key (AQE broadcasts when it fits); T is one scalar crossJoin.
+    * Top-50 is a TakeOrderedAndProject. Nothing here is all-pairs and no
+    * window touches a scale key. */
+  def q160PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val W = 3      // max skip-gram offset (window ±3)
+    val MINC = 20  // min unigram count for a word to be scored
+    val toks = Tables.documents(s, dir).select(tokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("t"))
+    val pairArr = (1 to W).map { o =>
+      s"""zip_with(slice(w, 1, greatest(size(w) - $o, 0)),
+         |         slice(w, ${o + 1}, greatest(size(w) - $o, 0)),
+         |         (a, b) -> struct(least(a, b) AS wa, greatest(a, b) AS wb))"""
+        .stripMargin
+    }.mkString("concat(", ", ", ")")
+    val cab = toks.select(explode(expr(pairArr)).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+    val freq = uni.filter(col("c") >= MINC)
+    cab
+      .join(freq.select(col("tok").as("wa"), col("c").as("ca")), "wa")
+      .join(freq.select(col("tok").as("wb"), col("c").as("cb")), "wb")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_x1000", expr(
+        "CAST((CAST(cab AS DECIMAL(38,0)) * t * t * 1000) DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"))
+      .orderBy(col("pmi_x1000").desc, col("wa"), col("wb"))
+      .limit(50)
+      .select("wa", "wb", "cab", "pmi_x1000")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_pmi_pairs" -> (q160PmiPairs _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q29_minhash_sig" -> (q29MinhashSig _),
@@ -1713,6 +1763,31 @@ object LlmQueries {
         |  CAST(len(a.s) AS BIGINT) AS sz_a
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * len(a.s)""".stripMargin,
+    "q160_pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+        |pairs AS (
+        |  SELECT least(w[i], w[i + o]) AS wa, greatest(w[i], w[i + o]) AS wb,
+        |    CAST(count(*) AS BIGINT) AS cab
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) ix,
+        |    (SELECT unnest(generate_series(1, 3)) AS o) os
+        |  WHERE i + o <= len(w)
+        |  GROUP BY 1, 2)
+        |SELECT wa, wb, cab,
+        |  CAST((cab::HUGEINT * t * t * 1000) // (ua.c::HUGEINT * ub.c) AS BIGINT)
+        |    AS pmi_x1000
+        |FROM pairs
+        |CROSS JOIN tot
+        |JOIN uni ua ON ua.tok = wa
+        |JOIN uni ub ON ub.tok = wb
+        |WHERE ua.c >= 20 AND ub.c >= 20
+        |ORDER BY pmi_x1000 DESC, wa, wb
+        |LIMIT 50""".stripMargin,
     "q100_pq_search" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM embeddings

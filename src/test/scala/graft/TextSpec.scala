@@ -44,4 +44,32 @@ class TextSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Long]("l") == java.lang.Long.parseLong("900150983cd24fb", 16))
     assert(r.getAs[Long]("i") == java.lang.Long.parseLong("90015098", 16))
   }
+
+  test("q160 skip-gram PMI equals a naive single-JVM recompute on real fixture data") {
+    val sf = "/root/testdata/sf0.001"
+    // naive: every unordered within-±3 pair from every doc, exact BigInt score
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(lower(col("text"))).as[String].collect()
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val cab = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for (d <- docs) {
+      val w = d.split(" ", -1) // keep empty tokens: split(lower(text), ' ') does
+      w.foreach(t => uni(t) += 1)
+      for (i <- w.indices; o <- 1 to 3 if i + o < w.length) {
+        val (a, b) =
+          if (w(i) <= w(i + o)) (w(i), w(i + o)) else (w(i + o), w(i))
+        cab((a, b)) += 1
+      }
+    }
+    val t = BigInt(uni.values.sum)
+    val expected = cab.iterator
+      .filter { case ((a, b), _) => uni(a) >= 20 && uni(b) >= 20 }
+      .map { case ((a, b), c) =>
+        (a, b, c, ((BigInt(c) * t * t * 1000) / (BigInt(uni(a)) * uni(b))).toLong)
+      }.toSeq
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(50)
+    val got = graft.queries.LlmQueries.q160PmiPairs(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }
