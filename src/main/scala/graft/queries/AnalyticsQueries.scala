@@ -173,8 +173,55 @@ object AnalyticsQueries {
     hi.unionAll(lo)
   }
 
+  /** q162: market-basket association rules (the Apriori 2-itemset surface):
+    * for every directed part pair a→b, support (baskets containing both),
+    * confidence (share of a-baskets that also hold b) and lift
+    * (confidence over b's base rate) — the cross-sell/aisle-placement
+    * classic, and the basket cousin of q160's word-pair PMI (lift IS
+    * exp(PMI) over baskets).
+    *
+    * Exactness: conf_permille = c_ab·1000 DIV c_a and lift_x1000 =
+    * c_ab·N·1000 DIV (c_a·c_b), all integer (DECIMAL(38,0) products so
+    * the arithmetic survives warehouse-scale counts; DuckDB replays in
+    * HUGEINT). Top 50 by (lift, conf, ante, cons) is deterministic.
+    *
+    * Scale shape: baskets are per-order DISTINCT part sets (bounded by
+    * order size, the coPurchase justification); pair counts come from the
+    * set-explode with pa<pb — never an unbounded self-join; item supports
+    * are a parts-sized equi-join (AQE broadcasts); N is one scalar
+    * crossJoin; min-support c_ab ≥ 3 prunes the rule stream before the
+    * joins. TakeOrderedAndProject caps the output. */
+  def q162AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val nb = baskets.agg(countDistinct("l_orderkey").as("nb"))
+    val itemSup = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val pairSup = baskets.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+    val rules = pairSup.select(col("pa").as("ante"), col("pb").as("cons"), col("cab"))
+      .unionAll(pairSup.select(col("pb").as("ante"), col("pa").as("cons"), col("cab")))
+    rules
+      .join(itemSup.select(col("l_partkey").as("ante"), col("c").as("ca")), "ante")
+      .join(itemSup.select(col("l_partkey").as("cons"), col("c").as("cb")), "cons")
+      .crossJoin(broadcast(nb))
+      .withColumn("conf_permille",
+        expr("CAST((CAST(cab AS DECIMAL(38,0)) * 1000) DIV ca AS BIGINT)"))
+      .withColumn("lift_x1000", expr(
+        "CAST((CAST(cab AS DECIMAL(38,0)) * nb * 1000) DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"))
+      .orderBy(col("lift_x1000").desc, col("conf_permille").desc,
+        col("ante"), col("cons"))
+      .limit(50)
+      .select("ante", "cons", "cab", "conf_permille", "lift_x1000")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_skyline" -> (q152Skyline _),
+    "q162_assoc_rules" -> (q162AssocRules _),
     "q153_link_predict" -> (q153LinkPredict _),
     "q154_backlog_peak" -> (q154BacklogPeak _),
     "q155_benford" -> (q155Benford _),
@@ -257,6 +304,31 @@ object AnalyticsQueries {
         |FROM documents d JOIN m ON d.source = m.source
         |WHERE (m.n * d.n_chars - m.s1) * (m.n * d.n_chars - m.s1)
         |    > 4 * (m.n * m.s2 - m.s1 * m.s1)""".stripMargin,
+    "q162_assoc_rules" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM baskets),
+        |item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |         FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM baskets a JOIN baskets b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT pa AS ante, pb AS cons, cab FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS ante, pa AS cons, cab FROM pairs)
+        |SELECT ante, cons, cab,
+        |  CAST((cab::HUGEINT * 1000) // ia.c AS BIGINT) AS conf_permille,
+        |  CAST((cab::HUGEINT * nb * 1000) // (ia.c::HUGEINT * ic.c) AS BIGINT)
+        |    AS lift_x1000
+        |FROM rules
+        |CROSS JOIN nb
+        |JOIN item ia ON ia.l_partkey = ante
+        |JOIN item ic ON ic.l_partkey = cons
+        |ORDER BY lift_x1000 DESC, conf_permille DESC, ante, cons
+        |LIMIT 50""".stripMargin,
     "q157_markov" ->
       """WITH nxt AS (
         |  SELECT event_type AS from_type,

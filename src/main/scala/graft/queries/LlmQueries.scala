@@ -1000,8 +1000,65 @@ object LlmQueries {
       .select("wa", "wb", "cab", "pmi_x1000")
   }
 
+  /** q161: automatic quality-cutoff selection — Otsu's method over the
+    * stopword-permille histogram: pick the threshold t maximizing the
+    * between-class variance ω₀ω₁(μ₀−μ₁)², i.e. the data-driven "junk vs
+    * prose" split a production corpus filter needs when a hand-tuned
+    * cutoff won't transfer across sources.
+    *
+    * Exactness: the objective is the rational (S·N₀ − N·S₀)² / (N₀·(N−N₀))
+    * per candidate bin; the argmax runs in BigInt on the DRIVER over the
+    * collected histogram (≤1001 post-aggregate rows — the PCA
+    * power-iteration precedent for bounded driver math), so no float ever
+    * enters and no overflow exists at any corpus size. The oracle replays
+    * the same argmax as a NOT EXISTS cross-compare in HUGEINT (exact up to
+    * ~1e8 docs — far past the sf0.01 verify scale).
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus into
+    * ≤1001 (bin, cnt) rows, one bounded collect, zero further passes — the
+    * emitted row is driver-computed from the histogram alone. */
+  def q161OtsuThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = tokens(col("text"))
+    val hist = Tables.documents(s, dir)
+      .select(lexiconHits(t, stopwords).cast("long").as("ns"),
+        size(t).cast("long").as("nt"))
+      .select(expr("CAST((ns * 1000) DIV nt AS BIGINT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val sTot = hist.map { case (b, c) => b * c }.sum
+    var (n0, s0) = (0L, 0L)
+    // argmax of (S*N0 - N*S0)^2 / (N0*(N-N0)); ties -> smallest bin
+    var best: Option[(Long, Long, Long, BigInt, BigInt)] = None
+    for ((bin, cnt) <- hist) {
+      n0 += cnt; s0 += bin * cnt
+      if (n0 > 0 && n0 < n) {
+        val num = {
+          val d = BigInt(sTot) * n0 - BigInt(n) * s0
+          d * d
+        }
+        val den = BigInt(n0) * (n - n0)
+        val better = best match {
+          case None => true
+          case Some((_, _, _, bn, bd)) => num * bd > bn * den
+        }
+        if (better) best = Some((bin, n0, s0, num, den))
+      }
+    }
+    best match {
+      case Some((bin, bn0, bs0, _, _)) =>
+        Seq((bin, bn0, n - bn0, bs0, sTot - bs0))
+          .toDF("threshold", "n_lo", "n_hi", "s_lo", "s_hi")
+      case None =>
+        Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("threshold", "n_lo", "n_hi", "s_lo", "s_hi")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pmi_pairs" -> (q160PmiPairs _),
+    "q161_otsu_threshold" -> (q161OtsuThreshold _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q29_minhash_sig" -> (q29MinhashSig _),
@@ -1788,6 +1845,34 @@ object LlmQueries {
         |WHERE ua.c >= 20 AND ub.c >= 20
         |ORDER BY pmi_x1000 DESC, wa, wb
         |LIMIT 50""".stripMargin,
+    "q161_otsu_threshold" ->
+      s"""WITH base AS (
+         |  SELECT CAST((CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) * 1000)
+         |    // CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS BIGINT) AS bin
+         |  FROM documents),
+         |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY bin),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |               CAST(sum(bin * cnt) AS BIGINT) AS s FROM h),
+         |cum AS (
+         |  SELECT bin,
+         |    CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS n0,
+         |    CAST(sum(bin * cnt) OVER (ORDER BY bin) AS BIGINT) AS s0
+         |  FROM h),
+         |scored AS (
+         |  SELECT bin, n0, s0, n, s,
+         |    (s::HUGEINT * n0 - n::HUGEINT * s0)
+         |      * (s::HUGEINT * n0 - n::HUGEINT * s0) AS num,
+         |    n0::HUGEINT * (n - n0) AS den
+         |  FROM cum CROSS JOIN tot
+         |  WHERE n0 > 0 AND n0 < n)
+         |SELECT a.bin AS threshold, a.n0 AS n_lo, a.n - a.n0 AS n_hi,
+         |  a.s0 AS s_lo, a.s - a.s0 AS s_hi
+         |FROM scored a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM scored b
+         |  WHERE b.num * a.den > a.num * b.den
+         |     OR (b.num * a.den = a.num * b.den AND b.bin < a.bin))""".stripMargin,
     "q100_pq_search" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM embeddings
