@@ -1056,9 +1056,88 @@ object LlmQueries {
     }
   }
 
+  /** q163: deterministic weighted source interleave — stride scheduling
+    * (the Pile/Dolma epoch-ordering op): each source emits docs at a rate
+    * proportional to its weight (its doc count here), by assigning doc k
+    * of source s the virtual time k·10⁹ div w_s and reading the corpus in
+    * virtual-time order. Every engine, run, and partitioning produces the
+    * SAME epoch order — the reproducible-training-run requirement.
+    *
+    * Scale shape: per-source rank comes from [[graft.operators.PrefixSum]]
+    * (two-level sharded prefix sum — NEVER a row_number window partitioned
+    * by source, which would drag a 90%-of-corpus web source into one
+    * task); weights are a bounded per-source aggregate broadcast back;
+    * virtual time is a pure map in DECIMAL(38,0) (exact past BIGINT at
+    * warehouse row counts); the head of the order is one
+    * TakeOrderedAndProject. The oracle affords the plain window. */
+  def q163StrideInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), lit(1L).as("one"))
+    val ranked = graft.operators.PrefixSum.inclusive(
+      docs, Seq("source"), "doc_id", "one", "k")
+    val weights = docs.groupBy("source").agg(count(lit(1)).as("ws"))
+    ranked.join(broadcast(weights), "source")
+      .withColumn("vt", expr(
+        "CAST((CAST(k AS DECIMAL(38,0)) * 1000000000) DIV ws AS BIGINT)"))
+      .orderBy(col("vt"), col("source"), col("doc_id"))
+      .limit(100)
+      .select("doc_id", "source", "k", "vt")
+  }
+
+  /** q164: domain-relevance importance scores, DSIR-style (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling"):
+    * featurize every doc as hashed bigram counts (4096 buckets), model the
+    * TARGET domain (the deterministic held-out slice, q73's split) and the
+    * RAW pool as bag-of-buckets frequency tables, and score each raw doc
+    * by how target-like its bigrams are. Production resamples the pool by
+    * these weights; the query surfaces the top-50 most target-like docs.
+    *
+    * Exactness: the published weight is Π (p_tgt/p_raw)^count — a float
+    * log-sum — so the score here is the integer surrogate
+    * Σ_instances ratio_permille(bucket), with ratio_permille =
+    * tc·(N_raw+4096)·1000 DIV ((rc+1)·N_tgt) — add-one smoothing on the
+    * raw side, zero floats, same top-like ordering intent; the surrogate
+    * is stated as such, not passed off as the paper's weight.
+    *
+    * Scale shape: bigrams are a `zip_with` map (no shingle distinct — DSIR
+    * counts OCCURRENCES); both frequency models are 4096-row bounded
+    * aggregates; the ratio table broadcasts; per-doc scoring is one
+    * map-side-combined sum; top-50 is a TakeOrderedAndProject. Docs with
+    * <2 tokens have no features and are absent by construction. */
+  def q164DsirScores(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val grams = Tables.documents(s, dir)
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"),
+        (pmod(md5Int(col("doc_id").cast("string")), lit(20)) === 0).as("ev"),
+        explode(expr(
+          """zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+            |         slice(w, 2, greatest(size(w) - 1, 0)),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("g"))
+      .withColumn("b", pmod(md5Int(col("g")), lit(B)))
+    val tgt = grams.filter(col("ev")).groupBy("b").agg(count(lit(1)).as("tc"))
+    val raw = grams.filter(!col("ev")).groupBy("b").agg(count(lit(1)).as("rc"))
+    val nt = tgt.agg(sum("tc").as("ntgt"))
+    val nr = raw.agg(sum("rc").as("nraw"))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(nt).crossJoin(nr)
+      .withColumn("rb", expr(
+        s"CAST((CAST(tc AS DECIMAL(38,0)) * (nraw + $B) * 1000) DIV ((rc + 1) * ntgt) AS BIGINT)"))
+      .select("b", "rb")
+    grams.filter(!col("ev"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id").agg(sum("rb").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pmi_pairs" -> (q160PmiPairs _),
     "q161_otsu_threshold" -> (q161OtsuThreshold _),
+    "q163_stride_interleave" -> (q163StrideInterleave _),
+    "q164_dsir_scores" -> (q164DsirScores _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q29_minhash_sig" -> (q29MinhashSig _),
@@ -1873,6 +1952,46 @@ object LlmQueries {
          |  SELECT 1 FROM scored b
          |  WHERE b.num * a.den > a.num * b.den
          |     OR (b.num * a.den = a.num * b.den AND b.bin < a.bin))""".stripMargin,
+    "q163_stride_interleave" ->
+      """WITH w AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ws
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.k,
+        |  CAST((r.k::HUGEINT * 1000000000) // w.ws AS BIGINT) AS vt
+        |FROM r JOIN w USING (source)
+        |ORDER BY vt, source, doc_id
+        |LIMIT 100""".stripMargin,
+    "q164_dsir_scores" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 20 = 0 AS ev,
+        |    string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ev,
+        |    ('0x' || substring(md5(gr), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, ev,
+        |          unnest(list_transform(generate_series(1, len(w) - 1),
+        |            i -> w[i] || ' ' || w[i+1])) AS gr
+        |        FROM d)),
+        |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM g WHERE ev GROUP BY b),
+        |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM g WHERE NOT ev GROUP BY b),
+        |nt AS (SELECT CAST(sum(tc) AS BIGINT) AS ntgt FROM tgt),
+        |nr AS (SELECT CAST(sum(rc) AS BIGINT) AS nraw FROM raw),
+        |ratio AS (
+        |  SELECT raw.b,
+        |    CAST((COALESCE(tgt.tc, 0)::HUGEINT * (nraw + 4096) * 1000)
+        |      // ((raw.rc + 1) * ntgt) AS BIGINT) AS rb
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nr)
+        |SELECT g.doc_id, CAST(sum(r.rb) AS BIGINT) AS score
+        |FROM g JOIN ratio r USING (b) WHERE NOT g.ev
+        |GROUP BY g.doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 50""".stripMargin,
     "q100_pq_search" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM embeddings
