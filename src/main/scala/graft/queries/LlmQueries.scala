@@ -1133,11 +1133,47 @@ object LlmQueries {
       .select("doc_id", "score")
   }
 
+  /** q165: IVF quantizer distortion profile — the index-quality
+    * diagnostics read before trusting an ANN index: per cell, population,
+    * total angular distortion Σ(1−cos(v, centroid)), and the best/worst
+    * member fit. Unbalanced cells or a fat distortion tail mean the coarse
+    * quantizer needs retraining — this is the measurement that decides.
+    *
+    * Determinism: cos is the per-row left-fold double (bit-exact across
+    * engines); the SUM of doubles crosses rows, so it rides the
+    * DECIMAL(18,6) dsum convention (exact decimal addition, one final
+    * cast); min/max are order-independent picks of bit-exact values.
+    *
+    * Scale shape: training is the bounded-sample k-means-lite collect
+    * (same quantizer as q46/q84/q110 — the oracle's shared CTE chain);
+    * assignment + residual ride the scan as narrow codegen'd expressions
+    * (k native dots, no join, no shuffle); the profile is ONE k-row
+    * aggregate. */
+  def q165IvfDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 4, sampleMod = 10, maxSample = 1000)
+    val cosArr = array(centroids.map(c =>
+      Similarity.cosine(col("embedding"), typedLit(c))): _*)
+    emb
+      .withColumn("j", Similarity.ivfAssign(col("embedding"), centroids))
+      .withColumn("cos", element_at(cosArr, col("j").cast("int") + 1))
+      .groupBy("j").agg(
+        count(lit(1)).as("n"),
+        sum((lit(1.0) - col("cos")).cast("decimal(18,6)")).cast("double")
+          .as("distortion"),
+        min(col("cos")).as("worst_cos"),
+        max(col("cos")).as("best_cos"))
+      .select(col("j").cast("long").as("cell"), col("n"),
+        col("distortion"), col("worst_cos"), col("best_cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pmi_pairs" -> (q160PmiPairs _),
     "q161_otsu_threshold" -> (q161OtsuThreshold _),
     "q163_stride_interleave" -> (q163StrideInterleave _),
     "q164_dsir_scores" -> (q164DsirScores _),
+    "q165_ivf_distortion" -> (q165IvfDistortion _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q29_minhash_sig" -> (q29MinhashSig _),
@@ -1992,6 +2028,15 @@ object LlmQueries {
         |GROUP BY g.doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 50""".stripMargin,
+    "q165_ivf_distortion" ->
+      s"""WITH $ivfAssignCtes,
+         |withcos AS (
+         |  SELECT a.j, ${cosSql("a.embedding", "c.c")} AS cos
+         |  FROM assign a JOIN centroids c USING (j))
+         |SELECT CAST(j AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(1.0 - cos AS DECIMAL(18,6))) AS DOUBLE) AS distortion,
+         |  min(cos) AS worst_cos, max(cos) AS best_cos
+         |FROM withcos GROUP BY j""".stripMargin,
     "q100_pq_search" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -34,13 +34,34 @@ object StreamingQueries {
   def q143StreamJoin(s: SparkSession, dir: String): DataFrame =
     Streams.intervalJoinOnce(s, dir)
 
+  /** Streaming per-hour top-3 events by value — bounded K-entry
+    * [[graft.expressions.TopKByScore]] state per window instead of a
+    * rank window over the closed hour; exact integer micro-unit scores
+    * keep the selection engine-portable. */
+  def q166StreamTopk(s: SparkSession, dir: String): DataFrame =
+    Streams.topKPerHourOnce(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_stream_topk" -> (q166StreamTopk _),
     "q41_stream_hourly" -> (q41StreamHourly _),
     "q112_stream_sessions" -> (q112StreamSessions _),
     "q137_stream_distinct" -> (q137StreamDistinct _),
     "q143_stream_join" -> (q143StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the batch rank-window over the same micro-unit integer scores; the
+    // stream must land on the identical top-3 per closed hour
+    "q166_stream_topk" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS score
+        |  FROM events),
+        |r AS (
+        |  SELECT hour_start, event_id, score,
+        |    CAST(row_number() OVER (PARTITION BY hour_start
+        |      ORDER BY score DESC, event_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT hour_start, rank, event_id, score FROM r WHERE rank <= 3""".stripMargin,
     "q41_stream_hourly" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,

@@ -239,6 +239,42 @@ object Streams {
     spark.table("graft_stream_distinct")
   }
 
+  /** STREAMING per-window top-K: the hour's K highest-value events,
+    * maintained as the K-entry [[graft.expressions.TopKByScore]] buffer
+    * per window — the same bounded-state argument as the streaming HLL:
+    * a rank window over the closed hour would buffer the hour's full
+    * event stream per key, while this aggregate's state is K (score, id)
+    * pairs per window no matter the event rate, and its merge is exactly
+    * the state-store merge a micro-batch needs. Scores are exact integer
+    * micro-units (DECIMAL(18,6)·10⁶) so the selection order is total and
+    * engine-portable; the array is exploded to ranks AFTER the stream
+    * completes (a generator after a streaming aggregation is unsupported
+    * in-stream). */
+  def topKPerHourOnce(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.sources.Tables.loadStream(spark, dir, "events")
+    val q = stream
+      .select(col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)").as("score"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.expressions.GraftFunctions
+        .topKByScore(col("score"), col("event_id"), 3).as("top"))
+      .select(col("w.start").as("hour_start"), col("top"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_topk")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_topk", q)
+    spark.table("graft_stream_topk")
+      .select(col("hour_start"), posexplode(col("top")))
+      .select(col("hour_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("score"))
+  }
+
   /** The stream-STREAM interval join as an oracle-checked query: view →
     * purchase attribution over the events table, each view matched to the
     * same user's purchases within the following 2 hours. TWO independent

@@ -32,7 +32,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     Set("q31_knn_bruteforce", "q45_integrity", "q83_source_overlap",
       "q121_sketch_union", // two 1-row sketch legs
       "q131_hll_distinct", // merged-sketch row x exact-count row, both 1-row aggregates
-      "q145_hybrid_search") // q31's broadcast 1-row query vector, reused by the dense leg
+      "q145_hybrid_search", // q31's broadcast 1-row query vector, reused by the dense leg
+      "q160_pmi_pairs", // broadcast 1-row total-token aggregate against the pair table
+      "q162_assoc_rules", // broadcast 1-row basket-count aggregate against the rule stream
+      "q164_dsir_scores") // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -65,7 +68,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q41_stream_hourly" -> "graft_stream_hourly",
     "q112_stream_sessions" -> "graft_stream_sessions",
     "q137_stream_distinct" -> "graft_stream_distinct",
-    "q143_stream_join" -> "graft_stream_join")
+    "q143_stream_join" -> "graft_stream_join",
+    "q166_stream_topk" -> "graft_stream_topk")
 
   test("no query plans a cartesian product or a scale-key single-group window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
