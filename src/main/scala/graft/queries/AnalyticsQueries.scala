@@ -219,9 +219,40 @@ object AnalyticsQueries {
       .select("ante", "cons", "cab", "conf_permille", "lift_x1000")
   }
 
+  /** q167: CUSUM change-point detection over the daily event volume — the
+    * drift screen a pipeline runs before trusting "this week looks like
+    * last week": the cumulative deviation from the global mean peaks at
+    * the day the level shifted. Division-free exact form: D_t = n·P_t −
+    * t·S (P_t prefix sum through day t, S total, n days) is |n·Σ(x−μ)|
+    * scaled by n — same argmax, pure BIGINTs.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the corpus to
+    * the per-day series (calendar-bounded at any corpus size); the
+    * windows (prefix sum, row index, total, max) all run over that
+    * post-aggregate calendar grid — the q58/q155 bounded-global-window
+    * justification. */
+  def q167CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDay = Window.orderBy("day")
+    val all = Window.orderBy("day").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("p", sum("cnt").over(byDay))
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("s", sum("cnt").over(all))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("dt", col("n") * col("p") - col("t") * col("s"))
+      .withColumn("dev", abs(col("dt")))
+      .withColumn("is_peak", col("dev") === max(col("dev")).over(all))
+      .select(col("day"), col("cnt"), col("dt"), col("is_peak"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_skyline" -> (q152Skyline _),
     "q162_assoc_rules" -> (q162AssocRules _),
+    "q167_cusum_changepoint" -> (q167CusumChangepoint _),
     "q153_link_predict" -> (q153LinkPredict _),
     "q154_backlog_peak" -> (q154BacklogPeak _),
     "q155_benford" -> (q155Benford _),
@@ -304,6 +335,21 @@ object AnalyticsQueries {
         |FROM documents d JOIN m ON d.source = m.source
         |WHERE (m.n * d.n_chars - m.s1) * (m.n * d.n_chars - m.s1)
         |    > 4 * (m.n * m.s2 - m.s1 * m.s1)""".stripMargin,
+    "q167_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS p,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS s,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM daily),
+        |d AS (SELECT day, cnt, n * p - t * s AS dt FROM c)
+        |SELECT day, cnt, dt, abs(dt) = (SELECT max(abs(dt)) FROM d) AS is_peak
+        |FROM d""".stripMargin,
     "q162_assoc_rules" ->
       """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM baskets),

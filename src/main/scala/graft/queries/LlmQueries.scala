@@ -1168,12 +1168,39 @@ object LlmQueries {
         col("distortion"), col("worst_cos"), col("best_cos"))
   }
 
+  /** q168: marginal source novelty — for each source, how many of its
+    * distinct word 3-grams it is the FIRST source to contribute (sources
+    * ordered by name, the deterministic ingestion order): the
+    * diminishing-returns measurement behind "is this crawl adding
+    * anything", computed exactly rather than by sketch. novelty_permille
+    * = new·1000 DIV distinct.
+    *
+    * Scale shape: two shingle-keyed hash aggregates (DISTINCT
+    * (source,gram), then min-source per gram) — corpus-scale KEYS but
+    * pure map-side-combining aggregates, the exact-dedup shape, never
+    * all-pairs; outputs are #source-bounded. */
+  def q168SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sg = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(wordShingles(tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val tot = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val nov = sg.groupBy("g").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("new_grams"))
+    tot.join(nov, Seq("source"), "left")
+      .na.fill(0L, Seq("new_grams"))
+      .withColumn("novelty_permille",
+        expr("CAST((new_grams * 1000) DIV n_grams AS BIGINT)"))
+      .select("source", "n_grams", "new_grams", "novelty_permille")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pmi_pairs" -> (q160PmiPairs _),
     "q161_otsu_threshold" -> (q161OtsuThreshold _),
     "q163_stride_interleave" -> (q163StrideInterleave _),
     "q164_dsir_scores" -> (q164DsirScores _),
     "q165_ivf_distortion" -> (q165IvfDistortion _),
+    "q168_source_novelty" -> (q168SourceNovelty _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q29_minhash_sig" -> (q29MinhashSig _),
@@ -2037,6 +2064,24 @@ object LlmQueries {
          |  CAST(sum(CAST(1.0 - cos AS DECIMAL(18,6))) AS DOUBLE) AS distortion,
          |  min(cos) AS worst_cos, max(cos) AS best_cos
          |FROM withcos GROUP BY j""".stripMargin,
+    "q168_source_novelty" ->
+      """WITH sg AS (
+        |  SELECT DISTINCT source, g
+        |  FROM (SELECT source,
+        |          unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |        FROM (SELECT source, string_split(lower(text), ' ') AS w
+        |              FROM documents))),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+        |        FROM sg GROUP BY source),
+        |fs AS (SELECT g, min(source) AS source FROM sg GROUP BY g),
+        |nov AS (SELECT source, CAST(count(*) AS BIGINT) AS new_grams
+        |        FROM fs GROUP BY source)
+        |SELECT t.source, t.n_grams,
+        |  CAST(COALESCE(n2.new_grams, 0) AS BIGINT) AS new_grams,
+        |  CAST((COALESCE(n2.new_grams, 0) * 1000) // t.n_grams AS BIGINT)
+        |    AS novelty_permille
+        |FROM tot t LEFT JOIN nov n2 USING (source)""".stripMargin,
     "q100_pq_search" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM embeddings

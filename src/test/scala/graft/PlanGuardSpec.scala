@@ -46,7 +46,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // scorers' TakeOrderedAndProject passes below them
     "q145_hybrid_search",
     // q155: the window totals the 9 POST-AGGREGATE first-digit rows
-    "q155_benford")
+    "q155_benford",
+    // q167: every window runs over the per-day POST-AGGREGATE series —
+    // calendar-bounded at any corpus size (the q58 justification)
+    "q167_cusum_changepoint")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
