@@ -249,10 +249,56 @@ object AnalyticsQueries {
       .select(col("day"), col("cnt"), col("dt"), col("is_peak"))
   }
 
+  /** q169: exact per-source median document length — no sketch, no
+    * global sort: the corpus collapses to a (source, n_chars) VALUE
+    * histogram in one map-side-combined aggregate, and the median reads
+    * off the histogram's running count. The per-source windows run over
+    * the post-aggregate histogram — bounded by the length-value domain
+    * (a few thousand distinct lengths under any doc-length cap), never
+    * by corpus rows, which is what makes an exact median scale where a
+    * `percentile_cont` sort cannot. Lower-median convention: the
+    * ⌈n/2⌉-th smallest value, deterministic for even n. */
+  def q169ExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("source").orderBy("n_chars")
+    val all = Window.partitionBy("source")
+    h.withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+      .groupBy(col("source"), col("n").as("n_docs"))
+      .agg(min(when(col("cum") * 2 >= col("n") + 1, col("n_chars")))
+        .as("median_chars"))
+      .select("source", "n_docs", "median_chars")
+  }
+
+  /** q170: engagement growth curves — per event type, the new and
+    * cumulative count of users reaching that interaction for the first
+    * time each day ("is acquisition/adoption saturating, per funnel
+    * stage"). Exact distributed shape: first-interaction day per
+    * (user, type) is ONE map-side-combined min-aggregate (the only
+    * corpus-scale pass), new-per-day collapses it to the (type, day)
+    * calendar grid, and the cumulative sum runs over that bounded
+    * post-aggregate grid (q117's bounded-keyed-window justification) —
+    * never a distinct-count over a growing prefix, which would rescan
+    * the corpus per day. */
+  def q170GrowthCurve(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("new_users"))
+    perDay
+      .withColumn("cum_users",
+        sum("new_users").over(Window.partitionBy("event_type").orderBy("day")))
+      .select("event_type", "day", "new_users", "cum_users")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_skyline" -> (q152Skyline _),
     "q162_assoc_rules" -> (q162AssocRules _),
     "q167_cusum_changepoint" -> (q167CusumChangepoint _),
+    "q169_exact_median" -> (q169ExactMedian _),
+    "q170_growth_curve" -> (q170GrowthCurve _),
     "q153_link_predict" -> (q153LinkPredict _),
     "q154_backlog_peak" -> (q154BacklogPeak _),
     "q155_benford" -> (q155Benford _),
@@ -335,6 +381,29 @@ object AnalyticsQueries {
         |FROM documents d JOIN m ON d.source = m.source
         |WHERE (m.n * d.n_chars - m.s1) * (m.n * d.n_chars - m.s1)
         |    > 4 * (m.n * m.s2 - m.s1 * m.s1)""".stripMargin,
+    "q169_exact_median" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, n_chars, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT source, n AS n_docs,
+        |  min(CASE WHEN cum * 2 >= n + 1 THEN n_chars END) AS median_chars
+        |FROM c GROUP BY source, n""".stripMargin,
+    "q170_growth_curve" ->
+      """WITH fs AS (
+        |  SELECT user_id, event_type,
+        |    min(date_trunc('day', ts))::TIMESTAMP AS day
+        |  FROM events GROUP BY user_id, event_type),
+        |pd AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM fs GROUP BY event_type, day)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
+        |       AS BIGINT) AS cum_users
+        |FROM pd""".stripMargin,
     "q167_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts)::TIMESTAMP AS day,

@@ -59,7 +59,15 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     * calendar grid — one row per (key, day) at any corpus size, so the
     * per-key sort is bounded by the calendar, not the data (q117: the
     * forward-fill spine). */
-  private val boundedKeyedWindow = Set("q117_gap_fill")
+  private val boundedKeyedWindow = Set("q117_gap_fill",
+    // q169: the per-source windows run over the (source, n_chars) VALUE
+    // histogram — bounded by the length-value domain under any doc-length
+    // cap, never by corpus rows
+    "q169_exact_median",
+    // q170: the per-type cumulative sum runs over the (type, day)
+    // POST-AGGREGATE calendar grid — the corpus-scale pass is the
+    // first-interaction min-aggregate below it
+    "q170_growth_curve")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
