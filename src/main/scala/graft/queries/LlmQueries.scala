@@ -1194,6 +1194,39 @@ object LlmQueries {
       .select("source", "n_grams", "new_grams", "novelty_permille")
   }
 
+  /** q171: kNN label-consistency screen (the cleanlab-style mislabel
+    * detector): per label class, how often a vector's nearest neighbor —
+    * searched within its trained IVF cell, the q46 index — carries the
+    * SAME label. A class whose agreement collapses is mislabeled or
+    * incoherent; that's the read before trusting `label` for eval splits
+    * or classifier training.
+    *
+    * Scale shape: the q46 argument verbatim — bounded-sample quantizer
+    * training, one narrow assignment pass, within-cell self-join cost
+    * Σ cell², never n²; agreement is a #label-bounded aggregate. The 1-NN
+    * pick (max cos, min id on ties) and the left-fold cosine are the
+    * q32-established cross-engine parity. */
+  def q171LabelConsistency(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 8, sampleMod = 10, maxSample = 1000)
+    val cells = emb.withColumn("__ivf",
+      Similarity.ivfAssign(col("embedding"), centroids))
+    val nn = Similarity.bucketedNearestNeighbor(
+      cells, "vec_id", "embedding", "__ivf")
+    val lab = emb.select(col("vec_id"), col("label"))
+    nn.join(lab, "vec_id")
+      .join(lab.select(col("vec_id").as("nn_id"), col("label").as("nn_label")),
+        "nn_id")
+      .groupBy("label").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("label") === col("nn_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_permille",
+        expr("CAST((n_agree * 1000) DIV n AS BIGINT)"))
+      .select("label", "n", "n_agree", "agree_permille")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_pmi_pairs" -> (q160PmiPairs _),
     "q161_otsu_threshold" -> (q161OtsuThreshold _),
@@ -1201,6 +1234,7 @@ object LlmQueries {
     "q164_dsir_scores" -> (q164DsirScores _),
     "q165_ivf_distortion" -> (q165IvfDistortion _),
     "q168_source_novelty" -> (q168SourceNovelty _),
+    "q171_label_consistency" -> (q171LabelConsistency _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q29_minhash_sig" -> (q29MinhashSig _),
@@ -2082,6 +2116,25 @@ object LlmQueries {
         |  CAST((COALESCE(n2.new_grams, 0) * 1000) // t.n_grams AS BIGINT)
         |    AS novelty_permille
         |FROM tot t LEFT JOIN nov n2 USING (source)""".stripMargin,
+    "q171_label_consistency" ->
+      s"""WITH ${ivfAssignCtesK(8, "embeddings")},
+         |lab AS (
+         |  SELECT a.vec_id, a.embedding, a.j, e.label
+         |  FROM assign a JOIN embeddings e USING (vec_id)),
+         |nn AS (
+         |  SELECT vec_id, label, nn_label FROM (
+         |    SELECT x.vec_id, x.label, y.label AS nn_label,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${cosSql("x.embedding", "y.embedding")} DESC,
+         |                 y.vec_id ASC) AS rn
+         |    FROM lab x JOIN lab y ON x.j = y.j AND x.vec_id <> y.vec_id)
+         |  WHERE rn = 1)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN label = nn_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  CAST((sum(CASE WHEN label = nn_label THEN 1 ELSE 0 END) * 1000)
+         |    // count(*) AS BIGINT) AS agree_permille
+         |FROM nn GROUP BY label""".stripMargin,
     "q100_pq_search" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM embeddings
