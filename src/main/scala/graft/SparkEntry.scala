@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.StarQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.ScaleQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.StarQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
       graft.queries.ScaleQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles
+      graft.queries.AnalyticsQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

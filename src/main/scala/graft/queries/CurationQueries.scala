@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-health and signal-quality analytics a large-scale training-data
+  * pipeline runs between ingestion and mixing: embedding-space health,
+  * robust (winsorized) distribution stats, seasonal anomaly screens,
+  * recency-decayed engagement, power-law tail diagnostics, and sequence
+  * mining. Same discipline as [[AnalyticsQueries]]: integer / fixed-point
+  * arithmetic end to end, deterministic tiebreaks, every query mirrored by
+  * an exact DuckDB oracle. */
+object CurationQueries {
+
+  /** IEEE-exact fixed point shared with the oracles: float → double is
+    * exact, ×10⁶ is one double rounding both engines perform identically,
+    * floor → BIGINT. */
+  private def fix6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c.cast("double") * lit(1000000d)).cast("long")
+
+  // ------------------------------------------------------------- queries
+
+  /** q174: per-dimension embedding health — count, fixed-point sum, sum of
+    * squares, and near-zero tally for every dimension. The first screen a
+    * pipeline runs on a new embedding dump: dead dimensions (all near
+    * zero), collapsed variance, and shifted means all surface here.
+    * `posexplode` fans each vector into (dim, value) rows — d·n rows keyed
+    * by a d-ary key, so the aggregation is a map-side-combinable groupBy
+    * that collapses each partition to ≤d rows before the shuffle; at 100 TB
+    * the shuffle is d × partitions rows, not data-sized. sumsq6 peaks at
+    * n·10¹² (BIGINT holds to ~9·10⁶ vectors per dim; the 100-TB variant
+    * widens to DECIMAL(38,0) — kept BIGINT here to match the oracle's
+    * integer output contract). */
+  def q174DimHealth(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), fix6(col("x")).as("x6"))
+    ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6")).as("sum6"),
+        sum(col("x6") * col("x6")).as("sumsq6"),
+        sum(when(abs(col("x6")) < 1000, 1L).otherwise(0L)).as("near_zero"))
+  }
+
+  /** q175: winsorized per-source length stats — p05/p95 by the exact
+    * cumulative-histogram rule (smallest value whose cumulative count
+    * reaches the rank), every doc clamped into [p05, p95], and the
+    * winsorized mean in exact thousandths. Robust location per source is
+    * what mixing weights get calibrated against; a histogram-first
+    * derivation keeps the per-source state at |distinct lengths|, not
+    * |docs| — the q169 exact-median shape generalized to arbitrary ranks
+    * plus a second clamped pass. */
+  def q175Winsorized(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("source", "n_chars")
+    val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    val bounds = cum.groupBy("source")
+      .agg(max("n").as("n_docs"),
+        min(when(col("cum") * 20 >= col("n"), col("n_chars"))).as("p05"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("n_chars"))).as("p95"))
+    docs.join(bounds, "source")
+      .withColumn("clamped",
+        greatest(col("p05"), least(col("p95"), col("n_chars"))))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"), max("p05").as("p05"),
+        max("p95").as("p95"),
+        expr("sum(clamped) * 1000 div count(*)").as("wins_mean_x1000"))
+  }
+
+  /** q176: seasonal-baseline anomaly screen over the event stream — each
+    * (day, hour) cell's count against the exact lower-median count of its
+    * (weekday, hour) slot, flagging ≥2× spikes and ≤½× drops with integer
+    * comparisons (no ratio rounding to disagree on). The hour-of-week
+    * baseline is the cheapest seasonal model that survives scale: cells
+    * aggregate map-side to one row per hour (constant × days keys), the
+    * median runs over the 168-slot dimension — driver-scale state however
+    * large the stream. Weekday is Sunday=0 in both engines (Spark's
+    * `dayofweek` is 1-based; the oracle's `dayofweek` 0-based). */
+  def q176SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), hour(col("ts")).as("hour"))
+      .groupBy("day", "hour").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+    val slot = Window.partitionBy("dow", "hour").orderBy("cnt")
+    val med = cells
+      .withColumn("rn", row_number().over(slot))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("dow", "hour")))
+      .filter(col("rn") * 2 === col("n") + (col("n") % 2))
+      .select(col("dow"), col("hour"), col("cnt").as("med"))
+    cells.join(med, Seq("dow", "hour"))
+      .select(col("day"), col("hour"), col("cnt"), col("med"),
+        (col("cnt") >= col("med") * 2).as("spike"),
+        (col("cnt") * 2 <= col("med")).as("drop"))
+  }
+
+  /** q177: recency-decayed engagement — each event's weight halves per
+    * week of age relative to the newest event (integer 10⁶ ≫ age_weeks, a
+    * power-of-two decay with zero floating point), summed per user; top 25
+    * by (score, user). Exponential time decay is how "currently active"
+    * beats "historically active" in sampling weights; the halving form
+    * keeps it engine-portable where exp(−λt) would not be. The global
+    * anchor is one broadcast scalar; everything else is a map-side
+    * combinable per-user sum and a TakeOrderedAndProject. */
+  def q177DecayedEngagement(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val anchor = ev.agg(max("day").as("max_day"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age_weeks",
+        expr("least(cast(datediff(max_day, day) as bigint) div 7, 20L)"))
+      .withColumn("w", expr("1000000L div shiftleft(1L, cast(age_weeks as int))"))
+      .groupBy("user_id")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_events"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(25)
+  }
+
+  /** q179: power-law tail diagnostic — the document-length CCDF sampled at
+    * power-of-two thresholds (exact count of docs ≥ 2^k) with the
+    * permille ratio between consecutive thresholds. A straight-ish ratio
+    * column is the scale-free signature; a cliff is a truncation artifact
+    * — the integer-only stand-in for a Hill-estimator fit (whose log()
+    * would never agree bit-for-bit across engines). Threshold membership
+    * is derived from the BIT LENGTH of the length (`bin()` string length,
+    * identical in both engines), so no floating log2 at the boundaries;
+    * each doc explodes into ≤11 threshold rows, map-side combined. */
+  def q179CcdfPowers(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .filter(col("n_chars") >= 16)
+      .select(explode(sequence(lit(4),
+        least(lit(14), length(bin(col("n_chars"))) - 1))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("threshold", expr("shiftleft(1L, k)"))
+      .withColumn("ratio_permille",
+        expr("cnt * 1000 div lag(cnt) over (order by k)"))
+      .select("k", "threshold", "cnt", "ratio_permille")
+  }
+
+  /** q181: sequential pattern mining, order 3 — the top 25 length-three
+    * event-type paths users actually take, counted over every consecutive
+    * triple in each user's (ts, event_id)-ordered stream. One window pass
+    * (two `lead`s) per user — per-key-bounded like sessionize — then a
+    * 125-key-max aggregate; the behavioral n-gram table that powers
+    * funnel hypotheses, one order above q157's Markov transitions. */
+  def q181EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(25)
+  }
+
+  /** q178: cross-source quantile normalization — every document's length
+    * re-expressed as the GLOBAL length at its within-source permille, the
+    * calibration step that makes per-source quality scores comparable
+    * before mixing (a score of "long for its source" means different
+    * absolute lengths on different domains). Value-based ranks (count of
+    * strictly-smaller values — no tiebreak needed) come from a per-source
+    * histogram; the permille → global-value map is built once by exploding
+    * the global histogram's cumulative ranges into exactly 1000 rows
+    * (integer ceil arithmetic, q169's histogram discipline), then the doc
+    * side equi-joins on permille — histogram-sized state, never a
+    * data-sized sort. */
+  def q178QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val sw = Window.partitionBy("source").orderBy("n_chars")
+    val shist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(sw))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      .withColumn("permille", expr("(cum - cnt) * 1000 div n"))
+      .select("source", "n_chars", "permille")
+    val gw = Window.orderBy("n_chars")
+    val gmap = docs.groupBy("n_chars").agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum("gcnt").over(gw))
+      .withColumn("nn", sum("gcnt").over(Window.partitionBy()))
+      .withColumn("p_lo", expr("((gcum - gcnt) * 1000 + nn - 1) div nn"))
+      .withColumn("p_hi", expr("(gcum * 1000 + nn - 1) div nn - 1"))
+      .filter(col("p_lo") <= col("p_hi"))
+      .select(explode(sequence(col("p_lo"), col("p_hi"))).as("permille"),
+        col("n_chars").as("norm_chars"))
+    docs.join(shist, Seq("source", "n_chars"))
+      .join(broadcast(gmap), Seq("permille"))
+      .select("doc_id", "source", "n_chars", "permille", "norm_chars")
+  }
+
+  /** q180: Heaps'-law vocabulary growth — distinct terms FIRST INTRODUCED
+    * per 100-document slab of the corpus (by doc id) and the cumulative
+    * vocabulary curve. Sub-linear growth is healthy natural text; a
+    * linear curve means boilerplate/IDs are flooding the vocabulary, a
+    * plateau means the corpus stopped contributing new language. One
+    * `min(doc_id)` per term (map-side combinable over the exploded
+    * tokens), then a slab-count aggregate over ≤|vocab| rows — never a
+    * data-sized window. */
+  def q180HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    first.groupBy(expr("first_doc div 100").as("slab"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_terms",
+        sum("new_terms").over(Window.orderBy("slab")))
+  }
+
+  /** q183: linear multi-touch attribution — every purchase's value (exact
+    * micros) split equally across the user's views in the preceding 7
+    * days, the integer remainder going to the EARLIEST touch (so credit
+    * conserves exactly: Σ credits = Σ attributed purchase value), then
+    * rolled up per user; top 50 by (credit, user). The join is an
+    * equi-join on user with a range residual — per-user event streams are
+    * bounded, so the pair volume is Σ_user views·purchases within the
+    * window, never cross-user. q143's interval-join semantics, taken to a
+    * full credit-assignment model. */
+  def q183Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), fix6(col("value")).as("value_micros"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val touches = purchases.join(views, Seq("user_id"))
+      .filter(col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 7 DAY"))
+    val w = Window.partitionBy("p_id")
+    val wr = Window.partitionBy("p_id").orderBy("v_ts", "v_id")
+    touches
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("credit",
+        expr("value_micros div n + if(rn = 1, value_micros % n, 0L)"))
+      .groupBy("user_id")
+      .agg(sum("credit").as("credit_micros"),
+        count(lit(1)).as("n_touches"))
+      .orderBy(col("credit_micros").desc, col("user_id"))
+      .limit(50)
+  }
+
+  /** q184: int8 scalar quantization audit — per-dimension min/max ranges,
+    * each value quantized to 0..255 on that range, and the exact
+    * reconstruction-error profile (total + max absolute error in 10⁻⁶
+    * units) per dimension. The cheap 4× compression a vector store
+    * applies before PQ; the error profile is what decides which
+    * dimensions need better treatment. All arithmetic on the shared
+    * fixed-point grid, so both engines land on identical integers; the
+    * per-dim stats join back as a broadcast (d rows). */
+  def q184Int8Quant(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), fix6(col("x")).as("x6"))
+    val stats = ex.groupBy("dim")
+      .agg(min("x6").as("mn"), max("x6").as("mx"))
+      .withColumn("span", col("mx") - col("mn"))
+    ex.join(broadcast(stats), "dim")
+      .withColumn("q",
+        expr("if(span = 0, 0L, (x6 - mn) * 255 div span)"))
+      .withColumn("err",
+        expr("abs(x6 - (mn + q * span div 255))"))
+      .groupBy("dim")
+      .agg(max("mn").as("mn"), max("mx").as("mx"),
+        sum("err").as("total_err"), max("err").as("max_err"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_dim_health" -> (q174DimHealth _),
+    "q175_winsorized" -> (q175Winsorized _),
+    "q176_seasonal_anomaly" -> (q176SeasonalAnomaly _),
+    "q177_decayed_engagement" -> (q177DecayedEngagement _),
+    "q178_quantile_norm" -> (q178QuantileNorm _),
+    "q179_ccdf_powers" -> (q179CcdfPowers _),
+    "q180_heaps_law" -> (q180HeapsLaw _),
+    "q181_event_paths" -> (q181EventPaths _),
+    "q183_attribution" -> (q183Attribution _),
+    "q184_int8_quant" -> (q184Int8Quant _))
+
+  // ------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q174_dim_health" ->
+      """WITH ex AS (
+        |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x6
+        |  FROM ex)
+        |SELECT dim, count(*) AS n,
+        |  CAST(sum(x6) AS BIGINT) AS sum6,
+        |  CAST(sum(x6 * x6) AS BIGINT) AS sumsq6,
+        |  CAST(sum(CASE WHEN abs(x6) < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS near_zero
+        |FROM x GROUP BY dim""".stripMargin,
+    "q175_winsorized" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, n_chars, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h),
+        |b AS (
+        |  SELECT source, max(n) AS n_docs,
+        |    min(CASE WHEN cum * 20 >= n THEN n_chars END) AS p05,
+        |    min(CASE WHEN cum * 20 >= n * 19 THEN n_chars END) AS p95
+        |  FROM c GROUP BY source)
+        |SELECT d.source, max(b.n_docs) AS n_docs, max(b.p05) AS p05,
+        |  max(b.p95) AS p95,
+        |  CAST(sum(greatest(b.p05, least(b.p95, d.n_chars))) * 1000
+        |       // count(*) AS BIGINT) AS wins_mean_x1000
+        |FROM documents d JOIN b ON d.source = b.source
+        |GROUP BY d.source""".stripMargin,
+    "q176_seasonal_anomaly" ->
+      """WITH cells AS (
+        |  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+        |    CAST(hour(ts) AS INT) AS hour, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT day, hour, cnt, dayofweek(day) AS dow FROM cells),
+        |r AS (
+        |  SELECT dow, hour, cnt,
+        |    row_number() OVER (PARTITION BY dow, hour ORDER BY cnt) AS rn,
+        |    count(*) OVER (PARTITION BY dow, hour) AS n
+        |  FROM d),
+        |med AS (
+        |  SELECT dow, hour, cnt AS med FROM r
+        |  WHERE rn * 2 = n + (n % 2))
+        |SELECT d.day, d.hour, d.cnt, m.med,
+        |  d.cnt >= m.med * 2 AS spike, d.cnt * 2 <= m.med AS drop
+        |FROM d JOIN med m ON d.dow = m.dow AND d.hour = m.hour""".stripMargin,
+    "q177_decayed_engagement" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day FROM events),
+        |a AS (SELECT max(day) AS max_day FROM e),
+        |w AS (
+        |  SELECT user_id,
+        |    1000000 // (CAST(1 AS BIGINT) << least(
+        |      CAST(date_diff('day', day, (SELECT max_day FROM a)) AS BIGINT) // 7,
+        |      20)) AS w
+        |  FROM e)
+        |SELECT user_id, CAST(sum(w) AS BIGINT) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 25""".stripMargin,
+    "q179_ccdf_powers" ->
+      """WITH ks AS (
+        |  SELECT unnest(generate_series(4,
+        |    least(14, CAST(length(bin(n_chars)) AS INT) - 1))) AS k
+        |  FROM documents WHERE n_chars >= 16),
+        |c AS (SELECT CAST(k AS INT) AS k, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM ks GROUP BY 1)
+        |SELECT k, CAST(1 AS BIGINT) << k AS threshold, cnt,
+        |  cnt * 1000 // lag(cnt) OVER (ORDER BY k) AS ratio_permille
+        |FROM c""".stripMargin,
+    "q178_quantile_norm" ->
+      """WITH sh AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT source, n_chars,
+        |    (CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)
+        |       - cnt) * 1000
+        |      // CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS permille
+        |  FROM sh),
+        |gh AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS gcnt
+        |  FROM documents GROUP BY 1),
+        |gc AS (
+        |  SELECT n_chars, gcnt,
+        |    CAST(sum(gcnt) OVER (ORDER BY n_chars) AS BIGINT) AS gcum,
+        |    CAST(sum(gcnt) OVER () AS BIGINT) AS nn
+        |  FROM gh),
+        |gm AS (
+        |  SELECT unnest(generate_series(
+        |      ((gcum - gcnt) * 1000 + nn - 1) // nn,
+        |      (gcum * 1000 + nn - 1) // nn - 1)) AS permille,
+        |    n_chars AS norm_chars
+        |  FROM gc
+        |  WHERE ((gcum - gcnt) * 1000 + nn - 1) // nn
+        |     <= (gcum * 1000 + nn - 1) // nn - 1)
+        |SELECT d.doc_id, d.source, d.n_chars, s.permille, g.norm_chars
+        |FROM documents d
+        |JOIN sc s ON d.source = s.source AND d.n_chars = s.n_chars
+        |JOIN gm g ON g.permille = s.permille""".stripMargin,
+    "q180_heaps_law" ->
+      """WITH first AS (
+        |  SELECT tok, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |s AS (SELECT first_doc // 100 AS slab, CAST(count(*) AS BIGINT) AS new_terms
+        |      FROM first GROUP BY 1)
+        |SELECT slab, new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY slab) AS BIGINT) AS cum_terms
+        |FROM s""".stripMargin,
+    "q183_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS v_id, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |t AS (
+        |  SELECT p.user_id, p.p_id, p.value_micros, v.v_id, v.v_ts
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |   AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 7 DAY),
+        |c AS (
+        |  SELECT user_id,
+        |    value_micros // (count(*) OVER (PARTITION BY p_id))
+        |      + CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY v_ts, v_id) = 1
+        |             THEN value_micros % (count(*) OVER (PARTITION BY p_id))
+        |             ELSE 0 END AS credit
+        |  FROM t)
+        |SELECT user_id, CAST(sum(credit) AS BIGINT) AS credit_micros,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM c GROUP BY user_id
+        |ORDER BY credit_micros DESC, user_id LIMIT 50""".stripMargin,
+    "q184_int8_quant" ->
+      """WITH ex AS (
+        |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x6
+        |  FROM ex),
+        |st AS (
+        |  SELECT dim, min(x6) AS mn, max(x6) AS mx, max(x6) - min(x6) AS span
+        |  FROM x GROUP BY dim),
+        |qn AS (
+        |  SELECT x.dim, st.mn, st.mx,
+        |    CASE WHEN st.span = 0 THEN 0
+        |         ELSE (x.x6 - st.mn) * 255 // st.span END AS q,
+        |    x.x6, st.span
+        |  FROM x JOIN st ON x.dim = st.dim)
+        |SELECT dim, max(mn) AS mn, max(mx) AS mx,
+        |  CAST(sum(abs(x6 - (mn + q * span // 255))) AS BIGINT) AS total_err,
+        |  CAST(max(abs(x6 - (mn + q * span // 255))) AS BIGINT) AS max_err
+        |FROM qn GROUP BY dim""".stripMargin,
+    "q181_event_paths" ->
+      """WITH t AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 25""".stripMargin)
+}
