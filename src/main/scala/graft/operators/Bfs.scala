@@ -65,4 +65,50 @@ object Bfs {
     }
     visited
   }
+
+  /** Per-label hop distances: like [[hopDistances]], but each seed carries
+    * a LABEL (e.g. a landmark id) and the expansion tracks the minimal
+    * distance from EVERY label separately — the primitive behind
+    * landmark-based centralities (harmonic/closeness), where collapsing to
+    * "nearest seed" would lose exactly the per-landmark terms the score
+    * sums. State and frontier rows are (label, node) pairs, so a round's
+    * shuffle is |labels-incident frontier adjacency|; with a bounded
+    * landmark set that is a constant factor over the unlabeled walk, and
+    * every step stays a keyed equi/anti join — no per-landmark sequential
+    * passes, all labels expand in the SAME per-round jobs. */
+  def labeledHopDistances(edges: DataFrame, aCol: String, bCol: String,
+                          seeds: DataFrame, labelCol: String, seedCol: String,
+                          maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var visited = seeds
+      .select(col(labelCol).cast("long").as("lm"), col(seedCol).cast("long").as("node"))
+      .distinct()
+      .select(col("lm"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select("lm", "node")
+    var r = 0
+    var exhausted = false
+    while (r < maxHops && !exhausted) {
+      r += 1
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("lm"), col("dst").as("node"))
+        .distinct()
+        .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
+        .select(col("lm"), col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select("lm", "node")
+      exhausted = next.isEmpty
+    }
+    visited
+  }
 }

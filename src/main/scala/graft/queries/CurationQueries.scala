@@ -271,9 +271,83 @@ object CurationQueries {
         sum("err").as("total_err"), max("err").as("max_err"))
   }
 
+  /** q173: harmonic centrality from degree landmarks — the four
+    * highest-degree parts of the co-purchase graph act as landmarks, every
+    * node's centrality is Σ 1/dist over its ≤2-hop distances to them
+    * (exact 10⁶-fixed-point, dist 0 self-terms excluded). The landmark
+    * approximation is THE way centrality survives scale: exact harmonic
+    * centrality is all-pairs BFS (O(n·m)); a constant landmark set makes
+    * it [[graft.operators.Bfs.labeledHopDistances]] — one labeled
+    * frontier walk where all landmarks expand in the same per-round keyed
+    * joins. Landmark choice is deterministic (degree desc, id). */
+  def q173HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val und = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .distinct()
+    val adj = und.select(col("pa").as("node"))
+      .unionAll(und.select(col("pb").as("node")))
+    val landmarks = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node"))
+      .limit(4)
+      .select(col("node").as("lm"))
+    val seeds = landmarks.select(col("lm"), col("lm").as("node"))
+    graft.operators.Bfs.labeledHopDistances(und, "pa", "pb",
+        seeds, "lm", "node", maxHops = 2)
+      .filter(col("dist") >= 1)
+      .groupBy("node")
+      .agg(sum(expr("1000000L div dist")).as("harmonic_x1e6"),
+        count(lit(1)).as("n_landmarks"))
+      .select(col("node").as("part"), col("harmonic_x1e6"), col("n_landmarks"))
+  }
+
+  /** Unrolled labeled-BFS oracle for q173: the [[q173HarmonicCentrality]]
+    * walk replayed round by round in SQL, landmark label carried through
+    * every frontier (the ScaleQueries bfsOracleSql shape with a 2-column
+    * visited key). Minimal per-landmark distances are unique, so there is
+    * no tie order to disagree on. */
+  private def harmonicOracleSql(hops: Int): String = {
+    val sb = new StringBuilder(
+      """WITH und AS MATERIALIZED (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |lm AS MATERIALIZED (
+        |  SELECT src AS lm FROM adj GROUP BY src
+        |  ORDER BY count(*) DESC, src LIMIT 4),
+        |v0 AS MATERIALIZED (
+        |  SELECT lm, lm AS node, CAST(0 AS BIGINT) AS dist FROM lm),
+        |f0 AS MATERIALIZED (SELECT lm, node FROM v0)""".stripMargin)
+    for (r <- 1 to hops) {
+      sb.append(s""",
+        |n$r AS MATERIALIZED (
+        |  SELECT DISTINCT f.lm, adj.dst AS node
+        |  FROM adj JOIN f${r - 1} f ON adj.src = f.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} p
+        |                    WHERE p.lm = f.lm AND p.node = adj.dst)),
+        |v$r AS MATERIALIZED (
+        |  SELECT lm, node, dist FROM v${r - 1}
+        |  UNION ALL SELECT lm, node, CAST($r AS BIGINT) FROM n$r),
+        |f$r AS MATERIALIZED (SELECT lm, node FROM n$r)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node AS part,
+      |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_x1e6,
+      |  CAST(count(*) AS BIGINT) AS n_landmarks
+      |FROM v$hops WHERE dist >= 1 GROUP BY node""".stripMargin)
+    sb.toString
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_harmonic_centrality" -> (q173HarmonicCentrality _),
     "q174_dim_health" -> (q174DimHealth _),
     "q175_winsorized" -> (q175Winsorized _),
     "q176_seasonal_anomaly" -> (q176SeasonalAnomaly _),
@@ -288,6 +362,7 @@ object CurationQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q173_harmonic_centrality" -> harmonicOracleSql(hops = 2),
     "q174_dim_health" ->
       """WITH ex AS (
         |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding

@@ -47,6 +47,47 @@ class BfsSpec extends AnyFunSuite with SharedSpark {
     assert(run(edges, Seq(0L), 2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  test("labeled BFS tracks every landmark separately, not the nearest") {
+    // path 0-1-2-3-4 with landmarks at both ends: node 2 is dist 2 from
+    // BOTH; the unlabeled walk would record one row, the labeled walk two
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val seeds = Seq((0L, 0L), (4L, 4L)).toDF("lm", "node")
+    val got = Bfs.labeledHopDistances(path.toDF("a", "b"), "a", "b",
+        seeds, "lm", "node", maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 0L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (4L, 4L, 0L), (4L, 3L, 1L), (4L, 2L, 2L)))
+  }
+
+  test("labeled BFS equals per-seed naive BFS on a random multigraph") {
+    var x = 11L
+    def nxt(m: Long) = { x = (x * 6364136223846793005L + 1442695040888963407L); math.floorMod(x >>> 33, m) }
+    val es = Seq.fill(150)((nxt(23), nxt(23)))
+    val lms = Seq(2L, 9L, 17L)
+    val got = Bfs.labeledHopDistances(es.toDF("a", "b"), "a", "b",
+        lms.map(l => (l, l)).toDF("lm", "node"), "lm", "node", maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // naive: per landmark, synchronous frontier expansion over the
+    // deduped undirected adjacency
+    val und = es.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = lms.flatMap { lm =>
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      for (r <- 1 to 3) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> r.toLong)
+        frontier = next
+      }
+      dist.map { case (n, d) => (lm, n, d) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("bit-deterministic under repartitioning") {
     var x = 5L
     def nxt(m: Long) = { x = (x * 6364136223846793005L + 1442695040888963407L); math.floorMod(x >>> 33, m) }
