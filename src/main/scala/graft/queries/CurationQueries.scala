@@ -195,22 +195,32 @@ object CurationQueries {
       .select("doc_id", "source", "n_chars", "permille", "norm_chars")
   }
 
-  /** q180: Heaps'-law vocabulary growth — distinct terms FIRST INTRODUCED
-    * per 100-document slab of the corpus (by doc id) and the cumulative
-    * vocabulary curve. Sub-linear growth is healthy natural text; a
-    * linear curve means boilerplate/IDs are flooding the vocabulary, a
-    * plateau means the corpus stopped contributing new language. One
-    * `min(doc_id)` per term (map-side combinable over the exploded
-    * tokens), then a slab-count aggregate over ≤|vocab| rows — never a
-    * data-sized window. */
+  /** q180: Heaps'-law vocabulary growth — distinct word-3-shingles FIRST
+    * INTRODUCED per 50-document slab of the corpus (by doc id) and the
+    * cumulative vocabulary curve. Sub-linear growth is healthy natural
+    * text; a linear curve means boilerplate/IDs are flooding the
+    * vocabulary, a plateau means the corpus stopped contributing new
+    * language. Shingles (the dedup unit, [[graft.expressions
+    * .WordShingles]]) rather than unigrams — phrase-level novelty is the
+    * curve that still moves once the unigram vocabulary saturates. One
+    * `min(doc_id)` per shingle (map-side combinable), then a slab-count
+    * aggregate over ≤|vocab| rows. The cumulative curve runs through
+    * [[graft.operators.PrefixSum]], NOT a global window — the slab axis
+    * grows linearly with the corpus, so a single-task cumsum over it
+    * would serialize exactly the growth curve this query exists to
+    * draw. */
   def q180HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
     val first = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(min("doc_id").as("first_doc"))
-    first.groupBy(expr("first_doc div 100").as("slab"))
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)).as("tri"))
+      .groupBy("tri").agg(min("doc_id").as("first_doc"))
+    val slabs = first.groupBy(expr("first_doc div 50").as("slab"))
       .agg(count(lit(1)).as("new_terms"))
-      .withColumn("cum_terms",
-        sum("new_terms").over(Window.orderBy("slab")))
+      .withColumn("__g", lit(0))
+    graft.operators.PrefixSum.inclusive(slabs, Seq("__g"), "slab",
+        "new_terms", "cum_terms")
+      .drop("__g")
   }
 
   /** q183: linear multi-touch attribution — every purchase's value (exact
@@ -469,12 +479,13 @@ object CurationQueries {
         |JOIN sc s ON d.source = s.source AND d.n_chars = s.n_chars
         |JOIN gm g ON g.permille = s.permille""".stripMargin,
     "q180_heaps_law" ->
-      """WITH first AS (
-        |  SELECT tok, min(doc_id) AS first_doc
-        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        |        FROM documents)
-        |  GROUP BY tok),
-        |s AS (SELECT first_doc // 100 AS slab, CAST(count(*) AS BIGINT) AS new_terms
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tri
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        |first AS (SELECT tri, min(doc_id) AS first_doc FROM g GROUP BY tri),
+        |s AS (SELECT first_doc // 50 AS slab, CAST(count(*) AS BIGINT) AS new_terms
         |      FROM first GROUP BY 1)
         |SELECT slab, new_terms,
         |  CAST(sum(new_terms) OVER (ORDER BY slab) AS BIGINT) AS cum_terms

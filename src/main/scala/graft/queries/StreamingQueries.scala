@@ -41,7 +41,22 @@ object StreamingQueries {
   def q166StreamTopk(s: SparkSession, dir: String): DataFrame =
     Streams.topKPerHourOnce(s, dir)
 
+  /** Stream-static enrichment join — each streamed event joined to a
+    * batch-computed user activity tier (broadcast, no stream-side
+    * shuffle), aggregated per (tier, event_type) with exact micro-unit
+    * value sums. */
+  def q172StreamEnrich(s: SparkSession, dir: String): DataFrame =
+    Streams.staticEnrichOnce(s, dir)
+
+  /** Hopping-window (2h size, 1h slide) event counts — overlapping
+    * windows from watermark-bounded state; the oracle fans each event
+    * into its two covering windows. */
+  def q185StreamHopping(s: SparkSession, dir: String): DataFrame =
+    Streams.hoppingCountsOnce(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_stream_enrich" -> (q172StreamEnrich _),
+    "q185_stream_hopping" -> (q185StreamHopping _),
     "q166_stream_topk" -> (q166StreamTopk _),
     "q41_stream_hourly" -> (q41StreamHourly _),
     "q112_stream_sessions" -> (q112StreamSessions _),
@@ -49,6 +64,26 @@ object StreamingQueries {
     "q143_stream_join" -> (q143StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q172_stream_enrich" ->
+      """WITH tiers AS (
+        |  SELECT user_id,
+        |    CAST(length(bin(count(*))) - 1 AS BIGINT) AS tier
+        |  FROM events GROUP BY user_id)
+        |SELECT t.tier, e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS value_micros
+        |FROM events e JOIN tiers t ON e.user_id = t.user_id
+        |GROUP BY t.tier, e.event_type""".stripMargin,
+    // each event belongs to the hop starting at its truncated hour and
+    // the one an hour earlier (2h window, 1h slide, epoch-aligned)
+    "q185_stream_hopping" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts)::TIMESTAMP,
+        |                 date_trunc('hour', ts)::TIMESTAMP - INTERVAL 1 HOUR])
+        |    AS window_start
+        |  FROM events)
+        |SELECT window_start, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY window_start""".stripMargin,
     // the batch rank-window over the same micro-unit integer scores; the
     // stream must land on the identical top-3 per closed hour
     "q166_stream_topk" ->

@@ -308,6 +308,65 @@ object Streams {
     spark.table("graft_stream_join")
   }
 
+  /** Stream-STATIC enrichment join: the event stream joined per
+    * micro-batch against a BATCH-computed dimension (each user's activity
+    * tier — the log₂ bucket of their total historical event count), then
+    * aggregated per (tier, event_type). The stream-static join is the
+    * third join family next to batch-batch and stream-stream: the static
+    * side is planned fresh each micro-batch (no state to expire — only
+    * stream rows flow), and with a compact dimension Spark broadcasts it,
+    * so the enrichment adds NO shuffle to the stream path. The tier is
+    * bit-length bucketing (`bin()` string length), the same
+    * integer-portable log₂ the CCDF query uses — no floating log to
+    * disagree with the oracle over. */
+  def staticEnrichOnce(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("total"))
+      .select(col("user_id"),
+        (length(bin(col("total"))) - 1).cast("long").as("tier"))
+    val stream = graft.sources.Tables.loadStream(spark, dir, "events")
+    val q = stream
+      .join(broadcast(tiers), "user_id")
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum(floor(col("value").cast("double") * 1000000d).cast("long")).as("value_micros"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_enrich")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_enrich", q)
+    spark.table("graft_stream_enrich")
+  }
+
+  /** Watermarked HOPPING-window counts (2-hour window sliding by 1 hour):
+    * every event lands in exactly two overlapping windows, the smoothing
+    * shape dashboards want when tumbling hours are too jumpy. State cost
+    * is (size/slide)× tumbling — still watermark-bounded, freed as the
+    * watermark passes each window end; the overlap factor, not the
+    * stream length, is the multiplier, which is why hopping windows
+    * survive scale where arbitrary self-joins would not. */
+  def hoppingCountsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.sources.Tables.loadStream(spark, dir, "events")
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("cnt"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_hopping")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    recordMicroBatchPlan("graft_stream_hopping", q)
+    spark.table("graft_stream_hopping")
+  }
+
   /** STREAMING corpus ingest: raw document micro-batches drive
     * [[graft.app.CorpusApp.appendBatch]] through `foreachBatch` — each
     * batch is cleaned by the full verified pipeline, gated against the

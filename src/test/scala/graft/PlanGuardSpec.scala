@@ -35,7 +35,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q145_hybrid_search", // q31's broadcast 1-row query vector, reused by the dense leg
       "q160_pmi_pairs", // broadcast 1-row total-token aggregate against the pair table
       "q162_assoc_rules", // broadcast 1-row basket-count aggregate against the rule stream
-      "q164_dsir_scores") // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
+      "q164_dsir_scores", // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
+      "q177_decayed_engagement") // broadcast 1-row max-day anchor against the event stream
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -49,7 +50,13 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q155_benford",
     // q167: every window runs over the per-day POST-AGGREGATE series —
     // calendar-bounded at any corpus size (the q58 justification)
-    "q167_cusum_changepoint")
+    "q167_cusum_changepoint",
+    // q178: the global window cumulates the n_chars VALUE histogram —
+    // bounded by the length-value domain (q169 argument), not corpus rows
+    "q178_quantile_norm",
+    // q179: the lag window runs over <= 11 post-aggregate threshold rows
+    // (k in 4..14 by construction)
+    "q179_ccdf_powers")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
@@ -67,7 +74,11 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q170: the per-type cumulative sum runs over the (type, day)
     // POST-AGGREGATE calendar grid — the corpus-scale pass is the
     // first-interaction min-aggregate below it
-    "q170_growth_curve")
+    "q170_growth_curve",
+    // q175/q178: per-source windows run over the (source, n_chars) VALUE
+    // histogram — the q169 exact-median argument verbatim
+    "q175_winsorized",
+    "q178_quantile_norm")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
@@ -80,7 +91,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q112_stream_sessions" -> "graft_stream_sessions",
     "q137_stream_distinct" -> "graft_stream_distinct",
     "q143_stream_join" -> "graft_stream_join",
-    "q166_stream_topk" -> "graft_stream_topk")
+    "q166_stream_topk" -> "graft_stream_topk",
+    "q172_stream_enrich" -> "graft_stream_enrich",
+    "q185_stream_hopping" -> "graft_stream_hopping")
 
   test("no query plans a cartesian product or a scale-key single-group window") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
