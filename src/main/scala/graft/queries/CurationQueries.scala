@@ -354,6 +354,167 @@ object CurationQueries {
     sb.toString
   }
 
+  /** q186: HITS hubs and authorities over the supplier→part supply
+    * bipartite graph ([[graft.operators.Hits]], 2 rounds) — suppliers
+    * that stock the widely-sourced parts score as hubs, parts stocked by
+    * the strong hubs score as authorities, the mutual-reinforcement
+    * ranking PageRank's single score can't express on a bipartite
+    * structure. Top 20 per side via two independent
+    * TakeOrderedAndProject branches (a rank window per side would put a
+    * corpus-proportional side into one task). */
+  def q186Hits(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.operators.Hits.scores(
+      Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_partkey")),
+      "l_suppkey", "l_partkey", rounds = 2)
+    val hubs = scores.filter(col("side") === "hub")
+      .orderBy(col("score").desc, col("id")).limit(20)
+    val auths = scores.filter(col("side") === "auth")
+      .orderBy(col("score").desc, col("id")).limit(20)
+    hubs.unionAll(auths)
+  }
+
+  /** DuckDB mirror of [[q186Hits]]: the unrolled half-round recurrence —
+    * join-aggregate then max-rescale, alternating sides — with the same
+    * top-20-per-side tails. Non-negative integers end to end, so `//`
+    * and Spark's `div` agree on every truncation. */
+  private def hitsOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |a0 AS MATERIALIZED (
+        |  SELECT p, CAST(1000000 AS BIGINT) AS a
+        |  FROM (SELECT DISTINCT p FROM e))""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |h${r}r AS MATERIALIZED (
+        |  SELECT s, sum(a) AS v FROM e JOIN a${r - 1} USING (p) GROUP BY s),
+        |h$r AS MATERIALIZED (
+        |  SELECT s, CAST(v * 1000000 // (SELECT max(v) FROM h${r}r) AS BIGINT) AS h
+        |  FROM h${r}r),
+        |a${r}r AS MATERIALIZED (
+        |  SELECT p, sum(h) AS v FROM e JOIN h$r USING (s) GROUP BY p),
+        |a$r AS MATERIALIZED (
+        |  SELECT p, CAST(v * 1000000 // (SELECT max(v) FROM a${r}r) AS BIGINT) AS a
+        |  FROM a${r}r)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT * FROM (
+      |  SELECT 'hub' AS side, s AS id, h AS score FROM h$rounds
+      |  ORDER BY score DESC, id LIMIT 20)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT 'auth' AS side, p AS id, a AS score FROM a$rounds
+      |  ORDER BY score DESC, id LIMIT 20)""".stripMargin)
+    sb.toString
+  }
+
+  /** q187: MMR (maximal-marginal-relevance) diverse re-ranking — the
+    * top-50 brute-force candidates for query vector 0, greedily re-ranked
+    * so each of the 10 picks maximizes `relevance − max-similarity-to-
+    * already-picked` (λ=½ MMR, whose ordering that difference preserves).
+    * The retrieval stage is the distributed TakeOrdered pass (corpus-
+    * scale); the greedy stage is inherently sequential, so it runs on the
+    * COLLECTED 50-candidate set — a k²-bounded collect by construction
+    * (the PQ-codebook precedent), with the 50×50 cosine matrix computed
+    * distributively by the same codegen'd [[graft.operators.Similarity
+    * .cosine]] the oracle mirrors. Scores are per-row IEEE doubles —
+    * bit-exact cross-engine — with vec_id tiebreaks. */
+  def q187MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("__q"))
+    val cand = emb.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("__q")).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+      .localCheckpoint()
+    val rels: Seq[(Long, Double)] = cand.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val sims: Map[(Long, Long), Double] = cand.as("a")
+      .join(cand.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val relMap = rels.toMap
+    val first = rels.minBy { case (id, rel) => (-rel, id) }._1
+    var selected = Vector(first)
+    while (selected.length < 10) {
+      val pick = rels.collect {
+        case (id, rel) if !selected.contains(id) =>
+          id -> (rel - selected.map(sid => sims((id, sid))).max)
+      }.minBy { case (id, score) => (-score, id) }._1
+      selected :+= pick
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case (id, i) => (i + 1L, id, relMap(id)) }
+      .toDF("rank", "vec_id", "rel")
+  }
+
+  /** DuckDB mirror of [[q187MmrRerank]]: candidate CTE (top-50 by the
+    * shared cosine), full ordered-pair similarity CTE, then the greedy
+    * rounds UNROLLED — round r scores every unpicked candidate against
+    * the accumulated pick set and takes the (score, vec_id) max. */
+  private def mmrOracleSql(k: Int): String = {
+    val cos = LlmQueries.cosSql("a.embedding", "b.embedding")
+    val rel = LlmQueries.cosSql("embeddings.embedding", "q.qe")
+    val sb = new StringBuilder(
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, $rel AS rel, embedding
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 50),
+         |ps AS MATERIALIZED (
+         |  SELECT a.vec_id AS x, b.vec_id AS y, $cos AS cos
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(1 AS BIGINT) AS rank FROM cand
+         |  ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin)
+    for (r <- 2 to k) {
+      // every round CTE MATERIALIZED: sel(r) is referenced three times by
+      // round r+1, so un-materialized inlining compounds 3^k-fold — the
+      // 10-round chain never finishes without it
+      sb.append(s""",
+        |p$r AS MATERIALIZED (
+        |  SELECT c.vec_id, c.rel - max(ps.cos) AS score
+        |  FROM cand c
+        |  JOIN ps ON ps.x = c.vec_id
+        |  JOIN sel${r - 1} s ON ps.y = s.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+        |  GROUP BY c.vec_id, c.rel
+        |  ORDER BY score DESC, c.vec_id LIMIT 1),
+        |sel$r AS MATERIALIZED (
+        |  SELECT vec_id, rank FROM sel${r - 1}
+        |  UNION ALL SELECT vec_id, CAST($r AS BIGINT) FROM p$r)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT s.rank, s.vec_id, c.rel
+      |FROM sel$k s JOIN cand c USING (vec_id)""".stripMargin)
+    sb.toString
+  }
+
+  /** q188: mutual nearest-neighbor pairs — vectors that are each other's
+    * 1-NN within their label cell (reciprocal top-1 cosine, a < b
+    * canonical order). Mutual-NN is the contraction step of scalable
+    * agglomerative clustering and a high-precision near-dup signal: a
+    * one-directional NN is cheap to be, a RECIPROCAL one is rare. Built
+    * by self-joining the existing cell-bounded 1-NN table
+    * ([[graft.operators.Similarity.bucketedNearestNeighbor]]) on the
+    * reversed pair — two equi-joins, both bounded by the Σ cell² budget
+    * the skew tier already gates. */
+  def q188MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val nn = graft.operators.Similarity.bucketedNearestNeighbor(
+      Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+    nn.as("a").join(nn.as("b"),
+        col("a.nn_id") === col("b.vec_id") &&
+          col("b.nn_id") === col("a.vec_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("a.nn_id").as("vb"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,12 +528,32 @@ object CurationQueries {
     "q180_heaps_law" -> (q180HeapsLaw _),
     "q181_event_paths" -> (q181EventPaths _),
     "q183_attribution" -> (q183Attribution _),
-    "q184_int8_quant" -> (q184Int8Quant _))
+    "q184_int8_quant" -> (q184Int8Quant _),
+    "q186_hits" -> (q186Hits _),
+    "q187_mmr_rerank" -> (q187MmrRerank _),
+    "q188_mutual_nn" -> (q188MutualNn _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q173_harmonic_centrality" -> harmonicOracleSql(hops = 2),
+    "q186_hits" -> hitsOracleSql(rounds = 2),
+    "q187_mmr_rerank" -> mmrOracleSql(k = 10),
+    // q32's in-cell argmax CTE, self-joined on the reversed pair
+    "q188_mutual_nn" ->
+      s"""WITH c AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${LlmQueries.cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |nn AS (
+         |  SELECT vec_id, nn_id FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY cos DESC, nn_id) = 1)
+         |SELECT x.vec_id AS va, x.nn_id AS vb
+         |FROM nn x JOIN nn y
+         |  ON x.nn_id = y.vec_id AND y.nn_id = x.vec_id
+         | AND x.vec_id < y.vec_id""".stripMargin,
     "q174_dim_health" ->
       """WITH ex AS (
         |  SELECT unnest(generate_series(1, len(embedding))) AS i, embedding

@@ -36,7 +36,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q160_pmi_pairs", // broadcast 1-row total-token aggregate against the pair table
       "q162_assoc_rules", // broadcast 1-row basket-count aggregate against the rule stream
       "q164_dsir_scores", // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
-      "q177_decayed_engagement") // broadcast 1-row max-day anchor against the event stream
+      "q177_decayed_engagement", // broadcast 1-row max-day anchor against the event stream
+      "q186_hits", // per-half-round broadcast 1-row max-rescale aggregates
+      "q187_mmr_rerank") // broadcast 1-row query vector + the 50x50 bounded candidate self-join
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
