@@ -515,6 +515,75 @@ object CurationQueries {
       .select(col("a.vec_id").as("va"), col("a.nn_id").as("vb"))
   }
 
+  /** q189: exact Gini concentration of document length per source — the
+    * inequality screen behind "is this source a few giant pages plus
+    * stubs, or uniformly sized". Computed ENTIRELY from the (source,
+    * n_chars) value histogram: a run of `c` equal values occupying ranks
+    * prev+1..prev+c contributes `v·(2·(prev·c + c(c+1)/2) − c(n+1))` to
+    * Σ(2i−n−1)xᵢ — equal values make the within-run order irrelevant, so
+    * the classic rank formula becomes tie-proof integer arithmetic and
+    * the per-source state stays |distinct lengths|, never |docs|. Output
+    * in exact permille of the 0..1 Gini. */
+  def q189GiniLength(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    cum.groupBy("source")
+      .agg(max("n").as("n_docs"),
+        sum(expr("n_chars * c")).as("sum_chars"),
+        sum(expr("n_chars * (2 * (prev * c + c * (c + 1) div 2) - c * (n + 1))"))
+          .as("num"))
+      .select(col("source"), col("n_docs"),
+        expr("1000 * num div (n_docs * sum_chars)").as("gini_permille"))
+  }
+
+  /** q190: effective source diversity per language — the inverse-Simpson
+    * index N²/Σnₛ² ("how many equally-sized sources is this mix worth"),
+    * the one number a mixing recipe is graded on. Two nested map-side
+    * combinable aggregates — (lang, source) counts then per-lang moments
+    * — with the index in exact thousandths; #lang × #source state at any
+    * corpus size. */
+  def q190SourceDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+      .groupBy("lang")
+      .agg(sum("ns").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("ns * ns")).as("sq"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("1000 * n_docs * n_docs div sq").as("eff_sources_x1000"))
+
+  /** q191: quality-score calibration against duplication — exact-dup rate
+    * per GLOBAL token-count decile, the curve that validates (or indicts)
+    * a quality score before it gates anything: low deciles should carry
+    * the duplicate mass; a flat curve means the score measures nothing
+    * the dedup cares about. Deciles come from the score value histogram
+    * via [[graft.operators.PrefixSum]] (q78's rule, global axis), dup
+    * flags from the md5 fingerprint groups (q27's rule); the join keys
+    * are histogram-sized. */
+  def q191QualityDupCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("score"))
+    val hist = t.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("__g", lit(0))
+    val cum = graft.operators.PrefixSum.inclusive(hist, Seq("__g"), "score", "c", "cum")
+    val deciles = cum
+      .join(broadcast(cum.agg(max("cum").as("n"))))
+      .select(col("score"), expr("(10 * (cum - c)) div n").as("decile"))
+    val dups = t.groupBy("fp").agg(count(lit(1)).as("m"))
+    t.join(dups, "fp")
+      .join(broadcast(deciles), "score")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("1000 * sum(if(m > 1, 1, 0)) div count(*)").as("dup_permille"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -531,7 +600,10 @@ object CurationQueries {
     "q184_int8_quant" -> (q184Int8Quant _),
     "q186_hits" -> (q186Hits _),
     "q187_mmr_rerank" -> (q187MmrRerank _),
-    "q188_mutual_nn" -> (q188MutualNn _))
+    "q188_mutual_nn" -> (q188MutualNn _),
+    "q189_gini_length" -> (q189GiniLength _),
+    "q190_source_diversity" -> (q190SourceDiversity _),
+    "q191_quality_dup_calibration" -> (q191QualityDupCalibration _))
 
   // ------------------------------------------------------------- oracles
 
@@ -715,6 +787,52 @@ object CurationQueries {
         |  CAST(sum(abs(x6 - (mn + q * span // 255))) AS BIGINT) AS total_err,
         |  CAST(max(abs(x6 - (mn + q * span // 255))) AS BIGINT) AS max_err
         |FROM qn GROUP BY dim""".stripMargin,
+    "q189_gini_length" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT source, n_chars, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) - c
+        |      AS prev,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h),
+        |m AS (
+        |  SELECT source, max(n) AS n_docs,
+        |    CAST(sum(n_chars * c) AS BIGINT) AS sum_chars,
+        |    CAST(sum(n_chars * (2 * (prev * c + c * (c + 1) // 2)
+        |                        - c * (n + 1))) AS BIGINT) AS num
+        |  FROM cm GROUP BY source)
+        |SELECT source, n_docs,
+        |  1000 * num // (n_docs * sum_chars) AS gini_permille
+        |FROM m""".stripMargin,
+    "q190_source_diversity" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS ns
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(ns) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(1000 * sum(ns) * sum(ns) // sum(ns * ns) AS BIGINT)
+        |    AS eff_sources_x1000
+        |FROM g GROUP BY lang""".stripMargin,
+    "q191_quality_dup_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |h AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |cm AS (
+        |  SELECT score, c,
+        |    CAST(sum(c) OVER (ORDER BY score) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |d AS (SELECT score, (10 * (cum - c)) // n AS decile FROM cm),
+        |f AS (SELECT fp, count(*) AS m FROM t GROUP BY fp)
+        |SELECT d.decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(1000 * sum(CASE WHEN f.m > 1 THEN 1 ELSE 0 END) // count(*)
+        |       AS BIGINT) AS dup_permille
+        |FROM t JOIN d USING (score) JOIN f USING (fp)
+        |GROUP BY d.decile""".stripMargin,
     "q181_event_paths" ->
       """WITH t AS (
         |  SELECT event_type AS e1,

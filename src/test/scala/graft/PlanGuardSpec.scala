@@ -38,7 +38,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q164_dsir_scores", // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
       "q177_decayed_engagement", // broadcast 1-row max-day anchor against the event stream
       "q186_hits", // per-half-round broadcast 1-row max-rescale aggregates
-      "q187_mmr_rerank") // broadcast 1-row query vector + the 50x50 bounded candidate self-join
+      "q187_mmr_rerank", // broadcast 1-row query vector + the 50x50 bounded candidate self-join
+      "q191_quality_dup_calibration") // broadcast 1-row total against the histogram-sized decile map
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -80,7 +81,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q175/q178: per-source windows run over the (source, n_chars) VALUE
     // histogram — the q169 exact-median argument verbatim
     "q175_winsorized",
-    "q178_quantile_norm")
+    "q178_quantile_norm",
+    // q189: same (source, n_chars) value-histogram windows
+    "q189_gini_length")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
