@@ -291,6 +291,10 @@ object CurationQueries {
     * frontier walk where all landmarks expand in the same per-round keyed
     * joins. Landmark choice is deterministic (degree desc, id). */
   def q173HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    // the distinct edge list feeds THREE consumers (degree ranking, the
+    // walk's adjacency, and its own re-normalization inside the operator)
+    // — checkpoint it once so the collect_set+double-explode derivation
+    // runs once, not per consumer
     val und = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
       .groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("ps"))
@@ -298,6 +302,7 @@ object CurationQueries {
       .select(col("pa"), explode(col("ps")).as("pb"))
       .filter(col("pa") < col("pb"))
       .distinct()
+      .localCheckpoint()
     val adj = und.select(col("pa").as("node"))
       .unionAll(und.select(col("pb").as("node")))
     val landmarks = adj.groupBy("node").agg(count(lit(1)).as("deg"))
