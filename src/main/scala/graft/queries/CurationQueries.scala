@@ -589,6 +589,58 @@ object CurationQueries {
         expr("1000 * sum(if(m > 1, 1, 0)) div count(*)").as("dup_permille"))
   }
 
+  /** q192: k-anonymity audit — group sizes over the quasi-identifier
+    * tuple (event type, hour of day, value magnitude bucket) with an
+    * at-risk flag for groups under k=5. The privacy screen run before any
+    * event-level export: a QI combination shared by fewer than k users is
+    * re-identifiable. The magnitude bucket is bit-length (the shared
+    * integer log₂), so the QI space is small and closed — one map-side
+    * combinable aggregate, #QI-bounded state at any stream size. */
+  def q192KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hour"),
+        (length(bin(floor(col("value")).cast("long"))) - 1).as("vbucket"))
+      .groupBy("event_type", "hour", "vbucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("at_risk", col("cnt") < 5)
+
+  /** q195: funnel conversion latency — minutes from each user's FIRST
+    * view to their first purchase at-or-after it, with exact p50/p90 by
+    * the cumulative-histogram rule. The "how long does conversion take"
+    * follow-up to q79's who-converts funnel; delays histogram to minute
+    * grain, so the quantile state is the delay-value domain, not the user
+    * count. One row out: conversions + both quantiles. */
+  def q195FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_us"))
+    val delays = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(firstView, "user_id")
+      .filter(col("p_us") >= col("v_us"))
+      .groupBy("user_id").agg(min(col("p_us") - col("v_us")).as("d_us"))
+      .select(expr("d_us div 60000000").as("d_min"))
+    val hist = delays.groupBy("d_min").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.orderBy("d_min")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+    cum.agg(max("n").as("n_conversions"),
+      min(when(col("cum") * 2 >= col("n"), col("d_min"))).as("p50_min"),
+      min(when(col("cum") * 10 >= col("n") * 9, col("d_min"))).as("p90_min"))
+  }
+
+  /** q194: raw TEXT-LINE source (`spark.read.text`) — the format every
+    * ingest ladder starts from when the file is neither CSV nor JSON yet
+    * (logs, jsonl before schema, scraped dumps): each line verbatim, with
+    * md5 fingerprint and char length per line — the fingerprint SET, not
+    * order, is the contract. The oracle reads the same file with the
+    * delimiter and quoting DISABLED — proving the engine's text source
+    * does no CSV interpretation (embedded quotes and commas survive). */
+  def q194TextLines(s: SparkSession, dir: String): DataFrame =
+    s.read.text("/root/repo/fixtures/journey.csv")
+      .select(md5(col("value")).as("fp"),
+        length(col("value")).cast("long").as("n_chars"))
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -608,7 +660,10 @@ object CurationQueries {
     "q188_mutual_nn" -> (q188MutualNn _),
     "q189_gini_length" -> (q189GiniLength _),
     "q190_source_diversity" -> (q190SourceDiversity _),
-    "q191_quality_dup_calibration" -> (q191QualityDupCalibration _))
+    "q191_quality_dup_calibration" -> (q191QualityDupCalibration _),
+    "q192_k_anonymity" -> (q192KAnonymity _),
+    "q194_text_lines" -> (q194TextLines _),
+    "q195_funnel_latency" -> (q195FunnelLatency _))
 
   // ------------------------------------------------------------- oracles
 
@@ -838,6 +893,37 @@ object CurationQueries {
         |       AS BIGINT) AS dup_permille
         |FROM t JOIN d USING (score) JOIN f USING (fp)
         |GROUP BY d.decile""".stripMargin,
+    "q194_text_lines" ->
+      """SELECT md5(line) AS fp, CAST(length(line) AS BIGINT) AS n_chars
+        |FROM read_csv('/root/repo/fixtures/journey.csv',
+        |  columns={'line': 'VARCHAR'}, delim='', quote='', header=false)"""
+        .stripMargin,
+    "q192_k_anonymity" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+        |  CAST(length(bin(CAST(floor(value) AS BIGINT))) - 1 AS INT) AS vbucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  count(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q195_funnel_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id,
+        |    min(epoch_us(e.ts) - fv.v_us) // 60000000 AS d_min
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_us
+        |  GROUP BY e.user_id),
+        |h AS (SELECT d_min, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |cm AS (
+        |  SELECT d_min, c,
+        |    CAST(sum(c) OVER (ORDER BY d_min) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM h)
+        |SELECT max(n) AS n_conversions,
+        |  min(CASE WHEN cum * 2 >= n THEN d_min END) AS p50_min,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN d_min END) AS p90_min
+        |FROM cm""".stripMargin,
     "q181_event_paths" ->
       """WITH t AS (
         |  SELECT event_type AS e1,

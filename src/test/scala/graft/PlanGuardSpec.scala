@@ -59,7 +59,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q178_quantile_norm",
     // q179: the lag window runs over <= 11 post-aggregate threshold rows
     // (k in 4..14 by construction)
-    "q179_ccdf_powers")
+    "q179_ccdf_powers",
+    // q195: windows run over the delay-MINUTE value histogram — bounded
+    // by the latency domain (hours, not users)
+    "q195_funnel_latency")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
