@@ -641,6 +641,55 @@ object CurationQueries {
       .select(md5(col("value")).as("fp"),
         length(col("value")).cast("long").as("n_chars"))
 
+  /** q196: ranking-window surface — rank, dense_rank, ntile(4),
+    * percent_rank and cume_dist over each user's event stream in one
+    * window pass, per-milled with a floor both engines compute on the
+    * same IEEE doubles (the rationals are exact small-int divisions).
+    * Covers the full ranking-family semantics (gaps, density, bucket
+    * fill order, inclusive/exclusive endpoints) on a per-key-bounded
+    * partition — the window shape that IS safe at scale. */
+  def q196WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr_permille",
+        floor(percent_rank().over(w) * 1000).cast("long"))
+      .withColumn("cd_permille",
+        floor(cume_dist().over(w) * 1000).cast("long"))
+      .drop("value")
+  }
+
+  /** q197: rendezvous (highest-random-weight) resharding audit — each doc
+    * goes to the shard with the max md5(doc:shard) weight; growing 16→17
+    * shards, HRW moves only the docs whose argmax is the NEW shard
+    * (~1/17), where mod-hashing reshuffles ~16/17 of everything. The
+    * query computes both assignments and both movement counts — the
+    * placement scheme a 100-TB store reshards by, with the exact integer
+    * proof of its stability. Per doc the argmax explodes 17 bounded
+    * rows; state is #shards² for the matrix. */
+  def q197RendezvousReshard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val shards = Tables.documents(s, dir).select("doc_id")
+      .select(col("doc_id"), explode(sequence(lit(0), lit(16))).as("shard"))
+      .withColumn("w", md5Long(concat(col("doc_id").cast("string"),
+        lit(":"), col("shard").cast("string"))))
+    shards.groupBy("doc_id")
+      .agg(
+        max(when(col("shard") < 16, struct(col("w"), col("shard")))).as("old"),
+        max(struct(col("w"), col("shard"))).as("new"))
+      .select(col("doc_id"), col("old.shard").as("old_shard"),
+        col("new.shard").as("new_shard"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L))
+          .as("hrw_moved"),
+        sum(when(pmod(col("doc_id"), lit(16)) =!= pmod(col("doc_id"), lit(17)),
+          1L).otherwise(0L)).as("mod_moved"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -663,7 +712,9 @@ object CurationQueries {
     "q191_quality_dup_calibration" -> (q191QualityDupCalibration _),
     "q192_k_anonymity" -> (q192KAnonymity _),
     "q194_text_lines" -> (q194TextLines _),
-    "q195_funnel_latency" -> (q195FunnelLatency _))
+    "q195_funnel_latency" -> (q195FunnelLatency _),
+    "q196_window_suite" -> (q196WindowSuite _),
+    "q197_rendezvous_reshard" -> (q197RendezvousReshard _))
 
   // ------------------------------------------------------------- oracles
 
@@ -893,6 +944,34 @@ object CurationQueries {
         |       AS BIGINT) AS dup_permille
         |FROM t JOIN d USING (score) JOIN f USING (fp)
         |GROUP BY d.decile""".stripMargin,
+    "q196_window_suite" ->
+      """SELECT user_id, event_id,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(floor(percent_rank() OVER w * 1000) AS BIGINT) AS pr_permille,
+        |  CAST(floor(cume_dist() OVER w * 1000) AS BIGINT) AS cd_permille
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+    "q197_rendezvous_reshard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CAST(s.shard AS INT) AS shard,
+        |    ('0x' || substring(md5(doc_id || ':' || s.shard), 1, 15))::BIGINT AS w
+        |  FROM documents, LATERAL unnest(generate_series(0, 16)) AS s(shard)),
+        |oldp AS (
+        |  SELECT doc_id, shard AS old_shard FROM sh WHERE shard < 16
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY w DESC, shard DESC) = 1),
+        |newp AS (
+        |  SELECT doc_id, shard AS new_shard FROM sh
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY w DESC, shard DESC) = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN o.old_shard <> n.new_shard THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS hrw_moved,
+        |  CAST(sum(CASE WHEN o.doc_id % 16 <> o.doc_id % 17 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS mod_moved
+        |FROM oldp o JOIN newp n USING (doc_id)""".stripMargin,
     "q194_text_lines" ->
       """SELECT md5(line) AS fp, CAST(length(line) AS BIGINT) AS n_chars
         |FROM read_csv('/root/repo/fixtures/journey.csv',

@@ -16,6 +16,24 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
   private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
   private val oneDoc = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
 
+  test("hits: empty edges and a single edge") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "p")
+    assert(Hits.scores(empty, "s", "p", rounds = 2).count() == 0)
+    val one = Seq((1L, 10L)).toDF("s", "p")
+    val got = Hits.scores(one, "s", "p", rounds = 2)
+      .as[(String, Long, Long)].collect().toSet
+    // a single edge rescales to the unit score on both sides
+    assert(got == Set(("hub", 1L, Hits.One), ("auth", 10L, Hits.One)))
+  }
+
+  test("labeled BFS: empty edges leave seeds at distance 0") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val seeds = Seq((7L, 7L)).toDF("lm", "node")
+    val got = Bfs.labeledHopDistances(empty, "a", "b", seeds, "lm", "node", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 7L, 0L)))
+  }
+
   test("dedup family: empty and singleton corpora") {
     assert(Dedup.exactClusters(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
