@@ -690,6 +690,85 @@ object CurationQueries {
           1L).otherwise(0L)).as("mod_moved"))
   }
 
+  /** q198: semantic clusters — connected components over the mutual-NN
+    * graph (q188's reciprocal pairs as edges, every vector a node), with
+    * member counts. Mutual-NN + CC is the scalable skeleton of
+    * agglomerative clustering: each contraction round merges reciprocal
+    * pairs, and the CC labels after one mutual-NN round are its first
+    * level. Reuses [[graft.operators.Dedup.connectedComponents]] (keyed
+    * label-exchange rounds, `localCheckpoint` per round); the oracle
+    * replays reachability with a recursive CTE. */
+  def q198SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = q188MutualNn(s, dir)
+      .select(col("va").as("id_a"), col("vb").as("id_b"))
+    val labels = graft.operators.Dedup.connectedComponents(emb, pairs, "vec_id")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id").select("vec_id", "cluster_id", "n_members")
+  }
+
+  /** q199: per-label centroid and dispersion — the embedding-drift screen
+    * per class: TRUNCATED fixed-point centroid (sum6 div n per dim), the
+    * centroid's squared norm, and the average squared deviation from it.
+    * A collapsing class (dispersion → 0) or a drifting one (norm moves
+    * between dumps) surfaces here before any training run does. Two
+    * (label, dim)-keyed aggregates — d·#labels state; the integer
+    * centroid makes the deviation pass exactly replayable. */
+  def q199LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), fix6(col("x")).as("x6"))
+    // sign carried outside the division: Spark `div` truncates toward
+    // zero while DuckDB `//` floors, so they only agree on non-negative
+    // operands (the Pca rescale convention)
+    val cent = ex.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("x6").as("s6"))
+      .withColumn("c6", expr("if(s6 < 0, -((-s6) div n), s6 div n)"))
+    val norms = cent.groupBy("label")
+      .agg(max("n").as("n_vecs"), sum(expr("c6 * c6")).as("centroid_sq_norm"))
+    val devs = ex.join(cent.select("label", "dim", "c6"), Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum(expr("(x6 - c6) * (x6 - c6)")).as("sq_dev_total"))
+    norms.join(devs, "label")
+      .select(col("label"), col("n_vecs"), col("centroid_sq_norm"),
+        expr("sq_dev_total div (n_vecs * 64)").as("avg_sq_dev"))
+  }
+
+  /** q200: hard-negative / positive mining within trained IVF cells — for
+    * every anchor, the highest-cosine DIFFERENT-label vector (the hard
+    * negative contrastive training wants) and the highest-cosine
+    * SAME-label vector (the anchor's easiest positive), searched in the
+    * anchor's own trained cell (q46's quantizer verbatim): hard negatives
+    * live near the anchor by definition, so the cell IS the candidate
+    * set, and the join stays inside the gated Σ cell² budget. Conditional
+    * `max(struct)` aggregates keep the per-anchor reduction map-side
+    * (q32's discipline); ties break to the lowest candidate id. */
+  def q200HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainCentroidsLite(emb, "vec_id", "embedding",
+      k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
+    val cells = emb.withColumn("__c",
+      Similarity.ivfAssign(col("embedding"), centroids))
+    val a = cells.select(col("__c"), col("vec_id"), col("label"),
+      col("embedding").as("__va"))
+    val b = cells.select(col("__c"), col("vec_id").as("cand_id"),
+      col("label").as("cand_label"), col("embedding").as("__vb"))
+    a.join(b, "__c")
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select(col("vec_id"), col("label"), col("cand_id"), col("cand_label"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cos"))
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("cand_label") =!= col("label"),
+          struct(col("cos"), (-col("cand_id")).as("nid")))).as("hn"),
+        max(when(col("cand_label") === col("label"),
+          struct(col("cos"), (-col("cand_id")).as("nid")))).as("pp"))
+      .select(col("vec_id"), col("label"),
+        (-col("hn.nid")).as("hard_neg_id"), col("hn.cos").as("hard_neg_cos"),
+        (-col("pp.nid")).as("pos_id"), col("pp.cos").as("pos_cos"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,7 +793,10 @@ object CurationQueries {
     "q194_text_lines" -> (q194TextLines _),
     "q195_funnel_latency" -> (q195FunnelLatency _),
     "q196_window_suite" -> (q196WindowSuite _),
-    "q197_rendezvous_reshard" -> (q197RendezvousReshard _))
+    "q197_rendezvous_reshard" -> (q197RendezvousReshard _),
+    "q198_semantic_clusters" -> (q198SemanticClusters _),
+    "q199_label_centroids" -> (q199LabelCentroids _),
+    "q200_hard_negatives" -> (q200HardNegatives _))
 
   // ------------------------------------------------------------- oracles
 
@@ -944,6 +1026,89 @@ object CurationQueries {
         |       AS BIGINT) AS dup_permille
         |FROM t JOIN d USING (score) JOIN f USING (fp)
         |GROUP BY d.decile""".stripMargin,
+    // q188's mutual-pair CTEs + the q74 recursive-reachability labeling
+    "q198_semantic_clusters" ->
+      s"""WITH RECURSIVE c AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${LlmQueries.cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |nn AS (
+         |  SELECT vec_id, nn_id FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY cos DESC, nn_id) = 1),
+         |mp AS (
+         |  SELECT x.vec_id AS id_a, x.nn_id AS id_b
+         |  FROM nn x JOIN nn y
+         |    ON x.nn_id = y.vec_id AND y.nn_id = x.vec_id
+         |   AND x.vec_id < y.vec_id),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM mp
+         |      UNION ALL SELECT id_b, id_a FROM mp),
+         |reach(src, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src),
+         |lab AS (SELECT src AS vec_id, min(lbl) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM lab""".stripMargin,
+    "q199_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+        |    embedding
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x6
+        |  FROM ex),
+        |cent AS (
+        |  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x6) AS BIGINT) AS s6
+        |  FROM x GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT label, dim, n,
+        |    CASE WHEN s6 < 0 THEN -((-s6) // n) ELSE s6 // n END AS c6
+        |  FROM cent),
+        |nm AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |    CAST(sum(c6 * c6) AS BIGINT) AS centroid_sq_norm
+        |  FROM c2 GROUP BY label),
+        |dv AS (
+        |  SELECT x.label,
+        |    CAST(sum((x.x6 - c.c6) * (x.x6 - c.c6)) AS BIGINT) AS tot
+        |  FROM x JOIN c2 c ON x.label = c.label AND x.dim = c.dim
+        |  GROUP BY x.label)
+        |SELECT nm.label, nm.n_vecs, nm.centroid_sq_norm,
+        |  dv.tot // (nm.n_vecs * 64) AS avg_sq_dev
+        |FROM nm JOIN dv ON nm.label = dv.label""".stripMargin,
+    "q200_hard_negatives" -> {
+      val ivf = LlmQueries.ivfAssignCtesK(4, "embeddings")
+      s"""WITH $ivf,
+         |lab AS (
+         |  SELECT a.vec_id, a.j, e.label, a.embedding
+         |  FROM assign a JOIN embeddings e USING (vec_id)),
+         |p AS (
+         |  SELECT a.vec_id, a.label, b.vec_id AS cand_id,
+         |    b.label AS cand_label,
+         |    ${LlmQueries.cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM lab a JOIN lab b ON a.j = b.j AND a.vec_id <> b.vec_id),
+         |base AS (SELECT DISTINCT vec_id, label FROM p),
+         |hn AS (
+         |  SELECT vec_id, cand_id AS hard_neg_id, cos AS hard_neg_cos
+         |  FROM p WHERE cand_label <> label
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY cos DESC, cand_id) = 1),
+         |pp AS (
+         |  SELECT vec_id, cand_id AS pos_id, cos AS pos_cos
+         |  FROM p WHERE cand_label = label
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY cos DESC, cand_id) = 1)
+         |SELECT b.vec_id, b.label, hn.hard_neg_id, hn.hard_neg_cos,
+         |  pp.pos_id, pp.pos_cos
+         |FROM base b
+         |LEFT JOIN hn USING (vec_id) LEFT JOIN pp USING (vec_id)""".stripMargin
+    },
     "q196_window_suite" ->
       """SELECT user_id, event_id,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
