@@ -769,6 +769,74 @@ object CurationQueries {
         (-col("pp.nid")).as("pos_id"), col("pp.cos").as("pos_cos"))
   }
 
+  /** q201: cluster purity — per trained IVF cell, the dominant label's
+    * share (permille) and the effective number of labels (inverse
+    * Simpson), the two integers that say whether the quantizer's cells
+    * align with the labeling. Log-free purity metrics by design: entropy
+    * would drag floating log into the oracle contract. #cell × #label
+    * state. */
+  def q201TopicPurity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainCentroidsLite(emb, "vec_id", "embedding",
+      k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
+    emb.withColumn("cell", Similarity.ivfAssign(col("embedding"), centroids))
+      .groupBy("cell", "label").agg(count(lit(1)).as("nl"))
+      .groupBy("cell")
+      .agg(sum("nl").as("n_vecs"), max("nl").as("dom"),
+        count(lit(1)).as("n_labels"), sum(expr("nl * nl")).as("sq"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("n_labels"),
+        expr("1000 * dom div n_vecs").as("purity_permille"),
+        expr("1000 * n_vecs * n_vecs div sq").as("eff_labels_x1000"))
+  }
+
+  /** q202: where each source's median sits globally — the per-source
+    * exact median length (q169's rule) looked up as a permille rank in
+    * the GLOBAL length distribution (strictly-below count over total).
+    * One number per source that says "this crawl skews short/long
+    * relative to the corpus" — the quick screen before the full q178
+    * normalization. Histogram-sized state end to end. */
+  def q202SourcePercentile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("source", "n_chars")
+    val sw = Window.partitionBy("source").orderBy("n_chars")
+    val medians = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(sw))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(min(when(col("cum") * 2 >= col("n") + (col("n") % 2), col("n_chars")))
+        .as("median_chars"))
+    val ghist = docs.groupBy("n_chars").agg(count(lit(1)).as("gc"))
+      .withColumn("gbelow",
+        sum("gc").over(Window.orderBy("n_chars")) - col("gc"))
+      .withColumn("n", sum("gc").over(Window.partitionBy()))
+    medians.join(ghist.select(col("n_chars").as("median_chars"),
+        col("gbelow"), col("n")), "median_chars")
+      .select(col("source"), col("median_chars"),
+        expr("gbelow * 1000 div n").as("global_permille"))
+  }
+
+  /** q203: behavioral-cohort screen — users sharing an IDENTICAL activity
+    * SHAPE: the md5 of their ordered (event type : log₂-bucketed count)
+    * profile. Exact counts fingerprint almost nobody identically (organic
+    * noise); the magnitude bucket keeps the shape while absorbing it, so
+    * scripted cohorts and replayed sessions — same actions at the same
+    * orders of magnitude — collide where organic users scatter. One
+    * per-user ordered string fold (per-key-bounded by #types), then a
+    * group-size pass keeping fingerprints shared by ≥2 users. */
+  def q203BotScreen(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(md5(concat_ws(",",
+        sort_array(collect_list(concat(col("event_type"), lit(":"),
+          length(bin(col("c"))))))))
+        .as("fp"))
+    val shared = fp.groupBy("fp").agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= 2)
+    fp.join(shared, "fp").select("fp", "user_id", "n_users")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -796,7 +864,10 @@ object CurationQueries {
     "q197_rendezvous_reshard" -> (q197RendezvousReshard _),
     "q198_semantic_clusters" -> (q198SemanticClusters _),
     "q199_label_centroids" -> (q199LabelCentroids _),
-    "q200_hard_negatives" -> (q200HardNegatives _))
+    "q200_hard_negatives" -> (q200HardNegatives _),
+    "q201_topic_purity" -> (q201TopicPurity _),
+    "q202_source_percentile" -> (q202SourcePercentile _),
+    "q203_bot_screen" -> (q203BotScreen _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1026,6 +1097,58 @@ object CurationQueries {
         |       AS BIGINT) AS dup_permille
         |FROM t JOIN d USING (score) JOIN f USING (fp)
         |GROUP BY d.decile""".stripMargin,
+    "q201_topic_purity" -> {
+      val ivf = LlmQueries.ivfAssignCtesK(4, "embeddings")
+      s"""WITH $ivf,
+         |lc AS (
+         |  SELECT a.j AS cell, e.label, CAST(count(*) AS BIGINT) AS nl
+         |  FROM assign a JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2)
+         |SELECT cell, CAST(sum(nl) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_labels,
+         |  CAST(1000 * max(nl) // sum(nl) AS BIGINT) AS purity_permille,
+         |  CAST(1000 * sum(nl) * sum(nl) // sum(nl * nl) AS BIGINT)
+         |    AS eff_labels_x1000
+         |FROM lc GROUP BY cell""".stripMargin
+    },
+    "q202_source_percentile" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT source, n_chars, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT source,
+        |    min(CASE WHEN cum * 2 >= n + (n % 2) THEN n_chars END)
+        |      AS median_chars
+        |  FROM cm GROUP BY source),
+        |g AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS gc FROM documents
+        |  GROUP BY 1),
+        |gb AS (
+        |  SELECT n_chars,
+        |    CAST(sum(gc) OVER (ORDER BY n_chars) AS BIGINT) - gc AS gbelow,
+        |    CAST(sum(gc) OVER () AS BIGINT) AS n
+        |  FROM g)
+        |SELECT m.source, m.median_chars, gb.gbelow * 1000 // gb.n
+        |  AS global_permille
+        |FROM med m JOIN gb ON gb.n_chars = m.median_chars""".stripMargin,
+    "q203_bot_screen" ->
+      """WITH fp AS (
+        |  SELECT user_id,
+        |    md5(string_agg(s, ',' ORDER BY s)) AS fp
+        |  FROM (SELECT user_id,
+        |          event_type || ':' || length(bin(count(*))) AS s
+        |        FROM events GROUP BY user_id, event_type)
+        |  GROUP BY user_id),
+        |sh AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM fp GROUP BY fp HAVING count(*) >= 2)
+        |SELECT f.fp, f.user_id, s.n_users
+        |FROM fp f JOIN sh s USING (fp)""".stripMargin,
     // q188's mutual-pair CTEs + the q74 recursive-reachability labeling
     "q198_semantic_clusters" ->
       s"""WITH RECURSIVE c AS (

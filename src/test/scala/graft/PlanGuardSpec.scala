@@ -62,7 +62,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q179_ccdf_powers",
     // q195: windows run over the delay-MINUTE value histogram — bounded
     // by the latency domain (hours, not users)
-    "q195_funnel_latency")
+    "q195_funnel_latency",
+    // q202: global windows over the n_chars value histogram (q178's
+    // argument)
+    "q202_source_percentile")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
@@ -86,7 +89,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q175_winsorized",
     "q178_quantile_norm",
     // q189: same (source, n_chars) value-histogram windows
-    "q189_gini_length")
+    "q189_gini_length",
+    // q202: same (source, n_chars) value-histogram windows
+    "q202_source_percentile")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
