@@ -837,6 +837,39 @@ object CurationQueries {
     fp.join(shared, "fp").select("fp", "user_id", "n_users")
   }
 
+  /** q204: floored running stock balance per supplier — shipments add,
+    * orders draw down, and the balance CLAMPS at zero (you cannot ship
+    * what you do not have). The clamp looks sequential — each step
+    * depends on the clamped previous — but the floored balance has the
+    * closed form `p_t − min(0, min_{s≤t} p_s)` over the RAW prefix sum,
+    * so two per-key windows replace a per-row recursion: the classic
+    * "impossible in SQL" running pattern, kept distributed and exactly
+    * oracle-replayable. Daily deltas per supplier first (calendar-bounded
+    * per-key windows, the q117 argument); top 30 final balances. */
+  def q204StockFloor(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val deltas = li.select(col("l_suppkey").as("supp"),
+        date_trunc("day", col("l_shipdate")).as("day"),
+        col("l_quantity").cast("long").as("d"))
+      .unionAll(li.join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"),
+          date_trunc("day", col("o_orderdate")).as("day"),
+          (-col("l_quantity").cast("long")).as("d")))
+      .groupBy("supp", "day").agg(sum("d").as("delta"))
+    val w = Window.partitionBy("supp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bal = deltas
+      .withColumn("p", sum("delta").over(w))
+      .withColumn("floor_neg", least(lit(0L), min("p").over(w)))
+      .withColumn("balance", col("p") - col("floor_neg"))
+    bal.groupBy("supp")
+      .agg(max(struct(col("day"), col("balance"))).as("last"))
+      .select(col("supp"), col("last.balance").as("final_balance"))
+      .orderBy(col("final_balance").desc, col("supp"))
+      .limit(30)
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -867,7 +900,8 @@ object CurationQueries {
     "q200_hard_negatives" -> (q200HardNegatives _),
     "q201_topic_purity" -> (q201TopicPurity _),
     "q202_source_percentile" -> (q202SourcePercentile _),
-    "q203_bot_screen" -> (q203BotScreen _))
+    "q203_bot_screen" -> (q203BotScreen _),
+    "q204_stock_floor" -> (q204StockFloor _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1097,6 +1131,35 @@ object CurationQueries {
         |       AS BIGINT) AS dup_permille
         |FROM t JOIN d USING (score) JOIN f USING (fp)
         |GROUP BY d.decile""".stripMargin,
+    "q204_stock_floor" ->
+      """WITH d AS (
+        |  SELECT l_suppkey AS supp, date_trunc('day', l_shipdate) AS day,
+        |    CAST(l_quantity AS BIGINT) AS d
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_suppkey, date_trunc('day', o_orderdate),
+        |    -CAST(l_quantity AS BIGINT)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dd AS (SELECT supp, day, CAST(sum(d) AS BIGINT) AS delta
+        |       FROM d GROUP BY 1, 2),
+        |b1 AS (
+        |  SELECT supp, day,
+        |    CAST(sum(delta) OVER (PARTITION BY supp ORDER BY day
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM dd),
+        |b AS (
+        |  SELECT supp, day, p,
+        |    least(CAST(0 AS BIGINT),
+        |          CAST(min(p) OVER (PARTITION BY supp ORDER BY day
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT))
+        |      AS floor_neg
+        |  FROM b1),
+        |f AS (
+        |  SELECT supp, p - floor_neg AS balance,
+        |    row_number() OVER (PARTITION BY supp ORDER BY day DESC) AS rn
+        |  FROM b)
+        |SELECT supp, balance AS final_balance FROM f WHERE rn = 1
+        |ORDER BY final_balance DESC, supp LIMIT 30""".stripMargin,
     "q201_topic_purity" -> {
       val ivf = LlmQueries.ivfAssignCtesK(4, "embeddings")
       s"""WITH $ivf,
