@@ -870,6 +870,31 @@ object CurationQueries {
       .limit(30)
   }
 
+  /** q205: behavioral predictability — per user, the inverse-Simpson
+    * effective number of TRANSITIONS (event-type bigrams): a user whose
+    * n² /Σc² is near 1 repeats one move endlessly (scripted), one near
+    * the transition-vocabulary size is organically unpredictable. The
+    * log-free entropy stand-in again (q190's index over q157's bigram
+    * state), per user; ≥20 transitions to qualify; 25 most predictable
+    * with (eff, user) tiebreak. One lead window per user stream +
+    * bounded-key aggregates. */
+  def q205Predictability(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .filter(col("e2").isNotNull)
+      .groupBy("user_id", "e1", "e2").agg(count(lit(1)).as("c"))
+    trans.groupBy("user_id")
+      .agg(sum("c").as("n_trans"), sum(expr("c * c")).as("sq"))
+      .filter(col("n_trans") >= 20)
+      .select(col("user_id"), col("n_trans"),
+        expr("1000 * n_trans * n_trans div sq").as("eff_trans_x1000"))
+      .orderBy(col("eff_trans_x1000"), col("user_id"))
+      .limit(25)
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -901,7 +926,8 @@ object CurationQueries {
     "q201_topic_purity" -> (q201TopicPurity _),
     "q202_source_percentile" -> (q202SourcePercentile _),
     "q203_bot_screen" -> (q203BotScreen _),
-    "q204_stock_floor" -> (q204StockFloor _))
+    "q204_stock_floor" -> (q204StockFloor _),
+    "q205_predictability" -> (q205Predictability _))
 
   // ------------------------------------------------------------- oracles
 
@@ -1131,6 +1157,22 @@ object CurationQueries {
         |       AS BIGINT) AS dup_permille
         |FROM t JOIN d USING (score) JOIN f USING (fp)
         |GROUP BY d.decile""".stripMargin,
+    "q205_predictability" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS e2
+        |  FROM events),
+        |c AS (SELECT user_id, e1, e2, CAST(count(*) AS BIGINT) AS c
+        |      FROM t WHERE e2 IS NOT NULL GROUP BY 1, 2, 3),
+        |u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_trans,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_trans,
+        |  1000 * n_trans * n_trans // sq AS eff_trans_x1000
+        |FROM u WHERE n_trans >= 20
+        |ORDER BY eff_trans_x1000, user_id LIMIT 25""".stripMargin,
     "q204_stock_floor" ->
       """WITH d AS (
         |  SELECT l_suppkey AS supp, date_trunc('day', l_shipdate) AS day,
