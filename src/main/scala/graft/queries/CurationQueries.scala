@@ -895,6 +895,175 @@ object CurationQueries {
       .limit(25)
   }
 
+  /** q206: chi-square independence screen, source × global length
+    * quartile — "does document length depend on source?", the first test a
+    * mixing recipe runs before trusting per-source length stats. Quartile
+    * bounds come from the exact global cumulative-histogram rule (the q202
+    * value-histogram axis: the unpartitioned window runs over |distinct
+    * n_chars| post-aggregate rows, not the corpus), each doc lands in
+    * bucket = #bounds strictly below it, and every contingency cell
+    * carries its scaled statistic contribution
+    * (O·N − R·C)²·10⁶ / (N·R·C) — DECIMAL(38,0) products (d² peaks near
+    * 10¹⁵·10⁶ at bench scale, past BIGINT) with integer DIV, so both
+    * engines land the same digits. Cells are |sources|·4 rows: driver-size
+    * output however large the corpus. */
+  def q206ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("source", "n_chars")
+    val gw = Window.orderBy("n_chars")
+    val bounds = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(gw))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .agg(min(when(col("cum") * 4 >= col("n"), col("n_chars"))).as("b1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("n_chars"))).as("b2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("n_chars"))).as("b3"))
+    val cells = docs.crossJoin(broadcast(bounds))
+      .select(col("source"),
+        ((col("n_chars") > col("b1")).cast("long") +
+          (col("n_chars") > col("b2")).cast("long") +
+          (col("n_chars") > col("b3")).cast("long")).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("r", sum("o").over(Window.partitionBy("source")))
+      .withColumn("c", sum("o").over(Window.partitionBy("bucket")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+    withTotals
+      .withColumn("d", col("o") * col("n") - col("r") * col("c"))
+      .select(col("source"), col("bucket"), col("o"),
+        expr("CAST((CAST(d AS DECIMAL(38,0)) * d * 1000000)" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)")
+          .as("contrib6"))
+      .orderBy("source", "bucket")
+  }
+
+  /** q207: l-diversity audit — q192's k-anonymity complement: a
+    * quasi-identifier group can be large (k high) yet still leak when
+    * every member shares one sensitive value. Per (nation, market
+    * segment) group: k = members, l = distinct sensitive account-balance
+    * kilobuckets, risky = l < 3. The group count is |nations|·|segments|
+    * (bounded), distinct-counting runs as a two-level groupBy (exact, no
+    * sketch needed at this key cardinality), and the balance bucket is one
+    * IEEE double division both engines perform identically. */
+  def q207LDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_kb"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("k"),
+        countDistinct("bal_kb").as("l"))
+      .select(col("nation"), col("segment"), col("k"), col("l"),
+        (col("l") < 3).as("risky"))
+      .orderBy("nation", "segment")
+
+  /** q208: item-item collaborative filtering — per part, the top-3
+    * "customers also bought" recommendations by cosine-style lift
+    * c(a,b)²·10⁶ / (c(a)·c(b)) over order baskets. The co-occurrence
+    * pairs come from the per-order set derivation (one shuffle keyed by
+    * order, pair fan-out bounded by basket size — ≤7 lines in this
+    * schema; the 100-TB variant caps the basket the way q153 caps hubs),
+    * item supports from the exploded distinct (order, part) stream, and
+    * the per-item ranking window is bounded by the item's co-occurrence
+    * degree, never the corpus. Support floors (c(a) ≥ 5 anchors, pair
+    * count ≥ 2) keep one-off baskets from minting fake affinity. All-long
+    * arithmetic: c² ·10⁶ peaks near 10¹⁸ only past 10⁶-order pair counts,
+    * where the DECIMAL(38,0) widening of q206 applies. */
+  def q208ItemCf(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      .distinct()
+    val support = op.groupBy("part").agg(count(lit(1)).as("ca"))
+    val pairs = op.groupBy("ok").agg(collect_set(col("part")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 2)
+    val directed = pairs
+      .select(col("pa").as("item"), col("pb").as("rec"), col("cab"))
+      .unionAll(pairs.select(col("pb").as("item"), col("pa").as("rec"),
+        col("cab")))
+    val scored = directed
+      .join(support.select(col("part").as("item"), col("ca")), Seq("item"))
+      .filter(col("ca") >= 5)
+      .join(support.select(col("part").as("rec"), col("ca").as("cb")),
+        Seq("rec"))
+      .withColumn("score6",
+        expr("cab * cab * 1000000L div (ca * cb)"))
+    val rw = Window.partitionBy("item")
+      .orderBy(col("score6").desc, col("rec"))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 3)
+      .select("item", "rec", "cab", "score6", "rank")
+      .orderBy("item", "rank")
+  }
+
+  /** q209: cheapest-path reach from the Brand#12 slice — the (min, +)
+    * member of the semiring family (q149 hop distance, q151 bottleneck
+    * strength): edge cost = 10⁴ div co-purchase count (rarely-co-bought
+    * links are expensive), a node's cost = its cheapest ≤2-hop path sum,
+    * the "association distance" that prices how organically a part
+    * belongs to the vetted slice. Integer min/+ throughout
+    * ([[graft.operators.CheapestPath.distances]]), so the oracle's
+    * unrolled relaxations agree exactly. */
+  def q209CheapestPath(s: SparkSession, dir: String): DataFrame = {
+    val weighted = coPurchasePairs(s, dir)
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
+      .withColumn("cost", greatest(lit(1L), expr("10000L div cnt")))
+    val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey").as("node"))
+    graft.operators.CheapestPath.distances(weighted, "pa", "pb", "cost",
+        seeds, "node", rounds = 2)
+      .select(col("node").as("part"), col("dist").as("cost"))
+  }
+
+  /** The per-order co-purchase pair stream (one row per order per
+    * unordered part pair) — the ScaleQueries derivation shape: one scan,
+    * one shuffle keyed by order, fan-out bounded by basket size. */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+
+  /** Unrolled (min, +) relaxation oracle — the widest-path oracle's
+    * semiring swap: seeds at 0, round r takes min(previous, neighbor +
+    * edge cost). Monotone integers, engine-at-R equals oracle-at-R. */
+  private def cheapestOracleSql(brand: String, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_orderkey AS ok,
+         |                  least(x.l_partkey, y.l_partkey) AS a,
+         |                  greatest(x.l_partkey, y.l_partkey) AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+         |und AS MATERIALIZED (
+         |  SELECT a, b,
+         |    greatest(CAST(1 AS BIGINT), 10000 // CAST(count(*) AS BIGINT))
+         |      AS w
+         |  FROM op GROUP BY a, b),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM und
+         |  UNION ALL SELECT b, a, w FROM und),
+         |c0 AS MATERIALIZED (
+         |  SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM part WHERE p_brand = '$brand')""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |u$r AS MATERIALIZED (
+        |  SELECT adj.dst AS node, c.dist + adj.w AS dist
+        |  FROM adj JOIN c${r - 1} c ON adj.src = c.node),
+        |c$r AS MATERIALIZED (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM c${r - 1} UNION ALL SELECT node, dist FROM u$r)
+        |  GROUP BY node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node AS part, dist AS cost FROM c$rounds""".stripMargin)
+    sb.toString
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -927,11 +1096,85 @@ object CurationQueries {
     "q202_source_percentile" -> (q202SourcePercentile _),
     "q203_bot_screen" -> (q203BotScreen _),
     "q204_stock_floor" -> (q204StockFloor _),
-    "q205_predictability" -> (q205Predictability _))
+    "q205_predictability" -> (q205Predictability _),
+    "q206_chi_square" -> (q206ChiSquare _),
+    "q207_l_diversity" -> (q207LDiversity _),
+    "q208_item_cf" -> (q208ItemCf _),
+    "q209_cheapest_path" -> (q209CheapestPath _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q206_chi_square" ->
+      """WITH h AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS c FROM documents
+        |  GROUP BY n_chars),
+        |cum AS (
+        |  SELECT n_chars, c,
+        |    CAST(sum(c) OVER (ORDER BY n_chars
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |b AS (
+        |  SELECT min(CASE WHEN cum * 4 >= n THEN n_chars END) AS b1,
+        |         min(CASE WHEN cum * 4 >= n * 2 THEN n_chars END) AS b2,
+        |         min(CASE WHEN cum * 4 >= n * 3 THEN n_chars END) AS b3
+        |  FROM cum),
+        |cells AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+        |       + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
+        |       + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents CROSS JOIN b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, bucket, o,
+        |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY bucket) AS BIGINT) AS c,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT source, bucket, o,
+        |  CAST((CAST(o * n - r * c AS HUGEINT) * (o * n - r * c) * 1000000)
+        |       // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib6
+        |FROM t ORDER BY source, bucket""".stripMargin,
+    "q207_l_diversity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |       AS BIGINT) AS l,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3
+        |    AS risky
+        |FROM customer GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin,
+    "q208_item_cf" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+        |  FROM lineitem),
+        |support AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS ca FROM op GROUP BY part),
+        |pairs AS (
+        |  SELECT x.part AS pa, y.part AS pb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.part < y.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT pa AS item, pb AS rec, cab FROM pairs
+        |  UNION ALL SELECT pb, pa, cab FROM pairs),
+        |scored AS (
+        |  SELECT d.item, d.rec, d.cab,
+        |    d.cab * d.cab * 1000000 // (sa.ca * sb.ca) AS score6
+        |  FROM directed d
+        |  JOIN support sa ON sa.part = d.item AND sa.ca >= 5
+        |  JOIN support sb ON sb.part = d.rec),
+        |r AS (
+        |  SELECT item, rec, cab, score6,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |                            ORDER BY score6 DESC, rec) AS INTEGER)
+        |      AS rank
+        |  FROM scored)
+        |SELECT item, rec, cab, score6, rank FROM r
+        |WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
     "q173_harmonic_centrality" -> harmonicOracleSql(hops = 2),
     "q186_hits" -> hitsOracleSql(rounds = 2),
     "q187_mmr_rerank" -> mmrOracleSql(k = 10),

@@ -39,7 +39,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q177_decayed_engagement", // broadcast 1-row max-day anchor against the event stream
       "q186_hits", // per-half-round broadcast 1-row max-rescale aggregates
       "q187_mmr_rerank", // broadcast 1-row query vector + the 50x50 bounded candidate self-join
-      "q191_quality_dup_calibration") // broadcast 1-row total against the histogram-sized decile map
+      "q191_quality_dup_calibration", // broadcast 1-row total against the histogram-sized decile map
+    "q206_chi_square") // broadcast 1-row quartile-bounds aggregate against the doc stream (q177's anchor shape)
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -65,7 +66,11 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q195_funnel_latency",
     // q202: global windows over the n_chars value histogram (q178's
     // argument)
-    "q202_source_percentile")
+    "q202_source_percentile",
+    // q206: the cumulative/total windows run over the n_chars value
+    // histogram (q178's argument); the grand-total window runs over the
+    // 4x|sources| POST-AGGREGATE contingency cells
+    "q206_chi_square")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
@@ -91,7 +96,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q189: same (source, n_chars) value-histogram windows
     "q189_gini_length",
     // q202: same (source, n_chars) value-histogram windows
-    "q202_source_percentile")
+    "q202_source_percentile",
+    // q206: the per-source row-total window runs over the 4x|sources|
+    // POST-AGGREGATE contingency cells, never corpus rows
+    "q206_chi_square")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each

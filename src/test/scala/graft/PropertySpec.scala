@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.expressions.{CountMinSketch, GraftFunctions}
-import graft.operators.{Bfs, Fuzzy, PageRank, PrefixSum, Sampling, WidestPath}
+import graft.operators.{Bfs, CheapestPath, Fuzzy, PageRank, PrefixSum, Sampling, WidestPath}
 
 /** Randomized property checks over the deterministic operator kernels —
   * the guarantees hold for EVERY input, so they are checked against
@@ -177,6 +177,27 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
           .view.mapValues(_.map(_._2).max).toMap
       }
       got == cap
+    }, n = 6)
+  }
+
+  test("CheapestPath: (min,+)-semiring relaxation equals the naive synchronous evaluator") {
+    check("cheapest", Prop.forAll(genSeededWeighted) { case (es, seeds, rounds) =>
+      val got = CheapestPath.distances(es.toDF("a", "b", "w"), "a", "b", "w",
+        seeds.toDF("node"), "node", rounds).as[(Long, Long)].collect().toMap
+      // naive synchronous Bellman-Ford over (min, +): parallel edges keep
+      // min cost, self-loops dropped — the operator's documented contract
+      val und = es.collect { case (a, b, w) if a != b =>
+        ((math.min(a, b), math.max(a, b)), w) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val adj = und.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = adj.flatMap { case (u, v, w) =>
+          dist.get(u).map(d => v -> (d + w)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      got == dist
     }, n = 6)
   }
 
