@@ -1016,6 +1016,130 @@ object CurationQueries {
       .select(col("node").as("part"), col("dist").as("cost"))
   }
 
+  /** q210: Kolmogorov–Smirnov drift matrix — for every source pair, the
+    * exact KS statistic between their length distributions:
+    * D = max over values v of |cum_a(v)·n_b − cum_b(v)·n_a|, reported as
+    * ks6 = D·10⁶/(n_a·n_b) plus the value where the gap peaks (smallest
+    * such value on ties). The two-sample drift screen a pipeline runs
+    * when deciding whether yesterday's crawl still looks like today's.
+    * Everything runs on the (source, n_chars) VALUE histogram: the
+    * source×value spine is |sources|·|distinct lengths| post-aggregate
+    * rows, the per-source cumulative is the q169 window, and the pair
+    * join fans to sources²·|values| — bounded by the value domain and the
+    * source dimension, never corpus rows. DECIMAL(38,0)/HUGEINT products
+    * keep D·10⁶ exact past the BIGINT edge at real corpus counts. */
+  def q210KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("source", "n_chars")
+    val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val spine = docs.select("n_chars").distinct()
+    val sources = docs.select("source").distinct()
+    val grid = spine.crossJoin(broadcast(sources))
+    val cum = grid.join(hist, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("n_chars")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    val a = cum.select(col("source").as("src_a"), col("n_chars"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cum.select(col("source").as("src_b"), col("n_chars"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("n_chars")).filter(col("src_a") < col("src_b"))
+      .withColumn("d", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy("src_a", "src_b")
+      .agg(max(struct(col("d"), negate(col("n_chars")).as("nv"))).as("m"),
+        max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("CAST((CAST(m.d AS DECIMAL(38,0)) * 1000000)" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("ks6"),
+        negate(col("m.nv")).as("at_chars"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q211: ABC (Pareto) revenue classification — every part classified by
+    * the revenue strictly ahead of it in the global (revenue DESC, part)
+    * order: A inside the first 80% of total revenue, B inside 95%, C in
+    * the tail. The classic "which 20% of the catalog earns 80%" screen.
+    * The global cumulative is the [[graft.operators.GlobalOrder]] recipe
+    * pointed at a VALUE key instead of a hash: bucket = revenue's top
+    * range bits (≤ 2¹⁵ equal-width slices of [0, max], monotone in
+    * revenue), per-bucket revenue sums collect to a bounded driver scan
+    * that broadcasts each bucket's strictly-above offset, and the
+    * within-bucket strictly-above cumsum is a window whose partition is
+    * one revenue slice — never the whole catalog in one task (the exact
+    * shape `row_number() OVER (ORDER BY rev)` would plan). Cents fixed
+    * point end to end; ties break by part key, so the order is total and
+    * both engines class every part identically. */
+  def q211AbcClasses(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rev = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"),
+        floor(col("l_extendedprice") * 100d).cast("long").as("cents"))
+      .groupBy("part").agg(sum("cents").as("rev"))
+    val maxRev = rev.agg(max("rev")).head().getLong(0)
+    val width = math.max(1L, maxRev / (1L << 15))
+    val bucketed = rev.withColumn("bucket", expr(s"rev div ${width}L"))
+    val perBucket = bucketed.groupBy("bucket").agg(sum("rev").as("s")).collect()
+    var above = 0L
+    val offsetRows: Seq[Row] = perBucket.toSeq.sortBy(-_.getLong(0)).map { r =>
+      val off = above; above += r.getLong(1); Row(r.getLong(0), off)
+    }
+    val total = above
+    val offsets = s.createDataFrame(offsetRows.asJava, StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("above_bucket", LongType, nullable = false))))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("rev").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rev_above",
+        col("above_bucket") + sum("rev").over(w) - col("rev"))
+      .select(col("part"), col("rev"),
+        when(col("rev_above") * 5 < lit(total) * 4, "A")
+          .when(col("rev_above") * 20 < lit(total) * 19, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("part")
+  }
+
+  /** q212: lagged autocorrelation of the daily event series — per event
+    * type, the lag-1 and lag-7 serial correlation of daily counts as the
+    * signed square r²·sign·10⁶ (the q111 exact-moment chain squared to
+    * stay log/sqrt-free: sign(num)·num²·10⁶ div (dxx·dyy) over integer
+    * moments, DECIMAL(38,0) for num² which passes BIGINT fast). Lag-1
+    * near +1 says momentum, lag-7 says weekly rhythm — the seasonality
+    * detector behind q176's baseline choice. Day counts are a
+    * calendar-bounded aggregate; the lag join is a per-type window over
+    * that calendar grid. */
+  def q212Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    def leg(lag: Int): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("y", lead("x", lag).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .select(col("event_type"), lit(lag.toLong).as("lag"), col("n"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sxx - sx * sx").as("dxx"),
+          expr("n * syy - sy * sy").as("dyy"))
+        // the DIV runs on the POSITIVE magnitude num² and the sign is a
+        // separate integer factor — Spark's div truncates toward zero
+        // where DuckDB's // floors, and they only agree on non-negatives
+        .filter(col("dxx") > 0 && col("dyy") > 0)
+        .select(col("event_type"), col("lag"), col("n"),
+          (expr("CAST(CASE WHEN num < 0 THEN -1L ELSE 1L END AS BIGINT)") *
+            expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000)" +
+              " DIV (CAST(dxx AS DECIMAL(38,0)) * dyy) AS BIGINT)"))
+            .as("r2s6"))
+    }
+    leg(1).unionAll(leg(7)).orderBy("event_type", "lag")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1100,12 +1224,89 @@ object CurationQueries {
     "q206_chi_square" -> (q206ChiSquare _),
     "q207_l_diversity" -> (q207LDiversity _),
     "q208_item_cf" -> (q208ItemCf _),
-    "q209_cheapest_path" -> (q209CheapestPath _))
+    "q209_cheapest_path" -> (q209CheapestPath _),
+    "q210_ks_drift" -> (q210KsDrift _),
+    "q211_abc_classes" -> (q211AbcClasses _),
+    "q212_autocorr" -> (q212Autocorr _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q210_ks_drift" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT n_chars FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (
+        |  SELECT s.source, v.n_chars, coalesce(h.cnt, 0) AS cnt
+        |  FROM spine v CROSS JOIN srcs s
+        |  LEFT JOIN hist h ON h.source = s.source AND h.n_chars = v.n_chars),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM grid),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.n_chars,
+        |    abs(a.cum * b.n - b.cum * a.n) AS d, a.n AS n_a, b.n AS n_b
+        |  FROM cum a JOIN cum b
+        |    ON a.n_chars = b.n_chars AND a.source < b.source),
+        |m0 AS (
+        |  SELECT src_a, src_b, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    max(d) AS dmax
+        |  FROM pairs GROUP BY src_a, src_b),
+        |m AS (
+        |  SELECT m0.src_a, m0.src_b, m0.n_a, m0.n_b, m0.dmax,
+        |    min(p.n_chars) AS at_chars
+        |  FROM m0 JOIN pairs p
+        |    ON p.src_a = m0.src_a AND p.src_b = m0.src_b AND p.d = m0.dmax
+        |  GROUP BY m0.src_a, m0.src_b, m0.n_a, m0.n_b, m0.dmax)
+        |SELECT src_a, src_b,
+        |  CAST((CAST(dmax AS HUGEINT) * 1000000)
+        |       // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks6,
+        |  at_chars
+        |FROM m ORDER BY src_a, src_b""".stripMargin,
+    "q211_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT part, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, part
+        |                        ROWS UNBOUNDED PRECEDING) - rev
+        |         AS BIGINT) AS rev_above,
+        |    CAST(sum(rev) OVER () AS BIGINT) AS total
+        |  FROM rev)
+        |SELECT part, rev,
+        |  CASE WHEN rev_above * 5 < total * 4 THEN 'A'
+        |       WHEN rev_above * 20 < total * 19 THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM c ORDER BY part""".stripMargin,
+    "q212_autocorr" -> Seq(1, 7).map { lag =>
+      s"""SELECT event_type, CAST($lag AS BIGINT) AS lag, n,
+         |  CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT)
+         |    * CAST((CAST(num AS HUGEINT) * num * 1000000)
+         |           // (CAST(dxx AS HUGEINT) * dyy) AS BIGINT) AS r2s6
+         |FROM (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) * sum(x * y) - sum(x) * sum(y) AS num,
+         |    CAST(count(*) AS BIGINT) * sum(x * x) - sum(x) * sum(x) AS dxx,
+         |    CAST(count(*) AS BIGINT) * sum(y * y) - sum(y) * sum(y) AS dyy
+         |  FROM (
+         |    SELECT event_type, x,
+         |      lead(x, $lag) OVER (PARTITION BY event_type ORDER BY day) AS y
+         |    FROM (
+         |      SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(count(*) AS BIGINT) AS x
+         |      FROM events GROUP BY 1, 2))
+         |  WHERE y IS NOT NULL GROUP BY event_type)
+         |WHERE dxx > 0 AND dyy > 0""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY event_type, lag"),
     "q206_chi_square" ->
       """WITH h AS (
         |  SELECT n_chars, CAST(count(*) AS BIGINT) AS c FROM documents

@@ -40,7 +40,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q186_hits", // per-half-round broadcast 1-row max-rescale aggregates
       "q187_mmr_rerank", // broadcast 1-row query vector + the 50x50 bounded candidate self-join
       "q191_quality_dup_calibration", // broadcast 1-row total against the histogram-sized decile map
-    "q206_chi_square") // broadcast 1-row quartile-bounds aggregate against the doc stream (q177's anchor shape)
+    "q206_chi_square", // broadcast 1-row quartile-bounds aggregate against the doc stream (q177's anchor shape)
+    "q210_ks_drift") // value-spine x source-dimension cross: |distinct lengths| x |sources| post-aggregate rows
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -99,7 +100,13 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q202_source_percentile",
     // q206: the per-source row-total window runs over the 4x|sources|
     // POST-AGGREGATE contingency cells, never corpus rows
-    "q206_chi_square")
+    "q206_chi_square",
+    // q210: per-source cumulative over the n_chars VALUE-histogram spine
+    // (q169 argument) — |distinct lengths| rows per source, never docs
+    "q210_ks_drift",
+    // q212: per-type lag windows over the (type, day) POST-AGGREGATE
+    // calendar grid (q170's argument) — days per type, never events
+    "q212_autocorr")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
