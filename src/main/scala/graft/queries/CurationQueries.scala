@@ -1140,6 +1140,117 @@ object CurationQueries {
     leg(1).unionAll(leg(7)).orderBy("event_type", "lag")
   }
 
+  /** q213: RFM segmentation — every customer scored 1-5 on Recency
+    * (5 = ordered most recently), Frequency, and Monetary (5 = top
+    * quintile), the classic CRM grid that decides who gets which
+    * campaign. Quintile BOUNDS come from the exact cumulative-histogram
+    * rule over each metric's VALUE histogram (days are calendar-bounded,
+    * order counts live in the per-customer count domain, money is
+    * bucketed to whole dollars — the q169/q195 value-domain argument per
+    * axis), broadcast as one 1-row aggregate; scoring each customer is
+    * then a pure map. No corpus-sized window anywhere: the heavy input
+    * collapses to one row per customer before anything global runs. */
+  def q213RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust"),
+        date_trunc("day", col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100d).cast("long").as("cents"))
+    val anchor = orders.agg(max("day").as("max_day"))
+    val rfm = orders.crossJoin(broadcast(anchor))
+      .groupBy("cust")
+      .agg(min(expr("cast(datediff(max_day, day) as bigint)")).as("r_days"),
+        count(lit(1)).as("f"), sum("cents").as("m_cents"))
+      .withColumn("m_usd", expr("m_cents div 100"))
+    // exact quintile bounds of one integral metric's value histogram
+    def bounds(metric: String, pfx: String): DataFrame = {
+      val cw = Window.orderBy(metric)
+      val qs = (1 to 4).map(k =>
+        min(when(col("cum") * 5 >= col("n") * k, col(metric)))
+          .as(s"$pfx$k"))
+      rfm.groupBy(metric).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(cw))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .agg(qs.head, qs.tail: _*)
+    }
+    val scored = rfm
+      .crossJoin(broadcast(bounds("r_days", "rb")))
+      .crossJoin(broadcast(bounds("f", "fb")))
+      .crossJoin(broadcast(bounds("m_usd", "mb")))
+    def above(metric: String, pfx: String) =
+      (1 to 4).map(k => (col(metric) > col(s"$pfx$k")).cast("long"))
+        .reduce(_ + _)
+    scored.select(col("cust"), col("r_days"), col("f"), col("m_cents"),
+        (lit(5L) - above("r_days", "rb")).as("r_score"),
+        (lit(1L) + above("f", "fb")).as("f_score"),
+        (lit(1L) + above("m_usd", "mb")).as("m_score"))
+      .orderBy("cust")
+  }
+
+  /** q214: inter-event survival — per event type, the share of
+    * same-user inter-arrival gaps still "alive" (longer) than 1, 6, 24,
+    * 72 and 168 hours, in exact permille. The engagement-cadence curve:
+    * a type whose S(24h) is near zero is a habit, one with fat survival
+    * at a week is episodic. Gaps come from one lead window per (user,
+    * type) stream (per-key bounded); the curve is five conditional
+    * aggregates over fixed thresholds — no quantile state, no
+    * corpus-sized window, output is |types|·5 rows at any scale. */
+  def q214GapSurvival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead("ts", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_seconds(nxt) - unix_seconds(ts)) div 3600")
+          .as("gap_hours"))
+    val legs = Seq(1L, 6L, 24L, 72L, 168L).map(t =>
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("gap_hours") > t, 1L).otherwise(0L)).as("alive"))
+        .select(col("event_type"), lit(t).as("t_hours"), col("n_gaps"),
+          expr("alive * 1000 div n_gaps").as("surv_permille")))
+    legs.reduce(_ unionAll _).orderBy("event_type", "t_hours")
+  }
+
+  /** q215: degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over every directed edge, as the
+    * signed square r²·sign·10⁶ (q212's log/sqrt-free form). Positive
+    * says hubs buy with hubs (rich-club catalog), negative says hubs
+    * bridge the long tail — the one-number structure summary that
+    * decides whether hub-capped candidate generation (q153) will bite.
+    * Degrees are a per-node count off the distinct-edge list, the edge
+    * join is two broadcast-friendly equi-joins, and the moment chain is
+    * the q111 exact-integer shape in DECIMAL(38,0). Spark's DIV returns
+    * BIGINT whatever its operands, so the ratio runs as TWO stages whose
+    * quotients each fit a long — q1 = |num|²·10³ div dxx (≤ dyy·10³),
+    * r2s6 = sign·(q1·10³ div dyy) (≤ 10⁶ by Cauchy–Schwarz) — with the
+    * oracle truncating the same two stages; all DIV operands are
+    * non-negative so truncating and flooring engines agree. (Past ~10¹²
+    * edges q1's bound outgrows a long; the 100-TB run pre-divides the
+    * moments by a power of two first — r is scale-free.) */
+  def q215Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val und = coPurchasePairs(s, dir).select("pa", "pb").distinct()
+    val adj = und.unionAll(und.select(col("pb").as("pa"), col("pa").as("pb")))
+    val deg = adj.groupBy("pa").agg(count(lit(1)).as("d"))
+    val pairs = adj
+      .join(deg.select(col("pa"), col("d").as("dx")), Seq("pa"))
+      .join(deg.select(col("pa").as("pb"), col("d").as("dy")), Seq("pb"))
+    pairs.agg(count(lit(1)).as("n_edges"), sum("dx").as("sx"),
+        sum("dy").as("sy"), sum(expr("dx * dy")).as("sxy"),
+        sum(expr("dx * dx")).as("sxx"), sum(expr("dy * dy")).as("syy"))
+      .select(col("n_edges"),
+        expr("CAST(n_edges AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n_edges AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("dxx"),
+        expr("CAST(n_edges AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("dyy"))
+      .filter(col("dxx") > 0 && col("dyy") > 0)
+      .withColumn("q1", expr("(abs(num) * abs(num) * 1000) DIV dxx"))
+      .select(col("n_edges"),
+        (expr("CAST(CASE WHEN num < 0 THEN -1L ELSE 1L END AS BIGINT)") *
+          expr("(CAST(q1 AS DECIMAL(38,0)) * 1000) DIV dyy"))
+          .as("r2s6"))
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1227,12 +1338,100 @@ object CurationQueries {
     "q209_cheapest_path" -> (q209CheapestPath _),
     "q210_ks_drift" -> (q210KsDrift _),
     "q211_abc_classes" -> (q211AbcClasses _),
-    "q212_autocorr" -> (q212Autocorr _))
+    "q212_autocorr" -> (q212Autocorr _),
+    "q213_rfm_segments" -> (q213RfmSegments _),
+    "q214_gap_survival" -> (q214GapSurvival _),
+    "q215_assortativity" -> (q215Assortativity _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q213_rfm_segments" -> {
+      def boundsCte(metric: String, src: String, pfx: String) =
+        s"""${pfx}h AS (
+           |  SELECT $metric AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM $src GROUP BY 1),
+           |${pfx}c AS (
+           |  SELECT v, CAST(sum(c) OVER (ORDER BY v
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM ${pfx}h),
+           |${pfx}b AS (
+           |  SELECT min(CASE WHEN cum * 5 >= n THEN v END) AS ${pfx}1,
+           |         min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS ${pfx}2,
+           |         min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS ${pfx}3,
+           |         min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS ${pfx}4
+           |  FROM ${pfx}c)""".stripMargin
+      def above(metric: String, pfx: String) =
+        (1 to 4).map(k =>
+          s"CASE WHEN $metric > $pfx$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey AS cust, date_trunc('day', o_orderdate) AS day,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |anchor AS (SELECT max(day) AS max_day FROM o),
+         |rfm AS (
+         |  SELECT cust,
+         |    CAST(min(date_diff('day', day, max_day)) AS BIGINT) AS r_days,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(cents) AS BIGINT) AS m_cents,
+         |    CAST(sum(cents) AS BIGINT) // 100 AS m_usd
+         |  FROM o CROSS JOIN anchor GROUP BY cust, max_day),
+         |${boundsCte("r_days", "rfm", "rb")},
+         |${boundsCte("f", "rfm", "fb")},
+         |${boundsCte("m_usd", "rfm", "mb")}
+         |SELECT cust, r_days, f, m_cents,
+         |  CAST(5 - (${above("r_days", "rb")}) AS BIGINT) AS r_score,
+         |  CAST(1 + (${above("f", "fb")}) AS BIGINT) AS f_score,
+         |  CAST(1 + (${above("m_usd", "mb")}) AS BIGINT) AS m_score
+         |FROM rfm CROSS JOIN rbb CROSS JOIN fbb CROSS JOIN mbb
+         |ORDER BY cust""".stripMargin
+    },
+    "q214_gap_survival" -> Seq(1L, 6L, 24L, 72L, 168L).map { t =>
+      s"""SELECT event_type, CAST($t AS BIGINT) AS t_hours,
+         |  CAST(count(*) AS BIGINT) AS n_gaps,
+         |  CAST(sum(CASE WHEN gap_hours > $t THEN 1 ELSE 0 END) * 1000
+         |       // count(*) AS BIGINT) AS surv_permille
+         |FROM (
+         |  SELECT event_type,
+         |    date_diff('second', ts, lead(ts) OVER (
+         |      PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id)) // 3600 AS gap_hours
+         |  FROM events)
+         |WHERE gap_hours IS NOT NULL GROUP BY event_type""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY event_type, t_hours"),
+    "q215_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        |adj AS (
+        |  SELECT a AS src, b AS dst FROM op UNION ALL SELECT b, a FROM op),
+        |deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY src),
+        |pairs AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM adj JOIN deg dx ON adj.src = dx.src
+        |           JOIN deg dy ON adj.dst = dy.src),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+        |    CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+        |    CAST(sum(dy * dy) AS HUGEINT) AS syy
+        |  FROM pairs),
+        |d AS (
+        |  SELECT CAST(n AS BIGINT) AS n_edges,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+        |  FROM m)
+        |SELECT n_edges,
+        |  CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    * CAST((((abs(num) * abs(num) * 1000) // dxx) * 1000) // dyy
+        |           AS BIGINT) AS r2s6
+        |FROM d WHERE dxx > 0 AND dyy > 0""".stripMargin,
     "q210_ks_drift" ->
       """WITH hist AS (
         |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt

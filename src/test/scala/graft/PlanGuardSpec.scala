@@ -41,7 +41,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q187_mmr_rerank", // broadcast 1-row query vector + the 50x50 bounded candidate self-join
       "q191_quality_dup_calibration", // broadcast 1-row total against the histogram-sized decile map
     "q206_chi_square", // broadcast 1-row quartile-bounds aggregate against the doc stream (q177's anchor shape)
-    "q210_ks_drift") // value-spine x source-dimension cross: |distinct lengths| x |sources| post-aggregate rows
+    "q210_ks_drift", // value-spine x source-dimension cross: |distinct lengths| x |sources| post-aggregate rows
+    "q213_rfm_segments") // broadcast 1-row anchor + three 1-row quintile-bound aggregates
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -71,7 +72,11 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q206: the cumulative/total windows run over the n_chars value
     // histogram (q178's argument); the grand-total window runs over the
     // 4x|sources| POST-AGGREGATE contingency cells
-    "q206_chi_square")
+    "q206_chi_square",
+    // q213: the three quintile-bound windows each run over one metric's
+    // VALUE histogram (day / order-count / dollar domains), never over
+    // customers
+    "q213_rfm_segments")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
