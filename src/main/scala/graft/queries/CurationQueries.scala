@@ -1251,6 +1251,209 @@ object CurationQueries {
           .as("r2s6"))
   }
 
+  /** q216: trailing-revenue spike screen — per supplier, the days whose
+    * 7-day trailing revenue more than doubles the PRIOR 7-day window
+    * (days −13..−7), the restock-alarm momentum signal. This is the
+    * library's RANGE-frame surface: both sums are value-range window
+    * frames over the integer day axis (`rangeBetween(-6, 0)` /
+    * `(-13, -7)`), which — unlike row frames — stay correct when a
+    * supplier skips calendar days. Windows run per supplier over the
+    * (supplier, day) POST-AGGREGATE calendar grid; output only the spike
+    * rows. Cents fixed point; the doubling test is an integer compare. */
+  def q216TrailingSpikes(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("supp"),
+        date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100d).cast("long")).as("cents"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val cur = Window.partitionBy("supp").orderBy("dayn").rangeBetween(-6, 0)
+    val prev = Window.partitionBy("supp").orderBy("dayn").rangeBetween(-13, -7)
+    daily
+      .withColumn("trail7", sum("cents").over(cur))
+      .withColumn("prev7", coalesce(sum("cents").over(prev), lit(0L)))
+      .filter(col("prev7") > 0 && col("trail7") > col("prev7") * 2)
+      .select("supp", "day", "cents", "trail7", "prev7")
+      .orderBy("supp", "day")
+  }
+
+  /** q217: MAD robust outlier screen — per source, the exact lower
+    * median of doc length, the exact median absolute deviation around
+    * it, and how many docs sit beyond 3·MAD. The robust complement of
+    * q175's winsorized mean: MAD shrugs off the very tail that poisons a
+    * standard deviation. Both medians come from the q169
+    * cumulative-histogram rule — first over the (source, n_chars) value
+    * histogram, then over the (source, |n_chars − med|) DEVIATION value
+    * histogram (same bounded domain, shifted) — so per-source state
+    * never exceeds the length-value domain. Output is one row per
+    * source. */
+  def q217MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("source", "n_chars")
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(valCol)
+      df.groupBy("source", valCol).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min(when(col("cum") * 2 >= col("n") + (col("n") % 2),
+          col(valCol))).as(out))
+    }
+    val med = lowerMedian(docs, "n_chars", "med")
+    val devs = docs.join(med, "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val mad = lowerMedian(devs.select("source", "dev"), "dev", "mad")
+    devs.join(mad, "source")
+      .groupBy("source")
+      .agg(max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("source")
+  }
+
+  /** q218: Theil–Sen robust trend — per event type, the exact median of
+    * all pairwise day-count slopes over the daily series, in signed
+    * fixed point (slope6 = sign(Δy)·(|Δy|·10⁶ div Δx), magnitude-only
+    * division so both engines truncate identically). The robust "is this
+    * event growing" number a single outlier day cannot drag. Pair
+    * generation is a per-type equi-join over the POST-AGGREGATE calendar
+    * grid (calendar²-bounded, never events), and the median runs over
+    * the per-type slope VALUE histogram. */
+  def q218TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dayn",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .select("event_type", "dayn", "x")
+    val a = daily.select(col("event_type"), col("dayn").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("dayn").as("d2"), col("x").as("x2"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        (expr("CAST(CASE WHEN x2 < x1 THEN -1L ELSE 1L END AS BIGINT)") *
+          expr("(abs(x2 - x1) * 1000000) div (d2 - d1)")).as("slope6"))
+    val w = Window.partitionBy("event_type").orderBy("slope6")
+    slopes.groupBy("event_type", "slope6").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n_pairs"),
+        min(when(col("cum") * 2 >= col("n") + (col("n") % 2),
+          col("slope6"))).as("ts_slope6"))
+      .orderBy("event_type")
+  }
+
+  /** q220: t-closeness audit — the third rung of the privacy ladder
+    * (q192 k-anonymity, q207 l-diversity): per (nation, segment)
+    * quasi-identifier group, the earth-mover's distance between the
+    * group's sensitive balance-kilobucket distribution and the GLOBAL
+    * one, over the ordered bucket axis. For 1-D ordered values EMD is
+    * exactly the sum of |cumulative gaps|: emd6 = Σ_v |cum_g(v)·n −
+    * cum_glob(v)·n_g| ·10⁶ / (n_g·n·|buckets−1|)… kept un-normalized by
+    * bucket span here: emd6 = Σ|cum_g·n − cum_glob·n_g|·10⁶ div
+    * (n_g·n·span) with span = buckets−1, the standard [0,1] t range. A
+    * large group passing k and l still fails t when its balance mix
+    * skews from the population. All state rides the (group, bucket) and
+    * (bucket) VALUE histograms — the q210 KS machinery with sum instead
+    * of max. */
+  def q220TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("kb"))
+    val spine = cust.select("kb").distinct()
+    val groups = cust.select("nation", "segment").distinct()
+    val ghist = cust.groupBy("nation", "segment", "kb")
+      .agg(count(lit(1)).as("c"))
+    val grid = spine.crossJoin(broadcast(groups))
+      .join(ghist, Seq("nation", "segment", "kb"), "left")
+      .na.fill(0L, Seq("c"))
+    val gw = Window.partitionBy("nation", "segment").orderBy("kb")
+    val gcum = grid
+      .withColumn("cum_g", sum("c").over(gw))
+      .withColumn("n_g", sum("c").over(Window.partitionBy("nation", "segment")))
+    val glob = cust.groupBy("kb").agg(count(lit(1)).as("gc"))
+      .withColumn("cum", sum("gc").over(Window.orderBy("kb")))
+      .withColumn("n", sum("gc").over(Window.partitionBy()))
+      .withColumn("span",
+        greatest(lit(1L), count(lit(1)).over(Window.partitionBy()) - 1))
+      .select("kb", "cum", "n", "span")
+    gcum.join(glob, "kb")
+      .groupBy("nation", "segment")
+      .agg(max("n_g").as("k"),
+        expr("CAST((CAST(sum(abs(cum_g * n - cum * n_g)) AS DECIMAL(38,0))" +
+          " * 1000000) DIV (CAST(max(n_g) AS DECIMAL(38,0)) * max(n)" +
+          " * max(span)) AS BIGINT)").as("emd6"))
+      .orderBy("nation", "segment")
+  }
+
+  /** q221: rolling-median residual screen — STL-lite seasonal cleanup of
+    * the daily event series: each day's count against the exact lower
+    * median of its ±3-day neighborhood, flagging days ±25% off the
+    * local level (integer cross-compares, q176's rule
+    * against a LOCAL baseline instead of the hour-of-week slot). The
+    * neighborhood materializes by EXPLODING each center day into its
+    * seven (type, neighbor-day) probes and equi-joining back to the
+    * calendar grid — 7n rows, not the n² a per-type range self-join
+    * would carry — and the ≤7-point median is the cumulative-histogram
+    * rule per (type, day) group. */
+  def q221RollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dayn",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val nb = daily.select(col("event_type"), col("dayn").as("cn"),
+        col("day").as("cday"), col("x").as("cx"),
+        explode(sequence(col("dayn") - 3, col("dayn") + 3)).as("nn"))
+      .join(daily.select(col("event_type"), col("dayn").as("nn"),
+        col("x").as("nx")), Seq("event_type", "nn"))
+    val med = nb.groupBy("event_type", "cn", "cday", "cx", "nx")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type", "cn").orderBy("nx")))
+      .withColumn("n", sum("c").over(
+        Window.partitionBy("event_type", "cn")))
+      .groupBy("event_type", "cn", "cday", "cx")
+      .agg(min(when(col("cum") * 2 >= col("n") + (col("n") % 2),
+        col("nx"))).as("local_med"))
+    med.filter(col("cx") * 4 >= col("local_med") * 5 ||
+        col("cx") * 5 <= col("local_med") * 4)
+      .select(col("event_type"), col("cday").as("day"), col("cx").as("x"),
+        col("local_med"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q222: demand-intermittency classification — every part sorted into
+    * the classic supply-chain quadrant (smooth / erratic / intermittent
+    * / lumpy) by ADI (average inter-demand interval: span-days over
+    * demand-days) and CV² (squared coefficient of variation of daily
+    * demand sizes), in exact thousandths against the standard 1.32 /
+    * 0.49 cutoffs — integer compares on adi3 ≥ 1320 and cv2_3 ≥ 490.
+    * One per-part aggregate over the (part, day) demand grid; output is
+    * a four-row class census plus the per-class demand share. */
+  def q222Intermittency(s: SparkSession, dir: String): DataFrame = {
+    val dd = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"),
+        date_trunc("day", col("l_shipdate")).as("day"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
+      .withColumn("dayn",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val per = dd.groupBy("part")
+      .agg(count(lit(1)).as("nd"), min("dayn").as("d0"), max("dayn").as("d1"),
+        sum("q").as("sq"), sum(expr("q * q")).as("sqq"))
+      // adi3 = 1000·span/demand-days; cv2_3 = 1000·(n·Σq² − (Σq)²)/(Σq)²
+      .withColumn("adi3", expr("(d1 - d0 + 1) * 1000 div nd"))
+      .withColumn("cv2_3",
+        expr("(nd * sqq - sq * sq) * 1000 div (sq * sq)"))
+      .withColumn("klass",
+        when(col("adi3") < 1320 && col("cv2_3") < 490, "smooth")
+          .when(col("adi3") < 1320, "erratic")
+          .when(col("cv2_3") < 490, "intermittent")
+          .otherwise("lumpy"))
+    per.groupBy("klass")
+      .agg(count(lit(1)).as("n_parts"), sum("sq").as("units"))
+      .orderBy("klass")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1341,12 +1544,191 @@ object CurationQueries {
     "q212_autocorr" -> (q212Autocorr _),
     "q213_rfm_segments" -> (q213RfmSegments _),
     "q214_gap_survival" -> (q214GapSurvival _),
-    "q215_assortativity" -> (q215Assortativity _))
+    "q215_assortativity" -> (q215Assortativity _),
+    "q216_trailing_spikes" -> (q216TrailingSpikes _),
+    "q217_mad_outliers" -> (q217MadOutliers _),
+    "q218_theil_sen" -> (q218TheilSen _),
+    "q220_t_closeness" -> (q220TCloseness _),
+    "q221_rolling_median" -> (q221RollingMedian _),
+    "q222_intermittency" -> (q222Intermittency _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q220_t_closeness" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS kb
+        |  FROM customer),
+        |spine AS (SELECT DISTINCT kb FROM cust),
+        |groups AS (SELECT DISTINCT nation, segment FROM cust),
+        |ghist AS (
+        |  SELECT nation, segment, kb, CAST(count(*) AS BIGINT) AS c
+        |  FROM cust GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT g.nation, g.segment, v.kb, coalesce(h.c, 0) AS c
+        |  FROM spine v CROSS JOIN groups g
+        |  LEFT JOIN ghist h ON h.nation = g.nation
+        |    AND h.segment = g.segment AND h.kb = v.kb),
+        |gcum AS (
+        |  SELECT nation, segment, kb,
+        |    CAST(sum(c) OVER (PARTITION BY nation, segment ORDER BY kb
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+        |    CAST(sum(c) OVER (PARTITION BY nation, segment) AS BIGINT) AS n_g
+        |  FROM grid),
+        |gpop AS (
+        |  SELECT kb,
+        |    CAST(sum(gc) OVER (ORDER BY kb
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(gc) OVER () AS BIGINT) AS n,
+        |    greatest(CAST(1 AS BIGINT),
+        |             CAST(count(*) OVER () AS BIGINT) - 1) AS span
+        |  FROM (SELECT kb, CAST(count(*) AS BIGINT) AS gc
+        |        FROM cust GROUP BY kb))
+        |SELECT g.nation, g.segment, max(g.n_g) AS k,
+        |  CAST((CAST(sum(abs(g.cum_g * o.n - o.cum * g.n_g)) AS HUGEINT)
+        |        * 1000000)
+        |       // (CAST(max(g.n_g) AS HUGEINT) * max(o.n) * max(o.span))
+        |       AS BIGINT) AS emd6
+        |FROM gcum g JOIN gpop o ON g.kb = o.kb
+        |GROUP BY g.nation, g.segment ORDER BY g.nation, g.segment""".stripMargin,
+    "q221_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn
+        |  FROM events GROUP BY 1, 2),
+        |nb AS (
+        |  SELECT c.event_type, c.dayn AS cn, c.day AS cday, c.x AS cx,
+        |    n.x AS nx
+        |  FROM daily c JOIN daily n
+        |    ON n.event_type = c.event_type
+        |   AND n.dayn BETWEEN c.dayn - 3 AND c.dayn + 3),
+        |h AS (
+        |  SELECT event_type, cn, cday, cx, nx,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM nb GROUP BY 1, 2, 3, 4, 5),
+        |hc AS (
+        |  SELECT event_type, cn, cday, cx, nx,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, cn ORDER BY nx
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type, cn) AS BIGINT) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT event_type, cn, cday, cx,
+        |    min(CASE WHEN cum * 2 >= n + (n % 2) THEN nx END) AS local_med
+        |  FROM hc GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, cday AS day, cx AS x, local_med
+        |FROM med
+        |WHERE cx * 4 >= local_med * 5 OR cx * 5 <= local_med * 4
+        |ORDER BY event_type, day""".stripMargin,
+    "q222_intermittency" ->
+      """WITH dd AS (
+        |  SELECT l_partkey AS part, date_trunc('day', l_shipdate) AS day,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', l_shipdate) AS DATE)) AS dayn
+        |  FROM lineitem GROUP BY 1, 2),
+        |per AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS nd,
+        |    min(dayn) AS d0, max(dayn) AS d1,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+        |  FROM dd GROUP BY part),
+        |cls AS (
+        |  SELECT part, sq,
+        |    (d1 - d0 + 1) * 1000 // nd AS adi3,
+        |    (nd * sqq - sq * sq) * 1000 // (sq * sq) AS cv2_3
+        |  FROM per)
+        |SELECT CASE WHEN adi3 < 1320 AND cv2_3 < 490 THEN 'smooth'
+        |            WHEN adi3 < 1320 THEN 'erratic'
+        |            WHEN cv2_3 < 490 THEN 'intermittent'
+        |            ELSE 'lumpy' END AS klass,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(sq) AS BIGINT) AS units
+        |FROM cls GROUP BY 1 ORDER BY klass""".stripMargin,
+    "q216_trailing_spikes" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey AS supp, date_trunc('day', l_shipdate) AS day,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', l_shipdate) AS DATE)) AS dayn
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (
+        |  SELECT supp, day, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY supp ORDER BY dayn
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS trail7,
+        |    CAST(coalesce(sum(cents) OVER (PARTITION BY supp ORDER BY dayn
+        |      RANGE BETWEEN 13 PRECEDING AND 7 PRECEDING), 0) AS BIGINT)
+        |      AS prev7
+        |  FROM daily)
+        |SELECT supp, day, cents, trail7, prev7 FROM t
+        |WHERE prev7 > 0 AND trail7 > prev7 * 2
+        |ORDER BY supp, day""".stripMargin,
+    "q217_mad_outliers" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT source, n_chars,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT source,
+        |    min(CASE WHEN cum * 2 >= n + (n % 2) THEN n_chars END) AS med
+        |  FROM hc GROUP BY source),
+        |devs AS (
+        |  SELECT d.source, abs(d.n_chars - m.med) AS dev, m.med
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |dh AS (
+        |  SELECT source, dev, CAST(count(*) AS BIGINT) AS c
+        |  FROM devs GROUP BY 1, 2),
+        |dhc AS (
+        |  SELECT source, dev,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY dev
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM dh),
+        |mad AS (
+        |  SELECT source,
+        |    min(CASE WHEN cum * 2 >= n + (n % 2) THEN dev END) AS mad
+        |  FROM dhc GROUP BY source)
+        |SELECT v.source, max(v.med) AS med, max(a.mad) AS mad,
+        |  CAST(sum(CASE WHEN v.dev > a.mad * 3 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM devs v JOIN mad a ON v.source = a.source
+        |GROUP BY v.source ORDER BY v.source""".stripMargin,
+    "q218_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(CASE WHEN b.x < a.x THEN -1 ELSE 1 END AS BIGINT)
+        |      * (abs(b.x - a.x) * 1000000 // (b.dayn - a.dayn)) AS slope6
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.dayn < b.dayn),
+        |sh AS (
+        |  SELECT event_type, slope6, CAST(count(*) AS BIGINT) AS c
+        |  FROM slopes GROUP BY 1, 2),
+        |shc AS (
+        |  SELECT event_type, slope6,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY slope6
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM sh)
+        |SELECT event_type, max(n) AS n_pairs,
+        |  min(CASE WHEN cum * 2 >= n + (n % 2) THEN slope6 END) AS ts_slope6
+        |FROM shc GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q213_rfm_segments" -> {
       def boundsCte(metric: String, src: String, pfx: String) =
         s"""${pfx}h AS (

@@ -42,7 +42,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q191_quality_dup_calibration", // broadcast 1-row total against the histogram-sized decile map
     "q206_chi_square", // broadcast 1-row quartile-bounds aggregate against the doc stream (q177's anchor shape)
     "q210_ks_drift", // value-spine x source-dimension cross: |distinct lengths| x |sources| post-aggregate rows
-    "q213_rfm_segments") // broadcast 1-row anchor + three 1-row quintile-bound aggregates
+    "q213_rfm_segments", // broadcast 1-row anchor + three 1-row quintile-bound aggregates
+    "q220_t_closeness") // balance-bucket spine x (nation, segment) dimension cross, both post-aggregate bounded
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -76,7 +77,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q213: the three quintile-bound windows each run over one metric's
     // VALUE histogram (day / order-count / dollar domains), never over
     // customers
-    "q213_rfm_segments")
+    "q213_rfm_segments",
+    // q220: the global cumulative runs over the balance-kilobucket VALUE
+    // histogram (~a dozen buckets at any customer count)
+    "q220_t_closeness")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
@@ -111,7 +115,13 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q210_ks_drift",
     // q212: per-type lag windows over the (type, day) POST-AGGREGATE
     // calendar grid (q170's argument) — days per type, never events
-    "q212_autocorr")
+    "q212_autocorr",
+    // q217: per-source cumulative windows over the (source, n_chars) and
+    // (source, deviation) VALUE histograms — the q169 argument twice
+    "q217_mad_outliers",
+    // q218: per-type median window over the slope VALUE histogram, whose
+    // input is calendar²-bounded pair aggregates, never events
+    "q218_theil_sen")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
