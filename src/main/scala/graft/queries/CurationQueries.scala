@@ -1454,6 +1454,221 @@ object CurationQueries {
       .orderBy("klass")
   }
 
+  /** q223: cohort LTV triangle — users grouped by first-event week, each
+    * cohort's cumulative purchase value tracked per week-index since
+    * birth, in exact cents plus per-user cents (the retention-revenue
+    * triangle every growth dashboard draws). First-touch is a per-user
+    * min-aggregate, the triangle is a (cohort, week-index) aggregate —
+    * weeks² cells at any corpus size — and the running LTV is a window
+    * over that POST-AGGREGATE grid. Purchase value rides floor(·100)
+    * cents so both engines sum identical integers. */
+  def q223CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(date_trunc('day', ts), DATE '1970-01-01')")
+          .cast("long").as("dayn"),
+        col("event_type"),
+        floor(col("value") * 100d).cast("long").as("cents"))
+    val birth = ev.groupBy("user_id")
+      .agg(expr("min(dayn) div 7").as("cohort_week"))
+    val cohortSize = birth.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = ev.join(birth, "user_id")
+      .filter(col("event_type") === "purchase")
+      .withColumn("widx", expr("dayn div 7") - col("cohort_week"))
+      .groupBy("cohort_week", "widx")
+      .agg(sum("cents").as("rev_cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("widx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_cents", sum("rev_cents").over(w))
+      .join(cohortSize, "cohort_week")
+      .select(col("cohort_week"), col("widx"), col("cohort_users"),
+        col("cum_cents"),
+        expr("cum_cents div cohort_users").as("ltv_cents_per_user"))
+      .orderBy("cohort_week", "widx")
+  }
+
+  /** q224: readability scoring — a Flesch-reading-ease integer proxy per
+    * source: words from whitespace runs, sentences from terminal
+    * punctuation, syllables from vowel GROUPS (the classic
+    * heuristic), and fre_m = 206835 − 1015·words div sentences −
+    * 84600·syllables div words, averaged per source with a "hard doc"
+    * tally (fre_m < 30000). Everything is counting + integer division
+    * over per-doc strings — embarrassingly parallel, no shuffle beyond
+    * the per-source aggregate. Both engines count the SAME regex
+    * replacements, so the proxy is bit-identical. */
+  def q224Readability(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("source"),
+        greatest(lit(1),
+          size(split(trim(col("text")), "\\s+"))).cast("long").as("words"),
+        greatest(lit(1L),
+          (length(col("text")) -
+            length(translate(col("text"), ".!?", ""))).cast("long"))
+          .as("sentences"),
+        // vowel-group count by pure length arithmetic (collision-free):
+        // replace groups with one char vs with nothing — the difference
+        // is exactly the number of groups
+        greatest(lit(1L),
+          (length(regexp_replace(lower(col("text")), "[aeiouy]+", "#")) -
+            length(regexp_replace(lower(col("text")), "[aeiouy]+", "")))
+            .cast("long")).as("syll"))
+      .withColumn("fre_m",
+        lit(206835L) - expr("1015L * words div sentences") -
+          expr("84600L * syll div words"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(fre_m) div count(*)").as("avg_fre_m"),
+        sum(when(col("fre_m") < 30000, 1L).otherwise(0L)).as("hard_docs"))
+      .orderBy("source")
+  }
+
+  /** q225: distribution shape stats — exact skewness and kurtosis of doc
+    * length per source from raw integer power sums (Σx..Σx⁴). Skewness
+    * is the signed square (q212's trick): skew2s6 = sign(M3)·M3²·10⁶ /
+    * M2³ computed in TWO positive-operand DIV stages whose quotients
+    * each fit a long (the q215 lesson); kurtosis·10³ = n·M4·10³ div M2²
+    * is a single DIV (M4 ≥ 0). Central moments expand into DECIMAL(38,0)
+    * products of the power sums — one aggregate pass, |sources| output
+    * rows, no window at all. */
+  def q225ShapeStats(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(expr("x * x")).as("s2"),
+        sum(expr("x * x * x")).as("s3"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
+    m.select(col("source"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1").as("m2"),
+        expr("CAST(n AS DECIMAL(38,0)) * n * s3" +
+          " - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2" +
+          " + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1").as("m3"),
+        expr("CAST(n AS DECIMAL(38,0)) * n * n * s4" +
+          " - 4 * CAST(n AS DECIMAL(38,0)) * n * s1 * s3" +
+          " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2" +
+          " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1").as("m4"))
+      .filter(col("m2") > 0)
+      .withColumn("q1", expr("(abs(m3) * 1000) DIV m2"))
+      .select(col("source"), col("n"),
+        (expr("CAST(CASE WHEN m3 < 0 THEN -1L ELSE 1L END AS BIGINT)") *
+          expr("(CAST(q1 AS DECIMAL(38,0)) * abs(m3) * 1000) DIV (m2 * m2)"))
+          .as("skew2s6"),
+        expr("(CAST(n AS DECIMAL(38,0)) * m4 * 1000) DIV (m2 * m2)")
+          .as("kurt3"))
+      .orderBy("source")
+  }
+
+  /** q226: shipping-SLA compliance — per order priority, the permille of
+    * line items shipped within 7 / 14 / 30 days of order placement, plus
+    * the worst observed lag. One broadcast-friendly fact⋈dim join
+    * (lineitem to its order header), integer day lags, conditional
+    * aggregates — the operational KPI row every fulfillment dashboard
+    * leads with. |priorities| output rows at any scale. */
+  def q226SlaCompliance(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"),
+        date_trunc("day", col("l_shipdate")).as("ship"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority").as("prio"),
+        date_trunc("day", col("o_orderdate")).as("placed"))
+    li.join(ord, "ok")
+      .withColumn("lag", datediff(col("ship"), col("placed")).cast("long"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("sum(CASE WHEN lag <= 7 THEN 1L ELSE 0L END) * 1000 div count(*)")
+          .as("in7_permille"),
+        expr("sum(CASE WHEN lag <= 14 THEN 1L ELSE 0L END) * 1000 div count(*)")
+          .as("in14_permille"),
+        expr("sum(CASE WHEN lag <= 30 THEN 1L ELSE 0L END) * 1000 div count(*)")
+          .as("in30_permille"),
+        max("lag").as("worst_lag"))
+      .orderBy("prio")
+  }
+
+  /** q227: replayed-payment screen — pairs of PURCHASE events by the
+    * SAME user for the SAME whole-unit amount within 24 hours: the
+    * double-charge / replay audit. The pair join is an equi-join on the
+    * (user, amount) key — candidates are bounded per key by how often
+    * one user repeats one amount, never all-pairs — with the
+    * time-window filter applied inside the join. Ordered (earlier,
+    * later) by event id so each suspect pair reports once. */
+  def q227DupPayments(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"),
+        floor(col("value")).cast("long").as("amount"),
+        col("event_id"),
+        unix_seconds(col("ts")).as("sec"))
+    val a = e.select(col("u"), col("amount"), col("event_id").as("id_a"),
+      col("sec").as("s_a"))
+    val b = e.select(col("u"), col("amount"), col("event_id").as("id_b"),
+      col("sec").as("s_b"))
+    a.join(b, Seq("u", "amount"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("s_a") - col("s_b")) <= 86400)
+      .select(col("u"), col("amount"), col("id_a"), col("id_b"),
+        abs(col("s_a") - col("s_b")).as("secs_apart"))
+      .orderBy("u", "id_a", "id_b")
+  }
+
+  /** q228: market-concentration HHI — per nation, the Herfindahl index
+    * of supplier revenue shares in basis points: hhi = Σ_s (rev_s·10⁴ /
+    * rev_nation)² summed exactly as Σrev²·10⁸ div (Σrev)², plus the
+    * equivalent-competitor count 10⁸ div hhi. The "is this market one
+    * big supplier or many small ones" number, and the revenue-weighted
+    * sibling of the inverse-Simpson counts used in q190/q205. Per-
+    * supplier revenue is one aggregate; the nation rollup squares and
+    * sums it — DECIMAL(38,0) keeps rev² exact past 10¹⁸ cents. */
+  def q228NationHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("supp"))
+      .agg(sum(floor(col("l_extendedprice") * 100d).cast("long")).as("rev"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("supp"),
+        col("s_nationkey").cast("long").as("nation"))
+    rev.join(sup, "supp")
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("rev").as("rev_total"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("rev_sq"))
+      .select(col("nation"), col("n_suppliers"), col("rev_total"),
+        expr("CAST((rev_sq * 100000000)" +
+          " DIV (CAST(rev_total AS DECIMAL(38,0)) * rev_total) AS BIGINT)")
+          .as("hhi_bp"))
+      .withColumn("eff_suppliers_x100",
+        expr("10000000000L div greatest(1L, hhi_bp)"))
+      .orderBy("nation")
+  }
+
+  /** q229: day-over-day audience overlap — for every consecutive day
+    * pair, the exact Jaccard permille of active-user sets plus the
+    * retained / churned / new counts: the churn-velocity series. The
+    * intersection comes from one self-equi-join of the distinct
+    * (day, user) stream on user with next-day alignment (per-user
+    * bounded), set sizes from the daily aggregate — no corpus-sized
+    * state beyond the distinct pass. */
+  def q229DayOverlap(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("datediff(date_trunc('day', ts), DATE '1970-01-01')")
+        .cast("long").as("dayn"), col("user_id"))
+      .distinct()
+    val sizes = du.groupBy("dayn").agg(count(lit(1)).as("n"))
+    val inter = du.select(col("dayn"), col("user_id"))
+      .join(du.select((col("dayn") - 1).as("dayn"), col("user_id")),
+        Seq("dayn", "user_id"))
+      .groupBy("dayn").agg(count(lit(1)).as("n_both"))
+    sizes.select(col("dayn"), col("n").as("n_today"))
+      .join(sizes.select((col("dayn") - 1).as("dayn"), col("n").as("n_next")),
+        Seq("dayn"))
+      .join(inter, Seq("dayn"), "left").na.fill(0L, Seq("n_both"))
+      .select(col("dayn"), col("n_today"), col("n_next"), col("n_both"),
+        expr("n_both * 1000 div (n_today + n_next - n_both)").as("jac_permille"),
+        (col("n_today") - col("n_both")).as("churned"),
+        (col("n_next") - col("n_both")).as("new_users"))
+      .orderBy("dayn")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1550,12 +1765,171 @@ object CurationQueries {
     "q218_theil_sen" -> (q218TheilSen _),
     "q220_t_closeness" -> (q220TCloseness _),
     "q221_rolling_median" -> (q221RollingMedian _),
-    "q222_intermittency" -> (q222Intermittency _))
+    "q222_intermittency" -> (q222Intermittency _),
+    "q223_cohort_ltv" -> (q223CohortLtv _),
+    "q224_readability" -> (q224Readability _),
+    "q225_shape_stats" -> (q225ShapeStats _),
+    "q226_sla_compliance" -> (q226SlaCompliance _),
+    "q227_dup_payments" -> (q227DupPayments _),
+    "q228_nation_hhi" -> (q228NationHhi _),
+    "q229_day_overlap" -> (q229DayOverlap _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q226_sla_compliance" ->
+      """SELECT o_orderpriority AS prio,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN lag <= 7 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |       AS BIGINT) AS in7_permille,
+        |  CAST(sum(CASE WHEN lag <= 14 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |       AS BIGINT) AS in14_permille,
+        |  CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |       AS BIGINT) AS in30_permille,
+        |  CAST(max(lag) AS BIGINT) AS worst_lag
+        |FROM (
+        |  SELECT o.o_orderpriority,
+        |    date_diff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+        |              CAST(date_trunc('day', l.l_shipdate) AS DATE)) AS lag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    "q227_dup_payments" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(floor(value) AS BIGINT) AS amount,
+        |    event_id,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      AS sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.u, a.amount, a.event_id AS id_a, b.event_id AS id_b,
+        |  CAST(abs(a.sec - b.sec) AS BIGINT) AS secs_apart
+        |FROM e a JOIN e b
+        |  ON a.u = b.u AND a.amount = b.amount AND a.event_id < b.event_id
+        | AND abs(a.sec - b.sec) <= 86400
+        |ORDER BY a.u, id_a, id_b""".stripMargin,
+    "q228_nation_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supp,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |n AS (
+        |  SELECT s.s_nationkey AS nation,
+        |    CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(rev) AS BIGINT) AS rev_total,
+        |    CAST(sum(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS rev_sq
+        |  FROM rev r JOIN supplier s ON r.supp = s.s_suppkey
+        |  GROUP BY 1)
+        |SELECT CAST(nation AS BIGINT) AS nation, n_suppliers, rev_total,
+        |  CAST((rev_sq * 100000000)
+        |       // (CAST(rev_total AS HUGEINT) * rev_total) AS BIGINT)
+        |    AS hhi_bp,
+        |  10000000000 // greatest(CAST(1 AS BIGINT),
+        |    CAST((rev_sq * 100000000)
+        |         // (CAST(rev_total AS HUGEINT) * rev_total) AS BIGINT))
+        |    AS eff_suppliers_x100
+        |FROM n ORDER BY nation""".stripMargin,
+    "q229_day_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn,
+        |    user_id
+        |  FROM events),
+        |sizes AS (
+        |  SELECT dayn, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY dayn),
+        |inter AS (
+        |  SELECT a.dayn, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM du a JOIN du b
+        |    ON a.user_id = b.user_id AND b.dayn = a.dayn + 1
+        |  GROUP BY a.dayn)
+        |SELECT t.dayn, t.n AS n_today, x.n AS n_next,
+        |  coalesce(i.n_both, 0) AS n_both,
+        |  coalesce(i.n_both, 0) * 1000
+        |    // (t.n + x.n - coalesce(i.n_both, 0)) AS jac_permille,
+        |  t.n - coalesce(i.n_both, 0) AS churned,
+        |  x.n - coalesce(i.n_both, 0) AS new_users
+        |FROM sizes t JOIN sizes x ON x.dayn = t.dayn + 1
+        |LEFT JOIN inter i ON i.dayn = t.dayn
+        |ORDER BY t.dayn""".stripMargin,
+    "q223_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn,
+        |    event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |birth AS (
+        |  SELECT user_id, min(dayn) // 7 AS cohort_week
+        |  FROM ev GROUP BY user_id),
+        |csize AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM birth GROUP BY cohort_week),
+        |cells AS (
+        |  SELECT b.cohort_week, e.dayn // 7 - b.cohort_week AS widx,
+        |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+        |  FROM ev e JOIN birth b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_week, widx,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY widx
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_cents
+        |  FROM cells)
+        |SELECT c.cohort_week, c.widx, s.cohort_users, c.cum_cents,
+        |  c.cum_cents // s.cohort_users AS ltv_cents_per_user
+        |FROM cum c JOIN csize s USING (cohort_week)
+        |ORDER BY cohort_week, widx""".stripMargin,
+    "q224_readability" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |    greatest(1, CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |                     AS BIGINT)) AS words,
+        |    greatest(1, CAST(length(text)
+        |      - length(replace(replace(replace(text, '.', ''), '!', ''),
+        |                       '?', '')) AS BIGINT)) AS sentences,
+        |    greatest(1, CAST(
+        |      length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+        |      AS BIGINT)) AS syll
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    206835 - 1015 * words // sentences - 84600 * syll // words
+        |      AS fre_m
+        |  FROM scored)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fre_m) // count(*) AS BIGINT) AS avg_fre_m,
+        |  CAST(sum(CASE WHEN fre_m < 30000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hard_docs
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q225_shape_stats" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n_chars) AS HUGEINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS HUGEINT) AS s2,
+        |    CAST(sum(n_chars * n_chars * n_chars) AS HUGEINT) AS s3,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+        |         AS HUGEINT) AS s4
+        |  FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT source, n,
+        |    n * s2 - s1 * s1 AS m2,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+        |  FROM m),
+        |q AS (
+        |  SELECT source, n, m2, m3, m4,
+        |    (abs(m3) * 1000) // m2 AS q1
+        |  FROM c WHERE m2 > 0)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN m3 < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    * CAST((q1 * abs(m3) * 1000) // (m2 * m2) AS BIGINT) AS skew2s6,
+        |  CAST((n * m4 * 1000) // (m2 * m2) AS BIGINT) AS kurt3
+        |FROM q ORDER BY source""".stripMargin,
     "q220_t_closeness" ->
       """WITH cust AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
