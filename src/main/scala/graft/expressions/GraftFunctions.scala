@@ -206,8 +206,12 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` plug-in: makes `graft_dot` / `graft_minhash`
-  * available to pure-SQL users at session build time. */
+  * available to pure-SQL users at session build time, and installs the
+  * [[graft.plans.GuardRule]] scale-shape observer (warn by default;
+  * `spark.graft.guard.strict=true` turns flags into errors). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.GuardRule)
+  }
 }
