@@ -1669,6 +1669,118 @@ object CurationQueries {
       .orderBy("dayn")
   }
 
+  /** q230: hapax legomena rate — per source, how much of its vocabulary
+    * is corpus-unique (global count = 1): the lexical-novelty screen
+    * that separates a source coining fresh phrasing from one recycling
+    * the common pool (the pointwise sibling of q180's Heaps curve and
+    * q168's marginal novelty). Whitespace tokens (the q88 convention),
+    * one vocab-bounded global count, one per-(source, token) distinct,
+    * one join — every aggregate's state is the vocabulary, not the
+    * corpus. */
+  def q230HapaxRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("gc"))
+    val perSource = toks.select("source", "tok").distinct()
+    perSource.join(vocab, "tok")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("gc") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_distinct"), col("n_hapax"),
+        expr("n_hapax * 1000 div n_distinct").as("hapax_permille"))
+      .orderBy("source")
+  }
+
+  /** q231: event-type affinity matrix — for every unordered event-type
+    * pair, the lift of co-occurring within the same (user, hour)
+    * activity cell: lift3 = co·N·10³ / (c_a·c_b) over cell counts, >1000
+    * means the two actions travel together. The market-basket shape
+    * (q162) pointed at behavioral telemetry: cells shrink to distinct
+    * type sets (≤ |types|), pairs explode from the per-cell set — output
+    * is |types|² rows however large the stream. */
+  def q231TypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .distinct()
+    val sets = cells.groupBy("user_id", "hr")
+      .agg(collect_set(col("event_type")).as("ts_"))
+    val nCells = sets.select(count(lit(1)).as("n_cells"))
+    val singles = cells.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val pairs = sets
+      .select(explode(col("ts_")).as("ta"), col("ts_"))
+      .select(col("ta"), explode(col("ts_")).as("tb"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("co"))
+    pairs
+      .join(singles.select(col("event_type").as("ta"), col("c").as("ca")),
+        Seq("ta"))
+      .join(singles.select(col("event_type").as("tb"), col("c").as("cb")),
+        Seq("tb"))
+      .crossJoin(broadcast(nCells))
+      .select(col("ta"), col("tb"), col("co"),
+        expr("co * n_cells * 1000 div (ca * cb)").as("lift3"))
+      .orderBy("ta", "tb")
+  }
+
+  /** q232: equi-depth column profiler — decile boundaries + cumulative
+    * counts for three lineitem measures (quantity, price cents, discount
+    * permille), the numeric-profile sheet a catalog tool prints per
+    * column. Each leg is the exact cumulative-histogram rule over that
+    * column's VALUE histogram (quantity and discount live on tiny grids;
+    * price cents on the |price grid|·|quantities| lattice — post-
+    * aggregate and domain-bounded at any row count), unioned into one
+    * (column, decile, boundary, cum) sheet. */
+  def q232ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def leg(colName: String, v: org.apache.spark.sql.Column): DataFrame = {
+      val h = li.select(v.cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("v")))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+      h.crossJoin(broadcast(
+          s.range(1, 11).select(col("id").as("decile"))))
+        .filter(col("cum") * 10 >= col("n") * col("decile"))
+        .groupBy("decile")
+        .agg(min("v").as("boundary"))
+        .select(lit(colName).as("column"), col("decile"), col("boundary"))
+    }
+    leg("quantity", floor(col("l_quantity")))
+      .unionAll(leg("price_cents", floor(col("l_extendedprice") * 100d)))
+      .unionAll(leg("discount_permille", floor(col("l_discount") * 1000d)))
+      .orderBy("column", "decile")
+  }
+
+  /** q233: double-sweep diameter bound — the classic two-BFS lower bound
+    * on graph diameter: sweep 1 from the max-degree hub finds the
+    * farthest node, sweep 2 from THAT node measures its eccentricity,
+    * which lower-bounds the diameter (and on real small-world graphs is
+    * usually tight). Two [[graft.operators.Bfs]] runs (each a bounded
+    * number of keyed shuffles), two 1-row TakeOrdered collects for the
+    * seed picks (deterministic tiebreak: degree DESC then node; then
+    * dist DESC then node). Sweeps are hop-capped at 3 — past the layer
+    * where the frontier empties on this graph — so the unrolled oracle
+    * replays the exact same rounds, empty frontiers included. */
+  def q233DiameterSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = coPurchasePairs(s, dir).select("pa", "pb").distinct()
+    val adj = und.unionAll(und.select(col("pb").as("pa"), col("pa").as("pb")))
+    val seed1 = adj.groupBy("pa").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("pa")).limit(1)
+      .select(col("pa")).as[Long].head()
+    val bfs1 = graft.operators.Bfs.hopDistances(und, "pa", "pb",
+      Seq(seed1).toDF("node"), "node", maxHops = 3)
+    val (seed2, ecc1) = bfs1.orderBy(col("dist").desc, col("node"))
+      .limit(1).as[(Long, Long)].head()
+    val bfs2 = graft.operators.Bfs.hopDistances(und, "pa", "pb",
+      Seq(seed2).toDF("node"), "node", maxHops = 3)
+    val ecc2 = bfs2.agg(max("dist")).as[Long].head()
+    Seq((seed1, ecc1, seed2, ecc2, math.max(ecc1, ecc2)))
+      .toDF("hub", "ecc_hub", "far_node", "ecc_far", "diameter_lb")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1772,12 +1884,121 @@ object CurationQueries {
     "q226_sla_compliance" -> (q226SlaCompliance _),
     "q227_dup_payments" -> (q227DupPayments _),
     "q228_nation_hhi" -> (q228NationHhi _),
-    "q229_day_overlap" -> (q229DayOverlap _))
+    "q229_day_overlap" -> (q229DayOverlap _),
+    "q230_hapax_rate" -> (q230HapaxRate _),
+    "q231_type_affinity" -> (q231TypeAffinity _),
+    "q232_column_profile" -> (q232ColumnProfile _),
+    "q233_diameter_sweep" -> (q233DiameterSweep _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q233_diameter_sweep" -> {
+      def sweep(p: String, seedCte: String) =
+        s"""${p}v0 AS MATERIALIZED (
+           |  SELECT seed AS node, CAST(0 AS BIGINT) AS dist FROM $seedCte),
+           |${p}f0 AS MATERIALIZED (SELECT node FROM ${p}v0),
+           |${p}n1 AS MATERIALIZED (
+           |  SELECT DISTINCT adj.dst AS node
+           |  FROM adj JOIN ${p}f0 f ON adj.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM ${p}v0 v WHERE v.node = adj.dst)),
+           |${p}v1 AS MATERIALIZED (
+           |  SELECT node, dist FROM ${p}v0
+           |  UNION ALL SELECT node, CAST(1 AS BIGINT) FROM ${p}n1),
+           |${p}n2 AS MATERIALIZED (
+           |  SELECT DISTINCT adj.dst AS node
+           |  FROM adj JOIN ${p}n1 f ON adj.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM ${p}v1 v WHERE v.node = adj.dst)),
+           |${p}v2 AS MATERIALIZED (
+           |  SELECT node, dist FROM ${p}v1
+           |  UNION ALL SELECT node, CAST(2 AS BIGINT) FROM ${p}n2),
+           |${p}n3 AS MATERIALIZED (
+           |  SELECT DISTINCT adj.dst AS node
+           |  FROM adj JOIN ${p}n2 f ON adj.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM ${p}v2 v WHERE v.node = adj.dst)),
+           |${p}v3 AS MATERIALIZED (
+           |  SELECT node, dist FROM ${p}v2
+           |  UNION ALL SELECT node, CAST(3 AS BIGINT) FROM ${p}n3)""".stripMargin
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+         |                  greatest(x.l_partkey, y.l_partkey) AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM op UNION ALL SELECT b, a FROM op),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |        FROM adj GROUP BY src),
+         |s1 AS MATERIALIZED (
+         |  SELECT src AS seed FROM deg ORDER BY d DESC, src LIMIT 1),
+         |${sweep("a_", "s1")},
+         |pick2 AS MATERIALIZED (
+         |  SELECT node AS seed, dist AS ecc1 FROM a_v3
+         |  ORDER BY dist DESC, node LIMIT 1),
+         |${sweep("b_", "pick2")}
+         |SELECT s1.seed AS hub, p.ecc1 AS ecc_hub, p.seed AS far_node,
+         |  (SELECT max(dist) FROM b_v3) AS ecc_far,
+         |  greatest(p.ecc1, (SELECT max(dist) FROM b_v3)) AS diameter_lb
+         |FROM s1 CROSS JOIN pick2 p""".stripMargin
+    },
+    "q230_hapax_rate" ->
+      """WITH toks AS (
+        |  SELECT source, t.tok
+        |  FROM documents,
+        |    LATERAL unnest(string_split(lower(text), ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS gc
+        |  FROM toks GROUP BY tok),
+        |ps AS (SELECT DISTINCT source, tok FROM toks)
+        |SELECT ps.source, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN v.gc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(CASE WHEN v.gc = 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |       AS BIGINT) AS hapax_permille
+        |FROM ps JOIN vocab v USING (tok)
+        |GROUP BY ps.source ORDER BY ps.source""".stripMargin,
+    "q231_type_affinity" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+        |  FROM events),
+        |nc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells
+        |  FROM (SELECT DISTINCT user_id, hr FROM cells)),
+        |singles AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM cells GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM cells a JOIN cells b
+        |    ON a.user_id = b.user_id AND a.hr = b.hr
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, p.co,
+        |  p.co * nc.n_cells * 1000 // (sa.c * sb.c) AS lift3
+        |FROM pairs p
+        |JOIN singles sa ON sa.event_type = p.ta
+        |JOIN singles sb ON sb.event_type = p.tb
+        |CROSS JOIN nc
+        |ORDER BY ta, tb""".stripMargin,
+    "q232_column_profile" -> Seq(
+      ("quantity", "CAST(floor(l_quantity) AS BIGINT)"),
+      ("price_cents", "CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+      ("discount_permille", "CAST(floor(l_discount * 1000) AS BIGINT)"))
+      .map { case (name, ex) =>
+        s"""SELECT '$name' AS "column", d.decile, min(h.v) AS boundary
+           |FROM (
+           |  SELECT v,
+           |    CAST(sum(c) OVER (ORDER BY v
+           |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n
+           |  FROM (SELECT $ex AS v, CAST(count(*) AS BIGINT) AS c
+           |        FROM lineitem GROUP BY 1)) h
+           |CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS decile) d
+           |WHERE h.cum * 10 >= h.n * d.decile
+           |GROUP BY d.decile""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\", decile"),
     "q226_sla_compliance" ->
       """SELECT o_orderpriority AS prio,
         |  CAST(count(*) AS BIGINT) AS n_lines,

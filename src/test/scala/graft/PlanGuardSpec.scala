@@ -43,7 +43,9 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q206_chi_square", // broadcast 1-row quartile-bounds aggregate against the doc stream (q177's anchor shape)
     "q210_ks_drift", // value-spine x source-dimension cross: |distinct lengths| x |sources| post-aggregate rows
     "q213_rfm_segments", // broadcast 1-row anchor + three 1-row quintile-bound aggregates
-    "q220_t_closeness") // balance-bucket spine x (nation, segment) dimension cross, both post-aggregate bounded
+    "q220_t_closeness", // balance-bucket spine x (nation, segment) dimension cross, both post-aggregate bounded
+    "q231_type_affinity", // broadcast 1-row cell-count aggregate against the |types|² pair table
+    "q232_column_profile") // 10-row decile spine against each column's value histogram
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -80,7 +82,11 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q213_rfm_segments",
     // q220: the global cumulative runs over the balance-kilobucket VALUE
     // histogram (~a dozen buckets at any customer count)
-    "q220_t_closeness")
+    "q220_t_closeness",
+    // q232: each leg's cumulative runs over that column's VALUE histogram
+    // (quantity/discount grids; the price lattice is |prices|·|quantities|
+    // post-aggregate rows at any row count)
+    "q232_column_profile")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
