@@ -1781,6 +1781,88 @@ object CurationQueries {
       .toDF("hub", "ecc_hub", "far_node", "ecc_far", "diameter_lb")
   }
 
+  /** q234: attribution-window sensitivity — the share of purchases that
+    * attribute to a PRECEDING view at horizons of 1/6/24/72 hours, in
+    * one pass: the tuning curve behind choosing q143's stream-join
+    * horizon. Each purchase learns its latest prior view via ONE
+    * per-user running-max window over the merged event stream (the
+    * purchase row's own CASE is NULL, so including the current row is
+    * safe), then the sweep is four conditional aggregates over fixed
+    * thresholds — q214's shape pointed at attribution. */
+  def q234AttribWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_seconds(col("ts")).as("sec"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("sec"))).over(w))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(expr("(sec - last_view) div 3600").as("gap_hours"))
+    val legs = Seq(1L, 6L, 24L, 72L).map(t =>
+      purch.agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("gap_hours").isNotNull && col("gap_hours") < t, 1L)
+            .otherwise(0L)).as("attributed"))
+        .select(lit(t).as("t_hours"), col("n_purchases"), col("attributed"),
+          expr("attributed * 1000 div n_purchases").as("attr_permille")))
+    legs.reduce(_ unionAll _).orderBy("t_hours")
+  }
+
+  /** q235: week-over-week same-weekday growth — each day's event count
+    * against the count exactly seven days earlier (the seasonality-free
+    * growth compare), as an exact permille plus a ±20% mover flag. One
+    * equi-join of the (type, day) calendar grid to itself shifted by
+    * seven — no window at all, calendar-bounded state. */
+  def q235WowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("datediff(date_trunc('day', ts), DATE '1970-01-01')")
+          .cast("long").as("dayn"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .join(daily.select(col("event_type"), (col("dayn") + 7).as("dayn"),
+        col("cnt").as("prev")), Seq("event_type", "dayn"))
+      .select(col("event_type"), col("dayn"), col("cnt"), col("prev"),
+        expr("cnt * 1000 div prev").as("wow_permille"),
+        (col("cnt") * 5 >= col("prev") * 6 ||
+          col("cnt") * 6 <= col("prev") * 5).as("mover"))
+      .orderBy("event_type", "dayn")
+  }
+
+  /** q236: three-step funnel — view → click → purchase with strict
+    * temporal ordering per user: a click only counts after the user's
+    * first view, a purchase only after that click. Per-user state is
+    * three conditional min-aggregates (two passes because each step's
+    * floor depends on the previous step's time); the funnel sheet is
+    * one global aggregate row with stepwise conversion permilles. */
+  def q236ThreeStepFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_seconds(col("ts")).as("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("sec") >= col("t_view"))
+      .groupBy("user_id").agg(min("sec").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("sec") >= col("t_click"))
+      .groupBy("user_id").agg(min("sec").as("t_purchase"))
+    val funnel = v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+    funnel.agg(count(lit(1)).as("viewed"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("clicked"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .as("purchased"))
+      .select(col("viewed"), col("clicked"), col("purchased"),
+        expr("clicked * 1000 div viewed").as("click_permille"),
+        expr("CASE WHEN clicked > 0" +
+          " THEN purchased * 1000 div clicked ELSE 0L END")
+          .as("purchase_permille"))
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1888,12 +1970,86 @@ object CurationQueries {
     "q230_hapax_rate" -> (q230HapaxRate _),
     "q231_type_affinity" -> (q231TypeAffinity _),
     "q232_column_profile" -> (q232ColumnProfile _),
-    "q233_diameter_sweep" -> (q233DiameterSweep _))
+    "q233_diameter_sweep" -> (q233DiameterSweep _),
+    "q234_attrib_windows" -> (q234AttribWindows _),
+    "q235_wow_growth" -> (q235WowGrowth _),
+    "q236_three_step_funnel" -> (q236ThreeStepFunnel _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q234_attrib_windows" -> Seq(1L, 6L, 24L, 72L).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS t_hours,
+         |  CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(CASE WHEN gap_hours IS NOT NULL AND gap_hours < $t
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+         |  CAST(sum(CASE WHEN gap_hours IS NOT NULL AND gap_hours < $t
+         |               THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         |    AS attr_permille
+         |FROM (
+         |  SELECT (sec - last_view) // 3600 AS gap_hours
+         |  FROM (
+         |    SELECT event_type, sec,
+         |      max(CASE WHEN event_type = 'view' THEN sec END)
+         |        OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |              ROWS UNBOUNDED PRECEDING) AS last_view
+         |    FROM (
+         |      SELECT user_id, event_id, event_type,
+         |        date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+         |          AS sec
+         |      FROM events WHERE event_type IN ('view', 'purchase')))
+         |  WHERE event_type = 'purchase')""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY t_hours"),
+    "q235_wow_growth" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.event_type, c.dayn, c.cnt, p.cnt AS prev,
+        |  c.cnt * 1000 // p.cnt AS wow_permille,
+        |  (c.cnt * 5 >= p.cnt * 6 OR c.cnt * 6 <= p.cnt * 5) AS mover
+        |FROM daily c JOIN daily p
+        |  ON p.event_type = c.event_type AND p.dayn = c.dayn - 7
+        |ORDER BY c.event_type, c.dayn""".stripMargin,
+    "q236_three_step_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, min(sec) AS t_view
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.sec) AS t_click
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.sec >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.sec) AS t_purchase
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= c.t_click
+        |  GROUP BY e.user_id),
+        |f AS (
+        |  SELECT v.user_id, c.t_click, p.t_purchase
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS viewed,
+        |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS clicked,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS purchased,
+        |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |       // count(*) AS BIGINT) AS click_permille,
+        |  CAST(CASE WHEN sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0
+        |                     END) > 0
+        |       THEN sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0
+        |                 END) * 1000
+        |            // sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |       ELSE 0 END AS BIGINT) AS purchase_permille
+        |FROM f""".stripMargin,
     "q233_diameter_sweep" -> {
       def sweep(p: String, seedCte: String) =
         s"""${p}v0 AS MATERIALIZED (
