@@ -1863,6 +1863,165 @@ object CurationQueries {
           .as("purchase_permille"))
   }
 
+  /** q237: customer segment-migration matrix — spend terciles in the
+    * first half of the order history vs the second, with 'absent' rows
+    * for customers active in only one half: the "are my best customers
+    * staying" transition matrix. The split date is the day midpoint of
+    * the order span (one broadcast 1-row aggregate), tercile bounds come
+    * from each half's spend VALUE histogram in whole dollars (the q213
+    * machinery at k=3), and the matrix is a full-outer join of two
+    * per-customer aggregates — ≤ 4×4 output rows at any scale. */
+  def q237SegmentMigration(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust"),
+        expr("datediff(date_trunc('day', o_orderdate), DATE '1970-01-01')")
+          .cast("long").as("dayn"),
+        floor(col("o_totalprice") * 100d).cast("long").as("cents"))
+    val mid = o.agg(expr("(min(dayn) + max(dayn)) div 2").as("mid"))
+    val halves = o.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("dayn") <= col("mid"), 1L).otherwise(2L))
+      .groupBy("cust", "half")
+      .agg(expr("sum(cents) div 100").as("usd"))
+    def tiers(half: Long): DataFrame = {
+      val h = halves.filter(col("half") === half)
+      val cw = Window.orderBy("usd")
+      val bounds = h.groupBy("usd").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(cw))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("usd"))).as("b1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("usd"))).as("b2"))
+      h.crossJoin(broadcast(bounds))
+        .select(col("cust"),
+          (lit(1L) + (col("usd") > col("b1")).cast("long") +
+            (col("usd") > col("b2")).cast("long")).as(s"tier_h$half"))
+    }
+    tiers(1).join(tiers(2), Seq("cust"), "full_outer")
+      .na.fill(0L, Seq("tier_h1", "tier_h2")) // 0 = absent that half
+      .groupBy("tier_h1", "tier_h2")
+      .agg(count(lit(1)).as("customers"))
+      .orderBy("tier_h1", "tier_h2")
+  }
+
+  /** q238: unit-price integrity screen — per part, how many DISTINCT
+    * unit prices (cents, floor(extendedprice·100/quantity) — the same
+    * two IEEE ops on both engines) the fact table carries, and the
+    * spread of max over min in permille. A part whose unit price
+    * wobbles is a data-quality or repricing signal. One per-part
+    * aggregate; output only parts with a real spread, spread-first. */
+  def q238PriceIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val up = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"),
+        floor(col("l_extendedprice") * 100d / col("l_quantity"))
+          .cast("long").as("unit_cents"))
+    up.groupBy("part")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct("unit_cents").as("n_prices"),
+        min("unit_cents").as("min_cents"), max("unit_cents").as("max_cents"))
+      .filter(col("n_prices") > 1)
+      .select(col("part"), col("n_lines"), col("n_prices"),
+        col("min_cents"), col("max_cents"),
+        expr("(max_cents - min_cents) * 1000 div min_cents")
+          .as("spread_permille"))
+      .orderBy(col("spread_permille").desc, col("part"))
+      .limit(50)
+  }
+
+  /** q239: cross-type correlation matrix — for every event-type pair,
+    * the signed-square Pearson (q212's form) of their DAILY count
+    * series: which behaviors move together day to day. One calendar-grid
+    * pivot-free equi-join per pair via self-join on day, the exact
+    * integer moment chain, magnitude-only DIV — |types|² output rows,
+    * state bounded by the calendar. */
+  def q239TypeCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("datediff(date_trunc('day', ts), DATE '1970-01-01')")
+          .cast("long").as("dayn"))
+      .agg(count(lit(1)).as("x"))
+    val joined = daily.select(col("event_type").as("ta"), col("dayn"),
+        col("x").as("xa"))
+      .join(daily.select(col("event_type").as("tb"), col("dayn"),
+        col("x").as("xb")), Seq("dayn"))
+      .filter(col("ta") < col("tb"))
+    joined.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n"), sum("xa").as("sx"), sum("xb").as("sy"),
+        sum(expr("xa * xb")).as("sxy"), sum(expr("xa * xa")).as("sxx"),
+        sum(expr("xb * xb")).as("syy"))
+      .select(col("ta"), col("tb"), col("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("dxx"),
+        expr("n * syy - sy * sy").as("dyy"))
+      .filter(col("dxx") > 0 && col("dyy") > 0)
+      .select(col("ta"), col("tb"), col("n"),
+        (expr("CAST(CASE WHEN num < 0 THEN -1L ELSE 1L END AS BIGINT)") *
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000)" +
+            " DIV (CAST(dxx AS DECIMAL(38,0)) * dyy) AS BIGINT)"))
+          .as("r2s6"))
+      .orderBy("ta", "tb")
+  }
+
+  /** q240: phrase-fingerprint overlap — each source reduced to its
+    * top-50 word trigrams (count DESC, shingle ASC tiebreak), then every
+    * source pair scored by fingerprint intersection in permille of 50:
+    * the cheap stylistic-kinship matrix (two crawls of the same site
+    * light up even when their length distributions differ). Trigram
+    * counts are a vocab-bounded aggregate, the rank window runs over the
+    * per-source (shingle, count) POST-AGGREGATE vocabulary, and the pair
+    * join fans over the 50·|sources| fingerprint rows only. */
+  def q240FingerprintOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        split(lower(col("text")), " ").as("ws"))
+      .select(col("source"), col("doc_id"),
+        expr("filter(ws, t -> length(t) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tris = toks.select(col("source"),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 3)," +
+            " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("tri"))
+      .groupBy("source", "tri").agg(count(lit(1)).as("cnt"))
+    val rw = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("tri"))
+    val top = tris.withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= 50)
+      .select("source", "tri")
+    top.select(col("source").as("src_a"), col("tri"))
+      .join(top.select(col("source").as("src_b"), col("tri")), Seq("tri"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        expr("shared * 1000 div 50").as("overlap_permille"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q241: revenue-weighted median shipping lag — per order priority,
+    * the smallest lag (days, order to ship) at which HALF THE REVENUE
+    * has shipped: the money-centric SLA number (a thousand cheap late
+    * lines matter less than one late big-ticket line). The q169
+    * cumulative-histogram median rule with CENTS as the weight instead
+    * of row counts — state is the (priority, lag) value histogram. */
+  def q241WeightedLag(s: SparkSession, dir: String): DataFrame = {
+    val lag = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"),
+        date_trunc("day", col("l_shipdate")).as("ship"),
+        floor(col("l_extendedprice") * 100d).cast("long").as("cents"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("prio"),
+        date_trunc("day", col("o_orderdate")).as("placed")), Seq("ok"))
+      .select(col("prio"),
+        datediff(col("ship"), col("placed")).cast("long").as("lag"),
+        col("cents"))
+    val hist = lag.groupBy("prio", "lag").agg(sum("cents").as("w"))
+    val cw = Window.partitionBy("prio").orderBy("lag")
+    hist.withColumn("cumw", sum("w").over(cw))
+      .withColumn("totw", sum("w").over(Window.partitionBy("prio")))
+      .groupBy("prio")
+      .agg(max("totw").as("total_cents"),
+        min(when(col("cumw") * 2 >= col("totw"), col("lag")))
+          .as("wmedian_lag"))
+      .orderBy("prio")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -1973,12 +2132,146 @@ object CurationQueries {
     "q233_diameter_sweep" -> (q233DiameterSweep _),
     "q234_attrib_windows" -> (q234AttribWindows _),
     "q235_wow_growth" -> (q235WowGrowth _),
-    "q236_three_step_funnel" -> (q236ThreeStepFunnel _))
+    "q236_three_step_funnel" -> (q236ThreeStepFunnel _),
+    "q237_segment_migration" -> (q237SegmentMigration _),
+    "q238_price_integrity" -> (q238PriceIntegrity _),
+    "q239_type_corr_matrix" -> (q239TypeCorrMatrix _),
+    "q240_fingerprint_overlap" -> (q240FingerprintOverlap _),
+    "q241_weighted_lag" -> (q241WeightedLag _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q240_fingerprint_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |                t -> length(t) > 0) AS ws
+        |  FROM documents),
+        |tris AS (
+        |  SELECT source,
+        |    concat_ws(' ', ws[i + 1], ws[i + 2], ws[i + 3]) AS tri
+        |  FROM toks,
+        |    LATERAL unnest(generate_series(0, len(ws) - 3)) AS g(i)
+        |  WHERE len(ws) >= 3),
+        |cnts AS (
+        |  SELECT source, tri, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tris GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, tri FROM cnts
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |                             ORDER BY cnt DESC, tri) <= 50)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared,
+        |  CAST(count(*) * 1000 // 50 AS BIGINT) AS overlap_permille
+        |FROM top a JOIN top b
+        |  ON a.tri = b.tri AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+    "q241_weighted_lag" ->
+      """WITH lag AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    date_diff('day', CAST(date_trunc('day', o.o_orderdate) AS DATE),
+        |              CAST(date_trunc('day', l.l_shipdate) AS DATE)) AS lag,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h AS (
+        |  SELECT prio, lag, CAST(sum(cents) AS BIGINT) AS w
+        |  FROM lag GROUP BY 1, 2),
+        |c AS (
+        |  SELECT prio, lag,
+        |    CAST(sum(w) OVER (PARTITION BY prio ORDER BY lag
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY prio) AS BIGINT) AS totw
+        |  FROM h)
+        |SELECT prio, max(totw) AS total_cents,
+        |  CAST(min(CASE WHEN cumw * 2 >= totw THEN lag END) AS BIGINT)
+        |    AS wmedian_lag
+        |FROM c GROUP BY prio ORDER BY prio""".stripMargin,
+    "q237_segment_migration" -> {
+      def tierCte(h: Int) =
+        s"""h$h AS (
+           |  SELECT cust, CAST(sum(cents) // 100 AS BIGINT) AS usd
+           |  FROM o WHERE half = $h GROUP BY cust),
+           |b$h AS (
+           |  SELECT min(CASE WHEN cum * 3 >= n THEN usd END) AS b1,
+           |         min(CASE WHEN cum * 3 >= n * 2 THEN usd END) AS b2
+           |  FROM (
+           |    SELECT usd,
+           |      CAST(sum(c) OVER (ORDER BY usd
+           |                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |        AS cum,
+           |      CAST(sum(c) OVER () AS BIGINT) AS n
+           |    FROM (SELECT usd, CAST(count(*) AS BIGINT) AS c
+           |          FROM h$h GROUP BY usd))),
+           |t$h AS (
+           |  SELECT cust,
+           |    CAST(1 + (CASE WHEN usd > b1 THEN 1 ELSE 0 END)
+           |           + (CASE WHEN usd > b2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS tier_h$h
+           |  FROM h$h CROSS JOIN b$h)""".stripMargin
+      s"""WITH o0 AS (
+         |  SELECT o_custkey AS cust,
+         |    date_diff('day', DATE '1970-01-01',
+         |              CAST(date_trunc('day', o_orderdate) AS DATE)) AS dayn,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |m AS (SELECT (min(dayn) + max(dayn)) // 2 AS mid FROM o0),
+         |o AS (
+         |  SELECT cust, cents,
+         |    CASE WHEN dayn <= mid THEN 1 ELSE 2 END AS half
+         |  FROM o0 CROSS JOIN m),
+         |${tierCte(1)},
+         |${tierCte(2)}
+         |SELECT coalesce(t1.tier_h1, 0) AS tier_h1,
+         |  coalesce(t2.tier_h2, 0) AS tier_h2,
+         |  CAST(count(*) AS BIGINT) AS customers
+         |FROM t1 FULL OUTER JOIN t2 ON t1.cust = t2.cust
+         |GROUP BY 1, 2 ORDER BY tier_h1, tier_h2""".stripMargin
+    },
+    "q238_price_integrity" ->
+      """WITH up AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+        |      AS unit_cents
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(count(DISTINCT unit_cents) AS BIGINT) AS n_prices,
+        |    min(unit_cents) AS min_cents, max(unit_cents) AS max_cents
+        |  FROM up GROUP BY part)
+        |SELECT part, n_lines, n_prices, min_cents, max_cents,
+        |  (max_cents - min_cents) * 1000 // min_cents AS spread_permille
+        |FROM per WHERE n_prices > 1
+        |ORDER BY spread_permille DESC, part LIMIT 50""".stripMargin,
+    "q239_type_corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        |    CAST(sum(b.x * b.x) AS BIGINT) AS syy
+        |  FROM daily a JOIN daily b
+        |    ON a.dayn = b.dayn AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT ta, tb, n,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+        |  FROM m)
+        |SELECT ta, tb, n,
+        |  CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    * CAST((CAST(abs(num) AS HUGEINT) * abs(num) * 1000000)
+        |           // (CAST(dxx AS HUGEINT) * dyy) AS BIGINT) AS r2s6
+        |FROM d WHERE dxx > 0 AND dyy > 0
+        |ORDER BY ta, tb""".stripMargin,
     "q234_attrib_windows" -> Seq(1L, 6L, 24L, 72L).map { t =>
       s"""SELECT CAST($t AS BIGINT) AS t_hours,
          |  CAST(count(*) AS BIGINT) AS n_purchases,

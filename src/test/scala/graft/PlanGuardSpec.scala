@@ -45,7 +45,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q213_rfm_segments", // broadcast 1-row anchor + three 1-row quintile-bound aggregates
     "q220_t_closeness", // balance-bucket spine x (nation, segment) dimension cross, both post-aggregate bounded
     "q231_type_affinity", // broadcast 1-row cell-count aggregate against the |types|² pair table
-    "q232_column_profile") // 10-row decile spine against each column's value histogram
+    "q232_column_profile", // 10-row decile spine against each column's value histogram
+    "q237_segment_migration") // broadcast 1-row midpoint + two 1-row tercile-bound aggregates
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -86,7 +87,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     // q232: each leg's cumulative runs over that column's VALUE histogram
     // (quantity/discount grids; the price lattice is |prices|·|quantities|
     // post-aggregate rows at any row count)
-    "q232_column_profile")
+    "q232_column_profile",
+    // q237: the tercile-bound windows run over each half's whole-dollar
+    // spend VALUE histogram (q213's argument)
+    "q237_segment_migration")
 
   /** Grouping keys whose per-group size is proportional to the corpus:
     * a window partitioned by one of these alone is a single-task sort. */
@@ -127,7 +131,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q217_mad_outliers",
     // q218: per-type median window over the slope VALUE histogram, whose
     // input is calendar²-bounded pair aggregates, never events
-    "q218_theil_sen")
+    "q218_theil_sen",
+    // q240: the top-50 rank window runs over the per-source (shingle,
+    // count) POST-AGGREGATE vocabulary — vocab-bounded, never docs
+    "q240_fingerprint_overlap")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
