@@ -2027,6 +2027,53 @@ object CurationQueries {
       .orderBy("prio")
   }
 
+  /** q242: Good–Turing missing mass — per source, the probability mass
+    * its next token is one NEVER seen from that source, estimated by the
+    * Good–Turing rule P(unseen) ≈ singletons/tokens in exact permille:
+    * the "how much of this source's vocabulary have we actually covered"
+    * number that prices how much more crawling a source is worth
+    * (q230's hapax share answers composition; this answers coverage).
+    * Singleton counts here are PER-SOURCE (frequency-1 within the
+    * source's own stream) — one vocab-bounded aggregate pass. */
+  def q242MissingMass(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("singletons"),
+        expr("singletons * 1000 div n_tokens").as("unseen_permille"))
+      .orderBy("source")
+  }
+
+  /** q243: burstiness (Fano factor) of the daily event series — per
+    * type, dispersion/mean of daily counts in exact thousandths:
+    * fano3 = (n·Σx² − (Σx)²)·10³ div (n·Σx), where 1000 is Poisson,
+    * above is bursty (campaign-driven), below is metronomic (scripted) —
+    * the dispersion complement of q212's serial correlation. One
+    * calendar-bounded moment aggregate, all operands positive so
+    * truncating and flooring engines agree. */
+  def q243Burstiness(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("datediff(date_trunc('day', ts), DATE '1970-01-01')")
+          .cast("long").as("dayn"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum(expr("x * x")).as("sxx"))
+      .filter(col("sx") > 0)
+      .select(col("event_type"), col("n_days"), col("sx").as("n_events"),
+        expr("(n_days * sxx - sx * sx) * 1000 div (n_days * sx)")
+          .as("fano3"))
+      .orderBy("event_type")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -2142,12 +2189,44 @@ object CurationQueries {
     "q238_price_integrity" -> (q238PriceIntegrity _),
     "q239_type_corr_matrix" -> (q239TypeCorrMatrix _),
     "q240_fingerprint_overlap" -> (q240FingerprintOverlap _),
-    "q241_weighted_lag" -> (q241WeightedLag _))
+    "q241_weighted_lag" -> (q241WeightedLag _),
+    "q242_missing_mass" -> (q242MissingMass _),
+    "q243_burstiness" -> (q243Burstiness _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q242_missing_mass" ->
+      """WITH toks AS (
+        |  SELECT source, t.tok
+        |  FROM documents,
+        |    LATERAL unnest(string_split(lower(text), ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |f AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS singletons,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // sum(c)
+        |       AS BIGINT) AS unseen_permille
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q243_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('day', ts) AS DATE)) AS dayn,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days, sx AS n_events,
+        |  (n_days * sxx - sx * sx) * 1000 // (n_days * sx) AS fano3
+        |FROM m WHERE sx > 0 ORDER BY event_type""".stripMargin,
     "q240_fingerprint_overlap" ->
       """WITH toks AS (
         |  SELECT source, doc_id,
