@@ -2074,6 +2074,38 @@ object CurationQueries {
       .orderBy("event_type")
   }
 
+  /** q244: coverage-gap report — per event type, the hours of the
+    * stream's span with NO events, compressed into outage islands by the
+    * classic gaps-and-islands rule (island id = hour − row_number over
+    * the ordered empty hours): how many dark hours, how many distinct
+    * outages, and the longest one. The telemetry-completeness audit
+    * (q117 forward-FILLS gaps; this one REPORTS them). The hour spine is
+    * one broadcast 1-row bounds aggregate exploded per type
+    * (calendar-bounded), the anti-join is keyed, and the island windows
+    * run over empty hours only — a calendar-bounded set. */
+  def q244CoverageGaps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(unix_seconds(ts) div 3600)").as("hourn"))
+    val bounds = ev.agg(min("hourn").as("lo"), max("hourn").as("hi"))
+    val types = ev.select("event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hourn"))
+    val obs = ev.distinct()
+    val empty = spine.join(obs, Seq("event_type", "hourn"), "left_anti")
+    val iw = Window.partitionBy("event_type").orderBy("hourn")
+    val islands = empty
+      .withColumn("grp", col("hourn") - row_number().over(iw))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("event_type")
+      .agg(sum("len").as("n_empty_hours"),
+        count(lit(1)).as("n_outages"),
+        max("len").as("longest_hours"))
+      .orderBy("event_type")
+  }
+
   /** The per-order co-purchase pair stream (one row per order per
     * unordered part pair) — the ScaleQueries derivation shape: one scan,
     * one shuffle keyed by order, fan-out bounded by basket size. */
@@ -2191,12 +2223,44 @@ object CurationQueries {
     "q240_fingerprint_overlap" -> (q240FingerprintOverlap _),
     "q241_weighted_lag" -> (q241WeightedLag _),
     "q242_missing_mass" -> (q242MissingMass _),
-    "q243_burstiness" -> (q243Burstiness _))
+    "q243_burstiness" -> (q243Burstiness _),
+    "q244_coverage_gaps" -> (q244CoverageGaps _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
+    "q244_coverage_gaps" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 3600
+        |      AS hourn
+        |  FROM events),
+        |b AS (SELECT min(hourn) AS lo, max(hourn) AS hi FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, g.hourn
+        |  FROM types t CROSS JOIN b,
+        |    LATERAL unnest(generate_series(b.lo, b.hi)) AS g(hourn)),
+        |obs AS (SELECT DISTINCT event_type, hourn FROM ev),
+        |empty AS (
+        |  SELECT s.event_type, s.hourn
+        |  FROM spine s LEFT JOIN obs o
+        |    ON o.event_type = s.event_type AND o.hourn = s.hourn
+        |  WHERE o.hourn IS NULL),
+        |islands AS (
+        |  SELECT event_type,
+        |    hourn - row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY hourn) AS grp,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM empty),
+        |agg AS (
+        |  SELECT event_type, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM islands GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS n_empty_hours,
+        |  CAST(count(*) AS BIGINT) AS n_outages,
+        |  CAST(max(len) AS BIGINT) AS longest_hours
+        |FROM agg GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q242_missing_mass" ->
       """WITH toks AS (
         |  SELECT source, t.tok

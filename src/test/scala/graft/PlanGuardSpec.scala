@@ -46,7 +46,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q220_t_closeness", // balance-bucket spine x (nation, segment) dimension cross, both post-aggregate bounded
     "q231_type_affinity", // broadcast 1-row cell-count aggregate against the |types|² pair table
     "q232_column_profile", // 10-row decile spine against each column's value histogram
-    "q237_segment_migration") // broadcast 1-row midpoint + two 1-row tercile-bound aggregates
+    "q237_segment_migration", // broadcast 1-row midpoint + two 1-row tercile-bound aggregates
+    "q244_coverage_gaps") // broadcast 1-row hour-bounds aggregate exploded into the calendar spine
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
@@ -134,7 +135,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q218_theil_sen",
     // q240: the top-50 rank window runs over the per-source (shingle,
     // count) POST-AGGREGATE vocabulary — vocab-bounded, never docs
-    "q240_fingerprint_overlap")
+    "q240_fingerprint_overlap",
+    // q244: the island window runs over the per-type EMPTY-hour set —
+    // a subset of the calendar spine, bounded at any event volume
+    "q244_coverage_gaps")
 
   /** q41/q112 execute a full AvailableNow stream inside the query function
     * — there is no lazy plan to inspect. The stream runner records each
