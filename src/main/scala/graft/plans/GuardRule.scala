@@ -16,13 +16,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  2. a window with an EMPTY partition spec — the whole input moves into
   *     ONE task for the sort.
   *
-  * Default behavior is to WARN (log once per shape per query) so that
-  * deliberately-bounded shapes — a broadcast 1-row aggregate cross, a
-  * value-histogram global cumulative — keep working untouched; setting
-  * `spark.graft.guard.strict=true` upgrades both to an analysis-time
-  * exception, the right mode for scheduled ETL where no such shape is
-  * ever intended. The rule rewrites nothing — `apply` returns the plan
-  * unchanged — so it cannot perturb optimization; it only observes.
+  * Default behavior is to WARN — once per distinct message per JVM (a
+  * bounded seen-set dedupes the optimizer's fixed-point re-visits of the
+  * same node, so a deliberate bounded shape does not spam the log every
+  * pass) — so that deliberately-bounded shapes — a broadcast 1-row
+  * aggregate cross, a value-histogram global cumulative — keep working
+  * untouched; setting `spark.graft.guard.strict=true` upgrades both to
+  * an optimization-time exception (the rule runs in the optimizer, so
+  * the query still fails before any task is scheduled), the right mode
+  * for scheduled ETL where no such shape is ever intended. The rule
+  * rewrites nothing — `apply` returns the plan unchanged — so it cannot
+  * perturb optimization; it only observes.
   *
   * Registered by [[graft.expressions.GraftExtensions]]
   * (`spark.sql.extensions=graft.expressions.GraftExtensions`) or
@@ -30,6 +34,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object GuardRule extends Rule[LogicalPlan] with Logging {
 
   val StrictKey = "spark.graft.guard.strict"
+
+  /** Messages already warned, so fixed-point optimizer iterations (and
+    * re-runs of the same query) log each shape once. Bounded: cleared
+    * wholesale past 4096 distinct messages rather than growing forever
+    * in a long-lived session. */
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val WarnedCap = 4096
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val strict = conf.getConfString(StrictKey, "false").toBoolean
@@ -51,5 +63,8 @@ object GuardRule extends Rule[LogicalPlan] with Logging {
   private def flag(strict: Boolean, msg: String): Unit =
     if (strict) throw new IllegalStateException(
       msg + s" — set $StrictKey=false to allow")
-    else logWarning(msg)
+    else {
+      if (warned.size > WarnedCap) warned.clear()
+      if (warned.add(msg)) logWarning(msg)
+    }
 }

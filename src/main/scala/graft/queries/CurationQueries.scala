@@ -1068,7 +1068,13 @@ object CurationQueries {
     * one revenue slice — never the whole catalog in one task (the exact
     * shape `row_number() OVER (ORDER BY rev)` would plan). Cents fixed
     * point end to end; ties break by part key, so the order is total and
-    * both engines class every part identically. */
+    * both engines class every part identically.
+    *
+    * NOTE non-lazy construction (like q233): building this frame RUNS two
+    * bounded Spark jobs — the max-revenue scalar and the ≤2¹⁵-row
+    * per-bucket collect — because the bucket offsets must exist before
+    * the final plan can be declared. An empty lineitem short-circuits to
+    * an empty correctly-typed frame (max() is NULL then). */
   def q211AbcClasses(s: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -1077,7 +1083,12 @@ object CurationQueries {
       .select(col("l_partkey").as("part"),
         floor(col("l_extendedprice") * 100d).cast("long").as("cents"))
       .groupBy("part").agg(sum("cents").as("rev"))
-    val maxRev = rev.agg(max("rev")).head().getLong(0)
+    val maxRevOpt = Option(rev.agg(max("rev")).head().get(0))
+      .map(_.asInstanceOf[Long])
+    if (maxRevOpt.isEmpty)
+      return rev.select(col("part"), col("rev"), lit("C").as("abc"))
+        .limit(0)
+    val maxRev = maxRevOpt.get
     val width = math.max(1L, maxRev / (1L << 15))
     val bucketed = rev.withColumn("bucket", expr(s"rev div ${width}L"))
     val perBucket = bucketed.groupBy("bucket").agg(sum("rev").as("s")).collect()
@@ -1121,12 +1132,22 @@ object CurationQueries {
         .filter(col("y").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
-          sum(expr("y * y")).as("syy"))
+          // moment sums and their differences run in DECIMAL(38,0): the
+          // DuckDB oracle's sum() of integers is HUGEINT, so BIGINT here
+          // would silently wrap at large daily counts (n·sxy ~ days ×
+          // Σx·y) where the oracle stays exact. Remaining bound is the
+          // squared numerator: num²·10⁶ must fit 38 digits, i.e.
+          // |num| ≲ 10¹⁶ — stated, not silently assumed.
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
         .select(col("event_type"), lit(lag.toLong).as("lag"), col("n"),
-          expr("n * sxy - sx * sy").as("num"),
-          expr("n * sxx - sx * sx").as("dxx"),
-          expr("n * syy - sy * sy").as("dyy"))
+          expr("CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx").as("dxx"),
+          expr("CAST(n AS DECIMAL(38,0)) * syy" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy").as("dyy"))
         // the DIV runs on the POSITIVE magnitude num² and the sign is a
         // separate integer factor — Spark's div truncates toward zero
         // where DuckDB's // floors, and they only agree on non-negatives
@@ -1516,10 +1537,17 @@ object CurationQueries {
       .withColumn("fre_m",
         lit(206835L) - expr("1015L * words div sentences") -
           expr("84600L * syll div words"))
+    // fre_m goes NEGATIVE for terse docs (1015·words/sentences can exceed
+    // 206835), so the average divides the MAGNITUDE and multiplies the
+    // sign back (the q212 rule: Spark div truncates, DuckDB // floors,
+    // and they only agree on non-negative operands)
     scored.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(fre_m) div count(*)").as("avg_fre_m"),
+      .agg(count(lit(1)).as("n_docs"), sum("fre_m").as("sum_fre"),
         sum(when(col("fre_m") < 30000, 1L).otherwise(0L)).as("hard_docs"))
+      .select(col("source"), col("n_docs"),
+        (expr("CAST(CASE WHEN sum_fre < 0 THEN -1L ELSE 1L END AS BIGINT)") *
+          expr("abs(sum_fre) div n_docs")).as("avg_fre_m"),
+        col("hard_docs"))
       .orderBy("source")
   }
 
@@ -1948,14 +1976,21 @@ object CurationQueries {
       .join(daily.select(col("event_type").as("tb"), col("dayn"),
         col("x").as("xb")), Seq("dayn"))
       .filter(col("ta") < col("tb"))
+    // moment sums/differences in DECIMAL(38,0) to track the oracle's
+    // HUGEINT exactly at large daily counts (see q212's comment); the
+    // stated residual bound is num²·10⁶ ≤ 10³⁸
     joined.groupBy("ta", "tb")
       .agg(count(lit(1)).as("n"), sum("xa").as("sx"), sum("xb").as("sy"),
-        sum(expr("xa * xb")).as("sxy"), sum(expr("xa * xa")).as("sxx"),
-        sum(expr("xb * xb")).as("syy"))
+        sum(expr("CAST(xa AS DECIMAL(38,0)) * xb")).as("sxy"),
+        sum(expr("CAST(xa AS DECIMAL(38,0)) * xa")).as("sxx"),
+        sum(expr("CAST(xb AS DECIMAL(38,0)) * xb")).as("syy"))
       .select(col("ta"), col("tb"), col("n"),
-        expr("n * sxy - sx * sy").as("num"),
-        expr("n * sxx - sx * sx").as("dxx"),
-        expr("n * syy - sy * sy").as("dyy"))
+        expr("CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx").as("dxx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy" +
+          " - CAST(sy AS DECIMAL(38,0)) * sy").as("dyy"))
       .filter(col("dxx") > 0 && col("dyy") > 0)
       .select(col("ta"), col("tb"), col("n"),
         (expr("CAST(CASE WHEN num < 0 THEN -1L ELSE 1L END AS BIGINT)") *
@@ -2719,7 +2754,8 @@ object CurationQueries {
         |      AS fre_m
         |  FROM scored)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(fre_m) // count(*) AS BIGINT) AS avg_fre_m,
+        |  CAST(CASE WHEN sum(fre_m) < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    * CAST(abs(sum(fre_m)) // count(*) AS BIGINT) AS avg_fre_m,
         |  CAST(sum(CASE WHEN fre_m < 30000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS hard_docs
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
