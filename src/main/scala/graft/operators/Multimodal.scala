@@ -36,14 +36,24 @@ import org.apache.spark.sql.functions._
   *    decodes every sample frame from the data chunk (unsigned 8-bit,
   *    signed little-endian 16-bit per the WAVE spec) and folds exact
   *    integer amplitude statistics.
-  *  - PIXEL decode / video demux are NOT real: payloads beyond
-  *    those headers route to a FIXTURE codec (u16-BE dims header + byte
-  *    checksum; 3-byte frame header for "video") that stands in for an
-  *    ffmpeg/ImageIO call so the byte-level path is still exercised and
-  *    oracle-verified against independently stored metadata
-  *    (tools/gen_media_fixture.py). A real deployment swaps exactly the
-  *    bodies marked FIXTURE below; signatures, batching, and schemas are
-  *    final.
+  *  - VIDEO CONTAINER demux is REAL for ISO-BMFF (MP4/MOV) and AVI:
+  *    [[videoMeta]] walks the actual box tree (`ftyp`, `moov` →
+  *    `trak`/`tkhd` 16.16 dims → `mdia`/`mdhd` timescale →
+  *    `stbl`/`stts` sample runs, with the 64-bit largesize escape and
+  *    version-0/1 full boxes) and the actual RIFF `AVI ` chunk tree
+  *    (`LIST hdrl` → `avih` main header) — dims, frame count, fps, and
+  *    duration are parsed from the container bytes, with the fixture
+  *    video codec retired (fixtures/media.parquet stores complete
+  *    valid MP4 and AVI files in three MP4 layouts including
+  *    streaming-style mdat-first).
+  *  - PIXEL/entropy decode is NOT real (no huffman/LZW/DCT here beyond
+  *    GIF's stored-code path): image payloads that are not recognized
+  *    containers route to a FIXTURE codec (u16-BE dims header + byte
+  *    checksum) that stands in for an ffmpeg/ImageIO call so the
+  *    byte-level path is still exercised and oracle-verified against
+  *    independently stored metadata (tools/gen_media_fixture.py). A
+  *    real deployment swaps exactly the body marked FIXTURE below;
+  *    signatures, batching, and schemas are final.
   *
   * At 100 TB: payloads dominate row size, so the scan must prune them when
   * a query touches only metadata (parquet column pruning gives this for
@@ -157,12 +167,12 @@ object Multimodal {
 
   /** Decode one payload. Real JPEG/PNG/GIF/BMP containers (recognized by
     * magic bytes) get the REAL header parse — dims are the file's true
-    * dims and the checksum spans the whole payload. Everything else
-    * routes to the FIXTURE codec: u16-BE dims header (4 bytes), plus a
-    * 3-byte frame header on video payloads (see [[videoMeta]]) before
-    * the checksummed body. The fixture's first header byte is a small
-    * width's high byte, never 0xFF/0x89/'G'/'B', so the magic-byte
-    * dispatch cannot misroute it. */
+    * dims and the checksum spans the whole payload. Video payloads
+    * belong to [[videoMeta]]'s real demux, not this image path — loud
+    * failure, not fabricated dims. Everything else routes to the FIXTURE
+    * codec: u16-BE dims header (4 bytes) before the checksummed body.
+    * The fixture's first header byte is a small width's high byte, never
+    * 0xFF/0x89/'G'/'B', so the magic-byte dispatch cannot misroute it. */
   private def decodeOne(r: MediaRow): Decoded =
     imageDims(r.payload) match {
       case Some((w, h)) =>
@@ -171,11 +181,12 @@ object Multimodal {
         while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
         Decoded(r.media_id, r.mime, w, h, r.payload.length.toLong, sum % 9973)
       case None =>
+        require(!r.mime.startsWith("video/"),
+          s"video payloads route to videoMeta, not decode: media ${r.media_id}")
         val p = r.payload
-        val bodyOff = if (r.mime.startsWith("video/")) 7 else 4
-        require(p.length >= bodyOff, s"payload too short for media ${r.media_id}")
+        require(p.length >= 4, s"payload too short for media ${r.media_id}")
         var sum = 0L
-        var i = bodyOff
+        var i = 4
         while (i < p.length) { sum += p(i) & 0xff; i += 1 }
         Decoded(r.media_id, r.mime, u16be(p, 0), u16be(p, 2), p.length.toLong, sum % 9973)
     }
@@ -352,26 +363,182 @@ object Multimodal {
     }
   }
 
-  /** Parsed video header (what a container demuxer would emit). */
-  case class VideoMeta(media_id: Long, n_frames: Int, fps: Int)
+  private def u64be(b: Array[Byte], off: Int): Long =
+    (u32be(b, off) << 32) | u32be(b, off + 4)
 
-  /** FIXTURE video-header parse (no real demuxer in this engine): n_frames
-    * (u16 BE @4) + fps (u8 @6) from the fixture codec's video layout. Same
-    * mapPartitions shape as [[decode]] — a real demuxer (ffmpeg probe)
-    * slots into this body unchanged. */
+  /** Parsed video container metadata (what a demuxer probe emits):
+    * container kind, track dims, frame count, integer frames/sec, and
+    * integer-ms duration — every field parsed from actual container
+    * bytes, reproducible by an oracle holding the independent metadata. */
+  case class VideoMeta(media_id: Long, container: String, vid_width: Int,
+                       vid_height: Int, n_frames: Int, fps: Int,
+                       duration_ms: Long)
+
+  /** One level of an ISO-BMFF box walk: children of `[start, end)` as
+    * (type, payloadStart, payloadEnd), handling the size=1 64-bit
+    * largesize escape and the size=0 extends-to-end convention per
+    * ISO/IEC 14496-12 §4.2. Any malformed box (size overrunning the
+    * parent, size smaller than its own header) rejects the WHOLE level —
+    * a truncated container must never yield garbage metadata. */
+  private def isoBoxes(p: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var i = start
+    while (i + 8 <= end) {
+      val size32 = u32be(p, i)
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      var hdr = 8L
+      var size = size32
+      if (size32 == 1L) {           // largesize escape
+        if (i + 16 > end) return Nil
+        size = u64be(p, i + 8)
+        hdr = 16L
+      } else if (size32 == 0L) size = (end - i).toLong // box runs to end
+      if (size < hdr || i + size > end) return Nil
+      out += ((typ, i + hdr.toInt, i + size.toInt))
+      i += size.toInt
+    }
+    if (i != end) Nil else out.result()
+  }
+
+  /** tkhd track dims: 16.16 fixed-point width/height at the end of the
+    * box, version-0 (32-bit times) and version-1 (64-bit) layouts. */
+  private def tkhdDims(p: Array[Byte], s: Int, e: Int): Option[(Int, Int)] = {
+    if (e <= s) return None
+    val wOff = s + 4 + (if (p(s) == 1) 84 else 72)
+    if (wOff + 8 > e) return None
+    val w = (u32be(p, wOff) >> 16).toInt
+    val h = (u32be(p, wOff + 4) >> 16).toInt
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** mdhd media timescale (ticks per second), version 0/1 layouts. */
+  private def mdhdTimescale(p: Array[Byte], s: Int, e: Int): Option[Long] = {
+    if (e <= s) return None
+    val off = s + 4 + (if (p(s) == 1) 16 else 8)
+    if (off + 4 > e) return None
+    val ts = u32be(p, off)
+    if (ts > 0) Some(ts) else None
+  }
+
+  /** stts decoding-time table summed: (total samples, total ticks). The
+    * frame count is the SUM over runs — a one-entry shortcut would break
+    * on any real file with edit-spliced runs. */
+  private def sttsTotals(p: Array[Byte], s: Int, e: Int): Option[(Long, Long)] = {
+    if (s + 8 > e) return None
+    val entries = u32be(p, s + 4)
+    if (s + 8 + entries * 8 > e) return None
+    var nf = 0L; var ticks = 0L; var k = 0L
+    while (k < entries) {
+      val cnt = u32be(p, s + 8 + (k * 8).toInt)
+      val delta = u32be(p, s + 12 + (k * 8).toInt)
+      nf += cnt; ticks += cnt * delta
+      k += 1
+    }
+    if (nf > 0 && ticks > 0) Some((nf, ticks)) else None
+  }
+
+  /** REAL ISO-BMFF (MP4/MOV) metadata parse per ISO/IEC 14496-12: box
+    * walk to `moov`, then per `trak` the `tkhd` 16.16 dims, the `mdhd`
+    * media timescale, and the `stbl/stts` sample table. The FIRST track
+    * with positive dims and a non-empty stts is the video track (audio
+    * tracks carry zero tkhd dims per spec). Derived values are integer
+    * math an independent oracle reproduces: n_frames = Σ stts counts,
+    * fps = (n_frames·timescale) div Σticks (average rate, floor),
+    * duration_ms = Σticks·1000 div timescale. Handles moov before or
+    * after mdat, free/unknown boxes, 64-bit largesize, and version-0/1
+    * full boxes; any malformed box rejects the parse (None). */
+  private[graft] def mp4Meta(p: Array[Byte]): Option[(String, Int, Int, Long, Int, Long)] = {
+    val top = isoBoxes(p, 0, p.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+      isoBoxes(p, ms, me).iterator.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+        val inTrak = isoBoxes(p, ts, te)
+        val inMdia = inTrak.find(_._1 == "mdia")
+          .map { case (_, s, e) => isoBoxes(p, s, e) }.getOrElse(Nil)
+        for {
+          (w, h) <- inTrak.find(_._1 == "tkhd")
+            .flatMap { case (_, s, e) => tkhdDims(p, s, e) }
+          tscale <- inMdia.find(_._1 == "mdhd")
+            .flatMap { case (_, s, e) => mdhdTimescale(p, s, e) }
+          (nf, ticks) <- inMdia.find(_._1 == "minf")
+            .flatMap { case (_, s, e) => isoBoxes(p, s, e).find(_._1 == "stbl") }
+            .flatMap { case (_, s, e) => isoBoxes(p, s, e).find(_._1 == "stts") }
+            .flatMap { case (_, s, e) => sttsTotals(p, s, e) }
+        } yield ("mp4", w, h, nf, (nf * tscale / ticks).toInt,
+          ticks * 1000L / tscale)
+      }.nextOption()
+    }
+  }
+
+  /** REAL AVI metadata parse: RIFF "AVI " form, chunk walk (odd sizes pad
+    * to even, exactly the WAV rule) into `LIST hdrl`, then the `avih`
+    * main header's little-endian fields — dwMicroSecPerFrame @0,
+    * dwTotalFrames @16, dwWidth @32, dwHeight @36 per the AVIMAINHEADER
+    * layout. fps = 10⁶ div µs-per-frame; duration_ms = frames·µspf div
+    * 10³ — integer math the oracle reproduces. Malformed chunks (size
+    * overrun, missing hdrl/avih) yield None. */
+  private[graft] def aviMeta(p: Array[Byte]): Option[(String, Int, Int, Long, Int, Long)] = {
+    if (p.length < 12) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F')) return None
+    if (!(p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ')) return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = u32le(p, i + 4)
+      if (i + 8 + size > p.length) return None
+      val isList = p(i) == 'L' && p(i + 1) == 'I' && p(i + 2) == 'S' && p(i + 3) == 'T'
+      if (isList && size >= 4 &&
+          p(i + 8) == 'h' && p(i + 9) == 'd' && p(i + 10) == 'r' && p(i + 11) == 'l') {
+        val lend = i + 8 + size.toInt
+        var j = i + 12
+        while (j + 8 <= lend) {
+          val s2 = u32le(p, j + 4)
+          if (j + 8 + s2 > lend) return None
+          if (p(j) == 'a' && p(j + 1) == 'v' && p(j + 2) == 'i' && p(j + 3) == 'h') {
+            if (s2 < 40) return None
+            val off = j + 8
+            val uspf = u32le(p, off)
+            val nf = u32le(p, off + 16)
+            val w = u32le(p, off + 32)
+            val h = u32le(p, off + 36)
+            return if (uspf > 0 && nf > 0 && w > 0 && h > 0)
+              Some(("avi", w.toInt, h.toInt, nf, (1000000L / uspf).toInt,
+                nf * uspf / 1000L))
+            else None
+          }
+          j += 8 + s2.toInt + (s2.toInt & 1)
+        }
+        return None // hdrl without avih
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** REAL video container demux-lite over binary payloads — dispatched on
+    * magic bytes (ISO-BMFF `ftyp`, RIFF `AVI `), same mapPartitions
+    * batching as [[decode]]. The fixture video codec is retired: these
+    * are the actual byte walks an ffprobe-style tool performs, and they
+    * fail LOUDLY on anything that is neither container — silently
+    * fabricated metadata is how a corrupt corpus poisons a pipeline. */
   def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
     import media.sparkSession.implicits._
     media.filter(col("mime").startsWith("video/")).mapPartitions { rows =>
       rows.map { r =>
-        require(r.payload.length >= 7, s"video payload too short for media ${r.media_id}")
-        VideoMeta(r.media_id, u16be(r.payload, 4), r.payload(6) & 0xff)
+        mp4Meta(r.payload).orElse(aviMeta(r.payload)) match {
+          case Some((container, w, h, nf, fps, durMs)) =>
+            require(nf <= Int.MaxValue, s"frame count overflow for media ${r.media_id}")
+            VideoMeta(r.media_id, container, w, h, nf.toInt, fps, durMs)
+          case None =>
+            throw new IllegalArgumentException(
+              s"not an ISO-BMFF or AVI container: media ${r.media_id}")
+        }
       }
     }
   }
 
   /** Frame sampling: every `everyNth` frame of each video, with its
-    * millisecond timestamp. Only the 7-byte header parse touches the stub
-    * codec; the frame-index fan-out is a codegen'd generator
+    * millisecond timestamp. The header parse is the REAL [[videoMeta]]
+    * demux; the frame-index fan-out is a codegen'd generator
     * (`explode(sequence(...))`) — per row it emits n_frames/everyNth rows
     * with NO shuffle, which is exactly how a 100-TB video corpus feeds a
     * frame-extraction stage (the heavy per-frame decode would hang off

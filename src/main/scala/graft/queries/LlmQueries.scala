@@ -183,10 +183,21 @@ object LlmQueries {
         "dec_checksum")
   }
 
-  /** Frame sampling over video payloads: stub header demux + codegen'd
-    * frame-index generator (every 5th frame + integer ms timestamps). */
+  /** Frame sampling over video payloads: REAL container demux
+    * ([[graft.operators.Multimodal.videoMeta]] — ISO-BMFF box walk /
+    * AVI chunk walk) + codegen'd frame-index generator (every 5th frame
+    * + integer ms timestamps). */
   def q47FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(s, media, everyNth = 5)
+
+  /** q245: REAL video metadata demux — dims / frame count / fps /
+    * duration parsed from actual ISO-BMFF box trees (tkhd 16.16 dims,
+    * mdhd timescale, stts sample runs; version-0/1 boxes, largesize,
+    * moov-last streaming layout) and AVI RIFF trees (avih main header).
+    * The oracle reads the independently stored metadata columns — a
+    * byte off anywhere in either container walk breaks the hash. */
+  def q245VideoMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoMeta(Multimodal.readMedia(s, media)).toDF()
 
   /** Thumbnail geometry planning from byte-decoded dimensions (scale =
     * min(1, 64/max(w,h)), floor'd target dims — single IEEE ops). */
@@ -1296,6 +1307,7 @@ object LlmQueries {
     "q43_cosine_neardup" -> (q43CosineNeardup _),
     "q46_ivf_trained_nn" -> (q46IvfTrainedNn _),
     "q47_frame_sample" -> (q47FrameSample _),
+    "q245_video_meta" -> (q245VideoMeta _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
@@ -1534,6 +1546,22 @@ object LlmQueries {
          |FROM read_parquet('$media'),
          |  LATERAL unnest(generate_series(0, n_frames - 1, 5)) AS t(f)
          |WHERE mime LIKE 'video/%'""".stripMargin,
+    // the engine parses dims/frames/rate/duration from ISO-BMFF and AVI
+    // container BYTES; the oracle reads the independently stored metadata
+    // and replays the integer duration math (mp4: ticks·1000/timescale
+    // collapses to nf·1000 div fps under the fixture's delta=1000,
+    // timescale=fps·1000; avi: nf·(10⁶ div fps) div 10³)
+    "q245_video_meta" ->
+      s"""SELECT media_id,
+         |  CASE WHEN mime = 'video/mp4' THEN 'mp4' ELSE 'avi' END
+         |    AS container,
+         |  CAST(width AS INT) AS vid_width, CAST(height AS INT) AS vid_height,
+         |  CAST(n_frames AS INT) AS n_frames, CAST(fps AS INT) AS fps,
+         |  CAST(CASE WHEN mime = 'video/mp4'
+         |       THEN CAST(n_frames AS BIGINT) * 1000 // fps
+         |       ELSE CAST(n_frames AS BIGINT) * (1000000 // fps) // 1000
+         |       END AS BIGINT) AS duration_ms
+         |FROM read_parquet('$media') WHERE mime LIKE 'video/%'""".stripMargin,
     "q48_thumb_spec" ->
       s"""WITH sc AS (
          |  SELECT media_id, width, height,

@@ -9,10 +9,10 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
   private val fixture = "/root/repo/fixtures/media.parquet"
 
   test("byte-level decode reproduces the independently stored metadata for every row") {
-    // image + video rows run the dims codec; audio rows are REAL WAV
-    // containers with their own parse (audioMeta tests below)
+    // image rows run the dims codec; audio rows are REAL WAV containers
+    // and video rows REAL MP4/AVI containers with their own parses
     val visual = Multimodal.readMedia(spark, fixture)
-      .filter(!col("mime").startsWith("audio/"))
+      .filter(col("mime").startsWith("image/"))
     val decoded = Multimodal.decode(visual).toDF()
     val stored = spark.read.parquet(fixture)
       .select(col("media_id"), col("width"), col("height"), col("n_bytes"), col("checksum"))
@@ -21,7 +21,76 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 61) // 30 fixture-codec image + 15 video + 16 real GIF/BMP
+    assert(decoded.count() == 46) // 30 fixture-codec image + 16 real GIF/BMP
+  }
+
+  test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
+    val parsed = Multimodal.videoMeta(Multimodal.readMedia(spark, fixture)).toDF()
+    val stored = spark.read.parquet(fixture)
+      .filter(col("mime").startsWith("video/"))
+      .select(col("media_id"), col("mime"), col("width").as("m_w"),
+        col("height").as("m_h"), col("n_frames").as("m_nf"), col("fps").as("m_fps"))
+    val joined = parsed.join(stored, "media_id")
+    assert(joined.count() == 27) // 15 mp4 + 12 avi
+    val mismatches = joined.filter(
+      col("vid_width") =!= col("m_w") || col("vid_height") =!= col("m_h") ||
+        col("n_frames") =!= col("m_nf") || col("fps") =!= col("m_fps") ||
+        (col("container") === "mp4") =!= (col("mime") === "video/mp4") ||
+        // mp4 duration: ticks·1000/timescale = nf·1000/fps exactly (the
+        // fixture's delta=1000, timescale=fps·1000); avi: nf·µspf/1000
+        when(col("container") === "mp4",
+          col("duration_ms") =!= expr("CAST(n_frames AS BIGINT) * 1000 DIV fps"))
+          .otherwise(col("duration_ms") =!=
+            expr("CAST(n_frames AS BIGINT) * (1000000 DIV fps) DIV 1000")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("mp4Meta box walk: versions, layouts, largesize, malformed rejects") {
+    // pull one real fixture payload of each mvhd/tkhd/mdhd version and
+    // each layout; they all parsed in the fixture round-trip test above.
+    // Here: hand-broken variants must reject CLEANLY.
+    val good = spark.read.parquet(fixture)
+      .filter(col("mime") === "video/mp4")
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(Multimodal.mp4Meta(good).isDefined)
+    // no ftyp: first box renamed
+    val noFtyp = good.clone()
+    noFtyp(4) = 'x'
+    assert(Multimodal.mp4Meta(noFtyp).isEmpty)
+    // truncated mid-box: the level walk rejects the whole parse
+    assert(Multimodal.mp4Meta(good.dropRight(3)).isEmpty)
+    // box size overrunning the file
+    val overrun = good.clone()
+    overrun(0) = 0x7f.toByte // ftyp size becomes enormous
+    assert(Multimodal.mp4Meta(overrun).isEmpty)
+    // not a container at all
+    assert(Multimodal.mp4Meta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.mp4Meta("RIFF1234AVI LIST".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("aviMeta chunk walk: real fixture bytes, junk/odd chunks, malformed rejects") {
+    val good = spark.read.parquet(fixture)
+      .filter(col("mime") === "video/x-msvideo")
+      .select("payload").head().getAs[Array[Byte]](0)
+    // the generator put an odd-size JUNK chunk before movi: the walk padded it
+    assert(Multimodal.aviMeta(good).isDefined)
+    // wrong form type
+    val wave = good.clone()
+    wave(8) = 'W'; wave(9) = 'A'; wave(10) = 'V'; wave(11) = 'E'
+    assert(Multimodal.aviMeta(wave).isEmpty)
+    // tail truncation AFTER the header list is tolerated (the demuxer
+    // returned before reaching the movi data), but truncation INSIDE the
+    // header list rejects cleanly
+    assert(Multimodal.aviMeta(good.dropRight(7)).isDefined)
+    assert(Multimodal.aviMeta(good.take(40)).isEmpty)
+    // an MP4 payload is not an AVI
+    val mp4 = spark.read.parquet(fixture)
+      .filter(col("mime") === "video/mp4")
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(Multimodal.aviMeta(mp4).isEmpty)
+    // and the dispatch sends each to its own parser
+    assert(Multimodal.mp4Meta(good).isEmpty)
   }
 
   test("audioMeta parses the fixture's real WAV containers and matches stored metadata") {
@@ -133,7 +202,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
   test("frame sampling emits every 5th frame with integer ms timestamps") {
     val out = Multimodal.sampleFrames(spark, fixture, everyNth = 5)
     val rows = out.collect()
-    // 15 video rows; each contributes ceil(n_frames/5) frames
+    // 27 video rows (15 mp4 + 12 avi); each contributes ceil(n_frames/5) frames
     val meta = spark.read.parquet(fixture)
       .filter(col("mime").startsWith("video/"))
       .select("media_id", "n_frames", "fps")

@@ -1,29 +1,43 @@
 #!/usr/bin/env python3
 """Deterministic multimodal fixture generator (dev tool; output is committed).
 
-Produces fixtures/media.parquet: 60 rows of opaque binary payloads with typed
-metadata, the shape a multimodal training-data pipeline stores images/audio in.
+Produces fixtures/media.parquet: 88 rows of opaque binary payloads with typed
+metadata, the shape a multimodal training-data pipeline stores media in.
 
 Payload layouts (parsed by graft.operators.Multimodal):
-  image/video rows — our fake "codec":
+  image rows (ids 0-59, png/jpeg slots) — the remaining fake "codec":
     bytes 0-1  width,  big-endian u16
     bytes 2-3  height, big-endian u16
-    video rows additionally:
-      bytes 4-5  n_frames, big-endian u16
-      byte  6    fps, u8
     remaining bytes  body: byte i = (media_id*31 + i*7) % 256,
     length = 16 + (id % 64)
-  audio rows — REAL RIFF/WAVE containers (the fixture codec is retired for
-  audio): "RIFF" + u32-LE riff size + "WAVE", a canonical 16-byte "fmt "
-  chunk (PCM, channels, sample rate, byte rate, block align, bits), then a
-  "data" chunk holding n_samples * block_align bytes of the same body
-  formula. graft's wavMeta chunk-walk parses these actual container bytes.
+  audio rows — REAL RIFF/WAVE containers: "RIFF" + u32-LE riff size +
+  "WAVE", a canonical 16-byte "fmt " chunk (PCM, channels, sample rate,
+  byte rate, block align, bits), then a "data" chunk holding
+  n_samples * block_align bytes of the same body formula. graft's wavMeta
+  chunk-walk parses these actual container bytes.
+  video/mp4 rows — REAL ISO-BMFF containers (the fixture video codec is
+  retired): ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+  minf(vmhd, stbl(stsd, stts))))) + mdat, with three layout variants
+  (moov-before-mdat, streaming mdat-before-moov with a free box, and a
+  64-bit largesize mdat) and both version-0 and version-1 full boxes.
+  graft's mp4Meta box-walk parses the actual container bytes: dims from
+  tkhd's 16.16 fixed-point fields, frame count / duration from the stts
+  entry table (split in two entries so the parser must sum), fps from
+  the mdhd media timescale (fps*1000) over the constant sample delta
+  (1000).
+  video/x-msvideo rows (ids 76-87) — REAL AVI containers: RIFF "AVI " +
+  LIST hdrl (avih main header + LIST strl(strh, strf)) + odd-size JUNK
+  (padding rule exercised) + LIST movi with one 00dc frame chunk.
+  graft's aviMeta RIFF/LIST walk reads dwMicroSecPerFrame,
+  dwTotalFrames, dwWidth, dwHeight from the avih chunk.
 
 The metadata columns (width/height/n_bytes/checksum, n_frames/fps for video,
 sample_rate/channels/bits/n_samples for audio) are written REDUNDANTLY with
-the headers so the engine's byte-level decode can be verified against an
+the containers so the engine's byte-level parse can be verified against an
 independently-stored value by the DuckDB oracle (DuckDB cannot index into
 BLOBs, so the oracle reads the metadata while Spark reads the bytes).
+Checksum convention: fixture-codec rows sum the BODY mod 9973; real
+containers (WAV, GIF, BMP, MP4, AVI) sum the WHOLE payload mod 9973.
 
 No randomness: every value is a fixed formula of media_id.
 """
@@ -35,6 +49,136 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures")
 os.makedirs(OUT, exist_ok=True)
 
 MIMES = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+
+
+# ---------------------------------------------------------------- ISO-BMFF
+
+def be16(n):
+    return n.to_bytes(2, "big")
+
+
+def be32(n):
+    return n.to_bytes(4, "big")
+
+
+def be64(n):
+    return n.to_bytes(8, "big")
+
+
+def box(typ, *parts):
+    body = b"".join(parts)
+    return be32(8 + len(body)) + typ + body
+
+
+def largesize_box(typ, *parts):
+    """size=1 escape: the real 64-bit size follows the type."""
+    body = b"".join(parts)
+    return be32(1) + typ + be64(16 + len(body)) + body
+
+
+def fullbox(typ, version, *parts):
+    return box(typ, bytes([version]) + b"\x00\x00\x00", *parts)
+
+
+UNITY_MATRIX = (be32(0x00010000) + be32(0) * 2 + be32(0) + be32(0x00010000)
+                + be32(0) * 3 + be32(0x40000000))
+
+
+def mp4_bytes(i, w, h, nf, fps, version, layout):
+    """A minimal but REAL ISO-BMFF movie: every box a demuxer walks to
+    reach dims / frame count / rate is present and spec-layout-exact."""
+    med_ts = fps * 1000          # media timescale
+    delta = 1000                 # constant sample delta -> fps exact
+    ticks = nf * delta
+    mov_ts = 600                 # movie timescale (QuickTime convention)
+    mov_dur = nf * mov_ts // fps
+
+    if version == 0:
+        mvhd = fullbox(b"mvhd", 0, be32(0), be32(0), be32(mov_ts),
+                       be32(mov_dur), be32(0x00010000), be16(0x0100), be16(0),
+                       be32(0) * 2, UNITY_MATRIX, be32(0) * 6, be32(2))
+        tkhd = fullbox(b"tkhd", 0, be32(0), be32(0), be32(1), be32(0),
+                       be32(mov_dur), be32(0) * 2, be16(0), be16(0), be16(0),
+                       be16(0), UNITY_MATRIX, be32(w << 16), be32(h << 16))
+        mdhd = fullbox(b"mdhd", 0, be32(0), be32(0), be32(med_ts),
+                       be32(ticks), be16(0x55C4), be16(0))
+    else:
+        mvhd = fullbox(b"mvhd", 1, be64(0), be64(0), be32(mov_ts),
+                       be64(mov_dur), be32(0x00010000), be16(0x0100), be16(0),
+                       be32(0) * 2, UNITY_MATRIX, be32(0) * 6, be32(2))
+        tkhd = fullbox(b"tkhd", 1, be64(0), be64(0), be32(1), be32(0),
+                       be64(mov_dur), be32(0) * 2, be16(0), be16(0), be16(0),
+                       be16(0), UNITY_MATRIX, be32(w << 16), be32(h << 16))
+        mdhd = fullbox(b"mdhd", 1, be64(0), be64(0), be32(med_ts),
+                       be64(ticks), be16(0x55C4), be16(0))
+
+    hdlr = fullbox(b"hdlr", 0, be32(0), b"vide", be32(0) * 3,
+                   b"VideoHandler\x00")
+    # stts split into TWO runs of the same delta: the parser must SUM the
+    # entry table, not read a single field
+    nf1 = nf // 2
+    stts = fullbox(b"stts", 0, be32(2), be32(nf1), be32(delta),
+                   be32(nf - nf1), be32(delta))
+    stsd = fullbox(b"stsd", 0, be32(0))
+    vmhd = fullbox(b"vmhd", 0, be16(0), be16(0) * 3)
+    stbl = box(b"stbl", stsd, stts)
+    minf = box(b"minf", vmhd, stbl)
+    mdia = box(b"mdia", mdhd, hdlr, minf)
+    trak = box(b"trak", tkhd, mdia)
+    moov = box(b"moov", mvhd, trak)
+    ftyp = box(b"ftyp", b"isom", be32(512), b"isom", b"mp41")
+    body = bytes((i * 31 + j * 7) % 256 for j in range(16 + i % 64))
+
+    if layout == 0:                         # canonical: moov then mdat
+        return ftyp + moov + box(b"mdat", body)
+    if layout == 1:                         # streaming: mdat first, free box
+        return ftyp + box(b"free", b"\x00" * 5) + box(b"mdat", body) + moov
+    return ftyp + moov + largesize_box(b"mdat", body)   # 64-bit size escape
+
+
+# -------------------------------------------------------------------- AVI
+
+def le16(n):
+    return n.to_bytes(2, "little")
+
+
+def le32(n):
+    return n.to_bytes(4, "little")
+
+
+def riff_chunk(fcc, body):
+    pad = b"\x00" if len(body) % 2 else b""
+    return fcc + le32(len(body)) + body + pad
+
+
+def list_chunk(form, body):
+    return riff_chunk(b"LIST", form + body)
+
+
+def avi_bytes(i, w, h, nf, fps):
+    """A minimal but REAL AVI: RIFF 'AVI ' with the hdrl header list a
+    demuxer walks to the avih main header, stream list included, odd-size
+    JUNK so the walk must pad, one frame chunk in movi."""
+    uspf = 1000000 // fps
+    avih = riff_chunk(b"avih",
+                      le32(uspf) + le32(0) + le32(0) + le32(0x10)   # HASINDEX
+                      + le32(nf) + le32(0) + le32(1) + le32(0)
+                      + le32(w) + le32(h) + le32(0) * 4)
+    strh = riff_chunk(b"strh",
+                      b"vids" + b"\x00" * 4 + le32(0) + le16(0) + le16(0)
+                      + le32(0) + le32(1) + le32(fps) + le32(0) + le32(nf)
+                      + le32(0) + le32(0) + le32(0)
+                      + le16(0) + le16(0) + le16(w) + le16(h))
+    strf = riff_chunk(b"strf",
+                      le32(40) + le32(w) + le32(h) + le16(1) + le16(24)
+                      + le32(0) + le32(w * h * 3) + le32(0) * 4)
+    hdrl = list_chunk(b"hdrl", avih + list_chunk(b"strl", strh + strf))
+    junk = riff_chunk(b"JUNK", b"\x00" * 13)            # odd size: pad rule
+    body = bytes((i * 31 + j * 7) % 256 for j in range(16 + i % 64))
+    movi = list_chunk(b"movi", riff_chunk(b"00dc", body))
+    total = b"AVI " + hdrl + junk + movi
+    return b"RIFF" + le32(len(total)) + total
+
 
 ids, mimes, payloads, widths, heights = [], [], [], [], []
 n_bytes, checksums, n_frames, fpss = [], [], [], []
@@ -61,19 +205,24 @@ for i in range(60):
             + b"fmt " + (16).to_bytes(4, "little") + fmt
             + b"data" + len(body).to_bytes(4, "little") + body
         )
+        checksum = sum(body) % 9973
         w, h, nf, fps = None, None, None, None
+    elif mime == "video/mp4":
+        w = 64 + (i * 17) % 512
+        h = 48 + (i * 29) % 512
+        nf = 24 + (i * 13) % 200
+        fps = (12, 24, 25, 30)[(i // 4) % 4]
+        payload = mp4_bytes(i, w, h, nf, fps,
+                            version=(i // 4) % 2, layout=(i // 4) % 3)
+        checksum = sum(payload) % 9973      # real-container convention
+        sr, ch, bits, nsamp = None, None, None, None
     else:
         w = 64 + (i * 17) % 512
         h = 48 + (i * 29) % 512
         body = bytes((i * 31 + j * 7) % 256 for j in range(16 + i % 64))
-        header = w.to_bytes(2, "big") + h.to_bytes(2, "big")
-        if mime.startswith("video/"):
-            nf = 24 + (i * 13) % 200
-            fps = (12, 24, 25, 30)[i % 4]
-            header += nf.to_bytes(2, "big") + fps.to_bytes(1, "big")
-        else:
-            nf, fps = None, None
-        payload = header + body
+        payload = w.to_bytes(2, "big") + h.to_bytes(2, "big") + body
+        checksum = sum(body) % 9973
+        nf, fps = None, None
         sr, ch, bits, nsamp = None, None, None, None
     ids.append(i)
     mimes.append(mime)
@@ -81,7 +230,7 @@ for i in range(60):
     widths.append(w)
     heights.append(h)
     n_bytes.append(len(payload))
-    checksums.append(sum(body) % 9973)
+    checksums.append(checksum)
     n_frames.append(nf)
     fpss.append(fps)
     sample_rates.append(sr)
@@ -89,11 +238,10 @@ for i in range(60):
     bitss.append(bits)
     n_sampless.append(nsamp)
 
-# ---- rows 60-75: REAL GIF and BMP containers (the fixture codec is
-# retired for these two formats as well — complete valid files, parsed
-# byte-level by graft's gifDims/bmpDims; metadata stays the independent
-# verification channel). Checksum convention for real containers matches
-# the engine's real-codec path: sum over the WHOLE payload, mod 9973.
+# ---- rows 60-75: REAL GIF and BMP containers (complete valid files,
+# parsed byte-level by graft's gifDims/bmpDims; metadata stays the
+# independent verification channel). Checksum convention for real
+# containers: sum over the WHOLE payload, mod 9973.
 
 
 def gif_bytes(i, w, h, version):
@@ -169,6 +317,30 @@ for i in range(60, 76):
     checksums.append(sum(payload) % 9973)
     n_frames.append(None)
     fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
+# ---- rows 76-87: REAL AVI containers (second video container format, so
+# the demux dispatch on magic bytes is exercised both ways).
+
+for i in range(76, 88):
+    k = i - 76
+    w = 80 + (k * 37) % 400
+    h = 60 + (k * 23) % 300
+    nf = 30 + (k * 17) % 180
+    fps = (12, 24, 25, 30)[k % 4]
+    payload = avi_bytes(i, w, h, nf, fps)
+    ids.append(i)
+    mimes.append(mime := "video/x-msvideo")
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(nf)
+    fpss.append(fps)
     sample_rates.append(None)
     channelss.append(None)
     bitss.append(None)
