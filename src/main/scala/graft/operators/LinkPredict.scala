@@ -31,7 +31,18 @@ import org.apache.spark.sql.functions._
   *     twice — one exchange, reused.
   *
   * The final top-k is a deterministic TakeOrderedAndProject on
-  * (score desc, a, b). */
+  * (score desc, a, b).
+  *
+  * DEPLOYMENT SIZING (measured at sf1, 1.47B candidates, local[32] —
+  * see SCALE_EVIDENCE.md): the single shuffle writes ~8 bytes per
+  * candidate, and the complete aggregate wants 64-128 MB of candidate
+  * data per task (≈ 8M rows). Size `spark.sql.shuffle.partitions` at
+  * |candidates| / 8M: with 32 partitions the sf1 aggregate ran 32
+  * monolithic ~390 s tasks with 48 GB of spill (310 s wall); with 256
+  * it ran 256 uniform ≤22.7 s tasks (182 s wall, same 8 GB heap).
+  * Prefer more partitions over more heap — a 64 GB heap made the
+  * monolithic shape SLOWER (GCLocker thrash on multi-GB sorter
+  * arrays, 462 s). */
 object LinkPredict {
 
   /** Fixed-point scale for 1/deg weights: 10^12 DIV deg stays exact in

@@ -2189,6 +2189,192 @@ object CurationQueries {
     sb.toString
   }
 
+  /** q246: ROLLUP revenue report — order revenue (exact cents) by
+    * (nation, segment) with the two super-aggregate levels in ONE pass:
+    * Spark's `rollup` plans a single Expand + hash aggregate, the
+    * one-shuffle shape that replaces the naive three-query union a
+    * dashboard would otherwise run (and exactly what GROUP BY ROLLUP
+    * compiles to in the warehouse the reference delegates to).
+    * `grouping_id()` disambiguates levels where the grouping key itself
+    * is NULL; the customer dim broadcasts. State is |nations|·|segments|
+    * — bounded regardless of fact volume.
+    *
+    * The GROUP BY ROLLUP goes through the SQL surface (temp view +
+    * `spark.sql`, the q13/q124 route): in Spark 4.1 the DataFrame-side
+    * `Dataset.rollup` trips the self-join ambiguity detector whenever
+    * any join sits upstream (the Expand duplicates join-tagged
+    * attributes) — even without grouping_id(), even after fresh
+    * aliases. Same plan either way: one Expand + hash aggregate. */
+  def q246RollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+    o.join(broadcast(c), "o_custkey")
+      .select("nation", "segment", "cents")
+      .createOrReplaceTempView("graft_q246_base")
+    s.sql("""SELECT nation, segment,
+      |  CAST(grouping_id(nation, segment) AS BIGINT) AS gid,
+      |  count(*) AS n_orders, sum(cents) AS rev_cents
+      |FROM graft_q246_base
+      |GROUP BY ROLLUP (nation, segment)
+      |ORDER BY gid, nation, segment""".stripMargin)
+  }
+
+  /** q247: weekday × event-type PIVOT — the long-to-wide reshape every
+    * BI layer wants, as ONE grouped aggregate with an explicit pivot
+    * value list (explicit so the output schema is static — Spark would
+    * otherwise run an extra distinct-scan job to discover columns, a
+    * hidden pass over the full corpus at scale). Weekday is the
+    * engine-portable epoch-Monday formula, not dayofweek() (Spark counts
+    * Sunday=1, DuckDB Sunday=0). Missing cells are true zeros. */
+  def q247PivotWeekday(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr("pmod(datediff(date_trunc('day', ts)," +
+        " DATE '1970-01-05'), 7)").cast("long").as("weekday"),
+        col("event_type"))
+      .groupBy("weekday")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("weekday")
+
+  /** q248: benchmark decontamination — the pre-training hygiene pass
+    * that finds training documents containing verbatim 8-gram spans of a
+    * held-out evaluation set (here the deterministic doc_id ≡ 0 mod 23
+    * slice stands in for the benchmark corpus). Per train doc: distinct
+    * 8-gram vocabulary, hit count against the eval gram set, taint
+    * permille; rolled up per source with tainted / heavily-tainted
+    * tallies. The join is an equi-join on the gram string against the
+    * SMALL eval side — at 100 TB the eval grams (fixed benchmark suite,
+    * millions of grams at most) broadcast or become a bloom filter
+    * pushed into the scan; the train side streams. Per-doc state is
+    * bounded by doc length; nothing is all-pairs. */
+  def q248Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' '), t -> length(t) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 8)
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      explode(expr("transform(sequence(0, size(ws) - 8), i -> " +
+        "concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]," +
+        " ws[i+4], ws[i+5], ws[i+6], ws[i+7]))")).as("g"))
+    val ev = grams(toks.filter(col("doc_id") % 23 === 0))
+      .select("g").distinct()
+    val tr = grams(toks.filter(col("doc_id") % 23 =!= 0)).distinct()
+    val totals = tr.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = tr.join(ev, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("hit"))
+    totals.join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("hit"))
+      .select(col("source"),
+        expr("hit * 1000 div n_grams").as("taint_permille"),
+        col("hit"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit") > 0, 1L).otherwise(0L)).as("tainted_docs"),
+        sum(when(col("taint_permille") >= 500, 1L).otherwise(0L))
+          .as("heavy_docs"),
+        sum("hit").as("total_hits"))
+      .orderBy("source")
+  }
+
+  /** q249: modularity decomposition of the co-purchase graph under the
+    * brand partition — per brand the exact contribution
+    * (4m·e_c − d_c²)·10⁶ / (2m)² to Newman modularity Q (e_c = within-
+    * brand edges, d_c = degree mass, m = total edges), the standard
+    * "is this partition better than random?" score a community detector
+    * (q148 label prop) is judged by. All moments are single keyed
+    * aggregates over the distinct edge list; the brand map broadcasts;
+    * m arrives as a 1-row broadcast cross join (the deliberate bounded
+    * shape the plan guard whitelists by intent). DECIMAL(38,0) keeps
+    * 4m·e_c exact at any edge count; the signed contribution divides the
+    * magnitude and multiplies the sign back (div/floor portability). */
+  def q249Modularity(s: SparkSession, dir: String): DataFrame = {
+    val und = coPurchasePairs(s, dir).distinct().localCheckpoint()
+    val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val e = und
+      .join(broadcast(brand.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba"))), "pa")
+      .join(broadcast(brand.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb"))), "pb")
+    val within = e.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+    val deg = und.select(col("pa").as("node"))
+      .unionAll(und.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val degByBrand = deg
+      .join(broadcast(brand.select(col("p_partkey").as("node"),
+        col("p_brand").as("brand"))), "node")
+      .groupBy("brand").agg(sum("d").as("d_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    degByBrand.join(within, Seq("brand"), "left").na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("e_c"), col("d_c"),
+        expr("CAST(4 AS DECIMAL(38,0)) * m * e_c" +
+          " - CAST(d_c AS DECIMAL(38,0)) * d_c").as("num"),
+        expr("CAST(4 AS DECIMAL(38,0)) * m * m").as("den"))
+      .select(col("brand"), col("e_c"), col("d_c"),
+        (expr("CAST(CASE WHEN num < 0 THEN -1L ELSE 1L END AS BIGINT)") *
+          expr("CAST((abs(num) * 1000000) DIV den AS BIGINT)")).as("q6"))
+      .orderBy("brand")
+  }
+
+  /** q250: half-year purchaser cohorts via INTERSECT / EXCEPT — the SQL
+    * set operators (DISTINCT semantics) completing the §2.8 union
+    * family: customers ordering in both calendar halves, only the first,
+    * only the second. Spark plans INTERSECT as a left-semi + distinct
+    * and EXCEPT as a left-anti + distinct — hash joins on the key, no
+    * sort, AQE free to broadcast whichever side collapses first. */
+  def q250SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("cust"),
+      month(col("o_orderdate")).as("m"))
+    val a = o.filter(col("m") <= 6).select("cust")
+    val b = o.filter(col("m") > 6).select("cust")
+    a.intersect(b).select(lit("both").as("cohort"), col("cust"))
+      .unionAll(a.except(b).select(lit("h1_only").as("cohort"), col("cust")))
+      .unionAll(b.except(a).select(lit("h2_only").as("cohort"), col("cust")))
+      .orderBy("cohort", "cust")
+  }
+
+  /** q251: Johnson–Lindenstrauss random-projection audit — project every
+    * 64-d embedding to 16-d with a DETERMINISTIC ±1 sign matrix
+    * (s(i,j) from an integer mixing formula both engines replay) and
+    * measure per-vector norm preservation: ‖p‖²·1000 div (k·‖q‖²) in
+    * permille, aggregated per label (count, min, max, integer mean).
+    * The projection itself is the scale story: transform/aggregate
+    * higher-order expressions keep the whole d×k contraction INSIDE
+    * whole-stage codegen per row — no posexplode fan-out, no shuffle
+    * until the |labels|-row aggregate, which is how a 100-TB embedding
+    * dump gets re-dimensioned in one scan. Fixed point: q_i =
+    * floor(x·10⁶) (exact float→double, one identical rounding), all
+    * sums exact BIGINT (|q_i| ≤ 10⁶·64 ⇒ Σp² ≤ 2³⁶·16 ≪ 2⁶³), the
+    * final ratio in DECIMAL for the ×1000. */
+  def q251RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val sign = "(CASE WHEN ((i * 131 + j + 7) * 2654435761) % 1000003" +
+      " < 500002 THEN 1L ELSE -1L END)"
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x ->" +
+          " CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q6"))
+      .withColumn("p", expr("transform(sequence(0, 15), j -> " +
+        s"aggregate(sequence(0, 63), 0L, (acc, i) -> acc + $sign * q6[i]))"))
+      .select(col("label"),
+        expr("aggregate(p, 0L, (a, v) -> a + v * v)").as("sum_p2"),
+        expr("aggregate(q6, 0L, (a, v) -> a + v * v)").as("sum_q2"))
+      .filter(col("sum_q2") > 0)
+      .select(col("label"),
+        expr("CAST((CAST(sum_p2 AS DECIMAL(38,0)) * 1000)" +
+          " DIV (16 * sum_q2) AS BIGINT)").as("permille"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), min("permille").as("min_permille"),
+        max("permille").as("max_permille"), sum("permille").as("sp"))
+      .select(col("label"), col("n_vecs"), col("min_permille"),
+        col("max_permille"), expr("sp div n_vecs").as("avg_permille"))
+      .orderBy("label")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2259,11 +2445,153 @@ object CurationQueries {
     "q241_weighted_lag" -> (q241WeightedLag _),
     "q242_missing_mass" -> (q242MissingMass _),
     "q243_burstiness" -> (q243Burstiness _),
-    "q244_coverage_gaps" -> (q244CoverageGaps _))
+    "q244_coverage_gaps" -> (q244CoverageGaps _),
+    "q246_rollup_revenue" -> (q246RollupRevenue _),
+    "q247_pivot_weekday" -> (q247PivotWeekday _),
+    "q248_decontamination" -> (q248Decontamination _),
+    "q249_modularity" -> (q249Modularity _),
+    "q250_set_ops" -> (q250SetOps _),
+    "q251_random_projection" -> (q251RandomProjection _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q246_rollup_revenue" ->
+      """WITH o AS (
+        |  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer c ON o_custkey = c.c_custkey)
+        |SELECT nation, segment,
+        |  CAST(GROUPING(nation, segment) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM o GROUP BY ROLLUP (nation, segment)
+        |ORDER BY gid, nation, segment""".stripMargin,
+    "q247_pivot_weekday" ->
+      """SELECT weekday,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS view
+        |FROM (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-05',
+        |           CAST(date_trunc('day', ts) AS DATE)) % 7 AS BIGINT)
+        |      AS weekday, event_type
+        |  FROM events)
+        |GROUP BY weekday ORDER BY weekday""".stripMargin,
+    "q248_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '),
+        |                t -> length(t) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+        |              ws[i+5], ws[i+6], ws[i+7], ws[i+8]) AS g
+        |  FROM toks, LATERAL unnest(generate_series(0, len(ws) - 8)) t(i)
+        |  WHERE len(ws) >= 8),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 23 = 0),
+        |tr AS (SELECT DISTINCT doc_id, source, g FROM g
+        |       WHERE doc_id % 23 <> 0),
+        |tot AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM tr GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS hit
+        |  FROM tr JOIN ev USING (g) GROUP BY 1),
+        |per AS (
+        |  SELECT tot.source, coalesce(hits.hit, 0) AS hit,
+        |    coalesce(hits.hit, 0) * 1000 // tot.n_grams AS taint_permille
+        |  FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS tainted_docs,
+        |  CAST(sum(CASE WHEN taint_permille >= 500 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS heavy_docs,
+        |  CAST(sum(hit) AS BIGINT) AS total_hits
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    "q249_modularity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS pa,
+        |                  greatest(x.l_partkey, y.l_partkey) AS pb
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        |e AS (
+        |  SELECT ba.p_brand AS ba, bb.p_brand AS bb
+        |  FROM op JOIN part ba ON op.pa = ba.p_partkey
+        |          JOIN part bb ON op.pb = bb.p_partkey),
+        |w AS (
+        |  SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM e WHERE ba = bb GROUP BY 1),
+        |adj AS (SELECT pa AS node FROM op UNION ALL SELECT pb FROM op),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |db AS (
+        |  SELECT p.p_brand AS brand, CAST(sum(deg.d) AS BIGINT) AS d_c
+        |  FROM deg JOIN part p ON deg.node = p.p_partkey GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM op),
+        |c AS (
+        |  SELECT db.brand, coalesce(w.e_c, 0) AS e_c, db.d_c,
+        |    4 * m.m * coalesce(w.e_c, 0)
+        |      - CAST(db.d_c AS HUGEINT) * db.d_c AS num,
+        |    4 * m.m * m.m AS den
+        |  FROM db LEFT JOIN w ON db.brand = w.brand CROSS JOIN m)
+        |SELECT brand, CAST(e_c AS BIGINT) AS e_c, d_c,
+        |  CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END AS BIGINT)
+        |    * CAST((abs(num) * 1000000) // den AS BIGINT) AS q6
+        |FROM c ORDER BY brand""".stripMargin,
+    "q250_set_ops" ->
+      """WITH a AS (SELECT o_custkey AS cust FROM orders
+        |           WHERE month(o_orderdate) <= 6),
+        |b AS (SELECT o_custkey AS cust FROM orders
+        |      WHERE month(o_orderdate) > 6)
+        |SELECT 'both' AS cohort, cust
+        |FROM (SELECT cust FROM a INTERSECT SELECT cust FROM b)
+        |UNION ALL
+        |SELECT 'h1_only', cust
+        |FROM (SELECT cust FROM a EXCEPT SELECT cust FROM b)
+        |UNION ALL
+        |SELECT 'h2_only', cust
+        |FROM (SELECT cust FROM b EXCEPT SELECT cust FROM a)
+        |ORDER BY cohort, cust""".stripMargin,
+    "q251_random_projection" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |     FOR x IN embedding] AS q6
+        |  FROM embeddings),
+        |pj AS (
+        |  SELECT vec_id, label, j,
+        |    CAST(sum((CASE WHEN ((i * 131 + j + 7) * 2654435761)
+        |                        % 1000003 < 500002
+        |              THEN 1 ELSE -1 END) * q6[i + 1]) AS BIGINT) AS p
+        |  FROM q,
+        |    LATERAL unnest(generate_series(0, 15)) tj(j),
+        |    LATERAL unnest(generate_series(0, 63)) ti(i)
+        |  GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT vec_id, label, CAST(sum(p * p) AS BIGINT) AS sum_p2
+        |  FROM pj GROUP BY 1, 2),
+        |qq AS (
+        |  SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS sum_q2
+        |  FROM (SELECT vec_id, unnest(q6) AS v FROM q) GROUP BY 1),
+        |r AS (
+        |  SELECT per.label,
+        |    CAST((CAST(sum_p2 AS HUGEINT) * 1000) // (16 * sum_q2)
+        |         AS BIGINT) AS permille
+        |  FROM per JOIN qq USING (vec_id) WHERE sum_q2 > 0)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(permille) AS min_permille, max(permille) AS max_permille,
+        |  CAST(sum(permille) // count(*) AS BIGINT) AS avg_permille
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "q209_cheapest_path" -> cheapestOracleSql(brand = "Brand#12", rounds = 2),
     "q244_coverage_gaps" ->
       """WITH ev AS (

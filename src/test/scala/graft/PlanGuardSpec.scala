@@ -47,7 +47,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q231_type_affinity", // broadcast 1-row cell-count aggregate against the |types|² pair table
     "q232_column_profile", // 10-row decile spine against each column's value histogram
     "q237_segment_migration", // broadcast 1-row midpoint + two 1-row tercile-bound aggregates
-    "q244_coverage_gaps") // broadcast 1-row hour-bounds aggregate exploded into the calendar spine
+    "q244_coverage_gaps", // broadcast 1-row hour-bounds aggregate exploded into the calendar spine
+    "q249_modularity") // broadcast 1-row edge-count aggregate against the |brands|-row moment table
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
