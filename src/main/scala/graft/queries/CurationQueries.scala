@@ -2375,6 +2375,73 @@ object CurationQueries {
       .orderBy("label")
   }
 
+  /** q252: batch-perceptron language classifier TRAINED IN-ENGINE — the
+    * first iterative model-fit in the library (k-means-lite and BPE
+    * train structures; this trains a decision boundary). Features are
+    * exact integers a langid-lite filter computes per doc (bias, ascii-
+    * letter ratio decile, capped " the " hits, capped mean word length),
+    * target y = ±1 on lang='en', and the update is the BATCH perceptron
+    * w += Σ_{y·(w·x)≤0} y·x — order-free (a per-row perceptron would be
+    * partition-order-dependent and unreproducible on a cluster), so the
+    * oracle unrolls the SAME three epochs in CTEs and matches
+    * bit-for-bit. Scale: each epoch is ONE narrow scan + a 5-long
+    * aggregate; driver state is d+1 weights; epochs are a constant.
+    * NOTE non-lazy (q211's pattern): building the frame RUNS the three
+    * epoch aggregates (the weights must exist to build the next epoch's
+    * filter); the feature frame is localCheckpointed once so the text
+    * feature extraction runs once, not per epoch. */
+  def q252Perceptron(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val feats = Tables.documents(s, dir).select(
+      expr("CASE WHEN lang = 'en' THEN 1L ELSE -1L END").as("y"),
+      lit(1L).as("x1"),
+      expr("(10 * (length(text) -" +
+        " length(regexp_replace(text, '[A-Za-z]', ''))))" +
+        " div greatest(1, length(text))").as("x2"),
+      expr("least(20L, (length(text) - length(replace(text, ' the ', '')))" +
+        " div 5)").as("x3"),
+      expr("least(20L, length(text) div greatest(1," +
+        " size(split(trim(text), '\\\\s+'))))").as("x4"))
+      .localCheckpoint()
+    val w = Array(0L, 0L, 0L, 0L)
+    val out = (1 to 3).map { ep =>
+      val r = feats
+        .filter(expr(s"y * (${w(0)}L * x1 + ${w(1)}L * x2" +
+          s" + ${w(2)}L * x3 + ${w(3)}L * x4) <= 0"))
+        .agg(count(lit(1)), sum(expr("y * x1")), sum(expr("y * x2")),
+          sum(expr("y * x3")), sum(expr("y * x4"))).head()
+      val errs = r.getLong(0)
+      (0 until 4).foreach(i =>
+        w(i) += (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      Row(ep.toLong, errs, w(0), w(1), w(2), w(3))
+    }
+    s.createDataFrame(out.asJava, StructType(Seq("epoch", "errors",
+      "w_bias", "w_ascii", "w_the", "w_wordlen")
+      .map(StructField(_, LongType, nullable = false))))
+  }
+
+  /** q253: CUBE over (returnflag, linestatus) — all four grouping-set
+    * levels of the classic TPC-H pricing-summary axes in one Expand +
+    * hash aggregate, completing the grouping family beside q246's
+    * ROLLUP. SQL surface for the same Spark-4.1 reason as q246
+    * (`Dataset.cube` sits on the identical codepath). Quantities go
+    * through floor() (DuckDB rounds DOUBLE→BIGINT casts where Spark
+    * truncates). State: 4 · |flags|·|statuses| rows, fact-volume-free. */
+  def q253CubePricing(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .createOrReplaceTempView("graft_q253_base")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_lines, sum(qty) AS sum_qty
+      |FROM graft_q253_base
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2451,11 +2518,65 @@ object CurationQueries {
     "q248_decontamination" -> (q248Decontamination _),
     "q249_modularity" -> (q249Modularity _),
     "q250_set_ops" -> (q250SetOps _),
-    "q251_random_projection" -> (q251RandomProjection _))
+    "q251_random_projection" -> (q251RandomProjection _),
+    "q252_perceptron" -> (q252Perceptron _),
+    "q253_cube_pricing" -> (q253CubePricing _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q252_perceptron" -> {
+      // the SAME three batch epochs unrolled: epoch CTEs carry (errors,
+      // Σ y·x) over the misclassified set under the PREVIOUS weights
+      val feat =
+        """SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+          |    CAST(1 AS BIGINT) AS x1,
+          |    CAST((10 * (length(text) -
+          |        length(regexp_replace(text, '[A-Za-z]', '', 'g'))))
+          |      // greatest(1, length(text)) AS BIGINT) AS x2,
+          |    CAST(least(20, (length(text) -
+          |        length(replace(text, ' the ', ''))) // 5) AS BIGINT) AS x3,
+          |    CAST(least(20, length(text) // greatest(1,
+          |        len(regexp_split_to_array(trim(text), '\s+')))) AS BIGINT)
+          |      AS x4
+          |  FROM documents""".stripMargin
+      def epoch(n: Int, pw: String): String =
+        s"""e$n AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS errs,
+           |    CAST(coalesce(sum(y * x1), 0) AS BIGINT) AS d1,
+           |    CAST(coalesce(sum(y * x2), 0) AS BIGINT) AS d2,
+           |    CAST(coalesce(sum(y * x3), 0) AS BIGINT) AS d3,
+           |    CAST(coalesce(sum(y * x4), 0) AS BIGINT) AS d4
+           |  FROM f, $pw
+           |  WHERE y * (w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4) <= 0),
+           |w$n AS MATERIALIZED (
+           |  SELECT p.w1 + e.d1 AS w1, p.w2 + e.d2 AS w2,
+           |    p.w3 + e.d3 AS w3, p.w4 + e.d4 AS w4
+           |  FROM $pw p, e$n e)""".stripMargin
+      s"""WITH f AS MATERIALIZED (
+         |  $feat),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+         |       CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
+         |${epoch(1, "w0")},
+         |${epoch(2, "w1")},
+         |${epoch(3, "w2")}
+         |SELECT CAST(1 AS BIGINT) AS epoch, e1.errs AS errors,
+         |  w1.w1 AS w_bias, w1.w2 AS w_ascii, w1.w3 AS w_the,
+         |  w1.w4 AS w_wordlen FROM e1, w1
+         |UNION ALL
+         |SELECT 2, e2.errs, w2.w1, w2.w2, w2.w3, w2.w4 FROM e2, w2
+         |UNION ALL
+         |SELECT 3, e3.errs, w3.w1, w3.w2, w3.w3, w3.w4 FROM e3, w3
+         |ORDER BY epoch""".stripMargin
+    },
+    "q253_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q246_rollup_revenue" ->
       """WITH o AS (
         |  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,

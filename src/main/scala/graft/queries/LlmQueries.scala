@@ -222,6 +222,26 @@ object LlmQueries {
   def q141PcmStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.pcmStats(Multimodal.readMedia(s, media)).toDF()
 
+  /** q254: tokenizer fertility by language — surface (BPE-ish) tokens per
+    * whitespace word, in permille, per language: the multilingual-budget
+    * planner's first number (a language whose fertility is 2× pays 2× the
+    * context window per word; CJK text explodes under word-ish
+    * tokenizers). Both token counts are the library's existing codegen'd
+    * regex passes; corpus-proportional work is one narrow scan, state is
+    * |languages| rows. */
+  def q254Fertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+        size(surfaceTokens(col("text"))).cast("long").as("surface"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("n_words"),
+        sum("surface").as("n_surface"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_surface"),
+        expr("n_surface * 1000 div greatest(1L, n_words)")
+          .as("fertility_permille"))
+      .orderBy("lang")
+
   // ---------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens, distinct types, BPE-ish surface
@@ -1297,6 +1317,7 @@ object LlmQueries {
     "q33_media_decode" -> (q33MediaDecode _),
     "q219_binary_files" -> (q219BinaryFiles _),
     "q34_token_stats" -> (q34TokenStats _),
+    "q254_fertility" -> (q254Fertility _),
     "q35_quality_score" -> (q35QualityScore _),
     "q36_lang_id" -> (q36LangId _),
     "q37_fingerprint" -> (q37Fingerprint _),
@@ -1649,6 +1670,20 @@ object LlmQueries {
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
         |      < 100 - 4 * substr(source, 4)::INT
         |GROUP BY source""".stripMargin,
+    "q254_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS words,
+        |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |      AS surface
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS n_words,
+        |  CAST(sum(surface) AS BIGINT) AS n_surface,
+        |  CAST(sum(surface) * 1000 // greatest(1, sum(words)) AS BIGINT)
+        |    AS fertility_permille
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q34_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,

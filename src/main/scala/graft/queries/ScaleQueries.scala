@@ -1107,7 +1107,78 @@ object ScaleQueries {
     graft.operators.Triangles.perNodeStats(coPurchaseEdges(s, dir), "pa", "pb")
       .select(col("node").as("part"), col("degree"), col("triangles"), col("coeff"))
 
+  // q255 bootstrap: the two schema vintages are written ONCE per
+  // (JVM, sf-dir) — the query under test is the mergeSchema READ, not
+  // the bootstrap write
+  private val evolveDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q255: schema-evolution read — a corpus whose early files lack a
+    * later-added column (the standard lake drift: v1 order files carry
+    * (key, cust, cents), v2 adds o_orderpriority). One
+    * `mergeSchema=true` parquet read unions the vintages; rows from the
+    * old files surface the new column as NULL, reported here as a
+    * 'LEGACY' priority class. The oracle replays the split from the
+    * ORIGINAL table, so a wrong merge (dropped column, misaligned
+    * nulls, type clash) breaks the hash. At scale, schema merging costs
+    * one footer read per file — the same cost profile the manifest
+    * skipping in Sinks already budgets for. */
+  def q255MergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val tmp = evolveDirs.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-evolve").toString
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        month(col("o_orderdate")).as("m"), col("o_orderpriority"))
+      o.filter(col("m") <= 6).select("o_orderkey", "o_custkey", "cents")
+        .write.mode("overwrite").parquet(s"$t/v1")
+      o.filter(col("m") > 6)
+        .select("o_orderkey", "o_custkey", "cents", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$t/v2")
+      t
+    })
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .select(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"),
+        col("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+      .orderBy("priority")
+  }
+
+  /** q256: corrupt-record quarantine — PERMISSIVE JSONL ingestion over a
+    * fixture where every 7th line is syntactically truncated. Spark
+    * parses with an explicit schema + columnNameOfCorruptRecord; the
+    * oracle re-reads the SAME file as raw lines and classifies with
+    * json_valid(), so the two engines must agree line-by-line on what
+    * is quarantine and what is data (corrupt lines are syntactic-only
+    * by fixture construction — the regime where PERMISSIVE and
+    * json_valid coincide). This is the ingestion front door at 100 TB:
+    * bad records must become a COUNTED quarantine stream, never a job
+    * failure and never silent nulls. */
+  def q256CorruptQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("v", LongType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json("/root/repo/fixtures/events_dirty.jsonl")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("_corrupt").isNull, col("v")).otherwise(0L))
+          .as("sum_v"),
+        countDistinct(when(col("_corrupt").isNull, col("kind")))
+          .as("n_kinds"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_merge_schema" -> (q255MergeSchema _),
+    "q256_corrupt_quarantine" -> (q256CorruptQuarantine _),
     "q142_triangle_counts" -> (q142TriangleCounts _),
     "q144_clustering" -> (q144Clustering _),
     "q145_hybrid_search" -> (q145HybridSearch _),
@@ -1420,6 +1491,32 @@ object ScaleQueries {
       |  GROUP BY part)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q255_merge_schema" ->
+      """SELECT CASE WHEN month(o_orderdate) > 6 THEN o_orderpriority
+        |       ELSE 'LEGACY' END AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |               AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+    "q256_corrupt_quarantine" ->
+      """WITH raw AS (
+        |  SELECT line FROM (
+        |    SELECT unnest(string_split(content, chr(10))) AS line
+        |    FROM read_text('/root/repo/fixtures/events_dirty.jsonl'))
+        |  WHERE length(line) > 0),
+        |cls AS (
+        |  SELECT line, json_valid(line) AS ok FROM raw),
+        |good AS (
+        |  SELECT CAST(json_extract(line, '$.v') AS BIGINT) AS v,
+        |    json_extract_string(line, '$.kind') AS kind
+        |  FROM cls WHERE ok)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cls) AS n_lines,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cls WHERE ok) AS n_valid,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cls WHERE NOT ok)
+        |    AS n_corrupt,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM good) AS sum_v,
+        |  (SELECT CAST(count(DISTINCT kind) AS BIGINT) FROM good)
+        |    AS n_kinds""".stripMargin,
     "q142_triangle_counts" ->
       (triangleCtes + "\nSELECT part, triangles FROM tc"),
     "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
