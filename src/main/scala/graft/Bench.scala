@@ -131,31 +131,43 @@ object Bench {
         s""""queries_min":${obj(_._3)},"queries_iqr":${obj(_._5)},""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson)
-    // The STDOUT metric line must fit the driver's 2000-byte stdout tail
-    // (BENCH_r07-r09 recorded "parsed": null because the full per-query
-    // map is ~35 KB — the driver kept only the line's tail and the JSON
-    // parse failed; the contract's "queries" map is the HEADLINE set).
-    // Emit the headline medians (3 decimals) + the 10 slowest others,
-    // ~1.2 KB total, full detail pointer alongside.
-    val headline = Set(
-      "q01_groupby_agg", "q05_roleplay_join", "q08_topk", "q27_exact_dedup",
-      "q38_neardup_dedup", "q39_lsh_ann", "q46_ivf_trained_nn",
-      "q81_corpus_stats", "q96_containment", "q110_semdedup",
-      "q142_triangle_counts", "q146_kcore", "q148_label_prop",
-      "q153_link_predict", "q158_pca_top", "q211_abc_classes",
-      "q232_column_profile", "q245_video_meta", "q248_decontamination",
-      "q251_random_projection")
+    println(metricLine(results.map(r => (r._1, r._2, r._4)), reps, sfDir))
+    spark.stop()
+  }
+
+  /** Queries whose medians always ride the stdout metric line — one per
+    * family the judge tracks round-over-round. */
+  val Headline: Set[String] = Set(
+    "q01_groupby_agg", "q05_roleplay_join", "q08_topk", "q27_exact_dedup",
+    "q38_neardup_dedup", "q39_lsh_ann", "q46_ivf_trained_nn",
+    "q81_corpus_stats", "q96_containment", "q110_semdedup",
+    "q142_triangle_counts", "q146_kcore", "q148_label_prop",
+    "q153_link_predict", "q158_pca_top", "q211_abc_classes",
+    "q232_column_profile", "q245_video_meta", "q248_decontamination",
+    "q251_random_projection")
+
+  /** The STDOUT metric line. HARD CONSTRAINT: the driver keeps only the
+    * last 2000 bytes of stdout (including the runner's trailing
+    * "[success] ..." line) and parses the JSON from that window —
+    * BENCH_r07-r09 recorded "parsed": null because the full per-query
+    * map is ~35 KB and the line's head fell off the window. So this
+    * line carries the HEADLINE medians + the 10 slowest other queries
+    * at 3 decimals (~1 KB; BenchLineSpec pins the bound) and the full
+    * per-query payload lands in BENCH_LOCAL.json instead.
+    * `results` is (name, medianSec, ok). */
+  def metricLine(results: Seq[(String, Double, Boolean)], reps: Int,
+                 sfDir: String): String = {
     def r3(d: Double): String = (math.round(d * 1000) / 1000.0).toString
-    val slowest = results.filter(_._4).filterNot(r => headline(r._1))
+    val failed = results.filterNot(_._3)
+      .map(r => s""""${r._1}"""").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    val slowest = results.filter(_._3).filterNot(r => Headline(r._1))
       .sortBy(-_._2).take(10)
     val lineQueries =
-      (results.filter(r => r._4 && headline(r._1)) ++ slowest)
+      (results.filter(r => r._3 && Headline(r._1)) ++ slowest)
         .map(r => s""""${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,""" +
-        s""""n_queries":${results.count(_._4)},"queries":$lineQueries,""" +
-        s""""failed":$failed,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    println(json)
-    spark.stop()
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,""" +
+      s""""n_queries":${results.count(_._3)},"queries":$lineQueries,""" +
+      s""""failed":$failed,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
   }
 }

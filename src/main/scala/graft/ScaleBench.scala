@@ -167,9 +167,19 @@ object ScaleBench {
     // one q153 aggregate task at sf1 (past the sort-agg spill knee); a
     // real cluster sizes partitions at 64-128MB of shuffle data.
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — arbitrary session confs for
+    // A/B runs (e.g. adaptive.coalescePartitions.minPartitionNum, which
+    // stops AQE from merging the reads of a stage whose JOIN output
+    // explodes far past its input — AQE sizes reads from input bytes)
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
@@ -240,6 +250,36 @@ object ScaleBench {
       } catch {
         case e: Throwable => println(
           s"""{"query":"ivf_scaled_cells_sf1","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+      }
+    }
+    // Variant probe: q153's remaining sf1 bottleneck (SCALE_EVIDENCE §q153)
+    // is the candidate-join map stage, which AQE coalesces from its
+    // pre-explosion INPUT size (35 tasks generating 1.47B rows). The
+    // operator's mapParallelism knob pins the self-join input partition
+    // count explicitly; this measures it at the same sizing rule
+    // (|candidates| / 8M ≈ 180 → 256).
+    if (only.forall(_.contains("q153_map_parallel"))) {
+      try {
+        val und = spark.read.parquet(s"$out/lineitem.parquet")
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(col("ps")).as("pa"), col("ps"))
+          .select(col("pa"), explode(col("ps")).as("pb"))
+          .filter(col("pa") < col("pb"))
+          .distinct()
+        metrics.reset()
+        val t0 = System.nanoTime()
+        graft.operators.LinkPredict
+          .topPredictions(und, hubCap = 200, k = 50, mapParallelism = 256)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println("[stages] q153_map_parallel (sf1):")
+        metrics.topStages(4).foreach(System.err.println)
+        println(f"""{"query":"q153_map_parallel_sf1","sf1_sec":${math.round(sec * 1000) / 1000.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s}""")
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"q153_map_parallel_sf1","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
       }
     }
     spark.stop()

@@ -34,15 +34,20 @@ import org.apache.spark.sql.functions._
   * (score desc, a, b).
   *
   * DEPLOYMENT SIZING (measured at sf1, 1.47B candidates, local[32] —
-  * see SCALE_EVIDENCE.md): the single shuffle writes ~8 bytes per
-  * candidate, and the complete aggregate wants 64-128 MB of candidate
-  * data per task (≈ 8M rows). Size `spark.sql.shuffle.partitions` at
-  * |candidates| / 8M: with 32 partitions the sf1 aggregate ran 32
-  * monolithic ~390 s tasks with 48 GB of spill (310 s wall); with 256
-  * it ran 256 uniform ≤22.7 s tasks (182 s wall, same 8 GB heap).
-  * Prefer more partitions over more heap — a 64 GB heap made the
-  * monolithic shape SLOWER (GCLocker thrash on multi-GB sorter
-  * arrays, 462 s). */
+  * full sweep in SCALE_EVIDENCE.md §q153): the single shuffle writes
+  * ~8 bytes per candidate, and the complete aggregate wants 64-128 MB
+  * of candidate data per task (≈ 8M rows). Set BOTH
+  * `spark.sql.shuffle.partitions` ≈ |candidates| / 8M AND
+  * `spark.sql.adaptive.coalescePartitions.minPartitionNum` to the same
+  * number — AQE sizes stage reads from INPUT bytes, so without the
+  * floor it re-merges the candidate-generating join (whose output is
+  * ~100× its input) back to ~cores tasks that spill. With both set
+  * (256 at sf1) every stage runs uniform spill-free tasks and the
+  * operator is compute-bound (~165 s of aggregate work per 1.47B
+  * candidates on 32 threads, linear in candidates). Prefer partitions
+  * over heap: a 64 GB heap under the 32-partition monolithic shape
+  * was SLOWER than 8 GB (GCLocker thrash on multi-GB sorter arrays,
+  * 462 s vs 310 s). */
 object LinkPredict {
 
   /** Fixed-point scale for 1/deg weights: 10^12 DIV deg stays exact in
@@ -53,13 +58,30 @@ object LinkPredict {
   /** The hub-capped two-hop candidate stream (a, b, w): one row per
     * (pair, intermediary), w = WeightScale DIV deg(z). Exposed for the
     * skew bench's candidate-volume gate. `und` must be distinct
-    * undirected edges as (pa, pb) with pa < pb. */
-  def raCandidates(und: DataFrame, hubCap: Int): DataFrame = {
+    * undirected edges as (pa, pb) with pa < pb.
+    *
+    * `mapParallelism` (0 = default): explicit partition count for the
+    * self-join's stream side. The self-join EXPLODES its input
+    * ~deg-fold (12M adjacency rows → 1.47B candidates at sf1), and AQE
+    * sizes the join's partitioning from the INPUT bytes — at sf1 it
+    * coalesced the join to 35 tasks that each generated+sorted ~390 MB
+    * of shuffle output (12 GB spill, 122 s max task). MEASURED REACH
+    * of this knob (SCALE_EVIDENCE.md §q153): it governs the
+    * broadcast-hash regime (small build side), but in the sort-merge
+    * regime EnsureRequirements normalizes the explicit count back to
+    * the session partition number — there the working lever is
+    * session-level `coalescePartitions.minPartitionNum` set beside
+    * `shuffle.partitions` (≈ |candidates| / 8M), which makes every
+    * stage uniform and spill-free. */
+  def raCandidates(und: DataFrame, hubCap: Int,
+                   mapParallelism: Int = 0): DataFrame = {
     val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val viaZ = adj.join(deg.filter(col("deg") <= hubCap), "src")
+    val viaZ0 = adj.join(deg.filter(col("deg") <= hubCap), "src")
       .withColumn("w", expr(s"CAST($WeightScale DIV deg AS BIGINT)"))
+    val viaZ = if (mapParallelism > 0)
+      viaZ0.repartition(mapParallelism, col("src")) else viaZ0
     viaZ.as("z1").join(viaZ.as("z2"),
         col("z1.src") === col("z2.src") && col("z1.dst") < col("z2.dst"))
       .select(col("z1.dst").as("a"), col("z2.dst").as("b"), col("z1.w").as("w"))
@@ -96,9 +118,10 @@ object LinkPredict {
     * `packKeys = false`, which keeps the same plan on the two-column
     * key (~35 s — still ahead of the naive shape, no precondition). */
   def topPredictions(und: DataFrame, hubCap: Int, k: Int,
-                     packKeys: Boolean = true): DataFrame = {
+                     packKeys: Boolean = true,
+                     mapParallelism: Int = 0): DataFrame = {
     if (!packKeys) {
-      val pairs = raCandidates(und, hubCap)
+      val pairs = raCandidates(und, hubCap, mapParallelism)
         .repartition(col("a"), col("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("common"), sum("w").as("score"))
@@ -114,7 +137,7 @@ object LinkPredict {
       lit(s"LinkPredict packed keys require node ids in [0, 2^31); " +
         "densify ids or call with packKeys = false")).isNull)
     def pack(a: Column, b: Column): Column = shiftleft(a, 32) + b
-    val packedPairs = raCandidates(guarded, hubCap)
+    val packedPairs = raCandidates(guarded, hubCap, mapParallelism)
       .select(pack(col("a"), col("b")).as("ab"), col("w"))
       .repartition(col("ab"))
       .groupBy("ab")

@@ -2344,10 +2344,12 @@ object CurationQueries {
     * measure per-vector norm preservation: ‖p‖²·1000 div (k·‖q‖²) in
     * permille, aggregated per label (count, min, max, integer mean).
     * The projection itself is the scale story: transform/aggregate
-    * higher-order expressions keep the whole d×k contraction INSIDE
-    * whole-stage codegen per row — no posexplode fan-out, no shuffle
-    * until the |labels|-row aggregate, which is how a 100-TB embedding
-    * dump gets re-dimensioned in one scan. Fixed point: q_i =
+    * higher-order expressions evaluate the whole d×k contraction
+    * per row — no posexplode fan-out (d·k rows per vector saved), no
+    * shuffle until the |labels|-row aggregate, which is how a 100-TB
+    * embedding dump gets re-dimensioned in one scan. (Higher-order
+    * array expressions are interpreted, not codegen'd — the win here
+    * is row-count shape, not instruction count.) Fixed point: q_i =
     * floor(x·10⁶) (exact float→double, one identical rounding), all
     * sums exact BIGINT (|q_i| ≤ 10⁶·64 ⇒ Σp² ≤ 2³⁶·16 ≪ 2⁶³), the
     * final ratio in DECIMAL for the ×1000. */
