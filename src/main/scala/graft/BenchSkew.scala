@@ -55,7 +55,13 @@ object BenchSkew {
     // from the zipf text (partial agg caps the count side; AQE owns probe
     // skew); streaming HLL carries 64-byte state per group however hot
     // the user — both observed for evidence, not gated
-    "q135_bigram_rarity", "q137_stream_distinct")
+    "q135_bigram_rarity", "q137_stream_distinct",
+    // round-10 additions: decontamination probes hot 8-gram keys (zipf
+    // boilerplate grams are shared by many docs AND the eval slice —
+    // the per-doc distinct() caps each doc's contribution and AQE owns
+    // probe skew); fertility is a |languages|-key aggregate whose hot
+    // language is partial-agg-combined — both observed for evidence
+    "q248_decontamination", "q254_fertility")
 
   private case class TaskObs(query: String, stageId: Int, durMs: Long,
                              shufReadB: Long, shufWriteB: Long)
