@@ -2444,6 +2444,71 @@ object CurationQueries {
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** q258: data-subject access export (GDPR Art. 15 beside the Art. 17
+    * delete in Sinks) — every record held about one subject, flattened
+    * to a portable (rec_type, rec_id, attr, value) long format: the
+    * customer profile row plus every order, values stringified with
+    * engine-portable casts (exact cents; dates via CAST(.. AS DATE)).
+    * The subject is the busiest customer (deterministic tiebreak) so
+    * the export is non-trivial at any SF. Scale: the subject resolves
+    * to one broadcast row, both fact lookups are broadcast equi-joins
+    * with the key filter pushed at the scan — a point export that costs
+    * two pruned scans however large the tables. `stack` unpivots each
+    * row INSIDE the scan projection — no per-attr re-scan.
+    * NOTE non-lazy-adjacent: the subject subquery is part of the lazy
+    * plan (no driver collect). */
+  def q258SubjectExport(s: SparkSession, dir: String): DataFrame = {
+    val subject = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey")).limit(1)
+      .select(col("o_custkey").as("subj"))
+    val custAttrs = Tables.customer(s, dir)
+      .join(broadcast(subject), col("c_custkey") === col("subj"))
+      .selectExpr("'customer' AS rec_type", "c_custkey AS rec_id",
+        "stack(4, 'name', c_name, 'nationkey', CAST(c_nationkey AS STRING)," +
+          " 'mktsegment', c_mktsegment," +
+          " 'acctbal_cents', CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2))" +
+          " * 100 AS BIGINT) AS STRING)) AS (attr, value)")
+    val orderAttrs = Tables.orders(s, dir)
+      .join(broadcast(subject), col("o_custkey") === col("subj"))
+      .selectExpr("'order' AS rec_type", "o_orderkey AS rec_id",
+        "stack(3, 'status', o_orderstatus," +
+          " 'total_cents', CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))" +
+          " * 100 AS BIGINT) AS STRING)," +
+          " 'date', CAST(CAST(o_orderdate AS DATE) AS STRING)) AS (attr, value)")
+    custAttrs.unionAll(orderAttrs).orderBy("rec_type", "rec_id", "attr")
+  }
+
+  /** q259: ranked-window analytics over the per-(nation, month) revenue
+    * grid — percent_rank, cume_dist, the second-best month
+    * (nth_value over the FULL frame), and the gap to the nation's best
+    * (first_value DESC ordering equivalent via max window). Completes
+    * the window-function surface (rank/dense_rank/lag/lead/row_number
+    * appear elsewhere). The window input is the POST-AGGREGATE
+    * calendar × nation grid — bounded at any fact volume (the q58/q167
+    * argument); percent_rank and cume_dist are single IEEE divisions of
+    * small exact integers, bit-identical cross-engine. */
+  def q259WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    // the mod-25 pseudo-nation keeps this single-table (the window
+    // shapes are the point here, not a dimension join)
+    val g = Tables.orders(s, dir)
+      .select((col("o_custkey") % 25).as("nation"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("nation", "month").agg(sum("cents").as("rev"))
+    val w = Window.partitionBy("nation").orderBy(col("rev"))
+    val full = Window.partitionBy("nation").orderBy(col("rev").desc, col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("nation"), col("month"), col("rev"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("rev"), 2).over(full).as("second_best"),
+        (max("rev").over(Window.partitionBy("nation")) - col("rev"))
+          .as("gap_to_best"))
+      .orderBy("nation", "month")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2522,11 +2587,58 @@ object CurationQueries {
     "q250_set_ops" -> (q250SetOps _),
     "q251_random_projection" -> (q251RandomProjection _),
     "q252_perceptron" -> (q252Perceptron _),
-    "q253_cube_pricing" -> (q253CubePricing _))
+    "q253_cube_pricing" -> (q253CubePricing _),
+    "q258_subject_export" -> (q258SubjectExport _),
+    "q259_window_ranks" -> (q259WindowRanks _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q258_subject_export" ->
+      """WITH subj AS (
+        |  SELECT o_custkey AS s FROM orders GROUP BY 1
+        |  ORDER BY count(*) DESC, o_custkey LIMIT 1),
+        |c AS (SELECT * FROM customer, subj WHERE c_custkey = s),
+        |o AS (SELECT * FROM orders, subj WHERE o_custkey = s)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS rec_type, c_custkey AS rec_id,
+        |    'name' AS attr, c_name AS value FROM c
+        |  UNION ALL
+        |  SELECT 'customer', c_custkey, 'nationkey',
+        |    CAST(c_nationkey AS VARCHAR) FROM c
+        |  UNION ALL
+        |  SELECT 'customer', c_custkey, 'mktsegment', c_mktsegment FROM c
+        |  UNION ALL
+        |  SELECT 'customer', c_custkey, 'acctbal_cents',
+        |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS VARCHAR) FROM c
+        |  UNION ALL
+        |  SELECT 'order', o_orderkey, 'status', o_orderstatus FROM o
+        |  UNION ALL
+        |  SELECT 'order', o_orderkey, 'total_cents',
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'order', o_orderkey, 'date',
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM o)
+        |ORDER BY rec_type, rec_id, attr""".stripMargin,
+    "q259_window_ranks" ->
+      """WITH g AS (
+        |  SELECT o_custkey % 25 AS nation,
+        |    date_trunc('month', o_orderdate) AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT nation, month, rev,
+        |  percent_rank() OVER (PARTITION BY nation ORDER BY rev) AS pr,
+        |  cume_dist() OVER (PARTITION BY nation ORDER BY rev) AS cd,
+        |  nth_value(rev, 2) OVER (PARTITION BY nation
+        |    ORDER BY rev DESC, month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_best,
+        |  CAST(max(rev) OVER (PARTITION BY nation) - rev AS BIGINT)
+        |    AS gap_to_best
+        |FROM g ORDER BY nation, month""".stripMargin,
     "q252_perceptron" -> {
       // the SAME three batch epochs unrolled: epoch CTEs carry (errors,
       // Σ y·x) over the misclassified set under the PREVIOUS weights
