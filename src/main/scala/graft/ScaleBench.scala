@@ -64,7 +64,7 @@ object ScaleBench {
   /** Per-replica key offsets, disjoint per entity family and sized so
     * max(id) + REPL·offset ≪ 2³¹ for the packed-key id spaces (parts,
     * users, docs) while staying comfortably unique for the rest. */
-  private val Offsets: Map[String, Map[String, Long]] = Map(
+  private[graft] val Offsets: Map[String, Map[String, Long]] = Map(
     "customer" -> Map("c_custkey" -> 1000000L),
     "supplier" -> Map("s_suppkey" -> 1000000L),
     "part" -> Map("p_partkey" -> 1000000L),
@@ -76,7 +76,7 @@ object ScaleBench {
     "embeddings" -> Map("vec_id" -> 1000000L),
     "region" -> Map.empty, "nation" -> Map.empty)
 
-  private def replicate(df: DataFrame, n: Int, offsets: Map[String, Long]): DataFrame =
+  private[graft] def replicate(df: DataFrame, n: Int, offsets: Map[String, Long]): DataFrame =
     if (offsets.isEmpty) df
     else {
       val withRep = df.withColumn("rep", explode(sequence(lit(0L), lit(n - 1L))))
