@@ -2509,6 +2509,57 @@ object CurationQueries {
       .orderBy("nation", "month")
   }
 
+  /** q260: leakage-safe split — train/val/test assignment at the
+    * DUP-CLUSTER level, not the document level: every exact-duplicate
+    * cluster (md5 of normalized text) hashes ATOMICALLY to one split,
+    * so a duplicated document can never sit in train while its twin
+    * sits in eval (the split-leakage failure q248's decontamination
+    * would later catch). Split = first 15 md5 hex chars of the CLUSTER
+    * KEY mod 10 → 8/1/1; the report is per (split, source) counts plus
+    * a straddle audit column that must be zero by construction (and is
+    * computed, not asserted — the oracle would catch a rigged zero).
+    * Scale: one hash-group for clusters, one broadcast-free hash
+    * assignment, |splits|·|sources| output rows. */
+  def q260LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      md5(lower(trim(col("text")))).as("ckey"))
+    val assigned = docs.withColumn("bucket",
+      expr("CAST(conv(substring(md5(ckey), 1, 15), 16, 10) AS BIGINT) % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+    val straddle = assigned.groupBy("ckey")
+      .agg(countDistinct("split").as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+        .as("straddling_clusters"))
+    assigned.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("ckey").as("n_clusters"))
+      .crossJoin(broadcast(straddle))
+      .orderBy("split", "source")
+  }
+
+  /** q261: padding-waste audit for length-bucketed inference batching —
+    * with sequences padded to their bucket's upper edge (width-128 token
+    * buckets), how many pad tokens does each source burn, absolutely and
+    * in permille of its real tokens? The number that decides whether a
+    * corpus needs length-sorted batching before GPU time is bought.
+    * Token counts are the whitespace tokenizer (q34's), waste =
+    * bucket_upper − len per doc — one narrow pass, |sources| rows,
+    * exact integers. */
+  def q261PaddingWaste(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("len"))
+      .withColumn("upper", expr("(((len - 1) div 128) + 1) * 128"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("real_tokens"),
+        sum(expr("upper - len")).as("pad_tokens"))
+      .select(col("source"), col("n_docs"), col("real_tokens"),
+        col("pad_tokens"),
+        expr("pad_tokens * 1000 div greatest(1L, real_tokens)")
+          .as("waste_permille"))
+      .orderBy("source")
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2589,11 +2640,48 @@ object CurationQueries {
     "q252_perceptron" -> (q252Perceptron _),
     "q253_cube_pricing" -> (q253CubePricing _),
     "q258_subject_export" -> (q258SubjectExport _),
-    "q259_window_ranks" -> (q259WindowRanks _))
+    "q259_window_ranks" -> (q259WindowRanks _),
+    "q260_leakage_safe_split" -> (q260LeakageSafeSplit _),
+    "q261_padding_waste" -> (q261PaddingWaste _))
 
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q260_leakage_safe_split" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS ckey
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, ckey,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    ('0x' || substring(md5(ckey), 1, 15))::BIGINT % 10 AS b
+        |    FROM docs)),
+        |st AS (
+        |  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS straddling_clusters
+        |  FROM (SELECT ckey, count(DISTINCT split) AS n_splits
+        |        FROM a GROUP BY ckey))
+        |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+        |  st.straddling_clusters
+        |FROM a, st GROUP BY split, source, st.straddling_clusters
+        |ORDER BY split, source""".stripMargin,
+    "q261_padding_waste" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, len, (((len - 1) // 128) + 1) * 128 AS upper
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS real_tokens,
+        |  CAST(sum(upper - len) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(upper - len) * 1000 // greatest(1, sum(len)) AS BIGINT)
+        |    AS waste_permille
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
     "q258_subject_export" ->
       """WITH subj AS (
         |  SELECT o_custkey AS s FROM orders GROUP BY 1

@@ -48,7 +48,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q232_column_profile", // 10-row decile spine against each column's value histogram
     "q237_segment_migration", // broadcast 1-row midpoint + two 1-row tercile-bound aggregates
     "q244_coverage_gaps", // broadcast 1-row hour-bounds aggregate exploded into the calendar spine
-    "q249_modularity") // broadcast 1-row edge-count aggregate against the |brands|-row moment table
+    "q249_modularity", // broadcast 1-row edge-count aggregate against the |brands|-row moment table
+    "q260_leakage_safe_split") // broadcast 1-row straddle-audit aggregate against the |splits|x|sources| report
 
   /** Unpartitioned windows over BOUNDED post-aggregate input (q58: one
     * row per calendar day; q106: one row per source — the window input is
