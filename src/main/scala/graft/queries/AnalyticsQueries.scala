@@ -19,17 +19,10 @@ object AnalyticsQueries {
   private def cents(c: Column): Column =
     c.cast("decimal(18,2)").multiply(100).cast("long")
 
-  /** Distinct undirected co-purchase edges (pa < pb): parts appearing in
-    * the same order, each pair once. Same derivation as the weighted
-    * variant in [[ScaleQueries]] minus the multiplicity. */
+  /** Distinct undirected co-purchase edges (pa < pb), read from the
+    * SHARED written table ([[graft.sources.CoPurchaseGraph]]). */
   private def coPurchaseDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("pa"), col("ps"))
-      .select(col("pa"), explode(col("ps")).as("pb"))
-      .filter(col("pa") < col("pb"))
-      .distinct()
+    graft.sources.CoPurchaseGraph.distinctEdges(s, dir)
 
   // ------------------------------------------------------------- queries
 
@@ -196,12 +189,9 @@ object AnalyticsQueries {
       .select("l_orderkey", "l_partkey").distinct()
     val nb = baskets.agg(countDistinct("l_orderkey").as("nb"))
     val itemSup = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-    val pairSup = baskets.groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("pa"), col("ps"))
-      .select(col("pa"), explode(col("ps")).as("pb"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+    // per-pair distinct-order support IS the shared table's norders
+    val pairSup = graft.sources.CoPurchaseGraph.weighted(s, dir)
+      .select(col("pa"), col("pb"), col("norders").as("cab"))
       .filter(col("cab") >= 3)
     val rules = pairSup.select(col("pa").as("ante"), col("pb").as("cons"), col("cab"))
       .unionAll(pairSup.select(col("pb").as("ante"), col("pa").as("cons"), col("cab")))

@@ -293,16 +293,9 @@ object CurationQueries {
   def q173HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
     // the distinct edge list feeds THREE consumers (degree ranking, the
     // walk's adjacency, and its own re-normalization inside the operator)
-    // — checkpoint it once so the collect_set+double-explode derivation
-    // runs once, not per consumer
-    val und = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("pa"), col("ps"))
-      .select(col("pa"), explode(col("ps")).as("pb"))
-      .filter(col("pa") < col("pb"))
-      .distinct()
-      .localCheckpoint()
+    // — all read the SHARED written table, so each consumer pays a
+    // parquet scan of |pairs| rows, never the corpus-scale derivation
+    val und = graft.sources.CoPurchaseGraph.distinctEdges(s, dir)
     val adj = und.select(col("pa").as("node"))
       .unionAll(und.select(col("pb").as("node")))
     val landmarks = adj.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1006,9 +999,8 @@ object CurationQueries {
     * ([[graft.operators.CheapestPath.distances]]), so the oracle's
     * unrolled relaxations agree exactly. */
   def q209CheapestPath(s: SparkSession, dir: String): DataFrame = {
-    val weighted = coPurchasePairs(s, dir)
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
-      .withColumn("cost", greatest(lit(1L), expr("10000L div cnt")))
+    val weighted = graft.sources.CoPurchaseGraph.weighted(s, dir)
+      .withColumn("cost", greatest(lit(1L), expr("10000L div norders")))
     val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#12")
       .select(col("p_partkey").as("node"))
     graft.operators.CheapestPath.distances(weighted, "pa", "pb", "cost",
@@ -1251,7 +1243,7 @@ object CurationQueries {
     * edges q1's bound outgrows a long; the 100-TB run pre-divides the
     * moments by a power of two first — r is scale-free.) */
   def q215Assortativity(s: SparkSession, dir: String): DataFrame = {
-    val und = coPurchasePairs(s, dir).select("pa", "pb").distinct()
+    val und = graft.sources.CoPurchaseGraph.distinctEdges(s, dir)
     val adj = und.unionAll(und.select(col("pb").as("pa"), col("pa").as("pb")))
     val deg = adj.groupBy("pa").agg(count(lit(1)).as("d"))
     val pairs = adj
@@ -1793,12 +1785,11 @@ object CurationQueries {
     * replays the exact same rounds, empty frontiers included. */
   def q233DiameterSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // checkpoint the edge list once: the seed pick, both sweeps and the
-    // final collect are separate actions, and without this each re-runs
-    // the basket-pair derivation (the q173 precedent; measured 10.9 s ->
-    // ~6 s at sf0.1)
-    val und = coPurchasePairs(s, dir).select("pa", "pb").distinct()
-      .localCheckpoint()
+    // the seed pick, both sweeps and the final collect are separate
+    // actions — each re-reads the SHARED written edge table (|pairs|-row
+    // parquet scan), never the corpus-scale basket-pair derivation the
+    // pre-table version had to checkpoint against
+    val und = graft.sources.CoPurchaseGraph.distinctEdges(s, dir)
     val adj = und.unionAll(und.select(col("pb").as("pa"), col("pa").as("pb")))
     val seed1 = adj.groupBy("pa").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("pa")).limit(1)
@@ -2141,17 +2132,6 @@ object CurationQueries {
       .orderBy("event_type")
   }
 
-  /** The per-order co-purchase pair stream (one row per order per
-    * unordered part pair) — the ScaleQueries derivation shape: one scan,
-    * one shuffle keyed by order, fan-out bounded by basket size. */
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("pa"), col("ps"))
-      .select(col("pa"), explode(col("ps")).as("pb"))
-      .filter(col("pa") < col("pb"))
-
   /** Unrolled (min, +) relaxation oracle — the widest-path oracle's
     * semiring swap: seeds at 0, round r takes min(previous, neighbor +
     * edge cost). Monotone integers, engine-at-R equals oracle-at-R. */
@@ -2292,7 +2272,7 @@ object CurationQueries {
     * 4m·e_c exact at any edge count; the signed contribution divides the
     * magnitude and multiplies the sign back (div/floor portability). */
   def q249Modularity(s: SparkSession, dir: String): DataFrame = {
-    val und = coPurchasePairs(s, dir).distinct().localCheckpoint()
+    val und = graft.sources.CoPurchaseGraph.distinctEdges(s, dir)
     val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
     val e = und
       .join(broadcast(brand.select(col("p_partkey").as("pa"),

@@ -207,7 +207,8 @@ object ScaleQueries {
     * fixpoint are no-ops, so the two agree exactly (the PageRank
     * unrolled-iteration precedent). */
   def q146KCore(s: SparkSession, dir: String): DataFrame =
-    graft.operators.KCore.kCore(coPurchaseEdges(s, dir), "pa", "pb",
+    graft.operators.KCore.kCore(
+        graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb",
         k = 80, maxRounds = 12)
       .select(col("node").as("part"), col("core_deg"))
 
@@ -219,7 +220,8 @@ object ScaleQueries {
     * replays the SAME 3 rounds unrolled in SQL and the labels agree
     * bit-for-bit (the PageRank unrolled-iteration precedent). */
   def q148LabelProp(s: SparkSession, dir: String): DataFrame =
-    graft.operators.LabelProp.communities(coPurchaseEdges(s, dir), "pa", "pb",
+    graft.operators.LabelProp.communities(
+        graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb",
         rounds = 3)
       .select(col("node").as("part"), col("label").as("community"))
 
@@ -233,7 +235,8 @@ object ScaleQueries {
   def q149BfsHops(s: SparkSession, dir: String): DataFrame = {
     val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#11")
       .select(col("p_partkey").as("node"))
-    graft.operators.Bfs.hopDistances(coPurchaseEdges(s, dir), "pa", "pb",
+    graft.operators.Bfs.hopDistances(
+        graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb",
         seeds, "node", maxHops = 2)
       .select(col("node").as("part"), col("dist"))
   }
@@ -246,8 +249,8 @@ object ScaleQueries {
     * linked"). Integer min/max throughout, so the oracle's unrolled
     * relaxations agree exactly. */
   def q151WidestPath(s: SparkSession, dir: String): DataFrame = {
-    val weighted = coPurchaseEdges(s, dir)
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+    val weighted = graft.sources.CoPurchaseGraph.weighted(s, dir)
+      .select(col("pa"), col("pb"), col("norders").as("w"))
     val seeds = Tables.part(s, dir).filter(col("p_brand") === "Brand#11")
       .select(col("p_partkey").as("node"))
     graft.operators.WidestPath.capacities(weighted, "pa", "pb", "w",
@@ -1080,21 +1083,9 @@ object ScaleQueries {
     * 100 TB. The oracle re-counts with a DIFFERENT algorithm — naive
     * id-ordered enumeration over the canonical a<b edge list — so the
     * hash match is algorithm-independent agreement, not a mirror. */
-  // pair generation via per-order part sets, not a lineitem self-join:
-  // one scan + one shuffle keyed by order, and the collected set is
-  // bounded by the order's line count (≤ 7 in this schema) — emitting
-  // each unordered pair once, where the self-join would scan the fact
-  // table twice and shuffle both ordered directions
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("pa"), col("ps"))
-      .select(col("pa"), explode(col("ps")).as("pb"))
-      .filter(col("pa") < col("pb"))
-
   def q142TriangleCounts(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Triangles.perNodeCounts(coPurchaseEdges(s, dir), "pa", "pb")
+    graft.operators.Triangles.perNodeCounts(
+        graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb")
       .select(col("node").as("part"), col("triangles"))
 
   /** q257: 3-truss of the VETTED co-purchase graph (pairs bought
@@ -1112,9 +1103,8 @@ object ScaleQueries {
     * final support pass over the converged edge set (mirroring the
     * operator's output pass exactly). */
   def q257KTruss(s: SparkSession, dir: String): DataFrame = {
-    val vetted = coPurchaseEdges(s, dir)
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
+    val vetted = graft.sources.CoPurchaseGraph.weighted(s, dir)
+      .filter(col("norders") >= 2)
       .select("pa", "pb")
     graft.operators.KTruss.kTruss(vetted, "pa", "pb", k = 3, maxRounds = 25)
       .orderBy("a", "b")
@@ -1168,7 +1158,8 @@ object ScaleQueries {
     * counts are exact integers; the coefficient is the single per-row
     * IEEE division 2T/(d·(d−1)), bit-identical on any engine. */
   def q144Clustering(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Triangles.perNodeStats(coPurchaseEdges(s, dir), "pa", "pb")
+    graft.operators.Triangles.perNodeStats(
+        graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb")
       .select(col("node").as("part"), col("degree"), col("triangles"), col("coeff"))
 
   // q255 bootstrap: the two schema vintages are written ONCE per
@@ -1240,7 +1231,19 @@ object ScaleQueries {
           .as("n_kinds"))
   }
 
+  /** q262: the SHARED co-purchase graph table ITSELF — every (pa, pb,
+    * norders) row of the written table every graph query now reads
+    * ([[graft.sources.CoPurchaseGraph]]). The oracle re-derives the
+    * pairs and distinct-order counts from lineitem, so one wrong pair,
+    * one miscounted order, or one row lost anywhere in the
+    * build→write→read chain breaks the hash — the materialization check
+    * that lets q142-q257 trust the table (the q81/q89 written-corpus
+    * precedent). */
+  def q262CopurchaseGraph(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CoPurchaseGraph.weighted(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_copurchase_graph" -> (q262CopurchaseGraph _),
     "q255_merge_schema" -> (q255MergeSchema _),
     "q256_corrupt_quarantine" -> (q256CorruptQuarantine _),
     "q257_ktruss" -> (q257KTruss _),
@@ -1556,6 +1559,15 @@ object ScaleQueries {
       |  GROUP BY part)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // count(DISTINCT orderkey), not count(*): a part repeated within one
+    // order must not inflate the pair's support (collect_set semantics)
+    "q262_copurchase_graph" ->
+      """SELECT least(x.l_partkey, y.l_partkey) AS pa,
+        |  greatest(x.l_partkey, y.l_partkey) AS pb,
+        |  CAST(count(DISTINCT x.l_orderkey) AS BIGINT) AS norders
+        |FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2""".stripMargin,
     "q257_ktruss" -> ktrussOracleSql(k = 3, rounds = 25),
     "q255_merge_schema" ->
       """SELECT CASE WHEN month(o_orderdate) > 6 THEN o_orderpriority
