@@ -86,8 +86,16 @@ object ScaleBench {
     }
 
   private def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
-    val marker = new java.io.File(s"$out/_BUILT_x$n")
-    if (marker.isFile) { println(s"[scale] reusing $out (x$n)"); return }
+    // ONE marker whose CONTENT records (src, n): a directory built x30 and
+    // later requested x10 must rebuild, not silently serve the x30 data —
+    // per-replication marker files left both behind and the stale one won
+    val marker = new java.io.File(s"$out/_BUILT")
+    val want = s"$src x $n\n"
+    if (marker.isFile &&
+        java.nio.file.Files.readString(marker.toPath) == want) {
+      println(s"[scale] reusing $out (x$n)"); return
+    }
+    if (marker.isFile) marker.delete() // stale build: different src or n
     println(s"[scale] building $out = $src x $n")
     val shards = spark.sparkContext.defaultParallelism
     Offsets.foreach { case (table, offs) =>
@@ -100,7 +108,7 @@ object ScaleBench {
       (if (offs.isEmpty) scaled else scaled.repartition(shards))
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
-    java.nio.file.Files.writeString(marker.toPath, s"$src x $n\n")
+    java.nio.file.Files.writeString(marker.toPath, want)
   }
 
   /** Whole-run task-metrics sink; reset per measured query. Also keeps a

@@ -428,12 +428,18 @@ object Multimodal {
     val entries = u32be(p, s + 4)
     if (s + 8 + entries * 8 > e) return None
     var nf = 0L; var ticks = 0L; var k = 0L
-    while (k < entries) {
-      val cnt = u32be(p, s + 8 + (k * 8).toInt)
-      val delta = u32be(p, s + 12 + (k * 8).toInt)
-      nf += cnt; ticks += cnt * delta
-      k += 1
-    }
+    // checked accumulation: a corrupt stts with huge u32 cnt/delta across
+    // many entries can overflow Long and FABRICATE frame/duration metadata;
+    // the loud-failure contract for malformed containers demands None
+    try {
+      while (k < entries) {
+        val cnt = u32be(p, s + 8 + (k * 8).toInt)
+        val delta = u32be(p, s + 12 + (k * 8).toInt)
+        nf = Math.addExact(nf, cnt)
+        ticks = Math.addExact(ticks, Math.multiplyExact(cnt, delta))
+        k += 1
+      }
+    } catch { case _: ArithmeticException => return None }
     if (nf > 0 && ticks > 0) Some((nf, ticks)) else None
   }
 

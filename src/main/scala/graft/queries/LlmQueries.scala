@@ -125,6 +125,21 @@ object LlmQueries {
     Similarity.ivfNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
 
+  /** q263: q46's trained IVF with the cell count DERIVED as
+    * max(2, ⌊√n⌋) instead of pinned — the operator's scale path
+    * (√n cells ⇒ ~√n vectors per cell ⇒ Σcell² ≈ n^1.5/k ≈ n per
+    * probe stage), now correctness-gated: the round-10 scale run showed
+    * the fixed k=4 of q46 leaving a 58 s dominant task on 4 reduce keys
+    * at sf1 while this derived path ran 12× faster — but only as a
+    * ScaleBench variant. The oracle derives the SAME k in SQL
+    * (floor(sqrt(count(*)))) and replays training — sampling (mod-2,
+    * ascending, capped 1000 — a sample ≥ k at every test SF), init,
+    * argmax-cos assignment, per-dimension ordered-fold means —
+    * bit-for-bit, so the adaptive sizing itself is inside the hash. */
+  def q263IvfDerivedK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearestNeighbor(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 0, sampleMod = 2L, maxSample = 1000, iters = 1)
+
   /** q46's trained IVF with the recall dial turned to nprobe=2: same
     * quantizer, each query probes its two best cells. */
   def q91MultiprobeNn(s: SparkSession, dir: String): DataFrame = {
@@ -1327,6 +1342,7 @@ object LlmQueries {
     "q42_jaccard_exact" -> (q42JaccardExact _),
     "q43_cosine_neardup" -> (q43CosineNeardup _),
     "q46_ivf_trained_nn" -> (q46IvfTrainedNn _),
+    "q263_ivf_derived_k" -> (q263IvfDerivedK _),
     "q47_frame_sample" -> (q47FrameSample _),
     "q245_video_meta" -> (q245VideoMeta _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
@@ -1465,6 +1481,49 @@ object LlmQueries {
 
   private lazy val ivfAssignCtes: String = ivfAssignCtesK(4, "embeddings")
 
+  /** [[ivfAssignCtesK]] with the cell count DERIVED in SQL — k =
+    * greatest(2, floor(sqrt(count(*)))), the engine's `k = 0` adaptive
+    * path — and a mod-2 sample (ascending, capped 1000) so the sample
+    * covers k cells at every test SF. Init takes the first k sample rows
+    * via a QUALIFY against the scalar `kk` (a literal LIMIT cannot carry
+    * a derived value). */
+  private lazy val ivfAssignCtesDerived: String =
+    s"""kk AS (
+       |  SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 1000),
+       |init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+       |         list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM (SELECT vec_id, embedding FROM samp
+       |        QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))),
+       |scored0 AS (
+       |  SELECT s.vec_id, s.embedding, i.j,
+       |    ${cosSql("s.embedding", "i.c")} AS cos
+       |  FROM samp s CROSS JOIN init i),
+       |assign0 AS (
+       |  SELECT vec_id, embedding, j FROM scored0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1),
+       |clusters AS (
+       |  SELECT j, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
+       |  FROM assign0 GROUP BY j),
+       |trained AS (
+       |  SELECT j, list_transform(generate_series(1, len(vs[1])), d ->
+       |    list_reduce(list_transform(vs, v -> v[d]::DOUBLE), (x,y) -> x + y) / n) AS c
+       |  FROM clusters),
+       |centroids AS (
+       |  SELECT i.j, coalesce(t.c, i.c) AS c
+       |  FROM init i LEFT JOIN trained t USING (j)),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.j,
+       |    ${cosSql("e.embedding", "c.c")} AS cos
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |assign AS (
+       |  SELECT vec_id, embedding, j FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, j ASC) = 1)""".stripMargin
+
   private val simhashBitSums = (0 until 60)
     .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
     .mkString(", ")
@@ -1571,7 +1630,9 @@ object LlmQueries {
     // container BYTES; the oracle reads the independently stored metadata
     // and replays the integer duration math (mp4: ticks·1000/timescale
     // collapses to nf·1000 div fps under the fixture's delta=1000,
-    // timescale=fps·1000; avi: nf·(10⁶ div fps) div 10³)
+    // timescale=fps·1000; avi: nf·uspf div 10³ from the STORED
+    // dwMicroSecPerFrame — NOT re-derived as 10⁶ div fps, which the
+    // fixture's NTSC-style rows (uspf 41669/33367) deliberately break)
     "q245_video_meta" ->
       s"""SELECT media_id,
          |  CASE WHEN mime = 'video/mp4' THEN 'mp4' ELSE 'avi' END
@@ -1580,7 +1641,7 @@ object LlmQueries {
          |  CAST(n_frames AS INT) AS n_frames, CAST(fps AS INT) AS fps,
          |  CAST(CASE WHEN mime = 'video/mp4'
          |       THEN CAST(n_frames AS BIGINT) * 1000 // fps
-         |       ELSE CAST(n_frames AS BIGINT) * (1000000 // fps) // 1000
+         |       ELSE CAST(n_frames AS BIGINT) * uspf // 1000
          |       END AS BIGINT) AS duration_ms
          |FROM read_parquet('$media') WHERE mime LIKE 'video/%'""".stripMargin,
     "q48_thumb_spec" ->
@@ -1967,6 +2028,16 @@ object LlmQueries {
     // capped), same init (first 4), same argmax-cos assignment (QUALIFY cos
     // DESC, j ASC mirrors the engine's strict-> scan), same per-dimension
     // ordered-left-fold mean / count — so centroids, cells, and NNs all match
+    // the derived-k twin of q46: kk (= greatest(2, floor(sqrt(n)))) sits
+    // INSIDE the oracle, so the adaptive sizing is itself hash-checked
+    "q263_ivf_derived_k" ->
+      s"""WITH $ivfAssignCtesDerived,
+         |nn AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b ON a.j = b.j AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_id FROM nn
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
     "q46_ivf_trained_nn" ->
       s"""WITH $ivfAssignCtes,
          |nn AS (

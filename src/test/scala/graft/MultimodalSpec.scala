@@ -29,7 +29,8 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val stored = spark.read.parquet(fixture)
       .filter(col("mime").startsWith("video/"))
       .select(col("media_id"), col("mime"), col("width").as("m_w"),
-        col("height").as("m_h"), col("n_frames").as("m_nf"), col("fps").as("m_fps"))
+        col("height").as("m_h"), col("n_frames").as("m_nf"), col("fps").as("m_fps"),
+        col("uspf"))
     val joined = parsed.join(stored, "media_id")
     assert(joined.count() == 27) // 15 mp4 + 12 avi
     val mismatches = joined.filter(
@@ -38,10 +39,12 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         (col("container") === "mp4") =!= (col("mime") === "video/mp4") ||
         // mp4 duration: ticks·1000/timescale = nf·1000/fps exactly (the
         // fixture's delta=1000, timescale=fps·1000); avi: nf·µspf/1000
+        // from the STORED dwMicroSecPerFrame (the NTSC-style rows carry
+        // uspf != 1000000//fps, so re-derivation would be wrong)
         when(col("container") === "mp4",
           col("duration_ms") =!= expr("CAST(n_frames AS BIGINT) * 1000 DIV fps"))
           .otherwise(col("duration_ms") =!=
-            expr("CAST(n_frames AS BIGINT) * (1000000 DIV fps) DIV 1000")))
+            expr("CAST(n_frames AS BIGINT) * uspf DIV 1000")))
       .count()
     assert(mismatches == 0)
   }

@@ -155,11 +155,12 @@ def list_chunk(form, body):
     return riff_chunk(b"LIST", form + body)
 
 
-def avi_bytes(i, w, h, nf, fps):
+def avi_bytes(i, w, h, nf, uspf, fps):
     """A minimal but REAL AVI: RIFF 'AVI ' with the hdrl header list a
     demuxer walks to the avih main header, stream list included, odd-size
-    JUNK so the walk must pad, one frame chunk in movi."""
-    uspf = 1000000 // fps
+    JUNK so the walk must pad, one frame chunk in movi. uspf is passed in
+    (NOT re-derived from fps) so fixtures can carry NTSC-style rates where
+    dwMicroSecPerFrame != 1000000//fps."""
     avih = riff_chunk(b"avih",
                       le32(uspf) + le32(0) + le32(0) + le32(0x10)   # HASINDEX
                       + le32(nf) + le32(0) + le32(1) + le32(0)
@@ -181,7 +182,7 @@ def avi_bytes(i, w, h, nf, fps):
 
 
 ids, mimes, payloads, widths, heights = [], [], [], [], []
-n_bytes, checksums, n_frames, fpss = [], [], [], []
+n_bytes, checksums, n_frames, fpss, uspfs = [], [], [], [], []
 sample_rates, channelss, bitss, n_sampless = [], [], [], []
 for i in range(60):
     mime = MIMES[i % 4]
@@ -330,8 +331,14 @@ for i in range(76, 88):
     w = 80 + (k * 37) % 400
     h = 60 + (k * 23) % 300
     nf = 30 + (k * 17) % 180
-    fps = (12, 24, 25, 30)[k % 4]
-    payload = avi_bytes(i, w, h, nf, fps)
+    # half the rows deviate from the round 1000000//fps tick (NTSC-style
+    # timebases): dwMicroSecPerFrame is the container's authoritative rate,
+    # and the stored fps/uspf metadata derive FROM it — an oracle that
+    # re-derived uspf as 1000000//fps would be wrong on these rows
+    nominal = (12, 24, 25, 30)[k % 4]
+    uspf = 1000000 // nominal + (0, 3, 0, 34)[k % 4]
+    fps = 1000000 // uspf
+    payload = avi_bytes(i, w, h, nf, uspf, fps)
     ids.append(i)
     mimes.append(mime := "video/x-msvideo")
     payloads.append(payload)
@@ -341,10 +348,15 @@ for i in range(76, 88):
     checksums.append(sum(payload) % 9973)
     n_frames.append(nf)
     fpss.append(fps)
+    uspfs.append(uspf)
     sample_rates.append(None)
     channelss.append(None)
     bitss.append(None)
     n_sampless.append(None)
+
+# uspf is only appended in the AVI loop (the last 12 rows); pad the front
+assert len(uspfs) == 12
+uspfs = [None] * (len(ids) - 12) + uspfs
 
 table = pa.table({
     "media_id": pa.array(ids, pa.int64()),
@@ -356,6 +368,7 @@ table = pa.table({
     "checksum": pa.array(checksums, pa.int64()),
     "n_frames": pa.array(n_frames, pa.int32()),
     "fps": pa.array(fpss, pa.int32()),
+    "uspf": pa.array(uspfs, pa.int64()),
     "sample_rate": pa.array(sample_rates, pa.int32()),
     "channels": pa.array(channelss, pa.int32()),
     "bits": pa.array(bitss, pa.int32()),
