@@ -26,6 +26,21 @@ import org.apache.spark.sql.SparkSession
   * a broken query must not read as a fast success.
   */
 object Bench {
+  /** MEASUREMENT-POLICY VERSION, stamped into both the stdout metric line
+    * and BENCH_LOCAL.json so a policy change is visible in the artifact,
+    * not just the commit log (the r9→r10 policy change silently broke
+    * round-over-round per-query comparison). History:
+    *  1  (r1-r9)  session cache persisted across passes — state-writing
+    *     and persist()-heavy queries timed their rep-2+ no-ops.
+    *  2  (r10)    honest measurement: cache + materialized corpus +
+    *     learned-BPE memos dropped between passes.
+    *  3  (r11)    the shared co-purchase edge table (CoPurchaseGraph) is
+    *     amortized BY DESIGN (write-once/read-many, the q102 bucketed-
+    *     table contract): graph queries time the algorithm over the
+    *     written table; pass 1's first graph query pays the one-time
+    *     build, which the median of 3 reps discards. */
+  val MeasurementPolicy = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -127,6 +142,7 @@ object Bench {
     // FULL payload (every query × median/min/IQR) goes to BENCH_LOCAL.json.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""policy":$MeasurementPolicy,""" +
         s""""queries":${obj(_._2)},"queries_median":${obj(_._2)},""" +
         s""""queries_min":${obj(_._3)},"queries_iqr":${obj(_._5)},""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
@@ -167,6 +183,7 @@ object Bench {
       (results.filter(r => r._3 && Headline(r._1)) ++ slowest)
         .map(r => s""""${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,""" +
+      s""""policy":$MeasurementPolicy,""" +
       s""""n_queries":${results.count(_._3)},"queries":$lineQueries,""" +
       s""""failed":$failed,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
   }

@@ -93,6 +93,25 @@ object Profile {
   /** Stage decomposition of q153 link prediction (judge flagged ~50 s cold
     * at sf0.1, with the round-8 persists a measured no-op). */
   def profileQ153(spark: SparkSession, dir: String): Unit = {
+    // A/B: derived edges (the pre-r11 shape) vs the shared written table
+    val undT = graft.sources.CoPurchaseGraph.distinctEdges(spark, dir)
+    println(s"[profile] table scan partitions = ${undT.rdd.getNumPartitions}")
+    time("topPredictions TABLE read")(
+      graft.operators.LinkPredict.topPredictions(undT, hubCap = 200, k = 50))
+    time("topPredictions TABLE mapPar=32")(
+      graft.operators.LinkPredict.topPredictions(undT, hubCap = 200, k = 50,
+        mapParallelism = 32))
+    time("topPredictions TABLE repart32")(
+      graft.operators.LinkPredict.topPredictions(
+        undT.repartition(32, col("pa")), hubCap = 200, k = 50))
+    val undD = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb")).distinct()
+    time("topPredictions DERIVED (r10)")(
+      graft.operators.LinkPredict.topPredictions(undD, hubCap = 200, k = 50))
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_AB_ONLY")) return
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
     time("warmup scan")(li)
     val und = li.groupBy("l_orderkey")

@@ -290,6 +290,65 @@ object ScaleBench {
           s"""{"query":"q153_map_parallel_sf1","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
       }
     }
+    // Variant probe: the DEDUP LADDER measured as a LADDER (the round-10
+    // evidence named exact-first as the mitigation for the content-driven
+    // near-dup quadratic but never measured the composition). The scaled
+    // corpus gives every text REPL exact copies (offsets change doc_id,
+    // not text), so the banded LSH self-join faces multiplicity REPL —
+    // candidate pairs ∝ REPL² per text group. A/B on the SAME input:
+    // direct near-dup vs exact-hash-collapse-then-near-dup.
+    if (only.forall(_.contains("dedup_ladder_ab"))) {
+      def timed(label: String)(body: => Unit): Unit = {
+        try {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"query":"$label","sf1_sec":${math.round(sec * 1000) / 1000.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"shuffle_write_mb":${mb(metrics.shufWrite.get)}%s}""")
+        } catch {
+          case e: Throwable => println(
+            s"""{"query":"$label","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+        }
+      }
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      timed("neardup_direct_sf1") {
+        graft.operators.Dedup.nearDupSurvivors(docs, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("dedup_ladder_sf1") {
+        val keepers = graft.operators.Dedup.exactClusters(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val survivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+        graft.operators.Dedup.nearDupSurvivors(survivors, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // Variant probe: FULL-GRAPH 4-truss at sf0.1 — the un-oriented wedge
+    // form measured 109 s here (NOTES_r10), which is why q257 ships on
+    // the vetted backbone; the degree-oriented support rewrite should
+    // collapse that. Runs on the SOURCE dir (1.2M-edge raw graph).
+    if (only.forall(_.contains("ktruss_full"))) {
+      try {
+        val und = spark.read.parquet(s"$src/lineitem.parquet")
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(col("ps")).as("pa"), col("ps"))
+          .select(col("pa"), explode(col("ps")).as("pb"))
+          .filter(col("pa") < col("pb"))
+          .distinct()
+        metrics.reset()
+        val t0 = System.nanoTime()
+        graft.operators.KTruss.kTruss(und, "pa", "pb", k = 4, maxRounds = 25)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query":"ktruss_full_sf01","sf01_sec":${math.round(sec * 1000) / 1000.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s}""")
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"ktruss_full_sf01","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -37,6 +37,40 @@ object LlmQueries {
     Dedup.exactClusters(d.unionByName(dups), "doc_id", "text")
   }
 
+  /** q264: the DEDUP LADDER — the composition the scale evidence names
+    * as the mitigation for content-driven near-dup quadratics, now a
+    * correctness-gated (and benchable) surface of its own. Rung 1 is the
+    * cheap exact hash-groupBy (one shuffle on a 128-bit content hash),
+    * which removes every literal copy BEFORE a single shingle is minted;
+    * rung 2 runs MinHash-LSH near-dup only on the exact survivors, so
+    * the banded self-join's duplicate multiplicity — the measured
+    * quadratic at x10/x30 (q96 ratio 49 at x30) — is collapsed to 1 per
+    * distinct text ahead of the expensive stage. Input is the q27 corpus
+    * (documents + literal copies of every 10th doc); output is every
+    * corpus doc with its fate: 'exact_dup' (removed by rung 1),
+    * 'near_dup' (removed by rung 2), 'kept'. The oracle replays both
+    * rungs — min-id keeper per md5 cluster, then the all-pairs Jaccard
+    * condition over survivors only. */
+  def q264DedupLadder(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dups = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val corpus = d.unionByName(dups)
+    val keepers = Dedup.exactClusters(corpus, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val exactSurvivors = corpus.join(keepers, Seq("doc_id"), "left_semi")
+    val losers = Dedup.nearDupPairs(exactSurvivors, "doc_id", "text")
+      .select(col("id_b").as("doc_id")).distinct()
+    corpus
+      .join(keepers.withColumn("is_keeper", lit(1)).select("doc_id", "is_keeper"),
+        Seq("doc_id"), "left")
+      .join(losers.withColumn("is_near_loser", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_keeper").isNull, "exact_dup")
+          .when(col("is_near_loser").isNotNull, "near_dup")
+          .otherwise("kept").as("fate"))
+  }
+
   /** Near-dup pairs: MinHash → banded LSH buckets → equi self-join →
     * exact-Jaccard verify at 4/5. Never all-pairs (the oracle IS all-pairs
     * — affordable in DuckDB at verification scale, quadratic-impossible at
@@ -1337,6 +1371,7 @@ object LlmQueries {
     "q36_lang_id" -> (q36LangId _),
     "q37_fingerprint" -> (q37Fingerprint _),
     "q38_neardup_dedup" -> (q38NeardupDedup _),
+    "q264_dedup_ladder" -> (q264DedupLadder _),
     "q39_lsh_ann" -> (q39LshAnn _),
     "q40_simhash_neardup" -> (q40SimhashNeardup _),
     "q42_jaccard_exact" -> (q42JaccardExact _),
@@ -2011,6 +2046,34 @@ object LlmQueries {
         |    i -> ascii(text[i])::BIGINT), (a, b) -> (a*31 + b) % 1000000007) AS poly_fp,
         |  md5(text) AS md5_fp
         |FROM documents""".stripMargin,
+    "q264_dedup_ladder" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |keep AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS keeper_id
+        |  FROM corpus GROUP BY 1),
+        |es AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN keep k ON c.doc_id = k.keeper_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM es)
+        |  WHERE len(w) >= 3),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s)))
+        |SELECT c.doc_id,
+        |  CASE WHEN k.keeper_id IS NULL THEN 'exact_dup'
+        |       WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS fate
+        |FROM corpus c
+        |LEFT JOIN keep k ON c.doc_id = k.keeper_id
+        |LEFT JOIN losers l ON c.doc_id = l.doc_id""".stripMargin,
     "q38_neardup_dedup" ->
       s"""WITH $shingleCte,
          |losers AS (SELECT DISTINCT b.doc_id AS id_b $pairsFrom)
