@@ -349,4 +349,56 @@ object Similarity {
       .agg(max(struct(col("__cos"), (-col("nn_id")).as("__nid"))).as("__best"))
       .select(col("vec_id"), (-col("__best.__nid")).as("nn_id"))
   }
+
+  /** BINARY-QUANTIZED signature: bit i−1 = (vec[i] > 0), dims 1..`bits`
+    * packed into one BIGINT (≤ 60 bits so every mask literal stays a
+    * positive signed long on any engine — the SimHash precedent). This is
+    * the 64×-compression sketch production ANN stacks put in front of the
+    * exact distance: one long per vector, candidate ranking by
+    * XOR+popcount. CONTRACT: every vector has length ≥ `bits` (the
+    * element access fails LOUDLY on shorter vectors — a silently
+    * zero-padded signature would rank garbage). */
+  def signBits(vec: Column, bits: Int = 60): Column = {
+    require(bits >= 1 && bits <= 60, s"bits in [1, 60], got $bits")
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** IVF + binary-quantization rerank — the remaining production ANN
+    * compression after IVF (q46), multi-probe (q91), PQ/ADC (q128):
+    * within each trained IVF cell, candidates are ranked by HAMMING
+    * distance on the 60-bit sign signature (XOR + popcount on one long —
+    * the scan reads 8 bytes/vector instead of d floats), the top
+    * `rerank` per probe survive, and ONLY those pay the exact cosine.
+    * Per-probe state is bounded by the cell (the bucketed-NN argument);
+    * the Hamming top-m is a window over the in-cell candidate stream on
+    * the same partitioning the equi-join produced. Deterministic ties:
+    * (hamming asc, nn_id asc) for the cut, (cos desc, nn_id asc) for the
+    * final pick — both reproducible by an independent engine. */
+  def ivfBqRerank(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[Seq[Double]], rerank: Int,
+                  bits: Int = 60): DataFrame = {
+    require(rerank >= 1, s"rerank >= 1, got $rerank")
+    val assigned = emb.select(col(idCol), col(vecCol),
+      ivfAssign(col(vecCol), centroids).as("__cell"),
+      signBits(col(vecCol), bits).as("__sig"))
+    val a = assigned.select(col("__cell"), col(idCol).as("vec_id"),
+      col(vecCol).as("__va"), col("__sig").as("__sa"))
+    val b = assigned.select(col("__cell"), col(idCol).as("nn_id"),
+      col(vecCol).as("__vb"), col("__sig").as("__sb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__ham"), col("nn_id"))
+    a.join(b, "__cell")
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"), col("__va"), col("__vb"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("__ham"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= rerank)
+      .select(col("vec_id"), col("nn_id"),
+        cosine(col("__va"), col("__vb")).as("__cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("__cos"), (-col("nn_id")).as("__nid"))).as("__best"))
+      .select(col("vec_id"), (-col("__best.__nid")).as("nn_id"))
+  }
 }

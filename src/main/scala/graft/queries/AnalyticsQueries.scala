@@ -59,7 +59,8 @@ object AnalyticsQueries {
     // ahead of the 23 s pay-the-derivation shape this replaced)
     graft.operators.LinkPredict.topPredictions(
       coPurchaseDistinct(s, dir), hubCap = 200, k = 50,
-      mapParallelism = s.sparkContext.defaultParallelism)
+      mapParallelism = math.max(s.sparkContext.defaultParallelism,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt))
 
   /** q154: peak supplier backlog by sweep line — each lineitem is "open"
     * from its order date to its ship date; exploding intervals into
@@ -290,7 +291,41 @@ object AnalyticsQueries {
       .select("event_type", "day", "new_users", "cum_users")
   }
 
+  /** q268: grouped exact OLS — per source, the least-squares fit of
+    * token count against character count (the chars-per-token trend a
+    * tokenizer-budget planner reads per corpus slice), in closed form
+    * with ZERO floating point: slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²)
+    * and intercept = (Sy·den − num·Sx)/(n·den) as sign·(|·|·10⁶ div ·)
+    * fixed-point quotients over DECIMAL(38,0) moments (n ≤ 10⁸ rows and
+    * chars ≤ 10⁴ keep every product under 10³⁸). One map-side-combined
+    * aggregate per source — five moments, no second pass, the same
+    * single-shuffle shape however many rows a source holds. Degenerate
+    * sources (constant x) are filtered by den > 0. */
+  def q268GroupedOls(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"),
+      col("n_chars").cast("decimal(38,0)").as("x"),
+      size(split(lower(col("text")), " ")).cast("decimal(38,0)").as("y"))
+    d.groupBy("source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+      .withColumn("icpt_num", col("sy") * col("den") - col("num") * col("sx"))
+      .withColumn("icpt_den", col("n") * col("den"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        (when(col("num") < 0, -1L).otherwise(1L) *
+          expr("CAST((abs(num) * 1000000) DIV den AS BIGINT)")).as("slope_x1e6"),
+        (when(col("icpt_num") < 0, -1L).otherwise(1L) *
+          expr("CAST((abs(icpt_num) * 1000000) DIV icpt_den AS BIGINT)"))
+          .as("icpt_x1e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_grouped_ols" -> (q268GroupedOls _),
     "q152_skyline" -> (q152Skyline _),
     "q162_assoc_rules" -> (q162AssocRules _),
     "q167_cusum_changepoint" -> (q167CusumChangepoint _),
@@ -307,6 +342,27 @@ object AnalyticsQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q268_grouped_ols" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sx,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(n_chars AS HUGEINT)
+        |      * len(string_split(lower(text), ' '))) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT source, n, sx, sy,
+        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS den
+        |  FROM m WHERE n*sxx - sx*sx > 0)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(num) * 1000000) // den) AS BIGINT) AS slope_x1e6,
+        |  CAST((CASE WHEN sy*den - num*sx < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(sy*den - num*sx) * 1000000) // (n*den)) AS BIGINT)
+        |    AS icpt_x1e6
+        |FROM f ORDER BY source""".stripMargin,
     // The oracle pays the quadratic NOT-EXISTS dominance price the
     // operator's two-phase sort-scan avoids.
     "q152_skyline" ->

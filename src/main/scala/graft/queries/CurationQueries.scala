@@ -2542,7 +2542,30 @@ object CurationQueries {
 
   // ------------------------------------------------------------- registry
 
+  /** q267: the FEATURE-HASHING trick (Weinberger 2009) — every token
+    * maps to one of 64 buckets by a portable 60-bit md5 hash, with a
+    * hash-derived ±1 sign so collisions cancel in expectation, summed
+    * per (doc, bucket): the fixed-width sparse featurization a linear
+    * model (q252's perceptron) trains on without a vocabulary pass.
+    * Dimensionality is FIXED at any corpus size — no vocab table, no
+    * OOV, the property that makes the trick the default featurizer for
+    * streaming/distributed training. One explode + one map-side-
+    * combined aggregate; ≤64 rows per doc. The oracle replays hash,
+    * bucket, and sign bit-for-bit (`md5Long` ≡ DuckDB
+    * `('0x' || substring(md5(tok),1,15))::BIGINT`). */
+  def q267FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    toks.select(col("doc_id"), (col("h") % 64).as("bucket"),
+        when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "bucket").agg(sum("sgn").as("val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_feature_hashing" -> (q267FeatureHashing _),
     "q173_harmonic_centrality" -> (q173HarmonicCentrality _),
     "q174_dim_health" -> (q174DimHealth _),
     "q175_winsorized" -> (q175Winsorized _),
@@ -2627,6 +2650,16 @@ object CurationQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q267_feature_hashing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents))
+        |SELECT doc_id, h % 64 AS bucket,
+        |  CAST(sum(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS val
+        |FROM t GROUP BY doc_id, h % 64""".stripMargin,
     "q260_leakage_safe_split" ->
       """WITH docs AS (
         |  SELECT doc_id, source, md5(lower(trim(text))) AS ckey

@@ -183,6 +183,20 @@ object LlmQueries {
     Similarity.multiProbeNearestNeighbor(emb, "vec_id", "embedding", centroids, nprobe = 2)
   }
 
+  /** q266: IVF + BINARY-QUANTIZATION rerank — the last production ANN
+    * compression missing from the family (q46 IVF, q91 multi-probe,
+    * q128 PQ/ADC): in-cell candidates rank by Hamming distance on a
+    * 60-bit sign signature (8 bytes/vector; XOR+popcount), only the top
+    * 8 per probe pay the exact cosine. Same trained k=4 quantizer as
+    * q46 so the oracle reuses the shared training CTE chain, then
+    * replays signature, Hamming cut, and rerank bit-for-bit. */
+  def q266IvfBqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 4, sampleMod = 10L, maxSample = 1000, iters = 1)
+    Similarity.ivfBqRerank(emb, "vec_id", "embedding", centroids, rerank = 8)
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Byte-level decode of binary image payloads (typed mapPartitions); the
@@ -1378,6 +1392,7 @@ object LlmQueries {
     "q43_cosine_neardup" -> (q43CosineNeardup _),
     "q46_ivf_trained_nn" -> (q46IvfTrainedNn _),
     "q263_ivf_derived_k" -> (q263IvfDerivedK _),
+    "q266_ivf_bq_rerank" -> (q266IvfBqRerank _),
     "q47_frame_sample" -> (q47FrameSample _),
     "q245_video_meta" -> (q245VideoMeta _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
@@ -2101,6 +2116,30 @@ object LlmQueries {
          |  FROM assign a JOIN assign b ON a.j = b.j AND a.vec_id <> b.vec_id)
          |SELECT vec_id, nn_id FROM nn
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
+    // same k=4 quantizer chain as q46; then the 60-bit sign signature,
+    // the Hamming top-8 cut (ties: ham asc, nn_id asc), and the exact
+    // cosine rerank are replayed in SQL
+    "q266_ivf_bq_rerank" ->
+      s"""WITH $ivfAssignCtes,
+         |sig AS (
+         |  SELECT vec_id, j, embedding,
+         |    list_reduce(list_transform(generate_series(1, 60), i ->
+         |      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+         |           ELSE 0::BIGINT END), (x, y) -> x + y) AS sg
+         |  FROM assign),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS ham,
+         |    a.embedding AS ea, b.embedding AS eb
+         |  FROM sig a JOIN sig b ON a.j = b.j AND a.vec_id <> b.vec_id),
+         |topc AS (
+         |  SELECT vec_id, nn_id, ea, eb FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ham, nn_id) <= 8)
+         |SELECT vec_id, nn_id FROM (
+         |  SELECT vec_id, nn_id, ${cosSql("ea", "eb")} AS cos FROM topc)
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos DESC, nn_id) = 1""".stripMargin,
     "q46_ivf_trained_nn" ->
       s"""WITH $ivfAssignCtes,
          |nn AS (

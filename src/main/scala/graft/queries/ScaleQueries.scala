@@ -1242,8 +1242,35 @@ object ScaleQueries {
   def q262CopurchaseGraph(s: SparkSession, dir: String): DataFrame =
     graft.sources.CoPurchaseGraph.weighted(s, dir)
 
+  /** q265: INCREMENTAL maintenance of the co-purchase edge table — the
+    * property that lets [[graft.sources.CoPurchaseGraph]] be kept by
+    * APPEND instead of rebuild at 100 TB. Because every pair is counted
+    * per order and an order is ingestion-atomic, the (pa, pb, norders)
+    * aggregate is MERGEABLE with no cross-batch term: pair counts from
+    * a new order batch simply ADD to the table's counts. The query
+    * splits orders into a base batch (even keys) and a delta batch
+    * (odd keys), aggregates each independently, and merges with one
+    * keyed sum — |pairs_base| + |pairs_delta| rows through the merge
+    * shuffle, never corpus rows. The oracle is q262's FULL rebuild, so
+    * the hash match proves increment ≡ rebuild. */
+  def q265GraphIncrement(s: SparkSession, dir: String): DataFrame = {
+    def pairCounts(li: DataFrame): DataFrame = li
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("norders"))
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val base = pairCounts(li.filter(col("l_orderkey") % 2 === 0))
+    val delta = pairCounts(li.filter(col("l_orderkey") % 2 === 1))
+    base.unionByName(delta)
+      .groupBy("pa", "pb").agg(sum("norders").as("norders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q262_copurchase_graph" -> (q262CopurchaseGraph _),
+    "q265_graph_increment" -> (q265GraphIncrement _),
     "q255_merge_schema" -> (q255MergeSchema _),
     "q256_corrupt_quarantine" -> (q256CorruptQuarantine _),
     "q257_ktruss" -> (q257KTruss _),
@@ -1561,6 +1588,14 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     // count(DISTINCT orderkey), not count(*): a part repeated within one
     // order must not inflate the pair's support (collect_set semantics)
+    // increment ≡ rebuild: same oracle as q262
+    "q265_graph_increment" ->
+      """SELECT least(x.l_partkey, y.l_partkey) AS pa,
+        |  greatest(x.l_partkey, y.l_partkey) AS pb,
+        |  CAST(count(DISTINCT x.l_orderkey) AS BIGINT) AS norders
+        |FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2""".stripMargin,
     "q262_copurchase_graph" ->
       """SELECT least(x.l_partkey, y.l_partkey) AS pa,
         |  greatest(x.l_partkey, y.l_partkey) AS pb,

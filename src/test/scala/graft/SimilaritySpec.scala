@@ -164,4 +164,42 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nn_id")).toMap
     assert(one.keySet == full.keySet)
   }
+
+  test("signBits packs strict sign bits of the leading dims into one long") {
+    val d = Seq((0L, Seq(1f, -2f, 0f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val sig = d.select(Similarity.signBits(col("embedding"), bits = 4).as("s"))
+      .collect().head.getLong(0)
+    // dims: +,-,0,+  -> bits 0 and 3 set (strict > 0: the zero dim is 0)
+    assert(sig == ((1L << 0) | (1L << 3)))
+    // bit 59 stays a positive long (contract: vector length >= bits)
+    val wide = Seq((0L, Seq.fill(59)(-1f) :+ 1f, 0)).toDF("vec_id", "embedding", "label")
+    val hi = wide.select(Similarity.signBits(col("embedding"), bits = 60))
+      .collect().head.getLong(0)
+    assert(hi == (1L << 59))
+  }
+
+  test("ivfBqRerank with a generous rerank budget equals in-cell exact NN") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 2, sampleMod = 2L, maxSample = 100, iters = 1)
+    // rerank >= cell size: the Hamming cut passes everything, so the
+    // rerank result must equal exact in-cell NN (the q46 machinery)
+    val exact = Similarity.bucketedNearestNeighbor(
+      emb.withColumn("__ivf", Similarity.ivfAssign(col("embedding"), cents)),
+      "vec_id", "embedding", "__ivf")
+    val bq = Similarity.ivfBqRerank(emb, "vec_id", "embedding", cents,
+      rerank = 10000)
+    assert(bq.count() == exact.count())
+    assert(bq.except(exact).count() == 0 && exact.except(bq).count() == 0)
+  }
+
+  test("ivfBqRerank with a tight budget still returns one NN per occupied-cell probe") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 2, sampleMod = 2L, maxSample = 100, iters = 1)
+    val bq = Similarity.ivfBqRerank(emb, "vec_id", "embedding", cents, rerank = 2)
+    val n = emb.count()
+    assert(bq.count() == n) // every cell has >= 2 members at this SF
+    assert(bq.select("vec_id").distinct().count() == n)
+  }
 }
