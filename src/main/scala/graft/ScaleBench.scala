@@ -323,6 +323,30 @@ object ScaleBench {
         graft.operators.Dedup.nearDupSurvivors(survivors, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
       }
+      // CONTAINMENT under the same A/B: the guarded q96 operator must
+      // REFUSE the replicated corpus (candidate budget, factor 8 —
+      // duplicate multiplicity REPL makes Σ probe·df ≈ REPL× postings),
+      // while the ladder (exact collapse first) must pass the SAME
+      // budget and complete. A pass here is the measured form of the
+      // "recall 1.0 whenever the guard passes" contract.
+      val corpus = graft.queries.LlmQueries.q96Corpus(spark, out)
+      timed("containment_direct_guarded_sf1") {
+        val sets = graft.operators.Dedup
+          .shingleSets(corpus, "doc_id", "text", 3).persist()
+        graft.operators.Dedup
+          .containmentPairsExact(sets, 9, 10, maxCandidateFactor = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("containment_ladder_guarded_sf1") {
+        val keepers = graft.operators.Dedup.exactClusters(corpus, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val survivors = corpus.join(keepers, Seq("doc_id"), "left_semi")
+        val sets = graft.operators.Dedup
+          .shingleSets(survivors, "doc_id", "text", 3).persist()
+        graft.operators.Dedup
+          .containmentPairsExact(sets, 9, 10, maxCandidateFactor = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     // Variant probe: FULL-GRAPH 4-truss at sf0.1 — the un-oriented wedge
     // form measured 109 s here (NOTES_r10), which is why q257 ships on

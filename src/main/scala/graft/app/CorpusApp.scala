@@ -1,5 +1,6 @@
 package graft.app
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,7 +112,7 @@ object CorpusApp {
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
         // sever lineage from the path being overwritten (tiny: ≤#sources rows)
-        .localCheckpoint(true)
+        .sever()
     Sinks.overwriteSwap(merged, statsPath)
     val nShards = (nClean + ShardSize - 1) / ShardSize
     Sinks.overwriteSwap(
@@ -200,7 +201,7 @@ object CorpusApp {
       .withColumn("pos", col("pos0") + maxPos)
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("doc_id", "source", "lang", "fp", "n_tokens", "pos", "shard")
-      .localCheckpoint(true)
+      .sever()
     fresh.unpersist() // the eager checkpoint owns the rows now
     Sinks.append(ranked, s"$outDir/corpus")
     spark.catalog.refreshByPath(s"$outDir/corpus")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,10 +42,10 @@ object Bfs {
     // both directions once, reused every round
     val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .sever()
     var visited = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .sever()
     var frontier = visited.select("node")
     var r = 0
     var exhausted = false
@@ -56,8 +57,8 @@ object Bfs {
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
-        .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+        .sever()
+      visited = visited.unionAll(next).sever()
       frontier = next.select("node")
       // bounded driver read: one scalar per round — an empty frontier
       // means every later round is a no-op, so stop shuffling for them
@@ -87,12 +88,12 @@ object Bfs {
       .distinct()
     val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .sever()
     var visited = seeds
       .select(col(labelCol).cast("long").as("lm"), col(seedCol).cast("long").as("node"))
       .distinct()
       .select(col("lm"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .sever()
     var frontier = visited.select("lm", "node")
     var r = 0
     var exhausted = false
@@ -104,8 +105,8 @@ object Bfs {
         .distinct()
         .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
         .select(col("lm"), col("node"), lit(r.toLong).as("dist"))
-        .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+        .sever()
+      visited = visited.unionAll(next).sever()
       frontier = next.select("lm", "node")
       exhausted = next.isEmpty
     }

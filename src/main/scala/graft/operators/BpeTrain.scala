@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,7 +77,7 @@ object BpeTrain {
   def train(vocab: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1 && numMerges <= 4096, s"numMerges out of range: $numMerges")
     var cur = vocab.select(initialSeq(col("word")).as("seq"), col("cnt"))
-      .localCheckpoint() // sever the source lineage once
+      .sever() // sever the source lineage once
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var done = false
@@ -93,7 +94,7 @@ object BpeTrain {
         cur = cur.withColumn("seq",
             org.apache.spark.sql.functions.replace(
               col("seq"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
-          .localCheckpoint()
+          .sever()
         step += 1
       }
     }

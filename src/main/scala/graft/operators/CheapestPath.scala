@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,17 +46,17 @@ object CheapestPath {
     // both directions once, reused every round
     val adj = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
+      .sever()
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .sever()
     for (_ <- 1 to rounds) {
       val relaxed = adj
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .sever()
     }
     dist
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -67,7 +68,7 @@ object Dedup {
     // and drop everything. localCheckpoint materializes the survivors as
     // RDD blocks with no plan back to the path. (On a cluster, prefer a
     // reliable checkpoint dir for fault tolerance; semantics identical.)
-    val kept = survivors.localCheckpoint(true)
+    val kept = survivors.sever()
     if (!kept.isEmpty)
       Sinks.append(kept.select(col("__fp").as("fp"), col(idCol).as("doc_id")), fpTablePath)
     kept.drop("__fp")
@@ -148,7 +149,7 @@ object Dedup {
                           maxRounds: Int = 30): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst")
-    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint(true)
+    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).sever()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -160,7 +161,7 @@ object Dedup {
       val joined = labels.join(prop, labels(idCol) === prop("src"), "left")
         .select(col(idCol), col("cluster_id"),
           coalesce(col("nl"), col("cluster_id")).as("nl2"))
-        .localCheckpoint(true)
+        .sever()
       changed = joined.filter(col("nl2") < col("cluster_id")).count()
       labels = joined.select(col(idCol), least(col("cluster_id"), col("nl2")).as("cluster_id"))
     }
@@ -211,7 +212,7 @@ object Dedup {
           .union(m.select(col("u"), col("m").as("v"))))
     }
     var e = canonical(
-      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint(true)
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).sever()
     var eCount = e.count()
     var stable = false
     var rounds = 0
@@ -219,7 +220,7 @@ object Dedup {
       rounds += 1
       require(rounds <= maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).sever()
       val nextCount = next.count()
       // both sides are distinct sets, so equal counts + empty one-sided
       // difference IS set equality — the second anti-join is redundant
@@ -415,9 +416,25 @@ object Dedup {
     * |A∩B| ≤ |B| forces den·|B| ≥ num·|A|. Exact verify against the full
     * sets, integer threshold arithmetic. Returns (id_a, id_b, n_common,
     * sz_a) with id_a the contained side; recall 1.0 by the prefix-filter
-    * argument, per-doc windows bounded by shingles-per-doc. */
+    * argument, per-doc windows bounded by shingles-per-doc.
+    *
+    * CANDIDATE BUDGET (`maxCandidateFactor` > 0): before the candidate
+    * join runs, the exact candidate volume Σ_sh probe(sh)·df(sh) is
+    * computed from the posting counts (two small aggregates over the
+    * already-persisted index — never the join itself) and the operator
+    * THROWS if it exceeds `maxCandidateFactor` × total postings. The
+    * healthy regime is candidates ≈ O(postings) — rare-first probe
+    * prefixes land on near-unique shingles. The measured pathology (×30
+    * replication → wall ratio 49 at ×30, SCALE_EVIDENCE) is DUPLICATE
+    * MULTIPLICITY: m literal copies of a doc turn each of its candidate
+    * pairs into m², which no prefix filter can see because the copies'
+    * shingles are genuinely shared. Nothing is dropped, so recall stays
+    * 1.0 whenever the guard passes; when it trips, the loud message
+    * names the mitigation (exact-dedup rung FIRST — the q264 ladder —
+    * then containment over survivors). 0 disables the guard. */
   def containmentPairsExact(sets: DataFrame,
-                            thresholdNum: Int, thresholdDen: Int): DataFrame = {
+                            thresholdNum: Int, thresholdDen: Int,
+                            maxCandidateFactor: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the exploded inverted index feeds THREE subtrees (the df
     // table, the probe-prefix build, and the full index side) and Spark
@@ -432,14 +449,39 @@ object Dedup {
     val plen = (col("sz") -
       floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
-    // NOT persisted: the probe prefix feeds exactly one consumer (the
-    // candidate join), so caching it would be a full materialization with
-    // zero reuse — measured ~15% slower on a cold run. Single-use
-    // subtrees pipeline; only multi-consumer ones (inv) cache.
-    val probe = inv.join(dfCounts, "sh")
+    // NOT persisted (unguarded path): the probe prefix feeds exactly one
+    // consumer (the candidate join), so caching it would be a full
+    // materialization with zero reuse — measured ~15% slower on a cold
+    // run. Single-use subtrees pipeline; only multi-consumer ones (inv)
+    // cache. With the budget guard on, the prefix gains a second consumer
+    // (the posting-count estimate) and IS persisted.
+    val probe0 = inv.join(dfCounts, "sh")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= plen)
       .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val probe = if (maxCandidateFactor > 0) probe0.persist() else probe0
+    if (maxCandidateFactor > 0) {
+      // exact pre-join candidate volume from posting counts only —
+      // DECIMAL(38,0) sums because the pathological case this guards
+      // against is precisely the one that overflows a Long product
+      val postings = inv.count()
+      val est = probe.groupBy("sh").agg(count(lit(1)).as("np"))
+        .join(dfCounts, "sh")
+        .agg(coalesce(sum(col("np").cast("decimal(38,0)") * col("df")),
+          lit(0).cast("decimal(38,0)")).as("est"))
+        .first().getDecimal(0)
+      val bound = java.math.BigDecimal.valueOf(maxCandidateFactor)
+        .multiply(java.math.BigDecimal.valueOf(postings))
+      require(est.compareTo(bound) <= 0,
+        s"containment candidate budget exceeded: $est candidate pairs > " +
+          s"$maxCandidateFactor x $postings postings. This regime is " +
+          "duplicate multiplicity (many literal/near-literal copies of " +
+          "the same shingle sets) — the prefix index is provably linear " +
+          "only per distinct content. Run the exact-dedup rung first " +
+          "(Dedup.exactClusters, the q264 ladder) and re-run containment " +
+          "on the survivors; raising maxCandidateFactor instead buys a " +
+          "quadratic join.")
+    }
     val index = inv.select(col("sh"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
     val cands = probe.join(index, Seq("sh"))
       .filter(col("id_a") =!= col("id_b"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -37,21 +38,21 @@ object Hits {
     val e = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("p"))
       .distinct()
-      .localCheckpoint()
+      .sever()
     // authorities start uniform at ONE; hubs are derived in round 1
     var auth = e.select(col("p")).distinct()
       .select(col("p"), lit(One).as("a"))
-      .localCheckpoint()
+      .sever()
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
       hub = rescale(
         e.join(auth, "p").groupBy("s").agg(sum("a").as("v")), "v")
         .withColumnRenamed("v", "h")
-        .localCheckpoint()
+        .sever()
       auth = rescale(
         e.join(hub, "s").groupBy("p").agg(sum("h").as("v")), "v")
         .withColumnRenamed("v", "a")
-        .localCheckpoint()
+        .sever()
     }
     hub.select(lit("hub").as("side"), col("s").as("id"), col("h").as("score"))
       .unionAll(auth.select(lit("auth").as("side"), col("p").as("id"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,7 +43,7 @@ object KCore {
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .sever()
     var nEdges = cur.count()
     var round = 0
     var converged = false
@@ -57,7 +58,7 @@ object KCore {
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .sever()
       val n = next.count() // bounded driver read: one scalar per round
       converged = n == nEdges
       nEdges = n

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -99,7 +100,7 @@ object KTruss {
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .sever()
     var nEdges = cur.count()
     var round = 0
     var converged = false
@@ -108,7 +109,7 @@ object KTruss {
       val next = cur.join(support(cur), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select("a", "b")
-        .localCheckpoint()
+        .sever()
       val n = next.count() // bounded driver read: one scalar per round
       converged = n == nEdges
       nEdges = n

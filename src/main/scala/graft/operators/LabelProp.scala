@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -65,10 +66,10 @@ object LabelProp {
     // both directions once, reused every round
     val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .sever()
     var labels = adj.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .sever()
     for (_ <- 1 to rounds) {
       val nbr = adj
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -83,7 +84,7 @@ object LabelProp {
       labels = cnt.groupBy("node")
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("label"))
-        .localCheckpoint()
+        .sever()
     }
     labels
   }

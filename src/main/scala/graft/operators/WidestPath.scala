@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Sever.SeverOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -48,17 +49,17 @@ object WidestPath {
     // both directions once, reused every round
     val adj = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
+      .sever()
     var cap = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(CapInf).as("cap"))
-      .localCheckpoint()
+      .sever()
     for (_ <- 1 to rounds) {
       val relaxed = adj
         .join(cap.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), least(col("cap"), col("w")).as("cap"))
       cap = cap.unionAll(relaxed)
         .groupBy("node").agg(max(col("cap")).as("cap"))
-        .localCheckpoint()
+        .sever()
     }
     cap
   }

@@ -1051,24 +1051,35 @@ object LlmQueries {
 
   /** Excerpt/quote detection via asymmetric exact containment
     * ([[Dedup.containmentPairsExact]]): corpus plus a deterministic excerpt
-    * — the first max(3, ⌊3n/5⌋) tokens, re-keyed +2·10⁶ — of every 5th
+    * — the first max(3, ⌊3n/5⌋) tokens, re-keyed +10⁹ (clear of every ScaleBench replica id range) — of every 5th
     * doc. Containment |A∩B|/|A| ≥ 9/10 recovers every excerpt→source edge
     * even though each excerpt's JACCARD against its source is far below
     * any near-dup threshold (the q42 operator is structurally blind to
     * subset relations when the container is long — this operator is the
     * complement). The oracle is the all-pairs quadratic scan the prefix
-    * index provably equals. */
-  def q96Containment(s: SparkSession, dir: String): DataFrame = {
+    * index provably equals. The candidate budget (factor 8; healthy
+    * corpora measure ≤ 1× postings at both verify SFs) converts the
+    * measured ×30-duplication quadratic into a loud refusal naming the
+    * dedup-ladder mitigation — recall stays 1.0 whenever it passes,
+    * which the oracle hash proves. */
+  /** q96's corpus (docs + re-keyed excerpts) — shared with ScaleBench's
+    * containment-ladder probe so the scale evidence measures exactly the
+    * corpus the guarded query refuses. */
+  private[graft] def q96Corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val excerpts = d
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(col("doc_id") % 5 === 0)
       .withColumn("n", size(col("w")))
-      .select((col("doc_id") + 2000000L).as("doc_id"),
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
         concat_ws(" ", slice(col("w"), lit(1),
           expr("greatest(3, (n * 3) div 5)").cast("int"))).as("text"))
-    val sets = Dedup.shingleSets(d.unionByName(excerpts), "doc_id", "text", 3).persist()
-    Dedup.containmentPairsExact(sets, 9, 10)
+    d.unionByName(excerpts)
+  }
+
+  def q96Containment(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(q96Corpus(s, dir), "doc_id", "text", 3).persist()
+    Dedup.containmentPairsExact(sets, 9, 10, maxCandidateFactor = 8)
   }
 
   /** Product-quantized ANN search ([[graft.operators.Pq]]): 64-dim
@@ -2265,7 +2276,7 @@ object LlmQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000 AS doc_id,
+        |  SELECT doc_id + 1000000000 AS doc_id,
         |    array_to_string(list_slice(w, 1, greatest(3, (len(w) * 3) // 5)), ' ') AS text
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
         |        FROM documents WHERE doc_id % 5 = 0)),

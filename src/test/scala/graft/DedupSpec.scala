@@ -207,6 +207,48 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("containment candidate budget: recall-preserving when it passes, loud on duplication") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (1L to 20L).map { id =>
+      id -> (0 until 22).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val sets = Dedup.shingleSets(docs(base: _*), "doc_id", "text", 3)
+    // guard on vs guard off over a healthy (distinct-content) corpus:
+    // identical output — the budget drops nothing, ever
+    val off = Dedup.containmentPairsExact(sets, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val on = Dedup.containmentPairsExact(sets, 9, 10, maxCandidateFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(on == off)
+
+    // pathological duplicate multiplicity: 100 literal copies of each doc
+    // (the ScaleBench replication pattern, deeper) — est grows ~m× the
+    // base ratio (~0.15× postings here), crossing the factor-8 budget
+    // around m ≈ 55; the guard must refuse, naming the ladder mitigation
+    val dup = base.flatMap { case (id, t) =>
+      (0 until 100).map(r => (id + 1000L * r, t))
+    }
+    val dupSets = Dedup.shingleSets(docs(dup: _*), "doc_id", "text", 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairsExact(dupSets, 9, 10, maxCandidateFactor = 8).count()
+    }
+    assert(e.getMessage.contains("exact-dedup rung first") ||
+      e.getMessage.contains("exactClusters"))
+    // and the named mitigation actually clears the same budget: collapse
+    // exact copies, rerun guarded — completes, output equals the
+    // distinct-content result
+    val keepers = Dedup.exactClusters(docs(dup: _*), "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val survivors = docs(dup: _*).join(keepers, Seq("doc_id"), "left_semi")
+    val ladder = Dedup.containmentPairsExact(
+      Dedup.shingleSets(survivors, "doc_id", "text", 3), 9, 10,
+      maxCandidateFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ladder == off)
+  }
+
   test("jaccardPairsExact stays exact on a deliberately skewed corpus (hot shared shingles)") {
     // every doc shares the same hot 6-word prefix (one shingle posting list
     // holds the ENTIRE corpus — the worst skew the index join can see),

@@ -211,15 +211,16 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
         assert(cachedScans.length >= 3,
           s"$name: expected >=3 cached shingle-table scans, got ${cachedScans.length}")
         if (name == "q96_containment") {
-          // the probe prefix (sh, id_a, sz_a) has exactly ONE consumer, so
-          // it must NOT be separately cached (a single-use materialization
-          // measured ~2x slower cold); its inv input is cache-served, which
-          // the >=3 InMemoryTableScan assertion above already pins
+          // with the candidate-budget guard on, the probe prefix gains a
+          // second consumer (the posting-count estimate already ran it
+          // once at guard time), so the candidate join MUST read it from
+          // cache — recomputing the window-over-index subtree for the
+          // join would pay the prefix build twice
           val probeCached = cachedScans.exists(
             _.output.map(_.name).toSet == Set("sh", "id_a", "sz_a"))
-          assert(!probeCached,
-            s"$name: single-consumer probe prefix is being cached — " +
-              "pure materialization overhead on a cold run")
+          assert(probeCached,
+            s"$name: guarded probe prefix not cache-served — the " +
+              "candidate join is recomputing the prefix build")
         }
       }
     } finally spark.sharedState.cacheManager.clearCache()

@@ -67,6 +67,57 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(table).sort("k").as[(Long, String)].collect().toSeq == rows)
   }
 
+  test("streamUpsert crash mid-run: restart on the same checkpoint equals the single clean run") {
+    // The at-least-once recovery contract, exercised at its worst-case
+    // window: the injected crash lands AFTER the batch's merge side
+    // effect but BEFORE the checkpoint commit, so the restart REPLAYS
+    // that batch — and the keyed merge must absorb the replay
+    // idempotently. maxFilesPerTrigger=1 splits the backlog into one
+    // batch per file so there is a genuine "mid-run" to die in.
+    val src = Files.createTempDirectory("graft-cr-src-").toString
+    val table = Files.createTempDirectory("graft-cr-t-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-cr-ck-").toString
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+    Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    Seq((4L, "d")).toDF("k", "v").write.mode("append").parquet(src)
+
+    val failing = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Sinks.upsert(batch.sparkSession, table, batch.toDF(), Seq("k"))
+        if (id == 0L)
+          throw new RuntimeException("injected crash: merged but uncommitted")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      failing.awaitTermination()
+    }
+    assert(e.getMessage.contains("injected crash"))
+    // the crash window is real: batch 0's merge landed, the rest did not
+    val partial = spark.read.parquet(table).count()
+    assert(partial > 0 && partial < 4, s"expected a mid-run table, got $partial rows")
+
+    // restart the REAL operator on the kept checkpoint: batch 0 replays
+    // into the idempotent merge, the remaining files process once
+    Streams.streamUpsert(spark.readStream.schema(schema).parquet(src), table, Seq("k"), ckpt)
+    val recovered = spark.read.parquet(table).sort("k")
+      .as[(Long, String)].collect().toSeq
+
+    // reference: one clean uninterrupted run over the same source
+    val table2 = Files.createTempDirectory("graft-cr-t2-").toString + "/t"
+    val ckpt2 = Files.createTempDirectory("graft-cr-ck2-").toString
+    Streams.streamUpsert(spark.readStream.schema(schema).parquet(src), table2, Seq("k"), ckpt2)
+    val clean = spark.read.parquet(table2).sort("k")
+      .as[(Long, String)].collect().toSeq
+    assert(recovered == clean)
+    assert(recovered == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("corpusIngest: streamed batches grow the corpus exactly once; replay run is a no-op") {
     val src = Files.createTempDirectory("graft-ci-src-").toString
     val out = Files.createTempDirectory("graft-ci-out-").toString
