@@ -323,21 +323,35 @@ object ScaleBench {
         graft.operators.Dedup.nearDupSurvivors(survivors, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
       }
-      // CONTAINMENT under the same A/B: the guarded q96 operator must
-      // REFUSE the replicated corpus (candidate budget, factor 8 —
-      // duplicate multiplicity REPL makes Σ probe·df ≈ REPL× postings),
-      // while the ladder (exact collapse first) must pass the SAME
-      // budget and complete. A pass here is the measured form of the
-      // "recall 1.0 whenever the guard passes" contract.
+    }
+    // CONTAINMENT A/B under the candidate budget: the guarded q96
+    // operator must REFUSE the replicated corpus (duplicate multiplicity
+    // REPL makes Σ probe·df ≈ REPL× postings, past factor 8), while the
+    // ladder (exact collapse first) must pass the SAME budget and
+    // complete. A pass here is the measured form of the "recall 1.0
+    // whenever the guard passes" contract.
+    if (only.forall(_.contains("containment_ladder_ab"))) {
+      def timed(label: String)(body: => Unit): Unit = {
+        try {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"query":"$label","sec":${math.round(sec * 1000) / 1000.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"shuffle_write_mb":${mb(metrics.shufWrite.get)}%s}""")
+        } catch {
+          case e: Throwable => println(
+            s"""{"query":"$label","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(300).replace("\"", "'").replace("\n", " ")}"}""")
+        }
+      }
       val corpus = graft.queries.LlmQueries.q96Corpus(spark, out)
-      timed("containment_direct_guarded_sf1") {
+      timed("containment_direct_guarded") {
         val sets = graft.operators.Dedup
           .shingleSets(corpus, "doc_id", "text", 3).persist()
         graft.operators.Dedup
           .containmentPairsExact(sets, 9, 10, maxCandidateFactor = 8)
           .write.format("noop").mode("overwrite").save()
       }
-      timed("containment_ladder_guarded_sf1") {
+      timed("containment_ladder_guarded") {
         val keepers = graft.operators.Dedup.exactClusters(corpus, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
         val survivors = corpus.join(keepers, Seq("doc_id"), "left_semi")
