@@ -2564,7 +2564,34 @@ object CurationQueries {
       .groupBy("doc_id", "bucket").agg(sum("sgn").as("val"))
   }
 
+  /** q270: CROSS-SOURCE copy attribution — for every content hash that
+    * appears under more than one source, how many duplicate pairs link
+    * each source pair (the "who mirrors whom" matrix a curation team
+    * reads before assigning source weights; a source that is mostly
+    * copies of another should not count twice in the mix). Counted from
+    * per-(hash, source) AGGREGATES only — n_a·n_b per shared hash — so
+    * no row-pair join ever materializes however large a duplicate
+    * cluster gets; the per-hash source fan-out bounds the self-join
+    * (≤ |sources| rows per hash). Corpus = documents plus a 'mirror'
+    * copy of every 7th doc (the q27 seeding precedent — the fixture
+    * corpus has no natural cross-source copies). */
+  def q270CopyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val corpus = d.select("source", "text").unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select(lit("mirror").as("source"), col("text")))
+    val cnt = corpus.groupBy(md5(col("text")).as("ckey"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = cnt.select(col("ckey"), col("source").as("source_a"), col("n").as("na"))
+    val b = cnt.select(col("ckey"), col("source").as("source_b"), col("n").as("nb"))
+    a.join(b, "ckey").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("na") * col("nb")).as("n_dup_pairs"),
+        count(lit(1)).as("n_shared_texts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_copy_attribution" -> (q270CopyAttribution _),
     "q267_feature_hashing" -> (q267FeatureHashing _),
     "q173_harmonic_centrality" -> (q173HarmonicCentrality _),
     "q174_dim_health" -> (q174DimHealth _),
@@ -2650,6 +2677,19 @@ object CurationQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q270_copy_attribution" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+        |cnt AS (
+        |  SELECT md5(text) AS ckey, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM corpus GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(a.n * b.n) AS BIGINT) AS n_dup_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_shared_texts
+        |FROM cnt a JOIN cnt b ON a.ckey = b.ckey AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q267_feature_hashing" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -78,6 +78,62 @@ object LlmQueries {
   def q28NeardupPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q269: QUALITY-PRIORITY near-dup keeper — production corpus dedup
+    * keeps the BEST document of each near-dup component, not the
+    * smallest id (the min-id convention of q38 is a determinism
+    * convenience, not a curation policy; the copy worth training on is
+    * the longest/cleanest one). Pipeline: LSH near-dup pairs (q28
+    * machinery) → connected components over the pair graph (similarity
+    * is not transitive — components, not pairs, are the dedup unit) →
+    * per-component argmax by (n_chars desc, doc_id asc). Every shuffle
+    * is keyed (bands, then node ids, then cluster_id); the keeper pick
+    * is one partial-aggregating max(struct) per component. Output: each
+    * component member with its cluster and elected keeper. */
+  def q269QualityKeeper(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text").select("id_a", "id_b")
+    val members = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val cc = Dedup.connectedComponents(members, pairs, "doc_id")
+    val keepers = cc.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("keeper_id"))
+    cc.join(keepers, "cluster_id").select("doc_id", "cluster_id", "keeper_id")
+  }
+
+  /** q271: SOURCE-OVERLAP MinHash matrix — which corpus slices share
+    * content, estimated WITHOUT comparing documents: a source's MinHash
+    * component is the min over its distinct shingles (min of a union =
+    * min of mins — the signature is mergeable, so at 100 TB it folds
+    * per-partition then per-source, 16 longs of state per source).
+    * Pair discovery is an EQUI-JOIN on (seed, min-hash value) — the
+    * banded-LSH shape — so sources with zero colliding components never
+    * meet and there is no all-pairs stage at any source count. Matching
+    * components / 16 estimates source-level Jaccard (reported as
+    * permille, integer div). Uses the portable md5 minhash (q29) so the
+    * oracle replays the signature bit-for-bit. */
+  def q271SourceMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val srcShingle = Dedup.shingleSets(d, "doc_id", "text", 3)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(col("shingles")).as("sh"))
+      .distinct()
+    val sig = srcShingle
+      .select(col("source"),
+        explode(array((0 until 16).map(lit): _*)).as("k"), col("sh"))
+      .groupBy("source", "k")
+      .agg(min(substring(md5(
+        concat(col("k").cast("string"), lit(":"), col("sh"))), 1, 16)).as("mh"))
+    val a = sig.select(col("k"), col("mh"), col("source").as("source_a"))
+    val b = sig.select(col("k"), col("mh"), col("source").as("source_b"))
+    a.join(b, Seq("k", "mh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_match"))
+      .withColumn("est_permille", expr("(n_match * 1000) div 16"))
+  }
+
   /** The MinHash machinery itself, cross-engine-checkable: 4 md5-based
     * signature components per doc (string min over shingles). */
   def q29MinhashSig(s: SparkSession, dir: String): DataFrame = {
@@ -1384,6 +1440,8 @@ object LlmQueries {
     "q171_label_consistency" -> (q171LabelConsistency _),
     "q27_exact_dedup" -> (q27ExactDedup _),
     "q28_neardup_pairs" -> (q28NeardupPairs _),
+    "q269_quality_keeper" -> (q269QualityKeeper _),
+    "q271_source_minhash" -> (q271SourceMinhash _),
     "q29_minhash_sig" -> (q29MinhashSig _),
     "q30_simhash" -> (q30Simhash _),
     "q31_knn_bruteforce" -> (q31KnnBruteforce _),
@@ -1629,6 +1687,47 @@ object LlmQueries {
          |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
          |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
          |$pairsFrom""".stripMargin,
+    // all-pairs Jaccard edges -> recursive min-label reachability (the
+    // q198 pattern) -> keeper = argmax (n_chars desc, doc_id asc)
+    "q269_quality_keeper" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  $pairsFrom),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+         |reach(src, lbl) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src),
+         |lab AS (SELECT src AS doc_id, min(lbl) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT cluster_id, doc_id AS keeper_id FROM lab JOIN documents USING (doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) = 1)
+         |SELECT l.doc_id, l.cluster_id, k.keeper_id
+         |FROM lab l JOIN k USING (cluster_id)""".stripMargin,
+    // per-source distinct shingles x 16 seeds -> min portable md5 hash
+    // per (source, seed); pairs meet only on equal (seed, value)
+    "q271_source_minhash" ->
+      s"""WITH $shingleCte,
+         |ss AS (
+         |  SELECT DISTINCT d.source, x.sh
+         |  FROM (SELECT doc_id, unnest(s) AS sh FROM sh) x
+         |  JOIN documents d USING (doc_id)),
+         |sig AS (
+         |  SELECT source, k,
+         |    min(substring(md5(k || ':' || sh), 1, 16)) AS mh
+         |  FROM ss, generate_series(0, 15) t(k)
+         |  GROUP BY source, k)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_match,
+         |  (count(*) * 1000) // 16 AS est_permille
+         |FROM sig a JOIN sig b ON a.k = b.k AND a.mh = b.mh
+         | AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "q29_minhash_sig" -> {
       val mhs = (0 until 4).map(k =>
         s"list_aggregate(list_transform(s, x -> substring(md5('$k:' || x), 1, 16)), 'min') AS mh$k")
