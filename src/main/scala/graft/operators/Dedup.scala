@@ -449,25 +449,29 @@ object Dedup {
     val plen = (col("sz") -
       floor((col("sz") * thresholdNum + (thresholdDen - 1)) / thresholdDen).cast("int") + 1)
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)
-    // NOT persisted (unguarded path): the probe prefix feeds exactly one
-    // consumer (the candidate join), so caching it would be a full
-    // materialization with zero reuse — measured ~15% slower on a cold
-    // run. Single-use subtrees pipeline; only multi-consumer ones (inv)
-    // cache. With the budget guard on, the prefix gains a second consumer
-    // (the posting-count estimate) and IS persisted.
-    val probe0 = inv.join(dfCounts, "sh")
+    // NOT persisted: the probe prefix feeds exactly one consumer (the
+    // candidate join), so caching it would be a full materialization with
+    // zero reuse — measured ~15% slower on a cold run (and persisting it
+    // for the guard below measured ~2× worse again than simply running
+    // the narrow window subtree twice: the prefix build reads inv from
+    // cache either way, and the stats pass aggregates to one row).
+    // Single-use subtrees pipeline; only multi-consumer ones (inv) cache.
+    val probe = inv.join(dfCounts, "sh")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= plen)
       .select(col("sh"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val probe = if (maxCandidateFactor > 0) probe0.persist() else probe0
     if (maxCandidateFactor > 0) {
-      // exact pre-join candidate volume from posting counts only —
-      // DECIMAL(38,0) sums because the pathological case this guards
-      // against is precisely the one that overflows a Long product
+      // Exact pre-join candidate volume: each probe ROW (one posting of
+      // one doc's prefix) meets df(sh) index rows, so Σ df over probe
+      // rows IS Σ_sh probe(sh)·df(sh) — one narrow aggregate over the
+      // prefix-build subtree, collapsing to a single row before the
+      // driver. DECIMAL(38,0) because the pathological case this guards
+      // against is precisely the one that overflows a Long product.
       val postings = inv.count()
-      val est = probe.groupBy("sh").agg(count(lit(1)).as("np"))
-        .join(dfCounts, "sh")
-        .agg(coalesce(sum(col("np").cast("decimal(38,0)") * col("df")),
+      val est = inv.join(dfCounts, "sh")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= plen)
+        .agg(coalesce(sum(col("df").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("est"))
         .first().getDecimal(0)
       val bound = java.math.BigDecimal.valueOf(maxCandidateFactor)

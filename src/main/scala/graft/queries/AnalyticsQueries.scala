@@ -324,8 +324,44 @@ object AnalyticsQueries {
       .orderBy("source")
   }
 
+  /** q272: ZIPF SPECTRUM slope — does a source's token-frequency
+    * distribution follow a power law, and how steep? Fitted on the
+    * FREQUENCY SPECTRUM (count of tokens per log2-frequency bucket),
+    * not per-token ranks: the rank formulation needs a full
+    * frequency-desc sort per source (a scale-key window this repo's
+    * plan guard bans), while the spectrum is two keyed aggregates and
+    * ≤ 64 points per source at ANY corpus size. Log-log fit with ZERO
+    * floats: ilog2(x) = length(bin(x)) − 1 — a deterministic string
+    * length in both engines — and the q268 closed-form OLS over
+    * DECIMAL(38,0) moments. A Zipfian source shows slope ≈ −(1 + 1/s);
+    * a flat spectrum (synthetic/templated text) shows up immediately —
+    * the corpus-health read this query exists for. */
+  def q272ZipfSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+    val freq = toks.groupBy("source", "tok").agg(count(lit(1)).as("f"))
+    val pts = freq.groupBy(col("source"),
+        (length(bin(col("f"))) - 1).cast("decimal(38,0)").as("x"))
+      .agg(count(lit(1)).as("nt"))
+      .select(col("source"), col("x"),
+        (length(bin(col("nt"))) - 1).cast("decimal(38,0)").as("y"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+      .select(col("source"), col("n").cast("long").as("n_buckets"),
+        (when(col("num") < 0, -1L).otherwise(1L) *
+          expr("CAST((abs(num) * 1000000) DIV den AS BIGINT)")).as("slope_x1e6"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_grouped_ols" -> (q268GroupedOls _),
+    "q272_zipf_spectrum" -> (q272ZipfSpectrum _),
     "q152_skyline" -> (q152Skyline _),
     "q162_assoc_rules" -> (q162AssocRules _),
     "q167_cusum_changepoint" -> (q167CusumChangepoint _),
@@ -342,6 +378,28 @@ object AnalyticsQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q272_zipf_spectrum" ->
+      """WITH f AS (
+        |  SELECT source, tok, count(*) AS f
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT source, CAST(length(bin(f)) - 1 AS HUGEINT) AS x,
+        |    CAST(length(bin(count(*))) - 1 AS HUGEINT) AS y
+        |  FROM f GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM pts GROUP BY source),
+        |g AS (
+        |  SELECT source, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den
+        |  FROM m WHERE n*sxx - sx*sx > 0)
+        |SELECT source, CAST(n AS BIGINT) AS n_buckets,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(num) * 1000000) // den) AS BIGINT) AS slope_x1e6
+        |FROM g ORDER BY source""".stripMargin,
     "q268_grouped_ols" ->
       """WITH m AS (
         |  SELECT source,

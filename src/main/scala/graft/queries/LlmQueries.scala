@@ -113,18 +113,24 @@ object LlmQueries {
     * components / 16 estimates source-level Jaccard (reported as
     * permille, integer div). Uses the portable md5 minhash (q29) so the
     * oracle replays the signature bit-for-bit. */
-  def q271SourceMinhash(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  /** Long-form per-source portable-minhash signature (source, k, mh) over
+    * 16 seeds — min over the source's distinct shingles per seed. Shared
+    * by q271 (pairwise overlap) and q273 (incremental maintenance). */
+  private def sourceSignature(d: DataFrame): DataFrame = {
     val srcShingle = Dedup.shingleSets(d, "doc_id", "text", 3)
       .join(d.select("doc_id", "source"), "doc_id")
       .select(col("source"), explode(col("shingles")).as("sh"))
       .distinct()
-    val sig = srcShingle
+    srcShingle
       .select(col("source"),
-        explode(array((0 until 16).map(lit): _*)).as("k"), col("sh"))
+        explode(array((0 until 16).map(i => lit(i.toLong)): _*)).as("k"), col("sh"))
       .groupBy("source", "k")
       .agg(min(substring(md5(
         concat(col("k").cast("string"), lit(":"), col("sh"))), 1, 16)).as("mh"))
+  }
+
+  def q271SourceMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = sourceSignature(Tables.documents(s, dir))
     val a = sig.select(col("k"), col("mh"), col("source").as("source_a"))
     val b = sig.select(col("k"), col("mh"), col("source").as("source_b"))
     a.join(b, Seq("k", "mh"))
@@ -132,6 +138,23 @@ object LlmQueries {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_match"))
       .withColumn("est_permille", expr("(n_match * 1000) div 16"))
+  }
+
+  /** q273: INCREMENTAL MinHash-signature maintenance — the sketch-append
+    * property that keeps q271's source-overlap matrix fresh at 100 TB
+    * without a corpus rescan: min(sig(A ∪ Δ)) = elementwise
+    * min(sig(A), sig(Δ)), so a new ingest batch only pays its OWN
+    * signature (16 longs of state per source) and one keyed min-merge
+    * over |sources|·16 rows — never the historical corpus. The query
+    * splits documents into a base batch (even doc ids) and a delta batch
+    * (odd), signs each independently, merges by min; the oracle is the
+    * FULL-corpus signature, so the hash match proves increment ≡
+    * rebuild (the q265 pattern, for sketches instead of counts). */
+  def q273SigIncrement(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = sourceSignature(d.filter(col("doc_id") % 2 === 0))
+    val delta = sourceSignature(d.filter(col("doc_id") % 2 === 1))
+    base.unionByName(delta).groupBy("source", "k").agg(min("mh").as("mh"))
   }
 
   /** The MinHash machinery itself, cross-engine-checkable: 4 md5-based
@@ -1442,6 +1465,7 @@ object LlmQueries {
     "q28_neardup_pairs" -> (q28NeardupPairs _),
     "q269_quality_keeper" -> (q269QualityKeeper _),
     "q271_source_minhash" -> (q271SourceMinhash _),
+    "q273_sig_increment" -> (q273SigIncrement _),
     "q29_minhash_sig" -> (q29MinhashSig _),
     "q30_simhash" -> (q30Simhash _),
     "q31_knn_bruteforce" -> (q31KnnBruteforce _),
@@ -1728,6 +1752,17 @@ object LlmQueries {
          |FROM sig a JOIN sig b ON a.k = b.k AND a.mh = b.mh
          | AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+    // increment == rebuild: the oracle signs the FULL corpus in one pass
+    "q273_sig_increment" ->
+      s"""WITH $shingleCte,
+         |ss AS (
+         |  SELECT DISTINCT d.source, x.sh
+         |  FROM (SELECT doc_id, unnest(s) AS sh FROM sh) x
+         |  JOIN documents d USING (doc_id))
+         |SELECT source, k,
+         |  min(substring(md5(k || ':' || sh), 1, 16)) AS mh
+         |FROM ss, generate_series(0, 15) t(k)
+         |GROUP BY source, k""".stripMargin,
     "q29_minhash_sig" -> {
       val mhs = (0 until 4).map(k =>
         s"list_aggregate(list_transform(s, x -> substring(md5('$k:' || x), 1, 16)), 'min') AS mh$k")
