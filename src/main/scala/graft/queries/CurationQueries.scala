@@ -2590,8 +2590,29 @@ object CurationQueries {
         count(lit(1)).as("n_shared_texts"))
   }
 
+  /** q274: K-ANONYMITY release audit — before an events extract leaves
+    * the warehouse, every quasi-identifier combination (event_type, day,
+    * hour) held by FEWER than k=5 distinct users is a re-identification
+    * risk and must be suppressed or generalized. The compliance
+    * complement to q258 (GDPR subject export) and q49 (PII redaction):
+    * those handle direct identifiers, this catches the combinations
+    * that single someone out without any identifier at all. One
+    * two-level keyed aggregate (distinct-user count per combo, partials
+    * map-side); output is only the risky combos — at 100 TB the result
+    * shrinks as data grows (more users per combo), which is exactly the
+    * property that makes the audit cheap to act on. */
+  def q274KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"), col("user_id"))
+      .groupBy("event_type", "day", "hr")
+      .agg(countDistinct("user_id").as("n_users"))
+      .filter(col("n_users") < 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_copy_attribution" -> (q270CopyAttribution _),
+    "q274_k_anonymity" -> (q274KAnonymity _),
     "q267_feature_hashing" -> (q267FeatureHashing _),
     "q173_harmonic_centrality" -> (q173HarmonicCentrality _),
     "q174_dim_health" -> (q174DimHealth _),
@@ -2677,6 +2698,13 @@ object CurationQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q274_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(hour(ts) AS INTEGER) AS hr,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) < 5""".stripMargin,
     "q270_copy_attribution" ->
       """WITH corpus AS (
         |  SELECT source, text FROM documents
