@@ -59,7 +59,13 @@ object ScaleBench {
     "q173_harmonic_centrality", "q208_item_cf", "q233_diameter_sweep",
     "q153_link_predict",
     "q211_abc_classes", "q232_column_profile", "q241_weighted_lag",
-    "q244_coverage_gaps")
+    "q244_coverage_gaps",
+    // round-11 additions: BQ rerank (trained-cell ANN under growth),
+    // quality keeper (near-dup + CC composition), source minhash +
+    // zipf spectrum (per-source state, should be ~flat under
+    // replication), k-anonymity (output SHRINKS as data grows)
+    "q266_ivf_bq_rerank", "q269_quality_keeper", "q271_source_minhash",
+    "q272_zipf_spectrum", "q274_k_anonymity")
 
   /** Per-replica key offsets, disjoint per entity family and sized so
     * max(id) + REPL·offset ≪ 2³¹ for the packed-key id spaces (parts,

@@ -371,30 +371,79 @@ object Similarity {
     * distance on the 60-bit sign signature (XOR + popcount on one long —
     * the scan reads 8 bytes/vector instead of d floats), the top
     * `rerank` per probe survive, and ONLY those pay the exact cosine.
-    * Per-probe state is bounded by the cell (the bucketed-NN argument);
-    * the Hamming top-m is a window over the in-cell candidate stream on
-    * the same partitioning the equi-join produced. Deterministic ties:
-    * (hamming asc, nn_id asc) for the cut, (cos desc, nn_id asc) for the
-    * final pick — both reproducible by an independent engine. */
+    *
+    * The Hamming cut exploits the ≤61-value score domain: it is a
+    * COUNTING THRESHOLD, not a per-pair ranking. Pass 1 histograms
+    * candidates per (probe, hamming) — a codegen hash aggregate whose
+    * reduce side is ≤ 61 rows per probe — and a bounded per-probe
+    * window (≤ 61 rows per key) reads off h* = the largest hamming with
+    * fewer than `rerank` strictly-closer candidates. Pass 2 re-runs the
+    * same codegen join with h* carried on the probe side and keeps
+    * ham ≤ h* in-stage — no candidate row is ever shuffled or fed to
+    * per-row aggregate state. Survivors number `rerank` plus any ties
+    * AT h* (threshold semantics — the honest cut for a discrete score;
+    * a deterministic SET, so the oracle replays it with no tie-order
+    * coordination). Two cheaper designs measured first at ×10: a
+    * row_number window = one 757 s task + 18 GB spill (full sort of the
+    * candidate stream); a TypedImperativeAggregate top-k = 6,670
+    * task-seconds (interpreted per-row update at ~3 µs/candidate). The
+    * counting cut keeps every candidate-volume pass inside
+    * whole-stage codegen. Final pick: (cos desc, nn_id asc), exact. */
   def ivfBqRerank(emb: DataFrame, idCol: String, vecCol: String,
                   centroids: Seq[Seq[Double]], rerank: Int,
                   bits: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(rerank >= 1, s"rerank >= 1, got $rerank")
-    val assigned = emb.select(col(idCol), col(vecCol),
+    // STAGE ISOLATION is load-bearing here: the signature projection is a
+    // ~60-term expression chain (signBits) + the centroid distance fold
+    // (ivfAssign), and when Spark fuses it into the candidate-join stage
+    // the generated processNext exceeds the JIT/codegen method budget and
+    // the WHOLE candidate-volume stage silently drops to interpreted
+    // row-at-a-time execution — measured 245 s vs 5.9 s for the same
+    // 100M-candidate histogram at ×10. The repartition inserts an
+    // exchange so the heavy projection runs once per INPUT row in its
+    // own (codegen) stage and the candidate stage sees only plain
+    // columns. The shuffled payload is (id, cell, 8-byte sig) — narrow,
+    // n-bounded, negligible against the candidate volume it protects.
+    val assigned = emb.select(col(idCol),
       ivfAssign(col(vecCol), centroids).as("__cell"),
       signBits(col(vecCol), bits).as("__sig"))
+      .repartition(col(idCol))
+    // Slice salt: a trained quantizer has FEW cells (k join keys), so a
+    // bare join on __cell caps reduce parallelism at k tasks with a
+    // dominant cell doing most of the work alone. Sharding the index
+    // side into disjoint id-slices (probe side replicated across them)
+    // fans the same candidate volume over k·slices uniform tasks; the
+    // counting cut is slice-oblivious (counts add).
+    val slices = 16
     val a = assigned.select(col("__cell"), col(idCol).as("vec_id"),
-      col(vecCol).as("__va"), col("__sig").as("__sa"))
-    val b = assigned.select(col("__cell"), col(idCol).as("nn_id"),
-      col(vecCol).as("__vb"), col("__sig").as("__sb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("__ham"), col("nn_id"))
-    a.join(b, "__cell")
-      .filter(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"), col("__va"), col("__vb"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("__ham"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= rerank)
+      col("__sig").as("__sa"))
+      .withColumn("__slice", explode(array((0 until slices).map(lit): _*)))
+    val b = assigned.select(col("__cell"),
+      pmod(col(idCol), lit(slices)).as("__slice"), col(idCol).as("nn_id"),
+      col("__sig").as("__sb"))
+    def candidates(probe: DataFrame): DataFrame =
+      probe.join(b, Seq("__cell", "__slice"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("__ham",
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+    // pass 1: per-(probe, hamming) counts — ≤ 61 reduce rows per probe —
+    // then h* = max ham with fewer than `rerank` strictly closer
+    val hist = candidates(a).groupBy("vec_id", "__ham")
+      .agg(count(lit(1)).as("__c"))
+    val wh = Window.partitionBy("vec_id").orderBy("__ham")
+    val thr = hist
+      .withColumn("__before", sum("__c").over(wh) - col("__c"))
+      .filter(col("__before") < rerank)
+      .groupBy("vec_id").agg(max("__ham").as("__hstar"))
+    // pass 2: same codegen join, threshold carried on the probe side,
+    // filtered in-stage — candidate volume never shuffles
+    val kept = candidates(a.join(thr, "vec_id"))
+      .filter(col("__ham") <= col("__hstar"))
+      .select("vec_id", "nn_id")
+    val va = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va"))
+    val vb = emb.select(col(idCol).as("nn_id"), col(vecCol).as("__vb"))
+    kept.join(va, "vec_id").join(vb, "nn_id")
       .select(col("vec_id"), col("nn_id"),
         cosine(col("__va"), col("__vb")).as("__cos"))
       .groupBy("vec_id")

@@ -265,10 +265,12 @@ object LlmQueries {
   /** q266: IVF + BINARY-QUANTIZATION rerank — the last production ANN
     * compression missing from the family (q46 IVF, q91 multi-probe,
     * q128 PQ/ADC): in-cell candidates rank by Hamming distance on a
-    * 60-bit sign signature (8 bytes/vector; XOR+popcount), only the top
-    * 8 per probe pay the exact cosine. Same trained k=4 quantizer as
-    * q46 so the oracle reuses the shared training CTE chain, then
-    * replays signature, Hamming cut, and rerank bit-for-bit. */
+    * 60-bit sign signature (8 bytes/vector; XOR+popcount); only
+    * survivors of the counting-threshold cut (budget 8 per probe, ties
+    * at h* included — see [[Similarity.ivfBqRerank]]) pay the exact
+    * cosine. Same trained k=4 quantizer as q46 so the oracle reuses the
+    * shared training CTE chain, then replays signature, threshold, and
+    * rerank bit-for-bit. */
   def q266IvfBqRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val centroids = Similarity.trainCentroidsLite(
@@ -2262,8 +2264,9 @@ object LlmQueries {
          |SELECT vec_id, nn_id FROM nn
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) = 1""".stripMargin,
     // same k=4 quantizer chain as q46; then the 60-bit sign signature,
-    // the Hamming top-8 cut (ties: ham asc, nn_id asc), and the exact
-    // cosine rerank are replayed in SQL
+    // the counting-threshold Hamming cut (h* = max ham with < 8 strictly
+    // closer; survivors ham <= h*, ties included), and the exact cosine
+    // rerank are replayed in SQL
     "q266_ivf_bq_rerank" ->
       s"""WITH $ivfAssignCtes,
          |sig AS (
@@ -2277,10 +2280,16 @@ object LlmQueries {
          |    CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS ham,
          |    a.embedding AS ea, b.embedding AS eb
          |  FROM sig a JOIN sig b ON a.j = b.j AND a.vec_id <> b.vec_id),
+         |hist AS (SELECT vec_id, ham, count(*) AS c FROM cand GROUP BY 1, 2),
+         |thr AS (
+         |  SELECT vec_id, max(ham) AS hstar FROM (
+         |    SELECT vec_id, ham,
+         |      sum(c) OVER (PARTITION BY vec_id ORDER BY ham) - c AS before
+         |    FROM hist)
+         |  WHERE before < 8 GROUP BY vec_id),
          |topc AS (
-         |  SELECT vec_id, nn_id, ea, eb FROM cand
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ham, nn_id) <= 8)
+         |  SELECT c.vec_id, c.nn_id, c.ea, c.eb
+         |  FROM cand c JOIN thr t ON c.vec_id = t.vec_id AND c.ham <= t.hstar)
          |SELECT vec_id, nn_id FROM (
          |  SELECT vec_id, nn_id, ${cosSql("ea", "eb")} AS cos FROM topc)
          |QUALIFY row_number() OVER (PARTITION BY vec_id
