@@ -193,6 +193,25 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(bq.except(exact).count() == 0 && exact.except(bq).count() == 0)
   }
 
+  test("ivfBqRerank keeps the signature projection behind an exchange (codegen budget)") {
+    // SCALE_EVIDENCE §q266: fusing the ~60-term sign-bit projection into
+    // the candidate stage drops the whole stage out of codegen (245 s vs
+    // 5.9 s at x10). The operator must plan an exchange whose output
+    // carries the computed signature, so the candidate stage reads a
+    // plain column.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroidsLite(
+      emb, "vec_id", "embedding", k = 2, sampleMod = 2L, maxSample = 100, iters = 1)
+    val plan = Similarity.ivfBqRerank(emb, "vec_id", "embedding", cents, rerank = 8)
+      .queryExecution.sparkPlan
+    val sigExchanges = plan.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "__sig") => e
+    }
+    assert(sigExchanges.nonEmpty,
+      "no exchange carries __sig — the signature projection fused into the candidate stage")
+  }
+
   test("ivfBqRerank with a tight budget still returns one NN per occupied-cell probe") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Similarity.trainCentroidsLite(
