@@ -545,6 +545,33 @@ object Relational {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** q275: SCD TYPE-2 dimension history — the other half of CDC (q93
+    * keeps only CURRENT state; a warehouse dimension keeps every
+    * version with its validity interval). Each user's event-type stream
+    * run-length-encodes into versions: a row per (user, consecutive run
+    * of one event_type) with `valid_from` = first ts of the run,
+    * `valid_to` = start of the next run (the classic 9999-12-31
+    * sentinel while current), `is_current` = 1 on the open row. Both
+    * windows are per-user over that user's own history — state bounded
+    * by the hottest key, never the table — ordered deterministically by
+    * (ts, event_id) so ts ties replay identically cross-engine. */
+  def q275Scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sentinel = lit("9999-12-31 00:00:00").cast("timestamp")
+    val e = graft.sources.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = e
+      .withColumn("__prev", lag("event_type", 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    runs
+      .withColumn("valid_to", coalesce(lead("ts", 1).over(w2), sentinel))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to") === sentinel, 1L).otherwise(0L).as("is_current"))
+  }
+
   /** Build the two-version snapshot fixture once per (JVM, sf dir): v1 =
     * per-user event counts EXCLUDING event_id ≡ 0 (mod 3), v2 = counts
     * over everything — two real [[graft.sources.Sinks.writeSnapshot]]
@@ -683,6 +710,7 @@ object Relational {
     "q90_salted_join" -> (q90SaltedJoin _),
     "q92_quality_checks" -> (q92QualityChecks _),
     "q93_cdc_apply" -> (q93CdcApply _),
+    "q275_scd2_history" -> (q275Scd2History _),
     "q94_bloom_join" -> (q94BloomJoin _),
     "q97_snapshot_diff" -> (q97SnapshotDiff _),
     "q98_zorder_scan" -> (q98ZOrderScan _),
@@ -854,6 +882,21 @@ object Relational {
         |      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F') o
         |  ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q275_scd2_history" ->
+      """WITH runs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  QUALIFY prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), TIMESTAMP '9999-12-31 00:00:00')
+        |    AS valid_to,
+        |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM runs""".stripMargin,
     // the change feed is rebuilt with the same deterministic arithmetic;
     // latest-per-key via QUALIFY (seq unique per key by construction, so
     // ORDER BY seq DESC alone fixes the winner)
