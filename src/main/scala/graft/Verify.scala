@@ -4,6 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Returns Some(message) if any timestamp column in the written result
+    * parquet holds a value past 2262-04-11 — the int64-nanosecond horizon
+    * beyond which Arrow-based readers (the driver's hash path) silently
+    * wrap. Reading the artifact back is cheap at verify scale and checks
+    * the bytes that will actually be hashed. */
+  def nsHorizonViolation(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val written = spark.read.parquet(path)
+    val tsCols = written.schema.fields.collect {
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+    }.toSeq
+    if (tsCols.isEmpty) None
+    else {
+      val horizon = lit("2262-04-11 00:00:00")
+      val pred = tsCols.map(c => col(c) > horizon.cast(written.schema(c).dataType))
+        .reduce(_ || _)
+      val nBad = written.filter(pred).count()
+      if (nBad == 0) None
+      else Some(s"ns-portability: $nBad rows carry a timestamp beyond 2262-04-11 " +
+        s"(the int64-ns horizon; wraps under Arrow readers) in [${tsCols.mkString(",")}] " +
+        "— use an ns-representable sentinel, DATE, or a formatted string")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -32,9 +57,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // ns-portability guard (round-11 judge finding): int64 NANOSECONDS
+        // — the parquet/Arrow decode path the driver's hash read uses —
+        // only reach 2262-04-11; a timestamp beyond that (e.g. a
+        // 9999-12-31 SCD2 sentinel) silently WRAPS to garbage under an
+        // ns reader while DuckDB yields the true value, so rows/schema
+        // match but the hash doesn't. Scan the WRITTEN artifact (not the
+        // plan) so whatever representation actually hit disk is what's
+        // checked, and fail the query loudly here rather than in the
+        // driver's opaque hash row.
+        nsHorizonViolation(spark, s"$outDir/$name").foreach(errors(name) = _)
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
         errors(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")

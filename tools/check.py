@@ -10,6 +10,34 @@ and rows by all columns."""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+
+# int64-nanosecond horizon: the driver's hash path reads the Spark result
+# parquet through Arrow, which decodes timestamps as int64 NANOSECONDS
+# (max 2262-04-11). A value past it (e.g. a 9999-12-31 SCD2 sentinel)
+# silently WRAPS under that reader while the DuckDB read below yields the
+# true value — hash mismatch with rows/schema matching (round-11 q275).
+# This gate therefore inspects every timestamp column of the ACTUAL spark
+# artifact through pyarrow before the DuckDB-based value compare.
+NS_HORIZON = pd.Timestamp("2262-04-11")
+
+def ns_violation(result_glob: str):
+    """Returns an error string if any timestamp column in the spark result
+    parquet holds a value past the int64-ns horizon (driver-path hazard)."""
+    import pyarrow.compute as pc
+    for f in glob.glob(result_glob):
+        t = pq.read_table(f)
+        for i, field in enumerate(t.schema):
+            if str(field.type).startswith("timestamp"):
+                col = t.column(i)
+                if len(col) == 0:
+                    continue
+                mx = pc.max(col).as_py()
+                if mx is not None and pd.Timestamp(mx) > NS_HORIZON:
+                    return (f"ns-portability: column {field.name} max {mx} is past "
+                            f"2262-04-11 (int64-ns horizon; wraps under the driver's "
+                            f"arrow hash read)")
+    return None
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -36,6 +64,11 @@ n_pass = n_fail = 0
 for name in sorted(oracles):
     sql = oracles[name]
     try:
+        viol = ns_violation(f"{outdir}/{name}/*.parquet")
+        if viol:
+            print(f"FAIL {name}: {viol}")
+            n_fail += 1
+            continue
         spark_df = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
         oracle_df = con.execute(sql).df()
