@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   * env knobs: SPARK_GRAFT_SCALE_SRC (default /root/testdata/sf0.1),
   * SPARK_GRAFT_SCALE_DIR (default /tmp/graft_sf1),
   * SPARK_GRAFT_SCALE_REPL (default 10),
-  * SPARK_GRAFT_SCALE_ONLY (comma list to restrict queries). */
+  * SPARK_GRAFT_SCALE_ONLY (comma list to restrict queries; the A/B
+  * variant probes — ivf_scaled_cells, q153_map_parallel,
+  * dedup_ladder_ab, containment_ladder_ab, ktruss_full — run ONLY when
+  * named here explicitly: one deliberately refuses and several pay
+  * un-mitigated baselines, which has no place in a default artifact). */
 object ScaleBench {
 
   /** Queries measured: every family with real data-volume exposure —
@@ -251,7 +255,7 @@ object ScaleBench {
     // tasks). The operator's scale path is the DERIVED sizing (k = 0 →
     // √n cells); this measures it at sf1 so the fix is evidence, not a
     // scaladoc claim.
-    if (only.forall(_.contains("ivf_scaled_cells"))) {
+    if (only.exists(_.contains("ivf_scaled_cells"))) {
       try {
         metrics.reset()
         val t0 = System.nanoTime()
@@ -272,7 +276,7 @@ object ScaleBench {
     // operator's mapParallelism knob pins the self-join input partition
     // count explicitly; this measures it at the same sizing rule
     // (|candidates| / 8M ≈ 180 → 256).
-    if (only.forall(_.contains("q153_map_parallel"))) {
+    if (only.exists(_.contains("q153_map_parallel"))) {
       try {
         val und = spark.read.parquet(s"$out/lineitem.parquet")
           .select("l_orderkey", "l_partkey")
@@ -303,7 +307,7 @@ object ScaleBench {
     // not text), so the banded LSH self-join faces multiplicity REPL —
     // candidate pairs ∝ REPL² per text group. A/B on the SAME input:
     // direct near-dup vs exact-hash-collapse-then-near-dup.
-    if (only.forall(_.contains("dedup_ladder_ab"))) {
+    if (only.exists(_.contains("dedup_ladder_ab"))) {
       def timed(label: String)(body: => Unit): Unit = {
         try {
           metrics.reset()
@@ -336,7 +340,7 @@ object ScaleBench {
     // ladder (exact collapse first) must pass the SAME budget and
     // complete. A pass here is the measured form of the "recall 1.0
     // whenever the guard passes" contract.
-    if (only.forall(_.contains("containment_ladder_ab"))) {
+    if (only.exists(_.contains("containment_ladder_ab"))) {
       def timed(label: String)(body: => Unit): Unit = {
         try {
           metrics.reset()
@@ -372,7 +376,7 @@ object ScaleBench {
     // form measured 109 s here (NOTES_r10), which is why q257 ships on
     // the vetted backbone; the degree-oriented support rewrite should
     // collapse that. Runs on the SOURCE dir (1.2M-edge raw graph).
-    if (only.forall(_.contains("ktruss_full"))) {
+    if (only.exists(_.contains("ktruss_full"))) {
       try {
         val und = spark.read.parquet(s"$src/lineitem.parquet")
           .select("l_orderkey", "l_partkey")

@@ -431,7 +431,16 @@ object Dedup {
     * shingles are genuinely shared. Nothing is dropped, so recall stays
     * 1.0 whenever the guard passes; when it trips, the loud message
     * names the mitigation (exact-dedup rung FIRST — the q264 ladder —
-    * then containment over survivors). 0 disables the guard. */
+    * then containment over survivors). 0 disables the guard.
+    *
+    * EAGER when the guard is on: the postings count and the Σ probe·df
+    * aggregate are two real Spark jobs run DURING DataFrame
+    * construction, and a budget breach throws at plan-BUILD time — by
+    * design, so a caller never gets a plan whose first action detonates
+    * the quadratic join; the cost is that building (or merely
+    * explaining) the guarded plan already runs cluster work. Callers
+    * composing plans lazily should pass 0 and budget at the
+    * orchestration layer. */
   def containmentPairsExact(sets: DataFrame,
                             thresholdNum: Int, thresholdDen: Int,
                             maxCandidateFactor: Int = 0): DataFrame = {

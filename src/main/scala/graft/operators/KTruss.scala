@@ -99,6 +99,15 @@ object KTruss {
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+      // support() packs ids into the low 32 bits of the deg·2³²+id order
+      // key; out-of-range ids would silently mis-credit wing edges. Guard
+      // the contract per-edge, LinkPredict-style — a ≥ 0 ∧ b < 2³¹ covers
+      // both endpoints because rows are canonical (0 ≤ a < b < 2³¹).
+      // One filter over |E| once, before the peel loop; fails loudly.
+      .filter(assert_true(
+        col("a") >= 0 && col("b") < (1L << 31),
+        lit("KTruss packed order keys require node ids in [0, 2^31); " +
+          "densify ids first")).isNull)
       .distinct()
       .sever()
     var nEdges = cur.count()

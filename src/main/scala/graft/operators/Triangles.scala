@@ -79,6 +79,13 @@ object Triangles {
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+      // the deg·2³²+id order key packs ids into the low 32 bits; an
+      // out-of-range id would silently corrupt orientation. Enforce the
+      // documented contract per-edge (canonical rows: 0 ≤ a < b < 2³¹).
+      .filter(assert_true(
+        col("a") >= 0 && col("b") < (1L << 31),
+        lit("Triangles packed order keys require node ids in [0, 2^31); " +
+          "densify ids first")).isNull)
       .distinct())
     // same reuse story: |V| rows, joined onto both endpoints
     val deg = maybePersist(canon.select(col("a").as("node"))

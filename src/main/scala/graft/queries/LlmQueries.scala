@@ -82,24 +82,59 @@ object LlmQueries {
     * keeps the BEST document of each near-dup component, not the
     * smallest id (the min-id convention of q38 is a determinism
     * convenience, not a curation policy; the copy worth training on is
-    * the longest/cleanest one). Pipeline: LSH near-dup pairs (q28
-    * machinery) → connected components over the pair graph (similarity
-    * is not transitive — components, not pairs, are the dedup unit) →
-    * per-component argmax by (n_chars desc, doc_id asc). Every shuffle
-    * is keyed (bands, then node ids, then cluster_id); the keeper pick
-    * is one partial-aggregating max(struct) per component. Output: each
+    * the longest/cleanest one). LADDER-ORDERED (the q264 recipe —
+    * round-11's one unapplied scale mitigation): rung 1 exact-collapses
+    * the corpus to one representative per distinct text (one shuffle on
+    * a 128-bit content hash), so the banded LSH self-join of rung 2 —
+    * whose candidate volume is quadratic in per-text copy multiplicity —
+    * sees multiplicity 1. Input is the q264 dup-injected corpus
+    * (documents + a literal copy of every 10th doc) so rung 1 is
+    * exercised at verify scale, not only under ×N replication. After
+    * rung 2: connected components over the REP pair graph (similarity is
+    * not transitive — components, not pairs, are the dedup unit), with
+    * multi-copy exact groups (shingle-eligible ones) as members even
+    * without a distinct-text neighbor — exact copies ARE near-dups at
+    * Jaccard 1, which is what the un-laddered LSH would have emitted.
+    * Verdicts then FAN BACK through the exact-group map (corpus ⋈ fp ⋈
+    * rep component), and the keeper is a per-component
+    * partial-aggregating argmax by (n_chars desc, doc_id asc) over ALL
+    * members. Electing over members ≡ electing pre-collapse: exact
+    * copies tie on n_chars and the group representative is the group's
+    * min id, so cluster labels and keepers are identical to the
+    * un-laddered output — only the candidate volume changed. Every
+    * shuffle is keyed (fp, bands, node ids, cluster_id). Output: each
     * component member with its cluster and elected keeper. */
   def q269QualityKeeper(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val pairs = Dedup.nearDupPairs(d, "doc_id", "text").select("id_a", "id_b")
-    val members = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val cc = Dedup.connectedComponents(members, pairs, "doc_id")
-    val keepers = cc.join(d.select(col("doc_id"), col("n_chars")), "doc_id")
-      .groupBy("cluster_id")
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("n_chars")))
+    // RUNG 1: exact-collapse to one rep (min id) per distinct text
+    val groups = Dedup.exactClusters(corpus, "doc_id", "text") // fp, n_copies, keeper_id
+    val reps = corpus.join(groups.select(col("keeper_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // RUNG 2: banded LSH near-dup pairs over representatives ONLY
+    val pairs = Dedup.nearDupPairs(reps, "doc_id", "text").select("id_a", "id_b")
+    // membership: reps in a pair, plus reps of multi-copy exact groups
+    // that are shingle-eligible (docs under 3 tokens never enter the LSH
+    // universe, laddered or not)
+    val eligible = Dedup.shingleSets(reps, "doc_id", "text", 3).select("doc_id")
+    val multiReps = groups.filter(col("n_copies") >= 2)
+      .select(col("keeper_id").as("doc_id"))
+      .join(eligible, Seq("doc_id"), "left_semi")
+    val memberReps = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .unionByName(multiReps).distinct()
+    val cc = Dedup.connectedComponents(memberReps, pairs, "doc_id")
+    // FAN BACK: every corpus doc inherits its exact-group rep's component
+    val repOf = corpus.withColumn("fp", md5(col("text")))
+      .join(groups.select(col("fp"), col("keeper_id").as("rep_id")), "fp")
+      .select(col("doc_id"), col("rep_id"), col("n_chars"))
+    val members = repOf.join(cc.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+    val keepers = members.groupBy("cluster_id")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("cluster_id"), (-col("b.nid")).as("keeper_id"))
-    cc.join(keepers, "cluster_id").select("doc_id", "cluster_id", "keeper_id")
+    members.join(keepers, "cluster_id").select("doc_id", "cluster_id", "keeper_id")
   }
 
   /** q271: SOURCE-OVERLAP MinHash matrix — which corpus slices share
@@ -1713,28 +1748,50 @@ object LlmQueries {
          |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
          |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
          |$pairsFrom""".stripMargin,
-    // all-pairs Jaccard edges -> recursive min-label reachability (the
-    // q198 pattern) -> keeper = argmax (n_chars desc, doc_id asc)
+    // BOTH ladder rungs replayed: exact-collapse to min-id reps, all-pairs
+    // Jaccard over reps only, recursive min-label reachability (the q198
+    // pattern) with multi-copy shingle-eligible groups as members, fan-back
+    // through the exact-group map, keeper = argmax (n_chars desc, doc_id asc)
+    // over ALL members
     "q269_quality_keeper" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  $pairsFrom),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM p
-         |      UNION ALL SELECT id_b, id_a FROM p),
-         |nodes AS (SELECT DISTINCT src AS doc_id FROM e),
-         |reach(src, lbl) AS (
-         |  SELECT doc_id, doc_id FROM nodes
-         |  UNION
-         |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src),
-         |lab AS (SELECT src AS doc_id, min(lbl) AS cluster_id
-         |        FROM reach GROUP BY src),
-         |k AS (
-         |  SELECT cluster_id, doc_id AS keeper_id FROM lab JOIN documents USING (doc_id)
-         |  QUALIFY row_number() OVER (PARTITION BY cluster_id
-         |    ORDER BY n_chars DESC, doc_id) = 1)
-         |SELECT l.doc_id, l.cluster_id, k.keeper_id
-         |FROM lab l JOIN k USING (cluster_id)""".stripMargin,
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS rep_id
+        |      FROM corpus GROUP BY md5(text)),
+        |reps AS (SELECT c.doc_id, c.text FROM corpus c JOIN g ON c.doc_id = g.rep_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM reps)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 5*len(list_intersect(a.s, b.s)) >= 4*len(list_distinct(a.s || b.s))),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |multi AS (SELECT g.rep_id AS doc_id FROM g JOIN sh ON g.rep_id = sh.doc_id
+        |          WHERE g.n_copies >= 2),
+        |nodes AS (SELECT src AS doc_id FROM e UNION SELECT doc_id FROM multi),
+        |reach(src, lbl) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src),
+        |lab AS (SELECT src AS doc_id, min(lbl) AS cluster_id
+        |        FROM reach GROUP BY src),
+        |members AS (
+        |  SELECT c.doc_id, l.cluster_id, c.n_chars
+        |  FROM corpus c JOIN g ON md5(c.text) = g.fp
+        |  JOIN lab l ON g.rep_id = l.doc_id),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM members
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) = 1)
+        |SELECT m.doc_id, m.cluster_id, k.keeper_id
+        |FROM members m JOIN k USING (cluster_id)""".stripMargin,
     // per-source distinct shingles x 16 seeds -> min portable md5 hash
     // per (source, seed); pairs meet only on equal (seed, value)
     "q271_source_minhash" ->

@@ -86,7 +86,13 @@ object CoPurchaseGraph {
           Files.walk(root).iterator().asScala.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
         }
-      } catch { case _: java.io.IOException => () } // best-effort tmp cleanup
+      } catch {
+        // best-effort tmp cleanup; Files.walk's lazy iteration surfaces
+        // traversal errors as UncheckedIOException (a RuntimeException),
+        // which must not escape a "best-effort" path any more than the
+        // checked kind
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
     }
     cached = Map.empty
   }

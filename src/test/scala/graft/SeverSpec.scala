@@ -20,17 +20,32 @@ class SeverSpec extends AnyFunSuite with SharedSpark {
   ).toDF("a", "b")
   }
 
+  /** newSession shares the SparkContext, and Spark exposes no public
+    * UNSET for the checkpoint dir — so to make this test deterministic
+    * under any suite/test ordering (the sibling reliable-path test SETS
+    * the dir on the shared context), clear it through the Scala setter
+    * (`private[spark]` compiles to a public method in bytecode) and
+    * restore the captured value afterwards. */
+  private def withNoCheckpointDir[A](body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    val setter = sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+    setter.invoke(sc, None)
+    try body
+    finally prev.foreach(sc.setCheckpointDir)
+  }
+
   test("reliable=true without a checkpoint dir fails loudly, never falls back") {
-    val fresh = spark.newSession()
-    fresh.conf.set(Sever.ReliableKey, "true")
-    // newSession shares the SparkContext, so un-set the dir is impossible
-    // to simulate there if another test set it; guard on actual state
-    assume(fresh.sparkContext.getCheckpointDir.isEmpty,
-      "checkpoint dir already set on the shared context")
-    val e = intercept[IllegalArgumentException] {
-      Sever(fresh.range(3).toDF())
+    withNoCheckpointDir {
+      val fresh = spark.newSession()
+      fresh.conf.set(Sever.ReliableKey, "true")
+      assert(fresh.sparkContext.getCheckpointDir.isEmpty,
+        "withNoCheckpointDir must leave the shared context dir-less")
+      val e = intercept[IllegalArgumentException] {
+        Sever(fresh.range(3).toDF())
+      }
+      assert(e.getMessage.contains(Sever.ReliableKey))
     }
-    assert(e.getMessage.contains(Sever.ReliableKey))
   }
   test("reliable path writes RDD checkpoints and yields the same result") {
     val localRes = KCore.kCore(edges(), "a", "b", k = 2)
