@@ -573,4 +573,377 @@ object Multimodal {
         floor(col("dec_width") * col("scale")).cast("int").as("thumb_w"),
         floor(col("dec_height") * col("scale")).cast("int").as("thumb_h"),
         col("scale"))
+
+  // ------------------------------------------------- pixel-level decode
+
+  /** ITU-R BT.601 integer luma — the one luma convention every stage
+    * (hash, verify, oracle) shares, exact in integer arithmetic. */
+  @inline private def lumaOf(r: Int, g: Int, b: Int): Int =
+    (299 * r + 587 * g + 114 * b) / 1000
+
+  /** REAL GIF LZW decode (the general decoder, not a stored-code-only
+    * shortcut): variable-width codes LSB-first, clear/EOI handling,
+    * dictionary growth with code-size bumps at 2^width, per the GIF89a
+    * spec appendix. `data` is the de-sub-blocked code stream; returns
+    * up to `maxPixels` palette indices or None on a malformed stream. */
+  private[graft] def lzwDecode(minCodeSize: Int, data: Array[Byte],
+                               maxPixels: Int): Option[Array[Int]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    // dictionary as prefix/suffix arrays: entry e expands to
+    // expand(prefix(e)) :+ suffix(e); roots are single indices
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Int](maxDict)
+    var dictSize = eoi + 1
+    var codeSize = minCodeSize + 1
+    val out = new Array[Int](maxPixels)
+    var nOut = 0
+    var acc = 0L; var nBits = 0; var pos = 0
+    var prev = -1
+    def expandInto(code: Int): Boolean = { // append expansion of code
+      // walk to the root collecting the chain length, then fill backwards
+      var len = 0; var c = code
+      while (c >= clear + 2) { len += 1; c = prefix(c) }
+      len += 1
+      if (nOut + len > maxPixels) return false
+      var i = nOut + len - 1; c = code
+      while (c >= clear + 2) { out(i) = suffix(c); i -= 1; c = prefix(c) }
+      out(i) = c
+      nOut += len
+      true
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c
+    }
+    while (nOut < maxPixels) {
+      while (nBits < codeSize) {
+        if (pos >= data.length) return None // ran out before EOI
+        acc |= (data(pos) & 0xffL) << nBits
+        pos += 1; nBits += 8
+      }
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize; nBits -= codeSize
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (nOut == maxPixels) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a root
+        out(nOut) = code; nOut += 1
+        prev = code
+      } else {
+        if (code > dictSize || (code >= dictSize && code != dictSize)) return None
+        if (code < dictSize) {
+          if (!expandInto(code)) return None
+        } else { // the KwKwK case: expansion is expand(prev) :+ first(prev)
+          var len = 1; var c = prev
+          while (c >= clear + 2) { len += 1; c = prefix(c) }
+          len += 1
+          if (nOut + len > maxPixels) return None
+          var i = nOut + len - 1
+          out(i) = firstOf(prev); i -= 1; c = prev
+          while (c >= clear + 2) { out(i) = suffix(c); i -= 1; c = prefix(c) }
+          out(i) = c
+          nOut += len
+        }
+        if (dictSize < maxDict) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = firstOf(code)
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (nOut == maxPixels) Some(out) else None
+  }
+
+  /** REAL GIF pixel decode to a top-down grayscale raster: header +
+    * logical screen descriptor + global palette, extension-block skip,
+    * first image descriptor (local palette honored when present), then
+    * the full LZW decode above, the four-pass INTERLACE row reorder when
+    * the descriptor flags it (rows 0,8,16… / 4,12… / 2,6… / 1,3,5… per
+    * the GIF89a spec — javax.imageio's writer interlaces by default, so
+    * a general decoder cannot skip it), and palette→luma. Malformed
+    * streams yield None (never garbage pixels). */
+  private[graft] def gifGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    gifDims(p) match {
+      case None => None
+      case Some(_) =>
+        val flags = p(10) & 0xff
+        val gpal = (flags & 0x80) != 0
+        val gpalSize = 2 << (flags & 7)
+        var pos = 13 + (if (gpal) 3 * gpalSize else 0)
+        var palOff = 13; var palSize = gpalSize; var hasPal = gpal
+        // walk blocks to the first image descriptor
+        while (pos < p.length && (p(pos) & 0xff) == 0x21) { // extension
+          pos += 2 // introducer + label
+          while (pos < p.length && p(pos) != 0) pos += 1 + (p(pos) & 0xff)
+          pos += 1 // block terminator
+        }
+        if (pos + 9 >= p.length || (p(pos) & 0xff) != 0x2c) return None
+        val iw = u16le(p, pos + 5)
+        val ih = u16le(p, pos + 7)
+        val iflags = p(pos + 9) & 0xff
+        val interlaced = (iflags & 0x40) != 0
+        pos += 10
+        if ((iflags & 0x80) != 0) { // local palette wins
+          palOff = pos; palSize = 2 << (iflags & 7); hasPal = true
+          pos += 3 * palSize
+        }
+        if (!hasPal || pos >= p.length) return None
+        val minCode = p(pos) & 0xff
+        pos += 1
+        // concatenate sub-blocks
+        val bb = new scala.collection.mutable.ArrayBuilder.ofByte
+        while (pos < p.length && p(pos) != 0) {
+          val n = p(pos) & 0xff
+          if (pos + 1 + n > p.length) return None
+          bb.addAll(java.util.Arrays.copyOfRange(p, pos + 1, pos + 1 + n))
+          pos += 1 + n
+        }
+        // stream row s lands on display row rowOf(s)
+        val rowOf: Array[Int] =
+          if (!interlaced) Array.tabulate(ih)(identity)
+          else ((0 until ih by 8) ++ (4 until ih by 8) ++
+            (2 until ih by 4) ++ (1 until ih by 2)).toArray
+        lzwDecode(minCode, bb.result(), iw * ih).flatMap { idx =>
+          val gray = new Array[Int](iw * ih)
+          var j = 0
+          while (j < idx.length) {
+            val c = idx(j)
+            if (c >= palSize) return None
+            val o = palOff + 3 * c
+            gray(rowOf(j / iw) * iw + j % iw) =
+              lumaOf(p(o) & 0xff, p(o + 1) & 0xff, p(o + 2) & 0xff)
+            j += 1
+          }
+          Some((iw, ih, gray))
+        }
+    }
+  }
+
+  /** REAL BMP pixel decode to a top-down grayscale raster: 24-bpp
+    * uncompressed BITMAPINFOHEADER files (the overwhelmingly common
+    * storage layout), bottom-up or top-down per the sign of the height
+    * field, rows 4-byte aligned, pixels stored B,G,R. Anything else
+    * (other depths, compression, CORE header) yields None. */
+  private[graft] def bmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    if (u32le(p, 14) < 40) return None
+    val w = u32le(p, 18).toInt
+    val hRaw = u32le(p, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = u16le(p, 28)
+    val compression = u32le(p, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val off = u32le(p, 10).toInt
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (off.toLong + rowBytes.toLong * h > p.length) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val base = off + fileRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val b = p(base + 3 * x) & 0xff
+        val g = p(base + 3 * x + 1) & 0xff
+        val r = p(base + 3 * x + 2) & 0xff
+        gray(y * w + x) = lumaOf(r, g, b)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** Grayscale raster from REAL container bytes (GIF or 24-bpp BMP —
+    * the two formats whose pixel encodings this library decodes without
+    * an image library); None for everything else. */
+  def imageGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (payload.length >= 2 && payload(0) == 'G') gifGray(payload)
+    else bmpGray(payload)
+
+  // ----------------------------------------------- perceptual hashing
+
+  /** 64-bit average-hash over a grayscale raster: nearest-neighbor
+    * sample an 8×8 grid (cell (x,y) reads pixel (⌊x·w/8⌋, ⌊y·h/8⌋)),
+    * set bit k = y·8+x iff 64·sample > Σ samples (the division-free
+    * above-mean test — exact, no floor ambiguity cross-engine).
+    * Returned split as (hi, lo) unsigned 32-bit halves so both the
+    * banding and the DuckDB oracle stay inside non-negative BIGINTs.
+    * Returns the 64 samples too — they are the exact-verify payload. */
+  private[graft] def aHash64(w: Int, h: Int, gray: Array[Int]): (Long, Long, Array[Int]) = {
+    val smp = new Array[Int](64)
+    var k = 0
+    var sum = 0L
+    while (k < 64) {
+      val x = k % 8; val y = k / 8
+      smp(k) = gray((y * h / 8) * w + (x * w / 8))
+      sum += smp(k)
+      k += 1
+    }
+    var hi = 0L; var lo = 0L
+    k = 0
+    while (k < 64) {
+      if (smp(k) * 64L > sum) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo, smp)
+  }
+
+  /** Per-image perceptual hash row: hash halves + the 8×8 gray samples
+    * (the bounded exact-verify vector — 64 ints however large the
+    * image). */
+  case class ImagePhash(media_id: Long, img_w: Int, img_h: Int,
+                        phash_hi: Long, phash_lo: Long, gray64: Seq[Int])
+
+  /** Average-hash every image payload with a REAL pixel decode (GIF +
+    * 24-bpp BMP); rows whose payload has no pixel decoder are dropped
+    * (metadata-only formats stay in the dims pipeline). mapPartitions:
+    * the per-payload byte walk is the justified imperative case, and at
+    * 100 TB the stage repartitions by byte volume upstream while its
+    * output is a fixed ~300 bytes/row however large the image. */
+  def imagePhash(media: Dataset[MediaRow]): Dataset[ImagePhash] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime").startsWith("image/")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageGray(r.payload).map { case (w, h, gray) =>
+          val (hi, lo, smp) = aHash64(w, h, gray)
+          ImagePhash(r.media_id, w, h, hi, lo, smp.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Per-payload audio fingerprint: decode the PCM stream (the
+    * [[pcmStats]] walk), split it into 64 equal windows (sample j →
+    * window ⌊j·64/total⌋), fold Σ|amp| per window, set bit t iff
+    * 64·E_t > ΣE — the same division-free above-mean test as the image
+    * hash, over energy envelope instead of luma. State per payload is
+    * 64 longs regardless of duration. */
+  case class AudioFp(media_id: Long, n_pcm: Long,
+                     fp_hi: Long, fp_lo: Long, energy64: Seq[Long])
+
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime").startsWith("audio/")).mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        wavChunks(p) match {
+          case Some((_, ch, bits, _, off, n)) =>
+            require(bits == 8 || bits == 16,
+              s"unsupported PCM depth $bits for media ${r.media_id}")
+            val total = n * ch
+            val e = new Array[Long](64)
+            var j = 0L
+            while (j < total) {
+              val amp =
+                if (bits == 8) (p(off + j.toInt) & 0xff) - 128
+                else {
+                  val lo = p(off + 2 * j.toInt) & 0xff
+                  (p(off + 2 * j.toInt + 1).toInt << 8) | lo
+                }
+              e((j * 64 / total).toInt) += (if (amp < 0) -amp else amp)
+              j += 1
+            }
+            var sum = 0L
+            var t = 0
+            while (t < 64) { sum += e(t); t += 1 }
+            var hi = 0L; var lo = 0L
+            t = 0
+            while (t < 64) {
+              if (e(t) * 64 > sum) {
+                if (t < 32) lo |= 1L << t else hi |= 1L << (t - 32)
+              }
+              t += 1
+            }
+            AudioFp(r.media_id, total, hi, lo, e.toSeq)
+          case None =>
+            throw new IllegalArgumentException(
+              s"not a RIFF/WAVE payload: media ${r.media_id}")
+        }
+      }
+    }
+  }
+
+  /** Banded near-dup candidate pairs over a (id, hi, lo, vector) hash
+    * table: the 64-bit signature cut into 4 exact 16-bit bands →
+    * equi self-join on (band, value) — by pigeonhole EXHAUSTIVE for
+    * Hamming ≤ 3 (the [[Dedup.simhashNearDupPairs]] argument) — then
+    * exact Hamming via bit_count(xor) on each half, then the exact
+    * L1 verify over the bounded sample vectors. Never all-pairs: the
+    * shuffle is keyed on (band, value) with 2¹⁶ buckets per band. */
+  private def bandedHashPairs(hashed: DataFrame, vecCol: String,
+                              maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val banded = hashed.select(col("media_id"), col("hi"), col("lo"), col(vecCol),
+      posexplode(array(
+        col("lo").bitwiseAND(65535),
+        shiftright(col("lo"), 16).bitwiseAND(65535),
+        col("hi").bitwiseAND(65535),
+        shiftright(col("hi"), 16).bitwiseAND(65535))))
+      .toDF("media_id", "hi", "lo", vecCol, "band", "value")
+    val a = banded.select(col("band"), col("value"), col("media_id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"), col(vecCol).as("vec_a"))
+    val b = banded.select(col("band"), col("value"), col("media_id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("band", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** IMAGE perceptual near-dup pairs: banded aHash candidates at
+    * Hamming ≤ `maxHamming`, then an exact pixel verify — the L1
+    * distance over the 8×8 gray samples must stay ≤ `maxSampleL1`
+    * (so two images that happen to share a coarse bit pattern but
+    * differ in actual levels are rejected on real pixel values).
+    * Output (id_a, id_b, hamming, sample_l1). */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                        maxSampleL1: Long = 1024L): DataFrame = {
+    val hashed = imagePhash(media).toDF()
+      .select(col("media_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"),
+        col("gray64"))
+    bandedHashPairs(hashed, "gray64", maxHamming)
+      .withColumn("sample_l1",
+        aggregate(zip_with(col("vec_a"), col("vec_b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v))
+      .filter(col("sample_l1") <= maxSampleL1)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("sample_l1"))
+  }
+
+  /** AUDIO fingerprint near-dup pairs: banded energy-envelope hash at
+    * Hamming ≤ `maxHamming`, then the exact envelope verify — the
+    * relative L1 distance Σ|Ea−Eb| over the window energies must stay
+    * within `maxRelL1Permille` of Σ(Ea+Eb), in pure integer arithmetic
+    * (1000·L1 ≤ permille·(ΣEa+ΣEb)). Output (id_a, id_b, hamming,
+    * rel_l1_permille). */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                        maxRelL1Permille: Long = 100L): DataFrame = {
+    val hashed = audioFingerprint(media).toDF()
+      .select(col("media_id"), col("fp_hi").as("hi"), col("fp_lo").as("lo"),
+        col("energy64"))
+    bandedHashPairs(hashed, "energy64", maxHamming)
+      .withColumn("l1",
+        aggregate(zip_with(col("vec_a"), col("vec_b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v))
+      .withColumn("tot",
+        aggregate(col("vec_a"), lit(0L), (acc, v) => acc + v) +
+          aggregate(col("vec_b"), lit(0L), (acc, v) => acc + v))
+      .filter(col("l1") * 1000 <= col("tot") * maxRelL1Permille)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        expr("l1 * 1000 div greatest(1L, tot)").as("rel_l1_permille"))
+  }
 }

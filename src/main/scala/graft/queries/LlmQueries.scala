@@ -383,6 +383,55 @@ object LlmQueries {
   def q48ThumbSpec(s: SparkSession, dir: String): DataFrame =
     Multimodal.thumbSpec(s, media, maxDim = 64)
 
+  /** q276: IMAGE perceptual hash — a 64-bit average-hash over REAL
+    * decoded pixels: GIF payloads through the library's own LZW decoder
+    * (variable-width codes, dictionary growth, clear/EOI) and 24-bpp BMP
+    * payloads through the aligned-row walk, palette/BGR → integer BT.601
+    * luma, 8×8 nearest-neighbor grid, bit = 64·sample > Σ samples.
+    * Emitted as non-negative (hi, lo) 32-bit halves so banding and the
+    * oracle stay inside signed BIGINTs. The oracle REGENERATES every
+    * sampled pixel from the fixture byte formulas (the q141 precedent —
+    * two independent pixel decoders agreeing bit-for-bit on the hash),
+    * including the seeded near-dup rows 88-95 whose pixel streams derive
+    * from a BASE row's formula. */
+  def q276ImagePhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhash(Multimodal.readMedia(s, media)).toDF()
+      .select(col("media_id"), col("img_w"), col("img_h"),
+        col("phash_hi"), col("phash_lo"))
+
+  /** q277: IMAGE perceptual NEAR-DUP pairs — the multimodal analogue of
+    * text minhash dedup, over content the engine actually decodes:
+    * banded aHash candidates (4×16-bit bands, pigeonhole-exhaustive at
+    * Hamming ≤ 3, shuffle keyed on (band, value) — never all-pairs),
+    * exact Hamming via bit_count(xor), then an exact PIXEL verify (L1
+    * over the 8×8 gray samples ≤ 1024, i.e. mean |Δluma| ≤ 16). The
+    * fixture's seeded families make every fate observable: exact pixel
+    * copies under different ids (Hamming 0), sparse perturbations
+    * (Hamming ≤ 1, L1 ≤ 132), and unrelated images (nearest non-family
+    * pair: Hamming 4 / L1 1852 — outside both cuts). The oracle is the
+    * all-pairs replay over regenerated pixels. */
+  def q277ImageNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(Multimodal.readMedia(s, media),
+      maxHamming = 3, maxSampleL1 = 1024L)
+
+  /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
+    * decoded PCM: the sample walk of q141, folded into 64 equal windows
+    * (sample j → window ⌊j·64/total⌋), bit = 64·E_t > ΣE. Same hi/lo
+    * convention as q276. Oracle regenerates the stream from the fixture
+    * formula (seeded rows 96-99 derive from row 96's stream). */
+  def q278AudioFp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(Multimodal.readMedia(s, media)).toDF()
+      .select(col("media_id"), col("n_pcm"), col("fp_hi"), col("fp_lo"))
+
+  /** q279: AUDIO perceptual NEAR-DUP pairs — banded fingerprint
+    * candidates (the q277 machinery over envelope bits), exact Hamming,
+    * then the exact envelope verify: 1000·Σ|Ea−Eb| ≤ 100·Σ(Ea+Eb)
+    * (relative L1 ≤ 100‰, pure integer). Fixture separation: family
+    * pairs Hamming ≤ 2 / rel-L1 ≤ 34‰; nearest non-family Hamming 15. */
+  def q279AudioNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupPairs(Multimodal.readMedia(s, media),
+      maxHamming = 3, maxRelL1Permille = 100L)
+
   /** REAL WAV/RIFF header decode over binary audio payloads — sample
     * rate / channels / bits from the "fmt " chunk, sample count and
     * integer-ms duration from the "data" chunk; the oracle reads the
@@ -1526,6 +1575,10 @@ object LlmQueries {
     "q47_frame_sample" -> (q47FrameSample _),
     "q245_video_meta" -> (q245VideoMeta _),
     "q48_thumb_spec" -> (q48ThumbSpec _),
+    "q276_image_phash" -> (q276ImagePhash _),
+    "q277_image_neardup" -> (q277ImageNeardup _),
+    "q278_audio_fp" -> (q278AudioFp _),
+    "q279_audio_neardup" -> (q279AudioNeardup _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -1569,6 +1622,83 @@ object LlmQueries {
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
+
+  /** Shared oracle CTE chain: the 8×8 aHash sample grid over every
+    * GIF/BMP fixture row, with every sampled pixel REGENERATED from the
+    * generator's byte formulas — BMP bytes (seed·31 + n·7 + d) mod 256
+    * over unpadded B,G,R positions of the bottom-up rows, GIF palette
+    * indices (seed·31 + j·7) mod 4 against the seed-keyed palette —
+    * including the seeded near-dup rows (89/90 derive from 88's stream,
+    * 93/94 from 92's; 89 carries +16 on every 103rd byte, 93 a +1 code
+    * bump on every 37th pixel). Ends at `ibits`: (media_id, w, h, k,
+    * gray sample g, above-mean bit b). */
+  private val imageSampleCtes =
+    s"""img AS (
+       |  SELECT media_id, mime, CAST(width AS INT) AS w, CAST(height AS INT) AS h,
+       |    CASE WHEN media_id IN (89, 90) THEN 88
+       |         WHEN media_id IN (93, 94) THEN 92
+       |         ELSE media_id END AS seed
+       |  FROM read_parquet('$media')
+       |  WHERE mime IN ('image/gif', 'image/bmp')),
+       |grid AS (
+       |  SELECT i.*, t.k, (t.k % 8) * w // 8 AS px, (t.k // 8) * h // 8 AS py
+       |  FROM img i, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+       |pos AS (
+       |  SELECT media_id, mime, seed, w, h, k,
+       |    3 * ((h - 1 - py) * w + px) AS n0, py * w + px AS j
+       |  FROM grid),
+       |chan AS (
+       |  SELECT media_id, mime, seed, w, h, k,
+       |    (seed*31 + n0*7     + CASE WHEN media_id = 89 AND n0%103 = 0     THEN 16 ELSE 0 END) % 256 AS cb,
+       |    (seed*31 + (n0+1)*7 + CASE WHEN media_id = 89 AND (n0+1)%103 = 0 THEN 16 ELSE 0 END) % 256 AS cg,
+       |    (seed*31 + (n0+2)*7 + CASE WHEN media_id = 89 AND (n0+2)%103 = 0 THEN 16 ELSE 0 END) % 256 AS cr,
+       |    ((seed*31 + j*7) % 4 + CASE WHEN media_id = 93 AND j%37 = 0 THEN 1 ELSE 0 END) % 4 AS c
+       |  FROM pos),
+       |smp AS (
+       |  SELECT media_id, w, h, k,
+       |    CASE WHEN mime = 'image/bmp'
+       |      THEN (299*cr + 587*cg + 114*cb) // 1000
+       |      ELSE (299*((seed*7 + (3*c)*11) % 256)
+       |          + 587*((seed*7 + (3*c+1)*11) % 256)
+       |          + 114*((seed*7 + (3*c+2)*11) % 256)) // 1000
+       |    END AS g
+       |  FROM chan),
+       |ibits AS (
+       |  SELECT media_id, w, h, k, g,
+       |    CASE WHEN g*64 > sum(g) OVER (PARTITION BY media_id) THEN 1 ELSE 0 END AS b
+       |  FROM smp)""".stripMargin
+
+  /** Shared oracle CTE chain: the 64-window PCM energy envelope of every
+    * WAV fixture row, the stream regenerated from the byte formula (the
+    * q141 convention: seed 96 for rows 97/98, +40 on every 9th byte of
+    * row 98; all perturbed rows are 8-bit so the 16-bit byte path needs
+    * no perturbation term). Ends at `abits`: (media_id, tot, t, window
+    * energy en, above-mean bit b). */
+  private val audioEnvelopeCtes =
+    s"""aud AS (
+       |  SELECT media_id, bits, channels * n_samples AS tot,
+       |    CASE WHEN media_id IN (97, 98) THEN 96 ELSE media_id END AS seed
+       |  FROM read_parquet('$media') WHERE mime LIKE 'audio/%'),
+       |s0 AS (
+       |  SELECT a.media_id, a.bits, a.tot, j,
+       |    (a.seed*31 + (2*j)*7) % 256 AS lo,
+       |    (a.seed*31 + (2*j+1)*7) % 256 AS hi,
+       |    ((a.seed*31 + j*7 + CASE WHEN a.media_id = 98 AND j%9 = 0
+       |      THEN 40 ELSE 0 END) % 256) - 128 AS amp8
+       |  FROM aud a, LATERAL (SELECT unnest(generate_series(0, a.tot - 1)) AS j) g),
+       |sa AS (
+       |  SELECT media_id, tot, j,
+       |    CASE WHEN bits = 8 THEN amp8
+       |         WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+       |         ELSE lo + 256*hi END AS amp
+       |  FROM s0),
+       |env AS (
+       |  SELECT media_id, tot, (j*64) // tot AS t, sum(abs(amp)) AS en
+       |  FROM sa GROUP BY 1, 2, 3),
+       |abits AS (
+       |  SELECT media_id, tot, t, en,
+       |    CASE WHEN en*64 > sum(en) OVER (PARTITION BY media_id) THEN 1 ELSE 0 END AS b
+       |  FROM env)""".stripMargin
 
   /** The exact all-pairs near-dup condition at Jaccard ≥ 4/5 (integer
     * form). The oracle affords all-pairs; the engine must not. */
@@ -1917,19 +2047,23 @@ object LlmQueries {
          |FROM read_parquet('$media') WHERE mime LIKE 'audio/%'""".stripMargin,
     // INDEPENDENT sample-level decode check: the engine decodes the WAV
     // data-chunk bytes; the oracle regenerates the identical PCM stream
-    // from the fixture's byte formula (body[j] = (id*31 + j*7) % 256;
-    // 8-bit unsigned, 16-bit signed LE) and folds the same integer stats.
-    // Any byte the chunk walk mis-addresses breaks the hash.
+    // from the fixture's byte formula (body[j] = (seed*31 + j*7 + d) % 256;
+    // 8-bit unsigned, 16-bit signed LE; seed = 96 for the near-dup rows
+    // 97/98, d = 40 on every 9th byte of row 98 only — the perceptual-hash
+    // families; all perturbed rows are 8-bit) and folds the same integer
+    // stats. Any byte the chunk walk mis-addresses breaks the hash.
     "q141_pcm_stats" ->
       s"""WITH a AS (
          |  SELECT media_id, channels, bits, n_samples,
-         |    channels * n_samples AS tot
+         |    channels * n_samples AS tot,
+         |    CASE WHEN media_id IN (97, 98) THEN 96 ELSE media_id END AS seed
          |  FROM read_parquet('$media') WHERE mime LIKE 'audio/%'),
          |s0 AS (
          |  SELECT a.media_id, a.bits, a.tot, a.n_samples,
-         |    (a.media_id*31 + (2*j)*7) % 256 AS lo,
-         |    (a.media_id*31 + (2*j+1)*7) % 256 AS hi,
-         |    ((a.media_id*31 + j*7) % 256) - 128 AS amp8
+         |    (a.seed*31 + (2*j)*7) % 256 AS lo,
+         |    (a.seed*31 + (2*j+1)*7) % 256 AS hi,
+         |    ((a.seed*31 + j*7 + CASE WHEN a.media_id = 98 AND j%9 = 0
+         |      THEN 40 ELSE 0 END) % 256) - 128 AS amp8
          |  FROM a, LATERAL (SELECT unnest(generate_series(0, a.tot - 1)) AS j) g),
          |s AS (
          |  SELECT media_id, bits, tot, n_samples,
@@ -1946,6 +2080,41 @@ object LlmQueries {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
          |  CAST(sum(amp * amp) AS DOUBLE) / CAST(min(tot) AS DOUBLE) AS mean_square
          |FROM s GROUP BY media_id""".stripMargin,
+    // two independent pixel decoders must agree on every sampled luma:
+    // the engine LZW/BGR-decodes the actual container bytes, the oracle
+    // regenerates pixels from the generator formulas
+    "q276_image_phash" ->
+      s"""WITH $imageSampleCtes
+         |SELECT media_id, CAST(min(w) AS INT) AS img_w, CAST(min(h) AS INT) AS img_h,
+         |  CAST(sum(CASE WHEN b = 1 AND k >= 32 THEN 1::BIGINT << (k - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+         |  CAST(sum(CASE WHEN b = 1 AND k < 32 THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS phash_lo
+         |FROM ibits GROUP BY media_id""".stripMargin,
+    // all-pairs replay of the banded+verified near-dup cut: the engine
+    // must emit exactly the pairs at Hamming <= 3 AND sample-L1 <= 1024
+    "q277_image_neardup" ->
+      s"""WITH $imageSampleCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming,
+         |  CAST(sum(abs(a.g - b.g)) AS BIGINT) AS sample_l1
+         |FROM ibits a JOIN ibits b ON a.k = b.k AND a.media_id < b.media_id
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
+         |   AND sum(abs(a.g - b.g)) <= 1024""".stripMargin,
+    "q278_audio_fp" ->
+      s"""WITH $audioEnvelopeCtes
+         |SELECT media_id, CAST(min(tot) AS BIGINT) AS n_pcm,
+         |  CAST(sum(CASE WHEN b = 1 AND t >= 32 THEN 1::BIGINT << (t - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+         |  CAST(sum(CASE WHEN b = 1 AND t < 32 THEN 1::BIGINT << t ELSE 0 END) AS BIGINT) AS fp_lo
+         |FROM abits GROUP BY media_id""".stripMargin,
+    "q279_audio_neardup" ->
+      s"""WITH $audioEnvelopeCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming,
+         |  CAST(sum(abs(a.en - b.en)) * 1000 // greatest(1, sum(a.en + b.en)) AS BIGINT) AS rel_l1_permille
+         |FROM abits a JOIN abits b ON a.t = b.t AND a.media_id < b.media_id
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
+         |   AND sum(abs(a.en - b.en)) * 1000 <= 100 * sum(a.en + b.en)""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

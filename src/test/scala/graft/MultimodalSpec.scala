@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 46) // 30 fixture-codec image + 16 real GIF/BMP
+    assert(decoded.count() == 54) // 30 fixture-codec image + 24 real GIF/BMP
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -108,7 +108,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("duration_ms") =!= expr("m_n * 1000 DIV m_sr"))
       .count()
     assert(mismatches == 0)
-    assert(parsed.count() == 15)
+    assert(parsed.count() == 19) // 15 original + 4 near-dup family rows
   }
 
   test("wavMeta parses REAL javax.sound-encoded WAV bytes") {
@@ -272,7 +272,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       .filter(col("mime").isin("image/gif", "image/bmp"))
       .select(col("media_id"), col("payload"), col("width"), col("height"))
       .collect()
-    assert(rows.length == 16)
+    assert(rows.length == 24)
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
@@ -338,5 +338,91 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val plan = ds.queryExecution.executedPlan.toString
     assert(plan.contains("MapPartitions") || plan.contains("mapPartitions") ||
       plan.contains("SerializeFromObject"), s"unexpected plan:\n$plan")
+  }
+
+  // ------------------------------------------------- pixel-level decode
+
+  private def lumaOf(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  test("imageGray agrees with ImageIO pixel-for-pixel on every fixture GIF/BMP row") {
+    // the INDEPENDENT pixel decoder: javax.imageio runs its own LZW /
+    // BGR-row decode; every luma must match our byte-walk's
+    val rows = spark.read.parquet(fixture)
+      .filter(col("mime").isin("image/gif", "image/bmp"))
+      .select(col("media_id"), col("payload")).collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val ours = Multimodal.imageGray(p)
+      assert(ours.isDefined, s"no pixel decode for media ${r.getLong(0)}")
+      val (w, h, gray) = ours.get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gray(y * w + x) == lumaOf(img.getRGB(x, y)),
+          s"media ${r.getLong(0)} pixel ($x,$y)")
+    }
+  }
+
+  test("gifGray decodes an ImageIO-ENCODED gif (real LZW with dictionary growth)") {
+    // ImageIO's writer emits genuinely compressed LZW (growing codes,
+    // no per-pixel clear), unlike the fixture's uncompressed trick —
+    // this exercises the general decoder path
+    val w = 37; val h = 23
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x808080)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, colors((x * 7 + y * 3) % colors.length))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val p = out.toByteArray
+    val decoded = Multimodal.gifGray(p)
+    assert(decoded.isDefined, "gifGray rejected an ImageIO-encoded gif")
+    val (dw, dh, gray) = decoded.get
+    assert(dw == w && dh == h)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gray(y * w + x) == lumaOf(back.getRGB(x, y)), s"pixel ($x,$y)")
+  }
+
+  test("imageNearDupPairs finds exactly the seeded families, with an exact pixel verify") {
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.readMedia(spark, fixture))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs.keySet == Set((88L, 89L), (88L, 90L), (89L, 90L),
+      (92L, 93L), (92L, 94L), (93L, 94L)))
+    assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
+    assert(pairs((92L, 94L)) == ((0L, 0L)))
+    val (ham8889, l18889) = pairs((88L, 89L)) // sparse perturbation: near, not exact
+    assert(ham8889 <= 3 && l18889 > 0 && l18889 <= 1024)
+  }
+
+  test("audioNearDupPairs finds exactly the seeded family, envelope-verified") {
+    val pairs = Multimodal.audioNearDupPairs(Multimodal.readMedia(spark, fixture))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs.keySet == Set((96L, 97L), (96L, 98L), (97L, 98L)))
+    assert(pairs((96L, 97L)) == ((0L, 0L)))  // identical PCM stream
+    val (ham, rel) = pairs((96L, 98L))
+    assert(ham <= 3 && rel > 0 && rel <= 100)
+  }
+
+  test("lzwDecode rejects malformed streams cleanly") {
+    // first code must be a root, not a dictionary reference
+    assert(Multimodal.lzwDecode(2, Array[Byte](6), 1).isEmpty)
+    // truncated before EOI
+    assert(Multimodal.lzwDecode(2, Array[Byte](), 4).isEmpty)
+    // min code size out of GIF range
+    assert(Multimodal.lzwDecode(1, Array[Byte](0), 1).isEmpty)
+    assert(Multimodal.lzwDecode(9, Array[Byte](0), 1).isEmpty)
+  }
+
+  test("phash candidate generation is banded (equi-join), never a cross product") {
+    val plan = Multimodal.imageNearDupPairs(Multimodal.readMedia(spark, fixture))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the near-dup plan:\n$plan")
   }
 }

@@ -354,9 +354,149 @@ for i in range(76, 88):
     bitss.append(None)
     n_sampless.append(None)
 
-# uspf is only appended in the AVI loop (the last 12 rows); pad the front
+# ---- rows 88-99: perceptual-hash near-dup families (image + audio).
+# Every payload is still a complete valid container built by the same
+# builders above; what changes is that the PIXEL/SAMPLE streams are
+# derived from a BASE row's formula (optionally sparsely perturbed), so
+# the corpus contains genuine exact- and near-duplicate CONTENT under
+# different media_ids — the thing a perceptual hash exists to find, and
+# absent from rows 0-87 (every formula there is keyed on media_id).
+# Formula convention (the oracle replays it):
+#   seed(id): 89,90 -> 88; 93,94 -> 92; 97,98 -> 96; else id
+#   BMP byte at unpadded index n: (seed*31 + n*7 + d) % 256,
+#     d = 16 if id == 89 and n % 103 == 0 else 0
+#   GIF pixel code at raster index j: ((seed*31 + j*7) % 4 + e) % 4,
+#     e = 1 if id == 93 and j % 37 == 0 else 0 (palette keyed on seed)
+#   WAV body byte j: (seed*31 + j*7 + d) % 256,
+#     d = 40 if id == 98 and j % 9 == 0 else 0
+# Measured separation (tools/proto — replayed by the oracle): image
+# family pairs Hamming <= 1 / sample-L1 <= 132, nearest non-family pair
+# Hamming 4 / L1 1852; audio family pairs Hamming <= 2 / relative-L1
+# <= 34 permille, nearest non-family Hamming 15.
+
+
+def bmp_bytes_seeded(seed, w, h, perturb):
+    row = w * 3
+    pad = (4 - row % 4) % 4
+
+    def v(n):
+        d = 16 if (perturb and n % 103 == 0) else 0
+        return (seed * 31 + n * 7 + d) % 256
+    rows = b"".join(
+        bytes(v(r * row + j) for j in range(row)) + b"\x00" * pad
+        for r in range(h))
+    dib = ((40).to_bytes(4, "little") + w.to_bytes(4, "little")
+           + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+           + len(rows).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+           + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    filehdr = (b"BM" + (14 + 40 + len(rows)).to_bytes(4, "little")
+               + (0).to_bytes(4, "little") + (54).to_bytes(4, "little"))
+    return filehdr + dib + rows
+
+
+def gif_bytes_seeded(seed, w, h, perturb):
+    hdr = b"GIF89a"
+    lsd = w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0x91, 0, 0])
+    palette = bytes(((seed * 7 + k * 11) % 256) for k in range(12))
+    desc = b"\x2c" + (0).to_bytes(2, "little") * 2 \
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    codes = []
+    for j in range(w * h):
+        codes.append(4)
+        c = (seed * 31 + j * 7) % 4
+        if perturb and j % 37 == 0:
+            c = (c + 1) % 4
+        codes.append(c)
+    codes.append(5)
+    bits, nbits = 0, 0
+    stream = bytearray()
+    for c in codes:
+        bits |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            stream.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(bits & 0xFF)
+    blocks = b""
+    for off in range(0, len(stream), 255):
+        chunk = stream[off:off + 255]
+        blocks += bytes([len(chunk)]) + bytes(chunk)
+    return hdr + lsd + palette + desc + b"\x02" + blocks + b"\x00" + b"\x3b"
+
+
+def wav_bytes_seeded(seed, nsamp, perturb):
+    sr, ch, bits = 8000, 1, 8
+
+    def v(j):
+        d = 40 if (perturb and j % 9 == 0) else 0
+        return (seed * 31 + j * 7 + d) % 256
+    body = bytes(v(j) for j in range(nsamp))
+    fmt = ((1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + sr.to_bytes(4, "little") + (sr * ch).to_bytes(4, "little")
+           + (ch).to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    payload = (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little") + fmt
+               + b"data" + len(body).to_bytes(4, "little") + body)
+    return payload, body
+
+
+NEARDUP_IMAGES = [
+    # (id, mime, builder args): seed, w, h, perturb
+    (88, "image/bmp", (88, 16, 12, False)),
+    (89, "image/bmp", (88, 16, 12, True)),   # near-dup of 88
+    (90, "image/bmp", (88, 16, 12, False)),  # exact pixel copy of 88
+    (91, "image/bmp", (91, 16, 12, False)),  # unrelated
+    (92, "image/gif", (92, 12, 10, False)),
+    (93, "image/gif", (92, 12, 10, True)),   # near-dup of 92
+    (94, "image/gif", (92, 12, 10, False)),  # exact pixel copy of 92
+    (95, "image/gif", (95, 12, 10, False)),  # unrelated
+]
+for i, mime, (seed, w, h, perturb) in NEARDUP_IMAGES:
+    payload = (bmp_bytes_seeded if mime == "image/bmp"
+               else gif_bytes_seeded)(seed, w, h, perturb)
+    ids.append(i)
+    mimes.append(mime)
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
+NEARDUP_AUDIO = [
+    (96, 96, False),  # base
+    (97, 96, False),  # exact stream copy of 96
+    (98, 96, True),   # near-dup of 96
+    (99, 99, False),  # unrelated
+]
+for i, seed, perturb in NEARDUP_AUDIO:
+    payload, body = wav_bytes_seeded(seed, 256, perturb)
+    ids.append(i)
+    mimes.append("audio/wav")
+    payloads.append(payload)
+    widths.append(None)
+    heights.append(None)
+    n_bytes.append(len(payload))
+    checksums.append(sum(body) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(8000)
+    channelss.append(1)
+    bitss.append(8)
+    n_sampless.append(256)
+
+# uspf is only appended in the AVI loop; pad front AND back (rows 88-99)
 assert len(uspfs) == 12
-uspfs = [None] * (len(ids) - 12) + uspfs
+uspfs = [None] * 76 + uspfs + [None] * (len(ids) - 88)
 
 table = pa.table({
     "media_id": pa.array(ids, pa.int64()),
