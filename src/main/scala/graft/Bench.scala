@@ -147,7 +147,7 @@ object Bench {
         s""""queries_min":${obj(_._3)},"queries_iqr":${obj(_._5)},""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson)
-    println(metricLine(results.map(r => (r._1, r._2, r._4)), reps, sfDir))
+    println(metricLine(results.map(r => (r._1, r._2, r._3, r._4)), reps, sfDir))
     spark.stop()
   }
 
@@ -168,23 +168,29 @@ object Bench {
     * BENCH_r07-r09 recorded "parsed": null because the full per-query
     * map is ~35 KB and the line's head fell off the window. So this
     * line carries the HEADLINE medians + the 10 slowest other queries
-    * at 3 decimals (~1 KB; BenchLineSpec pins the bound) and the full
-    * per-query payload lands in BENCH_LOCAL.json instead.
-    * `results` is (name, medianSec, ok). */
-  def metricLine(results: Seq[(String, Double, Boolean)], reps: Int,
+    * at 3 decimals, plus the headline MINS (`queries_min` — the round-11
+    * driver box showed per-query IQRs of 5-48 s, so a median-only line
+    * invites false regression reads; min is the floor estimate that
+    * matches quiet-box numbers) — ~1.5 KB total; BenchLineSpec pins the
+    * bound — and the full per-query payload lands in BENCH_LOCAL.json.
+    * `results` is (name, medianSec, minSec, ok). */
+  def metricLine(results: Seq[(String, Double, Double, Boolean)], reps: Int,
                  sfDir: String): String = {
     def r3(d: Double): String = (math.round(d * 1000) / 1000.0).toString
-    val failed = results.filterNot(_._3)
+    val failed = results.filterNot(_._4)
       .map(r => s""""${r._1}"""").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    val slowest = results.filter(_._3).filterNot(r => Headline(r._1))
+    val total = results.filter(_._4).map(_._2).sum
+    val slowest = results.filter(_._4).filterNot(r => Headline(r._1))
       .sortBy(-_._2).take(10)
+    val lined = results.filter(r => r._4 && Headline(r._1)) ++ slowest
     val lineQueries =
-      (results.filter(r => r._3 && Headline(r._1)) ++ slowest)
-        .map(r => s""""${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
+      lined.map(r => s""""${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
+    val lineMins = results.filter(r => r._4 && Headline(r._1))
+      .map(r => s""""${r._1}":${r3(r._3)}""").mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,""" +
       s""""policy":$MeasurementPolicy,""" +
-      s""""n_queries":${results.count(_._3)},"queries":$lineQueries,""" +
+      s""""n_queries":${results.count(_._4)},"queries":$lineQueries,""" +
+      s""""queries_min":$lineMins,""" +
       s""""failed":$failed,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
   }
 }

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SCALE_REPL (default 10),
   * SPARK_GRAFT_SCALE_ONLY (comma list to restrict queries; the A/B
   * variant probes — ivf_scaled_cells, q153_map_parallel,
-  * dedup_ladder_ab, containment_ladder_ab, ktruss_full — run ONLY when
+  * dedup_ladder_ab, containment_ladder_ab, lsh_budget_ab, ktruss_full — run ONLY when
   * named here explicitly: one deliberately refuses and several pay
   * un-mitigated baselines, which has no place in a default artifact). */
 object ScaleBench {
@@ -369,6 +369,42 @@ object ScaleBench {
           .shingleSets(survivors, "doc_id", "text", 3).persist()
         graft.operators.Dedup
           .containmentPairsExact(sets, 9, 10, maxCandidateFactor = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // Variant probe: the GENERALIZED banded-LSH candidate budget
+    // (round-12: enforceBandBudget, extended from the q96 containment
+    // guard to the minhash banding). The replicated corpus gives every
+    // text REPL exact copies, so the banded self-join faces candidate
+    // volume ∝ REPL² per text group: the guarded DIRECT run must REFUSE
+    // at the same factor the ladder CLEARS — both sides of the guard
+    // measured, the containment_ladder_ab convention.
+    if (only.exists(_.contains("lsh_budget_ab"))) {
+      def timed(label: String)(body: => Unit): Unit = {
+        try {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"query":"$label","sec":${math.round(sec * 1000) / 1000.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"shuffle_write_mb":${mb(metrics.shufWrite.get)}%s}""")
+        } catch {
+          case e: Throwable => println(
+            s"""{"query":"$label","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(300).replace("\"", "'").replace("\n", " ")}"}""")
+        }
+      }
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text")
+      timed("neardup_direct_budget") {
+        graft.operators.Dedup
+          .nearDupPairs(docs, "doc_id", "text", maxCandidateFactor = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("neardup_ladder_budget") {
+        val keepers = graft.operators.Dedup.exactClusters(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val survivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+        graft.operators.Dedup
+          .nearDupPairs(survivors, "doc_id", "text", maxCandidateFactor = 8)
           .write.format("noop").mode("overwrite").save()
       }
     }

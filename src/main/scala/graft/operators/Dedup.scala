@@ -93,12 +93,51 @@ object Dedup {
 
   /** Banded LSH candidate pairs: signature → (band, bucketKey) → equi
     * self-join. Returns distinct (id_a < id_b) candidate pairs. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(
+  /** Exact pre-join candidate volume of any banded LSH layout: each
+    * bucket of n colliding rows yields C(n,2) candidate pairs, so
+    * Σ n·(n−1)/2 over bucket occupancies IS the join's output size —
+    * one narrow aggregate over the banded (key → id) table, folded in
+    * DECIMAL(38,0) because the pathological case this guards against is
+    * exactly the one that overflows a Long. EAGER by design, the q96
+    * containment-guard convention: two real Spark jobs run at plan-BUILD
+    * time and a breach throws before a caller can own a plan whose first
+    * action detonates the quadratic join. The regime that trips it is
+    * DUPLICATE MULTIPLICITY — m literal copies of a document share every
+    * band bucket, m² candidates per distinct text, invisible to any
+    * banding because the collisions are genuine. Nothing is dropped:
+    * recall is unchanged whenever the guard passes. */
+  private[graft] def enforceBandBudget(banded: DataFrame, keyCols: Seq[String],
+                                       maxCandidateFactor: Int, surface: String): Unit = {
+    val postings = banded.count()
+    val twiceEst = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1)")),
+        lit(0).cast("decimal(38,0)")).as("c2"))
+      .first().getDecimal(0)
+    val est = twiceEst.divide(java.math.BigDecimal.valueOf(2))
+    val bound = java.math.BigDecimal.valueOf(maxCandidateFactor)
+      .multiply(java.math.BigDecimal.valueOf(postings))
+    require(est.compareTo(bound) <= 0,
+      s"$surface candidate budget exceeded: $est candidate pairs > " +
+        s"$maxCandidateFactor x $postings banded postings. This regime is " +
+        "duplicate multiplicity (m copies of one document collide in every " +
+        "band - m^2 candidates per distinct text, which no banding can see " +
+        "because the collisions are genuine). Run the exact-dedup rung first " +
+        "(Dedup.exactClusters, the q264 ladder) and re-run near-dup on the " +
+        "survivors; raising the factor instead buys a quadratic join.")
+  }
+
+  /** (doc_id, band, bucket): the banded MinHash layout behind
+    * [[lshCandidates]], exposed so guarded callers can budget-check and
+    * join from ONE materialized banding. */
+  private[graft] def bandedMinhash(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "bucket")
+
+  private def lshCandidatesFromBanded(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -107,16 +146,33 @@ object Dedup {
       .distinct()
   }
 
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    lshCandidatesFromBanded(bandedMinhash(sigs, bands, rowsPerBand))
+
   /** Near-duplicate pairs: banded-LSH candidates, exactly verified.
     * `threshold` is a rational num/den (e.g. 4/5 = 0.8) so the comparison
-    * is pure integer arithmetic. Emits (id_a, id_b, n_common, n_union). */
+    * is pure integer arithmetic. Emits (id_a, id_b, n_common, n_union).
+    *
+    * `maxCandidateFactor` > 0 arms the CANDIDATE BUDGET
+    * ([[enforceBandBudget]]): the banding is persisted once, its exact
+    * pre-join pair volume Σ C(bucket, 2) is measured (EAGER — two Spark
+    * jobs at plan-build time, a breach throws here, not mid-join), and
+    * the same materialized banding then feeds the candidate join. 0
+    * disables the guard and nothing is materialized. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16, thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+                   bands: Int = 16, thresholdNum: Int = 4, thresholdDen: Int = 5,
+                   maxCandidateFactor: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sets = shingleSets(docs, idCol, textCol, shingleK)
     val sigs = sets.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
-    val cands = lshCandidates(sigs, bands, numHashes / bands)
+    val cands =
+      if (maxCandidateFactor > 0) {
+        val banded = bandedMinhash(sigs, bands, numHashes / bands).persist()
+        enforceBandBudget(banded, Seq("band", "bucket"), maxCandidateFactor,
+          "minhash near-dup")
+        lshCandidatesFromBanded(banded)
+      } else lshCandidates(sigs, bands, numHashes / bands)
     val sa = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
@@ -147,8 +203,14 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
                           maxRounds: Int = 30): DataFrame = {
+    // sever ONCE at entry: every round's propagation join and the
+    // per-round convergence count re-read the edge set, and callers
+    // routinely hand in pairs whose lineage is an entire LSH pipeline —
+    // without this, that pipeline re-executes diameter-many times
+    // (measured on the q269 ladder: 27 s → seconds at sf0.1)
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst")
+      .sever()
     var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).sever()
     var changed = 1L
     var rounds = 0
@@ -280,10 +342,18 @@ object Dedup {
       .toDF("doc_id", "simhash", "band", "value")
 
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxCandidateFactor: Int = 0): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
     val sigs = simhash(docs, idCol, textCol)
-    val banded = bandedSimhash(sigs)
+    // maxCandidateFactor > 0: the [[enforceBandBudget]] guard (eager, the
+    // q96 convention) over the persisted banding, which then feeds the join
+    val banded0 = bandedSimhash(sigs)
+    val banded = if (maxCandidateFactor > 0) {
+      val b = banded0.persist()
+      enforceBandBudget(b, Seq("band", "value"), maxCandidateFactor, "simhash near-dup")
+      b
+    } else banded0
     val a = banded.select(col("band"), col("value"), col("doc_id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("value"), col("doc_id").as("id_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("band", "value"))

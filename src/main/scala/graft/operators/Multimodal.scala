@@ -636,7 +636,7 @@ object Multimodal {
         out(nOut) = code; nOut += 1
         prev = code
       } else {
-        if (code > dictSize || (code >= dictSize && code != dictSize)) return None
+        if (code > dictSize) return None // only existing entries or the next (KwKwK)
         if (code < dictSize) {
           if (!expandInto(code)) return None
         } else { // the KwKwK case: expansion is expand(prev) :+ first(prev)

@@ -126,13 +126,23 @@ object Similarity {
     * Emits (id_a < id_b, cos). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          planes: Int, tables: Int,
-                         thresholdNum: Long, thresholdDen: Long): DataFrame = {
+                         thresholdNum: Long, thresholdDen: Long,
+                         maxCandidateFactor: Int = 0): DataFrame = {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val banded = emb.select(
+    val banded0 = emb.select(
       col(idCol),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col(vecCol), planes, dim, planeOffset = t * planes).as("b"))): _*)).as("__tb"))
+    // maxCandidateFactor > 0: the shared candidate budget (eager, the q96
+    // convention — see Dedup.enforceBandBudget) over the persisted banding,
+    // which then feeds the table self-join
+    val banded = if (maxCandidateFactor > 0) {
+      val b = banded0.persist()
+      graft.operators.Dedup.enforceBandBudget(b, Seq("__tb"), maxCandidateFactor,
+        "cosine near-dup")
+      b
+    } else banded0
     val a = banded.select(col("__tb"), col(idCol).as("id_a"))
     val b = banded.select(col("__tb"), col(idCol).as("id_b"))
     val cands = a.join(b, Seq("__tb"))

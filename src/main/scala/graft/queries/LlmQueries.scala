@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Pq, Similarity, Upsert}
+import graft.operators.Sever.SeverOps
 import graft.sources.Tables
 
 /** The LLM-training-data-pipeline operator suite (dedup, similarity search,
@@ -109,8 +110,12 @@ object LlmQueries {
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("n_chars")))
-    // RUNG 1: exact-collapse to one rep (min id) per distinct text
-    val groups = Dedup.exactClusters(corpus, "doc_id", "text") // fp, n_copies, keeper_id
+    // RUNG 1: exact-collapse to one rep (min id) per distinct text.
+    // Severed: the group table (one row per distinct text) feeds THREE
+    // consumers (rep semi-join, multi-copy membership, fan-back map)
+    // whose subtrees differ, so exchange reuse cannot serve them.
+    val groups = Dedup.exactClusters(corpus, "doc_id", "text")
+      .sever() // fp, n_copies, keeper_id
     val reps = corpus.join(groups.select(col("keeper_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
     // RUNG 2: banded LSH near-dup pairs over representatives ONLY

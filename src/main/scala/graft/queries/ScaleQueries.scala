@@ -209,7 +209,7 @@ object ScaleQueries {
   def q146KCore(s: SparkSession, dir: String): DataFrame =
     graft.operators.KCore.kCore(
         graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb",
-        k = 80, maxRounds = 12)
+        k = 80, maxRounds = 12, severEvery = 1)
       .select(col("node").as("part"), col("core_deg"))
 
   /** q148: label-propagation communities over the co-purchase graph — 3
@@ -948,6 +948,72 @@ object ScaleQueries {
     * op, bit-exact cross-engine. At 100 TB both sides of the join are
     * corpus-scale but it is a plain shuffled equi-join on (w1, w2);
     * no window, no driver state. */
+  /** Shared by q280/q281: per-doc add-one-smoothed bigram surprise —
+    * the CCNet-class LM quality filter in exact integer arithmetic.
+    * Corpus bigram LM (hash groupBy on (w1, w2) + the history counts on
+    * w1), add-1 smoothing P(w2|w1) = (c₁₂+1)/(c₁+V) with V the corpus
+    * vocabulary, and the per-bigram SURPRISE in whole bits:
+    * floor(log₂((c₁+V) div (c₁₂+1))) — computed as
+    * length(bin(n)) − 1, the exact bit length of an exact integer
+    * quotient, so both engines agree on every value with no
+    * transcendental in sight (the q160 no-floats convention; a real
+    * filter thresholds on the score, so whole-bit resolution per bigram
+    * — i.e. millibit resolution per document after pooling — is the
+    * usable signal). Returns (doc_id, source, n_bigrams, sbits).
+    * Scale shape: one bigram-count aggregate, one vocab-sized history
+    * table joined by equi-key, one scalar vocab crossJoin — the q135
+    * skeleton; no window, no driver state. */
+  private def docSurprise(s: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
+    val vocab = ws.select(explode(col("ws")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val wd = ws.filter(size(col("ws")) >= 2)
+    val bg = wd.select(col("doc_id"), col("source"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1"), col("p.w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("surprise", expr("length(bin((c1 + v) div (cb + 1))) - 1"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprise")).cast("long").as("sbits"))
+  }
+
+  /** q280: per-document bigram cross-entropy quality score — the
+    * standard CCNet-style LM filter signal: a document whose bigrams
+    * are all corpus-frequent scores low (fluent, typical), one full of
+    * unseen transitions scores high (noise, boilerplate soup, wrong
+    * language). `xent_millibits` = mean surprise per bigram in
+    * millibits, exact integer division of exact integers. */
+  def q280BigramXent(s: SparkSession, dir: String): DataFrame =
+    docSurprise(s, dir)
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("sbits * 1000 div n_bigrams").as("xent_millibits"))
+
+  /** q281: per-source cross-entropy profile — the corpus-curation view
+    * of q280: pooled corpus-level millibits (total surprise over total
+    * bigrams — robust to doc-length skew) plus the per-doc mean and the
+    * extremes, all exact integers. The table a mixing policy thresholds
+    * against. */
+  def q281XentProfile(s: SparkSession, dir: String): DataFrame =
+    docSurprise(s, dir)
+      .withColumn("doc_mb", expr("sbits * 1000 div n_bigrams"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("total_bigrams"),
+        sum(col("sbits")).as("total_sbits"),
+        min(col("doc_mb")).as("min_millibits"),
+        max(col("doc_mb")).as("max_millibits"))
+      .select(col("source"), col("n_docs"), col("total_bigrams"),
+        expr("total_sbits * 1000 div total_bigrams").as("pooled_millibits"),
+        col("min_millibits"), col("max_millibits"))
+
   def q135BigramRarity(s: SparkSession, dir: String): DataFrame = {
     val ws = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
@@ -1297,6 +1363,8 @@ object ScaleQueries {
     "q133_bpe_train" -> (q133BpeTrain _),
     "q134_bpe_encode" -> (q134BpeEncode _),
     "q135_bigram_rarity" -> (q135BigramRarity _),
+    "q280_bigram_xent" -> (q280BigramXent _),
+    "q281_xent_profile" -> (q281XentProfile _),
     "q136_zorder_skipping" -> (q136ZorderSkipping _),
     "q138_manifest_append" -> (q138ManifestAppend _),
     "q111_corr_exact" -> (q111CorrExact _),
@@ -1708,6 +1776,56 @@ object ScaleQueries {
     "q134_bpe_encode" -> bpeEncodeOracleSql(8),
     // Integer bigram counts + one final divide; threshold and join
     // reproduced verbatim.
+    // both rungs of the LM replayed: bigram + history counts, add-1
+    // smoothing over the corpus vocabulary, and the whole-bit surprise
+    // as the bit length of the exact integer quotient (printf %b <->
+    // Spark bin() - no transcendental, no float)
+    "q280_bigram_xent" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(ws) AS tok FROM ws)),
+        |bg AS (
+        |  SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT * FROM ws WHERE len(ws) >= 2) t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |sc AS (
+        |  SELECT b.doc_id, b.source,
+        |    length(printf('%b', (c1.c1 + v.v) // (cb.cb + 1))) - 1 AS surprise
+        |  FROM bg b JOIN cb USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(surprise) * 1000 // count(*) AS BIGINT) AS xent_millibits
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+    "q281_xent_profile" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(ws) AS tok FROM ws)),
+        |bg AS (
+        |  SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT * FROM ws WHERE len(ws) >= 2) t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |doc AS (
+        |  SELECT b.doc_id, b.source, count(*) AS n_bigrams,
+        |    sum(length(printf('%b', (c1.c1 + v.v) // (cb.cb + 1))) - 1) AS sbits
+        |  FROM bg b JOIN cb USING (w1, w2) JOIN c1 USING (w1), v
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+        |  CAST(sum(sbits) * 1000 // sum(n_bigrams) AS BIGINT) AS pooled_millibits,
+        |  CAST(min(sbits * 1000 // n_bigrams) AS BIGINT) AS min_millibits,
+        |  CAST(max(sbits * 1000 // n_bigrams) AS BIGINT) AS max_millibits
+        |FROM doc GROUP BY 1""".stripMargin,
     "q135_bigram_rarity" ->
       """WITH dw AS (
         |  SELECT doc_id, lang,

@@ -5,14 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Regression net for the r7-r9 "parsed": null defect: the bench's
   * stdout metric line must fit the consumer's 2000-byte stdout tail
   * (which also holds the runner's trailing "[success] ..." line), stay
-  * valid JSON, and keep carrying every headline query — for the FULL
-  * registry, not a toy subset. */
+  * valid JSON, and keep carrying every headline query — median AND min
+  * (the round-11 driver box had per-query IQRs of 5-48 s; a median-only
+  * line invites false regression reads) — for the FULL registry, not a
+  * toy subset. */
 class BenchLineSpec extends AnyFunSuite {
 
-  private def fakeResults: Seq[(String, Double, Boolean)] =
+  private def fakeResults: Seq[(String, Double, Double, Boolean)] =
     SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map { case (n, i) =>
       // worst-case widths: double-digit seconds with full 3-decimal tails
-      (n, 10.0 + (i % 90) + 0.999, true)
+      (n, 10.0 + (i % 90) + 0.999, 10.0 + (i % 90) + 0.111, true)
     }
 
   test("metric line fits the 2000-byte parser window with slack") {
@@ -26,7 +28,7 @@ class BenchLineSpec extends AnyFunSuite {
     // no JSON lib on the main classpath: structural checks + a paren walk
     assert(line.startsWith("{") && line.endsWith("}"))
     Seq("\"metric\":", "\"value\":", "\"unit\":\"sec\"", "\"queries\":{",
-      "\"failed\":[", "\"sf\":").foreach(f => assert(line.contains(f), f))
+      "\"queries_min\":{", "\"failed\":[", "\"sf\":").foreach(f => assert(line.contains(f), f))
     val depth = line.foldLeft(0) {
       case (d, '{') => d + 1
       case (d, '}') => d - 1
@@ -35,14 +37,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(depth == 0)
   }
 
-  test("every headline query rides the line; failures land in failed, not queries") {
+  test("every headline query rides the line with median AND min; failures land in failed") {
     val withFailure = fakeResults.map {
-      case (n, v, _) if n == "q153_link_predict" => (n, -1.0, false)
+      case (n, _, _, _) if n == "q153_link_predict" => (n, -1.0, -1.0, false)
       case r => r
     }
     val line = Bench.metricLine(withFailure, reps = 3, sfDir = "/x")
     Bench.Headline.filterNot(_ == "q153_link_predict").foreach { q =>
-      assert(line.contains(s""""$q":"""), q)
+      // the name must appear twice: once in queries (median), once in
+      // queries_min
+      assert(line.sliding(q.length + 3).count(_ == s""""$q":""") == 2, q)
     }
     assert(line.contains(""""failed":["q153_link_predict"]"""))
     assert(!line.contains(""""q153_link_predict":-1"""))

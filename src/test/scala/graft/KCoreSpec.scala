@@ -75,4 +75,18 @@ class KCoreSpec extends AnyFunSuite with SharedSpark {
       assert(core(edges, k) == want, s"trial $trial: k=$k edges=$edges")
     }
   }
+
+  test("severEvery=2 reaches the same fixpoint (cascade needs several rounds)") {
+    import spark.implicits._
+    // K4 + pendant path: peeled one hop per round, so the lazy-round
+    // cadence must still converge and agree exactly
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 6L))).toDF("a", "b")
+    val every1 = KCore.kCore(edges, "a", "b", k = 2, maxRounds = 12, severEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    val every2 = KCore.kCore(edges, "a", "b", k = 2, maxRounds = 12, severEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(every1 == every2)
+    assert(every1.keySet == Set(0L, 1L, 2L, 3L))
+  }
 }

@@ -34,6 +34,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q131_hll_distinct", // merged-sketch row x exact-count row, both 1-row aggregates
       "q145_hybrid_search", // q31's broadcast 1-row query vector, reused by the dense leg
       "q160_pmi_pairs", // broadcast 1-row total-token aggregate against the pair table
+      "q280_bigram_xent", // broadcast 1-row vocabulary-size aggregate against the bigram stream (the q160 shape)
+      "q281_xent_profile", // same 1-row vocab broadcast, profile rollup
       "q162_assoc_rules", // broadcast 1-row basket-count aggregate against the rule stream
       "q164_dsir_scores", // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
       "q177_decayed_engagement", // broadcast 1-row max-day anchor against the event stream
