@@ -46,14 +46,22 @@ import org.apache.spark.sql.functions._
   *    video codec retired (fixtures/media.parquet stores complete
   *    valid MP4 and AVI files in three MP4 layouts including
   *    streaming-style mdat-first).
-  *  - PIXEL/entropy decode is NOT real (no huffman/LZW/DCT here beyond
-  *    GIF's stored-code path): image payloads that are not recognized
-  *    containers route to a FIXTURE codec (u16-BE dims header + byte
-  *    checksum) that stands in for an ffmpeg/ImageIO call so the
-  *    byte-level path is still exercised and oracle-verified against
-  *    independently stored metadata (tools/gen_media_fixture.py). A
-  *    real deployment swaps exactly the body marked FIXTURE below;
-  *    signatures, batching, and schemas are final.
+  *  - IMAGE PIXEL decode is REAL for GIF and 24-bpp BMP: [[gifGray]]
+  *    runs a general GIF LZW decoder (variable-width codes, dictionary
+  *    growth, KwKwK, clear/EOI, sub-block reassembly, four-pass
+  *    interlace reorder — verified pixel-for-pixel against ImageIO on
+  *    its own compressed interlaced output) and [[bmpGray]] walks the
+  *    aligned BGR rows; both emit integer BT.601 luma rasters that feed
+  *    the perceptual-hash dedup stage ([[imagePhash]] /
+  *    [[imageNearDupPairs]]). JPEG/PNG entropy decode (huffman/DCT/
+  *    inflate) is NOT implemented: such payloads keep their real dims
+  *    parse, and payloads that are no recognized container at all route
+  *    to a FIXTURE codec (u16-BE dims header + byte checksum) standing
+  *    in for an ffmpeg/ImageIO call so the byte-level path is still
+  *    exercised and oracle-verified against independently stored
+  *    metadata (tools/gen_media_fixture.py). A real deployment swaps
+  *    exactly those decode bodies; signatures, batching, and schemas
+  *    are final.
   *
   * At 100 TB: payloads dominate row size, so the scan must prune them when
   * a query touches only metadata (parquet column pruning gives this for
@@ -905,6 +913,78 @@ object Multimodal {
       .distinct()
   }
 
+  /** Batch-vs-HISTORY variant of [[bandedHashPairs]]: candidates
+    * equi-join on (band, value) across the two tables (no canonical
+    * ordering filter — the sides are distinct), so an ingestion batch
+    * screens against everything ever ingested while the history side of
+    * the shuffle carries 4 band rows + one bounded verify vector per
+    * historical item — the [[Dedup.simhashNearDupAgainst]] production
+    * shape, for media content. */
+  private def bandedHashPairsAgainst(batch: DataFrame, hist: DataFrame,
+                                     vecCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("media_id"), col("hi"), col("lo"), col(vecCol),
+        posexplode(array(
+          col("lo").bitwiseAND(65535),
+          shiftright(col("lo"), 16).bitwiseAND(65535),
+          col("hi").bitwiseAND(65535),
+          shiftright(col("hi"), 16).bitwiseAND(65535))))
+        .toDF("media_id", "hi", "lo", vecCol, "band", "value")
+    val n = banded(batch).select(col("band"), col("value"), col("media_id").as("new_id"),
+      col("hi").as("hi_n"), col("lo").as("lo_n"), col(vecCol).as("vec_a"))
+    val h = banded(hist).select(col("band"), col("value"), col("media_id").as("hist_id"),
+      col("hi").as("hi_h"), col("lo").as("lo_h"), col(vecCol).as("vec_b"))
+    n.join(h, Seq("band", "value"))
+      .select(col("new_id"), col("hist_id"), col("vec_a"), col("vec_b"),
+        (bit_count(col("hi_n").bitwiseXOR(col("hi_h"))) +
+          bit_count(col("lo_n").bitwiseXOR(col("lo_h")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  private def imageHashed(media: Dataset[MediaRow]): DataFrame =
+    imagePhash(media).toDF()
+      .select(col("media_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"),
+        col("gray64"))
+
+  private def audioHashed(media: Dataset[MediaRow]): DataFrame =
+    audioFingerprint(media).toDF()
+      .select(col("media_id"), col("fp_hi").as("hi"), col("fp_lo").as("lo"),
+        col("energy64"))
+
+  /** Incremental IMAGE content dedup: screen an ingestion BATCH against
+    * the hash HISTORY — same banding, Hamming cut, and exact pixel-L1
+    * verify as [[imageNearDupPairs]], across tables instead of within
+    * one. Returns (new_id, hist_id, hamming, sample_l1) matches; a
+    * production pipeline drops matched batch rows and appends the
+    * survivors' (hi, lo, gray64) rows — ~300 bytes/image — to the
+    * history, never re-reading historical payloads. */
+  def imageNearDupAgainst(batch: Dataset[MediaRow], hist: Dataset[MediaRow],
+                          maxHamming: Int = 3, maxSampleL1: Long = 1024L): DataFrame =
+    bandedHashPairsAgainst(imageHashed(batch), imageHashed(hist), "gray64", maxHamming)
+      .withColumn("sample_l1",
+        aggregate(zip_with(col("vec_a"), col("vec_b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v))
+      .filter(col("sample_l1") <= maxSampleL1)
+      .select(col("new_id"), col("hist_id"), col("hamming"), col("sample_l1"))
+
+  /** Incremental AUDIO content dedup: batch-vs-history form of
+    * [[audioNearDupPairs]] (banded fingerprint candidates + exact
+    * relative-L1 envelope verify). */
+  def audioNearDupAgainst(batch: Dataset[MediaRow], hist: Dataset[MediaRow],
+                          maxHamming: Int = 3, maxRelL1Permille: Long = 100L): DataFrame =
+    bandedHashPairsAgainst(audioHashed(batch), audioHashed(hist), "energy64", maxHamming)
+      .withColumn("l1",
+        aggregate(zip_with(col("vec_a"), col("vec_b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v))
+      .withColumn("tot",
+        aggregate(col("vec_a"), lit(0L), (acc, v) => acc + v) +
+          aggregate(col("vec_b"), lit(0L), (acc, v) => acc + v))
+      .filter(col("l1") * 1000 <= col("tot") * maxRelL1Permille)
+      .select(col("new_id"), col("hist_id"), col("hamming"),
+        expr("l1 * 1000 div greatest(1L, tot)").as("rel_l1_permille"))
+
   /** IMAGE perceptual near-dup pairs: banded aHash candidates at
     * Hamming ≤ `maxHamming`, then an exact pixel verify — the L1
     * distance over the 8×8 gray samples must stay ≤ `maxSampleL1`
@@ -913,10 +993,7 @@ object Multimodal {
     * Output (id_a, id_b, hamming, sample_l1). */
   def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
                         maxSampleL1: Long = 1024L): DataFrame = {
-    val hashed = imagePhash(media).toDF()
-      .select(col("media_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"),
-        col("gray64"))
-    bandedHashPairs(hashed, "gray64", maxHamming)
+    bandedHashPairs(imageHashed(media), "gray64", maxHamming)
       .withColumn("sample_l1",
         aggregate(zip_with(col("vec_a"), col("vec_b"),
           (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v))
@@ -932,10 +1009,7 @@ object Multimodal {
     * rel_l1_permille). */
   def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
                         maxRelL1Permille: Long = 100L): DataFrame = {
-    val hashed = audioFingerprint(media).toDF()
-      .select(col("media_id"), col("fp_hi").as("hi"), col("fp_lo").as("lo"),
-        col("energy64"))
-    bandedHashPairs(hashed, "energy64", maxHamming)
+    bandedHashPairs(audioHashed(media), "energy64", maxHamming)
       .withColumn("l1",
         aggregate(zip_with(col("vec_a"), col("vec_b"),
           (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v))

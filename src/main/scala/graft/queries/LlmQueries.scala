@@ -419,6 +419,33 @@ object LlmQueries {
     Multimodal.imageNearDupPairs(Multimodal.readMedia(s, media),
       maxHamming = 3, maxSampleL1 = 1024L)
 
+  /** q282: INCREMENTAL image content dedup — an ingestion BATCH (the
+    * seeded derived rows: 89/90/91, 93/94/95) screened against the hash
+    * HISTORY (everything earlier: rows 60-75 + the bases 88 and 92),
+    * the production shape where each batch pays only
+    * (batch × history-index), never a corpus rescan — the
+    * [[graft.operators.Dedup.simhashNearDupAgainst]] pattern for media.
+    * Expected matches: the copies and perturbations land on their base
+    * (89→88, 90→88, 93→92, 94→92); the unrelated controls 91/95 match
+    * nothing. */
+  def q282ImageHistoryNeardup(s: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.readMedia(s, media)
+    val batch = m.filter(col("media_id") >= 89 && col("media_id") =!= 92)
+    val hist = m.filter(col("media_id") <= 88 || col("media_id") === 92)
+    Multimodal.imageNearDupAgainst(batch, hist, maxHamming = 3, maxSampleL1 = 1024L)
+  }
+
+  /** q283: INCREMENTAL audio content dedup — batch rows 97-99 screened
+    * against the history (all earlier WAV rows incl. base 96). Expected:
+    * 97 (exact stream copy) and 98 (sparse perturbation) land on 96; 99
+    * matches nothing. */
+  def q283AudioHistoryNeardup(s: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.readMedia(s, media)
+    val batch = m.filter(col("media_id") >= 97)
+    val hist = m.filter(col("media_id") <= 96)
+    Multimodal.audioNearDupAgainst(batch, hist, maxHamming = 3, maxRelL1Permille = 100L)
+  }
+
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
     * decoded PCM: the sample walk of q141, folded into 64 equal windows
     * (sample j → window ⌊j·64/total⌋), bit = 64·E_t > ΣE. Same hi/lo
@@ -1584,6 +1611,8 @@ object LlmQueries {
     "q277_image_neardup" -> (q277ImageNeardup _),
     "q278_audio_fp" -> (q278AudioFp _),
     "q279_audio_neardup" -> (q279AudioNeardup _),
+    "q282_image_history_neardup" -> (q282ImageHistoryNeardup _),
+    "q283_audio_history_neardup" -> (q283AudioHistoryNeardup _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2120,6 +2149,29 @@ object LlmQueries {
          |GROUP BY 1, 2
          |HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
          |   AND sum(abs(a.en - b.en)) * 1000 <= 100 * sum(a.en + b.en)""".stripMargin,
+    // batch-vs-history replay over the same regenerated pixels/envelopes:
+    // batch = the seeded derived rows, history = everything earlier
+    "q282_image_history_neardup" ->
+      s"""WITH $imageSampleCtes
+         |SELECT b.media_id AS new_id, h.media_id AS hist_id,
+         |  CAST(sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming,
+         |  CAST(sum(abs(b.g - h.g)) AS BIGINT) AS sample_l1
+         |FROM ibits b JOIN ibits h ON b.k = h.k
+         |WHERE b.media_id >= 89 AND b.media_id <> 92
+         |  AND (h.media_id <= 88 OR h.media_id = 92)
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) <= 3
+         |   AND sum(abs(b.g - h.g)) <= 1024""".stripMargin,
+    "q283_audio_history_neardup" ->
+      s"""WITH $audioEnvelopeCtes
+         |SELECT b.media_id AS new_id, h.media_id AS hist_id,
+         |  CAST(sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming,
+         |  CAST(sum(abs(b.en - h.en)) * 1000 // greatest(1, sum(b.en + h.en)) AS BIGINT) AS rel_l1_permille
+         |FROM abits b JOIN abits h ON b.t = h.t
+         |WHERE b.media_id >= 97 AND h.media_id <= 96
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) <= 3
+         |   AND sum(abs(b.en - h.en)) * 1000 <= 100 * sum(b.en + h.en)""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

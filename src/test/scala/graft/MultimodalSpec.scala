@@ -409,6 +409,26 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(ham <= 3 && rel > 0 && rel <= 100)
   }
 
+  test("imageNearDupAgainst screens the batch against history only (no in-batch pairs)") {
+    val m = Multimodal.readMedia(spark, fixture)
+    val batch = m.filter(col("media_id") >= 89 && col("media_id") =!= 92)
+    val hist = m.filter(col("media_id") <= 88 || col("media_id") === 92)
+    val got = Multimodal.imageNearDupAgainst(batch, hist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // copies/perturbations land on their BASE; the unrelated controls
+    // (91, 95) match nothing; in-batch near-dups (89 vs 90) are NOT
+    // emitted — only batch-vs-history
+    assert(got == Set((89L, 88L), (90L, 88L), (93L, 92L), (94L, 92L)))
+  }
+
+  test("audioNearDupAgainst screens the batch against history only") {
+    val m = Multimodal.readMedia(spark, fixture)
+    val got = Multimodal.audioNearDupAgainst(
+      m.filter(col("media_id") >= 97), m.filter(col("media_id") <= 96))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((97L, 96L), (98L, 96L)))
+  }
+
   test("lzwDecode rejects malformed streams cleanly") {
     // first code must be a root, not a dictionary reference
     assert(Multimodal.lzwDecode(2, Array[Byte](6), 1).isEmpty)
