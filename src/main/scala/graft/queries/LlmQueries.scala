@@ -1670,7 +1670,7 @@ object LlmQueries {
     s"""img AS (
        |  SELECT media_id, mime, CAST(width AS INT) AS w, CAST(height AS INT) AS h,
        |    CASE WHEN media_id IN (89, 90) THEN 88
-       |         WHEN media_id IN (93, 94) THEN 92
+       |         WHEN media_id IN (93, 94, 100) THEN 92
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
        |  WHERE mime IN ('image/gif', 'image/bmp')),
@@ -1690,7 +1690,10 @@ object LlmQueries {
        |  FROM pos),
        |smp AS (
        |  SELECT media_id, w, h, k,
-       |    CASE WHEN mime = 'image/bmp'
+       |    -- row 100 is a BMP whose pixels ARE gif-92's palette colors
+       |    -- (the cross-format duplicate): route it through the palette
+       |    -- formula its bytes were built from
+       |    CASE WHEN mime = 'image/bmp' AND media_id <> 100
        |      THEN (299*cr + 587*cg + 114*cb) // 1000
        |      ELSE (299*((seed*7 + (3*c)*11) % 256)
        |          + 587*((seed*7 + (3*c+1)*11) % 256)

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 54) // 30 fixture-codec image + 24 real GIF/BMP
+    assert(decoded.count() == 55) // 30 fixture-codec image + 25 real GIF/BMP
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -272,7 +272,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       .filter(col("mime").isin("image/gif", "image/bmp"))
       .select(col("media_id"), col("payload"), col("width"), col("height"))
       .collect()
-    assert(rows.length == 24)
+    assert(rows.length == 25)
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
@@ -353,7 +353,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val rows = spark.read.parquet(fixture)
       .filter(col("mime").isin("image/gif", "image/bmp"))
       .select(col("media_id"), col("payload")).collect()
-    assert(rows.length == 24)
+    assert(rows.length == 25)
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
       val ours = Multimodal.imageGray(p)
@@ -393,7 +393,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val pairs = Multimodal.imageNearDupPairs(Multimodal.readMedia(spark, fixture))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(pairs.keySet == Set((88L, 89L), (88L, 90L), (89L, 90L),
-      (92L, 93L), (92L, 94L), (93L, 94L)))
+      (92L, 93L), (92L, 94L), (93L, 94L),
+      // the CROSS-FORMAT duplicate: row 100 is a BMP container holding
+      // gif-92's exact pixel colors — content-keyed, not container-keyed
+      (92L, 100L), (93L, 100L), (94L, 100L)))
+    assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
     assert(pairs((92L, 94L)) == ((0L, 0L)))
     val (ham8889, l18889) = pairs((88L, 89L)) // sparse perturbation: near, not exact
@@ -418,7 +422,8 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // copies/perturbations land on their BASE; the unrelated controls
     // (91, 95) match nothing; in-batch near-dups (89 vs 90) are NOT
     // emitted — only batch-vs-history
-    assert(got == Set((89L, 88L), (90L, 88L), (93L, 92L), (94L, 92L)))
+    assert(got == Set((89L, 88L), (90L, 88L), (93L, 92L), (94L, 92L),
+      (100L, 92L))) // the cross-format BMP copy of gif-92 lands on its base
   }
 
   test("audioNearDupAgainst screens the batch against history only") {

@@ -494,7 +494,59 @@ for i, seed, perturb in NEARDUP_AUDIO:
     bitss.append(8)
     n_sampless.append(256)
 
-# uspf is only appended in the AVI loop; pad front AND back (rows 88-99)
+# ---- row 100: CROSS-FORMAT content duplicate — a 24-bpp BMP whose
+# pixel colors are byte-identical to GIF row 92's decoded palette
+# colors. The perceptual hash is computed over decoded luma rasters, so
+# the pair (92, 100) must collide at Hamming 0 even though the
+# containers share not a single byte: content-keyed, not
+# container-keyed.
+
+
+def bmp_bytes_pixels(w, h, rgb_of):
+    """24-bpp bottom-up BMP from an explicit (x, y) -> (r, g, b) map."""
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    rows = b""
+    for rr in range(h):                     # file rows bottom-up
+        y = h - 1 - rr
+        for x in range(w):
+            r, g, b = rgb_of(x, y)
+            rows += bytes([b, g, r])        # stored B,G,R
+        rows += b"\x00" * pad
+    dib = ((40).to_bytes(4, "little") + w.to_bytes(4, "little")
+           + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+           + len(rows).to_bytes(4, "little")
+           + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+           + (0).to_bytes(4, "little") + (0).to_bytes(4, "little"))
+    filehdr = (b"BM" + (14 + 40 + len(rows)).to_bytes(4, "little")
+               + (0).to_bytes(4, "little") + (54).to_bytes(4, "little"))
+    return filehdr + dib + rows
+
+
+def gif92_rgb(x, y):
+    j = y * 12 + x
+    c = (92 * 31 + j * 7) % 4
+    pal = [(92 * 7 + k * 11) % 256 for k in range(12)]
+    return pal[3 * c], pal[3 * c + 1], pal[3 * c + 2]
+
+
+_xfmt = bmp_bytes_pixels(12, 10, gif92_rgb)
+ids.append(100)
+mimes.append("image/bmp")
+payloads.append(_xfmt)
+widths.append(12)
+heights.append(10)
+n_bytes.append(len(_xfmt))
+checksums.append(sum(_xfmt) % 9973)
+n_frames.append(None)
+fpss.append(None)
+sample_rates.append(None)
+channelss.append(None)
+bitss.append(None)
+n_sampless.append(None)
+
+# uspf is only appended in the AVI loop; pad front AND back (rows 88+)
 assert len(uspfs) == 12
 uspfs = [None] * 76 + uspfs + [None] * (len(ids) - 88)
 
