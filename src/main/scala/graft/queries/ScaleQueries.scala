@@ -1014,6 +1014,31 @@ object ScaleQueries {
         expr("total_sbits * 1000 div total_bigrams").as("pooled_millibits"),
         col("min_millibits"), col("max_millibits"))
 
+  /** q284: CCNet-style perplexity buckets — the step after scoring:
+    * split each source into head/middle/tail by PER-SOURCE terciles of
+    * the q280 cross-entropy (a raw threshold would keep all of one
+    * domain and none of another), keep head+middle (the CCNet recipe).
+    * Terciles are rank-derived in pure integer arithmetic with the q78
+    * machinery: per-(source, millibits) counts — bounded by the value
+    * domain — feed a PrefixSum cumulative whose exclusive prefix IS
+    * "docs strictly below"; bucket = (3·below) div n, ties share a
+    * bucket, no per-doc window anywhere. */
+  def q284CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sc = docSurprise(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("sbits * 1000 div n_bigrams").as("mb"))
+    val g = sc.groupBy("source", "mb").agg(count(lit(1)).as("c"))
+    val cum = graft.operators.PrefixSum.inclusive(g, Seq("source"), "mb", "c", out = "cum")
+      .withColumn("below", col("cum") - col("c"))
+    val totals = cum.groupBy("source").agg(max(col("cum")).as("n"))
+    val buckets = cum.join(broadcast(totals), "source")
+      .select(col("source"), col("mb"), expr("(3 * below) div n").as("bucket"))
+    sc.join(buckets, Seq("source", "mb"))
+      .select(col("doc_id"), col("source"), col("mb").as("xent_millibits"),
+        col("bucket"),
+        expr("CAST(CASE WHEN bucket <= 1 THEN 1 ELSE 0 END AS BIGINT)").as("kept"))
+  }
+
   def q135BigramRarity(s: SparkSession, dir: String): DataFrame = {
     val ws = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"))
@@ -1365,6 +1390,7 @@ object ScaleQueries {
     "q135_bigram_rarity" -> (q135BigramRarity _),
     "q280_bigram_xent" -> (q280BigramXent _),
     "q281_xent_profile" -> (q281XentProfile _),
+    "q284_ccnet_buckets" -> (q284CcnetBuckets _),
     "q136_zorder_skipping" -> (q136ZorderSkipping _),
     "q138_manifest_append" -> (q138ManifestAppend _),
     "q111_corr_exact" -> (q111CorrExact _),
@@ -1776,6 +1802,41 @@ object ScaleQueries {
     "q134_bpe_encode" -> bpeEncodeOracleSql(8),
     // Integer bigram counts + one final divide; threshold and join
     // reproduced verbatim.
+    // rank-derived per-source terciles replayed: cumulative per-(source,
+    // millibits) counts, bucket = (3 * strictly-below) // n, ties share
+    "q284_ccnet_buckets" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |v AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(ws) AS tok FROM ws)),
+        |bg AS (
+        |  SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT * FROM ws WHERE len(ws) >= 2) t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |doc AS (
+        |  SELECT b.doc_id, b.source,
+        |    sum(length(printf('%b', (c1.c1 + v.v) // (cb.cb + 1))) - 1)
+        |      * 1000 // count(*) AS mb
+        |  FROM bg b JOIN cb USING (w1, w2) JOIN c1 USING (w1), v
+        |  GROUP BY 1, 2),
+        |g2 AS (SELECT source, mb, count(*) AS c FROM doc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, mb, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY mb) AS cum
+        |  FROM g2),
+        |n AS (SELECT source, max(cum) AS n FROM cum GROUP BY 1),
+        |bk AS (
+        |  SELECT cum.source, cum.mb, (3 * (cum.cum - cum.c)) // n.n AS bucket
+        |  FROM cum JOIN n USING (source))
+        |SELECT d.doc_id, d.source, CAST(d.mb AS BIGINT) AS xent_millibits,
+        |  CAST(bk.bucket AS BIGINT) AS bucket,
+        |  CAST(CASE WHEN bk.bucket <= 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM doc d JOIN bk ON d.source = bk.source AND d.mb = bk.mb""".stripMargin,
     // both rungs of the LM replayed: bigram + history counts, add-1
     // smoothing over the corpus vocabulary, and the whole-bit surprise
     // as the bit length of the exact integer quotient (printf %b <->

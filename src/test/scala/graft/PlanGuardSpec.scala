@@ -36,6 +36,7 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "q160_pmi_pairs", // broadcast 1-row total-token aggregate against the pair table
       "q280_bigram_xent", // broadcast 1-row vocabulary-size aggregate against the bigram stream (the q160 shape)
       "q281_xent_profile", // same 1-row vocab broadcast, profile rollup
+      "q284_ccnet_buckets", // vocab broadcast + 1-row per-source totals against the value-domain bucket map
       "q162_assoc_rules", // broadcast 1-row basket-count aggregate against the rule stream
       "q164_dsir_scores", // two broadcast 1-row gram-total aggregates into the 4096-row ratio table
       "q177_decayed_engagement", // broadcast 1-row max-day anchor against the event stream
