@@ -76,6 +76,25 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(out.get(1L).contains(2L) && out.get(2L).contains(1L))
   }
 
+  test("cosineNearDupPairs wires the shared band budget: dup-heavy refuses, clean passes") {
+    // 40 identical vectors collide in every LSH table: C(40,2)·4 = 3,120
+    // candidates > 8 × 160 banded postings → the shared guard refuses
+    val dupHeavy = emb((1L to 40L).map(i => (i, Seq(1f, 2f, 3f), 0)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(dupHeavy, "vec_id", "embedding",
+        planes = 8, tables = 4, thresholdNum = 999L, thresholdDen = 1000L,
+        maxCandidateFactor = 8).collect()
+    }
+    assert(e.getMessage.contains("cosine near-dup") && e.getMessage.contains("exactClusters"))
+    // spread vectors: same factor passes and the pipeline computes
+    val clean = emb((1L to 40L).map(i =>
+      (i, Seq(math.sin(i * 1.7).toFloat, math.cos(i * 2.3).toFloat,
+        math.sin(i * 0.9 + 1).toFloat), 0)): _*)
+    Similarity.cosineNearDupPairs(clean, "vec_id", "embedding",
+      planes = 8, tables = 4, thresholdNum = 999L, thresholdDen = 1000L,
+      maxCandidateFactor = 8).collect()
+  }
+
   test("cosineNearDupPairs verifies candidates exactly and never goes all-pairs") {
     val d = emb(
       (1L, Seq(1f, 2f, 3f), 0),
