@@ -46,16 +46,24 @@ import org.apache.spark.sql.functions._
   *    video codec retired (fixtures/media.parquet stores complete
   *    valid MP4 and AVI files in three MP4 layouts including
   *    streaming-style mdat-first).
-  *  - IMAGE PIXEL decode is REAL for GIF and 24-bpp BMP: [[gifGray]]
+  *  - IMAGE PIXEL decode is REAL for GIF, 24-bpp BMP, and 8-bit PNG:
+  *    [[pngGray]] walks the chunk tree, inflates the IDAT DEFLATE
+  *    stream with the JDK's Inflater, and applies all five scanline
+  *    filters (verified pixel-for-pixel against ImageIO's adaptively
+  *    filtered output — PNG is lossless, so agreement is exact);
+  *    [[gifGray]]
   *    runs a general GIF LZW decoder (variable-width codes, dictionary
   *    growth, KwKwK, clear/EOI, sub-block reassembly, four-pass
   *    interlace reorder — verified pixel-for-pixel against ImageIO on
   *    its own compressed interlaced output) and [[bmpGray]] walks the
   *    aligned BGR rows; both emit integer BT.601 luma rasters that feed
   *    the perceptual-hash dedup stage ([[imagePhash]] /
-  *    [[imageNearDupPairs]]). JPEG/PNG entropy decode (huffman/DCT/
-  *    inflate) is NOT implemented: such payloads keep their real dims
-  *    parse, and payloads that are no recognized container at all route
+  *    [[imageNearDupPairs]]). JPEG entropy decode (huffman/DCT) is NOT
+  *    implemented — and deliberately so: lossy decoders round
+  *    differently across implementations, so a bit-exact oracle
+  *    contract is not achievable the way it is for the lossless
+  *    formats. JPEG payloads keep their real dims parse, and payloads
+  *    that are no recognized container at all route
   *    to a FIXTURE codec (u16-BE dims header + byte checksum) standing
   *    in for an ffmpeg/ImageIO call so the byte-level path is still
   *    exercised and oracle-verified against independently stored
@@ -771,11 +779,111 @@ object Multimodal {
     Some((w, h, gray))
   }
 
-  /** Grayscale raster from REAL container bytes (GIF or 24-bpp BMP —
-    * the two formats whose pixel encodings this library decodes without
-    * an image library); None for everything else. */
+  /** REAL PNG pixel decode to a top-down grayscale raster: chunk walk
+    * (IHDR → concatenated IDAT → IEND), zlib inflate via the JDK's
+    * `Inflater` (PNG's DEFLATE stream is part of the format spec, not an
+    * image codec), then per-scanline DEFILTERING — all five PNG filter
+    * types (None/Sub/Up/Average/Paeth, the Paeth predictor per the spec)
+    * — and channel→luma. Supported layout: 8-bit depth, grayscale /
+    * truecolor / truecolor-alpha (color types 0/2/6 — what encoders
+    * actually emit for photographic data), non-interlaced (Adam7 →
+    * None). PNG is lossless, so agreement with an independent decoder
+    * is exact by construction — MultimodalSpec pins pixel-for-pixel
+    * equality against ImageIO. */
+  private[graft] def pngGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    pngDims(p) match {
+      case None => None
+      case Some((w, h)) =>
+        var pos = 8
+        var bitDepth = -1; var colorType = -1; var interlace = -1
+        val idat = new scala.collection.mutable.ArrayBuilder.ofByte
+        var done = false
+        while (!done && pos + 8 <= p.length) {
+          val len = u32be(p, pos).toInt
+          if (len < 0 || pos + 12 + len > p.length) return None
+          val typ = new String(p, pos + 4, 4, "US-ASCII")
+          typ match {
+            case "IHDR" =>
+              bitDepth = p(pos + 16) & 0xff
+              colorType = p(pos + 17) & 0xff
+              interlace = p(pos + 20) & 0xff
+            case "IDAT" =>
+              idat.addAll(java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + len))
+            case "IEND" => done = true
+            case _ => ()
+          }
+          pos += 12 + len
+        }
+        if (bitDepth != 8 || interlace != 0) return None
+        val channels = colorType match {
+          case 0 => 1
+          case 2 => 3
+          case 6 => 4
+          case _ => return None
+        }
+        val stride = w * channels
+        val raw = new Array[Byte]((stride + 1) * h)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.result())
+        try {
+          var off = 0
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && inf.needsInput()) return None // truncated stream
+            off += n
+          }
+          if (off != raw.length) return None
+        } catch { case _: java.util.zip.DataFormatException => return None }
+        finally inf.end()
+        // defilter in place into `cur` scanlines
+        val prev = new Array[Int](stride)
+        val cur = new Array[Int](stride)
+        val gray = new Array[Int](w * h)
+        def paeth(a: Int, b: Int, c: Int): Int = {
+          val pp = a + b - c
+          val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        var y = 0
+        while (y < h) {
+          val base = y * (stride + 1)
+          val filter = raw(base) & 0xff
+          var i = 0
+          while (i < stride) {
+            val x = raw(base + 1 + i) & 0xff
+            val a = if (i >= channels) cur(i - channels) else 0 // left
+            val b = prev(i)                                     // up
+            val c = if (i >= channels) prev(i - channels) else 0 // up-left
+            cur(i) = filter match {
+              case 0 => x
+              case 1 => (x + a) & 0xff
+              case 2 => (x + b) & 0xff
+              case 3 => (x + (a + b) / 2) & 0xff
+              case 4 => (x + paeth(a, b, c)) & 0xff
+              case _ => return None
+            }
+            i += 1
+          }
+          var px = 0
+          while (px < w) {
+            gray(y * w + px) =
+              if (channels == 1) cur(px)
+              else lumaOf(cur(px * channels), cur(px * channels + 1), cur(px * channels + 2))
+            px += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          y += 1
+        }
+        Some((w, h, gray))
+    }
+  }
+
+  /** Grayscale raster from REAL container bytes (GIF, 24-bpp BMP, or
+    * 8-bit PNG — the formats whose pixel encodings this library decodes
+    * without an image library); None for everything else. */
   def imageGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (payload.length >= 2 && payload(0) == 'G') gifGray(payload)
+    else if (payload.length >= 1 && (payload(0) & 0xff) == 0x89) pngGray(payload)
     else bmpGray(payload)
 
   // ----------------------------------------------- perceptual hashing

@@ -1671,9 +1671,11 @@ object LlmQueries {
        |  SELECT media_id, mime, CAST(width AS INT) AS w, CAST(height AS INT) AS h,
        |    CASE WHEN media_id IN (89, 90) THEN 88
        |         WHEN media_id IN (93, 94, 100) THEN 92
+       |         WHEN media_id = 102 THEN 101
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
-       |  WHERE mime IN ('image/gif', 'image/bmp')),
+       |  WHERE mime IN ('image/gif', 'image/bmp')
+       |     OR media_id >= 101),
        |grid AS (
        |  SELECT i.*, t.k, (t.k % 8) * w // 8 AS px, (t.k // 8) * h // 8 AS py
        |  FROM img i, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
@@ -1686,14 +1688,19 @@ object LlmQueries {
        |    (seed*31 + n0*7     + CASE WHEN media_id = 89 AND n0%103 = 0     THEN 16 ELSE 0 END) % 256 AS cb,
        |    (seed*31 + (n0+1)*7 + CASE WHEN media_id = 89 AND (n0+1)%103 = 0 THEN 16 ELSE 0 END) % 256 AS cg,
        |    (seed*31 + (n0+2)*7 + CASE WHEN media_id = 89 AND (n0+2)%103 = 0 THEN 16 ELSE 0 END) % 256 AS cr,
-       |    ((seed*31 + j*7) % 4 + CASE WHEN media_id = 93 AND j%37 = 0 THEN 1 ELSE 0 END) % 4 AS c
+       |    ((seed*31 + j*7) % 4 + CASE WHEN media_id = 93 AND j%37 = 0 THEN 1 ELSE 0 END) % 4 AS c,
+       |    (seed*31 + (3*j)*7) % 256 AS pr,
+       |    (seed*31 + (3*j+1)*7) % 256 AS pg,
+       |    (seed*31 + (3*j+2)*7) % 256 AS pb
        |  FROM pos),
        |smp AS (
        |  SELECT media_id, w, h, k,
        |    -- row 100 is a BMP whose pixels ARE gif-92's palette colors
        |    -- (the cross-format duplicate): route it through the palette
        |    -- formula its bytes were built from
-       |    CASE WHEN mime = 'image/bmp' AND media_id <> 100
+       |    CASE WHEN mime = 'image/png'
+       |      THEN (299*pr + 587*pg + 114*pb) // 1000
+       |    WHEN mime = 'image/bmp' AND media_id <> 100
        |      THEN (299*cr + 587*cg + 114*cb) // 1000
        |      ELSE (299*((seed*7 + (3*c)*11) % 256)
        |          + 587*((seed*7 + (3*c+1)*11) % 256)

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 55) // 30 fixture-codec image + 25 real GIF/BMP
+    assert(decoded.count() == 58) // 30 fixture-codec image + 28 real GIF/BMP/PNG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -347,13 +347,13 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     (299 * r + 587 * g + 114 * b) / 1000
   }
 
-  test("imageGray agrees with ImageIO pixel-for-pixel on every fixture GIF/BMP row") {
+  test("imageGray agrees with ImageIO pixel-for-pixel on every pixel-decodable fixture row") {
     // the INDEPENDENT pixel decoder: javax.imageio runs its own LZW /
-    // BGR-row decode; every luma must match our byte-walk's
+    // BGR-row / inflate+defilter decode; every luma must match ours
     val rows = spark.read.parquet(fixture)
-      .filter(col("mime").isin("image/gif", "image/bmp"))
+      .filter(col("mime").isin("image/gif", "image/bmp") || col("media_id") >= 101)
       .select(col("media_id"), col("payload")).collect()
-    assert(rows.length == 25)
+    assert(rows.length == 28)
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
       val ours = Multimodal.imageGray(p)
@@ -396,8 +396,10 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       (92L, 93L), (92L, 94L), (93L, 94L),
       // the CROSS-FORMAT duplicate: row 100 is a BMP container holding
       // gif-92's exact pixel colors — content-keyed, not container-keyed
-      (92L, 100L), (93L, 100L), (94L, 100L)))
+      (92L, 100L), (93L, 100L), (94L, 100L),
+      (101L, 102L))) // the PNG leg: exact pixel copies under distinct ids
     assert(pairs((92L, 100L)) == ((0L, 0L)))
+    assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
     assert(pairs((92L, 94L)) == ((0L, 0L)))
     val (ham8889, l18889) = pairs((88L, 89L)) // sparse perturbation: near, not exact
@@ -432,6 +434,41 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       m.filter(col("media_id") >= 97), m.filter(col("media_id") <= 96))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((97L, 96L), (98L, 96L)))
+  }
+
+  test("pngGray decodes an ImageIO-ENCODED png (adaptive filters, real deflate)") {
+    // ImageIO's PNG writer picks per-scanline filters adaptively
+    // (Sub/Up/Average/Paeth, not the fixture's filter-0), so this
+    // exercises the full defilter path on an independent encoder's bytes
+    val w = 29; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 83 + y * 29) * 7919) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val p = out.toByteArray
+    val decoded = Multimodal.pngGray(p)
+    assert(decoded.isDefined, "pngGray rejected an ImageIO-encoded png")
+    val (dw, dh, gray) = decoded.get
+    assert(dw == w && dh == h)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gray(y * w + x) == lumaOf(back.getRGB(x, y)), s"pixel ($x,$y)")
+  }
+
+  test("pngGray rejects unsupported/malformed layouts cleanly") {
+    val good = spark.read.parquet(fixture)
+      .filter(col("media_id") === 101).select("payload").head().getAs[Array[Byte]](0)
+    assert(Multimodal.pngGray(good).isDefined)
+    // truncated IDAT stream: clean None, never a partial raster
+    assert(Multimodal.pngGray(good.dropRight(20)).isEmpty)
+    // declared 16-bit depth: out of the supported layout
+    val deep = good.clone(); deep(24) = 16.toByte
+    assert(Multimodal.pngGray(deep).isEmpty)
+    // Adam7 interlace flag: out of scope, clean None
+    val adam = good.clone(); adam(28) = 1.toByte
+    assert(Multimodal.pngGray(adam).isEmpty)
   }
 
   test("lzwDecode rejects malformed streams cleanly") {

@@ -546,6 +546,52 @@ channelss.append(None)
 bitss.append(None)
 n_sampless.append(None)
 
+# ---- rows 101-103: REAL PNG containers (8-bit truecolor, IDAT zlib
+# stream, filter-0 scanlines) — the third real pixel-decode format.
+# Channel byte at index n = 3*(y*w+x)+c is (seed*31 + n*7) % 256 in
+# R,G,B scanline order (no row flip, no padding — unlike BMP), so the
+# oracle regenerates pixels directly. Row 102 is an exact pixel copy of
+# 101 under its own id (the PNG leg of the near-dup family); 103 is the
+# unrelated control. graft's pngGray inflates and defilters the actual
+# container bytes.
+import struct
+import zlib
+
+
+def png_chunk(typ, data):
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def png_bytes_seeded(seed, w, h):
+    raw = b""
+    for y in range(h):
+        raw += b"\x00"  # filter type 0 per scanline
+        for x in range(w):
+            n = 3 * (y * w + x)
+            raw += bytes(((seed * 31 + (n + c) * 7) % 256) for c in range(3))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+            + png_chunk(b"IDAT", zlib.compress(raw))
+            + png_chunk(b"IEND", b""))
+
+
+for i, seed in ((101, 101), (102, 101), (103, 103)):
+    payload = png_bytes_seeded(seed, 11, 9)
+    ids.append(i)
+    mimes.append("image/png")
+    payloads.append(payload)
+    widths.append(11)
+    heights.append(9)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
 # uspf is only appended in the AVI loop; pad front AND back (rows 88+)
 assert len(uspfs) == 12
 uspfs = [None] * 76 + uspfs + [None] * (len(ids) - 88)
