@@ -1093,6 +1093,32 @@ object Multimodal {
       .select(col("new_id"), col("hist_id"), col("hamming"),
         expr("l1 * 1000 div greatest(1L, tot)").as("rel_l1_permille"))
 
+  /** GAIN-INVARIANT audio near-dup pairs: the envelope fingerprint is
+    * volume-invariant by construction (its bit test 64·E_t > ΣE scales
+    * out any constant gain), so a re-encoded copy at different loudness
+    * collides in the banding — but [[audioNearDupPairs]]' ABSOLUTE
+    * relative-L1 verify then rejects it (a half-volume copy sits at
+    * ≈333‰). This variant verifies SHAPE instead: each side's envelope
+    * normalizes to a per-window permille profile (E_t·1000 div ΣE —
+    * integers ≤ 1000, overflow-free at any duration), and the pair
+    * passes iff the profile L1 distance ≤ `maxProfileL1` (Σ over 64
+    * windows, so the scale-free analogue of the q279 cut). Fixture
+    * separation: the half-volume copy at profile-L1 12, the perturbed
+    * sibling at 72, nearest unrelated at 912. */
+  def audioNearDupPairsGainInvariant(media: Dataset[MediaRow], maxHamming: Int = 3,
+                                     maxProfileL1: Long = 200L): DataFrame =
+    bandedHashPairs(audioHashed(media), "energy64", maxHamming)
+      // `div` (SQL integer division) keeps the profile exact and
+      // engine-portable; the inner sum re-evaluates per element — 64
+      // longs, negligible
+      .withColumn("profile_l1", expr(
+        """aggregate(zip_with(
+          |  transform(vec_a, e -> e * 1000 div greatest(1L, aggregate(vec_a, 0L, (a, v) -> a + v))),
+          |  transform(vec_b, e -> e * 1000 div greatest(1L, aggregate(vec_b, 0L, (a, v) -> a + v))),
+          |  (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("profile_l1") <= maxProfileL1)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("profile_l1"))
+
   /** IMAGE perceptual near-dup pairs: banded aHash candidates at
     * Hamming ≤ `maxHamming`, then an exact pixel verify — the L1
     * distance over the 8×8 gray samples must stay ≤ `maxSampleL1`

@@ -446,6 +446,17 @@ object LlmQueries {
     Multimodal.audioNearDupAgainst(batch, hist, maxHamming = 3, maxRelL1Permille = 100L)
   }
 
+  /** q285: GAIN-INVARIANT audio near-dup — the loudness-robust screen:
+    * the envelope fingerprint already scales out constant gain, and the
+    * verify compares normalized per-window permille PROFILES instead of
+    * absolute energies, so a re-encoded copy at different volume
+    * (fixture row 104 = row 96 at half gain) is caught here while the
+    * absolute verify of q279 correctly treats it as a different
+    * recording. */
+  def q285AudioGainNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupPairsGainInvariant(
+      Multimodal.readMedia(s, media), maxHamming = 3, maxProfileL1 = 200L)
+
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
     * decoded PCM: the sample walk of q141, folded into 64 equal windows
     * (sample j → window ⌊j·64/total⌋), bit = 64·E_t > ΣE. Same hi/lo
@@ -1613,6 +1624,7 @@ object LlmQueries {
     "q279_audio_neardup" -> (q279AudioNeardup _),
     "q282_image_history_neardup" -> (q282ImageHistoryNeardup _),
     "q283_audio_history_neardup" -> (q283AudioHistoryNeardup _),
+    "q285_audio_gain_neardup" -> (q285AudioGainNeardup _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -1675,7 +1687,7 @@ object LlmQueries {
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
        |  WHERE mime IN ('image/gif', 'image/bmp')
-       |     OR media_id >= 101),
+       |     OR (mime = 'image/png' AND media_id >= 101)),
        |grid AS (
        |  SELECT i.*, t.k, (t.k % 8) * w // 8 AS px, (t.k // 8) * h // 8 AS py
        |  FROM img i, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
@@ -1721,7 +1733,7 @@ object LlmQueries {
   private val audioEnvelopeCtes =
     s"""aud AS (
        |  SELECT media_id, bits, channels * n_samples AS tot,
-       |    CASE WHEN media_id IN (97, 98) THEN 96 ELSE media_id END AS seed
+       |    CASE WHEN media_id IN (97, 98, 104) THEN 96 ELSE media_id END AS seed
        |  FROM read_parquet('$media') WHERE mime LIKE 'audio/%'),
        |s0 AS (
        |  SELECT a.media_id, a.bits, a.tot, j,
@@ -1732,7 +1744,11 @@ object LlmQueries {
        |  FROM aud a, LATERAL (SELECT unnest(generate_series(0, a.tot - 1)) AS j) g),
        |sa AS (
        |  SELECT media_id, tot, j,
-       |    CASE WHEN bits = 8 THEN amp8
+       |    -- row 104 stores row 96's stream at HALF volume: floor(amp/2).
+       |    -- DuckDB's integer // TRUNCATES on negatives (unlike Python's
+       |    -- floor, which built the fixture), so floor via exact double /2
+       |    CASE WHEN media_id = 104 THEN CAST(floor(amp8 / 2.0) AS INTEGER)
+       |         WHEN bits = 8 THEN amp8
        |         WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
        |         ELSE lo + 256*hi END AS amp
        |  FROM s0),
@@ -2100,7 +2116,7 @@ object LlmQueries {
       s"""WITH a AS (
          |  SELECT media_id, channels, bits, n_samples,
          |    channels * n_samples AS tot,
-         |    CASE WHEN media_id IN (97, 98) THEN 96 ELSE media_id END AS seed
+         |    CASE WHEN media_id IN (97, 98, 104) THEN 96 ELSE media_id END AS seed
          |  FROM read_parquet('$media') WHERE mime LIKE 'audio/%'),
          |s0 AS (
          |  SELECT a.media_id, a.bits, a.tot, a.n_samples,
@@ -2111,7 +2127,8 @@ object LlmQueries {
          |  FROM a, LATERAL (SELECT unnest(generate_series(0, a.tot - 1)) AS j) g),
          |s AS (
          |  SELECT media_id, bits, tot, n_samples,
-         |    CASE WHEN bits = 8 THEN amp8
+         |    CASE WHEN media_id = 104 THEN CAST(floor(amp8 / 2.0) AS INTEGER)
+         |         WHEN bits = 8 THEN amp8
          |         WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
          |         ELSE lo + 256*hi END AS amp
          |  FROM s0)
@@ -2182,6 +2199,21 @@ object LlmQueries {
          |GROUP BY 1, 2
          |HAVING sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) <= 3
          |   AND sum(abs(b.en - h.en)) * 1000 <= 100 * sum(b.en + h.en)""".stripMargin,
+    // normalized-profile replay: per-window permille shape, all-pairs
+    "q285_audio_gain_neardup" ->
+      s"""WITH $audioEnvelopeCtes,
+         |tots AS (SELECT media_id, sum(en) AS s FROM abits GROUP BY 1),
+         |prof AS (
+         |  SELECT a.media_id, a.t, a.b,
+         |    a.en * 1000 // greatest(1, t2.s) AS p
+         |  FROM abits a JOIN tots t2 USING (media_id))
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming,
+         |  CAST(sum(abs(a.p - b.p)) AS BIGINT) AS profile_l1
+         |FROM prof a JOIN prof b ON a.t = b.t AND a.media_id < b.media_id
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
+         |   AND sum(abs(a.p - b.p)) <= 200""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

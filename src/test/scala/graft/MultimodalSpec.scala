@@ -108,7 +108,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("duration_ms") =!= expr("m_n * 1000 DIV m_sr"))
       .count()
     assert(mismatches == 0)
-    assert(parsed.count() == 19) // 15 original + 4 near-dup family rows
+    assert(parsed.count() == 20) // 15 original + 5 near-dup/gain family rows
   }
 
   test("wavMeta parses REAL javax.sound-encoded WAV bytes") {
@@ -351,7 +351,8 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // the INDEPENDENT pixel decoder: javax.imageio runs its own LZW /
     // BGR-row / inflate+defilter decode; every luma must match ours
     val rows = spark.read.parquet(fixture)
-      .filter(col("mime").isin("image/gif", "image/bmp") || col("media_id") >= 101)
+      .filter(col("mime").isin("image/gif", "image/bmp") ||
+        (col("mime") === "image/png" && col("media_id") >= 101))
       .select(col("media_id"), col("payload")).collect()
     assert(rows.length == 28)
     rows.foreach { r =>
@@ -469,6 +470,22 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // Adam7 interlace flag: out of scope, clean None
     val adam = good.clone(); adam(28) = 1.toByte
     assert(Multimodal.pngGray(adam).isEmpty)
+  }
+
+  test("gain-invariant audio near-dup catches the half-volume copy the absolute verify rejects") {
+    val m = Multimodal.readMedia(spark, fixture)
+    // fingerprint is volume-invariant: (96, 104) collides at Hamming 0
+    val inv = Multimodal.audioNearDupPairsGainInvariant(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(inv.contains((96L, 104L)))
+    val (ham, pl1) = inv((96L, 104L))
+    assert(ham == 0L && pl1 > 0L && pl1 <= 200L)
+    // ...but the ABSOLUTE envelope verify of the plain near-dup REJECTS it
+    val abs = Multimodal.audioNearDupPairs(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!abs.contains((96L, 104L)), "absolute verify must reject the gain-shifted copy")
+    // and the unrelated control stays out of both
+    assert(!inv.keySet.exists { case (a, b) => a == 99L || b == 99L })
   }
 
   test("lzwDecode rejects malformed streams cleanly") {

@@ -592,6 +592,34 @@ for i, seed in ((101, 101), (102, 101), (103, 103)):
     bitss.append(None)
     n_sampless.append(None)
 
+# ---- row 104: GAIN-SHIFTED audio duplicate — row 96's PCM stream at
+# half volume (amp' = floor(amp/2), byte = 128 + amp'). The energy-
+# envelope fingerprint is volume-invariant by construction (bit =
+# 64·E_t > ΣE scales out), so (96, 104) collides at Hamming 0 — but the
+# ABSOLUTE relative-L1 verify of q279 correctly rejects it (≈333‰);
+# only the normalized per-window PROFILE verify (q285) accepts it.
+_half = bytes(128 + ((((96 * 31 + j * 7) % 256) - 128) // 2)
+              for j in range(256))
+_fmt104 = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+_wav104 = (b"RIFF" + (36 + len(_half)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + _fmt104
+           + b"data" + len(_half).to_bytes(4, "little") + _half)
+ids.append(104)
+mimes.append("audio/wav")
+payloads.append(_wav104)
+widths.append(None)
+heights.append(None)
+n_bytes.append(len(_wav104))
+checksums.append(sum(_half) % 9973)
+n_frames.append(None)
+fpss.append(None)
+sample_rates.append(8000)
+channelss.append(1)
+bitss.append(8)
+n_sampless.append(256)
+
 # uspf is only appended in the AVI loop; pad front AND back (rows 88+)
 assert len(uspfs) == 12
 uspfs = [None] * 76 + uspfs + [None] * (len(ids) - 88)
