@@ -158,9 +158,13 @@ object Bench {
     "q38_neardup_dedup", "q39_lsh_ann", "q46_ivf_trained_nn",
     "q81_corpus_stats", "q96_containment", "q110_semdedup",
     "q142_triangle_counts", "q146_kcore", "q148_label_prop",
-    "q153_link_predict", "q158_pca_top", "q211_abc_classes",
-    "q232_column_profile", "q245_video_meta", "q248_decontamination",
-    "q251_random_projection")
+    "q153_link_predict", "q158_pca_top", "q189_gini_length",
+    "q211_abc_classes", "q232_column_profile", "q245_video_meta",
+    "q248_decontamination", "q251_random_projection",
+    // widest min/median spreads in BENCH_r12 (q189 7.3 med / 0.93 min,
+    // q284 10.0 med / 6.2 min) — on the line so driver-box IQR noise
+    // can't read as a phantom regression
+    "q284_ccnet_buckets")
 
   /** The STDOUT metric line. HARD CONSTRAINT: the driver keeps only the
     * last 2000 bytes of stdout (including the runner's trailing

@@ -18,7 +18,10 @@ object Verify {
     }.toSeq
     if (tsCols.isEmpty) None
     else {
-      val horizon = lit("2262-04-11 00:00:00")
+      // exact int64-ns horizon (2^63-1 ns = 2262-04-11T23:47:16.854775Z);
+      // micros precision truncates the final .807 ns — still exact for
+      // every representable Spark TIMESTAMP (micros) value.
+      val horizon = lit("2262-04-11 23:47:16.854775")
       val pred = tsCols.map(c => col(c) > horizon.cast(written.schema(c).dataType))
         .reduce(_ || _)
       val nBad = written.filter(pred).count()

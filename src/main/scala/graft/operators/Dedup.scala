@@ -154,7 +154,7 @@ object Dedup {
     * is pure integer arithmetic. Emits (id_a, id_b, n_common, n_union).
     *
     * `maxCandidateFactor` > 0 arms the CANDIDATE BUDGET
-    * ([[enforceBandBudget]]): the banding is persisted once, its exact
+    * ([[enforceBandBudget]]): the banding is materialized once, its exact
     * pre-join pair volume Σ C(bucket, 2) is measured (EAGER — two Spark
     * jobs at plan-build time, a breach throws here, not mid-join), and
     * the same materialized banding then feeds the candidate join. 0
@@ -168,7 +168,13 @@ object Dedup {
     val sigs = sets.select(col("doc_id"), minhashSignature(col("shingles"), numHashes).as("sig"))
     val cands =
       if (maxCandidateFactor > 0) {
-        val banded = bandedMinhash(sigs, bands, numHashes / bands).persist()
+        // localCheckpoint (eager), NOT persist: the budget jobs need the
+        // banding materialized once, but Dataset.persist registers a
+        // CacheManager entry that outlives this call (a storage leak for
+        // long-running drivers). Checkpoint blocks are reclaimed by the
+        // ContextCleaner once the returned plan is GC'd — no caller-owned
+        // cache lifetime.
+        val banded = bandedMinhash(sigs, bands, numHashes / bands).localCheckpoint(true)
         enforceBandBudget(banded, Seq("band", "bucket"), maxCandidateFactor,
           "minhash near-dup")
         lshCandidatesFromBanded(banded)
@@ -350,7 +356,9 @@ object Dedup {
     // q96 convention) over the persisted banding, which then feeds the join
     val banded0 = bandedSimhash(sigs)
     val banded = if (maxCandidateFactor > 0) {
-      val b = banded0.persist()
+      // eager localCheckpoint, not persist — see nearDupPairs: no
+      // session-lifetime CacheManager entry, ContextCleaner reclaims.
+      val b = banded0.localCheckpoint(true)
       enforceBandBudget(b, Seq("band", "value"), maxCandidateFactor, "simhash near-dup")
       b
     } else banded0

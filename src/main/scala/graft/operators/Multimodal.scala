@@ -602,6 +602,15 @@ object Multimodal {
     * dictionary growth with code-size bumps at 2^width, per the GIF89a
     * spec appendix. `data` is the de-sub-blocked code stream; returns
     * up to `maxPixels` palette indices or None on a malformed stream. */
+  /** Hard ceiling on decoded raster size (pixels). Header-declared
+    * dimensions are untrusted input; every decoder checks the declared
+    * pixel count against this cap AND a payload-derived bound before
+    * allocating, so a tiny crafted file can neither overflow Int
+    * arithmetic nor allocate a multi-GB raster. 2^24 px (= 64 MB of Int
+    * gray) comfortably covers any fixture/corpus thumbnail path while
+    * keeping the worst-case per-row task allocation bounded. */
+  private[graft] val GrayPixelCap: Long = 1L << 24
+
   private[graft] def lzwDecode(minCodeSize: Int, data: Array[Byte],
                                maxPixels: Int): Option[Array[Int]] = {
     if (minCodeSize < 2 || minCodeSize > 8) return None
@@ -722,12 +731,24 @@ object Multimodal {
           bb.addAll(java.util.Arrays.copyOfRange(p, pos + 1, pos + 1 + n))
           pos += 1 + n
         }
+        val lzw = bb.result()
+        // Allocation guard BEFORE any raster is sized from header-declared
+        // dims: iw,ih are attacker-controlled u16s, so iw*ih can reach
+        // ~4.3e9 (Int overflow → NegativeArraySizeException) from a
+        // sub-KB payload. Bound by (a) a hard pixel cap and (b) the
+        // payload itself: every emitted pixel run needs at least one LZW
+        // code of ≥ minCode+1 bits whose dictionary entry is at most 4096
+        // long (GIF's 12-bit code ceiling), so a stream of L bytes cannot
+        // legally encode more than 8L/(minCode+1) · 4096 pixels.
+        val nPix = iw.toLong * ih
+        val lzwBound = 8L * lzw.length / math.max(1, minCode + 1) * 4096L
+        if (nPix <= 0 || nPix > GrayPixelCap || nPix > lzwBound) return None
         // stream row s lands on display row rowOf(s)
         val rowOf: Array[Int] =
           if (!interlaced) Array.tabulate(ih)(identity)
           else ((0 until ih by 8) ++ (4 until ih by 8) ++
             (2 until ih by 4) ++ (1 until ih by 2)).toArray
-        lzwDecode(minCode, bb.result(), iw * ih).flatMap { idx =>
+        lzwDecode(minCode, lzw, iw * ih).flatMap { idx =>
           val gray = new Array[Int](iw * ih)
           var j = 0
           while (j < idx.length) {
@@ -821,10 +842,21 @@ object Multimodal {
           case 6 => 4
           case _ => return None
         }
+        // Allocation guard BEFORE sizing buffers from IHDR-declared dims:
+        // w,h are untrusted u32s, so (stride+1)*h and w*h can overflow Int
+        // or demand GBs from a sub-KB payload. Bound by (a) the hard pixel
+        // cap and (b) DEFLATE's maximum expansion: stored blocks aside, an
+        // inflated stream is at most ~1032× its compressed size (zlib's
+        // documented worst-case ratio), so the raw filtered raster cannot
+        // legally exceed 1032·|IDAT| + a small constant.
+        val idatBytes = idat.result()
+        val rawLen = (w.toLong * channels + 1L) * h
+        if (w.toLong * h > GrayPixelCap || rawLen > Int.MaxValue ||
+            rawLen > 1032L * idatBytes.length + 64L) return None
         val stride = w * channels
         val raw = new Array[Byte]((stride + 1) * h)
         val inf = new java.util.zip.Inflater()
-        inf.setInput(idat.result())
+        inf.setInput(idatBytes)
         try {
           var off = 0
           while (off < raw.length && !inf.finished()) {

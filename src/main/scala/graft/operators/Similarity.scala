@@ -138,7 +138,9 @@ object Similarity {
     // convention — see Dedup.enforceBandBudget) over the persisted banding,
     // which then feeds the table self-join
     val banded = if (maxCandidateFactor > 0) {
-      val b = banded0.persist()
+      // eager localCheckpoint, not persist — see Dedup.nearDupPairs: no
+      // session-lifetime CacheManager entry, ContextCleaner reclaims.
+      val b = banded0.localCheckpoint(true)
       graft.operators.Dedup.enforceBandBudget(b, Seq("__tb"), maxCandidateFactor,
         "cosine near-dup")
       b

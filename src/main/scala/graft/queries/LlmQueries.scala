@@ -425,9 +425,12 @@ object LlmQueries {
     * the production shape where each batch pays only
     * (batch × history-index), never a corpus rescan — the
     * [[graft.operators.Dedup.simhashNearDupAgainst]] pattern for media.
-    * Expected matches: the copies and perturbations land on their base
-    * (89→88, 90→88, 93→92, 94→92); the unrelated controls 91/95 match
-    * nothing. */
+    * The batch filter (media_id ≥ 89, ≠ 92) also sweeps in the later
+    * cross-format rows 100-103. Expected matches (5): the copies and
+    * perturbations land on their base (89→88, 90→88, 93→92, 94→92) and
+    * the cross-format BMP re-encode of gif-92 lands on it too (100→92);
+    * the unrelated controls 91/95 and the PNG rows 101-103 (no history
+    * counterpart) match nothing. */
   def q282ImageHistoryNeardup(s: SparkSession, dir: String): DataFrame = {
     val m = Multimodal.readMedia(s, media)
     val batch = m.filter(col("media_id") >= 89 && col("media_id") =!= 92)

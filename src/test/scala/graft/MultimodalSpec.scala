@@ -498,6 +498,39 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Multimodal.lzwDecode(9, Array[Byte](0), 1).isEmpty)
   }
 
+  test("decoders refuse decompression bombs: huge declared dims from tiny payloads") {
+    // header-declared dims are untrusted: a sub-KB payload claiming a
+    // 65535×65535 (GIF) or 2^31-scale (PNG) raster must yield None, not
+    // a NegativeArraySizeException / multi-GB allocation (the allocation
+    // guard runs BEFORE any raster is sized)
+    val gif = spark.read.parquet(fixture)
+      .filter(col("media_id") === 92).select("payload").head().getAs[Array[Byte]](0)
+    val gifBomb = gif.clone()
+    // image descriptor at offset 25 (hdr 6 + lsd 7 + palette 12):
+    // w at +5 (LE u16), h at +7
+    gifBomb(30) = 0xFF.toByte; gifBomb(31) = 0xFF.toByte
+    gifBomb(32) = 0xFF.toByte; gifBomb(33) = 0xFF.toByte
+    assert(Multimodal.gifGray(gifBomb).isEmpty,
+      "gifGray must refuse a 65535x65535 declaration (iw*ih overflows Int)")
+    val png = spark.read.parquet(fixture)
+      .filter(col("media_id") === 101).select("payload").head().getAs[Array[Byte]](0)
+    val pngBomb = png.clone()
+    // IHDR: w BE u32 at 16, h at 20 — declare ~2^30 each
+    pngBomb(16) = 0x40.toByte; pngBomb(17) = 0; pngBomb(18) = 0; pngBomb(19) = 0
+    pngBomb(20) = 0x40.toByte; pngBomb(21) = 0; pngBomb(22) = 0; pngBomb(23) = 0
+    assert(Multimodal.pngGray(pngBomb).isEmpty,
+      "pngGray must refuse gigapixel declarations from a sub-KB IDAT")
+    // a merely-large-but-plausible declaration still fails the
+    // payload-derived bound (DEFLATE can't legally expand this far)
+    // 2048×2048 = 4.2M px is UNDER the hard pixel cap — this one must
+    // fail on the payload-derived bound alone
+    val pngBig = png.clone()
+    pngBig(16) = 0; pngBig(17) = 0; pngBig(18) = 0x08.toByte; pngBig(19) = 0
+    pngBig(20) = 0; pngBig(21) = 0; pngBig(22) = 0x08.toByte; pngBig(23) = 0
+    assert(Multimodal.pngGray(pngBig).isEmpty,
+      "pngGray must refuse rasters beyond DEFLATE's max expansion of the IDAT")
+  }
+
   test("phash candidate generation is banded (equi-join), never a cross product") {
     val plan = Multimodal.imageNearDupPairs(Multimodal.readMedia(spark, fixture))
       .queryExecution.executedPlan.toString
