@@ -69,7 +69,13 @@ object ScaleBench {
     // zipf spectrum (per-source state, should be ~flat under
     // replication), k-anonymity (output SHRINKS as data grows)
     "q266_ivf_bq_rerank", "q269_quality_keeper", "q271_source_minhash",
-    "q272_zipf_spectrum", "q274_k_anonymity")
+    "q272_zipf_spectrum", "q274_k_anonymity",
+    // round-13: the incremental-degree k-core (the q146 bandwidth-floor
+    // escape). q292 (persisted-index search) is measured in a dedicated
+    // build-once/search-many A/B instead (its first call pays the
+    // one-time index build, which would pollute a single-shot ratio);
+    // HTML extraction is fixture-input (no SF axis) so it stays out
+    "q294_kcore_incremental")
 
   /** Per-replica key offsets, disjoint per entity family and sized so
     * max(id) + REPL·offset ≪ 2³¹ for the packed-key id spaces (parts,

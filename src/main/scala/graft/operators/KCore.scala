@@ -97,4 +97,85 @@ object KCore {
       .unionAll(cur.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
+
+  /** k-core by INCREMENTAL DEGREE MAINTENANCE — the named algorithmic
+    * escape from the peel's bandwidth floor (input ≈ rounds × 2·|E|:
+    * every [[kCore]] round rebuilds degrees from the surviving edge set
+    * and rewrites that edge set through two shuffled semi-joins + a
+    * sever). Here the edge set is IMMUTABLE — materialized once, never
+    * shuffled or rewritten — and only the |V|-sized degree table
+    * evolves:
+    *
+    *  - round r removes `newly` = nodes with d < k (a small severed
+    *    set);
+    *  - the decrement delta is read off ONE scan of the original edge
+    *    table: two BROADCAST lookups against `newly` flag each
+    *    endpoint, and each edge with a newly-removed endpoint emits its
+    *    OTHER endpoint (both, when both endpoints fell together) — no
+    *    edge shuffle, the only aggregation is over the incident-edge
+    *    candidates, whose total across ALL rounds is ≤ 2·|E| (each edge
+    *    dies at most once per endpoint);
+    *  - candidates pointing at nodes removed in EARLIER rounds vanish in
+    *    the degree join (deg is exactly the survivor set), and
+    *    decrements aimed at same-round casualties are discarded by the
+    *    broadcast anti-join — so working from the ORIGINAL edge set is
+    *    exact: an edge contributes a decrement only while its other
+    *    endpoint still lives;
+    *  - at fixpoint the maintained degrees ARE the core degrees (each
+    *    survivor's count of surviving neighbors), so the output needs no
+    *    final edge pass at all.
+    *
+    * Per-round cost: one |E| scan (broadcast joins ride the scan, no
+    * shuffle) + O(incident + |V|) small-table work, vs the peel's two
+    * edge shuffles + edge rewrite. Same fixpoint, same output, same
+    * oracle. */
+  def kCoreIncremental(edges: DataFrame, aCol: String, bCol: String, k: Int,
+                       maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val orig = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .sever() // materialized ONCE; every round reads, none rewrites
+    var deg = orig.select(col("a").as("node"))
+      .unionAll(orig.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .sever() // the evolving |V|-sized state
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val newly = deg.filter(col("d") < k).select("node").sever()
+      if (newly.count() == 0) { // bounded driver read: one scalar
+        converged = true
+      } else {
+        // one scan of the immutable edge set; the removal flags are
+        // broadcast lookups, and each flagged edge emits its OTHER
+        // endpoint(s) as a decrement candidate
+        val dcand = orig
+          .join(broadcast(newly.select(col("node").as("a"), lit(1).as("ra"))),
+            Seq("a"), "left")
+          .join(broadcast(newly.select(col("node").as("b"), lit(1).as("rb"))),
+            Seq("b"), "left")
+          .filter(col("ra").isNotNull || col("rb").isNotNull)
+          .select(explode(array(
+            when(col("ra").isNotNull, col("b")),
+            when(col("rb").isNotNull, col("a")))).as("node"))
+          .filter(col("node").isNotNull)
+        val delta = dcand.groupBy("node").agg(count(lit(1)).as("dd"))
+        deg = deg
+          .join(broadcast(newly), Seq("node"), "left_anti")
+          .join(delta, Seq("node"), "left")
+          .select(col("node"), (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
+          .sever()
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"incremental k-core did not reach fixpoint in $maxRounds rounds — raise maxRounds")
+    // fixpoint degrees ARE the in-core degrees: no final edge pass
+    deg.select(col("node"), col("d").as("core_deg"))
+  }
 }

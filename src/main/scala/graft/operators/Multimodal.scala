@@ -910,12 +910,304 @@ object Multimodal {
     }
   }
 
-  /** Grayscale raster from REAL container bytes (GIF, 24-bpp BMP, or
-    * 8-bit PNG — the formats whose pixel encodings this library decodes
-    * without an image library); None for everything else. */
+  // -------------------------------------------------- baseline JPEG
+
+  /** graft's PINNED integer IDCT basis: K(u)(x) = round(α(u)/2 ·
+    * cos((2x+1)uπ/16) · 2¹⁰) with α(0) = 1/√2, α = 1 otherwise. The
+    * decoded pixel is floor((Σ_{u,v} F(u,v)·K(u)(x)·K(v)(y) + 2¹⁹) /
+    * 2²⁰) + 128, clamped to [0, 255]. This is OUR documented spec, not
+    * libjpeg's — JPEG permits IDCT implementations to differ by small
+    * rounding (ISO/IEC 10918-1 only bounds the error), so a bit-exact
+    * oracle contract requires pinning ONE integer algorithm and having
+    * the DuckDB oracle replay exactly it (the q141 PCM precedent).
+    * Observed agreement with ImageIO's decoder on fixture streams is
+    * within ±2 luma (MultimodalSpec pins the tolerance). */
+  private[graft] val IdctK: Array[Int] = Array(
+    362, 362, 362, 362, 362, 362, 362, 362,
+    502, 426, 284, 100, -100, -284, -426, -502,
+    473, 196, -196, -473, -473, -196, 196, 473,
+    426, -100, -502, -284, 284, 502, 100, -426,
+    362, -362, -362, 362, 362, -362, -362, 362,
+    284, -502, 100, 426, -426, -100, 502, -284,
+    196, -473, 473, -196, -196, 473, -473, 196,
+    100, -284, 426, -502, 502, -426, 284, -100)
+
+  /** Zigzag index → (v=row/vertical freq, u=col/horizontal freq), the
+    * standard JPEG scan order (ISO/IEC 10918-1 Figure 5). */
+  private[graft] val ZigV: Array[Int] = Array(
+    0, 0, 1, 2, 1, 0, 0, 1, 2, 3, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 5, 4,
+    3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 2, 3, 4, 5, 6,
+    7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7, 6, 5, 6, 7, 7)
+  private[graft] val ZigU: Array[Int] = Array(
+    0, 1, 0, 0, 1, 2, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0, 0, 1, 2,
+    3, 4, 5, 6, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3,
+    2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 5, 6, 7, 7, 6, 7)
+
+  /** Canonical JPEG Huffman table (ISO/IEC 10918-1 Annex C): codes of
+    * increasing length assigned in HUFFVAL order, values incrementing
+    * within a length and doubling at each length step. Decode by walking
+    * bits MSB-first against per-length first-code/first-index offsets. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Int]) {
+    // mincode(l), maxcode(l) exclusive, valptr(l) for code length l+1
+    private val minCode = new Array[Int](16)
+    private val maxCode = new Array[Int](16)
+    private val valPtr = new Array[Int](16)
+    locally {
+      var code = 0; var k = 0; var l = 0
+      while (l < 16) {
+        minCode(l) = code; valPtr(l) = k
+        code += bits(l); k += bits(l)
+        maxCode(l) = code
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decode one symbol; -1 on invalid code / exhausted reader. */
+    def decode(br: JpegBits): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val b = br.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (code < maxCode(l)) return vals(valPtr(l) + (code - minCode(l)))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with the spec's
+    * byte stuffing (FF 00 → literal FF); stops cleanly at any other
+    * marker (FF xx). */
+  private final class JpegBits(p: Array[Byte], start: Int) {
+    private var pos = start
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= p.length) return -1
+        var b = p(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) return -1
+          val next = p(pos) & 0xff
+          if (next == 0x00) pos += 1 // stuffed FF
+          else { pos -= 1; return -1 } // real marker: stream over
+          b = 0xff
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    /** Byte-align (discarding any partial-byte padding bits) and consume
+      * the marker expected at exactly this position (the RSTn cadence of
+      * a restart interval); returns the marker byte or -1. */
+    def syncMarker(): Int = {
+      n = 0
+      if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff) return -1
+      val m = p(pos + 1) & 0xff
+      pos += 2
+      m
+    }
+  }
+
+  /** REAL baseline-sequential JPEG decode to a grayscale raster:
+    * marker-segment walk (SOI, DQT, SOF0, DHT, DRI, SOS), Huffman
+    * entropy decode (DC difference coding with RECEIVE/EXTEND, AC
+    * run-length with EOB and ZRL, byte stuffing, restart markers),
+    * dequantization, de-zigzag, and the PINNED integer IDCT above.
+    * Supported layout: 8-bit precision, single-component (grayscale),
+    * H=V=1, non-progressive — SOF2/multi-component/anything malformed
+    * yields None (never garbage pixels). Huffman and quantization
+    * tables are read from the FILE's DHT/DQT segments, not assumed.
+    * Same allocation guards as the other decoders: declared dims are
+    * bounded by the pixel cap and by the entropy payload (a block costs
+    * ≥ 2 bits, so a stream of L bytes bounds blocks by 4L). */
+  private[graft] def jpegGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = -1; var h = -1; var compQt = -1
+    var restartInterval = 0
+    var sosDc = -1; var sosAc = -1
+    var dataStart = -1
+    var i = 2
+    while (dataStart < 0) {
+      if (i + 1 >= p.length || (p(i) & 0xff) != 0xff) return None
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+      if (j >= p.length) return None
+      val marker = p(j) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1
+      else if (marker == 0xd9) return None // EOI before SOS
+      else {
+        if (j + 2 >= p.length) return None
+        val len = u16be(p, j + 1)
+        if (len < 2 || j + 1 + len > p.length) return None
+        val s = j + 3 // segment body start
+        val e = j + 1 + len
+        marker match {
+          case 0xdb => // DQT: one or more (Pq<<4|Tq, 64 entries)
+            var o = s
+            while (o < e) {
+              val pq = (p(o) & 0xff) >> 4; val tq = (p(o) & 0xff) & 15
+              if (pq != 0 || tq > 3 || o + 65 > e) return None
+              qt(tq) = Array.tabulate(64)(z => p(o + 1 + z) & 0xff)
+              o += 65
+            }
+          case 0xc4 => // DHT: one or more (Tc<<4|Th, bits[16], vals)
+            var o = s
+            while (o < e) {
+              val tc = (p(o) & 0xff) >> 4; val th = (p(o) & 0xff) & 15
+              if (tc > 1 || th > 3 || o + 17 > e) return None
+              val bits = Array.tabulate(16)(l => p(o + 1 + l) & 0xff)
+              val n = bits.sum
+              if (n == 0 || n > 256 || o + 17 + n > e) return None
+              // canonicity: the running code counter must never overflow
+              // its length (an overfull table would decode garbage symbols)
+              var cc = 0; var l = 0
+              while (l < 16) {
+                cc += bits(l)
+                if (cc > (1 << (l + 1))) return None
+                cc <<= 1
+                l += 1
+              }
+              val vals = Array.tabulate(n)(k => p(o + 17 + k) & 0xff)
+              val tab = new JpegHuff(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              o += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (e - s < 9) return None
+            if ((p(s) & 0xff) != 8) return None // precision
+            h = u16be(p, s + 1); w = u16be(p, s + 3)
+            val nf = p(s + 5) & 0xff
+            if (nf != 1) return None // grayscale only
+            if ((p(s + 7) & 0xff) != 0x11) return None // H=V=1
+            compQt = p(s + 8) & 0xff
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // progressive/extended/arithmetic: out of scope
+          case 0xdd => // DRI
+            if (e - s < 2) return None
+            restartInterval = u16be(p, s)
+          case 0xda => // SOS
+            if (e - s < 6) return None
+            if ((p(s) & 0xff) != 1) return None // single scan component
+            sosDc = (p(s + 2) & 0xff) >> 4; sosAc = (p(s + 2) & 0xff) & 15
+            // full-spectral sequential scan only
+            if ((p(s + 3) & 0xff) != 0 || (p(s + 4) & 0xff) != 63 ||
+                (p(s + 5) & 0xff) != 0) return None
+            dataStart = e
+          case _ => () // APPn / COM / others: skip
+        }
+        if (dataStart < 0) i = j + 1 + len
+      }
+    }
+    if (w <= 0 || h <= 0 || compQt < 0 || compQt > 3 || qt(compQt) == null ||
+        sosDc > 3 || sosAc > 3 ||
+        dcTabs(sosDc) == null || acTabs(sosAc) == null) return None
+    // allocation guard: pixel cap + entropy-payload bound (each 8×8 block
+    // costs at least one DC code ≥ 1 bit and one AC code ≥ 1 bit)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val nBlocks = bw.toLong * bh
+    if (w.toLong * h > GrayPixelCap ||
+        nBlocks > 4L * (p.length - dataStart)) return None
+    val q = qt(compQt)
+    val dcTab = dcTabs(sosDc); val acTab = acTabs(sosAc)
+    val gray = new Array[Int](w * h)
+    val deq = new Array[Long](64) // dequantized, de-zigzagged: deq(v*8+u)
+    val br = new JpegBits(p, dataStart)
+    var pred = 0
+    var b = 0
+    var sinceRestart = 0
+    while (b < nBlocks) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        // byte-aligned RSTn marker between restart intervals
+        val m = br.syncMarker()
+        if (m < 0xd0 || m > 0xd7) return None
+        pred = 0; sinceRestart = 0
+      }
+      java.util.Arrays.fill(deq, 0L)
+      // DC
+      val dcSize = dcTab.decode(br)
+      if (dcSize < 0 || dcSize > 11) return None
+      var diff = 0
+      if (dcSize > 0) {
+        var r = 0; var k = 0
+        while (k < dcSize) { val bit = br.bit(); if (bit < 0) return None; r = (r << 1) | bit; k += 1 }
+        diff = if (r < (1 << (dcSize - 1))) r - (1 << dcSize) + 1 else r // EXTEND
+      }
+      pred += diff
+      deq(0) = pred.toLong * q(0)
+      // AC
+      var z = 1
+      var eob = false
+      while (z < 64 && !eob) {
+        val sym = acTab.decode(br)
+        if (sym < 0) return None
+        if (sym == 0x00) eob = true
+        else if (sym == 0xf0) z += 16
+        else {
+          val run = sym >> 4; val size = sym & 15
+          z += run
+          if (z > 63 || size == 0 || size > 10) return None
+          var r = 0; var k = 0
+          while (k < size) { val bit = br.bit(); if (bit < 0) return None; r = (r << 1) | bit; k += 1 }
+          val v = if (r < (1 << (size - 1))) r - (1 << size) + 1 else r
+          deq(ZigV(z) * 8 + ZigU(z)) = v.toLong * q(z)
+          z += 1
+        }
+        if (z > 64) return None
+      }
+      // pinned integer IDCT into the raster (crop to w×h)
+      val blockX = (b % bw) * 8; val blockY = (b / bw) * 8
+      var y = 0
+      while (y < 8) {
+        val py = blockY + y
+        if (py < h) {
+          var x = 0
+          while (x < 8) {
+            val px = blockX + x
+            if (px < w) {
+              var sum = 0L
+              var v = 0
+              while (v < 8) {
+                val kvy = IdctK(v * 8 + y)
+                if (kvy != 0) {
+                  var u = 0
+                  while (u < 8) {
+                    val f = deq(v * 8 + u)
+                    if (f != 0L) sum += f * IdctK(u * 8 + x) * kvy
+                    u += 1
+                  }
+                }
+                v += 1
+              }
+              val pix = ((sum + (1L << 19)) >> 20).toInt + 128
+              gray(py * w + px) = if (pix < 0) 0 else if (pix > 255) 255 else pix
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
+      b += 1
+      sinceRestart += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** Grayscale raster from REAL container bytes (GIF, 24-bpp BMP, 8-bit
+    * PNG, or baseline grayscale JPEG — the formats whose pixel encodings
+    * this library decodes without an image library); None for everything
+    * else. */
   def imageGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (payload.length >= 2 && payload(0) == 'G') gifGray(payload)
     else if (payload.length >= 1 && (payload(0) & 0xff) == 0x89) pngGray(payload)
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+             (payload(1) & 0xff) == 0xd8) jpegGray(payload)
     else bmpGray(payload)
 
   // ----------------------------------------------- perceptual hashing
@@ -1185,5 +1477,173 @@ object Multimodal {
       .filter(col("l1") * 1000 <= col("tot") * maxRelL1Permille)
       .select(col("id_a"), col("id_b"), col("hamming"),
         expr("l1 * 1000 div greatest(1L, tot)").as("rel_l1_permille"))
+  }
+
+  // --------------------------------------------- video content near-dup
+
+  /** Raw-gray frame slots from REAL video container bytes: demux via
+    * the existing box/chunk walks ([[mp4Meta]]'s ISO-BMFF boxes →
+    * `mdat`; [[aviMeta]]'s RIFF walk → `LIST movi` → one `00dc` chunk
+    * per frame), then slice the fixture RAW-GRAY codec — 8-bit
+    * grayscale, frame-major, rows top-down, w·h bytes/frame. Returns
+    * the `slots` sampled frames (slot t → frame ⌊t·nf/slots⌋, the q47
+    * even-sampling convention) as gray rasters; None when the media
+    * data is not the raw codec (a compressed stream has no w·h·nf
+    * byte layout) or the container is malformed — those payloads are
+    * metadata-only territory ([[videoMeta]]). */
+  private[graft] def videoRawSlots(p: Array[Byte], slots: Int): Option[(Int, Int, Long, Array[Array[Int]])] = {
+    def sliceFrames(w: Int, h: Int, nf: Long,
+                    frameBytes: Long => Option[(Int, Int)]): Option[(Int, Int, Long, Array[Array[Int]])] = {
+      val fsz = w * h
+      if (w <= 0 || h <= 0 || nf <= 0 || fsz.toLong > GrayPixelCap) return None
+      val out = new Array[Array[Int]](slots)
+      var t = 0
+      while (t < slots) {
+        val f = t * nf / slots
+        frameBytes(f) match {
+          case Some((off, len)) =>
+            if (len != fsz || off < 0 || off + len > p.length) return None
+            val gray = new Array[Int](fsz)
+            var j = 0
+            while (j < fsz) { gray(j) = p(off + j) & 0xff; j += 1 }
+            out(t) = gray
+          case None => return None
+        }
+        t += 1
+      }
+      Some((w, h, nf, out))
+    }
+    if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') {
+      // ISO-BMFF: one contiguous mdat holds the frame-major stream
+      mp4Meta(p).flatMap { case (_, w, h, nf, _, _) =>
+        isoBoxes(p, 0, p.length).find(_._1 == "mdat").flatMap { case (_, bs, be) =>
+          if (be - bs < nf * w.toLong * h) None
+          else sliceFrames(w, h, nf, f => Some(((bs + f * w * h).toInt, w * h)))
+        }
+      }
+    } else if (p.length >= 12 && p(0) == 'R' && p(8) == 'A' && p(9) == 'V') {
+      // AVI: one 00dc chunk per frame inside LIST movi
+      aviMeta(p).flatMap { case (_, w, h, nf, _, _) =>
+        var movi: Option[(Int, Int)] = None
+        var i = 12
+        while (movi.isEmpty && i + 12 <= p.length) {
+          val size = u32le(p, i + 4)
+          if (i + 8 + size > p.length) return None
+          if (p(i) == 'L' && p(i + 1) == 'I' && p(i + 2) == 'S' && p(i + 3) == 'T' &&
+              size >= 4 && p(i + 8) == 'm' && p(i + 9) == 'o' &&
+              p(i + 10) == 'v' && p(i + 11) == 'i')
+            movi = Some((i + 12, i + 8 + size.toInt))
+          i += 8 + size.toInt + (size.toInt & 1)
+        }
+        movi.flatMap { case (ms, me) =>
+          // collect frame-chunk body offsets in stream order
+          val offs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          var j = ms
+          while (j + 8 <= me) {
+            val s2 = u32le(p, j + 4)
+            if (j + 8 + s2 > me) return None
+            if (p(j) == '0' && p(j + 1) == '0' && p(j + 2) == 'd' && p(j + 3) == 'c')
+              offs += ((j + 8, s2.toInt))
+            j += 8 + s2.toInt + (s2.toInt & 1)
+          }
+          if (offs.length != nf) None
+          else sliceFrames(w, h, nf, f => Some(offs(f.toInt)))
+        }
+      }
+    } else None
+  }
+
+  /** Per-video content fingerprint: `slots` evenly-sampled frames, each
+    * aHashed ([[aHash64]]) — one row per (video, slot) carrying the
+    * 64-bit hash halves and the 64 gray samples (the bounded
+    * exact-verify payload). State per video is slots·(2 longs + 64
+    * ints) regardless of duration or resolution — the signature a
+    * 100 TB video corpus banks instead of its payload bytes.
+    * Non-raw-codec payloads (no decodable frame stream) are skipped,
+    * the [[imagePhash]] convention for undecodable rows. */
+  case class VideoFp(media_id: Long, t: Int, fp_hi: Long, fp_lo: Long,
+                     frame64: Seq[Int])
+
+  def videoFingerprint(media: Dataset[MediaRow], slots: Int = 8): Dataset[VideoFp] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime").startsWith("video/")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        videoRawSlots(r.payload, slots).toSeq.flatMap { case (w, h, _, frames) =>
+          frames.iterator.zipWithIndex.map { case (gray, t) =>
+            val (hi, lo, smp) = aHash64(w, h, gray)
+            VideoFp(r.media_id, t, hi, lo, smp.toSeq)
+          }
+        }
+      }
+    }
+  }
+
+  /** VIDEO content near-dup pairs: banded per-slot aHash candidates —
+    * the image banding with the slot index as an extra equi-join key,
+    * so the shuffle is keyed (t, band, value) and never all-pairs —
+    * then an exact verify across ALL slots: total Hamming over the
+    * slots·64 signature bits ≤ `maxTotalHamming` and total sample-L1 ≤
+    * `maxTotalL1`. Recall is pigeonhole-exhaustive: total Hamming ≤
+    * slots·maxSlotHamming forces some slot to Hamming ≤ maxSlotHamming
+    * (≤ 3), whose 4-band split forces a shared band. Fixture
+    * separation: family pairs total Hamming 0 / L1 ≤ 48, nearest
+    * non-family slot Hamming 15 (total 132). */
+  def videoNearDupPairs(media: Dataset[MediaRow], slots: Int = 8,
+                        maxTotalHamming: Long = 24L,
+                        maxTotalL1: Long = 8192L): DataFrame = {
+    val fp = videoFingerprint(media, slots).toDF()
+    val banded = videoBanded(fp)
+    val a = banded.select(col("t"), col("band"), col("value"), col("media_id").as("id_a"))
+    val b = banded.select(col("t"), col("band"), col("value"), col("media_id").as("id_b"))
+    val cands = a.join(b, Seq("t", "band", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    videoVerify(cands, fp, fp, "id_a", "id_b", maxTotalHamming, maxTotalL1)
+  }
+
+  /** Incremental VIDEO content dedup: an ingestion batch screens against
+    * the banked fingerprint history on (t, band, value) — the
+    * [[imageNearDupAgainst]] production shape; the history side carries
+    * slots·~300 bytes per video, payloads are never re-read. */
+  def videoNearDupAgainst(batch: Dataset[MediaRow], hist: Dataset[MediaRow],
+                          slots: Int = 8, maxTotalHamming: Long = 24L,
+                          maxTotalL1: Long = 8192L): DataFrame = {
+    val fb = videoFingerprint(batch, slots).toDF()
+    val fh = videoFingerprint(hist, slots).toDF()
+    val n = videoBanded(fb).select(col("t"), col("band"), col("value"),
+      col("media_id").as("new_id"))
+    val h = videoBanded(fh).select(col("t"), col("band"), col("value"),
+      col("media_id").as("hist_id"))
+    val cands = n.join(h, Seq("t", "band", "value"))
+      .select("new_id", "hist_id").distinct()
+    videoVerify(cands, fb, fh, "new_id", "hist_id", maxTotalHamming, maxTotalL1)
+  }
+
+  private def videoBanded(fp: DataFrame): DataFrame =
+    fp.select(col("media_id"), col("t"), posexplode(array(
+      col("fp_lo").bitwiseAND(65535),
+      shiftright(col("fp_lo"), 16).bitwiseAND(65535),
+      col("fp_hi").bitwiseAND(65535),
+      shiftright(col("fp_hi"), 16).bitwiseAND(65535))))
+      .toDF("media_id", "t", "band", "value")
+
+  /** Slot-aligned exact verify: join both sides' per-slot fingerprints
+    * to the candidate pairs, fold Hamming + sample L1 over the slots. */
+  private def videoVerify(cands: DataFrame, fpA: DataFrame, fpB: DataFrame,
+                          aCol: String, bCol: String,
+                          maxTotalHamming: Long, maxTotalL1: Long): DataFrame = {
+    val fa = fpA.select(col("media_id").as(aCol), col("t"),
+      col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"), col("frame64").as("vec_a"))
+    val fb = fpB.select(col("media_id").as(bCol), col("t"),
+      col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"), col("frame64").as("vec_b"))
+    cands.join(fa, aCol).join(fb, Seq(bCol, "t"))
+      .select(col(aCol), col(bCol),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("ham"),
+        aggregate(zip_with(col("vec_a"), col("vec_b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("l1"))
+      .groupBy(col(aCol), col(bCol))
+      .agg(sum(col("ham")).as("total_hamming"), sum(col("l1")).as("total_l1"))
+      .filter(col("total_hamming") <= maxTotalHamming && col("total_l1") <= maxTotalL1)
   }
 }

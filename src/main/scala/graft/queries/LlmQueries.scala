@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Pq, Similarity, Upsert}
+import graft.operators.{Dedup, Html, Multimodal, Pq, Similarity, Upsert}
 import graft.operators.Sever.SeverOps
 import graft.sources.Tables
 
@@ -25,6 +25,7 @@ import graft.sources.Tables
 object LlmQueries {
 
   private val media = "/root/repo/fixtures/media.parquet"
+  private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -460,6 +461,113 @@ object LlmQueries {
     Multimodal.audioNearDupPairsGainInvariant(
       Multimodal.readMedia(s, media), maxHamming = 3, maxProfileL1 = 200L)
 
+  /** q286: VIDEO content fingerprint — demux the REAL containers (the
+    * q245 box/chunk walks: ISO-BMFF mdat / AVI movi 00dc chunks), sample
+    * 8 evenly-spaced raw-gray frames (the q47 convention), aHash each —
+    * one (media_id, slot, hash) row per sampled frame; the bounded
+    * signature a corpus banks instead of payload bytes. Oracle
+    * regenerates the sampled frame pixels from the fixture stream
+    * formula (seeded rows: 111/112 derive from 110, 115 from 114 — the
+    * latter the CROSS-CONTAINER pair, one AVI and one MP4 carrying the
+    * identical stream). Non-raw-codec video rows (0-87: no decodable
+    * frame stream) are skipped by both sides. */
+  def q286VideoFp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFingerprint(Multimodal.readMedia(s, media)).toDF()
+      .select(col("media_id"), col("t"), col("fp_hi"), col("fp_lo"))
+
+  /** q287: VIDEO content near-dup pairs — banded per-slot candidates
+    * (shuffle keyed (t, band, bucket), never all-pairs; recall
+    * pigeonhole-exhaustive for total Hamming ≤ 24 over 8 slots), exact
+    * verify over all slots (total Hamming + total sample L1). Expected:
+    * the exact copies (110,111)/(114,115) at 0/0, the perturbed
+    * (110,112)/(111,112) at 0/48; nearest non-family pair sits at total
+    * Hamming 132. (114,115) is the cross-container match: identical
+    * stream, AVI vs MP4. */
+  def q287VideoNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDupPairs(Multimodal.readMedia(s, media))
+
+  /** q288: INCREMENTAL video content dedup — batch rows 111+ screened
+    * against the fingerprint history (row 110), the q282/q283 production
+    * shape for video: the batch pays (batch × history-index), history
+    * carries 8×~300 B per video. Expected: 111 and 112 land on 110; 113
+    * matches nothing; 114/115 have no history counterpart (their mutual
+    * pair is in-batch and correctly NOT emitted). */
+  def q288VideoHistoryNeardup(s: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.readMedia(s, media)
+    Multimodal.videoNearDupAgainst(
+      m.filter(col("media_id") >= 111), m.filter(col("media_id") <= 110))
+  }
+
+  /** q289: HTML main-content extraction — the first operator of a
+    * web-corpus pipeline ([[graft.operators.Html]]): strip
+    * script/style/comments, split on block-level tags, entity-decode +
+    * whitespace-normalize per block, keep blocks ≥ 25 chars with link
+    * density ≤ 30% (integer rule), join in document order. The fixture
+    * carries real-world shapes: link-dense nav/footers, tag-looking text
+    * inside <script> strings, multi-line comments, entities, unclosed
+    * tags, uppercase tags, unquoted attributes, bare '<' in prose, and
+    * pure link-farm pages (empty extraction). The DuckDB oracle runs the
+    * IDENTICAL regex chain (RE2/Java common ground) — both engines must
+    * agree on every extracted character. */
+  def q289HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    Html.mainContent(Html.readHtmlDocs(s, htmlDocs))
+
+  /** q290: HTML boilerplate profile — the inverse cut of q289: how much
+    * of each page is nav/footer/link-farm (block counts, chars, link
+    * share in integer permille). */
+  def q290HtmlBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Html.boilerplate(Html.readHtmlDocs(s, htmlDocs))
+
+  /** q291: the q64 corpus clean COMPOSED on extracted HTML — extraction
+    * feeds the language filter → quality filter → exact dedup → near-dup
+    * removal pipeline unchanged ([[corpusSurvivorsOf]]), the order a web
+    * crawl actually flows. The fixture's populations make every stage's
+    * work observable: 200-219 are EXACT content duplicates of 0-19 under
+    * different boilerplate (dropped by exact dedup — extraction-keyed,
+    * not byte-keyed), 220-239 near-duplicates (one word changed, Jaccard
+    * ≥ 0.8 — dropped by the near-dup stage), 240-259 too short
+    * (quality), 260-279 Spanish (language), 280-299 link farms (empty
+    * extraction). */
+  def q291HtmlCorpusClean(s: SparkSession, dir: String): DataFrame =
+    corpusSurvivorsOf(
+      Html.mainContent(Html.readHtmlDocs(s, htmlDocs))
+        .select(col("doc_id"), col("main_text").as("text")))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** q292: ANN search served FROM THE WRITTEN INDEX
+    * ([[graft.sources.AnnIndex]]) — the persisted-IVF-PQ surface: train
+    * once (q46's coarse quantizer + q100's product quantizer, written as
+    * centroid/codebook/postings tables, postings PARTITIONED by cell),
+    * then every query reads only index tables: 2 probed cells by
+    * centroid cosine, a partition-pruned postings scan, ADC top-10 for
+    * the vec_id=7 query. The oracle RETRAINS everything from the corpus
+    * in SQL — any damage on the write path (wrong cell, wrong code,
+    * wrong centroid) breaks it (the q81/q82 written-table convention).
+    * Unlike q46/q100, repeated queries pay NO training: the memoized
+    * build runs once per corpus (the q262 CoPurchaseGraph contract). */
+  def q292AnnIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.AnnIndex.path(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 7)
+      .select(col("embedding")).first().getSeq[Float](0).toArray.map(_.toDouble)
+    graft.sources.AnnIndex.searchTopK(s, root, q, nprobe = 2, excludeId = 7L, topK = 10)
+  }
+
+  /** q293: INCREMENTAL index maintenance — the index is built on the
+    * HISTORY (vec_id % 7 ≠ 3), then the batch (vec_id % 7 = 3) is
+    * APPENDED: assigned and PQ-encoded against the WRITTEN quantizers
+    * only (no retrain, no corpus rescan — the q265/q283 incremental
+    * convention), postings appended under their cells. The same search
+    * then serves from the union. The oracle mirrors exactly: quantizers
+    * trained on the history sample, every vector assigned/encoded with
+    * them — so a retrain-on-append bug (batch leaking into the sample)
+    * breaks the hash. */
+  def q293AnnIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.AnnIndex.pathIncremental(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 7)
+      .select(col("embedding")).first().getSeq[Float](0).toArray.map(_.toDouble)
+    graft.sources.AnnIndex.searchTopK(s, root, q, nprobe = 2, excludeId = 7L, topK = 10)
+  }
+
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
     * decoded PCM: the sample walk of q141, folded into 64 equal windows
     * (sample j → window ⌊j·64/total⌋), bit = 64·E_t > ΣE. Same hi/lo
@@ -769,7 +877,8 @@ object LlmQueries {
     * (q89). Shared by the q64 oracle and every oracle that checks a table
     * the corpus app materialized from the survivor set, so engine and
     * oracle can never drift apart on what "the clean corpus" means. */
-  def corpusSurvivorCtesFor(suffix: String, where: String): String = {
+  def corpusSurvivorCtesFor(suffix: String, where: String,
+                            from: String = "documents"): String = {
     val langHits = langLex.map { case (l, lex) =>
       s"""CAST(len(list_filter(w, x -> x IN (${lex.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_$l"""
     }.mkString(",\n    ")
@@ -779,7 +888,7 @@ object LlmQueries {
        |    CAST(len(list_filter(w, x -> x IN (${stopwords.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_stop,
        |    $langHits
        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w
-       |        FROM documents WHERE $where)),
+       |        FROM $from WHERE $where)),
        |langq$suffix AS (
        |  SELECT doc_id, text FROM base$suffix
        |  WHERE (CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
@@ -1628,6 +1737,14 @@ object LlmQueries {
     "q282_image_history_neardup" -> (q282ImageHistoryNeardup _),
     "q283_audio_history_neardup" -> (q283AudioHistoryNeardup _),
     "q285_audio_gain_neardup" -> (q285AudioGainNeardup _),
+    "q286_video_fp" -> (q286VideoFp _),
+    "q287_video_neardup" -> (q287VideoNeardup _),
+    "q288_video_history_neardup" -> (q288VideoHistoryNeardup _),
+    "q289_html_extract" -> (q289HtmlExtract _),
+    "q290_html_boilerplate" -> (q290HtmlBoilerplate _),
+    "q291_html_corpus_clean" -> (q291HtmlCorpusClean _),
+    "q292_ann_index_search" -> (q292AnnIndexSearch _),
+    "q293_ann_index_append" -> (q293AnnIndexAppend _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -1679,18 +1796,25 @@ object LlmQueries {
     * indices (seed·31 + j·7) mod 4 against the seed-keyed palette —
     * including the seeded near-dup rows (89/90 derive from 88's stream,
     * 93/94 from 92's; 89 carries +16 on every 103rd byte, 93 a +1 code
-    * bump on every 37th pixel). Ends at `ibits`: (media_id, w, h, k,
-    * gray sample g, above-mean bit b). */
+    * bump on every 37th pixel). JPEG rows (105+) are replayed through
+    * the PINNED integer IDCT from the quantized-coefficient formula —
+    * the [[graft.operators.Multimodal.IdctK]] table, zigzag maps and
+    * floor((Σ+2¹⁹)/2²⁰)+128 pixel rule interpolated verbatim, so the
+    * engine's Huffman/dequant/IDCT walk must land bit-exactly on this
+    * SQL. Ends at `ibits`: (media_id, w, h, k, gray sample g,
+    * above-mean bit b). */
   private val imageSampleCtes =
     s"""img AS (
        |  SELECT media_id, mime, CAST(width AS INT) AS w, CAST(height AS INT) AS h,
        |    CASE WHEN media_id IN (89, 90) THEN 88
        |         WHEN media_id IN (93, 94, 100) THEN 92
        |         WHEN media_id = 102 THEN 101
+       |         WHEN media_id IN (106, 107) THEN 105
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
        |  WHERE mime IN ('image/gif', 'image/bmp')
-       |     OR (mime = 'image/png' AND media_id >= 101)),
+       |     OR (mime = 'image/png' AND media_id >= 101)
+       |     OR (mime = 'image/jpeg' AND media_id >= 105)),
        |grid AS (
        |  SELECT i.*, t.k, (t.k % 8) * w // 8 AS px, (t.k // 8) * h // 8 AS py
        |  FROM img i, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
@@ -1721,11 +1845,35 @@ object LlmQueries {
        |          + 587*((seed*7 + (3*c+1)*11) % 256)
        |          + 114*((seed*7 + (3*c+2)*11) % 256)) // 1000
        |    END AS g
-       |  FROM chan),
+       |  FROM chan WHERE mime <> 'image/jpeg'),
+       |jt AS (
+       |  -- jpeg sampled pixel: sum over the 64 zigzag coefficients of
+       |  -- dequantized coef × K[u][bx] × K[v][by] (the pinned basis)
+       |  SELECT media_id, w, h, k,
+       |    (CASE WHEN zt.z = 0
+       |        THEN ((seed*5 + b*11) % 61) - 30
+       |             + CASE WHEN media_id = 107 AND b % 3 = 0 THEN 8 ELSE 0 END
+       |      WHEN (seed + b*3 + zt.z*5) % 7 = 0
+       |        THEN ((seed*3 + b*7 + zt.z*11) % 19) - 9
+       |      ELSE 0 END) * (1 + (zt.z % 5))
+       |    * kt[zzu[zt.z+1]*8 + bx + 1] * kt[zzv[zt.z+1]*8 + by + 1] AS term
+       |  FROM (SELECT media_id, w, h, k, seed,
+       |          (py // 8) * ((w + 7) // 8) + (px // 8) AS b,
+       |          px % 8 AS bx, py % 8 AS by
+       |        FROM grid WHERE mime = 'image/jpeg') jb,
+       |    LATERAL (SELECT unnest(generate_series(0, 63)) AS z) zt,
+       |    (SELECT [${graft.operators.Multimodal.IdctK.mkString(", ")}] AS kt,
+       |            [${graft.operators.Multimodal.ZigU.mkString(", ")}] AS zzu,
+       |            [${graft.operators.Multimodal.ZigV.mkString(", ")}] AS zzv) tabs),
+       |jsmp AS (
+       |  SELECT media_id, w, h, k,
+       |    greatest(0, least(255,
+       |      CAST(floor((sum(term) + 524288) / 1048576.0) AS INT) + 128)) AS g
+       |  FROM jt GROUP BY 1, 2, 3, 4),
        |ibits AS (
        |  SELECT media_id, w, h, k, g,
        |    CASE WHEN g*64 > sum(g) OVER (PARTITION BY media_id) THEN 1 ELSE 0 END AS b
-       |  FROM smp)""".stripMargin
+       |  FROM (SELECT * FROM smp UNION ALL SELECT * FROM jsmp))""".stripMargin
 
   /** Shared oracle CTE chain: the 64-window PCM energy envelope of every
     * WAV fixture row, the stream regenerated from the byte formula (the
@@ -1762,6 +1910,80 @@ object LlmQueries {
        |  SELECT media_id, tot, t, en,
        |    CASE WHEN en*64 > sum(en) OVER (PARTITION BY media_id) THEN 1 ELSE 0 END AS b
        |  FROM env)""".stripMargin
+
+  /** Shared oracle CTE chain: the 8-slot × 8×8-grid frame samples of
+    * every raw-gray-codec video row (110+), every sampled pixel
+    * REGENERATED from the stream byte formula — byte at global index
+    * n = f·w·h + y·w + x is (seed·31 + n·7 + d) mod 256, d = 16 on
+    * every 251st byte of row 112 only; slot t reads frame ⌊t·nf/8⌋
+    * (the engine's even-sampling convention); seeds 111/112 → 110,
+    * 115 → 114 (the cross-container AVI/MP4 pair). Ends at `vbits`:
+    * (media_id, t, k, gray sample g, above-mean bit b — per (video,
+    * slot), matching [[graft.operators.Multimodal.aHash64]]). */
+  private val videoSampleCtes =
+    s"""vid AS (
+       |  SELECT media_id, CAST(width AS INT) AS w, CAST(height AS INT) AS h,
+       |    CAST(n_frames AS INT) AS nf,
+       |    CASE WHEN media_id IN (111, 112) THEN 110
+       |         WHEN media_id = 115 THEN 114
+       |         ELSE media_id END AS seed
+       |  FROM read_parquet('$media')
+       |  WHERE mime LIKE 'video/%' AND media_id >= 110),
+       |vgrid AS (
+       |  SELECT v.*, s.t, g.k,
+       |    (s.t * nf) // 8 AS f,
+       |    (g.k % 8) * w // 8 AS px, (g.k // 8) * h // 8 AS py
+       |  FROM vid v,
+       |    LATERAL (SELECT unnest(generate_series(0, 7)) AS t) s,
+       |    LATERAL (SELECT unnest(generate_series(0, 63)) AS k) g),
+       |vsmp AS (
+       |  SELECT media_id, t, k,
+       |    (seed*31 + (f*w*h + py*w + px)*7
+       |     + CASE WHEN media_id = 112 AND (f*w*h + py*w + px) % 251 = 0
+       |            THEN 16 ELSE 0 END) % 256 AS g
+       |  FROM vgrid),
+       |vbits AS (
+       |  SELECT media_id, t, k, g,
+       |    CASE WHEN g*64 > sum(g) OVER (PARTITION BY media_id, t) THEN 1 ELSE 0 END AS b
+       |  FROM vsmp)""".stripMargin
+
+  /** Shared oracle CTE chain: the HTML extraction pipeline of
+    * [[graft.operators.Html]] replayed in DuckDB — the IDENTICAL regex
+    * patterns (interpolated from the operator's constants, so engine and
+    * oracle can never drift), the identical entity-decode order (amp
+    * LAST), the identical integer link-density rule. Ends at `hcls`:
+    * (doc_id, pos, text, text_chars, link_chars, is_content). */
+  private val htmlBlockCtes: String = {
+    import graft.operators.Html._
+    // tag-strip + entity-decode + ws-normalize, applied to SQL expr `e`
+    def norm(e: String): String =
+      s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+         |      regexp_replace($e, '$TagPat', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |      '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))""".stripMargin
+    s"""hraw AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |    '$ScriptPat', ' ', 'g'), '$StylePat', ' ', 'g'),
+       |    '$CommentPat', ' ', 'g') AS x
+       |  FROM read_parquet('$htmlDocs')),
+       |hparts AS (
+       |  SELECT doc_id, string_split_regex(x, '$BlockSplit') AS ps FROM hraw),
+       |hb0 AS (
+       |  SELECT doc_id, g.i - 1 AS pos, ps[g.i] AS raw
+       |  FROM hparts, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g),
+       |hb1 AS (
+       |  SELECT doc_id, pos, raw, ${norm("raw")} AS text
+       |  FROM hb0),
+       |hblk AS (
+       |  SELECT doc_id, pos, text, CAST(len(text) AS BIGINT) AS text_chars,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(raw, '$LinkPat', 1),
+       |      s -> len(${norm("s")}))), 0) AS BIGINT) AS link_chars
+       |  FROM hb1 WHERE len(text) > 0),
+       |hcls AS (
+       |  SELECT *, (text_chars >= 25 AND link_chars * 10 <= text_chars * 3) AS is_content
+       |  FROM hblk)""".stripMargin
+  }
 
   /** The exact all-pairs near-dup condition at Jaccard ≥ 4/5 (integer
     * form). The oracle affords all-pairs; the engine must not. */
@@ -1819,9 +2041,10 @@ object LlmQueries {
     * `corpus` — terminates in `assign(vec_id, embedding, j)`. Shared by the
     * q46/q84 oracles (k=4 over `embeddings`) and q110 (k=8 over its
     * perturbed corpus) so the quantizer definition cannot drift. */
-  private[queries] def ivfAssignCtesK(k: Int, corpus: String): String =
+  private[queries] def ivfAssignCtesK(k: Int, corpus: String,
+                                      sampleFrom: String = null): String =
     s"""samp AS (
-       |  SELECT vec_id, embedding FROM $corpus
+       |  SELECT vec_id, embedding FROM ${Option(sampleFrom).getOrElse(corpus)}
        |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 1000),
        |init AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
@@ -2217,6 +2440,64 @@ object LlmQueries {
          |GROUP BY 1, 2
          |HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3
          |   AND sum(abs(a.p - b.p)) <= 200""".stripMargin,
+    // sampled-frame replay of the raw-gray video codec: pixel at slot t,
+    // grid cell k regenerated from the stream byte formula — the engine's
+    // demux (mdat slice / movi chunk walk) must address every byte right
+    "q286_video_fp" ->
+      s"""WITH $videoSampleCtes
+         |SELECT media_id, CAST(t AS INT) AS t,
+         |  CAST(sum(CASE WHEN b = 1 AND k >= 32 THEN 1::BIGINT << (k - 32) ELSE 0 END) AS BIGINT) AS fp_hi,
+         |  CAST(sum(CASE WHEN b = 1 AND k < 32 THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS fp_lo
+         |FROM vbits GROUP BY media_id, t""".stripMargin,
+    // all-pairs replay of the banded+verified video near-dup cut
+    "q287_video_neardup" ->
+      s"""WITH $videoSampleCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS total_hamming,
+         |  CAST(sum(abs(a.g - b.g)) AS BIGINT) AS total_l1
+         |FROM vbits a JOIN vbits b ON a.t = b.t AND a.k = b.k AND a.media_id < b.media_id
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 24
+         |   AND sum(abs(a.g - b.g)) <= 8192""".stripMargin,
+    "q288_video_history_neardup" ->
+      s"""WITH $videoSampleCtes
+         |SELECT b.media_id AS new_id, h.media_id AS hist_id,
+         |  CAST(sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) AS BIGINT) AS total_hamming,
+         |  CAST(sum(abs(b.g - h.g)) AS BIGINT) AS total_l1
+         |FROM vbits b JOIN vbits h ON b.t = h.t AND b.k = h.k
+         |WHERE b.media_id >= 111 AND h.media_id <= 110
+         |GROUP BY 1, 2
+         |HAVING sum(CASE WHEN b.b <> h.b THEN 1 ELSE 0 END) <= 24
+         |   AND sum(abs(b.g - h.g)) <= 8192""".stripMargin,
+    // both engines run the identical regex chain over the raw HTML; any
+    // divergence in tag handling, entity order, or the density rule
+    // breaks the per-character string compare of main_text
+    "q289_html_extract" ->
+      s"""WITH $htmlBlockCtes
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN is_content THEN text END, ' ' ORDER BY pos), '') AS main_text,
+         |  count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(len(coalesce(string_agg(CASE WHEN is_content THEN text END, ' ' ORDER BY pos), '')) AS BIGINT) AS content_chars
+         |FROM hcls GROUP BY doc_id""".stripMargin,
+    "q290_html_boilerplate" ->
+      s"""WITH $htmlBlockCtes
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN NOT is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_blocks,
+         |  CAST(sum(CASE WHEN NOT is_content THEN text_chars ELSE 0 END) AS BIGINT) AS boiler_chars,
+         |  CAST(sum(link_chars) AS BIGINT) AS link_chars_total,
+         |  CAST(sum(link_chars) * 1000 // greatest(1, sum(text_chars)) AS BIGINT) AS link_permille
+         |FROM hcls GROUP BY doc_id""".stripMargin,
+    // extraction feeding the UNCHANGED corpus-clean chain (the q64 CTEs
+    // with their FROM re-pointed at the extracted docs)
+    "q291_html_corpus_clean" ->
+      s"""WITH $htmlBlockCtes,
+         |hdocs AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN is_content THEN text END, ' ' ORDER BY pos), '') AS text
+         |  FROM hcls GROUP BY doc_id),
+         |${corpusSurvivorCtesFor("h", "TRUE", from = "hdocs")}
+         |SELECT doc_id, md5(text) AS fp FROM survh""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||
@@ -2910,6 +3191,47 @@ object LlmQueries {
          |SELECT vec_id, d0.d + d1.d + d2.d + d3.d AS adc
          |FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
          |  JOIN enc_2 e2 USING (vec_id) JOIN enc_3 e3 USING (vec_id)
+         |  JOIN dt_0 d0 ON d0.j = e0.j JOIN dt_1 d1 ON d1.j = e1.j
+         |  JOIN dt_2 d2 ON d2.j = e2.j JOIN dt_3 d3 ON d3.j = e3.j
+         |WHERE vec_id <> 7
+         |ORDER BY adc ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+    // the engine serves from the WRITTEN index tables; the oracle
+    // retrains coarse quantizer + codebooks from the corpus and replays
+    // probe selection + IVF-restricted ADC — write-path damage breaks it
+    "q292_ann_index_search" ->
+      s"""WITH ${ivfAssignCtesK(4, "embeddings")},
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |${(0 until 4).map(pqSubCtes).mkString(",\n")},
+         |probes AS (
+         |  SELECT c.j FROM centroids c CROSS JOIN qv q
+         |  ORDER BY ${cosSql("q.embedding", "c.c")} DESC, c.j ASC LIMIT 2),
+         |cands AS (SELECT vec_id FROM assign WHERE j IN (SELECT j FROM probes))
+         |SELECT vec_id, d0.d + d1.d + d2.d + d3.d AS adc
+         |FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+         |  JOIN enc_2 e2 USING (vec_id) JOIN enc_3 e3 USING (vec_id)
+         |  JOIN cands USING (vec_id)
+         |  JOIN dt_0 d0 ON d0.j = e0.j JOIN dt_1 d1 ON d1.j = e1.j
+         |  JOIN dt_2 d2 ON d2.j = e2.j JOIN dt_3 d3 ON d3.j = e3.j
+         |WHERE vec_id <> 7
+         |ORDER BY adc ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+    // quantizers trained on the HISTORY sample only; every vector —
+    // history at build, batch at append — assigned/encoded with them
+    "q293_ann_index_append" ->
+      s"""WITH hist AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+         |${ivfAssignCtesK(4, "embeddings", sampleFrom = "hist")},
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |${(0 until 4).map(pqSubCtes).mkString(",\n")},
+         |probes AS (
+         |  SELECT c.j FROM centroids c CROSS JOIN qv q
+         |  ORDER BY ${cosSql("q.embedding", "c.c")} DESC, c.j ASC LIMIT 2),
+         |cands AS (SELECT vec_id FROM assign WHERE j IN (SELECT j FROM probes))
+         |SELECT vec_id, d0.d + d1.d + d2.d + d3.d AS adc
+         |FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+         |  JOIN enc_2 e2 USING (vec_id) JOIN enc_3 e3 USING (vec_id)
+         |  JOIN cands USING (vec_id)
          |  JOIN dt_0 d0 ON d0.j = e0.j JOIN dt_1 d1 ON d1.j = e1.j
          |  JOIN dt_2 d2 ON d2.j = e2.j JOIN dt_3 d3 ON d3.j = e3.j
          |WHERE vec_id <> 7

@@ -212,6 +212,21 @@ object ScaleQueries {
         k = 80, maxRounds = 12, severEvery = 1)
       .select(col("node").as("part"), col("core_deg"))
 
+  /** q294: q146's 80-core computed by INCREMENTAL DEGREE MAINTENANCE
+    * ([[graft.operators.KCore.kCoreIncremental]]) — the algorithmic
+    * answer to the peel's bandwidth floor: the edge set is materialized
+    * once and never shuffled again; each round reads it once to extract
+    * the decrements incident to newly-removed nodes (broadcast lookups
+    * riding the scan) and updates only the |V|-sized degree table. Same
+    * fixpoint, same output, same oracle as q146 — the equality of the
+    * two hashes is itself the correctness argument for the delta
+    * algebra. */
+  def q294KCoreIncremental(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KCore.kCoreIncremental(
+        graft.sources.CoPurchaseGraph.distinctEdges(s, dir), "pa", "pb",
+        k = 80, maxRounds = 12)
+      .select(col("node").as("part"), col("core_deg"))
+
   /** q148: label-propagation communities over the co-purchase graph — 3
     * synchronous rounds ([[graft.operators.LabelProp.communities]]: adopt
     * the most frequent neighbor label, ties to the smallest), the
@@ -1369,6 +1384,7 @@ object ScaleQueries {
     "q144_clustering" -> (q144Clustering _),
     "q145_hybrid_search" -> (q145HybridSearch _),
     "q146_kcore" -> (q146KCore _),
+    "q294_kcore_incremental" -> (q294KCoreIncremental _),
     "q148_label_prop" -> (q148LabelProp _),
     "q149_bfs_hops" -> (q149BfsHops _),
     "q150_priority_sample" -> (q150PrioritySample _),
@@ -1727,6 +1743,9 @@ object ScaleQueries {
     "q142_triangle_counts" ->
       (triangleCtes + "\nSELECT part, triangles FROM tc"),
     "q146_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
+    // the SAME unrolled-peel oracle as q146: the incremental-degree
+    // engine must land on the identical fixpoint and core degrees
+    "q294_kcore_incremental" -> kcoreOracleSql(k = 80, rounds = 12),
     "q148_label_prop" -> labelPropOracleSql(rounds = 3),
     "q149_bfs_hops" -> bfsOracleSql(brand = "Brand#11", hops = 2),
     "q151_widest_path" -> widestPathOracleSql(brand = "Brand#11", rounds = 2),

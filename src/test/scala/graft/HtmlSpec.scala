@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Html
+
+class HtmlSpec extends AnyFunSuite with SharedSpark {
+
+  private val fixture = "/root/repo/fixtures/html_docs.parquet"
+
+  private def extractOne(html: String): String = {
+    import spark.implicits._
+    Seq((1L, html)).toDF("doc_id", "html")
+      .select(Html.stripHtml(col("html")).as("t")).head().getString(0)
+  }
+
+  test("stripHtml removes invisibles, decodes entities, keeps a bare '<' in prose") {
+    // tag-looking text INSIDE a script string must vanish with the script
+    assert(extractOne("""<script>var x = "<p>no</p>";</script><p>real text</p>""")
+      == "real text")
+    assert(extractOne("<style>a { color: red; } /* b > c */</style>hello") == "hello")
+    assert(extractOne("<!-- multi\nline -->kept") == "kept")
+    // entity decode, amp LAST: &amp;lt; is the LITERAL string '&lt;'
+    assert(extractOne("a &amp; b &lt;tag&gt; &quot;q&quot; &amp;lt;") ==
+      "a & b <tag> \"q\" &lt;")
+    // bare '<' followed by non-letter is text, not a tag
+    assert(extractOne("<p>3 < 5 of the budget</p>") == "3 < 5 of the budget")
+    // <!DOCTYPE ...> is stripped; uppercase and unquoted-attr tags too
+    assert(extractOne("<!DOCTYPE html><P CLASS=x>up</P>") == "up")
+  }
+
+  test("blocks classify link-dense boilerplate vs content; unclosed tags still split") {
+    import spark.implicits._
+    val html =
+      """<nav><ul><li><a href="/a">first link here</a></li><li><a href="/b">second link here</a></li></ul></nav>
+        |<p>this is a long enough content paragraph about the corpus with an inline
+        |<a href="/ref">short note</a> in it</p><p>unclosed final paragraph of the corpus here""".stripMargin
+    val blk = Html.blocks(Seq((1L, html)).toDF("doc_id", "html"))
+      .orderBy("pos").collect()
+    // nav items split into their own blocks (li boundaries), all link-dense
+    assert(blk.exists(r => r.getAs[String]("text") == "first link here" &&
+      !r.getAs[Boolean]("is_content")))
+    val content = blk.filter(_.getAs[Boolean]("is_content")).map(_.getAs[String]("text"))
+    assert(content.length == 2)
+    assert(content(1) == "unclosed final paragraph of the corpus here")
+    // the inline link contributes link chars but stays under 30%
+    val inline = blk.find(_.getAs[String]("text").startsWith("this is a long")).get
+    assert(inline.getAs[Long]("link_chars") == "short note".length.toLong)
+  }
+
+  test("mainContent on the fixture: link farms extract empty, duplicates extraction-keyed") {
+    val main = Html.mainContent(Html.readHtmlDocs(spark, fixture))
+      .select("doc_id", "main_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(main.size == 300)
+    // link-farm pages (280-299): nothing qualifies, empty string not null
+    (280L to 299L).foreach(d => assert(main(d) == "", s"doc $d"))
+    // rows 200-219 replicate their base's EXTRACTED text exactly even
+    // though the raw bytes (nav, hrefs, noise) differ
+    (0L to 19L).foreach(d => assert(main(d + 200) == main(d), s"doc ${d + 200}"))
+    // near-dup rows differ from base in exactly one word
+    val base = main(0L).split(' '); val near = main(220L).split(' ')
+    assert(base.length == near.length)
+    assert(base.zip(near).count { case (a, b) => a != b } == 1)
+    // normal pages carry real prose
+    assert(main(5L).contains("the p5 of") && main(5L).length > 100)
+  }
+
+  test("extraction is a narrow per-row projection: no shuffle before the id rollup") {
+    val plan = Html.blocks(Html.readHtmlDocs(spark, fixture))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in the per-block path:\n$plan")
+    // and mainContent adds exactly the one keyed aggregation
+    val mplan = Html.mainContent(Html.readHtmlDocs(spark, fixture))
+      .queryExecution.executedPlan.toString
+    assert(mplan.contains("Exchange"))
+  }
+}

@@ -76,6 +76,31 @@ class KCoreSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("incremental-degree k-core equals the peel on every stress graph") {
+    import spark.implicits._
+    def incr(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      KCore.kCoreIncremental(edges.toDF("a", "b"), "a", "b", k, 12)
+        .as[(Long, Long)].collect().toMap
+    // cascade (pendant chain peels one hop/round), core untouched
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    val chain = k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    assert(incr(chain, 2) == core(chain, 2))
+    // both endpoints of an edge removed the SAME round (the
+    // double-casualty decrement case), plus an empty result
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(incr(path, 2) == core(path, 2))
+    assert(incr(path, 2).isEmpty)
+    // randomized equality against the peel (which itself matches the
+    // naive sequential reference above)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 8 + trial
+      val edges = Seq.fill(12 + trial * 4)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val k = 2 + trial % 2
+      assert(incr(edges, k) == core(edges, k), s"trial $trial")
+    }
+  }
+
   test("severEvery=2 reaches the same fixpoint (cascade needs several rounds)") {
     import spark.implicits._
     // K4 + pendant path: peeled one hop per round, so the lazy-round

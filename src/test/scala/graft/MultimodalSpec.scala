@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 58) // 30 fixture-codec image + 28 real GIF/BMP/PNG
+    assert(decoded.count() == 63) // 30 fixture-codec + 28 GIF/BMP/PNG + 5 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -32,7 +32,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("height").as("m_h"), col("n_frames").as("m_nf"), col("fps").as("m_fps"),
         col("uspf"))
     val joined = parsed.join(stored, "media_id")
-    assert(joined.count() == 27) // 15 mp4 + 12 avi
+    assert(joined.count() == 33) // 20 mp4 + 13 avi (incl. the raw-codec rows 110-115)
     val mismatches = joined.filter(
       col("vid_width") =!= col("m_w") || col("vid_height") =!= col("m_h") ||
         col("n_frames") =!= col("m_nf") || col("fps") =!= col("m_fps") ||
@@ -398,7 +398,9 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // the CROSS-FORMAT duplicate: row 100 is a BMP container holding
       // gif-92's exact pixel colors — content-keyed, not container-keyed
       (92L, 100L), (93L, 100L), (94L, 100L),
-      (101L, 102L))) // the PNG leg: exact pixel copies under distinct ids
+      (101L, 102L), // the PNG leg: exact pixel copies under distinct ids
+      // the JPEG leg: coefficient copy (106) and DC-perturbed (107) of 105
+      (105L, 106L), (105L, 107L), (106L, 107L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -498,6 +500,93 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Multimodal.lzwDecode(9, Array[Byte](0), 1).isEmpty)
   }
 
+  // the fixture's quantized-coefficient formula (gen_media_fixture.py)
+  private def jpegQc(seed: Int, b: Int, z: Int, perturb: Boolean): Int =
+    if (z == 0) ((seed * 5 + b * 11) % 61) - 30 + (if (perturb && b % 3 == 0) 8 else 0)
+    else if ((seed + b * 3 + z * 5) % 7 == 0) ((seed * 3 + b * 7 + z * 11) % 19) - 9
+    else 0
+
+  // independent replay of the PINNED integer IDCT from the formula —
+  // exercises none of the decoder's Huffman/dequant/bitstream machinery
+  private def jpegExpected(seed: Int, w: Int, h: Int, perturb: Boolean,
+                           px: Int, py: Int): Int = {
+    val bw = (w + 7) / 8
+    val b = (py / 8) * bw + (px / 8); val bx = px % 8; val by = py % 8
+    var sum = 0L
+    for (z <- 0 until 64) {
+      val dq = jpegQc(seed, b, z, perturb).toLong * (1 + (z % 5))
+      if (dq != 0)
+        sum += dq * Multimodal.IdctK(Multimodal.ZigU(z) * 8 + bx) *
+          Multimodal.IdctK(Multimodal.ZigV(z) * 8 + by)
+    }
+    val p = ((sum + (1L << 19)) >> 20).toInt + 128
+    math.max(0, math.min(255, p))
+  }
+
+  test("jpegGray reproduces the pinned-IDCT pixels EXACTLY on every fixture jpeg") {
+    // the whole baseline path — Huffman entropy decode (DC diffs, AC
+    // run-length, EOB/ZRL), dequant, de-zigzag, integer IDCT — must land
+    // bit-exactly on the formula replay; one mis-read bit breaks it
+    val fams = Map(105 -> (105, false), 106 -> (105, false),
+      107 -> (105, true), 108 -> (108, false), 109 -> (109, false))
+    val rows = spark.read.parquet(fixture)
+      .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
+      .select("media_id", "payload", "width", "height").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val id = r.getLong(0).toInt
+      val (seed, pt) = fams(id)
+      val dec = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload"))
+      assert(dec.isDefined, s"jpegGray rejected fixture jpeg $id")
+      val (w, h, gray) = dec.get
+      assert(w == r.getInt(2) && h == r.getInt(3))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gray(y * w + x) == jpegExpected(seed, w, h, pt, x, y),
+          s"jpeg $id pixel ($x,$y)")
+    }
+  }
+
+  test("jpegGray agrees with ImageIO within the documented ±2 IDCT tolerance") {
+    // ISO/IEC 10918-1 only BOUNDS IDCT error — implementations may
+    // legitimately differ by small rounding, which is exactly why the
+    // oracle replays OUR pinned spec instead of a third-party decoder.
+    // ImageIO must still land within ±2 luma of ours on every pixel.
+    val rows = spark.read.parquet(fixture)
+      .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
+      .select("media_id", "payload").collect()
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val (w, h, gray) = Multimodal.jpegGray(p).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        // raw raster sample — getRGB would push the grayscale value
+        // through a linear-gray→sRGB gamma conversion (+50-ish luma)
+        val theirs = img.getRaster.getSample(x, y, 0)
+        assert(math.abs(gray(y * w + x) - theirs) <= 2,
+          s"media ${r.getLong(0)} pixel ($x,$y): ours ${gray(y * w + x)} vs ImageIO $theirs")
+      }
+    }
+  }
+
+  test("jpegGray rejects unsupported/malformed layouts cleanly") {
+    val good = spark.read.parquet(fixture)
+      .filter(col("media_id") === 105).select("payload").head().getAs[Array[Byte]](0)
+    assert(Multimodal.jpegGray(good).isDefined)
+    // truncated entropy stream
+    assert(Multimodal.jpegGray(good.dropRight(12)).isEmpty)
+    // progressive SOF2: out of the baseline contract
+    val prog = good.clone()
+    val sofAt = prog.indexOfSlice(Array(0xFF.toByte, 0xC0.toByte))
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.jpegGray(prog).isEmpty)
+    // declared dims bomb: u16-max dims from a sub-KB stream
+    val bomb = good.clone()
+    bomb(sofAt + 5) = 0xFF.toByte; bomb(sofAt + 6) = 0xFF.toByte
+    bomb(sofAt + 7) = 0xFF.toByte; bomb(sofAt + 8) = 0xFF.toByte
+    assert(Multimodal.jpegGray(bomb).isEmpty)
+  }
+
   test("decoders refuse decompression bombs: huge declared dims from tiny payloads") {
     // header-declared dims are untrusted: a sub-KB payload claiming a
     // 65535×65535 (GIF) or 2^31-scale (PNG) raster must yield None, not
@@ -529,6 +618,47 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     pngBig(20) = 0; pngBig(21) = 0; pngBig(22) = 0x08.toByte; pngBig(23) = 0
     assert(Multimodal.pngGray(pngBig).isEmpty,
       "pngGray must refuse rasters beyond DEFLATE's max expansion of the IDAT")
+  }
+
+  test("videoNearDupPairs finds the seeded families incl. the cross-container AVI/MP4 pair") {
+    val pairs = Multimodal.videoNearDupPairs(Multimodal.readMedia(spark, fixture))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs.keySet == Set((110L, 111L), (110L, 112L), (111L, 112L), (114L, 115L)))
+    assert(pairs((110L, 111L)) == ((0L, 0L)))  // exact stream copy
+    // the CROSS-CONTAINER duplicate: identical stream, AVI vs MP4 —
+    // content-keyed, not container-keyed
+    assert(pairs((114L, 115L)) == ((0L, 0L)))
+    val (ham, l1) = pairs((110L, 112L))        // sparse byte perturbation
+    assert(ham <= 24L && l1 > 0L && l1 <= 8192L)
+  }
+
+  test("videoNearDupAgainst screens the batch against the fingerprint history only") {
+    val m = Multimodal.readMedia(spark, fixture)
+    val got = Multimodal.videoNearDupAgainst(
+      m.filter(col("media_id") >= 111), m.filter(col("media_id") <= 110))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 111/112 land on base 110; unrelated 113 and the no-history pair
+    // 114/115 (in-batch, correctly not emitted) match nothing
+    assert(got == Set((111L, 110L), (112L, 110L)))
+  }
+
+  test("videoRawSlots decodes only the raw-gray codec and rejects everything else") {
+    val rows = spark.read.parquet(fixture)
+      .filter(col("mime").startsWith("video/"))
+      .select("media_id", "payload", "width", "height", "n_frames").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val dec = Multimodal.videoRawSlots(r.getAs[Array[Byte]]("payload"), 8)
+      if (id >= 110) {
+        assert(dec.isDefined, s"raw-codec video $id rejected")
+        val (w, h, nf, frames) = dec.get
+        assert(w == r.getInt(2) && h == r.getInt(3) && nf == r.getInt(4).toLong)
+        assert(frames.length == 8 && frames.forall(_.length == w * h))
+      } else
+        // rows 0-87: real containers, but mdat/movi is not a raw frame
+        // stream — must be None, never fabricated frames
+        assert(dec.isEmpty, s"non-raw video $id must not decode")
+    }
   }
 
   test("phash candidate generation is banded (equi-join), never a cross product") {

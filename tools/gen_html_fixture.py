@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Deterministic HTML fixture generator (dev tool; output is committed).
+
+Produces fixtures/html_docs.parquet: 300 rows (doc_id, url, html) of
+real-world-shaped web pages — head/title/meta, <style> and <script> noise
+(with tag-looking text inside), HTML comments, link-dense nav/footer
+boilerplate, low-link-density content paragraphs, named + numeric
+entities, and deliberate malformations (unclosed <p>, a bare '<' in text,
+uppercase tags, unquoted attributes) — the input of graft.operators.Html.
+
+CONTENT populations (what the composed q64-clean on extracted text sees):
+  ids   0-199  normal unique English content, 4-8 paragraphs
+  ids 200-219  EXACT content duplicate of (id-200) under different
+               boilerplate/nav (extraction-keyed, not byte-keyed)
+  ids 220-239  NEAR-duplicate of (id-220): one word of the last sentence
+               changed (3-shingle Jaccard ~0.87-0.95)
+  ids 240-259  too short (8 tokens after the entity suffix) -> quality-dropped
+  ids 260-279  Spanish-flavored content -> language-dropped
+  ids 280-299  link farm (nav blocks only, no >=25-char text block):
+               empty extraction -> dropped
+
+Paragraph sentence formula (seed = content seed, j = sentence index,
+k = slot): the English pattern
+  'the p{seed} of W2 and a W3 to the W4 in W5 W1' with Wk =
+  WORDS[(seed*7 + j*5 + k*3) % 16]; the near-dup rows replace the W3
+  slot of the LAST sentence with WORDS[(seed + 9) % 16]. Spanish rows
+  use 'el p{seed} la W2 de W3 W4 W5'. No randomness anywhere.
+"""
+import os
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+
+WORDS = ["data", "model", "training", "corpus", "quality", "filter",
+         "sample", "token", "graph", "index", "batch", "stream",
+         "shard", "merge", "join", "scan"]
+
+
+def sentence(seed, j, alt=False):
+    w = [WORDS[(seed * 7 + j * 5 + k * 3) % 16] for k in range(1, 6)]
+    if alt:
+        w[2] = WORDS[(seed + 9) % 16]
+    # the unique mid-sentence p{seed} token keeps every seed's content
+    # far from every other seed's under 3-shingle Jaccard (~0.54 for
+    # otherwise-identical word patterns; a trailing suffix would leave
+    # repeated patterns sitting exactly AT the 0.8 threshold)
+    return ("the p%d of %s and a %s to the %s in %s %s"
+            % (seed, w[1], w[2], w[3], w[4], w[0]))
+
+
+def sentence_es(seed, j):
+    w = [WORDS[(seed * 7 + j * 5 + k * 3) % 16] for k in range(1, 6)]
+    return ("el p%d la %s de %s %s %s" % ((seed,) + tuple(w[1:])))
+
+
+def content_paras(seed, n, lang="en", alt_last=False):
+    out = []
+    for j in range(n):
+        mk = sentence_es if lang == "es" else sentence
+        if lang == "en":
+            s = sentence(seed, j, alt=(alt_last and j == n - 1))
+        else:
+            s = mk(seed, j)
+        out.append(s)
+    return out
+
+
+def nav_block(d, n_links):
+    items = "".join(
+        '<li><a href="/page%d">section %s link %d</a></li>'
+        % (k, WORDS[(d + k) % 16], k)
+        for k in range(n_links))
+    return "<nav><ul>%s</ul></nav>" % items
+
+
+def page(d, paras, extra_navs=0, ckey=None):
+    # ckey keys every CONTENT-affecting decoration (entity suffixes,
+    # inline-link text, the bare-< sentence) so duplicate rows replicate
+    # their base's EXTRACTED text exactly while the boilerplate (nav,
+    # hrefs, style/script/comment noise, tag casing) stays keyed on d —
+    # extraction-keyed duplication, not byte-keyed
+    if ckey is None:
+        ckey = d
+    # deliberate malformations on a deterministic cadence
+    open_p = (d % 5 == 2)          # one unclosed <p> (tags only: no text effect)
+    upper = (d % 4 == 1)           # uppercase tags
+    p_open = "<P>" if upper else "<p>"
+    p_close = "</P>" if upper else "</p>"
+    body = []
+    body.append(nav_block(d, 4 + d % 4))
+    for j, text in enumerate(paras):
+        # entities + an inline low-density link on some paragraphs
+        t = text
+        if j == 0:
+            t += " &amp; the &quot;%s&quot; of %s" % (WORDS[ckey % 16],
+                                                      WORDS[(ckey + 5) % 16])
+        if j == 1 and len(paras) > 1:
+            t += ' see <a href=/ref%d>the %s note</a> of it' % (d, WORDS[(ckey + 7) % 16])
+        if ckey % 5 == 2 and j == len(paras) - 1 and len(paras) > 1:
+            t += " where 3 < %d of the budget" % (5 + ckey % 9)
+        if open_p and j == len(paras) - 1:
+            body.append(p_open + t)          # never closed
+        else:
+            body.append(p_open + t + p_close)
+    for k in range(extra_navs):
+        body.append(nav_block(d + 31 * (k + 1), 5 + (d + k) % 3))
+    body.append('<footer><a href="/about">about the site</a> '
+                '<a href="/terms">terms of it</a></footer>')
+    style = "<style>body { color: #%03d; } /* a > b */</style>" % (d % 1000)
+    script = ('<script type="text/javascript">var x = "<p>not a tag</p>"; '
+              'if (x < %d) { x = x + 1; }</script>' % (d % 97))
+    comment = "<!-- generated page %d\n     multi-line comment -->" % d
+    return ("<!DOCTYPE html><html><head><title>doc %d</title>"
+            "<meta charset=utf-8>%s%s</head><body>%s%s%s</body></html>"
+            % (d, style, script, comment, "".join(body), comment))
+
+
+ids, urls, htmls = [], [], []
+for d in range(300):
+    if d < 200:
+        paras = content_paras(d, 4 + (d * 3) % 5)
+        html = page(d, paras)
+    elif d < 220:
+        paras = content_paras(d - 200, 4 + ((d - 200) * 3) % 5)
+        html = page(d, paras, extra_navs=1, ckey=d - 200)  # same CONTENT, other noise
+    elif d < 240:
+        seed = d - 220
+        paras = content_paras(seed, 4 + (seed * 3) % 5, alt_last=True)
+        html = page(d, paras, extra_navs=1, ckey=seed)
+    elif d < 260:
+        # 3 tokens + the 5-token entity suffix = 8 < 10: quality-dropped
+        html = page(d, ["p%d of %s" % (d, WORDS[d % 16])])
+    elif d < 280:
+        paras = content_paras(d, 4 + (d * 3) % 5, lang="es")
+        html = page(d, paras)
+    else:
+        html = page(d, [], extra_navs=3)       # link farm, no content
+    ids.append(d)
+    urls.append("https://example.com/doc%d" % d)
+    htmls.append(html)
+
+table = pa.table({
+    "doc_id": pa.array(ids, pa.int64()),
+    "url": pa.array(urls, pa.string()),
+    "html": pa.array(htmls, pa.string()),
+})
+pq.write_table(table, os.path.join(OUT, "html_docs.parquet"))
+print("wrote", os.path.join(OUT, "html_docs.parquet"), table.num_rows, "rows")

@@ -620,9 +620,253 @@ channelss.append(1)
 bitss.append(8)
 n_sampless.append(256)
 
-# uspf is only appended in the AVI loop; pad front AND back (rows 88+)
-assert len(uspfs) == 12
-uspfs = [None] * 76 + uspfs + [None] * (len(ids) - 88)
+# ---- rows 105-109: REAL baseline sequential JPEGs (grayscale, one
+# component) — SOI + DQT + SOF0 + two DHT tables + SOS + a genuine
+# Huffman-coded entropy stream (DC difference coding, AC run-length with
+# EOB/ZRL, byte stuffing) + EOI. The QUANTIZED COEFFICIENTS follow a
+# fixed formula of (seed, block b in raster order, zigzag index z):
+#   DC (z=0): ((seed*5 + b*11) % 61) - 30, +8 on blocks b%3==0 of the
+#             perturbed row 107 only
+#   AC:       ((seed*3 + b*7 + z*11) % 19) - 9 when (seed + b*3 + z*5)%7
+#             == 0, else 0
+#   quant table (zigzag index): Q[z] = 1 + (z % 5)
+# Decoded pixels are pinned to graft's documented integer IDCT
+# (K[u][x] = round(alpha(u)/2 * cos((2x+1)u*pi/16) * 2^10), pixel =
+# floor((sum + 2^19)/2^20) + 128, clamped) so the DuckDB oracle replays
+# the identical integer algorithm from this coefficient formula — the
+# decoder's Huffman/dequant/IDCT walk must reproduce it bit-exactly.
+# Huffman tables are written in the DHT segments (canonical codes: 12 DC
+# symbols at 4 bits, 66 AC symbols at 7 bits) — the decoder must build
+# its tables from the FILE, not assume Annex K.
+# seed(id): 106,107 -> 105; else id. Row 106 = exact coefficient copy of
+# 105; 107 = DC-perturbed near-dup; 108 unrelated; 109 unrelated with
+# non-multiple-of-8 dims (MCU padding/crop path).
+
+DC_SYMS = list(range(12))
+AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 5)]
+
+
+def jpeg_qc(seed, b, z, perturb):
+    if z == 0:
+        v = ((seed * 5 + b * 11) % 61) - 30
+        if perturb and b % 3 == 0:
+            v += 8
+        return v
+    if (seed + b * 3 + z * 5) % 7 == 0:
+        return ((seed * 3 + b * 7 + z * 11) % 19) - 9
+    return 0
+
+
+def jpeg_bytes_seeded(seed, w, h, perturb):
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    Q = [1 + (z % 5) for z in range(64)]
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
+    ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
+
+    acc = [0, 0]          # bit accumulator, bit count
+    out = bytearray()
+
+    def put(val, size):
+        for k in range(size - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> k) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0)       # byte stuffing
+                acc[0] = acc[1] = 0
+
+    pred = 0
+    for b in range(bw * bh):
+        coefs = [jpeg_qc(seed, b, z, perturb) for z in range(64)]
+        diff = coefs[0] - pred
+        pred = coefs[0]
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        put(code, ln)
+        if s:
+            put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        last = 63
+        while last > 0 and coefs[last] == 0:
+            last -= 1
+        k = 1
+        while k <= last:
+            run = 0
+            while coefs[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                put(code, ln)
+                run -= 16
+            v = coefs[k]
+            s = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            put(code, ln)
+            put(v if v > 0 else v + (1 << s) - 1, s)
+            k += 1
+        if last < 63:
+            code, ln = ac_codes[0x00]
+            put(code, ln)
+    if acc[1]:                         # pad final byte with 1-bits
+        pad = 8 - acc[1]
+        fin = (acc[0] << pad) | ((1 << pad) - 1)
+        out.append(fin)
+        if fin == 0xFF:
+            out.append(0)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    bits_dc = [0] * 16
+    bits_dc[3] = len(DC_SYMS)          # all DC codes 4 bits long
+    bits_ac = [0] * 16
+    bits_ac[6] = len(AC_SYMS)          # all AC codes 7 bits long
+    return (b"\xFF\xD8"
+            + seg(0xDB, bytes([0x00]) + bytes(Q))
+            + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + bytes(out) + b"\xFF\xD9")
+
+
+JPEG_ROWS = [
+    (105, 105, 24, 16, False),   # base
+    (106, 105, 24, 16, False),   # exact coefficient copy of 105
+    (107, 105, 24, 16, True),    # DC-perturbed near-dup of 105
+    (108, 108, 24, 16, False),   # unrelated
+    (109, 109, 20, 12, False),   # unrelated, non-multiple-of-8 dims (crop)
+]
+for i, seed, w, h, perturb in JPEG_ROWS:
+    payload = jpeg_bytes_seeded(seed, w, h, perturb)
+    ids.append(i)
+    mimes.append("image/jpeg")
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
+# ---- rows 110-115: video CONTENT near-dup family — real MP4/AVI
+# containers whose media data is the fixture RAW-GRAY codec: 8-bit
+# grayscale frames stored frame-major, rows top-down, w*h bytes per
+# frame (MP4: one contiguous mdat; AVI: one 00dc chunk per frame in
+# movi). Frame-stream byte at global index n = f*w*h + y*w + x:
+#   (seed*31 + n*7 + d) % 256, d = 16 if id == 112 and n % 251 == 0
+# seed(id): 111,112 -> 110; 115 -> 114; else id. 111 = exact stream
+# copy of 110; 112 = sparse perturbation; 113 unrelated; (114, 115) =
+# the CROSS-CONTAINER duplicate: the same stream in an AVI (114) and an
+# MP4 (115) — content-keyed, not container-keyed.
+
+
+def raw_frames(seed, w, h, nf, perturb):
+    def v(n):
+        d = 16 if (perturb and n % 251 == 0) else 0
+        return (seed * 31 + n * 7 + d) % 256
+    return bytes(v(n) for n in range(nf * w * h))
+
+
+def mp4_bytes_frames(seed, w, h, nf, fps, perturb):
+    """Same REAL ISO-BMFF skeleton as mp4_bytes, mdat = raw-gray frames."""
+    med_ts = fps * 1000
+    delta = 1000
+    ticks = nf * delta
+    mov_ts = 600
+    mov_dur = nf * mov_ts // fps
+    mvhd = fullbox(b"mvhd", 0, be32(0), be32(0), be32(mov_ts),
+                   be32(mov_dur), be32(0x00010000), be16(0x0100), be16(0),
+                   be32(0) * 2, UNITY_MATRIX, be32(0) * 6, be32(2))
+    tkhd = fullbox(b"tkhd", 0, be32(0), be32(0), be32(1), be32(0),
+                   be32(mov_dur), be32(0) * 2, be16(0), be16(0), be16(0),
+                   be16(0), UNITY_MATRIX, be32(w << 16), be32(h << 16))
+    mdhd = fullbox(b"mdhd", 0, be32(0), be32(0), be32(med_ts),
+                   be32(ticks), be16(0x55C4), be16(0))
+    hdlr = fullbox(b"hdlr", 0, be32(0), b"vide", be32(0) * 3,
+                   b"VideoHandler\x00")
+    nf1 = nf // 2
+    stts = fullbox(b"stts", 0, be32(2), be32(nf1), be32(delta),
+                   be32(nf - nf1), be32(delta))
+    stsd = fullbox(b"stsd", 0, be32(0))
+    vmhd = fullbox(b"vmhd", 0, be16(0), be16(0) * 3)
+    stbl = box(b"stbl", stsd, stts)
+    minf = box(b"minf", vmhd, stbl)
+    mdia = box(b"mdia", mdhd, hdlr, minf)
+    trak = box(b"trak", tkhd, mdia)
+    moov = box(b"moov", mvhd, trak)
+    ftyp = box(b"ftyp", b"isom", be32(512), b"isom", b"mp41")
+    return ftyp + moov + box(b"mdat", raw_frames(seed, w, h, nf, perturb))
+
+
+def avi_bytes_frames(seed, w, h, nf, uspf, fps, perturb):
+    """Same REAL AVI skeleton as avi_bytes, movi = one 00dc chunk/frame."""
+    avih = riff_chunk(b"avih",
+                      le32(uspf) + le32(0) + le32(0) + le32(0x10)
+                      + le32(nf) + le32(0) + le32(1) + le32(0)
+                      + le32(w) + le32(h) + le32(0) * 4)
+    strh = riff_chunk(b"strh",
+                      b"vids" + b"\x00" * 4 + le32(0) + le16(0) + le16(0)
+                      + le32(0) + le32(1) + le32(fps) + le32(0) + le32(nf)
+                      + le32(0) + le32(0) + le32(0)
+                      + le16(0) + le16(0) + le16(w) + le16(h))
+    strf = riff_chunk(b"strf",
+                      le32(40) + le32(w) + le32(h) + le16(1) + le16(8)
+                      + le32(0) + le32(w * h) + le32(0) * 4)
+    hdrl = list_chunk(b"hdrl", avih + list_chunk(b"strl", strh + strf))
+    stream = raw_frames(seed, w, h, nf, perturb)
+    movi_body = b"".join(
+        riff_chunk(b"00dc", stream[f * w * h:(f + 1) * w * h])
+        for f in range(nf))
+    movi = list_chunk(b"movi", movi_body)
+    total = b"AVI " + hdrl + movi
+    return b"RIFF" + le32(len(total)) + total
+
+
+VIDEO_ROWS = [
+    # (id, container, seed, w, h, nf, fps, perturb)
+    (110, "mp4", 110, 16, 12, 20, 12, False),   # base
+    (111, "mp4", 110, 16, 12, 20, 12, False),   # exact stream copy of 110
+    (112, "mp4", 110, 16, 12, 20, 12, True),    # sparse perturbation
+    (113, "mp4", 113, 16, 12, 20, 12, False),   # unrelated
+    (114, "avi", 114, 16, 12, 20, 25, False),   # cross-container base
+    (115, "mp4", 114, 16, 12, 20, 25, False),   # same STREAM, other container
+]
+for i, cont, seed, w, h, nf, fps, perturb in VIDEO_ROWS:
+    if cont == "mp4":
+        payload = mp4_bytes_frames(seed, w, h, nf, fps, perturb)
+        mime = "video/mp4"
+        uspf = None
+    else:
+        uspf = 1000000 // fps
+        payload = avi_bytes_frames(seed, w, h, nf, uspf, fps, perturb)
+        mime = "video/x-msvideo"
+    ids.append(i)
+    mimes.append(mime)
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(nf)
+    fpss.append(fps)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+    if cont == "avi":
+        uspfs.append(uspf)
+
+# uspf is only appended in the AVI loops; reassemble aligned to ids
+assert len(uspfs) == 13
+_uspf_avi, _uspf_114 = uspfs[:12], uspfs[12]
+uspfs = [None] * 76 + _uspf_avi + [None] * (114 - 88) + [_uspf_114, None]
 
 table = pa.table({
     "media_id": pa.array(ids, pa.int64()),
