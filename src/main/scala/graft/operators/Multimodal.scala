@@ -1017,9 +1017,16 @@ object Multimodal {
     * entropy decode (DC difference coding with RECEIVE/EXTEND, AC
     * run-length with EOB and ZRL, byte stuffing, restart markers),
     * dequantization, de-zigzag, and the PINNED integer IDCT above.
-    * Supported layout: 8-bit precision, single-component (grayscale),
-    * H=V=1, non-progressive — SOF2/multi-component/anything malformed
-    * yields None (never garbage pixels). Huffman and quantization
+    * Supported layouts: 8-bit precision, non-progressive, grayscale
+    * (one component) or interleaved YCbCr at 4:4:4 (all 1×1) and 4:2:0
+    * (luma 2×2, four Y blocks per MCU) — the dominant real-world
+    * shapes. Color decodes take the FAST-LUMA path: chroma blocks are
+    * entropy-decoded (the interleaved stream cannot be advanced
+    * otherwise — per-component Huffman/quant selectors honored) but
+    * never dequantized or IDCT'd, because luma is the only plane the
+    * perceptual stack consumes; the decoded raster IS the Y plane.
+    * SOF2/other samplings/anything malformed yields None (never
+    * garbage pixels). Huffman and quantization
     * tables are read from the FILE's DHT/DQT segments, not assumed.
     * Same allocation guards as the other decoders: declared dims are
     * bounded by the pixel cap and by the entropy payload (a block costs
@@ -1029,9 +1036,13 @@ object Multimodal {
     val qt = new Array[Array[Int]](4)
     val dcTabs = new Array[JpegHuff](4)
     val acTabs = new Array[JpegHuff](4)
-    var w = -1; var h = -1; var compQt = -1
+    var w = -1; var h = -1
+    var nf = 0
+    val compHV = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
     var restartInterval = 0
-    var sosDc = -1; var sosAc = -1
     var dataStart = -1
     var i = 2
     while (dataStart < 0) {
@@ -1080,89 +1091,112 @@ object Multimodal {
               o += 17 + n
             }
           case 0xc0 => // SOF0 baseline
-            if (e - s < 9) return None
+            if (e - s < 6) return None
             if ((p(s) & 0xff) != 8) return None // precision
             h = u16be(p, s + 1); w = u16be(p, s + 3)
-            val nf = p(s + 5) & 0xff
-            if (nf != 1) return None // grayscale only
-            if ((p(s + 7) & 0xff) != 0x11) return None // H=V=1
-            compQt = p(s + 8) & 0xff
+            nf = p(s + 5) & 0xff
+            if (nf != 1 && nf != 3) return None // grayscale or YCbCr
+            if (e - s < 6 + 3 * nf) return None
+            var c = 0
+            while (c < nf) {
+              compHV(c) = p(s + 7 + 3 * c) & 0xff
+              compTq(c) = p(s + 8 + 3 * c) & 0xff
+              if (compTq(c) > 3) return None
+              c += 1
+            }
+            // supported sampling: luma 1×1 (4:4:4 / grayscale) or 2×2
+            // (4:2:0); chroma always 1×1
+            if (compHV(0) != 0x11 && (nf == 1 || compHV(0) != 0x22)) return None
+            if (nf == 3 && (compHV(1) != 0x11 || compHV(2) != 0x11)) return None
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
             return None // progressive/extended/arithmetic: out of scope
           case 0xdd => // DRI
             if (e - s < 2) return None
             restartInterval = u16be(p, s)
           case 0xda => // SOS
-            if (e - s < 6) return None
-            if ((p(s) & 0xff) != 1) return None // single scan component
-            sosDc = (p(s + 2) & 0xff) >> 4; sosAc = (p(s + 2) & 0xff) & 15
+            if (nf == 0 || e - s < 4 + 2 * nf) return None
+            if ((p(s) & 0xff) != nf) return None // one full interleaved scan
+            var c = 0
+            while (c < nf) {
+              val sel = p(s + 2 + 2 * c) & 0xff
+              compDc(c) = sel >> 4; compAc(c) = sel & 15
+              if (compDc(c) > 3 || compAc(c) > 3) return None
+              c += 1
+            }
             // full-spectral sequential scan only
-            if ((p(s + 3) & 0xff) != 0 || (p(s + 4) & 0xff) != 63 ||
-                (p(s + 5) & 0xff) != 0) return None
+            val sp = s + 1 + 2 * nf
+            if ((p(sp) & 0xff) != 0 || (p(sp + 1) & 0xff) != 63 ||
+                (p(sp + 2) & 0xff) != 0) return None
             dataStart = e
           case _ => () // APPn / COM / others: skip
         }
         if (dataStart < 0) i = j + 1 + len
       }
     }
-    if (w <= 0 || h <= 0 || compQt < 0 || compQt > 3 || qt(compQt) == null ||
-        sosDc > 3 || sosAc > 3 ||
-        dcTabs(sosDc) == null || acTabs(sosAc) == null) return None
+    if (w <= 0 || h <= 0 || nf == 0) return None
+    var ci = 0
+    while (ci < nf) {
+      if (qt(compTq(ci)) == null || dcTabs(compDc(ci)) == null ||
+          acTabs(compAc(ci)) == null) return None
+      ci += 1
+    }
+    val yH = compHV(0) >> 4; val yV = compHV(0) & 15
+    val mcuW = (w + 8 * yH - 1) / (8 * yH)
+    val mcuH = (h + 8 * yV - 1) / (8 * yV)
+    val nMcus = mcuW.toLong * mcuH
+    val blocksPerMcu = yH * yV + (nf - 1)
     // allocation guard: pixel cap + entropy-payload bound (each 8×8 block
     // costs at least one DC code ≥ 1 bit and one AC code ≥ 1 bit)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val nBlocks = bw.toLong * bh
     if (w.toLong * h > GrayPixelCap ||
-        nBlocks > 4L * (p.length - dataStart)) return None
-    val q = qt(compQt)
-    val dcTab = dcTabs(sosDc); val acTab = acTabs(sosAc)
+        nMcus * blocksPerMcu > 4L * (p.length - dataStart)) return None
     val gray = new Array[Int](w * h)
     val deq = new Array[Long](64) // dequantized, de-zigzagged: deq(v*8+u)
     val br = new JpegBits(p, dataStart)
-    var pred = 0
-    var b = 0
+    val preds = new Array[Int](3)
+    var m = 0L
     var sinceRestart = 0
-    while (b < nBlocks) {
-      if (restartInterval > 0 && sinceRestart == restartInterval) {
-        // byte-aligned RSTn marker between restart intervals
-        val m = br.syncMarker()
-        if (m < 0xd0 || m > 0xd7) return None
-        pred = 0; sinceRestart = 0
-      }
-      java.util.Arrays.fill(deq, 0L)
-      // DC
+    // one entropy-coded block of component `c`. `emit = false` is the
+    // FAST-LUMA path for chroma: the bitstream must still be walked (DC
+    // diff + AC run-length advance it), but no dequant/IDCT — luma is
+    // the only plane the perceptual stack consumes. Returns false on a
+    // malformed stream.
+    def block(c: Int, emit: Boolean): Boolean = {
+      val dcTab = dcTabs(compDc(c)); val acTab = acTabs(compAc(c))
+      val q = qt(compTq(c))
+      if (emit) java.util.Arrays.fill(deq, 0L)
       val dcSize = dcTab.decode(br)
-      if (dcSize < 0 || dcSize > 11) return None
+      if (dcSize < 0 || dcSize > 11) return false
       var diff = 0
       if (dcSize > 0) {
         var r = 0; var k = 0
-        while (k < dcSize) { val bit = br.bit(); if (bit < 0) return None; r = (r << 1) | bit; k += 1 }
+        while (k < dcSize) { val bit = br.bit(); if (bit < 0) return false; r = (r << 1) | bit; k += 1 }
         diff = if (r < (1 << (dcSize - 1))) r - (1 << dcSize) + 1 else r // EXTEND
       }
-      pred += diff
-      deq(0) = pred.toLong * q(0)
-      // AC
+      preds(c) += diff
+      if (emit) deq(0) = preds(c).toLong * q(0)
       var z = 1
       var eob = false
       while (z < 64 && !eob) {
         val sym = acTab.decode(br)
-        if (sym < 0) return None
+        if (sym < 0) return false
         if (sym == 0x00) eob = true
         else if (sym == 0xf0) z += 16
         else {
           val run = sym >> 4; val size = sym & 15
           z += run
-          if (z > 63 || size == 0 || size > 10) return None
+          if (z > 63 || size == 0 || size > 10) return false
           var r = 0; var k = 0
-          while (k < size) { val bit = br.bit(); if (bit < 0) return None; r = (r << 1) | bit; k += 1 }
+          while (k < size) { val bit = br.bit(); if (bit < 0) return false; r = (r << 1) | bit; k += 1 }
           val v = if (r < (1 << (size - 1))) r - (1 << size) + 1 else r
-          deq(ZigV(z) * 8 + ZigU(z)) = v.toLong * q(z)
+          if (emit) deq(ZigV(z) * 8 + ZigU(z)) = v.toLong * q(z)
           z += 1
         }
-        if (z > 64) return None
       }
-      // pinned integer IDCT into the raster (crop to w×h)
-      val blockX = (b % bw) * 8; val blockY = (b / bw) * 8
+      true
+    }
+    // pinned integer IDCT of the current `deq` into the raster at
+    // (blockX, blockY), cropped to w×h
+    def idctInto(blockX: Int, blockY: Int): Unit = {
       var y = 0
       while (y < 8) {
         val py = blockY + y
@@ -1193,7 +1227,33 @@ object Multimodal {
         }
         y += 1
       }
-      b += 1
+    }
+    while (m < nMcus) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        // byte-aligned RSTn marker between restart intervals; resets
+        // every component's DC predictor
+        val mk = br.syncMarker()
+        if (mk < 0xd0 || mk > 0xd7) return None
+        java.util.Arrays.fill(preds, 0)
+        sinceRestart = 0
+      }
+      // Y blocks of this MCU, raster order within the MCU
+      var sub = 0
+      while (sub < yH * yV) {
+        if (!block(0, emit = true)) return None
+        idctInto(
+          ((m % mcuW) * yH + sub % yH).toInt * 8,
+          ((m / mcuW) * yV + sub / yH).toInt * 8)
+        sub += 1
+      }
+      // chroma blocks: entropy-decoded (the stream demands it), pixels
+      // not reconstructed — the fast-luma path
+      var c = 1
+      while (c < nf) {
+        if (!block(c, emit = false)) return None
+        c += 1
+      }
+      m += 1
       sinceRestart += 1
     }
     Some((w, h, gray))
@@ -1322,9 +1382,16 @@ object Multimodal {
     * exact Hamming via bit_count(xor) on each half, then the exact
     * L1 verify over the bounded sample vectors. Never all-pairs: the
     * shuffle is keyed on (band, value) with 2¹⁶ buckets per band. */
-  private def bandedHashPairs(hashed: DataFrame, vecCol: String,
+  private def bandedHashPairs(hashed0: DataFrame, vecCol: String,
                               maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    // materialize the hash table ONCE (eager, ContextCleaner-reclaimed):
+    // both self-join sides consume it, and without this each consumer
+    // re-runs the upstream payload DECODE — at corpus scale that is a
+    // second full pass over the media bytes to rebuild ~300 B/item of
+    // signature (the r12 sever-the-loop-invariant lesson, applied to a
+    // DAG with two readers instead of a loop)
+    val hashed = hashed0.localCheckpoint(true)
     val banded = hashed.select(col("media_id"), col("hi"), col("lo"), col(vecCol),
       posexplode(array(
         col("lo").bitwiseAND(65535),
@@ -1355,6 +1422,9 @@ object Multimodal {
   private def bandedHashPairsAgainst(batch: DataFrame, hist: DataFrame,
                                      vecCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    // each side has ONE consumer here (the cross-table join), so no
+    // materialization — a production history side is a WRITTEN signature
+    // table already (the operator's documented contract)
     def banded(df: DataFrame): DataFrame =
       df.select(col("media_id"), col("hi"), col("lo"), col(vecCol),
         posexplode(array(
@@ -1591,7 +1661,10 @@ object Multimodal {
   def videoNearDupPairs(media: Dataset[MediaRow], slots: Int = 8,
                         maxTotalHamming: Long = 24L,
                         maxTotalL1: Long = 8192L): DataFrame = {
-    val fp = videoFingerprint(media, slots).toDF()
+    // FOUR consumers (two banding sides + two verify sides) read the
+    // fingerprints: materialize once or pay 4× the payload demux+decode
+    // (the bandedHashPairs rationale)
+    val fp = videoFingerprint(media, slots).toDF().localCheckpoint(true)
     val banded = videoBanded(fp)
     val a = banded.select(col("t"), col("band"), col("value"), col("media_id").as("id_a"))
     val b = banded.select(col("t"), col("band"), col("value"), col("media_id").as("id_b"))
@@ -1608,8 +1681,9 @@ object Multimodal {
   def videoNearDupAgainst(batch: Dataset[MediaRow], hist: Dataset[MediaRow],
                           slots: Int = 8, maxTotalHamming: Long = 24L,
                           maxTotalL1: Long = 8192L): DataFrame = {
-    val fb = videoFingerprint(batch, slots).toDF()
-    val fh = videoFingerprint(hist, slots).toDF()
+    // two consumers per side (banding + verify): materialize once each
+    val fb = videoFingerprint(batch, slots).toDF().localCheckpoint(true)
+    val fh = videoFingerprint(hist, slots).toDF().localCheckpoint(true)
     val n = videoBanded(fb).select(col("t"), col("band"), col("value"),
       col("media_id").as("new_id"))
     val h = videoBanded(fh).select(col("t"), col("band"), col("value"),

@@ -1810,6 +1810,7 @@ object LlmQueries {
        |         WHEN media_id IN (93, 94, 100) THEN 92
        |         WHEN media_id = 102 THEN 101
        |         WHEN media_id IN (106, 107) THEN 105
+       |         WHEN media_id = 117 THEN 116
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
        |  WHERE mime IN ('image/gif', 'image/bmp')
@@ -1858,7 +1859,12 @@ object LlmQueries {
        |      ELSE 0 END) * (1 + (zt.z % 5))
        |    * kt[zzu[zt.z+1]*8 + bx + 1] * kt[zzv[zt.z+1]*8 + by + 1] AS term
        |  FROM (SELECT media_id, w, h, k, seed,
-       |          (py // 8) * ((w + 7) // 8) + (px // 8) AS b,
+       |          -- grayscale/4:4:4: raster block order; 4:2:0 rows
+       |          -- (116-118): MCU-major Y-block order, 4 per 16×16 MCU
+       |          CASE WHEN media_id IN (116, 117, 118)
+       |            THEN ((py // 16) * ((w + 15) // 16) + (px // 16)) * 4
+       |                 + ((py % 16) // 8) * 2 + (px % 16) // 8
+       |            ELSE (py // 8) * ((w + 7) // 8) + (px // 8) END AS b,
        |          px % 8 AS bx, py % 8 AS by
        |        FROM grid WHERE mime = 'image/jpeg') jb,
        |    LATERAL (SELECT unnest(generate_series(0, 63)) AS z) zt,

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 63) // 30 fixture-codec + 28 GIF/BMP/PNG + 5 real JPEG
+    assert(decoded.count() == 67) // 30 fixture-codec + 28 GIF/BMP/PNG + 9 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -400,7 +400,9 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       (92L, 100L), (93L, 100L), (94L, 100L),
       (101L, 102L), // the PNG leg: exact pixel copies under distinct ids
       // the JPEG leg: coefficient copy (106) and DC-perturbed (107) of 105
-      (105L, 106L), (105L, 107L), (106L, 107L)))
+      (105L, 106L), (105L, 107L), (106L, 107L),
+      // the COLOR 4:2:0 leg: Y-plane coefficient copy under distinct ids
+      (116L, 117L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -507,11 +509,17 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     else 0
 
   // independent replay of the PINNED integer IDCT from the formula —
-  // exercises none of the decoder's Huffman/dequant/bitstream machinery
+  // exercises none of the decoder's Huffman/dequant/bitstream machinery.
+  // sub420: the 4:2:0 Y-block geometry (4 Y blocks per 16×16 MCU, the
+  // global Y-block counter is MCU-major)
   private def jpegExpected(seed: Int, w: Int, h: Int, perturb: Boolean,
-                           px: Int, py: Int): Int = {
-    val bw = (w + 7) / 8
-    val b = (py / 8) * bw + (px / 8); val bx = px % 8; val by = py % 8
+                           px: Int, py: Int, sub420: Boolean = false): Int = {
+    val b =
+      if (sub420) {
+        val mcuW = (w + 15) / 16
+        ((py / 16) * mcuW + (px / 16)) * 4 + ((py % 16) / 8) * 2 + (px % 16) / 8
+      } else (py / 8) * ((w + 7) / 8) + (px / 8)
+    val bx = px % 8; val by = py % 8
     var sum = 0L
     for (z <- 0 until 64) {
       val dq = jpegQc(seed, b, z, perturb).toLong * (1 + (z % 5))
@@ -527,21 +535,28 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // the whole baseline path — Huffman entropy decode (DC diffs, AC
     // run-length, EOB/ZRL), dequant, de-zigzag, integer IDCT — must land
     // bit-exactly on the formula replay; one mis-read bit breaks it
-    val fams = Map(105 -> (105, false), 106 -> (105, false),
-      107 -> (105, true), 108 -> (108, false), 109 -> (109, false))
+    // (seed, perturbed, 4:2:0): 116-118 are interleaved COLOR 4:2:0 —
+    // the decoder's fast-luma path must entropy-skip every chroma block
+    // while landing the Y plane bit-exactly; 119 is 4:4:4 color
+    val fams = Map(
+      105 -> (105, false, false), 106 -> (105, false, false),
+      107 -> (105, true, false), 108 -> (108, false, false),
+      109 -> (109, false, false),
+      116 -> (116, false, true), 117 -> (116, false, true),
+      118 -> (118, false, true), 119 -> (119, false, false))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 5)
+    assert(rows.length == 9)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
-      val (seed, pt) = fams(id)
+      val (seed, pt, sub) = fams(id)
       val dec = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegGray rejected fixture jpeg $id")
       val (w, h, gray) = dec.get
       assert(w == r.getInt(2) && h == r.getInt(3))
       for (y <- 0 until h; x <- 0 until w)
-        assert(gray(y * w + x) == jpegExpected(seed, w, h, pt, x, y),
+        assert(gray(y * w + x) == jpegExpected(seed, w, h, pt, x, y, sub),
           s"jpeg $id pixel ($x,$y)")
     }
   }
@@ -559,11 +574,23 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       val (w, h, gray) = Multimodal.jpegGray(p).get
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
       assert(img != null && img.getWidth == w && img.getHeight == h)
+      val color = img.getRaster.getNumBands > 1
       for (y <- 0 until h; x <- 0 until w) {
-        // raw raster sample — getRGB would push the grayscale value
-        // through a linear-gray→sRGB gamma conversion (+50-ish luma)
-        val theirs = img.getRaster.getSample(x, y, 0)
-        assert(math.abs(gray(y * w + x) - theirs) <= 2,
+        // grayscale: raw raster sample — getRGB would push the value
+        // through a linear-gray→sRGB gamma conversion (+50-ish luma).
+        // color: our raster is the Y plane; BT.601 luma of ImageIO's
+        // reconstructed RGB equals Y exactly in real arithmetic (the
+        // chroma terms cancel), so per-channel integer rounding plus
+        // the IDCT tolerance bounds the gap at ±4
+        val theirs =
+          if (!color) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        val tol = if (color) 4 else 2
+        assert(math.abs(gray(y * w + x) - theirs) <= tol,
           s"media ${r.getLong(0)} pixel ($x,$y): ours ${gray(y * w + x)} vs ImageIO $theirs")
       }
     }

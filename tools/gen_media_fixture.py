@@ -863,10 +863,163 @@ for i, cont, seed, w, h, nf, fps, perturb in VIDEO_ROWS:
     if cont == "avi":
         uspfs.append(uspf)
 
+# ---- rows 116-119: COLOR baseline JPEGs — the dominant real-world
+# layout. 116-118 are 4:2:0 (Y has H=V=2: four Y blocks per 16x16 MCU,
+# one Cb + one Cr block each, interleaved per the spec; chroma carries
+# its OWN quant table Tq=1 and its own Huffman pair Td=Ta=1, so the
+# multi-table DQT/DHT parse is exercised); 119 is 4:4:4 (all H=V=1).
+# The decoder's fast-luma path entropy-decodes the chroma blocks (the
+# bitstream cannot be advanced otherwise) but reconstructs pixels from
+# the Y plane only — luma IS what the perceptual-hash stack consumes.
+# Y-coefficient formula: same jpeg_qc keyed on the GLOBAL Y-block
+# counter in stream order (for 4:2:0 that is MCU-major, 4 sub-blocks
+# per MCU: bY = mcu*4 + (inMcuRow*2 + inMcuCol)); chroma coefficients
+# follow their own formula (jpeg_qc_chroma) so the skipped blocks carry
+# real entropy-coded data, not zeros. seed(117) = 116 (exact copy).
+
+QC = [2 + (z % 4) for z in range(64)]   # chroma quant table (Tq=1)
+
+
+def jpeg_qc_chroma(seed, comp, b, z):
+    if z == 0:
+        return ((seed * 3 + comp * 17 + b * 5) % 41) - 20
+    if (seed + comp + b + z * 3) % 5 == 0:
+        return ((seed + comp * 5 + b * 7 + z * 11) % 15) - 7
+    return 0
+
+
+def jpeg_bytes_color(seed, w, h, subsampled):
+    """Baseline JFIF-style color JPEG from the coefficient formulas.
+    subsampled: True -> 4:2:0 (Y H=V=2), False -> 4:4:4 (all 1x1)."""
+    Q = [1 + (z % 5) for z in range(64)]
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
+    ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
+    # chroma tables: same symbol sets, different canonical lengths (5/8)
+    dc2_codes = {sym: (i, 5) for i, sym in enumerate(DC_SYMS)}
+    ac2_codes = {sym: (i, 8) for i, sym in enumerate(AC_SYMS)}
+
+    acc = [0, 0]
+    out = bytearray()
+
+    def put(val, size):
+        for k in range(size - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> k) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0)
+                acc[0] = acc[1] = 0
+
+    def put_block(coefs, pred, dcc, acc_codes):
+        diff = coefs[0] - pred
+        s = abs(diff).bit_length()
+        code, ln = dcc[s]
+        put(code, ln)
+        if s:
+            put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        last = 63
+        while last > 0 and coefs[last] == 0:
+            last -= 1
+        k = 1
+        while k <= last:
+            run = 0
+            while coefs[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                code, ln = acc_codes[0xF0]
+                put(code, ln)
+                run -= 16
+            v = coefs[k]
+            s = abs(v).bit_length()
+            code, ln = acc_codes[(run << 4) | s]
+            put(code, ln)
+            put(v if v > 0 else v + (1 << s) - 1, s)
+            k += 1
+        if last < 63:
+            code, ln = acc_codes[0x00]
+            put(code, ln)
+        return coefs[0]
+
+    if subsampled:
+        mw, mh = (w + 15) // 16, (h + 15) // 16
+    else:
+        mw, mh = (w + 7) // 8, (h + 7) // 8
+    predY = predCb = predCr = 0
+    bY = 0
+    for m in range(mw * mh):
+        if subsampled:
+            for _ in range(4):      # four Y blocks per MCU, raster order
+                predY = put_block([jpeg_qc(seed, bY, z, False) for z in range(64)],
+                                  predY, dc_codes, ac_codes)
+                bY += 1
+        else:
+            predY = put_block([jpeg_qc(seed, bY, z, False) for z in range(64)],
+                              predY, dc_codes, ac_codes)
+            bY += 1
+        predCb = put_block([jpeg_qc_chroma(seed, 1, m, z) for z in range(64)],
+                           predCb, dc2_codes, ac2_codes)
+        predCr = put_block([jpeg_qc_chroma(seed, 2, m, z) for z in range(64)],
+                           predCr, dc2_codes, ac2_codes)
+    if acc[1]:
+        pad = 8 - acc[1]
+        fin = (acc[0] << pad) | ((1 << pad) - 1)
+        out.append(fin)
+        if fin == 0xFF:
+            out.append(0)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    yhv = 0x22 if subsampled else 0x11
+    bits_dc = [0] * 16
+    bits_dc[3] = len(DC_SYMS)
+    bits_ac = [0] * 16
+    bits_ac[6] = len(AC_SYMS)
+    bits_dc2 = [0] * 16
+    bits_dc2[4] = len(DC_SYMS)          # chroma DC codes 5 bits long
+    bits_ac2 = [0] * 16
+    bits_ac2[7] = len(AC_SYMS)          # chroma AC codes 8 bits long
+    return (b"\xFF\xD8"
+            + seg(0xDB, bytes([0x00]) + bytes(Q) + bytes([0x01]) + bytes(QC))
+            + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                  + bytes([3, 1, yhv, 0, 2, 0x11, 1, 3, 0x11, 1]))
+            + seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
+            + seg(0xC4, bytes([0x01]) + bytes(bits_dc2) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x11]) + bytes(bits_ac2) + bytes(AC_SYMS))
+            + seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+            + bytes(out) + b"\xFF\xD9")
+
+
+COLOR_JPEG_ROWS = [
+    (116, 116, 32, 16, True),    # 4:2:0 base (2x1 MCU grid, 8 Y blocks)
+    (117, 116, 32, 16, True),    # exact coefficient copy of 116
+    (118, 118, 32, 16, True),    # unrelated 4:2:0
+    (119, 119, 24, 16, False),   # 4:4:4 layout
+]
+for i, seed, w, h, sub in COLOR_JPEG_ROWS:
+    payload = jpeg_bytes_color(seed, w, h, sub)
+    ids.append(i)
+    mimes.append("image/jpeg")
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
 # uspf is only appended in the AVI loops; reassemble aligned to ids
 assert len(uspfs) == 13
 _uspf_avi, _uspf_114 = uspfs[:12], uspfs[12]
-uspfs = [None] * 76 + _uspf_avi + [None] * (114 - 88) + [_uspf_114, None]
+uspfs = ([None] * 76 + _uspf_avi + [None] * (114 - 88) + [_uspf_114]
+         + [None] * (len(ids) - 115))
 
 table = pa.table({
     "media_id": pa.array(ids, pa.int64()),
