@@ -1,0 +1,198 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One WARC shard file: the unit of crawl storage AND of parallelism —
+  * a production crawl is millions of ~1 GB shard files; one task walks
+  * one shard, so the scan scales with the shard count and never needs
+  * a shuffle. `gz` marks the Common Crawl framing (one gzip member per
+  * record, members concatenated). */
+case class WarcShard(shard_id: Long, gz: Boolean, payload: Array[Byte])
+
+/** One parsed WARC record. `http_*`/`body` are populated only for
+  * `application/http` response blocks; `block_len` is the record's
+  * declared Content-Length (the framing the walk trusted). */
+case class WarcRec(
+    shard_id: Long,
+    rec_idx: Int,
+    warc_type: String,
+    target_uri: Option[String],
+    warc_date: Option[String],
+    rec_content_type: Option[String],
+    block_len: Long,
+    http_status: Option[Int],
+    http_content_type: Option[String],
+    body: Option[Array[Byte]])
+
+/** WARC/1.0 (ISO 28500) container walk — the format web crawls actually
+  * arrive in, and therefore the true FIRST operator of a web-corpus
+  * pipeline (one step before [[Html]]: crawl bytes → HTTP responses →
+  * markup → text). Spark-first shape: shards land as binary rows (the
+  * [[Multimodal]] payload convention — `binaryFile` in production), the
+  * walk is a per-shard `mapPartitions` byte loop (the justified case:
+  * imperative framing over raw bytes), and everything downstream is
+  * ordinary DataFrame relational work. No shuffle until the caller
+  * aggregates; parallelism is the shard count.
+  *
+  * Robustness contract (what real crawls demand):
+  *  - per-record gzip members (the Common Crawl layout) are inflated
+  *    member-by-member with a hard decompression cap — a bomb yields an
+  *    EMPTY record set for the shard, never an OOM;
+  *  - records are framed by `Content-Length` and re-synced on the
+  *    `WARC/1.0` magic, so a torn tail or inter-record garbage loses
+  *    only the bytes that aren't a whole record;
+  *  - header names are case-insensitive; unknown types pass through
+  *    classified but unparsed;
+  *  - HTTP bodies honor the inner Content-Length when sane, else take
+  *    the block remainder; malformed blocks yield None fields, never an
+  *    exception (a poisoned record must not kill a 100 TB scan). */
+object Warc {
+
+  /** Decompression cap per shard — a crawl shard is ~1 GB compressed;
+    * anything inflating past this is a bomb, not a crawl. */
+  private val MaxInflatedBytes: Long = 1L << 30
+
+  private val Magic = "WARC/1.0".getBytes("US-ASCII")
+
+  def readShards(spark: SparkSession, path: String): Dataset[WarcShard] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("shard_id"), col("gz"), col("payload"))
+      .as[WarcShard]
+  }
+
+  /** Parse every record of every shard. One task per input partition;
+    * state is one shard's (inflated) bytes at a time. */
+  def records(shards: Dataset[WarcShard]): Dataset[WarcRec] = {
+    import shards.sparkSession.implicits._
+    shards.mapPartitions(_.flatMap(parseShard))
+  }
+
+  /** Response records with a decoded text body — the rows the HTML
+    * pipeline consumes. Keeps only `status` (if the caller passes one). */
+  def responses(shards: Dataset[WarcShard], status: Option[Int] = None): Dataset[WarcRec] = {
+    val recs = records(shards).filter(col("warc_type") === "response")
+    status.fold(recs)(st => recs.filter(col("http_status") === st))
+  }
+
+  // ---- per-shard walk ----
+
+  private[graft] def parseShard(sh: WarcShard): Seq[WarcRec] = {
+    val bytes =
+      if (sh.gz) gunzipAll(sh.payload).getOrElse(return Seq.empty)
+      else sh.payload
+    val out = Seq.newBuilder[WarcRec]
+    var pos = indexOf(bytes, Magic, 0)
+    var idx = 0
+    while (pos >= 0) {
+      parseRecord(sh.shard_id, idx, bytes, pos) match {
+        case Some((rec, next)) =>
+          out += rec
+          idx += 1
+          pos = indexOf(bytes, Magic, next)
+        case None =>
+          // malformed header at this magic: re-sync past it
+          pos = indexOf(bytes, Magic, pos + Magic.length)
+      }
+    }
+    out.result()
+  }
+
+  /** One record starting at `pos` (which points at the magic). Returns
+    * the record and the offset just past its block, or None if the
+    * header region is malformed. */
+  private def parseRecord(shardId: Long, idx: Int, b: Array[Byte],
+                          pos: Int): Option[(WarcRec, Int)] = {
+    val hdrEnd = indexOf(b, "\r\n\r\n".getBytes("US-ASCII"), pos)
+    if (hdrEnd < 0) return None
+    val header = new String(b, pos, hdrEnd - pos, "US-ASCII")
+    val lines = header.split("\r\n").drop(1) // drop the version line
+    val hs = headerMap(lines)
+    val clen = hs.get("content-length").flatMap(parseLong).getOrElse(-1L)
+    if (clen < 0) return None
+    val blockStart = hdrEnd + 4
+    if (blockStart + clen > b.length) return None // torn record
+    val warcType = hs.getOrElse("warc-type", "unknown")
+    val recCt = hs.get("content-type")
+    val isHttpResponse =
+      recCt.exists(_.toLowerCase.startsWith("application/http")) && warcType == "response"
+    val (st, hct, body) =
+      if (isHttpResponse) parseHttp(b, blockStart, clen.toInt)
+      else (None, None, None)
+    Some((WarcRec(shardId, idx, warcType,
+      hs.get("warc-target-uri"), hs.get("warc-date"), recCt, clen,
+      st, hct, body), blockStart + clen.toInt))
+  }
+
+  /** HTTP response block: status line, case-insensitive headers, body
+    * after the blank line (inner Content-Length honored when sane). */
+  private def parseHttp(b: Array[Byte], start: Int,
+                        len: Int): (Option[Int], Option[String], Option[Array[Byte]]) = {
+    val end = start + len
+    val he = indexOf(b, "\r\n\r\n".getBytes("US-ASCII"), start)
+    if (he < 0 || he >= end) return (None, None, None)
+    val head = new String(b, start, he - start, "US-ASCII")
+    val lines = head.split("\r\n")
+    if (lines.isEmpty) return (None, None, None)
+    val statusParts = lines(0).split(" ", 3)
+    val st =
+      if (statusParts.length >= 2 && statusParts(0).startsWith("HTTP/"))
+        statusParts(1).toIntOption
+      else None
+    val hs = headerMap(lines.drop(1))
+    val bodyStart = he + 4
+    val rem = end - bodyStart
+    if (rem < 0) return (st, hs.get("content-type"), None)
+    val bl = hs.get("content-length").flatMap(parseLong) match {
+      case Some(n) if n >= 0 && n <= rem => n.toInt
+      case _                             => rem
+    }
+    (st, hs.get("content-type"), Some(java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + bl)))
+  }
+
+  private def headerMap(lines: Array[String]): Map[String, String] =
+    lines.iterator.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i <= 0) None
+      else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+    }.toMap
+
+  private def parseLong(s: String): Option[Long] =
+    try Some(s.toLong) catch { case _: NumberFormatException => None }
+
+  /** Multi-member gzip inflate with the bomb cap; None on any error or
+    * cap breach (the shard is then skipped, not the job killed). */
+  private[graft] def gunzipAll(p: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(p), 1 << 16)
+      val out = new ByteArrayOutputStream(math.min(p.length * 4, 1 << 20))
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > MaxInflatedBytes) return None
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    if (from < 0) return -1
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

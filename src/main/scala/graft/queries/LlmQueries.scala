@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Html, Multimodal, Pq, Similarity, Upsert}
+import graft.operators.{Dedup, Html, Multimodal, Pq, Similarity, Upsert, Warc}
 import graft.operators.Sever.SeverOps
 import graft.sources.Tables
 
@@ -26,6 +26,7 @@ object LlmQueries {
 
   private val media = "/root/repo/fixtures/media.parquet"
   private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
+  private val warcShards = "/root/repo/fixtures/warc_shards.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -566,6 +567,44 @@ object LlmQueries {
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 7)
       .select(col("embedding")).first().getSeq[Float](0).toArray.map(_.toDouble)
     graft.sources.AnnIndex.searchTopK(s, root, q, nprobe = 2, excludeId = 7L, topK = 10)
+  }
+
+  /** q295: WARC response inventory — the crawl container walk
+    * ([[graft.operators.Warc]]): 6 real WARC/1.0 shard files (shard 5 in
+    * Common Crawl's record-per-gzip-member framing, shard 2 with a torn
+    * garbage tail), warcinfo/request/response/metadata records, HTTP
+    * blocks parsed to status/content-type/body. PACK-AND-RECOVER oracle:
+    * the fixture packs html_docs pages, so every expected field is a
+    * formula over html_docs — status 404 at doc_id%53=7, 301 (EMPTY
+    * body + Location) at %53=21, else 200; Content-Type case varies at
+    * doc_id%10=3. One byte off anywhere in the record framing, gzip
+    * member walk, HTTP header parse, or body slice breaks the md5. */
+  def q295WarcResponses(s: SparkSession, dir: String): DataFrame =
+    Warc.responses(Warc.readShards(s, warcShards))
+      .select(col("target_uri").as("url"),
+        col("http_status"), col("http_content_type"),
+        length(col("body")).cast("long").as("body_bytes"),
+        md5(col("body")).as("body_md5"))
+
+  /** q296: WARC census — record counts by (shard, type): proves the
+    * container STRUCTURE was walked exactly (every warcinfo, every
+    * request, every periodic metadata record, across both the plain and
+    * the gzipped framings, with the torn tail losing nothing). */
+  def q296WarcCensus(s: SparkSession, dir: String): DataFrame =
+    Warc.records(Warc.readShards(s, warcShards))
+      .groupBy(col("shard_id"), col("warc_type"))
+      .agg(count(lit(1)).as("n_records"))
+
+  /** q297: the full WEB FRONT DOOR composed — WARC bytes → HTTP 200
+    * responses → UTF-8 body → [[graft.operators.Html]] main-content
+    * extraction, keyed by the crawl's own target URI. The oracle runs
+    * the q289 regex chain over html_docs (the packed source of truth)
+    * restricted to the status-200 population: the engine must recover
+    * the IDENTICAL extracted text from the container bytes alone. */
+  def q297WarcExtract(s: SparkSession, dir: String): DataFrame = {
+    val pages = Warc.responses(Warc.readShards(s, warcShards), status = Some(200))
+      .select(col("target_uri").as("url"), col("body").cast("string").as("html"))
+    Html.mainContent(pages, idCol = "url", htmlCol = "html")
   }
 
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
@@ -1745,6 +1784,9 @@ object LlmQueries {
     "q291_html_corpus_clean" -> (q291HtmlCorpusClean _),
     "q292_ann_index_search" -> (q292AnnIndexSearch _),
     "q293_ann_index_append" -> (q293AnnIndexAppend _),
+    "q295_warc_responses" -> (q295WarcResponses _),
+    "q296_warc_census" -> (q296WarcCensus _),
+    "q297_warc_extract" -> (q297WarcExtract _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2504,6 +2546,40 @@ object LlmQueries {
          |  FROM hcls GROUP BY doc_id),
          |${corpusSurvivorCtesFor("h", "TRUE", from = "hdocs")}
          |SELECT doc_id, md5(text) AS fp FROM survh""".stripMargin,
+    // pack-and-recover: every field is a formula over the packed source
+    // (html_docs); the engine recovers them from raw container bytes
+    "q295_warc_responses" ->
+      s"""SELECT url,
+         |  CAST(CASE WHEN doc_id % 53 = 7 THEN 404
+         |            WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS INT) AS http_status,
+         |  CASE WHEN doc_id % 10 = 3 THEN 'Text/HTML; charset=utf-8'
+         |       ELSE 'text/html; charset=utf-8' END AS http_content_type,
+         |  CAST(CASE WHEN doc_id % 53 = 21 THEN 0 ELSE len(html) END AS BIGINT) AS body_bytes,
+         |  md5(CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END) AS body_md5
+         |FROM read_parquet('$htmlDocs')""".stripMargin,
+    // container structure from the packing formulas: request+response
+    // per page, metadata at doc_id%25=0, one warcinfo per shard
+    "q296_warc_census" ->
+      s"""WITH d AS (SELECT doc_id % 6 AS shard_id, doc_id FROM read_parquet('$htmlDocs')),
+         |u AS (
+         |  SELECT shard_id, 'request' AS warc_type FROM d
+         |  UNION ALL SELECT shard_id, 'response' FROM d
+         |  UNION ALL SELECT shard_id, 'metadata' FROM d WHERE doc_id % 25 = 0
+         |  UNION ALL SELECT DISTINCT shard_id, 'warcinfo' FROM d)
+         |SELECT shard_id, warc_type, CAST(count(*) AS BIGINT) AS n_records
+         |FROM u GROUP BY 1, 2""".stripMargin,
+    // the q289 extraction chain over the packed pages, restricted to the
+    // status-200 population the engine's WARC walk serves
+    "q297_warc_extract" ->
+      s"""WITH $htmlBlockCtes,
+         |ok AS (SELECT doc_id, url FROM read_parquet('$htmlDocs')
+         |       WHERE doc_id % 53 NOT IN (7, 21))
+         |SELECT ok.url,
+         |  coalesce(string_agg(CASE WHEN is_content THEN text END, ' ' ORDER BY pos), '') AS main_text,
+         |  count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(len(coalesce(string_agg(CASE WHEN is_content THEN text END, ' ' ORDER BY pos), '')) AS BIGINT) AS content_chars
+         |FROM hcls JOIN ok USING (doc_id) GROUP BY ok.url""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

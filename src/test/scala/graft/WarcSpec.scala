@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Html, Warc, WarcShard}
+
+class WarcSpec extends AnyFunSuite with SharedSpark {
+
+  private val fixture = "/root/repo/fixtures/warc_shards.parquet"
+  private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
+
+  private def shards = Warc.readShards(spark, fixture)
+
+  test("walks every record of every shard: types, counts, both framings") {
+    val census = Warc.records(shards)
+      .groupBy("warc_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 300 pages -> 300 requests + 300 responses; metadata at doc_id%25=0
+    // (12 pages); one warcinfo per shard
+    assert(census == Map("warcinfo" -> 6L, "request" -> 300L,
+      "response" -> 300L, "metadata" -> 12L))
+  }
+
+  test("the GZIPPED shard (record-per-member framing) recovers the same rows as plain") {
+    // shard 5 holds doc_id%6==5: 50 requests + 50 responses + warcinfo +
+    // metadata at doc_id%25==0 && %6==5 (none: 0,25,..,275 mod 6 != 5... 125 and 275 are)
+    val bySh = Warc.records(shards).filter(col("shard_id") === 5)
+      .groupBy("warc_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val metaIn5 = (0 until 300).count(d => d % 25 == 0 && d % 6 == 5)
+    assert(bySh == Map("warcinfo" -> 1L, "request" -> 50L,
+      "response" -> 50L, "metadata" -> metaIn5.toLong))
+  }
+
+  test("torn garbage tail (shard 2) loses nothing: every whole record recovered") {
+    val n = Warc.records(shards).filter(col("shard_id") === 2).count()
+    val metaIn2 = (0 until 300).count(d => d % 25 == 0 && d % 6 == 2)
+    assert(n == 1 + 50 + 50 + metaIn2)
+  }
+
+  test("response bodies round-trip the packed html byte-for-byte") {
+    val got = Warc.responses(shards, status = Some(200))
+      .select(col("target_uri").as("url"), col("body").cast("string").as("html2"))
+    val src = spark.read.parquet(htmlDocs).select(col("url"), col("html"))
+    val joined = got.join(src, "url")
+    assert(joined.count() == 288)
+    assert(joined.filter(col("html2") =!= col("html")).count() == 0)
+  }
+
+  test("301 records carry an EMPTY body and 404s their custom page; status parsed") {
+    val byUri = Warc.responses(shards)
+      .collect().map(r => r.target_uri.get -> r).toMap
+    val r301 = byUri("https://example.com/doc21")
+    assert(r301.http_status.contains(301) && r301.body.get.isEmpty)
+    val r404 = byUri("https://example.com/doc7")
+    assert(r404.http_status.contains(404) && r404.body.get.nonEmpty)
+    val r200 = byUri("https://example.com/doc0")
+    assert(r200.http_status.contains(200))
+    // content-type case preserved verbatim (doc 3: the case-varied row)
+    assert(byUri("https://example.com/doc3").http_content_type
+      .contains("Text/HTML; charset=utf-8"))
+  }
+
+  test("malformed inputs degrade cleanly: garbage, truncated record, gzip bomb") {
+    // pure garbage: no magic anywhere
+    assert(Warc.parseShard(WarcShard(0, gz = false,
+      Array.fill[Byte](256)(0x41))).isEmpty)
+    // a record whose declared Content-Length overruns the payload is torn
+    val torn = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 100000\r\n\r\nshort").getBytes("US-ASCII")
+    assert(Warc.parseShard(WarcShard(0, gz = false, torn)).isEmpty)
+    // header with no Content-Length: skipped, later record still found
+    val half = ("WARC/1.0\r\nWARC-Type: metadata\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes("US-ASCII")
+    val recs = Warc.parseShard(WarcShard(0, gz = false, half))
+    assert(recs.length == 1 && recs.head.block_len == 2)
+    // gz flag on non-gzip bytes: empty, not an exception
+    assert(Warc.parseShard(WarcShard(0, gz = true,
+      "WARC/1.0\r\n".getBytes("US-ASCII"))).isEmpty)
+    // decompression bomb: ~4 GB of zeros declared from a tiny member
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      val zeros = new Array[Byte](1 << 20)
+      var i = 0
+      while (i < 1536) { g.write(zeros); i += 1 } // 1.5 GiB inflated > the 1 GiB cap
+      g.close(); out.toByteArray
+    }
+    assert(Warc.gunzipAll(bomb).isEmpty)
+  }
+
+  test("composed front door: WARC -> HTTP 200 -> Html.mainContent equals extraction on the source") {
+    val pages = Warc.responses(shards, status = Some(200))
+      .select(col("target_uri").as("url"), col("body").cast("string").as("html"))
+    val viaWarc = Html.mainContent(pages, idCol = "url", htmlCol = "html")
+    val direct = Html.mainContent(
+      spark.read.parquet(htmlDocs)
+        .filter(!expr("doc_id % 53").isin(7, 21)).select(col("url"), col("html")),
+      idCol = "url", htmlCol = "html")
+    assert(viaWarc.count() == 288)
+    assert(viaWarc.join(direct.withColumnRenamed("main_text", "mt2")
+        .select("url", "mt2"), "url")
+      .filter(col("main_text") =!= col("mt2")).count() == 0)
+  }
+}
