@@ -75,7 +75,13 @@ object ScaleBench {
     // build-once/search-many A/B instead (its first call pays the
     // one-time index build, which would pollute a single-shot ratio);
     // HTML extraction is fixture-input (no SF axis) so it stays out
-    "q294_kcore_incremental")
+    "q294_kcore_incremental",
+    // round-13 crawl-side ops with an SF axis: URL canonicalization is a
+    // pure per-row projection (ratio should track the scan), URL dedup
+    // adds the one groupBy on the canonical string. The fixture-input
+    // crawl ops (WARC/HTML/PDF/paragraph) are measured by dedicated
+    // probes below instead (warc_throughput, paragraph_dedup_scale)
+    "q300_url_canonical", "q301_url_dedup")
 
   /** Per-replica key offsets, disjoint per entity family and sized so
     * max(id) + REPL·offset ≪ 2³¹ for the packed-key id spaces (parts,
@@ -439,6 +445,82 @@ object ScaleBench {
         graft.operators.Dedup
           .nearDupPairs(survivors, "doc_id", "text", maxCandidateFactor = 8)
           .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // Variant probe: PARAGRAPH dedup under replication — the fixture
+    // query (q298) has no SF axis, so this synthesizes the paragraph
+    // table from the documents corpus at BOTH scales (each doc split
+    // into 12-token windows = its "paragraphs") and measures
+    // Dedup.paragraphDedup. Replication copies TEXT verbatim under new
+    // doc_ids, so every paragraph's multiplicity grows REPL× — the
+    // duplication-heavy regime the operator exists for. The groupBy's
+    // map-side partial min must absorb the multiplicity before the
+    // shuffle: the evidence is the ratio AND the shuffle-write volume.
+    if (only.exists(_.contains("paragraph_dedup_scale"))) {
+      def pars(dir: String): DataFrame =
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, (size(split(text, ' ')) - 1) div 12), " +
+                "i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"))
+              .as(Seq("pos", "text")))
+      def timed(label: String)(body: => Unit): Option[Double] = {
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          metrics.reset()
+          val t0 = System.nanoTime()
+          body
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            println(s"""{"query":"$label","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'").replace("\n", " ")}"}""")
+            None
+        }
+      }
+      for (
+        small <- timed("paragraph_dedup_sf01") {
+          graft.operators.Dedup.paragraphDedup(pars(src))
+            .write.format("noop").mode("overwrite").save()
+        };
+        _ = ();
+        big <- timed("paragraph_dedup_sf1") {
+          graft.operators.Dedup.paragraphDedup(pars(out))
+            .write.format("noop").mode("overwrite").save()
+        }
+      ) {
+        val ratio = math.round(big / small * 100) / 100.0
+        println(f"""{"query":"paragraph_dedup_scale","sf01_sec":${math.round(small * 1000) / 1000.0}%s,"sf1_sec":${math.round(big * 1000) / 1000.0}%s,"ratio":$ratio%s,"shuffle_write_mb":${mb(metrics.shufWrite.get)}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s}""")
+      }
+    }
+    // Variant probe: WARC walk THROUGHPUT — the container scan has no SF
+    // axis (fixture shards), so this replicates the 6 shard payloads
+    // REPL·50× as independent rows (the production shape: many ~fixed-
+    // size shard files, one task each) and measures wall + MB/s. The
+    // scan is mapPartitions with per-shard state only: the number that
+    // matters is bytes/sec/core staying flat as rows multiply.
+    if (only.exists(_.contains("warc_throughput"))) {
+      try {
+        val shards0 = graft.operators.Warc
+          .readShards(spark, "/root/repo/fixtures/warc_shards.parquet")
+          .collect()
+        val n = repl * 50
+        import spark.implicits._
+        val rows = (0 until n).flatMap(r =>
+          shards0.map(s => s.copy(shard_id = s.shard_id + 6L * r)))
+        val totalMb = mb(rows.map(_.payload.length.toLong).sum)
+        val ds = spark.createDataset(rows).repartition(
+          spark.sparkContext.defaultParallelism)
+        metrics.reset()
+        val t0 = System.nanoTime()
+        val recs = graft.operators.Warc.records(ds)
+          .groupBy("warc_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ok = recs("response") == 300L * n
+        println(f"""{"query":"warc_throughput","shards":${6 * n}%d,"input_mb":$totalMb%s,"sec":${math.round(sec * 1000) / 1000.0}%s,"mb_per_sec":${math.round(totalMb / sec * 10) / 10.0}%s,"records_ok":$ok%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s}""")
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"warc_throughput","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
       }
     }
     // Variant probe: FULL-GRAPH 4-truss at sf0.1 — the un-oriented wedge

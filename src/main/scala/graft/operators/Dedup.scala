@@ -74,6 +74,61 @@ object Dedup {
     kept.drop("__fp")
   }
 
+  /** PARAGRAPH-level dedup (the CCNet line-dedup step): over a paragraph
+    * table (id, pos, text) — e.g. [[Html.blocks]] output, where blocks
+    * ARE the paragraphs — keep each distinct paragraph's FIRST corpus
+    * occurrence (minimum (id, pos)) and drop every other copy, then
+    * reassemble the surviving text per document in document order. This
+    * is how real crawl pipelines remove boilerplate: the repeated
+    * nav/footer/cookie lines collapse to one corpus-wide survivor
+    * without any per-page density heuristic, and whole-page duplicates
+    * lose ALL their paragraphs to the earlier copy.
+    *
+    * Scale shape: one groupBy on the 128-bit paragraph hash (map-side
+    * partial min — duplicate-heavy corpora combine before the shuffle)
+    * plus one equi-join back on the hash; paragraph state is ~50 B per
+    * DISTINCT paragraph regardless of copy count. Never doc×doc.
+    * Returns (idCol, n_pars, n_kept, clean_text). */
+  def paragraphDedup(pars: DataFrame, idCol: String = "doc_id",
+                     posCol: String = "pos", textCol: String = "text"): DataFrame = {
+    val hashed = pars.select(col(idCol), col(posCol), col(textCol),
+      md5(col(textCol)).as("__h"))
+    val firsts = hashed.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
+    hashed.join(firsts, "__h")
+      .withColumn("__kept",
+        col(idCol) === col(s"__first.$idCol") && col(posCol) === col(s"__first.$posCol"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(col("__kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col(posCol), col(textCol))))),
+          x => x.getField(textCol)), " ").as("clean_text"))
+  }
+
+  /** INCREMENTAL paragraph screen — the batch-vs-history convention: each
+    * batch document's paragraphs are tested against the accumulated
+    * paragraph-hash history (one 128-bit hash per distinct historical
+    * paragraph; the corpus text is never re-read). Returns per batch doc
+    * (idCol, n_pars, n_dup_hist, n_new): how much of the document is
+    * already-seen boilerplate/content. The join is batch × hash-index,
+    * keyed on the hash — at 100 TB the history side is the ~TB hash
+    * table, not the corpus. */
+  def paragraphDedupAgainst(batchPars: DataFrame, histPars: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val hist = histPars.select(md5(col(textCol)).as("__h")).distinct()
+    batchPars.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(hist.withColumn("__seen", lit(1L)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_dup_hist"))
+      .withColumn("n_new", col("n_pars") - col("n_dup_hist"))
+  }
+
   /** (id, shingles) pairs for docs with at least k tokens. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = tokens(col(textCol))

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the key every crawl pipeline dedups on BEFORE
+  * any content arrives: the same page is fetched as `HTTP://WWW.Ex.COM`,
+  * with tracking parameters, with a fragment, with a default port, with
+  * shuffled query order — and a canonical form collapses them so fetch
+  * scheduling, politeness, and URL-level dedup all key on one string.
+  *
+  * Deterministic, rule-based, and built ENTIRELY from codegen'd string
+  * builtins (`regexp_extract` / `split` / higher-order array functions —
+  * no UDF), so canonicalization is a narrow per-row projection: zero
+  * shuffle, embarrassingly parallel at any scale, and replayable in
+  * ANSI-ish SQL by the oracle.
+  *
+  * Rules (each integer/string-exact):
+  *  1. scheme and host lowercase; userinfo (`user:pw@`) stripped;
+  *  2. default ports stripped (`:80` for http, `:443` for https),
+  *     non-default ports kept;
+  *  3. empty path becomes `/`; a single trailing `/` on a non-root path
+  *     is stripped;
+  *  4. query parameters: empties dropped, tracking params dropped
+  *     (`utm_*` prefix and the [[Url.TrackingKeys]] set, both
+  *     case-insensitive on the KEY), the rest SORTED bytewise and
+  *     re-joined — parameter order never splits a canonical group;
+  *  5. fragment dropped.
+  *
+  * [[registeredDomain]] reduces a host to its registrable domain with a
+  * pinned multi-part-suffix list (the public-suffix idea at fixture
+  * scale) — the politeness/grouping key of a crawler. */
+object Url {
+
+  /** Query keys dropped at canonicalization (exact, case-insensitive). */
+  val TrackingKeys: Seq[String] = Seq("gclid", "fbclid", "ref", "msclkid")
+
+  /** Multi-part public suffixes the fixture domains exercise; a
+    * production deployment swaps in the full public-suffix list (it is
+    * a broadcast-sized table — ~10k rows). */
+  val MultiPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br", "co.in")
+
+  private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val AuthorityPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val PathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  def scheme(u: Column): Column = lower(regexp_extract(u, SchemePat, 1))
+
+  private def authority(u: Column): Column = regexp_extract(u, AuthorityPat, 1)
+
+  /** Lowercased host: authority minus userinfo and port. */
+  def host(u: Column): Column =
+    lower(regexp_extract(authority(u), "^(?:[^@]*@)?([^:]*)", 1))
+
+  /** Explicit port digits, '' if none. */
+  def port(u: Column): Column =
+    regexp_extract(authority(u), ":([0-9]+)$", 1)
+
+  def rawPath(u: Column): Column = regexp_extract(u, PathPat, 1)
+
+  def rawQuery(u: Column): Column = regexp_extract(u, "\\?([^#]*)", 1)
+
+  /** Rule 3: '' → '/', non-root single trailing '/' stripped. */
+  def normPath(u: Column): Column = {
+    val p = rawPath(u)
+    val p0 = when(p === "", lit("/")).otherwise(p)
+    when(length(p0) > 1 && p0.endsWith("/"),
+      p0.substr(lit(1), length(p0) - 1)).otherwise(p0)
+  }
+
+  /** Rule 4: drop empties + tracking, sort bytewise, re-join. '' if no
+    * surviving params. */
+  def cleanQuery(u: Column): Column = {
+    val keyOf = (p: Column) => lower(split(p, "=").getItem(0))
+    val kept = filter(split(rawQuery(u), "&"), p =>
+      p =!= "" && !keyOf(p).startsWith("utm_") && !keyOf(p).isin(TrackingKeys: _*))
+    array_join(array_sort(kept), "&")
+  }
+
+  /** Rules 1-5 composed: the canonical URL string. */
+  def canonicalize(u: Column): Column = {
+    val sch = scheme(u)
+    val pt = port(u)
+    val isDefault = pt === "" ||
+      (sch === "http" && pt === "80") || (sch === "https" && pt === "443")
+    val hostPort = when(isDefault, host(u))
+      .otherwise(concat(host(u), lit(":"), pt))
+    val q = cleanQuery(u)
+    concat(sch, lit("://"), hostPort, normPath(u),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Registrable domain of a (lowercased) host: last two labels, or
+    * three when the last two are a pinned multi-part suffix; hosts with
+    * ≤ 2 labels pass through. */
+  def registeredDomain(h: Column): Column = {
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n <= 2, h)
+      .when(last2.isin(MultiPartSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(last2)
+  }
+}

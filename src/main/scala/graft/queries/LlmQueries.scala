@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Html, Multimodal, Pq, Similarity, Upsert, Warc}
+import graft.operators.{Dedup, Html, Multimodal, Pdf, Pq, Similarity, Upsert, Url, Warc}
 import graft.operators.Sever.SeverOps
 import graft.sources.Tables
 
@@ -27,6 +27,7 @@ object LlmQueries {
   private val media = "/root/repo/fixtures/media.parquet"
   private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
   private val warcShards = "/root/repo/fixtures/warc_shards.parquet"
+  private val pdfDocs = "/root/repo/fixtures/pdf_docs.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -606,6 +607,107 @@ object LlmQueries {
       .select(col("target_uri").as("url"), col("body").cast("string").as("html"))
     Html.mainContent(pages, idCol = "url", htmlCol = "html")
   }
+
+  /** q298: PARAGRAPH-level dedup (the CCNet line-dedup step) over the
+    * HTML blocks — blocks ARE the paragraphs
+    * ([[graft.operators.Dedup.paragraphDedup]]): each distinct paragraph
+    * keeps only its first corpus occurrence (min (doc_id, pos)), then
+    * per-doc reassembly. This removes the repeated nav/footer/cookie
+    * boilerplate corpus-wide WITHOUT any density heuristic, and
+    * whole-page duplicates (docs 200-219, copies of 0-19) lose every
+    * paragraph to the earlier copy. One hash groupBy + one hash join —
+    * paragraph state is per DISTINCT paragraph, never doc×doc. */
+  def q298ParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(
+      Html.blocks(Html.readHtmlDocs(s, htmlDocs)).select("doc_id", "pos", "text"))
+
+  /** q299: INCREMENTAL paragraph screen — batch docs (150-299) tested
+    * against the paragraph-hash HISTORY (docs 0-149): per batch doc, how
+    * many paragraphs are already-seen (boilerplate or copied content)
+    * vs new. The duplicate populations make it observable: docs 200-219
+    * score all-dup (copies of history), while every page's nav/footer
+    * paragraphs hit the history regardless. The join is batch ×
+    * hash-index (the q282/q288 convention) — the history corpus text is
+    * never re-read. */
+  def q299ParagraphHistScreen(s: SparkSession, dir: String): DataFrame = {
+    val pars = Html.blocks(Html.readHtmlDocs(s, htmlDocs)).select("doc_id", "pos", "text")
+    Dedup.paragraphDedupAgainst(
+      pars.filter(col("doc_id") >= 150), pars.filter(col("doc_id") < 150))
+  }
+
+  /** The messy-URL augmentation (the q49 in-query convention): every
+    * documents row gets a crawl-shaped URL whose DECORATIONS — scheme
+    * and host case, userinfo, default port, trailing slash, tracking
+    * params, query order, fragment — vary by doc_id residues while the
+    * canonical identity is shared by each block of 7 ids, so
+    * canonicalization provably collapses groups the raw strings never
+    * would. The oracle states the INTENDED canonical form directly
+    * (pack-and-recover, not a regex replay): a wrong rule anywhere in
+    * [[graft.operators.Url]] diverges. */
+  private def messyUrl: Column = {
+    val d = col("doc_id")
+    concat(
+      when(d % 2 === 0, lit("https")).otherwise(lit("HTTPS")), lit("://"),
+      when(d % 11 === 0, lit("crawler:pw@")).otherwise(lit("")),
+      when(d % 6 === 0, lit("www.example.com"))
+        .when(d % 6 === 1, lit("WWW.Example.Com"))
+        .when(d % 6 === 2, lit("www.EXAMPLE.com"))
+        .when(d % 6 === 3, lit("api.news.example.co.uk"))
+        .when(d % 6 === 4, lit("cdn.files.sample.org"))
+        .otherwise(lit("Example.COM")),
+      when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/a/"), expr("doc_id div 7").cast("string"),
+      when(d % 9 === 0, lit("/")).otherwise(lit("")),
+      when(d % 2 === 0, concat(lit("?b=2&a=1&utm_source=s"), d.cast("string")))
+        .otherwise(concat(lit("?a=1&b=2&fbclid=f"), d.cast("string"))),
+      when(d % 4 === 0, concat(lit("#sec"), d.cast("string"))).otherwise(lit("")))
+  }
+
+  /** q300: URL canonicalization — the key a crawl dedups on before any
+    * content arrives: lowercase scheme/host, strip userinfo + default
+    * port + fragment, normalize the path, drop tracking params, sort the
+    * rest. Plus host extraction and the registrable domain (pinned
+    * multi-part-suffix list) — the crawler's politeness key. Pure
+    * codegen'd string builtins, zero shuffle. */
+  def q300UrlCanonical(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("url", messyUrl)
+      .select(col("doc_id"), col("url"),
+        Url.canonicalize(col("url")).as("canonical_url"),
+        Url.host(col("url")).as("host"),
+        Url.registeredDomain(Url.host(col("url"))).as("registered_domain"))
+
+  /** q301: URL-level dedup — group by the canonical form: each block of
+    * 7 doc_ids collapses despite every row carrying different
+    * decorations; keeper = min doc_id (the earliest fetch wins). The
+    * groupBy keys on the canonical string: one shuffle, no content
+    * touched — the cut that runs BEFORE fetch/parse in a real crawl. */
+  def q301UrlDedup(s: SparkSession, dir: String): DataFrame =
+    q300UrlCanonical(s, dir)
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+
+  /** q302: PDF text extraction ([[graft.operators.Pdf]]) — the #2
+    * corpus document format after HTML, decoded from the BYTES: object
+    * scan (recovery-mode, no xref), page tree in /Kids order (the
+    * fixture ROTATES Kids on 3-page docs), /Contents single refs and
+    * arrays, FlateDecode inflate, and the pinned text-operator walk
+    * (Tj / ' / TJ with kerning, escapes, octal, nested parens, line
+    * continuation). Unreferenced image streams are never touched; a
+    * truncated deflate drops its page, never throws. Oracle: the
+    * stored expected columns (the q33/q130 decode-vs-metadata
+    * convention) — one byte off anywhere breaks the string compare. */
+  def q302PdfExtract(s: SparkSession, dir: String): DataFrame =
+    Pdf.extract(Pdf.readPdfs(s, pdfDocs)).toDF()
+
+  /** q303: CROSS-VARIANT PDF dedup — exact content dedup over the
+    * EXTRACTED text: rows 36/37 carry the same text as 0/1 under
+    * different bytes (recompressed, re-laid-out, TJ-split), so byte- or
+    * hash-level file dedup can never catch them; extraction-then-dedup
+    * does. The composition every document pipeline runs. */
+  def q303PdfTextDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(Pdf.extract(Pdf.readPdfs(s, pdfDocs)).toDF(),
+      "pdf_id", "text")
 
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
     * decoded PCM: the sample walk of q141, folded into 64 equal windows
@@ -1787,6 +1889,12 @@ object LlmQueries {
     "q295_warc_responses" -> (q295WarcResponses _),
     "q296_warc_census" -> (q296WarcCensus _),
     "q297_warc_extract" -> (q297WarcExtract _),
+    "q298_paragraph_dedup" -> (q298ParagraphDedup _),
+    "q299_paragraph_hist_screen" -> (q299ParagraphHistScreen _),
+    "q300_url_canonical" -> (q300UrlCanonical _),
+    "q301_url_dedup" -> (q301UrlDedup _),
+    "q302_pdf_extract" -> (q302PdfExtract _),
+    "q303_pdf_text_dedup" -> (q303PdfTextDedup _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2032,6 +2140,33 @@ object LlmQueries {
        |  SELECT *, (text_chars >= 25 AND link_chars * 10 <= text_chars * 3) AS is_content
        |  FROM hblk)""".stripMargin
   }
+
+  /** DuckDB mirror of [[messyUrl]] — the identical decoration formulas,
+    * so both engines see the same raw strings. */
+  private val messyUrlSql: String =
+    """((CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END) ||
+      |  (CASE doc_id % 6 WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'WWW.Example.Com'
+      |        WHEN 2 THEN 'www.EXAMPLE.com' WHEN 3 THEN 'api.news.example.co.uk'
+      |        WHEN 4 THEN 'cdn.files.sample.org' ELSE 'Example.COM' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |  '/a/' || (doc_id // 7) ||
+      |  (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=s' || doc_id
+      |        ELSE '?a=1&b=2&fbclid=f' || doc_id END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END))""".stripMargin
+
+  /** The INTENDED canonical host / URL per decoration class — the
+    * pack-and-recover contract [[graft.operators.Url.canonicalize]] must
+    * land on. */
+  private val canonHostSql: String =
+    """(CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 'www.example.com'
+      |      WHEN doc_id % 6 = 3 THEN 'api.news.example.co.uk'
+      |      WHEN doc_id % 6 = 4 THEN 'cdn.files.sample.org'
+      |      ELSE 'example.com' END)""".stripMargin
+
+  private val canonicalUrlSql: String =
+    s"('https://' || $canonHostSql || '/a/' || (doc_id // 7) || '?a=1&b=2')"
 
   /** The exact all-pairs near-dup condition at Jaccard ≥ 4/5 (integer
     * form). The oracle affords all-pairs; the engine must not. */
@@ -2580,6 +2715,48 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(len(coalesce(string_agg(CASE WHEN is_content THEN text END, ' ' ORDER BY pos), '')) AS BIGINT) AS content_chars
          |FROM hcls JOIN ok USING (doc_id) GROUP BY ok.url""".stripMargin,
+    // first corpus occurrence per distinct paragraph (min doc_id, pos),
+    // then per-doc reassembly of the survivors in document order
+    "q298_paragraph_dedup" ->
+      s"""WITH $htmlBlockCtes,
+         |w AS (SELECT doc_id, pos, text,
+         |        row_number() OVER (PARTITION BY text ORDER BY doc_id, pos) AS rn
+         |      FROM hblk)
+         |SELECT doc_id, count(*) AS n_pars,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN text END, ' ' ORDER BY pos), '') AS clean_text
+         |FROM w GROUP BY doc_id""".stripMargin,
+    "q300_url_canonical" ->
+      s"""SELECT doc_id, $messyUrlSql AS url,
+         |  $canonicalUrlSql AS canonical_url,
+         |  $canonHostSql AS host,
+         |  (CASE WHEN doc_id % 6 = 3 THEN 'example.co.uk'
+         |        WHEN doc_id % 6 = 4 THEN 'sample.org'
+         |        ELSE 'example.com' END) AS registered_domain
+         |FROM documents""".stripMargin,
+    "q301_url_dedup" ->
+      s"""WITH c AS (SELECT doc_id, $canonicalUrlSql AS canonical_url FROM documents)
+         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
+         |  min(doc_id) AS keeper_id
+         |FROM c GROUP BY 1""".stripMargin,
+    // decode-vs-stored-metadata (q33/q130): the fixture's expected
+    // columns were written INDEPENDENTLY of the engine's byte walk
+    "q302_pdf_extract" ->
+      s"""SELECT pdf_id, n_pages, text
+         |FROM read_parquet('$pdfDocs')""".stripMargin,
+    "q303_pdf_text_dedup" ->
+      s"""SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+         |  min(pdf_id) AS keeper_id
+         |FROM read_parquet('$pdfDocs') GROUP BY text""".stripMargin,
+    "q299_paragraph_hist_screen" ->
+      s"""WITH $htmlBlockCtes,
+         |hist AS (SELECT DISTINCT text AS ht FROM hblk WHERE doc_id < 150)
+         |SELECT doc_id, count(*) AS n_pars,
+         |  CAST(sum(CASE WHEN ht IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_hist,
+         |  CAST(sum(CASE WHEN ht IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM hblk LEFT JOIN hist ON hblk.text = hist.ht
+         |WHERE doc_id >= 150
+         |GROUP BY doc_id""".stripMargin,
     "q49_pii_redact" -> {
       val augSql =
         """text || ' contact user' || doc_id || '@example.com from ip 10.0.0.' ||

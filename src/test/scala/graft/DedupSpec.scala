@@ -360,4 +360,59 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(rows.length == 1 &&
       rows.head.getLong(0) == 1L && rows.head.getLong(1) == 2L)
   }
+
+  private def pars(rows: (Long, Int, String)*) =
+    rows.toDF("doc_id", "pos", "text")
+
+  test("paragraphDedup keeps each distinct paragraph's FIRST (doc, pos) occurrence only") {
+    val p = pars(
+      (1L, 0, "nav bar"), (1L, 1, "unique alpha"), (1L, 2, "footer"),
+      (2L, 0, "nav bar"), (2L, 1, "unique beta"), (2L, 2, "footer"),
+      (3L, 0, "nav bar"), (3L, 1, "unique alpha"), (3L, 2, "footer"))
+    val out = Dedup.paragraphDedup(p).orderBy("doc_id").collect()
+    // doc 1 wins everything it touches first
+    assert(out(0).getAs[Long]("n_pars") == 3 && out(0).getAs[Long]("n_kept") == 3)
+    assert(out(0).getAs[String]("clean_text") == "nav bar unique alpha footer")
+    // doc 2 keeps only its unique paragraph
+    assert(out(1).getAs[Long]("n_kept") == 1)
+    assert(out(1).getAs[String]("clean_text") == "unique beta")
+    // doc 3 is a whole-page duplicate: EVERY paragraph lost to earlier copies
+    assert(out(2).getAs[Long]("n_kept") == 0)
+    assert(out(2).getAs[String]("clean_text") == "")
+  }
+
+  test("paragraphDedup first-occurrence tiebreak is (doc_id, pos), and reassembly is pos order") {
+    val p = pars(
+      (5L, 3, "dup"), (5L, 1, "zz tail"), (5L, 0, "aa head"),
+      (4L, 7, "dup"))
+    val out = Dedup.paragraphDedup(p).orderBy("doc_id").collect()
+    // doc 4 has the smaller doc_id: its pos-7 copy of "dup" wins
+    assert(out(0).getAs[Long]("doc_id") == 4L && out(0).getAs[Long]("n_kept") == 1)
+    val d5 = out(1)
+    assert(d5.getAs[Long]("n_pars") == 3 && d5.getAs[Long]("n_kept") == 2)
+    // document order, not insertion order
+    assert(d5.getAs[String]("clean_text") == "aa head zz tail")
+  }
+
+  test("paragraphDedupAgainst screens the batch against the history hash set only") {
+    val hist = pars((1L, 0, "nav bar"), (1L, 1, "old content"), (2L, 0, "nav bar"))
+    val batch = pars(
+      (10L, 0, "nav bar"), (10L, 1, "fresh stuff"),
+      (11L, 0, "old content"), (11L, 1, "nav bar"), (11L, 2, "also fresh"))
+    val out = Dedup.paragraphDedupAgainst(batch, hist).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_pars") == 2 && out(0).getAs[Long]("n_dup_hist") == 1 &&
+      out(0).getAs[Long]("n_new") == 1)
+    assert(out(1).getAs[Long]("n_pars") == 3 && out(1).getAs[Long]("n_dup_hist") == 2 &&
+      out(1).getAs[Long]("n_new") == 1)
+    // in-batch repetition is NOT history: a batch-only dup counts as new
+    val b2 = pars((20L, 0, "batch only"), (21L, 0, "batch only"))
+    val out2 = Dedup.paragraphDedupAgainst(b2, hist).collect()
+    assert(out2.forall(r => r.getAs[Long]("n_dup_hist") == 0))
+  }
+
+  test("paragraphDedup is one hash groupBy + one hash join — never doc×doc") {
+    val p = pars((1L, 0, "x x"), (2L, 0, "x x"), (3L, 0, "y y"))
+    val plan = Dedup.paragraphDedup(p).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

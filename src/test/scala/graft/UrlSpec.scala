@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Url
+
+class UrlSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Url.canonicalize(col("u"))).collect().map(_.getString(0)).toSeq
+
+  test("canonicalize collapses every decoration of the same resource") {
+    val variants = Seq(
+      "https://www.example.com/a/3?a=1&b=2",
+      "HTTPS://WWW.Example.COM/a/3?b=2&a=1",
+      "https://crawler:pw@www.example.com:443/a/3?a=1&b=2#frag",
+      "https://www.EXAMPLE.com/a/3/?utm_source=x&a=1&b=2",
+      "https://www.example.com:443/a/3?b=2&fbclid=zzz&a=1#sec2")
+    assert(canon(variants: _*).toSet == Set("https://www.example.com/a/3?a=1&b=2"))
+  }
+
+  test("ports: defaults stripped per scheme, non-defaults kept") {
+    assert(canon("http://h.example/x:y") == Seq("http://h.example/x:y"))
+    assert(canon("http://h.example:80/p") == Seq("http://h.example/p"))
+    assert(canon("https://h.example:443/p") == Seq("https://h.example/p"))
+    // :80 is NOT the https default; :8443 never default
+    assert(canon("https://h.example:80/p") == Seq("https://h.example:80/p"))
+    assert(canon("http://h.example:8443/p") == Seq("http://h.example:8443/p"))
+  }
+
+  test("path normalization: empty -> '/', non-root trailing slash stripped, root kept") {
+    assert(canon("https://h.example") == Seq("https://h.example/"))
+    assert(canon("https://h.example/") == Seq("https://h.example/"))
+    assert(canon("https://h.example/x/") == Seq("https://h.example/x"))
+    assert(canon("https://h.example/x/y") == Seq("https://h.example/x/y"))
+  }
+
+  test("query params: tracking dropped case-insensitively on the KEY, rest sorted, empties dropped") {
+    assert(canon("https://h.example/p?UTM_Source=1&z=9&a=2") ==
+      Seq("https://h.example/p?a=2&z=9"))
+    assert(canon("https://h.example/p?GCLID=x&Ref=y&real=1") ==
+      Seq("https://h.example/p?real=1"))
+    // the VALUE is never inspected: a param whose value says utm_ stays
+    assert(canon("https://h.example/p?k=utm_source") ==
+      Seq("https://h.example/p?k=utm_source"))
+    // key-only params sort with the rest; '&&' empties vanish
+    assert(canon("https://h.example/p?flag&&b=1") ==
+      Seq("https://h.example/p?b=1&flag"))
+    // all params tracking -> no '?' at all
+    assert(canon("https://h.example/p?utm_a=1&utm_b=2") ==
+      Seq("https://h.example/p"))
+  }
+
+  test("registeredDomain honors the multi-part suffix list") {
+    val got = Seq("www.example.com", "api.news.example.co.uk",
+      "cdn.files.sample.org", "example.com", "localhost", "deep.a.b.co.jp")
+      .toDF("h").select(Url.registeredDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.com", "example.co.uk", "sample.org",
+      "example.com", "localhost", "b.co.jp"))
+  }
+
+  test("host/scheme extraction strips userinfo and is lowercased") {
+    val df = Seq("HTTP://User:PW@Host.Example.COM:8080/p?q=1#f").toDF("u")
+    val r = df.select(Url.scheme(col("u")), Url.host(col("u")), Url.port(col("u"))).head()
+    assert(r.getString(0) == "http")
+    assert(r.getString(1) == "host.example.com")
+    assert(r.getString(2) == "8080")
+  }
+}
