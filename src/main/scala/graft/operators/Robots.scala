@@ -1,0 +1,117 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+case class RobotsFile(site: String, robots_txt: String)
+
+/** One effective rule for the chosen agent, in file order. */
+case class RobotsRule(site: String, rule_idx: Int, allow: Boolean, path: String)
+
+/** Robots Exclusion Protocol (RFC 9309) — the PERMISSION layer of a
+  * crawl: which canonical URLs may be fetched at all. Two halves, each
+  * scale-shaped:
+  *
+  *  1. [[rules]]: parse each host's robots.txt for one crawler agent.
+  *     Group semantics per the RFC: consecutive `User-agent` lines
+  *     share a group; a group with the SPECIFIC agent token (exact,
+  *     case-insensitive) makes every `*` group ignored; multiple
+  *     matching groups merge in file order; rules before any
+  *     User-agent line are ignored; empty patterns match nothing;
+  *     unknown directives (Crawl-delay, Sitemap, …) and comments are
+  *     skipped; CRLF and LF both parse. One robots.txt is ≤ 500 KB by
+  *     RFC, one row per HOST — the per-row line walk is bounded state,
+  *     and the output rule table is broadcast-sized even for a
+  *     full-web crawl (tens of rules × millions of hosts).
+  *  2. [[allowDecisions]]: longest-match verdict per URL — join urls
+  *     to rules on the HOST equi-key with a prefix predicate, keep the
+  *     longest matching rule (ties: Allow wins, then lexicographic for
+  *     determinism), default ALLOW when nothing matches. One equi-join
+  *     + one groupBy on the url key; never urls × all-rules.
+  *
+  * PINNED subset (documented, oracle-replayable): rule patterns are
+  * PLAIN PREFIXES — the RFC's `*`/`$` pattern extensions are out of
+  * scope, matching is on the normalized PATH (query excluded). */
+object Robots {
+
+  def readRobots(spark: SparkSession, path: String): Dataset[RobotsFile] = {
+    import spark.implicits._
+    spark.read.parquet(path).select(col("site"), col("robots_txt")).as[RobotsFile]
+  }
+
+  /** Effective (allow, path) rules for `agent`, per site, file order. */
+  def rules(files: Dataset[RobotsFile], agent: String): Dataset[RobotsRule] = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      effectiveRules(f.robots_txt, agent).zipWithIndex.map {
+        case ((allow, path), i) => RobotsRule(f.site, i, allow, path)
+      }
+    }
+  }
+
+  /** Longest-match verdicts: one row per url row with `allowed` and
+    * `matched_rule` ('' when no rule matched — the default-allow path).
+    * `urls` must carry a unique `keyCol`; extra columns are preserved
+    * via the first-value trick on the group. */
+  def allowDecisions(urls: DataFrame, ruleRows: Dataset[RobotsRule],
+                     keyCol: String = "doc_id", hostCol: String = "host",
+                     pathCol: String = "path"): DataFrame = {
+    val r = ruleRows.toDF().select(col("site"), col("allow"),
+      col("path").as("rule_path"))
+    val joined = urls.join(r,
+      urls(hostCol) === r("site") &&
+        expr(s"startswith($pathCol, rule_path)"), "left")
+    val carried = urls.columns.filterNot(_ == keyCol)
+    val best = max(when(col("rule_path").isNotNull,
+      struct(length(col("rule_path")).as("l"),
+        col("allow").cast("int").as("a"),
+        col("rule_path").as("p")))).as("best")
+    joined.groupBy(col(keyCol))
+      .agg(best, carried.map(c => first(col(c)).as(c)): _*)
+      .withColumn("allowed",
+        coalesce(col("best.a") === 1, lit(true)))
+      .withColumn("matched_rule", coalesce(col("best.p"), lit("")))
+      .drop("best")
+  }
+
+  /** The chosen-group rule list of one robots.txt, RFC group semantics,
+    * file order. Total: malformed lines are skipped, never thrown on. */
+  private[graft] def effectiveRules(txt: String,
+                                    agent: String): Seq[(Boolean, String)] = {
+    final case class Group(agents: mutable.Set[String],
+                           rules: mutable.ArrayBuffer[(Boolean, String)])
+    val groups = mutable.ArrayBuffer.empty[Group]
+    var collectingAgents = false
+    txt.split("\r\n|\n", -1).foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci > 0) {
+          val key = line.substring(0, ci).trim.toLowerCase
+          val value = line.substring(ci + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!collectingAgents) {
+                groups += Group(mutable.Set.empty, mutable.ArrayBuffer.empty)
+                collectingAgents = true
+              }
+              if (value.nonEmpty) groups.last.agents += value.toLowerCase
+            case "allow" | "disallow" =>
+              collectingAgents = false
+              // empty pattern matches nothing; rules before any group drop
+              if (groups.nonEmpty && value.nonEmpty)
+                groups.last.rules += ((key == "allow", value))
+            case _ => collectingAgents = false // unknown directive
+          }
+        } else collectingAgents = false // malformed line
+      }
+    }
+    val a = agent.toLowerCase
+    val specific = groups.filter(_.agents.contains(a))
+    val chosen = if (specific.nonEmpty) specific
+                 else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules).toSeq
+  }
+}

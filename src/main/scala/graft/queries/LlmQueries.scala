@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Html, Multimodal, Pdf, Pq, Similarity, Upsert, Url, Warc}
+import graft.operators.{Dedup, Html, Multimodal, Pdf, Pq, Robots, Similarity, Sitemap, Upsert, Url, Warc}
 import graft.operators.Sever.SeverOps
 import graft.sources.Tables
 
@@ -28,6 +28,8 @@ object LlmQueries {
   private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
   private val warcShards = "/root/repo/fixtures/warc_shards.parquet"
   private val pdfDocs = "/root/repo/fixtures/pdf_docs.parquet"
+  private val robotsFx = "/root/repo/fixtures/robots.parquet"
+  private val sitemapsFx = "/root/repo/fixtures/sitemaps.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -708,6 +710,62 @@ object LlmQueries {
   def q303PdfTextDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactClusters(Pdf.extract(Pdf.readPdfs(s, pdfDocs)).toDF(),
       "pdf_id", "text")
+
+  /** q304: robots.txt parsing ([[graft.operators.Robots]]) — the crawl
+    * PERMISSION layer: RFC 9309 group semantics (specific-agent group
+    * overrides `*`, multi-UA groups, merged matching groups, pre-group
+    * rules dropped, empty patterns dropped, unknown directives and
+    * comments skipped, CRLF+LF). PACK-AND-RECOVER: the fixture stores
+    * the expected graftbot rule set as independent array columns; the
+    * engine must parse the raw robots.txt back to exactly those rows. */
+  def q304RobotsRules(s: SparkSession, dir: String): DataFrame =
+    Robots.rules(Robots.readRobots(s, robotsFx), "graftbot").toDF()
+
+  /** q305: the crawl-permission FILTER composed — canonical URLs
+    * (q300) × parsed rules (q304): longest-match verdict per URL
+    * (ties: Allow wins, then lexicographic; no match: default allow —
+    * incl. the host with NO robots row at all). One host equi-join +
+    * one groupBy on the url key; the rule side is broadcast-sized for
+    * any real crawl. */
+  def q305RobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val urls = q300UrlCanonical(s, dir)
+      .select(col("doc_id"), col("host"), Url.normPath(col("url")).as("path"))
+    Robots.allowDecisions(urls,
+      Robots.rules(Robots.readRobots(s, robotsFx), "graftbot"))
+  }
+
+  /** q306: sitemap XML parsing ([[graft.operators.Sitemap]]) — the
+    * crawl DISCOVERY feed: `<url>` blocks of every urlset file (the
+    * `<sitemapindex>` row yields nothing), whitespace-tolerant,
+    * `&amp;`-class entities decoded, `<lastmod>` optional. Oracle
+    * regenerates every (sitemap_url, loc, lastmod) from the fixture's
+    * URL-group formulas — pack-and-recover. */
+  def q306SitemapUrls(s: SparkSession, dir: String): DataFrame =
+    Sitemap.urls(Sitemap.readSitemaps(s, sitemapsFx))
+
+  /** q307: the CRAWL FRONTIER composed end-to-end — what a crawler
+    * fetches next: sitemap discovery (q306) → URL canonicalization
+    * (q300: scheme/entity decorations collapse) → dedup against the
+    * already-crawled canonical set (q301, sf-aware) → robots permission
+    * (q305's longest-match, default allow for robots-less hosts) →
+    * allowed survivors. Every stage is observable in the fixture
+    * groups: sitemap-a's 50 urls are canonical duplicates of crawled
+    * pages, the /a/2000s and the cdn host die on robots rules, the
+    * /a/33 Allow carve-out survives inside a blocked tree, and the
+    * robots-less host passes by default. */
+  def q307CrawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val canon = Sitemap.urls(Sitemap.readSitemaps(s, sitemapsFx))
+      .select(Url.canonicalize(col("loc")).as("canonical_url")).distinct()
+    val crawled = q301UrlDedup(s, dir).select(col("canonical_url"))
+    val fresh = canon.join(crawled, Seq("canonical_url"), "left_anti")
+      .withColumn("host", Url.host(col("canonical_url")))
+      .withColumn("path", Url.normPath(col("canonical_url")))
+    Robots.allowDecisions(fresh,
+        Robots.rules(Robots.readRobots(s, robotsFx), "graftbot"),
+        keyCol = "canonical_url")
+      .filter(col("allowed"))
+      .select(col("canonical_url"), col("host"), col("path"), col("matched_rule"))
+  }
 
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
     * decoded PCM: the sample walk of q141, folded into 64 equal windows
@@ -1895,6 +1953,10 @@ object LlmQueries {
     "q301_url_dedup" -> (q301UrlDedup _),
     "q302_pdf_extract" -> (q302PdfExtract _),
     "q303_pdf_text_dedup" -> (q303PdfTextDedup _),
+    "q304_robots_rules" -> (q304RobotsRules _),
+    "q305_robots_filter" -> (q305RobotsFilter _),
+    "q306_sitemap_urls" -> (q306SitemapUrls _),
+    "q307_crawl_frontier" -> (q307CrawlFrontier _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2167,6 +2229,23 @@ object LlmQueries {
 
   private val canonicalUrlSql: String =
     s"('https://' || $canonHostSql || '/a/' || (doc_id // 7) || '?a=1&b=2')"
+
+  /** The sitemap fixture's URL groups (host, sitemap file, g range) —
+    * the generator's formulas, mirrored (tools/gen_sitemap_fixture.py). */
+  private val sitemapGroupsSql: String =
+    """SELECT 'www.example.com' AS host,
+      |       'https://www.example.com/sitemap-a.xml' AS sitemap_url,
+      |       unnest(generate_series(0, 49)) AS g
+      |UNION ALL SELECT 'www.example.com',
+      |       'https://www.example.com/sitemap-b.xml', unnest(generate_series(1000, 1019))
+      |UNION ALL SELECT 'www.example.com',
+      |       'https://www.example.com/sitemap-b.xml', unnest(generate_series(2000, 2009))
+      |UNION ALL SELECT 'api.news.example.co.uk',
+      |       'https://api.news.example.co.uk/sitemap.xml', unnest(generate_series(300, 339))
+      |UNION ALL SELECT 'cdn.files.sample.org',
+      |       'https://cdn.files.sample.org/sitemap.xml', unnest(generate_series(500, 509))
+      |UNION ALL SELECT 'example.com',
+      |       'https://example.com/sitemap.xml', unnest(generate_series(600, 607))""".stripMargin
 
   /** The exact all-pairs near-dup condition at Jaccard ≥ 4/5 (integer
     * form). The oracle affords all-pairs; the engine must not. */
@@ -2748,6 +2827,66 @@ object LlmQueries {
       s"""SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
          |  min(pdf_id) AS keeper_id
          |FROM read_parquet('$pdfDocs') GROUP BY text""".stripMargin,
+    // pack-and-recover: the expected graftbot rule set was stored as
+    // independent array columns by the fixture generator
+    "q304_robots_rules" ->
+      s"""SELECT site, CAST(g.i - 1 AS INT) AS rule_idx,
+         |  exp_allow[g.i] AS allow, exp_path[g.i] AS path
+         |FROM read_parquet('$robotsFx'),
+         |  LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) g""".stripMargin,
+    // longest-match replay from the STORED rules over the canonical-URL
+    // formulas; ties Allow-then-lexicographic, default allow on no match
+    "q305_robots_filter" ->
+      s"""WITH u AS (SELECT doc_id, $canonHostSql AS host,
+         |             '/a/' || (doc_id // 7) AS path FROM documents),
+         |r AS (SELECT site, exp_allow[g.i] AS allow, exp_path[g.i] AS rule_path
+         |      FROM read_parquet('$robotsFx'),
+         |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) g),
+         |j AS (SELECT u.doc_id, u.host, u.path, r.allow, r.rule_path
+         |      FROM u LEFT JOIN r
+         |        ON u.host = r.site AND starts_with(u.path, r.rule_path)),
+         |b AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY len(rule_path) DESC NULLS LAST,
+         |                 allow DESC NULLS LAST,
+         |                 rule_path DESC NULLS LAST) AS rn FROM j)
+         |SELECT doc_id, host, path, coalesce(allow, TRUE) AS allowed,
+         |  coalesce(rule_path, '') AS matched_rule
+         |FROM b WHERE rn = 1""".stripMargin,
+    // the fixture's URL groups regenerated by formula — pack-and-recover
+    "q306_sitemap_urls" -> {
+      s"""WITH g AS ($sitemapGroupsSql)
+         |SELECT sitemap_url,
+         |  (CASE WHEN g % 10 = 0 THEN 'HTTPS' ELSE 'https' END)
+         |    || '://' || host || '/a/' || g || '?b=2&a=1' AS loc,
+         |  CASE WHEN g % 3 = 0
+         |       THEN '2026-07-' || lpad(CAST(g % 28 + 1 AS VARCHAR), 2, '0')
+         |       ELSE '' END AS lastmod
+         |FROM g""".stripMargin
+    },
+    // full frontier replay: groups -> canonical intent -> anti-join the
+    // sf-aware crawled set -> longest-match robots verdict -> allowed
+    "q307_crawl_frontier" ->
+      s"""WITH g AS ($sitemapGroupsSql),
+         |can AS (SELECT DISTINCT
+         |          'https://' || host || '/a/' || g || '?a=1&b=2' AS canonical_url,
+         |          host, '/a/' || g AS path
+         |        FROM g),
+         |crawled AS (SELECT DISTINCT $canonicalUrlSql AS cu FROM documents),
+         |fresh AS (SELECT * FROM can
+         |          WHERE canonical_url NOT IN (SELECT cu FROM crawled)),
+         |r AS (SELECT site, exp_allow[i.i] AS allow, exp_path[i.i] AS rule_path
+         |      FROM read_parquet('$robotsFx'),
+         |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) i),
+         |j AS (SELECT f.canonical_url, f.host, f.path, r.allow, r.rule_path
+         |      FROM fresh f LEFT JOIN r
+         |        ON f.host = r.site AND starts_with(f.path, r.rule_path)),
+         |b AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+         |        ORDER BY len(rule_path) DESC NULLS LAST,
+         |                 allow DESC NULLS LAST,
+         |                 rule_path DESC NULLS LAST) AS rn FROM j)
+         |SELECT canonical_url, host, path,
+         |  coalesce(rule_path, '') AS matched_rule
+         |FROM b WHERE rn = 1 AND coalesce(allow, TRUE)""".stripMargin,
     "q299_paragraph_hist_screen" ->
       s"""WITH $htmlBlockCtes,
          |hist AS (SELECT DISTINCT text AS ht FROM hblk WHERE doc_id < 150)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Robots
+
+class RobotsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val fixture = "/root/repo/fixtures/robots.parquet"
+
+  test("fixture parse recovers the stored expected rules exactly, per site") {
+    val got = Robots.rules(Robots.readRobots(spark, fixture), "graftbot")
+      .collect().groupBy(_.site)
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.rule_idx).map(r => (r.allow, r.path)).toSeq
+      }
+    assert(got("www.example.com") ==
+      Seq((false, "/a/2"), (true, "/a/25"), (false, "/a/7")))
+    assert(got("api.news.example.co.uk") ==
+      Seq((false, "/a/3"), (true, "/a/33")))
+    assert(got("cdn.files.sample.org") == Seq((false, "/")))
+    assert(got("unvisited.example.net") ==
+      Seq((false, "/private"), (true, "/private/ok")))
+  }
+
+  test("group semantics: specific agent overrides *, multi-UA groups, merged groups") {
+    val txt =
+      "User-agent: a\nUser-agent: b\nDisallow: /ab\n" +
+        "User-agent: *\nDisallow: /star\n" +
+        "User-agent: b\nAllow: /b2\n"
+    // agent b: BOTH b-groups merge in file order; * ignored
+    assert(Robots.effectiveRules(txt, "B") ==
+      Seq((false, "/ab"), (true, "/b2")))
+    // agent c: only the * group
+    assert(Robots.effectiveRules(txt, "c") == Seq((false, "/star")))
+    // no matching group at all: no rules
+    assert(Robots.effectiveRules("User-agent: x\nDisallow: /x\n", "y").isEmpty)
+  }
+
+  test("edge lines: pre-group rules, comments, empty patterns, unknown keys, malformed") {
+    val txt =
+      "Disallow: /early\n" + // before any UA: dropped
+        "User-agent: bot # trailing comment\n" +
+        "# full comment line\n" +
+        "Crawl-delay: 5\n" +
+        "Disallow: /keep\n" +
+        "Disallow:\n" + // empty: matches nothing
+        "not a directive at all\n" +
+        "Allow: /keep/sub\n"
+    assert(Robots.effectiveRules(txt, "bot") ==
+      Seq((false, "/keep"), (true, "/keep/sub")))
+    // a UA line AFTER rules starts a NEW group
+    val two = "User-agent: bot\nDisallow: /one\nUser-agent: bot\nDisallow: /two\n"
+    assert(Robots.effectiveRules(two, "bot") ==
+      Seq((false, "/one"), (false, "/two")))
+  }
+
+  test("allowDecisions: longest match wins, Allow breaks ties, default allow") {
+    val urls = Seq(
+      (1L, "h", "/a/25/x"), // disallow /a/2 vs allow /a/25: longer wins
+      (2L, "h", "/a/29"),   // only /a/2 matches: blocked
+      (3L, "h", "/free"),   // nothing matches: default allow
+      (4L, "nowhere", "/a/2"), // host without rules: default allow
+      (5L, "h", "/t")       // exact tie /t vs /t: Allow wins
+    ).toDF("doc_id", "host", "path")
+    val rules = Seq(
+      graft.operators.RobotsRule("h", 0, false, "/a/2"),
+      graft.operators.RobotsRule("h", 1, true, "/a/25"),
+      graft.operators.RobotsRule("h", 2, false, "/t"),
+      graft.operators.RobotsRule("h", 3, true, "/t")).toDS()
+    val got = Robots.allowDecisions(urls, rules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_rule")))).toMap
+    assert(got(1L) == ((true, "/a/25")))
+    assert(got(2L) == ((false, "/a/2")))
+    assert(got(3L) == ((true, "")))
+    assert(got(4L) == ((true, "")))
+    assert(got(5L) == ((true, "/t")))
+  }
+
+  test("the decision join is host-equi + prefix filter, never urls × all-rules") {
+    val urls = Seq((1L, "h", "/p")).toDF("doc_id", "host", "path")
+    val rules = Seq(graft.operators.RobotsRule("h", 0, false, "/p")).toDS()
+    val plan = Robots.allowDecisions(urls, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""robots.txt fixture: real Robots Exclusion Protocol files (RFC 9309
+shapes) per crawl host, with the EXPECTED graftbot rule set stored as
+independent array columns — pack-and-recover: the engine must parse the
+bytes back to exactly the stored rules (group selection included), and
+the URL allow-filter then replays relationally from the stored rules.
+
+Realism exercised:
+- mixed-case directives, CRLF and LF line endings, comments (# ...),
+  blank lines inside and between groups;
+- multiple User-agent lines sharing one group;
+- a SPECIFIC graftbot group that OVERRIDES the * group (RFC: most
+  specific group wins, others ignored);
+- groups for other bots that must not leak in;
+- empty Disallow (matches nothing -> no rule), unknown directives
+  (Crawl-delay, Sitemap) skipped;
+- rules BEFORE any User-agent line (ignored per spec);
+- one host blocking everything (Disallow: /), one host absent from the
+  fixture entirely (default-allow path in the filter).
+"""
+import pathlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+OUT = ROOT / "fixtures" / "robots.parquet"
+
+SITES = []
+
+
+def site(name, txt, rules):
+    """rules: expected (allow, path) for agent graftbot, file order."""
+    SITES.append((name, txt, rules))
+
+
+# graftbot has its OWN group here: the * group must be IGNORED entirely
+site(
+    "www.example.com",
+    "# robots for example.com\r\n"
+    "Disallow: /ignored-no-group\r\n"          # before any UA: ignored
+    "User-agent: *\r\n"
+    "Disallow: /a/1\r\n"
+    "Allow: /a/12\r\n"
+    "\r\n"
+    "User-Agent: graftbot\r\n"                  # mixed-case directive
+    "Crawl-delay: 10\r\n"                       # unknown: skipped
+    "Disallow: /a/2\r\n"
+    "ALLOW: /a/25\r\n"                          # upper-case directive
+    "Disallow: /a/7\r\n"
+    "\r\n"
+    "User-agent: otherbot\r\n"
+    "Disallow: /\r\n",
+    [(False, "/a/2"), (True, "/a/25"), (False, "/a/7")])
+
+# only a * group (LF endings, comments, blank lines, empty Disallow,
+# two UA lines sharing the group, Sitemap skipped)
+site(
+    "api.news.example.co.uk",
+    "User-agent: somebot\n"
+    "User-agent: *\n"
+    "# block the /a/3 tree except /a/33\n"
+    "Disallow: /a/3\n"
+    "\n"
+    "Allow: /a/33\n"
+    "Disallow:\n"                               # empty: matches nothing
+    "Sitemap: https://api.news.example.co.uk/sitemap.xml\n",
+    [(False, "/a/3"), (True, "/a/33")])
+
+# block everything
+site(
+    "cdn.files.sample.org",
+    "User-agent: *\nDisallow: /\n",
+    [(False, "/")])
+
+# a host the URL table never visits: parsed, then unused by the filter
+site(
+    "unvisited.example.net",
+    "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok\n",
+    [(False, "/private"), (True, "/private/ok")])
+
+# NOTE: example.com (the d%6==5 canonical host) has NO robots row at
+# all -> the filter's default-allow path.
+
+table = pa.table({
+    "site": pa.array([s for s, _, _ in SITES], pa.string()),
+    "robots_txt": pa.array([t for _, t, _ in SITES], pa.string()),
+    "exp_allow": pa.array([[a for a, _ in r] for _, _, r in SITES],
+                          pa.list_(pa.bool_())),
+    "exp_path": pa.array([[p for _, p in r] for _, _, r in SITES],
+                         pa.list_(pa.string())),
+})
+pq.write_table(table, OUT)
+print(f"wrote {OUT}: {len(SITES)} sites, "
+      f"{sum(len(r) for _, _, r in SITES)} expected graftbot rules")
