@@ -447,6 +447,32 @@ object ScaleBench {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // Variant probe: the TEXT-INDEX amortization claim measured (the
+    // ann_index_ab convention): q105 recomputes BM25 from the corpus in
+    // every plan, q309 serves from the WRITTEN postings. Three calls
+    // each on the SCALED corpus; q309's first call carries the one-time
+    // build+write, calls 2-3 are the serving steady state.
+    if (only.exists(_.contains("text_index_ab"))) {
+      def timed(label: String)(body: => Unit): Unit = {
+        try {
+          val t0 = System.nanoTime()
+          body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"query":"$label","sf1_sec":${math.round(sec * 1000) / 1000.0}%s}""")
+        } catch {
+          case e: Throwable => println(
+            s"""{"query":"$label","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+        }
+      }
+      for (i <- 1 to 3) timed(s"bm25_q105_recompute_call$i") {
+        SparkEntry.queries("q105_bm25_search")(spark, out)
+          .write.format("noop").mode("overwrite").save()
+      }
+      for (i <- 1 to 3) timed(s"bm25_q309_indexed_call$i") {
+        SparkEntry.queries("q309_text_index_search")(spark, out)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // Variant probe: PARAGRAPH dedup under replication — the fixture
     // query (q298) has no SF axis, so this synthesizes the paragraph
     // table from the documents corpus at BOTH scales (each doc split

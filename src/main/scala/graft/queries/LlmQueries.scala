@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Html, Multimodal, Pdf, Pq, Robots, Similarity, Sitemap, Upsert, Url, Warc}
+import graft.operators.{Chunker, Dedup, Html, Multimodal, Pdf, Pq, Robots, Similarity, Sitemap, Upsert, Url, Warc}
 import graft.operators.Sever.SeverOps
 import graft.sources.Tables
 
@@ -766,6 +766,15 @@ object LlmQueries {
       .filter(col("allowed"))
       .select(col("canonical_url"), col("host"), col("path"), col("matched_rule"))
   }
+
+  /** q308: overlapping-window chunking ([[graft.operators.Chunker]]) —
+    * the splitter between cleaning and embedding: 64-token windows at
+    * stride 48 (16-token overlap), the tail ANCHORED to end at the last
+    * token (no degenerate already-covered tail chunk), stable
+    * (doc, idx, start) ids. Pure builtins, one narrow explode, zero
+    * shuffle; the oracle replays the identical window formulas. */
+  def q308ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Chunker.chunkTokens(Tables.documents(s, dir).select("doc_id", "text"))
 
   /** q278: AUDIO fingerprint — 64-bit energy-envelope hash over REAL
     * decoded PCM: the sample walk of q141, folded into 64 equal windows
@@ -1957,6 +1966,7 @@ object LlmQueries {
     "q305_robots_filter" -> (q305RobotsFilter _),
     "q306_sitemap_urls" -> (q306SitemapUrls _),
     "q307_crawl_frontier" -> (q307CrawlFrontier _),
+    "q308_chunk_docs" -> (q308ChunkDocs _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2887,6 +2897,21 @@ object LlmQueries {
          |SELECT canonical_url, host, path,
          |  coalesce(rule_path, '') AS matched_rule
          |FROM b WHERE rn = 1 AND coalesce(allow, TRUE)""".stripMargin,
+    // the window formulas replayed: start_k = min(k·48, n−64), tail
+    // anchored at n−64, single chunk when n ≤ 64
+    "q308_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n, toks, CAST(g.k AS BIGINT) AS chunk_idx,
+        |        CAST(CASE WHEN n <= 64 THEN 0
+        |             ELSE least(g.k * 48, n - 64) END AS BIGINT) AS chunk_start
+        |      FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |        CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS k) g)
+        |SELECT doc_id, n AS n_tokens, chunk_idx, chunk_start,
+        |  array_to_string(toks[chunk_start + 1 : chunk_start + 64], ' ') AS chunk_text,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS chunk_tokens
+        |FROM c""".stripMargin,
     "q299_paragraph_hist_screen" ->
       s"""WITH $htmlBlockCtes,
          |hist AS (SELECT DISTINCT text AS ht FROM hblk WHERE doc_id < 150)

@@ -167,6 +167,56 @@ object ScaleQueries {
       .limit(k)
   }
 
+  /** q309: BM25 search served FROM THE WRITTEN INVERTED INDEX
+    * ([[graft.sources.TextIndex]]) — the lexical twin of q292: postings
+    * (tok, doc_id, tf, dl) partitioned by a deterministic term bucket,
+    * append-only lexicon df deltas, append-only corpus stats. The
+    * search reads ONLY index tables (TextIndexSpec pins: no documents
+    * scan in the plan, PartitionFilters on term_bucket) and scores with
+    * the EXACT q105 arithmetic — the oracle recomputes BM25 relationally
+    * from the corpus, so any write-path damage (wrong tf, lost posting,
+    * wrong df, wrong dl denormalization) breaks the score compare. */
+  def q309TextIndexSearch(s: SparkSession, dir: String): DataFrame =
+    indexedBm25(s, graft.sources.TextIndex.path(s, dir), Seq("join", "stream"), 10)
+
+  /** q310: INCREMENTAL index maintenance — the index is built on the
+    * history (doc_id % 5 ≠ 2), then the batch is APPENDED: its postings,
+    * df DELTAS, and stat deltas only (history never re-read — the
+    * q293/q265 convention). Because tf/df/N/Σdl are exact integers that
+    * ADD across disjoint batches, the incrementally-built index serves
+    * BIT-IDENTICAL scores to a from-scratch build; the oracle is the
+    * full-corpus recompute, so a batch-leak or a missed delta breaks it. */
+  def q310TextIndexAppend(s: SparkSession, dir: String): DataFrame =
+    indexedBm25(s, graft.sources.TextIndex.pathIncremental(s, dir), Seq("filter", "sort"), 10)
+
+  /** BM25 over the WRITTEN postings — bm25TopK's arithmetic verbatim,
+    * with corpus stats and df read from the index tables instead of
+    * recomputed from text. */
+  private def indexedBm25(s: SparkSession, root: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    import graft.sources.TextIndex
+    val (n, total) = TextIndex.readStats(s, root)
+    val avgdl = total.toDouble / n.toDouble
+    val hits = TextIndex.readPostings(s, root, terms)
+    val dfs = TextIndex.readDf(s, root, terms)
+    val scored = hits.join(broadcast(dfs), "tok")
+      .withColumn("idf",
+        ((lit(n) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+      .withColumn("sc",
+        col("idf") * (col("tf").cast("double") * expr(Bm25K1p1)) /
+          (col("tf").cast("double") + expr(Bm25K1) *
+            (expr(Bm25OneMinusB) + expr(Bm25B) * (col("dl").cast("double") / lit(avgdl)))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === lit(t), col("sc"))).as(s"s$i")
+    }
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** q145: HYBRID retrieval — reciprocal-rank fusion of the lexical BM25
     * ranking (q105's scorer, top-50) and the dense cosine ranking against
     * the vec_id-0 query embedding (q31's scorer, top-50; embeddings align
@@ -1423,6 +1473,8 @@ object ScaleQueries {
     "q103_stratified_sample" -> (q103StratifiedSample _),
     "q104_weighted_sample" -> (q104WeightedSample _),
     "q105_bm25_search" -> (q105Bm25Search _),
+    "q309_text_index_search" -> (q309TextIndexSearch _),
+    "q310_text_index_append" -> (q310TextIndexAppend _),
     "q106_temperature_mix" -> (q106TemperatureMix _),
     "q107_orc_roundtrip" -> (q107OrcRoundtrip _),
     "q108_inferred_csv" -> (q108InferredCsv _),
@@ -1508,11 +1560,13 @@ object ScaleQueries {
 
   /** The q105 scorer as SQL, parameterized by the top-k cut — shared by
     * the BM25 query's oracle and the hybrid-search oracle's lexical leg. */
-  private def bm25OracleSql(k: Int): String = {
-    val termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
-    val caseSums = Bm25Terms.zipWithIndex.map { case (t, i) =>
+  private def bm25OracleSql(k: Int, terms: Seq[String] = Bm25Terms): String = {
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val caseSums = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN tok = '$t' THEN sc END) AS s$i"
     }.mkString(", ")
+    val coalesced = terms.indices
+      .map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")
     s"""WITH d AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
        |stats AS (
@@ -1534,7 +1588,7 @@ object ScaleQueries {
        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats),
        |agg AS (SELECT doc_id, $caseSums FROM sc GROUP BY doc_id)
        |SELECT doc_id,
-       |  COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score
+       |  $coalesced AS score
        |FROM agg
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
@@ -2160,6 +2214,10 @@ object ScaleQueries {
     // Same IEEE arithmetic in the same order as the engine: rational idf,
     // per-term CASE sums, fixed-order 3-way addition, (score, doc_id) cut.
     "q105_bm25_search" -> bm25OracleSql(10),
+    // the index-served searches against the full relational recompute:
+    // write-path damage (tf/df/dl/stats) breaks the float-exact scores
+    "q309_text_index_search" -> bm25OracleSql(10, Seq("join", "stream")),
+    "q310_text_index_append" -> bm25OracleSql(10, Seq("filter", "sort")),
     // Both candidate lists re-ranked with the same strict (score, id)
     // orders, fused with the same fixed-order IEEE sum.
     "q145_hybrid_search" ->

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED INVERTED INDEX — the lexical twin of [[AnnIndex]]: the
+  * in-plan BM25 query (q105) tokenizes and aggregates the WHOLE corpus
+  * inside every search plan (correct, and the right shape for a
+  * one-shot query), but a production search path builds the posting
+  * lists ONCE and serves every query from the written tables
+  * (write-once/read-many, the [[CoPurchaseGraph]] contract).
+  *
+  * Written tables under one root:
+  *  - `postings/term_bucket=N/` — (tok, doc_id, tf, dl), PARTITIONED BY
+  *    a deterministic md5 bucket of the term: a term lookup computes
+  *    its buckets DRIVER-side and reads only those directories
+  *    (filesystem-level pruning — at 100 TB the postings read IS the
+  *    search cost, and (vocab−queried)/vocab of it is skipped before
+  *    any row is decoded). `dl` is denormalized into the posting (the
+  *    classic impact-style layout) so scoring needs NO doc-length join.
+  *  - `lexicon/` — (tok, df) rows, APPEND-ONLY: document frequency is
+  *    additive across disjoint ingest batches, so an append writes df
+  *    DELTAS and readers sum — no vocabulary rewrite on ingest.
+  *  - `stats/` — (n_docs, total_tokens) rows, append-only for the same
+  *    reason; BM25's N and avgdl are exact sums at read time.
+  *
+  * [[append]] ingests a batch by writing ITS postings/df-deltas/stats
+  * only — the history is never re-read, re-tokenized, or re-aggregated
+  * (the q265/q283/AnnIndex incremental convention). Because tf, df,
+  * n_docs and total_tokens are exact integers that add across disjoint
+  * batches, an incrementally-built index serves BIT-IDENTICAL scores
+  * to a from-scratch build — there is no drift caveat here, unlike the
+  * ANN quantizers. */
+object TextIndex {
+
+  private[graft] val Buckets = 16
+
+  @volatile private var cached = Map.empty[String, String]
+
+  /** Root of the FULL-corpus index for `dir`, building on first use. */
+  def path(s: SparkSession, dir: String): String =
+    memo("full:" + dir) { out => build(s, Tables.documents(s, dir), out) }
+
+  /** Root of the INCREMENTALLY-built index: built on the history
+    * (doc_id % 5 ≠ 2), then the batch (doc_id % 5 = 2) APPENDED. */
+  def pathIncremental(s: SparkSession, dir: String): String =
+    memo("incr:" + dir) { out =>
+      val docs = Tables.documents(s, dir)
+      build(s, docs.filter(col("doc_id") % 5 =!= 2), out)
+      append(s, out, docs.filter(col("doc_id") % 5 === 2))
+    }
+
+  private def memo(key: String)(f: String => Unit): String = synchronized {
+    cached.getOrElse(key, {
+      val out = Files.createTempDirectory("graft-textindex").toString + "/index"
+      f(out)
+      cached += key -> out
+      out
+    })
+  }
+
+  /** The term's partition bucket — first 8 md5 hex chars as a long,
+    * mod [[Buckets]]; [[bucketOf]] is the identical driver-side form. */
+  private def bucketCol(tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % Buckets
+
+  /** Driver-side twin of [[bucketCol]] for probe planning. */
+  private[graft] def bucketOf(term: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % Buckets
+  }
+
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  private def writeAll(docs: DataFrame, out: String, mode: String): Unit = {
+    val tf = postingsOf(docs)
+    tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        bucketCol(col("tok")).as("term_bucket"))
+      .write.mode(mode).partitionBy("term_bucket").parquet(s"$out/postings")
+    tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$out/lexicon")
+    val toks = split(lower(col("text")), " ")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("total_tokens"))
+      .write.mode(mode).parquet(s"$out/stats")
+  }
+
+  private def build(s: SparkSession, docs: DataFrame, out: String): Unit =
+    writeAll(docs.select(col("doc_id"), col("text")), out, "overwrite")
+
+  /** Ingest a batch into an EXISTING index: the batch's postings, df
+    * DELTAS and stat deltas are appended; nothing else is touched. */
+  def append(s: SparkSession, root: String, batch: DataFrame): Unit =
+    writeAll(batch.select(col("doc_id"), col("text")), root, "append")
+
+  /** Exact corpus stats from the written (append-only) stats rows. */
+  def readStats(s: SparkSession, root: String): (Long, Long) = {
+    val r = s.read.parquet(s"$root/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Per-term document frequency (delta rows summed), query terms only. */
+  def readDf(s: SparkSession, root: String, terms: Seq[String]): DataFrame =
+    s.read.parquet(s"$root/lexicon")
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+
+  /** The probed postings: ONLY the query terms' bucket directories are
+    * read (partition pruning), then the in-bucket term filter. */
+  def readPostings(s: SparkSession, root: String, terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
+    s.read.parquet(s"$root/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .filter(col("tok").isin(terms: _*))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+  }
+}
