@@ -54,7 +54,16 @@ object StreamingQueries {
   def q185StreamHopping(s: SparkSession, dir: String): DataFrame =
     Streams.hoppingCountsOnce(s, dir)
 
+  /** STREAMING WARC ingestion — crawl shards arriving as files (2 per
+    * micro-batch), each batch's records parsed and APPENDED exactly
+    * once; the batch pack-and-recover oracle (q295's formulas) verifies
+    * the final table, so arrival order and batching must not change a
+    * parsed byte. */
+  def q311WarcStream(s: SparkSession, dir: String): DataFrame =
+    Streams.warcStreamOnce(s, "/root/repo/fixtures/warc_shards.parquet")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_warc_stream" -> (q311WarcStream _),
     "q172_stream_enrich" -> (q172StreamEnrich _),
     "q185_stream_hopping" -> (q185StreamHopping _),
     "q166_stream_topk" -> (q166StreamTopk _),
@@ -64,6 +73,14 @@ object StreamingQueries {
     "q143_stream_join" -> (q143StreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the q295 pack-and-recover formulas over the packed source — the
+    // stream's final table must equal the batch walk byte-for-byte
+    "q311_warc_stream" ->
+      """SELECT url,
+        |  CAST(CASE WHEN doc_id % 53 = 7 THEN 404
+        |            WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS INT) AS http_status,
+        |  md5(CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END) AS body_md5
+        |FROM read_parquet('/root/repo/fixtures/html_docs.parquet')""".stripMargin,
     "q172_stream_enrich" ->
       """WITH tiers AS (
         |  SELECT user_id,

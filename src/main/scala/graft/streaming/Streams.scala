@@ -213,6 +213,45 @@ object Streams {
     * zeros/harmonic-sum/estimate with integer ops so the batch oracle
     * reproduces them bit-for-bit from the raw table (same derivation as
     * the batch q131). */
+  /** STREAMING WARC ingestion — the crawl front door running
+    * continuously: shard files land, the file source discovers them
+    * (rate-limited to 2 per micro-batch, so the fixture's 6 shards
+    * arrive across ≥3 batches — the production drip, not one big
+    * batch), each batch walks its shards' records
+    * ([[graft.operators.Warc.records]] — per-shard state only, so the
+    * stateless streaming plan needs no watermark), and parsed responses
+    * APPEND to the sink exactly once via the checkpoint. The batch
+    * q295 oracle verifies the final table: streaming-arrival order must
+    * not change a single parsed byte. */
+  def warcStreamOnce(spark: SparkSession, fixturePath: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-warc-stream-").toString
+    val src = s"$tmp/shards"
+    // land each shard in its own file: the unit of arrival
+    spark.read.parquet(fixturePath).repartition(6, col("shard_id"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val shards = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(src)
+      .selectExpr("shard_id", "gz", "payload")
+      .as[graft.operators.WarcShard]
+    val recs = graft.operators.Warc.records(shards)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri").as("url"), col("http_status"),
+        md5(col("body")).as("body_md5"))
+    val q = recs.writeStream
+      .format("memory")
+      .queryName("graft_warc_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.awaitTermination()
+    recordMicroBatchPlan("graft_warc_stream", q)
+    spark.table("graft_warc_stream")
+  }
+
   def hllDistinctOnce(spark: SparkSession, dir: String): DataFrame = {
     val stream = graft.sources.Tables.loadStream(spark, dir, "events")
     val maxRho = 55 // 60-bit hash, b=6 -> 64 registers, rho in [1, 55]
