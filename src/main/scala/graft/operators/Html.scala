@@ -44,9 +44,13 @@ object Html {
 
   /** Block-boundary tags. `td`/`tr`/`table` make table cells their own
     * blocks; `title`/`head`/`body`/`html` keep head text out of the
-    * first content block. */
+    * first content block. The name must END at the match — the
+    * `(?:[^a-zA-Z0-9>][^>]*)?>` suffix (attributes or nothing) is the
+    * RE2-safe boundary (no lookahead) that stops `<pre>`/`<picture>`/
+    * `<param>` matching `p`, or `<link>` matching `li`, which would
+    * split real paragraphs into sub-threshold fragments. */
   private[graft] val BlockSplit: String =
-    "(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|tr|td|table|nav|header|footer|section|article|html|head|body|title)[^>]*>"
+    "(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|tr|td|table|nav|header|footer|section|article|html|head|body|title)(?:[^a-zA-Z0-9>][^>]*)?>"
 
   private[graft] val ScriptPat = "(?is)<script[^>]*>.*?</script>"
   private[graft] val StylePat = "(?is)<style[^>]*>.*?</style>"

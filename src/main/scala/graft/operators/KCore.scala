@@ -130,7 +130,8 @@ object KCore {
     * edge shuffles + edge rewrite. Same fixpoint, same output, same
     * oracle. */
   def kCoreIncremental(edges: DataFrame, aCol: String, bCol: String, k: Int,
-                       maxRounds: Int = 12): DataFrame = {
+                       maxRounds: Int = 12,
+                       broadcastLimit: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val orig = edges
@@ -148,16 +149,23 @@ object KCore {
     while (!converged && round < maxRounds) {
       round += 1
       val newly = deg.filter(col("d") < k).select("node").sever()
-      if (newly.count() == 0) { // bounded driver read: one scalar
+      val nNew = newly.count() // bounded driver read: one scalar
+      if (nNew == 0) {
         converged = true
       } else {
-        // one scan of the immutable edge set; the removal flags are
-        // broadcast lookups, and each flagged edge emits its OTHER
-        // endpoint(s) as a decrement candidate
+        // one scan of the immutable edge set; the removal flags ride the
+        // scan as BROADCAST lookups while the removal set is
+        // broadcast-sized. The guard matters on round 1 of a high-k run,
+        // where `newly` can be O(|V|) (most nodes start below k): an
+        // unconditional broadcast() hint bypasses the size threshold and
+        // OOMs the driver — that round pays one honest edge shuffle
+        // instead, and later rounds return to the broadcast path.
+        val hint = (df: DataFrame) =>
+          if (nNew <= broadcastLimit) broadcast(df) else df
         val dcand = orig
-          .join(broadcast(newly.select(col("node").as("a"), lit(1).as("ra"))),
+          .join(hint(newly.select(col("node").as("a"), lit(1).as("ra"))),
             Seq("a"), "left")
-          .join(broadcast(newly.select(col("node").as("b"), lit(1).as("rb"))),
+          .join(hint(newly.select(col("node").as("b"), lit(1).as("rb"))),
             Seq("b"), "left")
           .filter(col("ra").isNotNull || col("rb").isNotNull)
           .select(explode(array(
@@ -166,7 +174,7 @@ object KCore {
           .filter(col("node").isNotNull)
         val delta = dcand.groupBy("node").agg(count(lit(1)).as("dd"))
         deg = deg
-          .join(broadcast(newly), Seq("node"), "left_anti")
+          .join(hint(newly), Seq("node"), "left_anti")
           .join(delta, Seq("node"), "left")
           .select(col("node"), (col("d") - coalesce(col("dd"), lit(0L))).as("d"))
           .sever()

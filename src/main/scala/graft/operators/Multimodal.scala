@@ -1390,7 +1390,9 @@ object Multimodal {
     // re-runs the upstream payload DECODE — at corpus scale that is a
     // second full pass over the media bytes to rebuild ~300 B/item of
     // signature (the r12 sever-the-loop-invariant lesson, applied to a
-    // DAG with two readers instead of a loop)
+    // DAG with two readers instead of a loop). Trade-off: localCheckpoint
+    // truncates lineage, so a lost executor aborts instead of recomputing
+    // — on a cluster, point this at a reliable checkpoint dir.
     val hashed = hashed0.localCheckpoint(true)
     val banded = hashed.select(col("media_id"), col("hi"), col("lo"), col(vecCol),
       posexplode(array(
@@ -1587,7 +1589,12 @@ object Multimodal {
       // ISO-BMFF: one contiguous mdat holds the frame-major stream
       mp4Meta(p).flatMap { case (_, w, h, nf, _, _) =>
         isoBoxes(p, 0, p.length).find(_._1 == "mdat").flatMap { case (_, bs, be) =>
-          if (be - bs < nf * w.toLong * h) None
+          // EXACT size, not >=: a compressed stream whose mdat merely
+          // exceeds nf·w·h must not be sliced as raw rasters (garbage
+          // fingerprints entering the dedup tables silently); matching
+          // the raw layout byte-exactly is the codec check this
+          // container path has (production: read the stsd codec tag)
+          if (be - bs != nf * w.toLong * h) None
           else sliceFrames(w, h, nf, f => Some(((bs + f * w * h).toInt, w * h)))
         }
       }

@@ -178,10 +178,16 @@ object Pdf {
 
   private def contentRefs(dict: String): Seq[Int] = refsIn(attr(dict, "Contents"))
 
+  /** Page leaves under a Pages node, /Kids order. `seen` breaks /Kids
+    * CYCLES a malformed file can carry — without it the recursion would
+    * StackOverflow, an Error the never-throws contract can't absorb. */
   private def walkKids(num: Int, kids: Map[Int, Seq[Int]],
-                       objs: Map[Int, PdfObj]): Seq[Int] =
-    kids.getOrElse(num, Seq.empty).flatMap { k =>
-      if (kids.contains(k)) walkKids(k, kids, objs) // nested Pages node
+                       objs: Map[Int, PdfObj],
+                       seen: Set[Int] = Set.empty): Seq[Int] =
+    if (seen.contains(num)) Seq.empty
+    else kids.getOrElse(num, Seq.empty).flatMap { k =>
+      if (k == num) Seq.empty
+      else if (kids.contains(k)) walkKids(k, kids, objs, seen + num)
       else Seq(k)
     }
 
@@ -219,7 +225,11 @@ object Pdf {
     try {
       val inf = new Inflater()
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      // long math: *4 overflows Int for >=512 MB slices reached via the
+      // endstream-scan path, and a negative ctor arg throws past the
+      // DataFormatException catch
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(data.length.toLong * 4L, 1L << 20).toInt)
       val buf = new Array[Byte](1 << 14)
       var guard = 0L
       while (!inf.finished()) {

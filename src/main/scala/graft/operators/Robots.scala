@@ -103,9 +103,13 @@ object Robots {
               // empty pattern matches nothing; rules before any group drop
               if (groups.nonEmpty && value.nonEmpty)
                 groups.last.rules += ((key == "allow", value))
-            case _ => collectingAgents = false // unknown directive
+            // RFC 9309: unrecognized lines are IGNORED ENTIRELY — they
+            // must not end agent collection, or an innocuous
+            // `Crawl-delay` between two User-agent lines would split one
+            // group into two and detach its rules from the first agent
+            case _ => ()
           }
-        } else collectingAgents = false // malformed line
+        } else () // malformed line: ignored entirely, same rule
       }
     }
     val a = agent.toLowerCase

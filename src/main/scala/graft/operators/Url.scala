@@ -59,7 +59,11 @@ object Url {
 
   def rawPath(u: Column): Column = regexp_extract(u, PathPat, 1)
 
-  def rawQuery(u: Column): Column = regexp_extract(u, "\\?([^#]*)", 1)
+  /** Query = first '?' BEFORE any '#' — an unanchored `\?` would match
+    * a '?' inside the fragment and resurrect fragment content as query
+    * (the SPA `#/route?page=2` shape). */
+  def rawQuery(u: Column): Column =
+    regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
 
   /** Rule 3: '' → '/', non-root single trailing '/' stripped. */
   def normPath(u: Column): Column = {

@@ -169,7 +169,10 @@ object Warc {
   private[graft] def gunzipAll(p: Array[Byte]): Option[Array[Byte]] = {
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(p), 1 << 16)
-      val out = new ByteArrayOutputStream(math.min(p.length * 4, 1 << 20))
+      // long math: p.length * 4 overflows Int for >=512 MB shards and a
+      // negative ctor arg would throw PAST the IOException catch below
+      val out = new ByteArrayOutputStream(
+        math.min(p.length.toLong * 4L, 1L << 20).toInt)
       val buf = new Array[Byte](1 << 16)
       var total = 0L
       var n = in.read(buf)

@@ -83,15 +83,21 @@ object TextIndex {
   }
 
   private def writeAll(docs: DataFrame, out: String, mode: String): Unit = {
-    val tf = postingsOf(docs)
+    // materialize the tokenize+aggregate ONCE: three writers consume it
+    // (postings, lexicon, stats) and without this each would re-run the
+    // full corpus tokenization — the multi-consumer-recompute trap.
+    // (On a cluster, prefer a reliable checkpoint for fault tolerance.)
+    val tf = postingsOf(docs).localCheckpoint(true)
     tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
         bucketCol(col("tok")).as("term_bucket"))
       .write.mode(mode).partitionBy("term_bucket").parquet(s"$out/postings")
     tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$out/lexicon")
-    val toks = split(lower(col("text")), " ")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(toks)).cast("long").as("total_tokens"))
+    // stats derive from tf too (dl repeats per posting; one row per doc
+    // via the distinct) — no third corpus scan
+    tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("total_tokens"))
       .write.mode(mode).parquet(s"$out/stats")
   }
 

@@ -48,6 +48,28 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
     assert(inline.getAs[Long]("link_chars") == "short note".length.toLong)
   }
 
+  test("tag-name boundary: <pre>/<picture>/<link> are NOT block splits, <p class=..> is") {
+    import spark.implicits._
+    // a paragraph interrupted by <picture> must stay ONE block — a
+    // prefix-match split would shatter it below minBlockChars and drop
+    // real content silently
+    val html = "<p>first half of a long enough content sentence " +
+      "<picture>x</picture> second half keeps it together</p>" +
+      "<P CLASS=\"x\">attributes and case still split into a second block here</P>"
+    val blk = Html.blocks(Seq((1L, html)).toDF("doc_id", "html"))
+      .filter(col("text") =!= "").orderBy("pos").collect()
+    assert(blk.length == 2, blk.map(_.getAs[String]("text")).mkString(" | "))
+    assert(blk(0).getAs[String]("text") ==
+      "first half of a long enough content sentence x second half keeps it together")
+    assert(blk(1).getAs[String]("text").startsWith("attributes and case"))
+    // <link> (prefix of li) and <br/> (self-closed boundary) behave
+    val h2 = "<head><link rel=stylesheet href=x></head>" +
+      "<p>line one of the paragraph<br/>line two of the paragraph</p>"
+    val b2 = Html.blocks(Seq((1L, h2)).toDF("doc_id", "html"))
+      .orderBy("pos").collect().map(_.getAs[String]("text"))
+    assert(b2.toSeq == Seq("line one of the paragraph", "line two of the paragraph"))
+  }
+
   test("mainContent on the fixture: link farms extract empty, duplicates extraction-keyed") {
     val main = Html.mainContent(Html.readHtmlDocs(spark, fixture))
       .select("doc_id", "main_text").collect()

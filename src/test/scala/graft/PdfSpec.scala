@@ -65,4 +65,23 @@ class PdfSpec extends AnyFunSuite with SharedSpark {
     assert(Pdf.extractText("%PDF-1.4 then nothing useful".getBytes("US-ASCII")) == ((0L, "")))
     assert(Pdf.extractText(Array.emptyByteArray) == ((0L, "")))
   }
+
+  test("a /Kids CYCLE terminates instead of StackOverflow (never-throws contract)") {
+    // root 2 -> 3 -> 4 -> back to 3: the walk from the reachable root
+    // must terminate (the un-referenced-root detection alone cannot
+    // save this shape — 2 IS a legitimate root)
+    val cyclic = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n" +
+      "4 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" + // cycle!
+      "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes("US-ASCII")
+    assert(Pdf.extractText(cyclic) == ((0L, "")))
+    // a Pages node whose Kids contain ITSELF under a clean root
+    val selfKid = ("%PDF-1.4\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "%%EOF\n").getBytes("US-ASCII")
+    assert(Pdf.extractText(selfKid) == ((0L, "")))
+  }
 }

@@ -56,6 +56,18 @@ class RobotsSpec extends AnyFunSuite with SharedSpark {
       Seq((false, "/one"), (false, "/two")))
   }
 
+  test("RFC ignore-unrecognized: an unknown line between two UA lines does NOT split the group") {
+    // RFC 9309: unrecognized lines are ignored entirely — 'a' and 'b'
+    // remain ONE group and both own the rule; a parser that ends agent
+    // collection on Crawl-delay would detach /private from agent a
+    val txt = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /private\n"
+    assert(Robots.effectiveRules(txt, "a") == Seq((false, "/private")))
+    assert(Robots.effectiveRules(txt, "b") == Seq((false, "/private")))
+    // same for a malformed (colon-less) line
+    val txt2 = "User-agent: a\nnot a directive\nUser-agent: b\nAllow: /ok\n"
+    assert(Robots.effectiveRules(txt2, "a") == Seq((true, "/ok")))
+  }
+
   test("allowDecisions: longest match wins, Allow breaks ties, default allow") {
     val urls = Seq(
       (1L, "h", "/a/25/x"), // disallow /a/2 vs allow /a/25: longer wins

@@ -61,6 +61,15 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
       "example.com", "localhost", "b.co.jp"))
   }
 
+  test("a '?' inside the FRAGMENT is not a query: SPA routes canonicalize clean") {
+    assert(canon("https://site.example/app#/route?page=2") ==
+      Seq("https://site.example/app"))
+    // and a real query before the fragment survives even when the
+    // fragment carries its own '?'
+    assert(canon("https://site.example/app?a=1#/route?page=2") ==
+      Seq("https://site.example/app?a=1"))
+  }
+
   test("host/scheme extraction strips userinfo and is lowercased") {
     val df = Seq("HTTP://User:PW@Host.Example.COM:8080/p?q=1#f").toDF("u")
     val r = df.select(Url.scheme(col("u")), Url.host(col("u")), Url.port(col("u"))).head()
