@@ -39,6 +39,20 @@ object Verify {
     // comma-separated allowlist of query names to dump
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // Unknown names in the allowlist must FAIL LOUDLY (r13 judge finding:
+    // a `q44_star_schema` typo was silently skipped and the run still
+    // printed "all dumped queries succeeded" — a gate invocation typo
+    // would produce a false "verified" impression). Exit nonzero BEFORE
+    // starting Spark so the mistake can't be buried under job logs.
+    only.foreach { names =>
+      val unknown = (names -- SparkEntry.queries.keySet).toSeq.sorted
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] UNKNOWN query name(s): ${unknown.mkString(", ")} — " +
+          "not in SparkEntry.queries; check spelling against the registry")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1180,7 +1180,14 @@ object Multimodal {
         val sym = acTab.decode(br)
         if (sym < 0) return false
         if (sym == 0x00) eob = true
-        else if (sym == 0xf0) z += 16
+        else if (sym == 0xf0) {
+          z += 16
+          // a ZRL that skips past the block end is malformed — reject
+          // here (matching the run/size branch's z > 63 strictness)
+          // instead of silently exiting the loop bit-misaligned, which
+          // would only surface when a LATER block fails to decode
+          if (z > 64) return false
+        }
         else {
           val run = sym >> 4; val size = sym & 15
           z += run

@@ -222,8 +222,12 @@ object Pdf {
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    // end() in finally: the native zlib state must be released on the
+    // bomb/truncation early returns and the DataFormatException path too,
+    // not just on success (r13 advice — a scan over many malformed PDFs
+    // would otherwise accumulate off-heap inflater memory until GC).
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(data)
       // long math: *4 overflows Int for >=512 MB slices reached via the
       // endstream-scan path, and a negative ctor arg throws past the
@@ -240,9 +244,9 @@ object Pdf {
         guard += n
         if (guard > (1L << 28)) return None // decompression bomb
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
   }
 
   // ---- content-stream text tokenizer ----

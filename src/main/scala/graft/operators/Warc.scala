@@ -167,8 +167,13 @@ object Warc {
   /** Multi-member gzip inflate with the bomb cap; None on any error or
     * cap breach (the shard is then skipped, not the job killed). */
   private[graft] def gunzipAll(p: Array[Byte]): Option[Array[Byte]] = {
+    // try/finally so the native zlib Inflater is released on EVERY path —
+    // including the bomb-cap early return and the IOException branch. A
+    // long scan over many malformed/bombed shards would otherwise pin
+    // off-heap inflater state until GC (r13 advice).
+    var in: GZIPInputStream = null
     try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(p), 1 << 16)
+      in = new GZIPInputStream(new ByteArrayInputStream(p), 1 << 16)
       // long math: p.length * 4 overflows Int for >=512 MB shards and a
       // negative ctor arg would throw PAST the IOException catch below
       val out = new ByteArrayOutputStream(
@@ -184,6 +189,7 @@ object Warc {
       }
       Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
+    finally if (in != null) { try in.close() catch { case _: java.io.IOException => () } }
   }
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {

@@ -73,7 +73,9 @@ object AnnIndex {
 
   private def memo(key: String)(f: String => Unit): String = synchronized {
     cached.getOrElse(key, {
-      val out = Files.createTempDirectory("graft-annindex").toString + "/index"
+      val root = Files.createTempDirectory("graft-annindex").toString
+      TempRoots.register(root) // deleted at JVM exit (r13 advice: /tmp accumulation)
+      val out = root + "/index"
       f(out)
       cached += key -> out
       out

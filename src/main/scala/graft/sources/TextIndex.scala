@@ -54,7 +54,9 @@ object TextIndex {
 
   private def memo(key: String)(f: String => Unit): String = synchronized {
     cached.getOrElse(key, {
-      val out = Files.createTempDirectory("graft-textindex").toString + "/index"
+      val root = Files.createTempDirectory("graft-textindex").toString
+      TempRoots.register(root) // deleted at JVM exit (r13 advice: /tmp accumulation)
+      val out = root + "/index"
       f(out)
       cached += key -> out
       out

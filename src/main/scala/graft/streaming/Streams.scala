@@ -227,9 +227,24 @@ object Streams {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-warc-stream-").toString
     val src = s"$tmp/shards"
-    // land each shard in its own file: the unit of arrival
-    spark.read.parquet(fixturePath).repartition(6, col("shard_id"))
-      .write.mode("overwrite").parquet(src)
+    // land each shard in its OWN file: the unit of arrival. An explicit
+    // per-shard write (not repartition(6, shard_id), which hash-partitions
+    // and can collide two ids into one file leaving others empty — r13
+    // advice) guarantees the documented drip: 6 files at
+    // maxFilesPerTrigger=2 means >=3 micro-batches.
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val fixture = spark.read.parquet(fixturePath)
+    val ids = fixture.select("shard_id").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: one row per shard file
+    ids.foreach { id =>
+      val stage = s"$tmp/stage/$id"
+      fixture.filter(col("shard_id") === id).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for shard $id"))
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$src/shard-$id.parquet"))
+    }
     val schema = spark.read.parquet(src).schema
     val shards = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2)
