@@ -31,10 +31,57 @@ case class RobotsRule(site: String, rule_idx: Int, allow: Boolean, path: String)
   *     determinism), default ALLOW when nothing matches. One equi-join
   *     + one groupBy on the url key; never urls × all-rules.
   *
-  * PINNED subset (documented, oracle-replayable): rule patterns are
-  * PLAIN PREFIXES — the RFC's `*`/`$` pattern extensions are out of
-  * scope, matching is on the normalized PATH (query excluded). */
+  * Pattern language (RFC 9309 §2.2.3, oracle-replayable): a rule
+  * pattern matches from the START of the normalized path; `*` matches
+  * any character sequence; a TRAILING `$` anchors the end of the path.
+  * Pinned choices (documented so the DuckDB oracle replays them
+  * exactly): a NON-trailing `$` is a literal character; specificity for
+  * longest-match is the RAW pattern length (wildcards counted — the
+  * googlebot convention), ties Allow-wins then lexicographic. Matching
+  * is on the PATH only (query excluded). The pattern→regex conversion
+  * is ONE shared SQL expression ([[patternRegexSqlFor]]) interpolated
+  * into both the Spark join predicate and the DuckDB oracle, so the
+  * two sides cannot drift. */
 object Robots {
+
+  /** SQL expression — parseable by BOTH Spark SQL and DuckDB — that
+    * converts the robots pattern expression `p` into an anchored
+    * RE2-and-Java-safe regex: trailing `$` → end anchor, `*` → `.*`,
+    * every other regex metacharacter escaped literally. Backslashes are
+    * built with chr(92) because the two engines disagree on backslash
+    * escapes inside string literals (Spark processes them, DuckDB does
+    * not). Plain-prefix patterns (no wildcards) convert to `^literal`,
+    * preserving the old startswith semantics exactly. */
+  private[graft] def patternRegexSqlFor(p: String): String = {
+    val anchored = s"substr($p, length($p), 1) = chr(36)"
+    val stem = s"CASE WHEN $anchored THEN substr($p, 1, length($p) - 1) ELSE $p END"
+    // escape order: backslash FIRST (later steps introduce none), then
+    // the remaining metacharacters; '*' stays un-escaped and becomes .*
+    val metas = Seq(".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^")
+    val esc0 = s"replace($stem, chr(92), chr(92) || chr(92))"
+    val escd = metas.foldLeft(esc0) { (acc, m) =>
+      s"replace($acc, '$m', chr(92) || '$m')"
+    }
+    // mid-pattern '$' is literal (the trailing anchor was stripped above)
+    val dollarEscd = s"replace($escd, chr(36), chr(92) || chr(36))"
+    val starred = s"replace($dollarEscd, '*', '.*')"
+    s"('^' || $starred || CASE WHEN $anchored THEN chr(36) ELSE '' END)"
+  }
+
+  /** Driver-side twin of [[patternRegexSqlFor]] + match, for tests and
+    * driver-side planning. */
+  private[graft] def matchesPattern(path: String, pattern: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val stem = if (anchored) pattern.dropRight(1) else pattern
+    val sb = new StringBuilder("^")
+    stem.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.+?()[]{}|^$".contains(c) => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString().r.findFirstMatchIn(path).isDefined
+  }
 
   def readRobots(spark: SparkSession, path: String): Dataset[RobotsFile] = {
     import spark.implicits._
@@ -60,9 +107,11 @@ object Robots {
                      pathCol: String = "path"): DataFrame = {
     val r = ruleRows.toDF().select(col("site"), col("allow"),
       col("path").as("rule_path"))
+      // precomputed once per RULE row (broadcast-sized), not per url×rule
+      .withColumn("__rule_re", expr(patternRegexSqlFor("rule_path")))
     val joined = urls.join(r,
       urls(hostCol) === r("site") &&
-        expr(s"startswith($pathCol, rule_path)"), "left")
+        expr(s"$pathCol rlike __rule_re"), "left")
     val carried = urls.columns.filterNot(_ == keyCol)
     val best = max(when(col("rule_path").isNotNull,
       struct(length(col("rule_path")).as("l"),

@@ -2854,7 +2854,8 @@ object LlmQueries {
          |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) g),
          |j AS (SELECT u.doc_id, u.host, u.path, r.allow, r.rule_path
          |      FROM u LEFT JOIN r
-         |        ON u.host = r.site AND starts_with(u.path, r.rule_path)),
+         |        ON u.host = r.site
+         |       AND regexp_matches(u.path, ${graft.operators.Robots.patternRegexSqlFor("r.rule_path")})),
          |b AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY len(rule_path) DESC NULLS LAST,
          |                 allow DESC NULLS LAST,
@@ -2889,7 +2890,8 @@ object LlmQueries {
          |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) i),
          |j AS (SELECT f.canonical_url, f.host, f.path, r.allow, r.rule_path
          |      FROM fresh f LEFT JOIN r
-         |        ON f.host = r.site AND starts_with(f.path, r.rule_path)),
+         |        ON f.host = r.site
+         |       AND regexp_matches(f.path, ${graft.operators.Robots.patternRegexSqlFor("r.rule_path")})),
          |b AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
          |        ORDER BY len(rule_path) DESC NULLS LAST,
          |                 allow DESC NULLS LAST,

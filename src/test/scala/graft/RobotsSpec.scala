@@ -16,12 +16,62 @@ class RobotsSpec extends AnyFunSuite with SharedSpark {
         s -> rs.sortBy(_.rule_idx).map(r => (r.allow, r.path)).toSeq
       }
     assert(got("www.example.com") ==
-      Seq((false, "/a/2"), (true, "/a/25"), (false, "/a/7")))
+      Seq((false, "/a/2"), (true, "/a/25"), (false, "/a/7"),
+        (false, "/a/*0$"), (true, "/a/1*")))
     assert(got("api.news.example.co.uk") ==
       Seq((false, "/a/3"), (true, "/a/33")))
     assert(got("cdn.files.sample.org") == Seq((false, "/")))
     assert(got("unvisited.example.net") ==
       Seq((false, "/private"), (true, "/private/ok")))
+    assert(got("example.com") ==
+      Seq((false, "/doc7"), (true, "/doc75"), (false, "/doc*9$")))
+  }
+
+  test("RFC 9309 §2.2.3 pattern matching: *, trailing $, literal metachars") {
+    import Robots.matchesPattern
+    // plain prefix unchanged
+    assert(matchesPattern("/a/25/x", "/a/2"))
+    assert(!matchesPattern("/b", "/a"))
+    // * matches any sequence (including empty)
+    assert(matchesPattern("/a/10", "/a/*0"))
+    assert(matchesPattern("/a/0", "/a/*0"))
+    assert(matchesPattern("/fish/salmon.html", "/fish*"))
+    assert(matchesPattern("/x/deep/file.pdf", "/*.pdf"))
+    // trailing $ anchors the END of the path
+    assert(matchesPattern("/a/10", "/a/*0$"))
+    assert(!matchesPattern("/a/10/x", "/a/*0$"))
+    assert(matchesPattern("/p.php", "/p.php$"))
+    assert(!matchesPattern("/p.php?q=1", "/p.php$"))
+    // non-trailing $ and regex metachars are LITERAL
+    assert(matchesPattern("/a$b/c", "/a$b"))
+    assert(!matchesPattern("/aXb/c", "/a$b"))
+    assert(matchesPattern("/p.php", "/p.php"))
+    assert(!matchesPattern("/pXphp", "/p.php")) // '.' is not a regex dot
+    assert(matchesPattern("/q(1)[2]{3}|4+5?", "/q(1)[2]{3}|4+5?"))
+    // backslash in a pattern is literal too
+    assert(matchesPattern("/w\\in", "/w\\in"))
+    assert(!matchesPattern("/win", "/w\\in"))
+  }
+
+  test("allowDecisions with wildcard rules: longest raw pattern wins across * and $") {
+    val urls = Seq(
+      (1L, "h", "/a/10"),   // Disallow /a/*0$ (7) beats Allow /a/1* (5): blocked
+      (2L, "h", "/a/12"),   // only Allow /a/1* matches: allowed
+      (3L, "h", "/a/250"),  // Allow /a/25 (5) vs Disallow /a/*0$ (7): blocked
+      (4L, "h", "/a/25")    // Allow /a/25 (5) vs Disallow /a/2 (4): allowed
+    ).toDF("doc_id", "host", "path")
+    val rules = Seq(
+      graft.operators.RobotsRule("h", 0, false, "/a/2"),
+      graft.operators.RobotsRule("h", 1, true, "/a/25"),
+      graft.operators.RobotsRule("h", 2, false, "/a/*0$"),
+      graft.operators.RobotsRule("h", 3, true, "/a/1*")).toDS()
+    val got = Robots.allowDecisions(urls, rules)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_rule")))).toMap
+    assert(got(1L) == ((false, "/a/*0$")))
+    assert(got(2L) == ((true, "/a/1*")))
+    assert(got(3L) == ((false, "/a/*0$")))
+    assert(got(4L) == ((true, "/a/25")))
   }
 
   test("group semantics: specific agent overrides *, multi-UA groups, merged groups") {

@@ -18,6 +18,15 @@ CONTENT populations (what the composed q64-clean on extracted text sees):
   ids 260-279  Spanish-flavored content -> language-dropped
   ids 280-299  link farm (nav blocks only, no >=25-char text block):
                empty extraction -> dropped
+  ids 300-319  SINGLE-BLOCK near-duplicate of (id-260), i.e. seeds 40-59:
+               the whole content (incl. the suffix decorations at their
+               original token positions) packed into ONE <p> with ONE
+               word changed -> the block text differs from every base
+               block (SURVIVES corpus-wide paragraph dedup whole) while
+               the doc-level 3-shingle Jaccard vs the base stays >= 0.8
+               (dies at the doc near-dup ladder). The population that
+               keeps the near-dup stage observable in a composed
+               paragraph-dedup-first pipeline (graft.app.WebCorpusApp).
 
 Paragraph sentence formula (seed = content seed, j = sentence index,
 k = slot): the English pattern
@@ -74,7 +83,7 @@ def nav_block(d, n_links):
     return "<nav><ul>%s</ul></nav>" % items
 
 
-def page(d, paras, extra_navs=0, ckey=None):
+def page(d, paras, extra_navs=0, ckey=None, raw_paras=False):
     # ckey keys every CONTENT-affecting decoration (entity suffixes,
     # inline-link text, the bare-< sentence) so duplicate rows replicate
     # their base's EXTRACTED text exactly while the boilerplate (nav,
@@ -91,7 +100,13 @@ def page(d, paras, extra_navs=0, ckey=None):
     body.append(nav_block(d, 4 + d % 4))
     for j, text in enumerate(paras):
         # entities + an inline low-density link on some paragraphs
+        # (raw_paras: the caller baked every suffix in already — the
+        # 300-319 single-block near-dups need the decorations at their
+        # BASE token positions, which the j-keyed rules can't express)
         t = text
+        if raw_paras:
+            body.append(p_open + t + p_close)
+            continue
         if j == 0:
             t += " &amp; the &quot;%s&quot; of %s" % (WORDS[ckey % 16],
                                                       WORDS[(ckey + 5) % 16])
@@ -116,8 +131,32 @@ def page(d, paras, extra_navs=0, ckey=None):
             % (d, style, script, comment, "".join(body), comment))
 
 
+def norm_tokens(paras, ckey):
+    """The EXTRACTED token stream of a base-population page (the Html
+    normalize chain applied by hand: entities decoded, tags stripped,
+    whitespace collapsed) — used to engineer/assert the 300-319
+    near-dup Jaccard exactly (round-13 lesson: verify survivor
+    populations EXACTLY, not 'roughly')."""
+    toks = []
+    for j, s in enumerate(paras):
+        t = s
+        if j == 0:
+            t += ' & the "%s" of %s' % (WORDS[ckey % 16], WORDS[(ckey + 5) % 16])
+        if j == 1 and len(paras) > 1:
+            t += " see the %s note of it" % WORDS[(ckey + 7) % 16]
+        if ckey % 5 == 2 and j == len(paras) - 1 and len(paras) > 1:
+            t += " where 3 < %d of the budget" % (5 + ckey % 9)
+        toks.extend(t.split(" "))
+    return toks
+
+
+def shingles3(toks):
+    low = [t.lower() for t in toks]
+    return set(tuple(low[i:i + 3]) for i in range(len(low) - 2))
+
+
 ids, urls, htmls = [], [], []
-for d in range(300):
+for d in range(320):
     if d < 200:
         paras = content_paras(d, 4 + (d * 3) % 5)
         html = page(d, paras)
@@ -134,8 +173,53 @@ for d in range(300):
     elif d < 280:
         paras = content_paras(d, 4 + (d * 3) % 5, lang="es")
         html = page(d, paras)
-    else:
+    elif d < 300:
         html = page(d, [], extra_navs=3)       # link farm, no content
+    else:
+        # 300-319: the base page's full EXTRACTED content (suffixes at
+        # their original positions, entity-encoded as the base encodes
+        # them) as ONE paragraph, with sentence 1's "a W to" slot (the
+        # k=3 word) changed to WORDS[(seed+9)%16] (provably != the
+        # original (7*seed+14)%16 word: equality would need the odd
+        # 6*seed ≡ -5 (mod 16), impossible)
+        seed = d - 260
+        n = 4 + (seed * 3) % 5
+        base = content_paras(seed, n)
+        alt = list(base)
+        w_orig = WORDS[(seed * 7 + 1 * 5 + 3 * 3) % 16]
+        w_alt = WORDS[(seed + 9) % 16]
+        assert w_alt != w_orig, (d, w_orig)
+        alt[1] = alt[1].replace(" a %s to " % w_orig, " a %s to " % w_alt, 1)
+        assert alt[1] != base[1], d
+        parts = []
+        for j, s in enumerate(alt):
+            t = s
+            if j == 0:
+                t += " &amp; the &quot;%s&quot; of %s" % (WORDS[seed % 16],
+                                                          WORDS[(seed + 5) % 16])
+            if j == 1:
+                t += ' see <a href=/ref%d>the %s note</a> of it' % (
+                    d, WORDS[(seed + 7) % 16])
+            if seed % 5 == 2 and j == n - 1:
+                t += " where 3 < %d of the budget" % (5 + seed % 9)
+            parts.append(t)
+        big = " ".join(parts)
+        html = page(d, [big], raw_paras=True)
+        # engineered-exactness assertions: the near-dup must clear the
+        # integer 3-shingle Jaccard gate 5*|∩| >= 4*|∪| vs its base, must
+        # NOT be an exact duplicate, and its single block (the whole doc)
+        # must be longer than any base block so it can never hash-equal
+        # one (it survives corpus-wide paragraph dedup whole)
+        import re as _re
+        base_toks = norm_tokens(base, seed)
+        raw = big.replace("&amp;", "&").replace("&quot;", '"')
+        raw = _re.sub(r"<[^>]*>", " ", raw)
+        alt_toks = " ".join(raw.split()).split(" ")
+        assert alt_toks != base_toks, d
+        sa, sb = shingles3(base_toks), shingles3(alt_toks)
+        inter, union = len(sa & sb), len(sa | sb)
+        assert 5 * inter >= 4 * union, (d, inter, union)
+        assert len(alt_toks) > max(len(s.split(" ")) for s in base) + 11, d
     ids.append(d)
     urls.append("https://example.com/doc%d" % d)
     htmls.append(html)

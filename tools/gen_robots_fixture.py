@@ -34,7 +34,10 @@ def site(name, txt, rules):
     SITES.append((name, txt, rules))
 
 
-# graftbot has its OWN group here: the * group must be IGNORED entirely
+# graftbot has its OWN group here: the * group must be IGNORED entirely.
+# The group also carries RFC 9309 §2.2.3 WILDCARD patterns: `*` matches
+# any char sequence, a TRAILING `$` anchors the end of the path
+# (specificity stays the raw pattern length, ties Allow-wins).
 site(
     "www.example.com",
     "# robots for example.com\r\n"
@@ -48,10 +51,25 @@ site(
     "Disallow: /a/2\r\n"
     "ALLOW: /a/25\r\n"                          # upper-case directive
     "Disallow: /a/7\r\n"
+    "Disallow: /a/*0$\r\n"                      # wildcard: any /a/ path ending in 0
+    "Allow: /a/1*\r\n"                          # trailing-* (= prefix) form
     "\r\n"
     "User-agent: otherbot\r\n"
     "Disallow: /\r\n",
-    [(False, "/a/2"), (True, "/a/25"), (False, "/a/7")])
+    [(False, "/a/2"), (True, "/a/25"), (False, "/a/7"),
+     (False, "/a/*0$"), (True, "/a/1*")])
+
+# the WebCorpusApp crawl host (plain + wildcard rules): /doc7 blocks the
+# /doc7x tree with a /doc75 carve-out; /doc*9$ blocks every path ending
+# in 9. NOTE: no /a/-prefixed rule here, so the q305/q307 populations
+# (paths /a/N on host example.com) still take the default-allow path.
+site(
+    "example.com",
+    "User-agent: graftbot\n"
+    "Disallow: /doc7\n"
+    "Allow: /doc75\n"
+    "Disallow: /doc*9$\n",
+    [(False, "/doc7"), (True, "/doc75"), (False, "/doc*9$")])
 
 # only a * group (LF endings, comments, blank lines, empty Disallow,
 # two UA lines sharing the group, Sitemap skipped)
@@ -79,8 +97,9 @@ site(
     "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok\n",
     [(False, "/private"), (True, "/private/ok")])
 
-# NOTE: example.com (the d%6==5 canonical host) has NO robots row at
-# all -> the filter's default-allow path.
+# NOTE: unvisited.example.net keeps the parsed-but-unused path; the
+# q305/q307 default-allow case is now example.com's /a/N population
+# (rules exist for the host but none match those paths).
 
 table = pa.table({
     "site": pa.array([s for s, _, _ in SITES], pa.string()),
