@@ -30,6 +30,8 @@ object LlmQueries {
   private val pdfDocs = "/root/repo/fixtures/pdf_docs.parquet"
   private val robotsFx = "/root/repo/fixtures/robots.parquet"
   private val sitemapsFx = "/root/repo/fixtures/sitemaps.parquet"
+  private val warcCharsetShards = "/root/repo/fixtures/warc_charset_shards.parquet"
+  private val warcCharsetPages = "/root/repo/fixtures/warc_charset_pages.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -766,6 +768,18 @@ object LlmQueries {
       .filter(col("allowed"))
       .select(col("canonical_url"), col("host"), col("path"), col("matched_rule"))
   }
+
+  /** q312: CHARSET-AWARE body decode ([[graft.operators.Warc.decodeBody]])
+    * — the legacy-encoding front door: windows-1252/iso-8859-1/shift_jis
+    * pages declared via the HTTP Content-Type header, a `<meta>` tag, or
+    * not at all (strict-utf-8 with the windows-1252 browser fallback).
+    * PACK-AND-RECOVER with a STORED expectation: the fixture keeps the
+    * canonical charset label and the decoded text per url, written
+    * independently of the engine; one wrong alias, sniff, or fallback
+    * step diverges on the string compare. */
+  def q312WarcCharset(s: SparkSession, dir: String): DataFrame =
+    Warc.decodedResponses(Warc.readShards(s, warcCharsetShards))
+      .select(col("url"), col("charset"), col("text"))
 
   /** q308: overlapping-window chunking ([[graft.operators.Chunker]]) —
     * the splitter between cleaning and embedding: 64-token windows at
@@ -1967,6 +1981,7 @@ object LlmQueries {
     "q306_sitemap_urls" -> (q306SitemapUrls _),
     "q307_crawl_frontier" -> (q307CrawlFrontier _),
     "q308_chunk_docs" -> (q308ChunkDocs _),
+    "q312_warc_charset" -> (q312WarcCharset _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2914,6 +2929,16 @@ object LlmQueries {
         |  array_to_string(toks[chunk_start + 1 : chunk_start + 64], ' ') AS chunk_text,
         |  CAST(least(64, n - chunk_start) AS BIGINT) AS chunk_tokens
         |FROM c""".stripMargin,
+    // stored-expectation oracle: label + decoded text were written by
+    // the fixture generator independently of the engine's byte walk
+    "q312_warc_charset" ->
+      s"""SELECT url, charset, text
+         |FROM read_parquet('$warcCharsetPages')""".stripMargin,
+    // stored-expectation oracle: label + decoded text were written by
+    // the fixture generator independently of the engine's byte walk
+    "q312_warc_charset" ->
+      s"""SELECT url, charset, text
+         |FROM read_parquet('$warcCharsetPages')""".stripMargin,
     "q299_paragraph_hist_screen" ->
       s"""WITH $htmlBlockCtes,
          |hist AS (SELECT DISTINCT text AS ht FROM hblk WHERE doc_id < 150)

@@ -105,4 +105,32 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
         .select("url", "mt2"), "url")
       .filter(col("main_text") =!= col("mt2")).count() == 0)
   }
+
+  test("decodeBody: pinned charset fallback order and alias normalization") {
+    import Warc.decodeBody
+    def b(s: String, enc: String) = s.getBytes(enc)
+    // header wins, aliases normalize, quoted form accepted
+    assert(decodeBody(b("café", "windows-1252"),
+      Some("text/html; charset=CP1252")) == (("windows-1252", "café")))
+    assert(decodeBody(b("café", "UTF-8"),
+      Some("text/html; charset=\"utf-8\"")) == (("utf-8", "café")))
+    // meta sniff (header silent), both meta forms
+    assert(decodeBody(b("<meta charset=latin1><p>über", "ISO-8859-1"),
+      Some("text/html"))._1 == "iso-8859-1")
+    assert(decodeBody(
+      b("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=Shift_JIS\">データ",
+        "Shift_JIS"), None) == (("shift_jis",
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=Shift_JIS\">データ")))
+    // undeclared: strict utf-8 first, windows-1252 fallback on malformed
+    assert(decodeBody(b("中文 ok", "UTF-8"), None) == (("utf-8", "中文 ok")))
+    assert(decodeBody(b("résumé", "windows-1252"), Some("text/html")) ==
+      (("windows-1252", "résumé")))
+    // unknown declared charset is treated as undeclared (utf-8 path)
+    assert(decodeBody(b("plain", "UTF-8"),
+      Some("text/html; charset=ebcdic-weird")) == (("utf-8", "plain")))
+    // declared-but-dirty never throws: malformed bytes REPLACED
+    val (cs, txt) = decodeBody(Array[Byte](0x61, 0xC3.toByte),
+      Some("text/html; charset=utf-8"))
+    assert(cs == "utf-8" && txt.startsWith("a"))
+  }
 }
