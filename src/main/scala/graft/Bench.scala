@@ -107,6 +107,7 @@ object Bench {
       // join-many is the operator's contract, so its measured cost is the
       // join. CorpusAppSpec pins this reset's rebuild behavior.)
       graft.queries.CorpusQueries.resetMaterializedState()
+      graft.queries.WebCorpusQueries.resetMaterializedState()
       // q133 measures TRAINING — drop the learned-merges memo so every
       // pass retrains (storage-layout memos stay amortized by contract)
       graft.queries.ScaleQueries.resetTrainedMerges()

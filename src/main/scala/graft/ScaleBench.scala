@@ -573,6 +573,96 @@ object ScaleBench {
           s"""{"query":"warc_throughput","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
       }
     }
+    // Variant probe: the END-TO-END WebCorpusApp build+append priced at
+    // crawl scale. Replicas rewrite the shard HOST with a byte-LENGTH-
+    // PRESERVING substitution (example.com → examp%02d.com — WARC
+    // Content-Length framing stays valid, and the Location/Host headers
+    // inside HTTP blocks are covered too), so every replica carries
+    // DISTINCT urls with IDENTICAL content: the mirror-site regime the
+    // paragraph dedup exists for. Pages grow ×N while distinct content
+    // stays ×1 — survivors must stay ~flat and the dedup shuffles must
+    // track distinct paragraphs, not occurrences. The gz shard is
+    // inflated once so the rewrite sees record bytes (the gz framing
+    // itself is priced by warc_throughput).
+    if (only.exists(_.contains("webcorpus_scale"))) {
+      try {
+        import spark.implicits._
+        val robotsFx = "/root/repo/fixtures/robots.parquet"
+        val base = graft.operators.Warc
+          .readShards(spark, "/root/repo/fixtures/warc_shards.parquet")
+          .collect()
+        def rewriteHost(b: Array[Byte], k: Int): Array[Byte] = {
+          val pat = "example.com".getBytes("US-ASCII")
+          val rep = f"examp$k%02d.com".getBytes("US-ASCII")
+          require(rep.length == pat.length)
+          val o = java.util.Arrays.copyOf(b, b.length)
+          var i = 0
+          while (i <= o.length - pat.length) {
+            var j = 0
+            while (j < pat.length && o(i + j) == pat(j)) j += 1
+            if (j == pat.length) {
+              System.arraycopy(rep, 0, o, i, rep.length); i += pat.length
+            } else i += 1
+          }
+          o
+        }
+        def writeShards(dir: String, reps: Int): Unit =
+          spark.createDataset(
+            (0 until reps).flatMap { k =>
+              base.map { s =>
+                val plain =
+                  if (s.gz) graft.operators.Warc.gunzipAll(s.payload).get
+                  else s.payload
+                graft.operators.WarcShard(k.toLong * 6 + s.shard_id, gz = false,
+                  if (k == 0) plain else rewriteHost(plain, k))
+              }
+            }).toDF().write.mode("overwrite").parquet(dir)
+        def rmTree(p: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        def manifestOf(out: String): (Long, Long) = {
+          val m = spark.read.parquet(s"$out/manifest").head()
+          (m.getAs[Long]("n_pages"), m.getAs[Long]("n_corpus"))
+        }
+        def runBuild(label: String, reps: Int): Unit = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-webcorpus-scale").toString
+          writeShards(s"$dir/shards", reps)
+          metrics.reset()
+          val t0 = System.nanoTime()
+          graft.app.WebCorpusApp.build(spark, s"$dir/shards", robotsFx, s"$dir/out")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (nPages, nCorpus) = manifestOf(s"$dir/out")
+          println(f"""{"query":"$label","replicas":$reps%d,"pages":$nPages%d,"corpus":$nCorpus%d,"sec":${math.round(sec * 1000) / 1000.0}%s,"pages_per_sec":${math.round(nPages / sec * 10) / 10.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"shuffle_write_mb":${mb(metrics.shufWrite.get)}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s}""")
+          rmTree(dir)
+        }
+        runBuild("webcorpus_build_x1", 1)
+        runBuild("webcorpus_build_x10", 10)
+        runBuild("webcorpus_build_x30", 30)
+        // append leg: history = 9 replicas, batch = the 10th — the cost
+        // must be batch-proportional (history text never re-read)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-webcorpus-scale-app").toString
+        writeShards(s"$dir/shards", 10)
+        graft.app.WebCorpusApp.build(spark, s"$dir/shards", robotsFx,
+          s"$dir/out", shardPred = col("shard_id") < 54)
+        metrics.reset()
+        val t0 = System.nanoTime()
+        graft.app.WebCorpusApp.append(spark, s"$dir/shards", robotsFx,
+          s"$dir/out", batchId = "r9", shardPred = col("shard_id") >= 54)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (nPages, nCorpus) = manifestOf(s"$dir/out")
+        println(f"""{"query":"webcorpus_append_1of10","pages_total":$nPages%d,"corpus":$nCorpus%d,"append_sec":${math.round(sec * 1000) / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s}""")
+        rmTree(dir)
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"webcorpus_scale","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
+      }
+    }
     // Variant probe: FULL-GRAPH 4-truss at sf0.1 — the un-oriented wedge
     // form measured 109 s here (NOTES_r10), which is why q257 ships on
     // the vetted backbone; the degree-oriented support rewrite should

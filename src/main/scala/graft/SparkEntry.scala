@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.StreamingQueries.queries ++
       graft.queries.StarQueries.queries ++
       graft.queries.CorpusQueries.queries ++
+      graft.queries.WebCorpusQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CurationQueries.queries
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.queries.StreamingQueries.oracles ++
       graft.queries.StarQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
+      graft.queries.WebCorpusQueries.oracles ++
       graft.queries.ScaleQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++
       graft.queries.CurationQueries.oracles

@@ -1,0 +1,365 @@
+package graft.app
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.md5Long
+import graft.operators.{Dedup, GlobalOrder, Html, Robots, Url, Warc}
+import graft.operators.Sever.SeverOps
+import graft.sources.{AnnIndex, Sinks, TextIndex}
+
+/** The runnable WEB-CORPUS builder — the crawl-stack counterpart of
+  * [[CorpusApp]]: one call takes raw WARC shards through the complete
+  * production pipeline and materializes the corpus plus every derived
+  * artifact a downstream trainer or search stack reads:
+  *
+  *   WARC bytes → HTTP-200 responses → charset-aware decode
+  *   → URL canonicalization + dedup → robots permission (RFC 9309,
+  *   wildcards included) → HTML content-block extraction
+  *   → corpus-wide PARAGRAPH dedup (the CCNet line-dedup step: removes
+  *     boilerplate and exact-copy mass without any doc-pair work)
+  *   → language + quality gates → exact doc dedup → near-dup ladder
+  *   → deterministic global order + training shards
+  *
+  * Written under `outDir` ([[Sinks.overwriteSwap]] crash guarantees):
+  *  - `corpus`           — url, canonical_url, host, charset, fp,
+  *                         n_tokens, n_pars, n_kept, text, pos, shard
+  *  - `rejects`          — (url, stage): WHY every non-surviving page
+  *                         died, stage ∈ url_duplicate | robots_disallowed
+  *                         | no_content | paragraph_dup | language |
+  *                         quality | exact_duplicate | near_duplicate —
+  *                         the lineage table a curation team audits
+  *  - `paragraph_hashes` — one md5 per DISTINCT paragraph ever seen:
+  *                         the bounded state (~16 B/paragraph) that makes
+  *                         incremental ingest possible without re-reading
+  *                         corpus text
+  *  - `manifest`         — one row of per-stage counts: the handshake a
+  *                         consumer validates before reading a shard
+  *  - `ledger`           — applied-batch ledger (exactly-once appends
+  *                         under at-least-once delivery)
+  *  - `text_index`       — the persisted inverted index
+  *                         ([[graft.sources.TextIndex]]) over the WRITTEN
+  *                         corpus, doc_id = pos
+  *  - `embeddings`       — 64-dim signed-feature-hash document vectors
+  *                         (integer-valued, oracle-replayable)
+  *  - `ann_index`        — the persisted IVF-PQ index
+  *                         ([[graft.sources.AnnIndex]]) over those vectors.
+  *                         Retrieval is TWO-STAGE (the production shape):
+  *                         the index generates ADC candidates, then the
+  *                         embeddings table reranks them exactly — on
+  *                         near-orthogonal hash vectors the 4-centroid PQ
+  *                         is a candidate screen, not a ranker
+  *                         (WebCorpusAppSpec pins recall@10 ≥ 0.7 at
+  *                         nprobe=2 + rerank-50)
+  *
+  * Determinism: every keeper/order decision keys on (url, pos) or a
+  * url hash — no RNG, no timestamps — so the same shards produce the
+  * same corpus on every run and [[build]] is a no-op by content.
+  *
+  * Scale shape: the WARC walk is one task per shard (zero shuffle);
+  * extraction and scoring are narrow projections; every dedup stage is
+  * an equi-join/groupBy on a hash or url key; robots rules are a
+  * broadcast-sized table; paragraph state is per DISTINCT paragraph.
+  * The near-dup stage is the PPJoin exact ladder the one-shot clean
+  * pins ([[graft.queries.LlmQueries.corpusSurvivorsOf]]'s convention —
+  * prefix-filtered candidates, never naive all-pairs); at 100 TB the
+  * banded MinHash ladder (q264) is the drop-in screen in front of it.
+  *
+  * [[append]] ingests a batch by reading only the written STATE tables
+  * (canonical-url set, paragraph hashes, corpus fps, max position) —
+  * the corpus text is never re-read; cost is linear in the batch. */
+object WebCorpusApp {
+
+  /** Docs per training shard — small so fixture scales exercise several
+    * shards; production sizes this to the trainer's file budget. */
+  val ShardSize = 64L
+
+  val Agent = "graftbot"
+
+  // ---------------------------------------------------------------- build
+
+  def build(spark: SparkSession, shardsPath: String, robotsPath: String,
+            outDir: String, shardPred: Column = lit(true)): Unit = {
+    val pages = decodePages(spark, shardsPath, shardPred)
+    val nPages = pages.count()
+    val staged = runPipeline(spark, pages, robotsPath,
+      histParHashes = None, corpusFps = None, crawledCanonical = None)
+    val corpus = GlobalOrder.rank(staged.survivors, "__h", "url", out = "pos")
+      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
+      .select("url", "canonical_url", "host", "charset", "fp",
+        "n_tokens", "n_pars", "n_kept", "text", "pos", "shard")
+    Sinks.overwriteSwap(corpus, s"$outDir/corpus")
+    Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects")
+    Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes")
+    refresh(spark, outDir)
+    writeLedger(spark, outDir, Map("__init" -> nPages))
+    auditDerived(spark, outDir)
+    buildIndexes(spark, outDir)
+  }
+
+  /** Incremental ingest: one batch of shards through the same pipeline,
+    * gated against the WRITTEN state only — already-crawled canonical
+    * urls, the paragraph-hash history, and corpus content fingerprints.
+    * Near-dup screening is within-batch (the [[CorpusApp.append]]
+    * convention; batch-vs-history near-dup is its own operator, q75).
+    * Re-running the same `batchId` is a FULL no-op (ledger-gated). */
+  def append(spark: SparkSession, shardsPath: String, robotsPath: String,
+             outDir: String, batchId: String, shardPred: Column): Unit = {
+    val applied = ledger(spark, outDir)
+    if (applied.contains(batchId)) return
+    val pages = decodePages(spark, shardsPath, shardPred)
+    val nPages = pages.count()
+    val written = spark.read.parquet(s"$outDir/corpus")
+    val maxPos = written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
+    val staged = runPipeline(spark, pages, robotsPath,
+      histParHashes = Some(spark.read.parquet(s"$outDir/paragraph_hashes")),
+      corpusFps = Some(written.select("fp")),
+      crawledCanonical = Some(written.select("canonical_url")))
+    // sever before the writes: the delta folds below re-read these rows,
+    // and a post-refresh recompute would re-run the history gates against
+    // state that now CONTAINS them (the CorpusApp self-read trap)
+    val ranked = GlobalOrder.rank(staged.survivors, "__h", "url", out = "pos0")
+      .withColumn("pos", col("pos0") + maxPos)
+      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
+      .select("url", "canonical_url", "host", "charset", "fp",
+        "n_tokens", "n_pars", "n_kept", "text", "pos", "shard")
+      .sever()
+    val rejects = staged.rejects.sever()
+    val newHashes = staged.parHashes.sever()
+    Sinks.append(ranked, s"$outDir/corpus")
+    Sinks.append(rejects, s"$outDir/rejects")
+    Sinks.append(newHashes, s"$outDir/paragraph_hashes")
+    refresh(spark, outDir)
+    writeLedger(spark, outDir, applied + (batchId -> nPages))
+    auditDerived(spark, outDir)
+    // index maintenance: append-only — postings/df/stat DELTAS for the
+    // text index, assign+encode against the WRITTEN quantizers for the
+    // ANN index; the history is never re-read (q293/q310 convention)
+    TextIndex.append(spark, s"$outDir/text_index",
+      ranked.select(col("pos").as("doc_id"), col("text")))
+    val emb = embeddingsOf(ranked)
+    Sinks.append(emb, s"$outDir/embeddings")
+    spark.catalog.refreshByPath(s"$outDir/embeddings")
+    AnnIndex.append(spark, s"$outDir/ann_index",
+      emb.select(col("vec_id"), col("embedding")))
+  }
+
+  // ------------------------------------------------------------- pipeline
+
+  private case class Staged(survivors: DataFrame, rejects: DataFrame,
+                            parHashes: DataFrame)
+
+  /** HTTP-200 responses, charset-decoded: (url, charset, html). */
+  private def decodePages(spark: SparkSession, shardsPath: String,
+                          shardPred: Column): DataFrame =
+    Warc.decodedResponses(
+        Warc.readShards(spark, shardsPath).filter(shardPred), status = Some(200))
+      .filter(col("url") =!= "")
+      .select(col("url"), col("charset"), col("text").as("html"))
+
+  /** The full clean over one page set. History gates (`Some(...)`) turn
+    * the same pipeline into the append path; `None`s make it the build.
+    * Returns survivors carrying the rank hash `__h`, the (url, stage)
+    * reject ledger, and the NEW distinct paragraph hashes. */
+  private def runPipeline(spark: SparkSession, pages: DataFrame,
+                          robotsPath: String,
+                          histParHashes: Option[DataFrame],
+                          corpusFps: Option[DataFrame],
+                          crawledCanonical: Option[DataFrame]): Staged = {
+    // 1. URL layer: canonicalize, then first-occurrence dedup on the
+    //    canonical key (min url — the deterministic stand-in for
+    //    earliest-fetch), plus the already-crawled gate on append
+    val canon = pages
+      .withColumn("canonical_url", Url.canonicalize(col("url")))
+      .withColumn("host", Url.host(col("url")))
+      .withColumn("path", Url.normPath(col("url")))
+    val gated = crawledCanonical.fold(canon)(c =>
+      canon.join(c.distinct(), Seq("canonical_url"), "left_anti"))
+    val keepers = gated.groupBy("canonical_url").agg(min(col("url")).as("__keep"))
+    val withKeep = gated.join(keepers, "canonical_url")
+    val uniq = withKeep.filter(col("url") === col("__keep")).drop("__keep")
+    val rejUrlDup = withKeep.filter(col("url") =!= col("__keep"))
+      .select(col("url"), lit("url_duplicate").as("stage"))
+    // crawled-gate drops on append are url_duplicates too (same meaning:
+    // the canonical identity is already in the corpus)
+    val rejCrawled = crawledCanonical.fold(spark.emptyDataFrame.limit(0)) { c =>
+      canon.join(c.distinct(), Seq("canonical_url"), "left_semi")
+        .select(col("url"), lit("url_duplicate").as("stage"))
+    }
+
+    // 2. robots permission (broadcast-sized rule table, wildcard-aware)
+    val verdicts = Robots.allowDecisions(
+      uniq.select(col("url"), col("host"), col("path")),
+      Robots.rules(Robots.readRobots(spark, robotsPath), Agent), keyCol = "url")
+    val allowedUrls = verdicts.filter(col("allowed")).select("url")
+    val rejRobots = verdicts.filter(!col("allowed"))
+      .select(col("url"), lit("robots_disallowed").as("stage"))
+    val allowed = uniq.join(allowedUrls, Seq("url"), "left_semi")
+
+    // 3. content-block extraction (link-density rule); pages with no
+    //    qualifying block at all are the link-farm rejects
+    val blocks = Html.blocks(allowed, idCol = "url", htmlCol = "html")
+      .filter(col("is_content"))
+      .select(col("url"), col("pos"), col("text"))
+    val rejNoContent = allowed.join(blocks.select("url").distinct(),
+        Seq("url"), "left_anti")
+      .select(col("url"), lit("no_content").as("stage"))
+
+    // 4. paragraph dedup — corpus-wide first occurrence by (url, pos),
+    //    against the written hash history on append. Docs losing EVERY
+    //    paragraph are the boilerplate/exact-copy rejects.
+    val pd = histParHashes match {
+      case None => Dedup.paragraphDedup(blocks, idCol = "url")
+      case Some(h) => Dedup.paragraphDedupWithHistory(blocks, h, idCol = "url")
+    }
+    val rejParDup = pd.filter(col("n_kept") === 0)
+      .select(col("url"), lit("paragraph_dup").as("stage"))
+    val docs = pd.filter(col("n_kept") > 0)
+      .select(col("url"), col("n_pars"), col("n_kept"),
+        col("clean_text").as("text"))
+    // the new distinct paragraph hashes this page set contributes
+    val parHashes = {
+      val all = blocks.select(md5(col("text")).as("par_hash")).distinct()
+      histParHashes.fold(all)(h =>
+        all.join(h.select(col(h.columns.head).as("par_hash")),
+          Seq("par_hash"), "left_anti"))
+    }
+
+    // 5. language + quality gates — the ONE scoring definition shared
+    //    with the one-shot clean (corpusScoredOf), language first
+    val scored = graft.queries.LlmQueries
+      .corpusScoredOf(docs.select(col("url").as("doc_id"), col("text")))
+      .select(col("doc_id").as("url"), col("n_tokens"),
+        col("predicted_lang"), col("is_quality"))
+      .join(docs, "url")
+    val rejLang = scored.filter(col("predicted_lang") =!= "en")
+      .select(col("url"), lit("language").as("stage"))
+    val rejQuality = scored.filter(col("predicted_lang") === "en" && !col("is_quality"))
+      .select(col("url"), lit("quality").as("stage"))
+    val qualified = scored.filter(col("predicted_lang") === "en" && col("is_quality"))
+      .withColumn("fp", md5(col("text")))
+
+    // 6. exact dedup within the page set on the cleaned text (min url keeps)
+    val fpKeep = qualified.groupBy("fp").agg(min(col("url")).as("__keep"))
+    val withFpKeep = qualified.join(fpKeep, "fp")
+    val exact = withFpKeep.filter(col("url") === col("__keep")).drop("__keep")
+    val rejExact = withFpKeep.filter(col("url") =!= col("__keep"))
+      .select(col("url"), lit("exact_duplicate").as("stage"))
+
+    // 7. near-dup ladder: PPJoin exact 3-shingle Jaccard >= 4/5, loser =
+    //    the lexicographically larger url (the q64 convention)
+    val sets = Dedup.shingleSets(
+      exact.select(col("url").as("doc_id"), col("text")), "doc_id", "text", 3)
+      .localCheckpoint(true) // feeds both sides of the candidate self-join
+    val losers = Dedup.jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
+      .select(col("id_b").as("url")).distinct()
+    val rejNear = losers.select(col("url"), lit("near_duplicate").as("stage"))
+    val cleaned = exact.join(losers, Seq("url"), "left_anti")
+
+    // 8. append only: the corpus-fp history gate AFTER the within-batch
+    //    clean (the CorpusApp.append convention — the within-batch
+    //    pipeline is identical in both modes, then history dedup gates
+    //    what may enter)
+    val gatedClean = corpusFps.fold(cleaned)(fps =>
+      cleaned.join(fps.distinct(), Seq("fp"), "left_anti"))
+    val rejHistFp = corpusFps.fold(spark.emptyDataFrame.limit(0)) { fps =>
+      cleaned.join(fps.distinct(), Seq("fp"), "left_semi")
+        .select(col("url"), lit("exact_duplicate").as("stage"))
+    }
+    // re-attach the page-level metadata the paragraph groupBy dropped
+    val meta = allowed.select("url", "canonical_url", "host", "charset")
+    val survivors = gatedClean
+      .join(meta, "url")
+      .withColumn("__h", md5Long(col("url")))
+      .select("url", "canonical_url", "host", "charset", "fp",
+        "n_tokens", "n_pars", "n_kept", "text", "__h")
+
+    val rejects = Seq(rejUrlDup, rejCrawled, rejRobots, rejNoContent,
+      rejParDup, rejLang, rejQuality, rejExact, rejNear, rejHistFp)
+      .filter(_.columns.nonEmpty)
+      .reduce(_ unionByName _)
+    Staged(survivors, rejects, parHashes)
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  /** 64-dim signed feature-hash document vectors over the corpus text —
+    * integer bucket sums (md5-keyed, the q267 convention) densified to
+    * array<float>, so the oracle can replay every value exactly from
+    * the sparse relational form and the IVF-PQ index trains on them. */
+  private[graft] def embeddingsOf(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("pos").as("vec_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    toks.select(col("vec_id"), (col("h") % 64).cast("int").as("bucket"),
+        when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("vec_id", "bucket").agg(sum("sgn").as("v"))
+      .groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
+  // ------------------------------------------------------ derived tables
+
+  private def ledger(spark: SparkSession, outDir: String): Map[String, Long] = {
+    val p = s"$outDir/ledger"
+    if (!Sinks.exists(spark, p)) Map.empty
+    else spark.read.parquet(p).collect()
+      .map(r => r.getAs[String]("batch_id") -> r.getAs[Long]("n_pages")).toMap
+  }
+
+  private def writeLedger(spark: SparkSession, outDir: String,
+                          entries: Map[String, Long]): Unit = {
+    import spark.implicits._
+    Sinks.overwriteSwap(
+      entries.toSeq.sortBy(_._1).toDF("batch_id", "n_pages"), s"$outDir/ledger")
+    spark.catalog.refreshByPath(s"$outDir/ledger")
+  }
+
+  private def refresh(spark: SparkSession, outDir: String): Unit =
+    Seq("corpus", "rejects", "paragraph_hashes")
+      .foreach(t => spark.catalog.refreshByPath(s"$outDir/$t"))
+
+  /** Manifest recomputed from the WRITTEN tables (write damage surfaces
+    * against the oracle): per-stage reject counts + corpus/shard/state
+    * sizes + the cumulative page count from the ledger. The scan cost
+    * is rejects+corpus metadata, not raw crawl bytes. */
+  def auditDerived(spark: SparkSession, outDir: String): Unit = {
+    val nPages = ledger(spark, outDir).values.sum
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    val rejects = spark.read.parquet(s"$outDir/rejects")
+    val parHashes = spark.read.parquet(s"$outDir/paragraph_hashes")
+    val stages = Seq("url_duplicate", "robots_disallowed", "no_content",
+      "paragraph_dup", "language", "quality", "exact_duplicate", "near_duplicate")
+    val stageCounts = stages.map(st =>
+      sum(when(col("stage") === st, 1L).otherwise(0L)).as(s"n_$st"))
+    val rej = rejects.agg(stageCounts.head, stageCounts.tail: _*)
+    val core = corpus.agg(
+      count(lit(1)).as("n_corpus"),
+      countDistinct(col("shard")).as("n_shards"))
+    val nPar = parHashes.agg(count(lit(1)).as("n_paragraph_hashes"))
+    Sinks.overwriteSwap(
+      rej.crossJoin(core).crossJoin(nPar).withColumn("n_pages", lit(nPages)),
+      s"$outDir/manifest")
+    spark.catalog.refreshByPath(s"$outDir/manifest")
+  }
+
+  /** Persisted search artifacts built FROM THE WRITTEN corpus (the q81
+    * convention: damage on the corpus write path surfaces in the index
+    * queries too). */
+  private def buildIndexes(spark: SparkSession, outDir: String): Unit = {
+    val written = spark.read.parquet(s"$outDir/corpus")
+    TextIndex.buildFrom(spark,
+      written.select(col("pos").as("doc_id"), col("text")), s"$outDir/text_index")
+    val emb = embeddingsOf(written)
+    Sinks.overwriteSwap(emb, s"$outDir/embeddings")
+    spark.catalog.refreshByPath(s"$outDir/embeddings")
+    AnnIndex.buildFrom(spark,
+      spark.read.parquet(s"$outDir/embeddings")
+        .select(col("vec_id"), col("embedding")), s"$outDir/ann_index")
+  }
+}

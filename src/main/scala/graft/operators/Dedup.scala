@@ -108,6 +108,39 @@ object Dedup {
           x => x.getField(textCol)), " ").as("clean_text"))
   }
 
+  /** [[paragraphDedup]] composed with the batch-vs-history screen — the
+    * CCNet INCREMENTAL ingest shape ([[graft.app.WebCorpusApp.append]]):
+    * a batch paragraph is kept iff its hash is NOT in the accumulated
+    * history (one 128-bit hash per distinct paragraph ever seen — the
+    * written `paragraph_hashes` table, the corpus text never re-read)
+    * AND it is the batch's own first occurrence (min (idCol, posCol)).
+    * Returns the same (idCol, n_pars, n_kept, clean_text) shape as the
+    * one-shot dedup; `n_pars` counts ALL of the doc's paragraphs, so
+    * the kept/total ratio is comparable across build and append. */
+  def paragraphDedupWithHistory(pars: DataFrame, histHashes: DataFrame,
+                                idCol: String = "doc_id",
+                                posCol: String = "pos",
+                                textCol: String = "text"): DataFrame = {
+    val hashed = pars.select(col(idCol), col(posCol), col(textCol),
+      md5(col(textCol)).as("__h"))
+    val hist = histHashes.select(col(histHashes.columns.head).as("__h"))
+      .distinct().withColumn("__seen", lit(1L))
+    val firsts = hashed.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
+    hashed.join(firsts, "__h").join(hist, Seq("__h"), "left")
+      .withColumn("__kept",
+        col("__seen").isNull &&
+          col(idCol) === col(s"__first.$idCol") && col(posCol) === col(s"__first.$posCol"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(col("__kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col(posCol), col(textCol))))),
+          x => x.getField(textCol)), " ").as("clean_text"))
+  }
+
   /** INCREMENTAL paragraph screen — the batch-vs-history convention: each
     * batch document's paragraphs are tested against the accumulated
     * paragraph-hash history (one 128-bit hash per distinct historical

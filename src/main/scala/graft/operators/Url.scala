@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the key every crawl pipeline dedups on BEFORE
@@ -93,6 +93,43 @@ object Url {
     val q = cleanQuery(u)
     concat(sch, lit("://"), hostPort, normPath(u),
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** TABLE-driven registrable domain — the production form of
+    * [[registeredDomain]]: the public-suffix list is a broadcast-sized
+    * table (one `suffix` column, ~10k rows — fixtures/psl.parquet is
+    * the PSL-shaped stand-in), and the registrable domain is one label
+    * plus the LONGEST listed suffix the host ends with on a label
+    * boundary. Pinned edge semantics (mirrored by the DuckDB oracle):
+    * a host that IS a listed suffix maps to itself; a host whose
+    * suffix is unlisted falls back to the last two labels (the
+    * [[registeredDomain]] fallback). Shape: candidate suffixes are the
+    * last 1..4 labels (public suffixes are ≤ 4 labels) — one narrow
+    * posexplode, ONE broadcast equi-join against the list, a keyed max,
+    * and a join back on a row key. Never host × list. */
+  def withRegisteredDomain(df: DataFrame, hostCol: String, psl: DataFrame,
+                           out: String = "registered_domain"): DataFrame = {
+    val keyed = df.withColumn("__rd_key", monotonically_increasing_id())
+    val labels = split(col(hostCol), "\\.")
+    val cands = keyed.select(col("__rd_key"), col(hostCol).as("__rd_h"),
+      posexplode(transform(sequence(lit(1), least(lit(4), size(labels))),
+        k => array_join(slice(labels, -k, k), "."))).as(Seq("__rd_i", "suffix")))
+    val best = cands
+      .join(broadcast(psl.select(col("suffix"))), Seq("suffix"))
+      .groupBy(col("__rd_key"))
+      // candidate i (0-based) has i+1 labels: max __rd_i IS the longest
+      .agg(max(col("__rd_i")).as("__rd_best"))
+    keyed.join(best, Seq("__rd_key"), "left")
+      .withColumn(out, {
+        val lb = split(col(hostCol), "\\.")
+        val n = size(lb)
+        // listed: one label + the suffix (capped at the whole host);
+        // unlisted: the last-two-labels fallback
+        val m = when(col("__rd_best").isNotNull,
+          least(n, col("__rd_best") + 2)).otherwise(least(n, lit(2)))
+        array_join(slice(lb, -m, m), ".")
+      })
+      .drop("__rd_key", "__rd_best")
   }
 
   /** Registrable domain of a (lowercased) host: last two labels, or

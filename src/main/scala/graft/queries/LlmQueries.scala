@@ -32,6 +32,7 @@ object LlmQueries {
   private val sitemapsFx = "/root/repo/fixtures/sitemaps.parquet"
   private val warcCharsetShards = "/root/repo/fixtures/warc_charset_shards.parquet"
   private val warcCharsetPages = "/root/repo/fixtures/warc_charset_pages.parquet"
+  private val pslFx = "/root/repo/fixtures/psl.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -769,6 +770,49 @@ object LlmQueries {
       .select(col("canonical_url"), col("host"), col("path"), col("matched_rule"))
   }
 
+  /** Crawl-shaped hosts for the PSL queries (the messyUrl convention):
+    * deep subdomains over listed 2-label (co.uk, com.au), 3-label
+    * (city.go.jp — must beat its listed go.jp parent on longest-match),
+    * cc (zz), gTLD (io) and UNLISTED (qqq — the last-two fallback)
+    * suffixes, plus rows whose host IS a listed suffix (go.jp). */
+  private def messyHost: Column = {
+    val d = col("doc_id")
+    when(d % 31 === 0, lit("go.jp")).otherwise(concat(
+      when(d % 4 === 0, lit("a.b."))
+        .when(d % 4 === 1, lit("deep.sub."))
+        .otherwise(lit("www.")),
+      lit("site"), (d % 37).cast("string"), lit("."),
+      when(d % 7 === 0, lit("co.uk")).when(d % 7 === 1, lit("com.au"))
+        .when(d % 7 === 2, lit("city.go.jp")).when(d % 7 === 3, lit("zz"))
+        .when(d % 7 === 4, lit("qqq"))
+        .when(d % 7 === 5, lit("io"))
+        .otherwise(lit("ac.zz"))))
+  }
+
+  /** q319: TABLE-driven registrable domains
+    * ([[graft.operators.Url.withRegisteredDomain]]) — the pinned
+    * 7-suffix list replaced by the PSL-shaped broadcast table (~6.8k
+    * rows): longest listed suffix on a label boundary, one label
+    * prepended; unlisted suffixes fall back to the last two labels;
+    * a host that IS a suffix maps to itself. The oracle replays the
+    * longest-match join against the same table. */
+  def q319PslDomains(s: SparkSession, dir: String): DataFrame =
+    Url.withRegisteredDomain(
+      Tables.documents(s, dir).select(col("doc_id")).withColumn("host", messyHost),
+      "host", s.read.parquet(pslFx))
+      .select("doc_id", "host", "registered_domain")
+
+  /** q320: per-registrable-domain POLITENESS keys composed into the
+    * crawl frontier — the q307 output grouped by the PSL-table domain:
+    * the unit a crawler rate-limits on (api.* and www.* of one
+    * registrant share one budget). */
+  def q320FrontierPoliteness(s: SparkSession, dir: String): DataFrame =
+    Url.withRegisteredDomain(q307CrawlFrontier(s, dir), "host",
+        s.read.parquet(pslFx))
+      .groupBy("registered_domain")
+      .agg(countDistinct(col("host")).as("n_hosts"),
+        count(lit(1)).as("n_urls"))
+
   /** q312: CHARSET-AWARE body decode ([[graft.operators.Warc.decodeBody]])
     * — the legacy-encoding front door: windows-1252/iso-8859-1/shift_jis
     * pages declared via the HTTP Content-Type header, a `<meta>` tag, or
@@ -1065,12 +1109,15 @@ object LlmQueries {
                       pred: org.apache.spark.sql.Column = lit(true)): DataFrame =
     corpusSurvivorsOf(Tables.documents(s, dir).filter(pred))
 
-  /** [[corpusSurvivors]] over an arbitrary batch frame (a streaming
-    * micro-batch, a file drop) — same pipeline, no table read. */
-  def corpusSurvivorsOf(docs: DataFrame): DataFrame = {
+  /** The language/quality SCORING stage of the corpus clean, factored
+    * out so callers that need per-stage attribution (the corpus apps'
+    * reject ledgers) share one definition with [[corpusSurvivorsOf]]:
+    * (doc_id, text, n_tokens, n_stopwords, n_<lang>…, predicted_lang,
+    * is_quality). Narrow per-row projection, no shuffle. */
+  def corpusScoredOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val hits = langLex.map { case (l, lex) => lexiconHits(t, lex).cast("long").as(s"n_$l") }
-    val scored = docs
+    docs
       .select(col("doc_id") +: col("text") +: size(t).cast("long").as("n_tokens") +:
         lexiconHits(t, stopwords).cast("long").as("n_stopwords") +: hits: _*)
       .withColumn("predicted_lang",
@@ -1081,7 +1128,13 @@ object LlmQueries {
       .withColumn("is_quality",
         col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
           col("n_stopwords") / col("n_tokens") >= 0.02)
-    val filtered = scored.filter(col("predicted_lang") === "en" && col("is_quality"))
+  }
+
+  /** [[corpusSurvivors]] over an arbitrary batch frame (a streaming
+    * micro-batch, a file drop) — same pipeline, no table read. */
+  def corpusSurvivorsOf(docs: DataFrame): DataFrame = {
+    val filtered = corpusScoredOf(docs)
+      .filter(col("predicted_lang") === "en" && col("is_quality"))
       .select("doc_id", "text")
     val exact = Upsert.dedupByKey(
       filtered.withColumn("__fp", md5(col("text"))), Seq("__fp"), Seq("doc_id"))
@@ -1982,6 +2035,8 @@ object LlmQueries {
     "q307_crawl_frontier" -> (q307CrawlFrontier _),
     "q308_chunk_docs" -> (q308ChunkDocs _),
     "q312_warc_charset" -> (q312WarcCharset _),
+    "q319_psl_domains" -> (q319PslDomains _),
+    "q320_frontier_politeness" -> (q320FrontierPoliteness _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
     "q49_pii_redact" -> (q49PiiRedact _),
@@ -2196,7 +2251,7 @@ object LlmQueries {
     * oracle can never drift), the identical entity-decode order (amp
     * LAST), the identical integer link-density rule. Ends at `hcls`:
     * (doc_id, pos, text, text_chars, link_chars, is_content). */
-  private val htmlBlockCtes: String = {
+  private[graft] val htmlBlockCtes: String = {
     import graft.operators.Html._
     // tag-strip + entity-decode + ws-normalize, applied to SQL expr `e`
     def norm(e: String): String =
@@ -2227,6 +2282,14 @@ object LlmQueries {
        |  SELECT *, (text_chars >= 25 AND link_chars * 10 <= text_chars * 3) AS is_content
        |  FROM hblk)""".stripMargin
   }
+
+  /** DuckDB mirror of [[messyHost]]. */
+  private val messyHostSql: String =
+    """(CASE WHEN doc_id % 31 = 0 THEN 'go.jp' ELSE
+      |  (CASE doc_id % 4 WHEN 0 THEN 'a.b.' WHEN 1 THEN 'deep.sub.' ELSE 'www.' END) ||
+      |  'site' || (doc_id % 37) || '.' ||
+      |  (CASE doc_id % 7 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au' WHEN 2 THEN 'city.go.jp'
+      |        WHEN 3 THEN 'zz' WHEN 4 THEN 'qqq' WHEN 5 THEN 'io' ELSE 'ac.zz' END) END)""".stripMargin
 
   /** DuckDB mirror of [[messyUrl]] — the identical decoration formulas,
     * so both engines see the same raw strings. */
@@ -2435,6 +2498,34 @@ object LlmQueries {
            |                              THEN 1.0 ELSE -1.0 END)), (x,y) -> x+y)""".stripMargin
       s"(CASE WHEN $dotP > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+
+  /** DuckDB mirror of the q307 frontier (factored so q320 can reuse it
+    * as a subquery). */
+  private lazy val q307OracleSql: String =
+    s"""WITH g AS ($sitemapGroupsSql),
+       |can AS (SELECT DISTINCT
+       |          'https://' || host || '/a/' || g || '?a=1&b=2' AS canonical_url,
+       |          host, '/a/' || g AS path
+       |        FROM g),
+       |crawled AS (SELECT DISTINCT $canonicalUrlSql AS cu FROM documents),
+       |fresh AS (SELECT * FROM can
+       |          WHERE canonical_url NOT IN (SELECT cu FROM crawled)),
+       |r AS (SELECT site, exp_allow[i.i] AS allow, exp_path[i.i] AS rule_path
+       |      FROM read_parquet('$robotsFx'),
+       |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) i),
+       |j AS (SELECT f.canonical_url, f.host, f.path, r.allow, r.rule_path
+       |      FROM fresh f LEFT JOIN r
+       |        ON f.host = r.site
+       |       AND regexp_matches(f.path, ${graft.operators.Robots.patternRegexSqlFor("r.rule_path")})),
+       |b AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+       |        ORDER BY len(rule_path) DESC NULLS LAST,
+       |                 allow DESC NULLS LAST,
+       |                 rule_path DESC NULLS LAST) AS rn FROM j)
+       |SELECT canonical_url, host, path,
+       |  coalesce(rule_path, '') AS matched_rule
+       |FROM b WHERE rn = 1 AND coalesce(allow, TRUE)""".stripMargin
+
 
   val oracles: Map[String, String] = Map(
     "q27_exact_dedup" ->
@@ -2891,29 +2982,8 @@ object LlmQueries {
     },
     // full frontier replay: groups -> canonical intent -> anti-join the
     // sf-aware crawled set -> longest-match robots verdict -> allowed
-    "q307_crawl_frontier" ->
-      s"""WITH g AS ($sitemapGroupsSql),
-         |can AS (SELECT DISTINCT
-         |          'https://' || host || '/a/' || g || '?a=1&b=2' AS canonical_url,
-         |          host, '/a/' || g AS path
-         |        FROM g),
-         |crawled AS (SELECT DISTINCT $canonicalUrlSql AS cu FROM documents),
-         |fresh AS (SELECT * FROM can
-         |          WHERE canonical_url NOT IN (SELECT cu FROM crawled)),
-         |r AS (SELECT site, exp_allow[i.i] AS allow, exp_path[i.i] AS rule_path
-         |      FROM read_parquet('$robotsFx'),
-         |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) i),
-         |j AS (SELECT f.canonical_url, f.host, f.path, r.allow, r.rule_path
-         |      FROM fresh f LEFT JOIN r
-         |        ON f.host = r.site
-         |       AND regexp_matches(f.path, ${graft.operators.Robots.patternRegexSqlFor("r.rule_path")})),
-         |b AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
-         |        ORDER BY len(rule_path) DESC NULLS LAST,
-         |                 allow DESC NULLS LAST,
-         |                 rule_path DESC NULLS LAST) AS rn FROM j)
-         |SELECT canonical_url, host, path,
-         |  coalesce(rule_path, '') AS matched_rule
-         |FROM b WHERE rn = 1 AND coalesce(allow, TRUE)""".stripMargin,
+    // (factored to a val: q320 composes politeness keys on top of it)
+    "q307_crawl_frontier" -> q307OracleSql,
     // the window formulas replayed: start_k = min(k·48, n−64), tail
     // anchored at n−64, single chunk when n ≤ 64
     "q308_chunk_docs" ->
@@ -2929,6 +2999,44 @@ object LlmQueries {
         |  array_to_string(toks[chunk_start + 1 : chunk_start + 64], ' ') AS chunk_text,
         |  CAST(least(64, n - chunk_start) AS BIGINT) AS chunk_tokens
         |FROM c""".stripMargin,
+    // host formulas mirrored + the longest-suffix join REPLAYED against
+    // the same psl table: candidates are the last 1..4 labels, best =
+    // max label count, registrable = least(n, best+1) trailing labels,
+    // unlisted falls back to least(n, 2)
+    "q319_psl_domains" ->
+      s"""WITH h AS (SELECT doc_id, $messyHostSql AS host FROM documents),
+         |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+         |cand AS (SELECT doc_id, g.k AS k,
+         |           array_to_string(ls[len(ls) - g.k + 1 : len(ls)], '.') AS suffix
+         |         FROM lab, LATERAL (SELECT unnest(generate_series(1, least(4, len(ls)))) AS k) g),
+         |hit AS (SELECT c.doc_id, max(c.k) AS bestk
+         |        FROM cand c JOIN read_parquet('$pslFx') p USING (suffix)
+         |        GROUP BY c.doc_id)
+         |SELECT l.doc_id, l.host,
+         |  array_to_string(
+         |    l.ls[len(l.ls) - least(len(l.ls), coalesce(t.bestk + 1, 2)) + 1 : len(l.ls)],
+         |    '.') AS registered_domain
+         |FROM lab l LEFT JOIN hit t USING (doc_id)""".stripMargin,
+    "q320_frontier_politeness" ->
+      s"""WITH f AS (SELECT * FROM ($q307OracleSql)),
+         |lab AS (SELECT host, string_split(host, '.') AS ls FROM f),
+         |cand AS (SELECT host, g.k AS k,
+         |           array_to_string(ls[len(ls) - g.k + 1 : len(ls)], '.') AS suffix
+         |         FROM (SELECT DISTINCT host, ls FROM lab) x,
+         |           LATERAL (SELECT unnest(generate_series(1, least(4, len(ls)))) AS k) g),
+         |hit AS (SELECT c.host, max(c.k) AS bestk
+         |        FROM cand c JOIN read_parquet('$pslFx') p USING (suffix)
+         |        GROUP BY c.host),
+         |rd AS (SELECT l.host,
+         |         array_to_string(
+         |           l.ls[len(l.ls) - least(len(l.ls), coalesce(t.bestk + 1, 2)) + 1 : len(l.ls)],
+         |           '.') AS registered_domain
+         |       FROM (SELECT DISTINCT host, ls FROM lab) l LEFT JOIN hit t USING (host))
+         |SELECT rd.registered_domain,
+         |  CAST(count(DISTINCT f.host) AS BIGINT) AS n_hosts,
+         |  CAST(count(*) AS BIGINT) AS n_urls
+         |FROM f JOIN rd USING (host)
+         |GROUP BY 1""".stripMargin,
     // stored-expectation oracle: label + decoded text were written by
     // the fixture generator independently of the engine's byte walk
     "q312_warc_charset" ->

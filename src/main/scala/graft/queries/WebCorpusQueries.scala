@@ -1,0 +1,412 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.app.WebCorpusApp
+import graft.operators.Robots
+
+/** End-to-end WEB-corpus-app queries: [[graft.app.WebCorpusApp]] BUILDS
+  * the corpus from raw WARC fixture shards (full crawl pipeline + real
+  * `Sinks` writes + persisted text/ANN indexes in a temp dir) and every
+  * query reads the WRITTEN tables — the q81/q82/q89 convention scaled
+  * to the whole crawl stack. The DuckDB oracles replay the ENTIRE
+  * pipeline from the packed source of truth (html_docs + the robots
+  * fixture): WARC status formulas → extraction CTEs → robots
+  * longest-match (wildcards included) → corpus-wide paragraph dedup →
+  * the shared survivor chain ([[LlmQueries.corpusSurvivorCtesFor]]) →
+  * the md5 global order. A divergence ANYWHERE — a parse, a gate, a
+  * keeper rule, a rank, a write — breaks a hash match.
+  *
+  * The fixture is the crawl (these queries ignore the sf dir): WARC
+  * bytes are the INPUT format, so unlike table queries there is no
+  * scale-factor variant; scale evidence for the stack lives in
+  * SCALE_EVIDENCE.md. */
+object WebCorpusQueries {
+
+  private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
+  private val warcShards = "/root/repo/fixtures/warc_shards.parquet"
+  private val robotsFx = "/root/repo/fixtures/robots.parquet"
+  private val Doc0Url = "https://example.com/doc0"
+
+  // ------------------------------------------------------ materialization
+
+  @volatile private var cachedFull: Option[String] = None
+  @volatile private var cachedInc: Option[String] = None
+
+  /** Build once per JVM over ALL shards. */
+  private def built(s: SparkSession): String = synchronized {
+    cachedFull.getOrElse {
+      val out = Files.createTempDirectory("graft-webcorpus").toString
+      WebCorpusApp.build(s, warcShards, robotsFx, out)
+      cachedFull = Some(out)
+      out
+    }
+  }
+
+  /** The INCREMENTAL materialization: built from shards 0-4, then shard
+    * 5 (the gzipped Common Crawl-framed one) appended as a batch. */
+  private def builtIncremental(s: SparkSession): String = synchronized {
+    cachedInc.getOrElse {
+      val out = Files.createTempDirectory("graft-webcorpus-inc").toString
+      WebCorpusApp.build(s, warcShards, robotsFx, out,
+        shardPred = col("shard_id") =!= 5)
+      WebCorpusApp.append(s, warcShards, robotsFx, out, batchId = "shard-5",
+        shardPred = col("shard_id") === 5)
+      cachedInc = Some(out)
+      out
+    }
+  }
+
+  /** Bench-honesty hook (the CorpusQueries convention): drop the
+    * materialized corpora so every bench pass pays the real build and
+    * append cost instead of timing the memo no-op. */
+  def resetMaterializedState(): Unit = synchronized {
+    for (dir <- cachedFull.toSeq ++ cachedInc.toSeq) {
+      try {
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      } catch { case _: java.io.IOException => () }
+    }
+    cachedFull = None
+    cachedInc = None
+  }
+
+  // -------------------------------------------------------------- queries
+
+  /** q313: the WRITTEN corpus — every surviving page with its content
+    * fingerprint, token count, paragraph-dedup accounting, and global
+    * position/shard. The single strongest row of the round: the oracle
+    * replays the complete pipeline, so any drift anywhere upstream of
+    * the write lands here. */
+  def q313Webcorpus(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${built(s)}/corpus")
+      .select("url", "fp", "n_tokens", "n_pars", "n_kept", "pos", "shard")
+
+  /** q314: the reject LEDGER — (url, stage) for every non-surviving
+    * page: the per-stage attribution a curation team audits (and the
+    * proof each pipeline stage did its own work on its own population). */
+  def q314WebcorpusRejects(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${built(s)}/rejects")
+
+  /** q315: the MANIFEST — one row of per-stage counts + corpus/shard/
+    * paragraph-state sizes: the handshake a consumer validates. */
+  def q315WebcorpusManifest(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${built(s)}/manifest")
+
+  /** q316: BM25 search served from the PERSISTED text index the app
+    * wrote next to the corpus (partition-pruned postings, df/stat
+    * sums — the q309 machinery over the web corpus), joined back to
+    * urls through the written corpus table. */
+  def q316WebcorpusSearch(s: SparkSession, dir: String): DataFrame = {
+    val out = built(s)
+    val hits = indexedBm25(s, s"$out/text_index", Seq("training", "quality"), 10)
+    hits.join(s.read.parquet(s"$out/corpus").select(col("pos"), col("url")),
+        hits("doc_id") === col("pos"))
+      .select(col("url"), col("score"))
+  }
+
+  /** q317: the INCREMENTAL corpus — shards 0-4 built, shard 5 appended
+    * through the written-state gates (already-crawled canonical urls,
+    * the paragraph-hash history, corpus fps; positions appended after
+    * the current max). The oracle replays BOTH phases. */
+  def q317WebcorpusAppend(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${builtIncremental(s)}/corpus")
+      .select("url", "fp", "pos", "shard")
+
+  /** q318: brute-force cosine top-10 over the WRITTEN document
+    * embeddings (64-dim signed feature hashing — integer-valued, so
+    * the oracle rebuilds every component exactly from the replayed
+    * corpus text): the exactness baseline the persisted ANN index is
+    * spec-checked against. */
+  def q318WebcorpusKnn(s: SparkSession, dir: String): DataFrame = {
+    val out = built(s)
+    val corpus = s.read.parquet(s"$out/corpus").select(col("url"), col("pos"))
+    val emb = s.read.parquet(s"$out/embeddings")
+      .join(corpus, col("vec_id") === col("pos"))
+    // the query vector is ONE bounded row — inline it as a literal (the
+    // q292 convention) so the scan stays a narrow projection with no
+    // nested-loop join; its squared norm is an exact integer, so the
+    // driver-side sum is order-free
+    val qv = emb.filter(col("url") === Doc0Url)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val n2 = qv.map(v => v.toLong * v.toLong).sum
+    val dot = aggregate(zip_with(col("embedding"), lit(qv),
+      (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val m2 = aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x)
+    emb.filter(col("url") =!= Doc0Url)
+      .withColumn("__m2", m2)
+      .filter(col("__m2") > 0)
+      .select(col("url"), (dot / (sqrt(col("__m2")) * sqrt(lit(n2.toDouble)))).as("cos"))
+      .orderBy(col("cos").desc, col("url"))
+      .limit(10)
+  }
+
+  /** BM25 over written postings — the q309 arithmetic verbatim (k1=1.2,
+    * b=0.75, the (N−df+0.5)/(df+0.5) idf), stats/df summed from the
+    * index tables, postings partition-pruned to the query terms. */
+  private def indexedBm25(s: SparkSession, root: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    import graft.sources.TextIndex
+    val (n, total) = TextIndex.readStats(s, root)
+    val avgdl = total.toDouble / n.toDouble
+    val hits = TextIndex.readPostings(s, root, terms)
+    val dfs = TextIndex.readDf(s, root, terms)
+    val scored = hits.join(broadcast(dfs), "tok")
+      .withColumn("idf",
+        ((lit(n) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+      .withColumn("sc",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === lit(t), col("sc"))).as(s"s$i")
+    }
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_webcorpus" -> (q313Webcorpus _),
+    "q314_webcorpus_rejects" -> (q314WebcorpusRejects _),
+    "q315_webcorpus_manifest" -> (q315WebcorpusManifest _),
+    "q316_webcorpus_search" -> (q316WebcorpusSearch _),
+    "q317_webcorpus_append" -> (q317WebcorpusAppend _),
+    "q318_webcorpus_knn" -> (q318WebcorpusKnn _))
+
+  // ------------------------------------------------------- oracle SQL
+
+  /** The parsed graftbot rule rows (shared by every phase). */
+  private val rulesCte =
+    s"""rrules AS (
+       |  SELECT site, exp_allow[g.i] AS allow, exp_path[g.i] AS rule_path
+       |  FROM read_parquet('$robotsFx'),
+       |    LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) g)""".stripMargin
+
+  /** One pipeline phase as a CTE chain: status-200 population (`where`
+    * over doc_id) → url dedup (+ already-crawled gate when `hist`) →
+    * robots longest-match verdicts (wildcard patterns via the SHARED
+    * [[Robots.patternRegexSqlFor]] conversion) → content blocks →
+    * paragraph dedup (+ hash-history screen when `hist`) → the shared
+    * survivor chain. Terminates in surv<sfx>(doc_id=url, text) plus
+    * corpusfp<sfx>/corpusurl<sfx> for downstream phases. */
+  private def phaseCtes(sfx: String, where: String,
+                        hist: Option[String]): String = {
+    val crawlGate = hist.fold("")(h =>
+      s"  WHERE url NOT IN (SELECT u FROM corpusurl$h)\n")
+    val seenExpr = hist.fold("FALSE AS seen")(h =>
+      s"(ph$h.text IS NOT NULL) AS seen")
+    val seenJoin = hist.fold("")(h =>
+      s" LEFT JOIN ph$h ON c.text = ph$h.text")
+    val parHist = hist.fold("")(h =>
+      s"ph$h AS (SELECT DISTINCT text FROM cb$h),\n")
+    s"""ok$sfx AS (
+       |  SELECT doc_id, url FROM read_parquet('$htmlDocs')
+       |  WHERE doc_id % 53 NOT IN (7, 21) AND ($where)),
+       |uq$sfx AS (
+       |  SELECT doc_id, url FROM ok$sfx
+       |$crawlGate  QUALIFY row_number() OVER (PARTITION BY url ORDER BY url) = 1),
+       |rb$sfx AS (
+       |  SELECT u.doc_id, u.url, rr.allow, rr.rule_path,
+       |    row_number() OVER (PARTITION BY u.url
+       |      ORDER BY len(rr.rule_path) DESC NULLS LAST,
+       |               rr.allow DESC NULLS LAST,
+       |               rr.rule_path DESC NULLS LAST) AS rn
+       |  FROM uq$sfx u LEFT JOIN rrules rr
+       |    ON rr.site = 'example.com'
+       |   AND regexp_matches('/doc' || u.doc_id, ${Robots.patternRegexSqlFor("rr.rule_path")})),
+       |al$sfx AS (SELECT doc_id, url FROM rb$sfx WHERE rn = 1 AND coalesce(allow, TRUE)),
+       |cb$sfx AS (
+       |  SELECT a.url, h.pos, h.text FROM hcls h JOIN al$sfx a USING (doc_id)
+       |  WHERE h.is_content),
+       |${parHist}pw$sfx AS (
+       |  SELECT c.url, c.pos, c.text,
+       |    row_number() OVER (PARTITION BY c.text ORDER BY c.url, c.pos) AS rn,
+       |    $seenExpr
+       |  FROM cb$sfx c$seenJoin),
+       |pd$sfx AS (
+       |  SELECT url, count(*) AS n_pars,
+       |    CAST(sum(CASE WHEN rn = 1 AND NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN rn = 1 AND NOT seen THEN text END, ' ' ORDER BY pos), '') AS text
+       |  FROM pw$sfx GROUP BY url),
+       |wd$sfx AS (SELECT url AS doc_id, text FROM pd$sfx WHERE n_kept > 0),
+       |${LlmQueries.corpusSurvivorCtesFor(sfx, "TRUE", from = s"wd$sfx")},
+       |corpusfp$sfx AS (SELECT md5(text) AS fp FROM surv$sfx),
+       |corpusurl$sfx AS (SELECT doc_id AS u FROM surv$sfx)""".stripMargin
+  }
+
+  /** The global order over a phase's survivors; `hist` adds the
+    * corpus-fp gate and offsets positions past the history count. */
+  private def rankCte(sfx: String, hist: Option[String]): String = {
+    val order =
+      s"ORDER BY ('0x' || substring(md5(doc_id), 1, 15))::BIGINT, doc_id"
+    hist match {
+      case None =>
+        s"""rk$sfx AS (
+           |  SELECT doc_id AS url, md5(text) AS fp, text,
+           |    row_number() OVER ($order) AS pos
+           |  FROM surv$sfx)""".stripMargin
+      case Some(h) =>
+        s"""gated$sfx AS (
+           |  SELECT doc_id, text FROM surv$sfx
+           |  WHERE md5(text) NOT IN (SELECT fp FROM corpusfp$h)),
+           |rk$sfx AS (
+           |  SELECT doc_id AS url, md5(text) AS fp, text,
+           |    row_number() OVER ($order)
+           |      + (SELECT count(*) FROM surv$h) AS pos
+           |  FROM gated$sfx)""".stripMargin
+    }
+  }
+
+  private val langCase =
+    """(CASE WHEN n_en = 0 AND n_es = 0 AND n_de = 0 THEN 'und'
+      |      WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+      |      WHEN n_es >= n_de THEN 'es'
+      |      ELSE 'de' END)""".stripMargin
+
+  /** The (url, stage) reject sets of one phase — the pipeline's stage
+    * attribution replayed (priorities = pipeline order; each stage's
+    * set is computed from the previous stage's survivors). */
+  private def rejectsSql(sfx: String, hist: Option[String]): String = {
+    val crawled = hist.fold("")(h =>
+      s"""UNION ALL
+         |SELECT url, 'url_duplicate' AS stage FROM ok$sfx
+         |WHERE url IN (SELECT u FROM corpusurl$h)
+         |""".stripMargin)
+    val histFp = hist.fold("")(h =>
+      s"""UNION ALL
+         |SELECT doc_id AS url, 'exact_duplicate' AS stage FROM surv$sfx
+         |WHERE md5(text) IN (SELECT fp FROM corpusfp$h)
+         |""".stripMargin)
+    s"""SELECT url, 'url_duplicate' AS stage FROM (
+       |  SELECT url, row_number() OVER (PARTITION BY url ORDER BY url) AS rn
+       |  FROM ok$sfx) WHERE rn > 1
+       |$crawled
+       |UNION ALL
+       |SELECT url, 'robots_disallowed' AS stage FROM rb$sfx
+       |WHERE rn = 1 AND NOT coalesce(allow, TRUE)
+       |UNION ALL
+       |SELECT url, 'no_content' AS stage FROM al$sfx
+       |WHERE url NOT IN (SELECT DISTINCT url FROM cb$sfx)
+       |UNION ALL
+       |SELECT url, 'paragraph_dup' AS stage FROM pd$sfx WHERE n_kept = 0
+       |UNION ALL
+       |SELECT doc_id AS url, 'language' AS stage FROM base$sfx
+       |WHERE $langCase <> 'en'
+       |UNION ALL
+       |SELECT doc_id AS url, 'quality' AS stage FROM base$sfx
+       |WHERE $langCase = 'en'
+       |  AND NOT (n_tokens >= 10 AND n_tokens <= 1000 AND n_stop / n_tokens >= 0.02)
+       |UNION ALL
+       |SELECT doc_id AS url, 'exact_duplicate' AS stage FROM langq$sfx
+       |WHERE doc_id NOT IN (SELECT doc_id FROM exact$sfx)
+       |UNION ALL
+       |SELECT doc_id AS url, 'near_duplicate' AS stage FROM losers$sfx
+       |$histFp""".stripMargin
+  }
+
+  private def buildPrelude: String =
+    s"""WITH ${LlmQueries.htmlBlockCtes},
+       |$rulesCte,
+       |${phaseCtes("w", "TRUE", None)}""".stripMargin
+
+  private def incPrelude: String =
+    s"""WITH ${LlmQueries.htmlBlockCtes},
+       |$rulesCte,
+       |${phaseCtes("x1", "doc_id % 6 <> 5", None)},
+       |${phaseCtes("x2", "doc_id % 6 = 5", Some("x1"))}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q313_webcorpus" ->
+      s"""$buildPrelude,
+         |${rankCte("w", None)}
+         |SELECT r.url, r.fp,
+         |  CAST(len(string_split(lower(r.text), ' ')) AS BIGINT) AS n_tokens,
+         |  p.n_pars, p.n_kept,
+         |  CAST(r.pos AS BIGINT) AS pos,
+         |  CAST((r.pos - 1) // ${WebCorpusApp.ShardSize} AS BIGINT) AS shard
+         |FROM rkw r JOIN pdw p USING (url)""".stripMargin,
+    "q314_webcorpus_rejects" ->
+      s"""$buildPrelude
+         |${rejectsSql("w", None)}""".stripMargin,
+    "q315_webcorpus_manifest" ->
+      s"""$buildPrelude,
+         |rej AS (${rejectsSql("w", None)})
+         |SELECT
+         |  (SELECT count(*) FROM rej WHERE stage = 'url_duplicate') AS n_url_duplicate,
+         |  (SELECT count(*) FROM rej WHERE stage = 'robots_disallowed') AS n_robots_disallowed,
+         |  (SELECT count(*) FROM rej WHERE stage = 'no_content') AS n_no_content,
+         |  (SELECT count(*) FROM rej WHERE stage = 'paragraph_dup') AS n_paragraph_dup,
+         |  (SELECT count(*) FROM rej WHERE stage = 'language') AS n_language,
+         |  (SELECT count(*) FROM rej WHERE stage = 'quality') AS n_quality,
+         |  (SELECT count(*) FROM rej WHERE stage = 'exact_duplicate') AS n_exact_duplicate,
+         |  (SELECT count(*) FROM rej WHERE stage = 'near_duplicate') AS n_near_duplicate,
+         |  (SELECT count(*) FROM survw) AS n_corpus,
+         |  (SELECT CAST((count(*) + ${WebCorpusApp.ShardSize} - 1) // ${WebCorpusApp.ShardSize} AS BIGINT) FROM survw) AS n_shards,
+         |  (SELECT count(DISTINCT text) FROM cbw) AS n_paragraph_hashes,
+         |  (SELECT count(*) FROM okw) AS n_pages""".stripMargin,
+    "q316_webcorpus_search" ->
+      s"""$buildPrelude,
+         |${rankCte("w", None)},
+         |d AS (SELECT pos AS doc_id, url, lower(text) AS t FROM rkw),
+         |tk AS (SELECT doc_id, url, CAST(len(string_split(t, ' ')) AS BIGINT) AS dl,
+         |         unnest(string_split(t, ' ')) AS tok FROM d),
+         |tf AS (SELECT doc_id, url, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk WHERE tok IN ('training', 'quality') GROUP BY 1, 2, 3, 4),
+         |alltk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+         |dfs AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM alltk WHERE tok IN ('training', 'quality') GROUP BY tok),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS total FROM d),
+         |sc AS (SELECT f.doc_id, f.url, f.tok,
+         |         ((CAST(st.n - x.df AS DOUBLE) + 0.5) / (CAST(x.df AS DOUBLE) + 0.5))
+         |           * (CAST(f.tf AS DOUBLE) * 2.2) /
+         |           (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |             (CAST(f.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / CAST(st.n AS DOUBLE))))) AS s
+         |       FROM tf f JOIN dfs x USING (tok), st),
+         |agg AS (SELECT doc_id, url,
+         |          coalesce(sum(CASE WHEN tok = 'training' THEN s END), 0.0)
+         |          + coalesce(sum(CASE WHEN tok = 'quality' THEN s END), 0.0) AS score
+         |        FROM sc GROUP BY 1, 2)
+         |SELECT url, score FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q317_webcorpus_append" ->
+      s"""$incPrelude,
+         |${rankCte("x1", None)},
+         |${rankCte("x2", Some("x1"))},
+         |u AS (SELECT url, fp, pos FROM rkx1 UNION ALL SELECT url, fp, pos FROM rkx2)
+         |SELECT url, fp, CAST(pos AS BIGINT) AS pos,
+         |  CAST((pos - 1) // ${WebCorpusApp.ShardSize} AS BIGINT) AS shard
+         |FROM u""".stripMargin,
+    "q318_webcorpus_knn" ->
+      s"""$buildPrelude,
+         |${rankCte("w", None)},
+         |tk AS (SELECT pos, url, unnest(string_split(lower(text), ' ')) AS tok FROM rkw),
+         |hb AS (SELECT pos, url,
+         |         ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+         |sv AS (SELECT pos, url, h % 64 AS bucket,
+         |         CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM hb),
+         |vec AS (SELECT pos, url, bucket, CAST(sum(sgn) AS BIGINT) AS v
+         |        FROM sv GROUP BY 1, 2, 3),
+         |q AS (SELECT bucket, v FROM vec WHERE url = '$Doc0Url'),
+         |nq AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM q),
+         |dots AS (SELECT vec.pos, CAST(sum(vec.v * q.v) AS BIGINT) AS dot
+         |         FROM vec JOIN q USING (bucket) GROUP BY 1),
+         |norms AS (SELECT pos, url, CAST(sum(v * v) AS BIGINT) AS m2
+         |          FROM vec GROUP BY 1, 2),
+         |c AS (SELECT n.url,
+         |        CAST(coalesce(d.dot, 0) AS DOUBLE) /
+         |          (sqrt(CAST(n.m2 AS DOUBLE)) * sqrt(CAST((SELECT n2 FROM nq) AS DOUBLE))) AS cos
+         |      FROM norms n LEFT JOIN dots d USING (pos)
+         |      WHERE n.url <> '$Doc0Url' AND n.m2 > 0)
+         |SELECT url, cos FROM c ORDER BY cos DESC, url LIMIT 10""".stripMargin)
+}

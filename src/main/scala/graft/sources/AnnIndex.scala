@@ -99,6 +99,13 @@ object AnnIndex {
     writePostings(e, out, centroids, codebooks, "overwrite")
   }
 
+  /** Build an index at a caller-managed root over an arbitrary
+    * (vec_id, embedding) frame — the corpus-app entry
+    * ([[graft.app.WebCorpusApp]] indexes the embeddings it just wrote);
+    * the memoized [[path]]/[[pathIncremental]] stay fixture surfaces. */
+  def buildFrom(s: SparkSession, emb: DataFrame, out: String): Unit =
+    build(s, emb, out)
+
   /** Ingest a batch into an EXISTING index: read the written quantizers
     * (bounded metadata reads), assign + encode the batch only, append
     * its postings. The history is never re-read or re-encoded. */

@@ -106,6 +106,13 @@ object TextIndex {
   private def build(s: SparkSession, docs: DataFrame, out: String): Unit =
     writeAll(docs.select(col("doc_id"), col("text")), out, "overwrite")
 
+  /** Build an index at a caller-managed root over an arbitrary
+    * (doc_id, text) frame — the entry the corpus apps use to index the
+    * corpus THEY just wrote ([[graft.app.WebCorpusApp]]); the memoized
+    * [[path]]/[[pathIncremental]] stay the fixture-corpus surfaces. */
+  def buildFrom(s: SparkSession, docs: DataFrame, out: String): Unit =
+    build(s, docs, out)
+
   /** Ingest a batch into an EXISTING index: the batch's postings, df
     * DELTAS and stat deltas are appended; nothing else is touched. */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit =

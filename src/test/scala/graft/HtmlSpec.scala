@@ -74,7 +74,7 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
     val main = Html.mainContent(Html.readHtmlDocs(spark, fixture))
       .select("doc_id", "main_text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(main.size == 320)
+    assert(main.size == 330)
     // link-farm pages (280-299): nothing qualifies, empty string not null
     (280L to 299L).foreach(d => assert(main(d) == "", s"doc $d"))
     // rows 200-219 replicate their base's EXTRACTED text exactly even

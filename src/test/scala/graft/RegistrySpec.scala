@@ -17,6 +17,7 @@ class RegistrySpec extends AnyFunSuite {
     ("StreamingQueries", graft.queries.StreamingQueries.queries, graft.queries.StreamingQueries.oracles),
     ("StarQueries", graft.queries.StarQueries.queries, graft.queries.StarQueries.oracles),
     ("CorpusQueries", graft.queries.CorpusQueries.queries, graft.queries.CorpusQueries.oracles),
+    ("WebCorpusQueries", graft.queries.WebCorpusQueries.queries, graft.queries.WebCorpusQueries.oracles),
     ("ScaleQueries", graft.queries.ScaleQueries.queries, graft.queries.ScaleQueries.oracles),
     ("AnalyticsQueries", graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracles),
     ("CurationQueries", graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracles))

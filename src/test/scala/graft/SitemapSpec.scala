@@ -57,9 +57,13 @@ class SitemapSpec extends AnyFunSuite with SharedSpark {
     // the robots-less host passes by default
     (600 to 607).foreach(g =>
       assert(frontier.contains(s"https://example.com/a/$g?a=1&b=2")))
-    // the always-new allowed www range is present and canonicalized
-    (1000 to 1019).foreach(g =>
+    // the always-new allowed www range is present and canonicalized —
+    // EXCEPT paths ending in 0, which the graftbot wildcard rule
+    // `Disallow: /a/*0$` now blocks (1000 and 1010 here)
+    (1000 to 1019).filter(_ % 10 != 0).foreach(g =>
       assert(frontier.contains(s"https://www.example.com/a/$g?a=1&b=2")))
+    Seq(1000, 1010).foreach(g =>
+      assert(!frontier.contains(s"https://www.example.com/a/$g?a=1&b=2")))
     // crawled canonical duplicates are gone: g 0..9 is crawled at every sf
     (0 to 9).foreach(g =>
       assert(!frontier.contains(s"https://www.example.com/a/$g?a=1&b=2")))

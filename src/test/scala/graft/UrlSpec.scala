@@ -77,4 +77,24 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
     assert(r.getString(1) == "host.example.com")
     assert(r.getString(2) == "8080")
   }
+
+  test("withRegisteredDomain: longest listed suffix, deep beats parent, unlisted falls back") {
+    val psl = Seq("com", "uk", "co.uk", "jp", "go.jp", "city.go.jp", "zz")
+      .toDF("suffix")
+    val hosts = Seq(
+      "a.b.site.co.uk",     // 2-label suffix beats bare uk
+      "x.site.city.go.jp",  // 3-label suffix beats go.jp and jp
+      "only.site.qqq",      // unlisted tld: last-two fallback
+      "go.jp",              // host IS a listed suffix: maps to itself
+      "site.zz",            // bare cc
+      "deep.sub.example.com").toDF("host")
+    val got = Url.withRegisteredDomain(hosts, "host", psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a.b.site.co.uk") == "site.co.uk")
+    assert(got("x.site.city.go.jp") == "site.city.go.jp")
+    assert(got("only.site.qqq") == "site.qqq")
+    assert(got("go.jp") == "go.jp")
+    assert(got("site.zz") == "site.zz")
+    assert(got("deep.sub.example.com") == "example.com")
+  }
 }

@@ -15,10 +15,10 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     val census = Warc.records(shards)
       .groupBy("warc_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // 320 pages -> 320 requests + 320 responses; metadata at doc_id%25=0
-    // (13 pages); one warcinfo per shard
-    assert(census == Map("warcinfo" -> 6L, "request" -> 320L,
-      "response" -> 320L, "metadata" -> 13L))
+    // 330 pages -> 330 requests + 330 responses; metadata at doc_id%25=0
+    // (14 pages); one warcinfo per shard
+    assert(census == Map("warcinfo" -> 6L, "request" -> 330L,
+      "response" -> 330L, "metadata" -> 14L))
   }
 
   test("the GZIPPED shard (record-per-member framing) recovers the same rows as plain") {
@@ -27,16 +27,16 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     val bySh = Warc.records(shards).filter(col("shard_id") === 5)
       .groupBy("warc_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val in5 = (0 until 320).count(_ % 6 == 5)
-    val metaIn5 = (0 until 320).count(d => d % 25 == 0 && d % 6 == 5)
+    val in5 = (0 until 330).count(_ % 6 == 5)
+    val metaIn5 = (0 until 330).count(d => d % 25 == 0 && d % 6 == 5)
     assert(bySh == Map("warcinfo" -> 1L, "request" -> in5.toLong,
       "response" -> in5.toLong, "metadata" -> metaIn5.toLong))
   }
 
   test("torn garbage tail (shard 2) loses nothing: every whole record recovered") {
     val n = Warc.records(shards).filter(col("shard_id") === 2).count()
-    val in2 = (0 until 320).count(_ % 6 == 2)
-    val metaIn2 = (0 until 320).count(d => d % 25 == 0 && d % 6 == 2)
+    val in2 = (0 until 330).count(_ % 6 == 2)
+    val metaIn2 = (0 until 330).count(d => d % 25 == 0 && d % 6 == 2)
     assert(n == 1 + 2 * in2 + metaIn2)
   }
 
@@ -45,7 +45,7 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       .select(col("target_uri").as("url"), col("body").cast("string").as("html2"))
     val src = spark.read.parquet(htmlDocs).select(col("url"), col("html"))
     val joined = got.join(src, "url")
-    assert(joined.count() == 308)
+    assert(joined.count() == 317)
     assert(joined.filter(col("html2") =!= col("html")).count() == 0)
   }
 
@@ -100,7 +100,7 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       spark.read.parquet(htmlDocs)
         .filter(!expr("doc_id % 53").isin(7, 21)).select(col("url"), col("html")),
       idCol = "url", htmlCol = "html")
-    assert(viaWarc.count() == 308)
+    assert(viaWarc.count() == 317)
     assert(viaWarc.join(direct.withColumnRenamed("main_text", "mt2")
         .select("url", "mt2"), "url")
       .filter(col("main_text") =!= col("mt2")).count() == 0)

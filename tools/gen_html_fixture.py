@@ -18,6 +18,13 @@ CONTENT populations (what the composed q64-clean on extracted text sees):
   ids 260-279  Spanish-flavored content -> language-dropped
   ids 280-299  link farm (nav blocks only, no >=25-char text block):
                empty extraction -> dropped
+  ids 320-329  SINGLE-BLOCK exact REGROUP of (id-300), i.e. seeds 20-29:
+               the identical content tokens in ONE <p> instead of one
+               per sentence - every BLOCK differs from the base's blocks
+               (survives paragraph dedup) while the concatenated clean
+               text is byte-identical (dies at doc-level EXACT dedup;
+               in the incremental app path the base sits in history, so
+               this population exercises the corpus-fp history gate).
   ids 300-319  SINGLE-BLOCK near-duplicate of (id-260), i.e. seeds 40-59:
                the whole content (incl. the suffix decorations at their
                original token positions) packed into ONE <p> with ONE
@@ -155,8 +162,60 @@ def shingles3(toks):
     return set(tuple(low[i:i + 3]) for i in range(len(low) - 2))
 
 
+def single_block_page(d, seed, change_word):
+    """A base page's full EXTRACTED content (suffixes at their original
+    token positions, entity-encoded as the base encodes them) as ONE
+    paragraph; change_word swaps sentence 1's "a W to" slot (the k=3
+    word) for WORDS[(seed+9)%16] — provably != the original
+    (7*seed+14)%16 word, since equality would need the odd
+    6*seed ≡ -5 (mod 16)."""
+    n = 4 + (seed * 3) % 5
+    base = content_paras(seed, n)
+    alt = list(base)
+    if change_word:
+        w_orig = WORDS[(seed * 7 + 1 * 5 + 3 * 3) % 16]
+        w_alt = WORDS[(seed + 9) % 16]
+        assert w_alt != w_orig, (d, w_orig)
+        alt[1] = alt[1].replace(" a %s to " % w_orig, " a %s to " % w_alt, 1)
+        assert alt[1] != base[1], d
+    parts = []
+    for j, s in enumerate(alt):
+        t = s
+        if j == 0:
+            t += " &amp; the &quot;%s&quot; of %s" % (WORDS[seed % 16],
+                                                      WORDS[(seed + 5) % 16])
+        if j == 1:
+            t += ' see <a href=/ref%d>the %s note</a> of it' % (
+                d, WORDS[(seed + 7) % 16])
+        if seed % 5 == 2 and j == n - 1:
+            t += " where 3 < %d of the budget" % (5 + seed % 9)
+        parts.append(t)
+    big = " ".join(parts)
+    html = page(d, [big], raw_paras=True)
+    # engineered-exactness assertions (round-13 lesson: verify survivor
+    # populations EXACTLY): the regrouped block must be longer than any
+    # base block (it can never hash-equal one, so it survives paragraph
+    # dedup whole); with change_word the doc must clear the integer
+    # 3-shingle Jaccard gate 5*|∩| >= 4*|∪| vs its base WITHOUT being
+    # exact; without change_word the token stream must be IDENTICAL
+    import re as _re
+    base_toks = norm_tokens(base, seed)
+    raw = big.replace("&amp;", "&").replace("&quot;", '"')
+    raw = _re.sub(r"<[^>]*>", " ", raw)
+    alt_toks = " ".join(raw.split()).split(" ")
+    if change_word:
+        assert alt_toks != base_toks, d
+        sa, sb = shingles3(base_toks), shingles3(alt_toks)
+        inter, union = len(sa & sb), len(sa | sb)
+        assert 5 * inter >= 4 * union, (d, inter, union)
+    else:
+        assert alt_toks == base_toks, d
+    assert len(alt_toks) > max(len(s.split(" ")) for s in base) + 11, d
+    return html
+
+
 ids, urls, htmls = [], [], []
-for d in range(320):
+for d in range(330):
     if d < 200:
         paras = content_paras(d, 4 + (d * 3) % 5)
         html = page(d, paras)
@@ -175,51 +234,10 @@ for d in range(320):
         html = page(d, paras)
     elif d < 300:
         html = page(d, [], extra_navs=3)       # link farm, no content
+    elif d < 320:
+        html = single_block_page(d, d - 260, change_word=True)
     else:
-        # 300-319: the base page's full EXTRACTED content (suffixes at
-        # their original positions, entity-encoded as the base encodes
-        # them) as ONE paragraph, with sentence 1's "a W to" slot (the
-        # k=3 word) changed to WORDS[(seed+9)%16] (provably != the
-        # original (7*seed+14)%16 word: equality would need the odd
-        # 6*seed ≡ -5 (mod 16), impossible)
-        seed = d - 260
-        n = 4 + (seed * 3) % 5
-        base = content_paras(seed, n)
-        alt = list(base)
-        w_orig = WORDS[(seed * 7 + 1 * 5 + 3 * 3) % 16]
-        w_alt = WORDS[(seed + 9) % 16]
-        assert w_alt != w_orig, (d, w_orig)
-        alt[1] = alt[1].replace(" a %s to " % w_orig, " a %s to " % w_alt, 1)
-        assert alt[1] != base[1], d
-        parts = []
-        for j, s in enumerate(alt):
-            t = s
-            if j == 0:
-                t += " &amp; the &quot;%s&quot; of %s" % (WORDS[seed % 16],
-                                                          WORDS[(seed + 5) % 16])
-            if j == 1:
-                t += ' see <a href=/ref%d>the %s note</a> of it' % (
-                    d, WORDS[(seed + 7) % 16])
-            if seed % 5 == 2 and j == n - 1:
-                t += " where 3 < %d of the budget" % (5 + seed % 9)
-            parts.append(t)
-        big = " ".join(parts)
-        html = page(d, [big], raw_paras=True)
-        # engineered-exactness assertions: the near-dup must clear the
-        # integer 3-shingle Jaccard gate 5*|∩| >= 4*|∪| vs its base, must
-        # NOT be an exact duplicate, and its single block (the whole doc)
-        # must be longer than any base block so it can never hash-equal
-        # one (it survives corpus-wide paragraph dedup whole)
-        import re as _re
-        base_toks = norm_tokens(base, seed)
-        raw = big.replace("&amp;", "&").replace("&quot;", '"')
-        raw = _re.sub(r"<[^>]*>", " ", raw)
-        alt_toks = " ".join(raw.split()).split(" ")
-        assert alt_toks != base_toks, d
-        sa, sb = shingles3(base_toks), shingles3(alt_toks)
-        inter, union = len(sa & sb), len(sa | sb)
-        assert 5 * inter >= 4 * union, (d, inter, union)
-        assert len(alt_toks) > max(len(s.split(" ")) for s in base) + 11, d
+        html = single_block_page(d, d - 300, change_word=False)
     ids.append(d)
     urls.append("https://example.com/doc%d" % d)
     htmls.append(html)
