@@ -65,7 +65,7 @@ object Pdf {
     // latin-1 round-trips bytes 1:1, so structure scans run on a String
     // while stream payloads slice the original bytes by offset
     val s = new String(p, StandardCharsets.ISO_8859_1)
-    val objs = scanObjects(s)
+    val objs = scanObjects(s, p)
     val pagesNodes = objs.filter { case (_, o) => typeOf(o.dict) == "Pages" }
     val kidsOf = pagesNodes.map { case (num, o) => num -> refsIn(attr(o.dict, "Kids")) }
     val referenced = kidsOf.flatMap(_._2).toSet
@@ -96,9 +96,20 @@ object Pdf {
 
   private val ObjPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
 
-  /** num → object. Dict is the (nesting-aware) `<< … >>` slice; stream
-    * offsets index the ORIGINAL byte array. */
-  private def scanObjects(s: String): Map[Int, PdfObj] = {
+  /** num → object: the top-level `N 0 obj` scan PLUS the objects packed
+    * inside PDF 1.5 OBJECT STREAMS (/Type /ObjStm — the layout modern
+    * writers emit, where page/catalog dicts live compressed inside a
+    * stream and never appear as top-level objects). Dict is the
+    * (nesting-aware) `<< … >>` slice; stream offsets index the ORIGINAL
+    * byte array. ObjStm expansion stays recovery-mode: member offsets
+    * come from the ObjStm's own /N + /First header (pairs of
+    * `objnum offset`), NOT from a cross-reference stream — the xref is
+    * an optimization for random access that a damaged-file fallback
+    * never trusts. On a num collision a TOP-LEVEL definition wins
+    * (pinned; real resolvers consult the xref, which recovery mode
+    * doesn't have). Members cannot themselves carry streams (forbidden
+    * by spec), so expansion is a single non-recursive pass. */
+  private def scanObjects(s: String, p: Array[Byte]): Map[Int, PdfObj] = {
     val out = Map.newBuilder[Int, PdfObj]
     val m = ObjPat.matcher(s)
     while (m.find()) {
@@ -121,7 +132,53 @@ object Pdf {
         out += num -> PdfObj(dict, ss, dl, end)
       }
     }
-    out.result()
+    val top = out.result()
+    val packed = top.values.toSeq
+      .filter(o => typeOf(o.dict) == "ObjStm")
+      .flatMap(o => objStmMembers(o, p))
+    // top-level wins on collision: packed entries first, then ++ top
+    packed.toMap ++ top
+  }
+
+  /** Members of one /ObjStm: (objnum, offset) header pairs sliced out of
+    * the decoded stream body. Total — any malformed header/offset yields
+    * an empty member set for that stream, never an exception. */
+  private def objStmMembers(o: PdfObj, p: Array[Byte]): Seq[(Int, PdfObj)] = {
+    def intAttr(key: String): Int = attr(o.dict, key).trim.takeWhile(_.isDigit) match {
+      case "" => -1
+      case d if d.length < 10 => d.toInt
+      case _ => -1
+    }
+    val n = intAttr("N")
+    val first = intAttr("First")
+    if (n <= 0 || n > 10000 || first < 0) return Seq.empty
+    decodeStream(o, p).toSeq.flatMap { bytes =>
+      if (first > bytes.length) Seq.empty
+      else {
+        val body = new String(bytes, StandardCharsets.ISO_8859_1)
+        val header = body.substring(0, first)
+        val numPat = java.util.regex.Pattern.compile("\\d{1,9}")
+        val hm = numPat.matcher(header)
+        val ints = Seq.newBuilder[Int]
+        while (hm.find()) ints += hm.group().toInt
+        val pairs = ints.result().grouped(2)
+          .collect { case Seq(a, b) => (a, b) }.take(n).toSeq
+        // offsets are relative to /First and must be increasing + in range
+        val ok = pairs.nonEmpty &&
+          pairs.forall { case (_, off) => off >= 0 && first + off <= body.length } &&
+          pairs.sliding(2).forall {
+            case Seq((_, a), (_, b)) => a < b
+            case _ => true
+          }
+        if (!ok) Seq.empty
+        else pairs.zipWithIndex.map { case ((num, off), i) =>
+          val from = first + off
+          val until = if (i + 1 < pairs.length) first + pairs(i + 1)._2 else body.length
+          // members carry no streams (spec): dict only
+          num -> PdfObj(dictSlice(body, from, until), -1, -1, -1)
+        }
+      }
+    }
   }
 
   private def dictSlice(s: String, from: Int, until: Int): String = {

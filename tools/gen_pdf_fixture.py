@@ -21,6 +21,14 @@ Populations:
   grab-every-stream walk corrupts the text.
 - 39: malformed — the only page's stream is truncated mid-deflate:
   expected n_pages=0, text=''.
+- 40-42: PDF 1.5 OBJECT STREAMS — catalog/pages/page dicts packed inside
+  a /Type /ObjStm stream (the layout modern writers emit; they never
+  appear as top-level objects), content streams top-level (spec forbids
+  streams inside an ObjStm). 1/2/3 pages.
+- 43: same TEXT as pdf 2 in ObjStm layout (cross-variant dedup bait —
+  classic and ObjStm packings must collapse at the text level).
+- 44: malformed ObjStm (decreasing member offsets): the member set is
+  dropped whole — no catalog/pages reachable, n_pages=0, text=''.
 
 Kids-order trap: every 3-page doc lists /Kids in (3rd,1st,2nd) page
 order; expected text follows /Kids order, not object order.
@@ -202,6 +210,49 @@ pdf39 = build_pdf([
     obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
     bad_obj])
 emit(39, pdf39, 0, "")
+
+# ---- 40-44: PDF 1.5 object streams (/ObjStm)
+def objstm_pdf(page_sents, malformed=False):
+    npages = len(page_sents)
+    page_nums = [3 + i for i in range(npages)]
+    content_nums = [3 + npages + i for i in range(npages)]
+    members = [(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+               (2, ("<< /Type /Pages /Kids ["
+                    + " ".join(f"{k} 0 R" for k in page_nums)
+                    + f"] /Count {npages} >>").encode("latin-1"))]
+    for pn, cn in zip(page_nums, content_nums):
+        members.append((pn, f"<< /Type /Page /Parent 2 0 R /Contents {cn} 0 R >>"
+                        .encode("latin-1")))
+    offs, acc = [], 0
+    for _, b in members:
+        offs.append(acc)
+        acc += len(b) + 1
+    if malformed:
+        offs = list(reversed(offs))  # decreasing: members dropped whole
+    header = (" ".join(f"{num} {off}"
+                       for (num, _), off in zip(members, offs)) + " ").encode("latin-1")
+    data = header + b"".join(b + b" " for _, b in members)
+    enc = zlib.compress(data, 6)
+    objstm = obj(50, (f"<< /Type /ObjStm /N {len(members)} /First {len(header)}"
+                      f" /Length {len(enc)} /Filter /FlateDecode >>\nstream\n")
+                 .encode("latin-1") + enc + b"\nendstream")
+    objects = [objstm]
+    for cn, ss in zip(content_nums, page_sents):
+        objects.append(stream_obj(cn, content_stream(ss), flate=True))
+    return build_pdf(objects)
+
+
+for d in range(40, 43):
+    npages = d - 39
+    page_sents = [[sent(d, p * 4 + j) for j in range(3)] for p in range(npages)]
+    emit(d, objstm_pdf(page_sents), npages,
+         " ".join(" ".join(ss) for ss in page_sents))
+
+# 43: the text of pdf 2 (a 3-page classic doc) as ONE ObjStm page
+emit(43, objstm_pdf([[texts[2]]]), 1, texts[2])
+
+# 44: malformed ObjStm header -> nothing reachable
+emit(44, objstm_pdf([[sent(44, 0)]], malformed=True), 0, "")
 
 table = pa.table({
     "pdf_id": pa.array(ids, pa.int64()),
