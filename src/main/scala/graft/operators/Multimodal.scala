@@ -1031,7 +1031,17 @@ object Multimodal {
     * Same allocation guards as the other decoders: declared dims are
     * bounded by the pixel cap and by the entropy payload (a block costs
     * ≥ 2 bits, so a stream of L bytes bounds blocks by 4L). */
-  private[graft] def jpegGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  private[graft] def jpegGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    jpegDecode(p, wantChroma = false).map(d => (d.w, d.h, d.y))
+
+  /** Decoded JPEG planes: luma at full (w, h); when `wantChroma` was set
+    * on a 3-component image, Cb/Cr at their natural (cw, ch) with the
+    * luma sampling factors (sx, sy) for upsampling — null otherwise. */
+  private[graft] final case class JpegPlanes(w: Int, h: Int, y: Array[Int],
+      cb: Array[Int], cr: Array[Int], cw: Int, chh: Int, sx: Int, sy: Int)
+
+  private[graft] def jpegDecode(p: Array[Byte],
+                                wantChroma: Boolean): Option[JpegPlanes] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     val qt = new Array[Array[Int]](4)
     val dcTabs = new Array[JpegHuff](4)
@@ -1150,6 +1160,13 @@ object Multimodal {
     if (w.toLong * h > GrayPixelCap ||
         nMcus * blocksPerMcu > 4L * (p.length - dataStart)) return None
     val gray = new Array[Int](w * h)
+    // chroma planes at their natural resolution (ceil(w/sx) x ceil(h/sy));
+    // same pixel-cap regime as luma (cw*ch <= w*h)
+    val emitChroma = wantChroma && nf == 3
+    val cw = (w + yH - 1) / yH
+    val chh = (h + yV - 1) / yV
+    val cbP = if (emitChroma) new Array[Int](cw * chh) else null
+    val crP = if (emitChroma) new Array[Int](cw * chh) else null
     val deq = new Array[Long](64) // dequantized, de-zigzagged: deq(v*8+u)
     val br = new JpegBits(p, dataStart)
     val preds = new Array[Int](3)
@@ -1201,17 +1218,17 @@ object Multimodal {
       }
       true
     }
-    // pinned integer IDCT of the current `deq` into the raster at
-    // (blockX, blockY), cropped to w×h
-    def idctInto(blockX: Int, blockY: Int): Unit = {
+    // pinned integer IDCT of the current `deq` into raster `t` of
+    // dims (tw, th) at (blockX, blockY), cropped
+    def idctInto(t: Array[Int], tw: Int, th: Int, blockX: Int, blockY: Int): Unit = {
       var y = 0
       while (y < 8) {
         val py = blockY + y
-        if (py < h) {
+        if (py < th) {
           var x = 0
           while (x < 8) {
             val px = blockX + x
-            if (px < w) {
+            if (px < tw) {
               var sum = 0L
               var v = 0
               while (v < 8) {
@@ -1227,7 +1244,7 @@ object Multimodal {
                 v += 1
               }
               val pix = ((sum + (1L << 19)) >> 20).toInt + 128
-              gray(py * w + px) = if (pix < 0) 0 else if (pix > 255) 255 else pix
+              t(py * tw + px) = if (pix < 0) 0 else if (pix > 255) 255 else pix
             }
             x += 1
           }
@@ -1248,22 +1265,26 @@ object Multimodal {
       var sub = 0
       while (sub < yH * yV) {
         if (!block(0, emit = true)) return None
-        idctInto(
+        idctInto(gray, w, h,
           ((m % mcuW) * yH + sub % yH).toInt * 8,
           ((m / mcuW) * yV + sub / yH).toInt * 8)
         sub += 1
       }
-      // chroma blocks: entropy-decoded (the stream demands it), pixels
-      // not reconstructed — the fast-luma path
+      // chroma blocks: entropy-decoded always (the interleaved stream
+      // demands it); pixels reconstructed only when the caller asked for
+      // chroma — otherwise this stays the fast-luma path
       var c = 1
       while (c < nf) {
-        if (!block(c, emit = false)) return None
+        if (!block(c, emit = emitChroma)) return None
+        if (emitChroma)
+          idctInto(if (c == 1) cbP else crP, cw, chh,
+            (m % mcuW).toInt * 8, (m / mcuW).toInt * 8)
         c += 1
       }
       m += 1
       sinceRestart += 1
     }
-    Some((w, h, gray))
+    Some(JpegPlanes(w, h, gray, cbP, crP, cw, chh, yH, yV))
   }
 
   /** Grayscale raster from REAL container bytes (GIF, 24-bpp BMP, 8-bit
@@ -1276,6 +1297,109 @@ object Multimodal {
     else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
              (payload(1) & 0xff) == 0xd8) jpegGray(payload)
     else bmpGray(payload)
+
+  /** FULL COLOR JPEG decode to (w, h, R, G, B) planes — the chroma
+    * reconstruction the fast-luma path skips. Every step is PINNED so
+    * an independent implementation replays it bit-exactly (the IdctK
+    * discipline; ISO 10918 only BOUNDS the lossy stages, so the oracle
+    * pins OUR integers):
+    *  - chroma IDCT: the same integer IDCT as luma, at the chroma
+    *    plane's natural resolution;
+    *  - upsampling: NEAREST (box replication) — pixel (x, y) reads
+    *    chroma sample (x / sx, y / sy), integer division;
+    *  - YCbCr→RGB (JFIF): 16-bit fixed point with the PINNED constants
+    *    91881 (=round(1.402·2¹⁶)), 22554 (0.344136), 46802 (0.714136),
+    *    116130 (1.772); each chroma term is (k·c + 32768) >> 16 (the
+    *    arithmetic shift floors, so +32768 makes it round-half-up for
+    *    either sign), added to Y and clamped to [0, 255].
+    * Grayscale JPEGs decode with R = G = B = Y. None for non-JPEG or
+    * malformed payloads (the [[jpegDecode]] guards). */
+  private[graft] def jpegRgb(p: Array[Byte])
+      : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    jpegDecode(p, wantChroma = true).map { d =>
+      val n = d.w * d.h
+      val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+      if (d.cb == null) {
+        System.arraycopy(d.y, 0, r, 0, n)
+        System.arraycopy(d.y, 0, g, 0, n)
+        System.arraycopy(d.y, 0, b, 0, n)
+      } else {
+        def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+        var yy = 0
+        while (yy < d.h) {
+          val crow = (yy / d.sy) * d.cw
+          var x = 0
+          while (x < d.w) {
+            val i = yy * d.w + x
+            val yv = d.y(i)
+            val cbv = d.cb(crow + x / d.sx) - 128
+            val crv = d.cr(crow + x / d.sx) - 128
+            r(i) = clamp(yv + ((91881 * crv + 32768) >> 16))
+            g(i) = clamp(yv - ((22554 * cbv + 46802 * crv + 32768) >> 16))
+            b(i) = clamp(yv + ((116130 * cbv + 32768) >> 16))
+            x += 1
+          }
+          yy += 1
+        }
+      }
+      (d.w, d.h, r, g, b)
+    }
+
+  /** Per-JPEG COLOR perceptual signature: the full RGB reconstruction
+    * ([[jpegRgb]]) hashed per CHANNEL with the same 8×8 above-mean rule
+    * as the luma hash — R and B carry the chroma information (G tracks
+    * luma), so a hue shift that leaves Y untouched flips R/B bits while
+    * the luma hash is blind to it. Plane sums are the exactness payload
+    * (a plane error that happens not to flip a hash bit still breaks
+    * them). */
+  case class ImageColorSig(media_id: Long, img_w: Int, img_h: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long,
+                           rhash_hi: Long, rhash_lo: Long,
+                           bhash_hi: Long, bhash_lo: Long)
+
+  def imageColorSig(media: Dataset[MediaRow]): Dataset[ImageColorSig] = {
+    import media.sparkSession.implicits._
+    media.filter(col("mime") === "image/jpeg").mapPartitions { rows =>
+      rows.flatMap { r =>
+        jpegRgb(r.payload).map { case (w, h, rp, gp, bp) =>
+          val (rhi, rlo, _) = aHash64(w, h, rp)
+          val (bhi, blo, _) = aHash64(w, h, bp)
+          ImageColorSig(r.media_id, w, h,
+            rp.foldLeft(0L)(_ + _), gp.foldLeft(0L)(_ + _), bp.foldLeft(0L)(_ + _),
+            rhi, rlo, bhi, blo)
+        }
+      }
+    }
+  }
+
+  /** COLOR-verified near-dup pairs over JPEGs: luma-hash banded
+    * candidates + exact luma Hamming (the q277 machinery) — then the
+    * COLOR verdict: a pair is a true near-dup only if the R and B
+    * channel hashes ALSO agree within `maxColorHamming`. A hue-shifted
+    * recolor with identical luma passes the luma cut at Hamming 0 and
+    * FAILS here — the false positive the fast-luma stack cannot see.
+    * Output keeps both verdicts so the cut is auditable. */
+  def colorNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                        maxColorHamming: Int = 6): DataFrame = {
+    val lumaPairs = imageNearDupPairs(media, maxHamming,
+        maxSampleL1 = Long.MaxValue)
+      .select(col("id_a"), col("id_b"), col("hamming").as("y_hamming"))
+    val sig = imageColorSig(media).toDF()
+      .select(col("media_id"), col("rhash_hi"), col("rhash_lo"),
+        col("bhash_hi"), col("bhash_lo"))
+    val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"${c}_a"))
+    val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
+    lumaPairs
+      .join(a, col("id_a") === col("media_id_a"))
+      .join(b, col("id_b") === col("media_id_b"))
+      .withColumn("color_hamming",
+        (bit_count(col("rhash_hi_a").bitwiseXOR(col("rhash_hi_b"))) +
+          bit_count(col("rhash_lo_a").bitwiseXOR(col("rhash_lo_b"))) +
+          bit_count(col("bhash_hi_a").bitwiseXOR(col("bhash_hi_b"))) +
+          bit_count(col("bhash_lo_a").bitwiseXOR(col("bhash_lo_b")))).cast("long"))
+      .withColumn("color_dup", col("color_hamming") <= maxColorHamming)
+      .select("id_a", "id_b", "y_hamming", "color_hamming", "color_dup")
+  }
 
   // ----------------------------------------------- perceptual hashing
 

@@ -770,6 +770,27 @@ object LlmQueries {
       .select(col("canonical_url"), col("host"), col("path"), col("matched_rule"))
   }
 
+  /** q321: FULL-COLOR JPEG reconstruction
+    * ([[graft.operators.Multimodal.jpegRgb]]) — the chroma planes the
+    * fast-luma path skips, IDCT'd, nearest-upsampled and converted to
+    * RGB with pinned 16-bit fixed-point integers, summarized per image
+    * as plane sums + per-channel (R, B) above-mean hashes. The fixture
+    * stores the expected values from an INDEPENDENT Python
+    * implementation of the same pinned spec (the q33/q130 convention):
+    * two implementations agreeing bit-for-bit on every sum and hash. */
+  def q321JpegColor(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageColorSig(Multimodal.readMedia(s, media)).toDF()
+
+  /** q322: COLOR-verified image near-dup — the false positive the luma
+    * stack cannot see: row 121 is a HUE-SHIFTED twin of 120 (identical
+    * Y coefficients, Cb/Cr swapped), so the luma hash calls the pair an
+    * exact duplicate (Hamming 0) while the R/B-channel hashes separate
+    * them; row 122 is the true near-dup (perturbed luma, same chroma)
+    * and passes both cuts. Banded luma candidates + the color verdict,
+    * both thresholds auditable in the output. */
+  def q322ColorNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.colorNearDupPairs(Multimodal.readMedia(s, media))
+
   /** Crawl-shaped hosts for the PSL queries (the messyUrl convention):
     * deep subdomains over listed 2-label (co.uk, com.au), 3-label
     * (city.go.jp — must beat its listed go.jp parent on longest-match),
@@ -2036,6 +2057,8 @@ object LlmQueries {
     "q308_chunk_docs" -> (q308ChunkDocs _),
     "q312_warc_charset" -> (q312WarcCharset _),
     "q319_psl_domains" -> (q319PslDomains _),
+    "q321_jpeg_color" -> (q321JpegColor _),
+    "q322_color_neardup" -> (q322ColorNeardup _),
     "q320_frontier_politeness" -> (q320FrontierPoliteness _),
     "q130_wav_meta" -> (q130WavMeta _),
     "q141_pcm_stats" -> (q141PcmStats _),
@@ -2103,6 +2126,7 @@ object LlmQueries {
        |         WHEN media_id = 102 THEN 101
        |         WHEN media_id IN (106, 107) THEN 105
        |         WHEN media_id = 117 THEN 116
+       |         WHEN media_id IN (121, 122) THEN 120
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
        |  WHERE mime IN ('image/gif', 'image/bmp')
@@ -2145,7 +2169,7 @@ object LlmQueries {
        |  SELECT media_id, w, h, k,
        |    (CASE WHEN zt.z = 0
        |        THEN ((seed*5 + b*11) % 61) - 30
-       |             + CASE WHEN media_id = 107 AND b % 3 = 0 THEN 8 ELSE 0 END
+       |             + CASE WHEN media_id IN (107, 122) AND b % 3 = 0 THEN 8 ELSE 0 END
        |      WHEN (seed + b*3 + zt.z*5) % 7 = 0
        |        THEN ((seed*3 + b*7 + zt.z*11) % 19) - 9
        |      ELSE 0 END) * (1 + (zt.z % 5))
@@ -2153,7 +2177,7 @@ object LlmQueries {
        |  FROM (SELECT media_id, w, h, k, seed,
        |          -- grayscale/4:4:4: raster block order; 4:2:0 rows
        |          -- (116-118): MCU-major Y-block order, 4 per 16×16 MCU
-       |          CASE WHEN media_id IN (116, 117, 118)
+       |          CASE WHEN media_id IN (116, 117, 118, 120, 121, 122, 123)
        |            THEN ((py // 16) * ((w + 15) // 16) + (px // 16)) * 4
        |                 + ((py % 16) // 8) * 2 + (px % 16) // 8
        |            ELSE (py // 8) * ((w + 7) // 8) + (px // 8) END AS b,
@@ -2999,6 +3023,39 @@ object LlmQueries {
         |  array_to_string(toks[chunk_start + 1 : chunk_start + 64], ' ') AS chunk_text,
         |  CAST(least(64, n - chunk_start) AS BIGINT) AS chunk_tokens
         |FROM c""".stripMargin,
+    // stored-expectation oracle (independent Python twin of the pinned
+    // integer chroma pipeline wrote these columns)
+    "q321_jpeg_color" ->
+      s"""SELECT media_id, CAST(width AS INT) AS img_w, CAST(height AS INT) AS img_h,
+         |  exp_rsum AS r_sum, exp_gsum AS g_sum, exp_bsum AS b_sum,
+         |  exp_rhash_hi AS rhash_hi, exp_rhash_lo AS rhash_lo,
+         |  exp_bhash_hi AS bhash_hi, exp_bhash_lo AS bhash_lo
+         |FROM read_parquet('$media') WHERE exp_rsum IS NOT NULL""".stripMargin,
+    // luma pairs replayed from regenerated pixels (the q277 machinery),
+    // color verdict from the stored per-channel hashes
+    "q322_color_neardup" ->
+      s"""WITH $imageSampleCtes,
+         |jm AS (SELECT media_id FROM read_parquet('$media') WHERE mime = 'image/jpeg'),
+         |yp AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS y_hamming
+         |  FROM ibits a JOIN ibits b ON a.k = b.k AND a.media_id < b.media_id
+         |  JOIN jm ja ON ja.media_id = a.media_id
+         |  JOIN jm jb ON jb.media_id = b.media_id
+         |  GROUP BY 1, 2 HAVING y_hamming <= 3),
+         |cm AS (SELECT media_id, exp_rhash_hi, exp_rhash_lo, exp_bhash_hi,
+         |         exp_bhash_lo FROM read_parquet('$media')),
+         |j AS (SELECT yp.id_a, yp.id_b, yp.y_hamming,
+         |        CAST(bit_count(xor(a.exp_rhash_hi, b.exp_rhash_hi))
+         |           + bit_count(xor(a.exp_rhash_lo, b.exp_rhash_lo))
+         |           + bit_count(xor(a.exp_bhash_hi, b.exp_bhash_hi))
+         |           + bit_count(xor(a.exp_bhash_lo, b.exp_bhash_lo)) AS BIGINT)
+         |          AS color_hamming
+         |      FROM yp JOIN cm a ON a.media_id = yp.id_a
+         |              JOIN cm b ON b.media_id = yp.id_b)
+         |SELECT id_a, id_b, y_hamming, color_hamming,
+         |  color_hamming <= 6 AS color_dup
+         |FROM j""".stripMargin,
     // host formulas mirrored + the longest-suffix join REPLAYED against
     // the same psl table: candidates are the last 1..4 labels, best =
     // max label count, registrable = least(n, best+1) trailing labels,

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 67) // 30 fixture-codec + 28 GIF/BMP/PNG + 9 real JPEG
+    assert(decoded.count() == 71) // 30 fixture-codec + 28 GIF/BMP/PNG + 13 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -402,7 +402,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // the JPEG leg: coefficient copy (106) and DC-perturbed (107) of 105
       (105L, 106L), (105L, 107L), (106L, 107L),
       // the COLOR 4:2:0 leg: Y-plane coefficient copy under distinct ids
-      (116L, 117L)))
+      (116L, 117L),
+      // the round-14 chroma family: 121 is the HUE-SHIFTED twin of
+      // 120 (identical Y), 122 the DC-perturbed near-dup - the LUMA
+      // stack pairs all three; colorNearDupPairs separates them
+      (120L, 121L), (120L, 122L), (121L, 122L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -543,11 +547,13 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       107 -> (105, true, false), 108 -> (108, false, false),
       109 -> (109, false, false),
       116 -> (116, false, true), 117 -> (116, false, true),
-      118 -> (118, false, true), 119 -> (119, false, false))
+      118 -> (118, false, true), 119 -> (119, false, false),
+      120 -> (120, false, true), 121 -> (120, false, true),
+      122 -> (120, true, true), 123 -> (123, false, true))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 9)
+    assert(rows.length == 13)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
       val (seed, pt, sub) = fams(id)
@@ -693,5 +699,69 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in the near-dup plan:\n$plan")
+  }
+
+  test("jpegRgb: grayscale passthrough, stored-expectation agreement, hue-shift separation") {
+    val rows = spark.read.parquet(fixture)
+      .filter(col("exp_rsum").isNotNull)
+      .select("media_id", "payload", "exp_rsum", "exp_gsum", "exp_bsum").collect()
+    assert(rows.length == 13)
+    rows.foreach { r =>
+      val dec = Multimodal.jpegRgb(r.getAs[Array[Byte]]("payload"))
+      assert(dec.isDefined, s"jpegRgb rejected jpeg ${r.getLong(0)}")
+      val (w, h, rp, gp, bp) = dec.get
+      assert(rp.foldLeft(0L)(_ + _) == r.getLong(2), s"rsum jpeg ${r.getLong(0)}")
+      assert(gp.foldLeft(0L)(_ + _) == r.getLong(3), s"gsum jpeg ${r.getLong(0)}")
+      assert(bp.foldLeft(0L)(_ + _) == r.getLong(4), s"bsum jpeg ${r.getLong(0)}")
+      if (r.getLong(0) <= 109L) { // grayscale: R = G = B = Y
+        val (_, _, y) = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload")).get
+        assert(rp.sameElements(y) && gp.sameElements(y) && bp.sameElements(y))
+      }
+    }
+  }
+
+  test("jpegRgb agrees with ImageIO: exact-res color within ±4, 4:2:0 within filter tolerance") {
+    val rows = spark.read.parquet(fixture)
+      .filter(col("exp_rsum").isNotNull && col("media_id") >= 116)
+      .select("media_id", "payload").collect()
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val (w, h, rp, gp, bp) = Multimodal.jpegRgb(p).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      val is444 = r.getLong(0) == 119L
+      var sumAbs = 0L; var maxAbs = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val dr = math.abs(rp(y * w + x) - ((rgb >> 16) & 0xff))
+        val dg = math.abs(gp(y * w + x) - ((rgb >> 8) & 0xff))
+        val db = math.abs(bp(y * w + x) - (rgb & 0xff))
+        sumAbs += dr + dg + db; maxAbs = math.max(maxAbs, math.max(dr, math.max(dg, db)))
+        // 4:4:4 has no upsampling: only IDCT + per-channel rounding differ
+        if (is444) assert(dr <= 4 && dg <= 4 && db <= 4,
+          s"media ${r.getLong(0)} pixel ($x,$y): ($dr,$dg,$db)")
+      }
+      // 4:2:0: ImageIO's FANCY (triangle) chroma upsampling legitimately
+      // differs from our pinned nearest rule at chroma gradients — the
+      // witness claim is a bounded MEAN gap, not per-pixel equality
+      if (!is444)
+        assert(sumAbs / (3L * w * h) <= 8,
+          s"media ${r.getLong(0)}: mean |Δ| ${sumAbs / (3.0 * w * h)}, max $maxAbs")
+    }
+  }
+
+  test("colorNearDupPairs separates the hue-shifted twin from the true near-dup") {
+    val got = Multimodal.colorNearDupPairs(Multimodal.readMedia(spark, fixture))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // 120-121: luma-IDENTICAL (Hamming 0) yet NOT a color dup — the
+    // false positive a luma-only stack cannot see
+    val (y01, c01, dup01) = got((120L, 121L))
+    assert(y01 == 0L && c01 > 6L && !dup01)
+    // 120-122: perturbed luma, same chroma — a true near-dup
+    val (y02, c02, dup02) = got((120L, 122L))
+    assert(y02 <= 3L && c02 <= 6L && dup02)
+    // the classic coefficient copy stays a color dup
+    assert(got((116L, 117L)) == ((0L, 0L, true)))
   }
 }

@@ -888,9 +888,12 @@ def jpeg_qc_chroma(seed, comp, b, z):
     return 0
 
 
-def jpeg_bytes_color(seed, w, h, subsampled):
+def jpeg_bytes_color(seed, w, h, subsampled, perturb=False, cswap=False):
     """Baseline JFIF-style color JPEG from the coefficient formulas.
-    subsampled: True -> 4:2:0 (Y H=V=2), False -> 4:4:4 (all 1x1)."""
+    subsampled: True -> 4:2:0 (Y H=V=2), False -> 4:4:4 (all 1x1).
+    perturb: the row-107 DC rule (+8 on Y blocks b%3==0).
+    cswap: swap the Cb and Cr coefficient formulas (hue shift at
+    IDENTICAL luma)."""
     Q = [1 + (z % 5) for z in range(64)]
     dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
     ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
@@ -949,18 +952,19 @@ def jpeg_bytes_color(seed, w, h, subsampled):
     predY = predCb = predCr = 0
     bY = 0
     for m in range(mw * mh):
+        cb_comp, cr_comp = (2, 1) if cswap else (1, 2)
         if subsampled:
             for _ in range(4):      # four Y blocks per MCU, raster order
-                predY = put_block([jpeg_qc(seed, bY, z, False) for z in range(64)],
+                predY = put_block([jpeg_qc(seed, bY, z, perturb) for z in range(64)],
                                   predY, dc_codes, ac_codes)
                 bY += 1
         else:
-            predY = put_block([jpeg_qc(seed, bY, z, False) for z in range(64)],
+            predY = put_block([jpeg_qc(seed, bY, z, perturb) for z in range(64)],
                               predY, dc_codes, ac_codes)
             bY += 1
-        predCb = put_block([jpeg_qc_chroma(seed, 1, m, z) for z in range(64)],
+        predCb = put_block([jpeg_qc_chroma(seed, cb_comp, m, z) for z in range(64)],
                            predCb, dc2_codes, ac2_codes)
-        predCr = put_block([jpeg_qc_chroma(seed, 2, m, z) for z in range(64)],
+        predCr = put_block([jpeg_qc_chroma(seed, cr_comp, m, z) for z in range(64)],
                            predCr, dc2_codes, ac2_codes)
     if acc[1]:
         pad = 8 - acc[1]
@@ -993,14 +997,24 @@ def jpeg_bytes_color(seed, w, h, subsampled):
             + bytes(out) + b"\xFF\xD9")
 
 
+# rows 120-123 extend the color family for CHROMA RECONSTRUCTION
+# (round 14): 120 base; 121 the HUE-SHIFTED twin — identical Y
+# coefficients, Cb/Cr formulas SWAPPED, so the luma stack sees an exact
+# duplicate while the color planes differ; 122 the true near-dup (the
+# row-107 DC perturbation on Y, chroma unchanged); 123 unrelated.
 COLOR_JPEG_ROWS = [
-    (116, 116, 32, 16, True),    # 4:2:0 base (2x1 MCU grid, 8 Y blocks)
-    (117, 116, 32, 16, True),    # exact coefficient copy of 116
-    (118, 118, 32, 16, True),    # unrelated 4:2:0
-    (119, 119, 24, 16, False),   # 4:4:4 layout
+    # (id, seedY, w, h, sub, perturbY, chroma_swap)
+    (116, 116, 32, 16, True, False, False),  # 4:2:0 base (2x1 MCU grid)
+    (117, 116, 32, 16, True, False, False),  # exact coefficient copy of 116
+    (118, 118, 32, 16, True, False, False),  # unrelated 4:2:0
+    (119, 119, 24, 16, False, False, False), # 4:4:4 layout
+    (120, 120, 32, 16, True, False, False),  # color base
+    (121, 120, 32, 16, True, False, True),   # hue-shifted: same Y, Cb/Cr swapped
+    (122, 120, 32, 16, True, True, False),   # true near-dup: Y perturbed
+    (123, 123, 32, 16, True, False, False),  # unrelated
 ]
-for i, seed, w, h, sub in COLOR_JPEG_ROWS:
-    payload = jpeg_bytes_color(seed, w, h, sub)
+for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
+    payload = jpeg_bytes_color(seed, w, h, sub, perturb=perturb, cswap=cswap)
     ids.append(i)
     mimes.append("image/jpeg")
     payloads.append(payload)
@@ -1014,6 +1028,133 @@ for i, seed, w, h, sub in COLOR_JPEG_ROWS:
     channelss.append(None)
     bitss.append(None)
     n_sampless.append(None)
+
+# ---- round 14: pinned CHROMA-reconstruction expectations for the jpeg
+# rows — an INDEPENDENT Python implementation of the engine's pinned
+# integer pipeline (IDCT -> nearest upsample -> 16-bit fixed-point
+# YCbCr->RGB -> per-channel 8x8 above-mean hash), stored as exp_*
+# columns (the q33/q130 decode-vs-stored convention): the Scala byte
+# walk and this formula replay must agree bit-for-bit.
+
+IDCT_K = [362, 362, 362, 362, 362, 362, 362, 362,
+          502, 426, 284, 100, -100, -284, -426, -502,
+          473, 196, -196, -473, -473, -196, 196, 473,
+          426, -100, -502, -284, 284, 502, 100, -426,
+          362, -362, -362, 362, 362, -362, -362, 362,
+          284, -502, 100, 426, -426, -100, 502, -284,
+          196, -473, 473, -196, -196, 473, -473, 196,
+          100, -284, 426, -502, 502, -426, 284, -100]
+ZZU = [0, 1, 0, 0, 1, 2, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1, 0, 0,
+       1, 2, 3, 4, 5, 6, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7,
+       6, 5, 4, 3, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 5, 6, 7, 7, 6, 7]
+ZZV = [0, 0, 1, 2, 1, 0, 0, 1, 2, 3, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6,
+       5, 4, 3, 2, 1, 0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 2,
+       3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 4, 5, 6, 7, 7, 6, 5, 6, 7, 7]
+QY64 = [1 + (z % 5) for z in range(64)]
+QC64 = [2 + (z % 4) for z in range(64)]
+
+
+def idct_pixel(coefs, Q, bx, by):
+    ssum = 0
+    for z in range(64):
+        c = coefs[z]
+        if c:
+            ssum += c * Q[z] * IDCT_K[ZZU[z] * 8 + bx] * IDCT_K[ZZV[z] * 8 + by]
+    pix = ((ssum + (1 << 19)) >> 20) + 128
+    return 0 if pix < 0 else 255 if pix > 255 else pix
+
+
+def y_plane(seed, w, h, sub, perturb):
+    out = [[0] * w for _ in range(h)]
+    for py in range(h):
+        for px in range(w):
+            if sub:
+                b = (((py // 16) * ((w + 15) // 16) + (px // 16)) * 4
+                     + ((py % 16) // 8) * 2 + (px % 16) // 8)
+            else:
+                b = (py // 8) * ((w + 7) // 8) + (px // 8)
+            coefs = [jpeg_qc(seed, b, z, perturb) for z in range(64)]
+            out[py][px] = idct_pixel(coefs, QY64, px % 8, py % 8)
+    return out
+
+
+def chroma_plane(seed, comp, w, h, sub):
+    sx = 2 if sub else 1
+    cw, ch2 = (w + sx - 1) // sx, (h + sx - 1) // sx
+    mcu_w = (w + 15) // 16 if sub else (w + 7) // 8
+    out = [[0] * cw for _ in range(ch2)]
+    for cy in range(ch2):
+        for cx in range(cw):
+            m = (cy // 8) * mcu_w + (cx // 8)
+            coefs = [jpeg_qc_chroma(seed, comp, m, z) for z in range(64)]
+            out[cy][cx] = idct_pixel(coefs, QC64, cx % 8, cy % 8)
+    return out
+
+
+def clamp8(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def rgb_planes(yP, cbP, crP, w, h, sx):
+    r = [[0] * w for _ in range(h)]
+    g = [[0] * w for _ in range(h)]
+    b = [[0] * w for _ in range(h)]
+    for yy in range(h):
+        for x in range(w):
+            Y = yP[yy][x]
+            if cbP is None:
+                r[yy][x] = g[yy][x] = b[yy][x] = Y
+            else:
+                cb = cbP[yy // sx][x // sx] - 128
+                cr = crP[yy // sx][x // sx] - 128
+                r[yy][x] = clamp8(Y + ((91881 * cr + 32768) >> 16))
+                g[yy][x] = clamp8(Y - ((22554 * cb + 46802 * cr + 32768) >> 16))
+                b[yy][x] = clamp8(Y + ((116130 * cb + 32768) >> 16))
+    return r, g, b
+
+
+def ahash64(plane, w, h):
+    smp = [plane[((k // 8) * h) // 8][((k % 8) * w) // 8] for k in range(64)]
+    tot = sum(smp)
+    hi = sum(1 << (k - 32) for k in range(32, 64) if 64 * smp[k] > tot)
+    lo = sum(1 << k for k in range(32) if 64 * smp[k] > tot)
+    return hi, lo
+
+
+exp_cols = {}
+for i, seed, w, h, perturb in JPEG_ROWS:
+    yp = y_plane(seed, w, h, False, perturb)
+    rp, gp, bp = rgb_planes(yp, None, None, w, h, 1)
+    exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
+                   *ahash64(rp, w, h), *ahash64(bp, w, h))
+for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
+    yp = y_plane(seed, w, h, sub, perturb)
+    cb_comp, cr_comp = (2, 1) if cswap else (1, 2)
+    cbp = chroma_plane(seed, cb_comp, w, h, sub)
+    crp = chroma_plane(seed, cr_comp, w, h, sub)
+    rp, gp, bp = rgb_planes(yp, cbp, crp, w, h, 2 if sub else 1)
+    exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
+                   *ahash64(rp, w, h), *ahash64(bp, w, h))
+
+# engineered-exactness assertions for the hue-shift family: identical
+# luma, different color signature; the perturbed row stays color-close
+_y120 = y_plane(120, 32, 16, True, False)
+assert _y120 == y_plane(120, 32, 16, True, False)
+assert exp_cols[121][3:] != exp_cols[120][3:], "hue shift invisible to color hash"
+_d = sum(bin(a ^ b).count("1")
+         for a, b in zip(exp_cols[120][3:], exp_cols[121][3:]))
+assert _d > 6, f"hue-shift color hamming too small: {_d}"
+_d2 = sum(bin(a ^ b).count("1")
+          for a, b in zip(exp_cols[120][3:], exp_cols[122][3:]))
+assert _d2 <= 6, f"true near-dup color hamming too large: {_d2}"
+
+exp_rsum = [exp_cols.get(i, (None,) * 7)[0] for i in ids]
+exp_gsum = [exp_cols.get(i, (None,) * 7)[1] for i in ids]
+exp_bsum = [exp_cols.get(i, (None,) * 7)[2] for i in ids]
+exp_rhash_hi = [exp_cols.get(i, (None,) * 7)[3] for i in ids]
+exp_rhash_lo = [exp_cols.get(i, (None,) * 7)[4] for i in ids]
+exp_bhash_hi = [exp_cols.get(i, (None,) * 7)[5] for i in ids]
+exp_bhash_lo = [exp_cols.get(i, (None,) * 7)[6] for i in ids]
 
 # uspf is only appended in the AVI loops; reassemble aligned to ids
 assert len(uspfs) == 13
@@ -1036,6 +1177,13 @@ table = pa.table({
     "channels": pa.array(channelss, pa.int32()),
     "bits": pa.array(bitss, pa.int32()),
     "n_samples": pa.array(n_sampless, pa.int64()),
+    "exp_rsum": pa.array(exp_rsum, pa.int64()),
+    "exp_gsum": pa.array(exp_gsum, pa.int64()),
+    "exp_bsum": pa.array(exp_bsum, pa.int64()),
+    "exp_rhash_hi": pa.array(exp_rhash_hi, pa.int64()),
+    "exp_rhash_lo": pa.array(exp_rhash_lo, pa.int64()),
+    "exp_bhash_hi": pa.array(exp_bhash_hi, pa.int64()),
+    "exp_bhash_lo": pa.array(exp_bhash_lo, pa.int64()),
 })
 pq.write_table(table, os.path.join(OUT, "media.parquet"))
 print("wrote", os.path.join(OUT, "media.parquet"), table.num_rows, "rows")
