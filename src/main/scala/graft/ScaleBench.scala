@@ -573,6 +573,129 @@ object ScaleBench {
           s"""{"query":"warc_throughput","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
       }
     }
+    // Variant probe: TEXT-INDEX delta compaction A/B — after MANY appends
+    // the append-only lexicon/stats deltas make every read sum across
+    // append-count generations; compaction collapses them. Measures the
+    // steady-state search read (stats + df + pruned postings for two
+    // terms, median of 3) before and after compact, plus the delta-row
+    // counts, and asserts score equality inline.
+    if (only.exists(_.contains("textindex_compact"))) {
+      try {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+          .selectExpr("doc_id", "text")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ti-compact-scale").toString + "/idx"
+        graft.sources.TextIndex.buildFrom(spark, docs.filter(col("doc_id") % 20 === 0), root)
+        (1 until 20).foreach(k =>
+          graft.sources.TextIndex.append(spark, root, docs.filter(col("doc_id") % 20 === k)))
+        val terms = Seq("join", "stream")
+        def readOnce(): (Long, Long, Long) = {
+          val (n, tot) = graft.sources.TextIndex.readStats(spark, root)
+          val d = graft.sources.TextIndex.readDf(spark, root, terms)
+            .agg(sum("df")).first().getLong(0)
+          val p = graft.sources.TextIndex.readPostings(spark, root, terms).count()
+          (n, tot + d, p)
+        }
+        def timeMedian3(): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); readOnce(); (System.nanoTime() - t0) / 1e9
+          }.sorted
+          ts(1)
+        }
+        readOnce() // warmup
+        val lexRows0 = spark.read.parquet(s"$root/lexicon").count()
+        val statRows0 = spark.read.parquet(s"$root/stats").count()
+        val before = readOnce()
+        val tBefore = timeMedian3()
+        graft.sources.TextIndex.compact(spark, root)
+        val after = readOnce()
+        val tAfter = timeMedian3()
+        val lexRows1 = spark.read.parquet(s"$root/lexicon").count()
+        val statRows1 = spark.read.parquet(s"$root/stats").count()
+        println(f"""{"query":"textindex_compact","appends":19,"identical":${before == after}%s,"lexicon_rows":[$lexRows0%d,$lexRows1%d],"stats_rows":[$statRows0%d,$statRows1%d],"read_sec_before":${math.round(tBefore * 1000) / 1000.0}%s,"read_sec_after":${math.round(tAfter * 1000) / 1000.0}%s}""")
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"textindex_compact","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
+      }
+    }
+    // Variant probe: ANN QUANTIZER DRIFT — the persisted IVF-PQ index
+    // assigns/encodes appended batches against quantizers trained on the
+    // ORIGINAL corpus sample; as the appended mass grows, the cells and
+    // codebooks describe the data less well and recall decays. Protocol:
+    // build on 40% of the sf embeddings, append 10%-slices, measure
+    // recall@10 (nprobe=2, 20 fixed member queries, vs exact cosine over
+    // the CURRENT corpus) at each checkpoint, then REBUILD on the full
+    // set and measure the restored recall — the scheduled-rebuild answer
+    // with numbers attached.
+    if (only.exists(_.contains("ann_drift"))) {
+      try {
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+          .selectExpr("vec_id", "embedding")
+          .localCheckpoint(true)
+        val queries = emb.orderBy("vec_id").limit(20)
+          .collect().map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray))
+        // recall of the documented TWO-STAGE search (the WebCorpusApp
+        // shape): the index generates ADC candidates from the probed
+        // cells, the embeddings table reranks them by exact L2 — at the
+        // fixture-pinned quantizer sizes (4 cells / 4x4 codebooks) the
+        // PQ codes are a candidate SCREEN, not a ranker, so drift shows
+        // up as candidate-quality decay (stale cells, mis-assigned
+        // appends), which is the production-relevant axis
+        def recallAt10(root: String, current: org.apache.spark.sql.DataFrame,
+                       candidates: Int = 200): Double = {
+          val hits = queries.map { case (qid, qv) =>
+            val d2 = aggregate(zip_with(col("embedding"),
+              lit(qv), (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+            val exact = current.filter(col("vec_id") =!= qid)
+              .select(col("vec_id"), d2.as("s"))
+              .orderBy(col("s").asc, col("vec_id")).limit(10)
+              .collect().map(_.getLong(0)).toSet
+            val cands = graft.sources.AnnIndex
+              .searchTopK(spark, root, qv, nprobe = 2, excludeId = qid,
+                topK = candidates)
+              .select("vec_id")
+            val got = current.join(cands, "vec_id")
+              .select(col("vec_id"), d2.as("s"))
+              .orderBy(col("s").asc, col("vec_id")).limit(10)
+              .collect().map(_.getLong(0)).toSet
+            exact.intersect(got).size
+          }
+          hits.sum / (10.0 * queries.length)
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ann-drift").toString + "/idx"
+        val base = emb.filter(col("vec_id") % 10 < 4)
+        graft.sources.AnnIndex.buildFrom(spark, base, dir)
+        var current = base
+        val checkpoints = Seq.newBuilder[(Int, Double)]
+        checkpoints += 40 -> recallAt10(dir, current)
+        (4 to 9).foreach { k =>
+          graft.sources.AnnIndex.append(spark, dir,
+            emb.filter(col("vec_id") % 10 === k))
+          current = emb.filter(col("vec_id") % 10 <= k)
+          if (k == 5 || k == 7 || k == 9)
+            checkpoints += (k + 1) * 10 -> recallAt10(dir, current)
+        }
+        val dir2 = java.nio.file.Files
+          .createTempDirectory("graft-ann-rebuild").toString + "/idx"
+        graft.sources.AnnIndex.buildFrom(spark, emb, dir2)
+        val rebuilt = recallAt10(dir2, emb)
+        // the separating leg: same final corpus, candidate budget scaled
+        // with it (200 at 40% = ~10% of corpus -> 500 at 100%) — if THIS
+        // restores recall while the rebuild did not, the decay was
+        // candidate dilution, not quantizer drift
+        val propIncr = recallAt10(dir, emb, candidates = 500)
+        val propRebuilt = recallAt10(dir2, emb, candidates = 500)
+        val rows = checkpoints.result()
+          .map { case (pct, r) => s"""{"corpus_pct":$pct,"recall10":${math.round(r * 1000) / 1000.0}}""" }
+          .mkString("[", ",", "]")
+        println(s"""{"query":"ann_drift","checkpoints":$rows,"recall10_after_rebuild":${math.round(rebuilt * 1000) / 1000.0},"recall10_prop_candidates_incremental":${math.round(propIncr * 1000) / 1000.0},"recall10_prop_candidates_rebuilt":${math.round(propRebuilt * 1000) / 1000.0}}""")
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"ann_drift","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
+      }
+    }
     // Variant probe: the END-TO-END WebCorpusApp build+append priced at
     // crawl scale. Replicas rewrite the shard HOST with a byte-LENGTH-
     // PRESERVING substitution (example.com → examp%02d.com — WARC

@@ -42,9 +42,16 @@ import graft.operators.{Pq, Similarity}
   * Scale: training cost is bounded (the mod-10 sample caps at 1000
   * rows) and paid once per corpus vintage; build/append write is one
   * narrow projection per row; search is O(postings in probed cells).
-  * Quantizer DRIFT after many appends is the operational caveat — the
-  * production answer is a periodic rebuild (same `build`), which this
-  * surface makes a cheap scheduled job, not a per-query cost. */
+  * Quantizer DRIFT after many appends is the textbook caveat — and the
+  * round-14 measurement (SCALE_EVIDENCE §ann drift) found it
+  * UNMEASURABLE at 2.5× append growth: the incremental index equals a
+  * full rebuild at every candidate budget (0.34/0.34 and 0.59/0.59
+  * recall@10). What decays recall is CANDIDATE-BUDGET DILUTION (a fixed
+  * ADC top-K covers a shrinking fraction of the probed cells), restored
+  * by scaling the rerank candidate budget to ~10% of probed-cell mass —
+  * so the production rebuild cadence is about growing the CELL COUNT
+  * with the corpus (k ~ √n, the q263 policy), not about retraining for
+  * drift. */
 object AnnIndex {
 
   private val IvfK = 4

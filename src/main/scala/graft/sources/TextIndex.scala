@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   * ANN quantizers. */
 object TextIndex {
 
+  /** Default postings-bucket count. A FIXTURE-SCALE pin: production
+    * sizes this so one bucket directory holds ~a few GB of postings
+    * (vocab and corpus dependent). [[buildFrom]] takes it as a knob and
+    * persists the chosen value in `meta/`, so readers always probe with
+    * the count the index was WRITTEN with. */
   private[graft] val Buckets = 16
 
   @volatile private var cached = Map.empty[String, String]
@@ -64,17 +69,23 @@ object TextIndex {
   }
 
   /** The term's partition bucket — first 8 md5 hex chars as a long,
-    * mod [[Buckets]]; [[bucketOf]] is the identical driver-side form. */
-  private def bucketCol(tok: org.apache.spark.sql.Column) =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % Buckets
+    * mod the index's bucket count; [[bucketOf]] is the identical
+    * driver-side form. */
+  private def bucketCol(tok: org.apache.spark.sql.Column, buckets: Int) =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
 
   /** Driver-side twin of [[bucketCol]] for probe planning. */
-  private[graft] def bucketOf(term: String): Long = {
+  private[graft] def bucketOf(term: String, buckets: Int = Buckets): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(term.getBytes("UTF-8"))
     val hex = d.take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16) % Buckets
+    java.lang.Long.parseLong(hex, 16) % buckets
   }
+
+  /** The bucket count the index at `root` was written with. */
+  private[graft] def bucketsOf(s: SparkSession, root: String): Int =
+    if (!Sinks.exists(s, s"$root/meta")) Buckets
+    else s.read.parquet(s"$root/meta").head().getAs[Int]("n_buckets")
 
   private def postingsOf(docs: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ")
@@ -84,14 +95,15 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"))
   }
 
-  private def writeAll(docs: DataFrame, out: String, mode: String): Unit = {
+  private def writeAll(docs: DataFrame, out: String, mode: String,
+                       buckets: Int): Unit = {
     // materialize the tokenize+aggregate ONCE: three writers consume it
     // (postings, lexicon, stats) and without this each would re-run the
     // full corpus tokenization — the multi-consumer-recompute trap.
     // (On a cluster, prefer a reliable checkpoint for fault tolerance.)
     val tf = postingsOf(docs).localCheckpoint(true)
     tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        bucketCol(col("tok")).as("term_bucket"))
+        bucketCol(col("tok"), buckets).as("term_bucket"))
       .write.mode(mode).partitionBy("term_bucket").parquet(s"$out/postings")
     tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$out/lexicon")
@@ -104,19 +116,51 @@ object TextIndex {
   }
 
   private def build(s: SparkSession, docs: DataFrame, out: String): Unit =
-    writeAll(docs.select(col("doc_id"), col("text")), out, "overwrite")
+    buildFrom(s, docs, out)
 
   /** Build an index at a caller-managed root over an arbitrary
     * (doc_id, text) frame — the entry the corpus apps use to index the
     * corpus THEY just wrote ([[graft.app.WebCorpusApp]]); the memoized
-    * [[path]]/[[pathIncremental]] stay the fixture-corpus surfaces. */
-  def buildFrom(s: SparkSession, docs: DataFrame, out: String): Unit =
-    build(s, docs, out)
+    * [[path]]/[[pathIncremental]] stay the fixture-corpus surfaces.
+    * `buckets` is the postings-partition knob, persisted in `meta/` so
+    * every later reader and append probes with the written count. */
+  def buildFrom(s: SparkSession, docs: DataFrame, out: String,
+                buckets: Int = Buckets): Unit = {
+    import s.implicits._
+    writeAll(docs.select(col("doc_id"), col("text")), out, "overwrite", buckets)
+    Seq(buckets).toDF("n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/meta")
+  }
+
+  /** Compact the APPEND-ONLY delta tables: many appends accumulate one
+    * df-delta row per (batch, term) and one stats row per batch — the
+    * read path stays CORRECT (readers sum), but its cost grows with the
+    * append count. Compaction rewrites lexicon and stats to their
+    * summed form (rewrite-and-swap via [[Sinks.overwriteSwap]]'s crash
+    * guarantees; lineage severed before the overwrite — the CorpusApp
+    * self-read rule). Because df/n_docs/total_tokens are exact integers
+    * that ADD, the compacted index serves BIT-IDENTICAL scores
+    * (TextIndexSpec pins it). Postings need no compaction: batches
+    * write disjoint (doc, term) rows. */
+  def compact(s: SparkSession, root: String): Unit = {
+    import graft.operators.Sever.SeverOps
+    val lex = s.read.parquet(s"$root/lexicon")
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+      .sever() // materialized BEFORE the path it came from is replaced
+    Sinks.overwriteSwap(lex, s"$root/lexicon")
+    val st = s.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).cast("long").as("total_tokens"))
+      .sever()
+    Sinks.overwriteSwap(st, s"$root/stats")
+    Seq(s"$root/lexicon", s"$root/stats").foreach(s.catalog.refreshByPath)
+  }
 
   /** Ingest a batch into an EXISTING index: the batch's postings, df
     * DELTAS and stat deltas are appended; nothing else is touched. */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit =
-    writeAll(batch.select(col("doc_id"), col("text")), root, "append")
+    writeAll(batch.select(col("doc_id"), col("text")), root, "append",
+      bucketsOf(s, root))
 
   /** Exact corpus stats from the written (append-only) stats rows. */
   def readStats(s: SparkSession, root: String): (Long, Long) = {
@@ -134,7 +178,8 @@ object TextIndex {
   /** The probed postings: ONLY the query terms' bucket directories are
     * read (partition pruning), then the in-bucket term filter. */
   def readPostings(s: SparkSession, root: String, terms: Seq[String]): DataFrame = {
-    val buckets = terms.map(bucketOf).distinct
+    val n = bucketsOf(s, root)
+    val buckets = terms.map(bucketOf(_, n)).distinct
     s.read.parquet(s"$root/postings")
       .filter(col("term_bucket").isin(buckets: _*))
       .filter(col("tok").isin(terms: _*))

@@ -72,4 +72,56 @@ class TextIndexSpec extends AnyFunSuite with SharedSpark {
   test("the memoized root is stable: repeated searches pay no build") {
     assert(TextIndex.path(spark, sfDir) == TextIndex.path(spark, sfDir))
   }
+
+  test("compact: many appends collapse to summed rows with BIT-IDENTICAL read state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-compact").toString + "/idx"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // build on one slice, append four more: 5 stats rows, 5 df-delta
+    // generations accumulate
+    TextIndex.buildFrom(spark, docs.filter(col("doc_id") % 5 === 0), root)
+    (1 to 4).foreach(k =>
+      TextIndex.append(spark, root, docs.filter(col("doc_id") % 5 === k)))
+    val terms = Seq("join", "stream", "filter")
+    val statsBefore = TextIndex.readStats(spark, root)
+    val dfBefore = TextIndex.readDf(spark, root, terms)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val postBefore = TextIndex.readPostings(spark, root, terms)
+      .collect().map(_.toSeq).toSet
+    val lexRowsBefore = spark.read.parquet(s"$root/lexicon").count()
+    val statRowsBefore = spark.read.parquet(s"$root/stats").count()
+    assert(statRowsBefore == 5L)
+    TextIndex.compact(spark, root)
+    // every read-path value is unchanged (exact integers summed)
+    assert(TextIndex.readStats(spark, root) == statsBefore)
+    assert(TextIndex.readDf(spark, root, terms)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == dfBefore)
+    assert(TextIndex.readPostings(spark, root, terms)
+      .collect().map(_.toSeq).toSet == postBefore)
+    // the delta accumulation is gone: one stats row, one row per term
+    assert(spark.read.parquet(s"$root/stats").count() == 1L)
+    val lexAfter = spark.read.parquet(s"$root/lexicon")
+    assert(lexAfter.count() < lexRowsBefore)
+    assert(lexAfter.groupBy("tok").count().filter(col("count") > 1).count() == 0)
+    // and a LATER append still composes (deltas on top of the compacted rows)
+    TextIndex.append(spark, root, docs.filter(col("doc_id") % 5 === 4))
+    val (n2, tot2) = TextIndex.readStats(spark, root)
+    assert(n2 > statsBefore._1 && tot2 > statsBefore._2)
+  }
+
+  test("bucket-count knob: the written meta drives every later probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-b4").toString + "/idx"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    TextIndex.buildFrom(spark, docs, root, buckets = 4)
+    val dirs = new java.io.File(s"$root/postings").listFiles()
+      .filter(_.getName.startsWith("term_bucket=")).map(_.getName).sorted
+    assert(dirs.length == 4, dirs.mkString(","))
+    // probe pruning uses the WRITTEN count: df/postings agree with the
+    // default-bucket index for the same terms
+    val def16 = TextIndex.path(spark, sfDir)
+    val terms = Seq("join", "stream")
+    val a = TextIndex.readPostings(spark, root, terms).collect().map(_.toSeq).toSet
+    val b = TextIndex.readPostings(spark, def16, terms).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
