@@ -786,6 +786,121 @@ object ScaleBench {
           s"""{"query":"webcorpus_scale","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
       }
     }
+    // Variant probe: the CDX INDEX at crawl scale. Replicas carry
+    // DISTINCT urls (the webcorpus_scale host rewrite), so lookups stay
+    // POINT queries as the store grows. Three claims measured:
+    //  (1) build is one walk (pages/sec ~flat with shard count);
+    //  (2) lookup reads only the queried buckets — A/B vs the same
+    //      filter WITHOUT partition pruning;
+    //  (3) fetch reads only the NAMED shards — A/B vs the full container
+    //      walk the index exists to avoid; plus the single-shard
+    //      slice-vs-walk micro A/B (production shards are ~1 GB: the
+    //      walk pays the whole shard, the slice pays one record).
+    if (only.exists(_.contains("cdx_scale"))) {
+      try {
+        import spark.implicits._
+        val base = graft.operators.Warc
+          .readShards(spark, "/root/repo/fixtures/warc_shards.parquet")
+          .collect()
+        def rewriteHost(b: Array[Byte], k: Int): Array[Byte] = {
+          val pat = "example.com".getBytes("US-ASCII")
+          val rep = f"examp$k%02d.com".getBytes("US-ASCII")
+          require(rep.length == pat.length)
+          val o = java.util.Arrays.copyOf(b, b.length)
+          var i = 0
+          while (i <= o.length - pat.length) {
+            var j = 0
+            while (j < pat.length && o(i + j) == pat(j)) j += 1
+            if (j == pat.length) {
+              System.arraycopy(rep, 0, o, i, rep.length); i += pat.length
+            } else i += 1
+          }
+          o
+        }
+        def rmTree(p: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-cdx-scale").toString
+        val reps = sys.env.getOrElse("SPARK_GRAFT_CDX_REPS", "100").toInt
+        // replica 0 keeps the original framing (incl. the gz shard —
+        // member-extent locations); rewritten replicas are plain
+        spark.createDataset(
+          (0 until reps).flatMap { k =>
+            base.map { s =>
+              if (k == 0) s
+              else {
+                val plain = if (s.gz)
+                  graft.operators.Warc.gunzipAll(s.payload).get
+                else s.payload
+                graft.operators.WarcShard(k.toLong * 6 + s.shard_id,
+                  gz = false, rewriteHost(plain, k))
+              }
+            }
+          }).toDF().write.mode("overwrite").parquet(s"$dir/shards")
+        val shardsDs = graft.operators.Warc.readShards(spark, s"$dir/shards")
+        metrics.reset()
+        var t0 = System.nanoTime()
+        graft.sources.CdxIndex.buildFrom(spark, shardsDs, s"$dir/cdx")
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val nLoc = spark.read.parquet(s"$dir/cdx/locations").count()
+        println(f"""{"query":"cdx_build","replicas":$reps%d,"locations":$nLoc%d,"sec":${math.round(buildSec * 1000) / 1000.0}%s,"locs_per_sec":${math.round(nLoc / buildSec * 10) / 10.0}%s,"input_mb":${mb(metrics.input.get)}%s}""")
+        // 10 point lookups across replicas + one gz-member url
+        val urls = (1 to 9).map(k => f"https://examp$k%02d.com/doc${k * 7}%d") :+
+          "https://example.com/doc23" // doc 23: shard 5, the gz framing
+        def timeN(n: Int)(f: => Long): (Double, Long) = {
+          var rows = 0L
+          val ts = (1 to n).map { _ =>
+            val s = System.nanoTime(); rows = f; (System.nanoTime() - s) / 1e9
+          }
+          (ts.sorted.apply(n / 2), rows)
+        }
+        val (lkSec, lkRows) = timeN(3)(
+          graft.sources.CdxIndex.lookup(spark, s"$dir/cdx", urls).count())
+        val (lkFullSec, _) = timeN(3)(
+          spark.read.parquet(s"$dir/cdx/locations")
+            .filter(col("url").isin(urls: _*)).count()) // NO bucket prune
+        println(f"""{"query":"cdx_lookup","urls":${urls.size}%d,"rows":$lkRows%d,"pruned_sec":${math.round(lkSec * 1000) / 1000.0}%s,"unpruned_sec":${math.round(lkFullSec * 1000) / 1000.0}%s}""")
+        val (ftSec, ftRows) = timeN(3)(
+          graft.sources.CdxIndex.fetch(spark, s"$dir/cdx", s"$dir/shards", urls)
+            .count())
+        metrics.reset()
+        val (walkSec, walkRows) = timeN(1)(
+          graft.operators.Warc.responses(shardsDs)
+            .filter(col("target_uri").isin(urls: _*)).count())
+        println(f"""{"query":"cdx_fetch","urls":${urls.size}%d,"fetched":$ftRows%d,"fetch_sec":${math.round(ftSec * 1000) / 1000.0}%s,"full_walk_sec":${math.round(walkSec * 1000) / 1000.0}%s,"walk_rows":$walkRows%d,"walk_input_mb":${mb(metrics.input.get)}%s}""")
+        // single-shard slice-vs-walk micro A/B on a production-FAT shard
+        val fatCat = base.filter(!_.gz).map(_.payload).reduce(_ ++ _)
+        val fat = {
+          val k = 250
+          val o = new Array[Byte](fatCat.length * k)
+          var i = 0
+          while (i < k) { System.arraycopy(fatCat, 0, o, i * fatCat.length, fatCat.length); i += 1 }
+          o
+        }
+        val fatLocs = graft.operators.Warc
+          .locateShard(graft.operators.WarcShard(0L, gz = false, fat))
+        val last = fatLocs.maxBy(_.offset) // deepest record: worst walk case
+        def ms(f: => Unit): Double = {
+          f // warm
+          val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e6
+        }
+        val sliceMs = ms(assert(graft.operators.Warc
+          .fetchRecord(0L, gz = false, fat, last.offset, last.length).nonEmpty))
+        val walkMs = ms(assert(graft.operators.Warc
+          .parseShard(graft.operators.WarcShard(0L, gz = false, fat))
+          .exists(r => r.target_uri.contains(last.url))))
+        println(f"""{"query":"cdx_slice_vs_walk","shard_mb":${mb(fat.length.toLong)}%s,"slice_ms":${math.round(sliceMs * 1000) / 1000.0}%s,"walk_ms":${math.round(walkMs * 1000) / 1000.0}%s,"ratio":${math.round(walkMs / sliceMs * 10) / 10.0}%s}""")
+        rmTree(dir)
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"cdx_scale","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
+      }
+    }
     // Variant probe: FULL-GRAPH 4-truss at sf0.1 — the un-oriented wedge
     // form measured 109 s here (NOTES_r10), which is why q257 ships on
     // the vetted backbone; the degree-oriented support rewrite should

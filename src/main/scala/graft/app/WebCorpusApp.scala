@@ -80,7 +80,12 @@ object WebCorpusApp {
 
   def build(spark: SparkSession, shardsPath: String, robotsPath: String,
             outDir: String, shardPred: Column = lit(true)): Unit = {
-    val pages = decodePages(spark, shardsPath, shardPred)
+    // sever after the WARC walk + charset decode: three output writes
+    // (corpus, rejects, paragraph state) consume the pipeline — without
+    // the cut each would re-walk the crawl bytes (the multi-consumer-
+    // recompute trap; same rationale as TextIndex.writeAll)
+    val pages = decodePages(
+      Warc.readShards(spark, shardsPath).filter(shardPred).toDF()).sever()
     val nPages = pages.count()
     val staged = runPipeline(spark, pages, robotsPath,
       histParHashes = None, corpusFps = None, crawledCanonical = None)
@@ -104,10 +109,40 @@ object WebCorpusApp {
     * convention; batch-vs-history near-dup is its own operator, q75).
     * Re-running the same `batchId` is a FULL no-op (ledger-gated). */
   def append(spark: SparkSession, shardsPath: String, robotsPath: String,
-             outDir: String, batchId: String, shardPred: Column): Unit = {
+             outDir: String, batchId: String, shardPred: Column): Unit =
+    appendBatch(spark,
+      Warc.readShards(spark, shardsPath).filter(shardPred).toDF(),
+      robotsPath, outDir, batchId)
+
+  /** [[append]] over an in-hand shard frame (the [[streamIngest]]
+    * micro-batch entry). EXACTLY-ONCE under crash at ANY point:
+    *
+    *  1. every table/index append is a REVOCABLE tagged file move
+    *     ([[Sinks.appendTagged]] — file names carry the batch tag);
+    *  2. the LEDGER swap-commit is the single atomic commit point,
+    *     written only after every append landed;
+    *  3. on entry, files whose tag is not in the ledger are PURGED
+    *     ([[Sinks.purgeTagged]] — a file listing, never a data read),
+    *     so a crashed attempt's partial writes vanish before the
+    *     deterministic replay, and a COMMITTED batch replays as a
+    *     full no-op.
+    *
+    * Readers that must not observe in-flight appends consult the
+    * ledger (committed tags) — same discipline as any log-structured
+    * table format. SINGLE WRITER assumed (also standard): a concurrent
+    * append's uncommitted files are indistinguishable from a crashed
+    * attempt's and would be purged; serialize appends per corpus. */
+  def appendBatch(spark: SparkSession, shards: DataFrame, robotsPath: String,
+                  outDir: String, batchId: String): Unit = {
     val applied = ledger(spark, outDir)
     if (applied.contains(batchId)) return
-    val pages = decodePages(spark, shardsPath, shardPred)
+    // recovery: revoke every uncommitted tag before touching state —
+    // the build's overwriteSwap tables carry no tags, so the committed
+    // set is exactly the ledger's
+    val committed = applied.keySet.map(Sinks.tagOf)
+    appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
+    refresh(spark, outDir)
+    val pages = decodePages(shards).sever() // the build's recompute cut
     val nPages = pages.count()
     val written = spark.read.parquet(s"$outDir/corpus")
     val maxPos = written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
@@ -126,22 +161,76 @@ object WebCorpusApp {
       .sever()
     val rejects = staged.rejects.sever()
     val newHashes = staged.parHashes.sever()
-    Sinks.append(ranked, s"$outDir/corpus")
-    Sinks.append(rejects, s"$outDir/rejects")
-    Sinks.append(newHashes, s"$outDir/paragraph_hashes")
+    Sinks.appendTagged(ranked, s"$outDir/corpus", batchId)
+    Sinks.appendTagged(rejects, s"$outDir/rejects", batchId)
+    Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId)
     refresh(spark, outDir)
-    writeLedger(spark, outDir, applied + (batchId -> nPages))
-    auditDerived(spark, outDir)
-    // index maintenance: append-only — postings/df/stat DELTAS for the
-    // text index, assign+encode against the WRITTEN quantizers for the
-    // ANN index; the history is never re-read (q293/q310 convention)
+    failpoint("table_append")
+    // index maintenance BEFORE the commit (a crash here must revoke the
+    // batch, not strand the indexes behind the corpus): append-only —
+    // postings/df/stat DELTAS for the text index, assign+encode against
+    // the WRITTEN quantizers for the ANN index; the history is never
+    // re-read (q293/q310 convention)
     TextIndex.append(spark, s"$outDir/text_index",
-      ranked.select(col("pos").as("doc_id"), col("text")))
-    val emb = embeddingsOf(ranked)
-    Sinks.append(emb, s"$outDir/embeddings")
+      ranked.select(col("pos").as("doc_id"), col("text")), Some(batchId))
+    val emb = embeddingsOf(ranked).sever()
+    Sinks.appendTagged(emb, s"$outDir/embeddings", batchId)
     spark.catalog.refreshByPath(s"$outDir/embeddings")
     AnnIndex.append(spark, s"$outDir/ann_index",
-      emb.select(col("vec_id"), col("embedding")))
+      emb.select(col("vec_id"), col("embedding")), Some(batchId))
+    failpoint("index_append")
+    // manifest BEFORE the commit: a crash after the ledger swap must
+    // leave nothing stale (replay of a committed batch is a no-op and
+    // would never repair it); a crash after the manifest but before the
+    // commit is converged by the replay, which purges and rewrites
+    val entries = applied + (batchId -> nPages)
+    auditDerived(spark, outDir, nPagesOverride = Some(entries.values.sum))
+    // THE commit point (atomic swap): before this line the batch never
+    // happened (next call purges its files); after it, replay is a no-op
+    writeLedger(spark, outDir, entries)
+  }
+
+  /** Every table an append contributes tagged files to (purge targets —
+    * the index roots are walked recursively, partition dirs included). */
+  private val appendedTables = Seq("corpus", "rejects", "paragraph_hashes",
+    "embeddings", "text_index/postings", "text_index/lexicon",
+    "text_index/stats", "ann_index/postings")
+
+  /** Test-only crash injection: when set, [[appendBatch]] throws after
+    * the named step ("table_append" | "index_append") — BEFORE its
+    * ledger commit — so specs can prove crash recovery end to end. */
+  @volatile private[graft] var crashAfter: Option[String] = None
+  private def failpoint(step: String): Unit =
+    if (crashAfter.contains(step))
+      throw new IllegalStateException(s"injected crash after $step")
+
+  /** STREAMING incremental ingest — the crawl front door running
+    * continuously against the WRITTEN corpus: WARC shard files land in
+    * `srcDir`, the file source discovers them (`maxFilesPerTrigger`
+    * bounds a micro-batch), and each micro-batch runs [[appendBatch]]'s
+    * full pipeline via foreachBatch. Exactly-once composition:
+    * Spark's checkpoint fixes the file→batch-id assignment (a restart
+    * re-delivers the SAME files under the SAME id), and [[appendBatch]]
+    * makes each id's application atomic (ledger commit) and its replay
+    * a no-op — so crash at any point, including mid-batch, converges to
+    * the once-only corpus. The batch and streaming paths are the same
+    * code; arrival order affects only position offsets. */
+  def streamIngest(spark: SparkSession, srcDir: String, robotsPath: String,
+                   outDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val shards = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val q = shards.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // the micro-batch frame is re-playable but not free — pin it
+        // once; appendBatch drives several actions over it
+        appendBatch(spark, batch.sever(), robotsPath, outDir, s"stream-$bid")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/stream_ckpt")
+      .start()
+    q.awaitTermination()
   }
 
   // ------------------------------------------------------------- pipeline
@@ -150,12 +239,13 @@ object WebCorpusApp {
                             parHashes: DataFrame)
 
   /** HTTP-200 responses, charset-decoded: (url, charset, html). */
-  private def decodePages(spark: SparkSession, shardsPath: String,
-                          shardPred: Column): DataFrame =
+  private def decodePages(shards: DataFrame): DataFrame = {
+    import shards.sparkSession.implicits._
     Warc.decodedResponses(
-        Warc.readShards(spark, shardsPath).filter(shardPred), status = Some(200))
+        shards.as[graft.operators.WarcShard], status = Some(200))
       .filter(col("url") =!= "")
       .select(col("url"), col("charset"), col("text").as("html"))
+  }
 
   /** The full clean over one page set. History gates (`Some(...)`) turn
     * the same pipeline into the append path; `None`s make it the build.
@@ -198,9 +288,13 @@ object WebCorpusApp {
 
     // 3. content-block extraction (link-density rule); pages with no
     //    qualifying block at all are the link-farm rejects
+    // severed: the regex extraction is the per-byte hot loop, and blocks
+    // feed paragraph dedup, the paragraph-hash state AND the no-content
+    // rejects — three consumers, one extraction pass
     val blocks = Html.blocks(allowed, idCol = "url", htmlCol = "html")
       .filter(col("is_content"))
       .select(col("url"), col("pos"), col("text"))
+      .sever()
     val rejNoContent = allowed.join(blocks.select("url").distinct(),
         Seq("url"), "left_anti")
       .select(col("url"), lit("no_content").as("stage"))
@@ -208,10 +302,12 @@ object WebCorpusApp {
     // 4. paragraph dedup — corpus-wide first occurrence by (url, pos),
     //    against the written hash history on append. Docs losing EVERY
     //    paragraph are the boilerplate/exact-copy rejects.
-    val pd = histParHashes match {
+    // severed: the dedup's groupBy+join output feeds the paragraph_dup
+    // rejects, the doc reassembly AND (via scored) every later stage
+    val pd = (histParHashes match {
       case None => Dedup.paragraphDedup(blocks, idCol = "url")
       case Some(h) => Dedup.paragraphDedupWithHistory(blocks, h, idCol = "url")
-    }
+    }).sever()
     val rejParDup = pd.filter(col("n_kept") === 0)
       .select(col("url"), lit("paragraph_dup").as("stage"))
     val docs = pd.filter(col("n_kept") > 0)
@@ -236,8 +332,12 @@ object WebCorpusApp {
       .select(col("url"), lit("language").as("stage"))
     val rejQuality = scored.filter(col("predicted_lang") === "en" && !col("is_quality"))
       .select(col("url"), lit("quality").as("stage"))
+    // severed: the scoring chain (langid n-grams, stopword ratios) is
+    // recomputed by the exact-dedup keeper join, the near-dup shingles
+    // AND the survivor projection without the cut
     val qualified = scored.filter(col("predicted_lang") === "en" && col("is_quality"))
       .withColumn("fp", md5(col("text")))
+      .sever()
 
     // 6. exact dedup within the page set on the cleaned text (min url keeps)
     val fpKeep = qualified.groupBy("fp").agg(min(col("url")).as("__keep"))
@@ -328,8 +428,9 @@ object WebCorpusApp {
     * against the oracle): per-stage reject counts + corpus/shard/state
     * sizes + the cumulative page count from the ledger. The scan cost
     * is rejects+corpus metadata, not raw crawl bytes. */
-  def auditDerived(spark: SparkSession, outDir: String): Unit = {
-    val nPages = ledger(spark, outDir).values.sum
+  def auditDerived(spark: SparkSession, outDir: String,
+                   nPagesOverride: Option[Long] = None): Unit = {
+    val nPages = nPagesOverride.getOrElse(ledger(spark, outDir).values.sum)
     val corpus = spark.read.parquet(s"$outDir/corpus")
     val rejects = spark.read.parquet(s"$outDir/rejects")
     val parHashes = spark.read.parquet(s"$outDir/paragraph_hashes")

@@ -84,6 +84,35 @@ object Html {
   def readHtmlDocs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("doc_id", "url", "html")
 
+  /** The href edge pattern — quoted or unquoted `<a href` targets. A
+    * CONSTANT shared with the DuckDB oracle builders (interpolated, the
+    * q289 convention) so the two replays can never drift; plain enough
+    * to mean the same thing under java.util.regex and RE2. */
+  val HrefPattern: String = """<a href="?([^"> ]+)"?"""
+
+  /** The crawl's LINK GRAPH: (src, dst, w) edges from every `<a href>`
+    * target, resolved against the page's own url — absolute targets
+    * kept, path-absolute targets prefixed with the page's scheme+host,
+    * anything else (protocol-relative, page-relative, fragment-only)
+    * dropped as a documented subset. Pure codegen'd regexp builtins:
+    * one narrow explode, then ONE shuffle — the (src, dst) groupBy. At
+    * crawl scale the edge table is the web graph itself; downstream
+    * consumers ([[PageRank]], HITS, spam heuristics) shuffle it by key,
+    * never the page bytes. */
+  def linkEdges(pages: DataFrame, urlCol: String = "url",
+                htmlCol: String = "html"): DataFrame =
+    pages.select(col(urlCol).as("src"),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
+          .as("href"))
+      .withColumn("dst",
+        when(col("href").contains("://"), col("href"))
+          .when(col("href").startsWith("/"),
+            concat(regexp_extract(col("src"), "^(https?://[^/]+)", 1),
+              col("href")))
+          .otherwise(lit(null)))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
   /** One row per non-empty candidate block: (idCol, pos, text,
     * text_chars, link_chars, is_content). Document order is `pos`. */
   def blocks(df: DataFrame, idCol: String = "doc_id", htmlCol: String = "html",

@@ -28,6 +28,15 @@ case class WarcRec(
     http_content_type: Option[String],
     body: Option[Array[Byte]])
 
+/** One CDX-style record location: where a response record lives inside
+  * its shard — the (offset, length) extent a random-access re-fetch
+  * reads WITHOUT walking the shard. For `gz` (Common Crawl-framed)
+  * shards the extent is the record's own COMPRESSED gzip member — the
+  * exact contract of Common Crawl's CDX index, where a production
+  * object store serves the member as one ranged GET. */
+case class WarcLoc(shard_id: Long, rec_idx: Int, url: String, offset: Long,
+                   length: Long, http_status: Int, body_md5: String)
+
 /** WARC/1.0 (ISO 28500) container walk — the format web crawls actually
   * arrive in, and therefore the true FIRST operator of a web-corpus
   * pipeline (one step before [[Html]]: crawl bytes → HTTP responses →
@@ -77,6 +86,115 @@ object Warc {
   def responses(shards: Dataset[WarcShard], status: Option[Int] = None): Dataset[WarcRec] = {
     val recs = records(shards).filter(col("warc_type") === "response")
     status.fold(recs)(st => recs.filter(col("http_status") === st))
+  }
+
+  /** CDX locations: one row per HTTP response record, carrying the byte
+    * extent a random-access fetch needs plus the identity fields a CDX
+    * lookup serves (url, status, content digest). Same walk discipline
+    * as [[records]]: one task per shard, per-shard state, zero shuffle.
+    * Records without a target URI (warcinfo) and non-response types are
+    * not locations — the CDX serves page lookups. */
+  def recordLocations(shards: Dataset[WarcShard]): Dataset[WarcLoc] = {
+    import shards.sparkSession.implicits._
+    shards.mapPartitions(_.flatMap(locateShard))
+  }
+
+  private[graft] def locateShard(sh: WarcShard): Seq[WarcLoc] = {
+    val out = Seq.newBuilder[WarcLoc]
+    var idx = 0
+    def emit(bytes: Array[Byte], extent: (Long, Long) => (Long, Long)): Unit = {
+      var pos = indexOf(bytes, Magic, 0)
+      while (pos >= 0) {
+        parseRecord(sh.shard_id, idx, bytes, pos) match {
+          case Some((rec, next)) =>
+            if (rec.warc_type == "response" && rec.target_uri.nonEmpty) {
+              val (off, len) = extent(pos.toLong, (next - pos).toLong)
+              out += WarcLoc(sh.shard_id, idx, rec.target_uri.get, off, len,
+                rec.http_status.getOrElse(-1),
+                md5hex(rec.body.getOrElse(Array.emptyByteArray)))
+            }
+            idx += 1
+            pos = indexOf(bytes, Magic, next)
+          case None =>
+            pos = indexOf(bytes, Magic, pos + Magic.length)
+        }
+      }
+    }
+    if (sh.gz)
+      // CC framing: the member IS the record's fetch unit — record
+      // offsets inside the inflated member are irrelevant to a ranged GET
+      gzipMembers(sh.payload).foreach { case (mOff, mLen, bytes) =>
+        emit(bytes, (_, _) => (mOff, mLen))
+      }
+    else emit(sh.payload, (pos, len) => (pos, len))
+    out.result()
+  }
+
+  /** Random-access record fetch: parse the ONE record at a CDX-indexed
+    * (offset, length) slice — never a shard walk. `gz` slices are one
+    * gzip member (inflated alone, same bomb cap). Out-of-range or
+    * malformed slices yield None, never an exception. */
+  def fetchRecord(shardId: Long, gz: Boolean, payload: Array[Byte],
+                  offset: Long, length: Long): Option[WarcRec] = {
+    if (offset < 0 || length <= 0 || offset + length > payload.length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      payload, offset.toInt, (offset + length).toInt)
+    val bytes = if (gz) gunzipAll(slice).getOrElse(return None) else slice
+    parseRecord(shardId, 0, bytes, 0).map(_._1)
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map(x => f"$x%02x").mkString
+
+  /** Walk the gzip MEMBERS of a Common Crawl-framed shard: returns
+    * (compressed_offset, compressed_length, inflated_bytes) per member —
+    * the boundaries [[gunzipAll]] (which inflates the concatenation)
+    * cannot see. Stops at the first malformed/truncated member (the
+    * torn-tail contract: whole members before it are kept); the shared
+    * [[MaxInflatedBytes]] bomb cap yields an EMPTY result, matching
+    * [[gunzipAll]]. */
+  private[graft] def gzipMembers(p: Array[Byte]): Seq[(Long, Long, Array[Byte])] = {
+    val out = Seq.newBuilder[(Long, Long, Array[Byte])]
+    var off = 0
+    var total = 0L
+    try {
+      while (p.length - off >= 18) { // gzip header 10 + trailer 8
+        if (!((p(off) & 0xff) == 0x1f && (p(off + 1) & 0xff) == 0x8b))
+          return out.result() // garbage between members: stop
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          var h = off + 10
+          val flg = p(off + 3) & 0xff
+          if ((flg & 4) != 0) { // FEXTRA
+            val xlen = (p(h) & 0xff) | ((p(h + 1) & 0xff) << 8)
+            h += 2 + xlen
+          }
+          if ((flg & 8) != 0) { while (p(h) != 0) h += 1; h += 1 } // FNAME
+          if ((flg & 16) != 0) { while (p(h) != 0) h += 1; h += 1 } // FCOMMENT
+          if ((flg & 2) != 0) h += 2 // FHCRC
+          inf.setInput(p, h, p.length - h)
+          val bos = new ByteArrayOutputStream(1 << 16)
+          val buf = new Array[Byte](1 << 16)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              return out.result() // truncated member
+            total += n
+            if (total > MaxInflatedBytes) return Seq.empty // bomb
+            bos.write(buf, 0, n)
+          }
+          val compEnd = h + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE
+          if (compEnd > p.length) return out.result()
+          out += ((off.toLong, (compEnd - off).toLong, bos.toByteArray))
+          off = compEnd
+        } finally inf.end()
+      }
+      out.result()
+    } catch {
+      case _: java.util.zip.DataFormatException => out.result()
+      case _: ArrayIndexOutOfBoundsException    => out.result()
+    }
   }
 
   /** Responses with the body CHARSET-DECODED to a string — the real

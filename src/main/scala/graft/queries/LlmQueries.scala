@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Chunker, Dedup, Html, Multimodal, Pdf, Pq, Robots, Similarity, Sitemap, Upsert, Url, Warc}
 import graft.operators.Sever.SeverOps
-import graft.sources.Tables
+import graft.sources.{CdxIndex, Tables}
 
 /** The LLM-training-data-pipeline operator suite (dedup, similarity search,
   * multimodal, text analysis) over the harness `documents` / `embeddings`
@@ -845,6 +845,80 @@ object LlmQueries {
   def q312WarcCharset(s: SparkSession, dir: String): DataFrame =
     Warc.decodedResponses(Warc.readShards(s, warcCharsetShards))
       .select(col("url"), col("charset"), col("text"))
+
+  /** The CDX lookup's url set — a bounded, deterministic page sample
+    * (every 10th page starting at 3: crosses all six shards, including
+    * the GZIPPED one, and hits the 404/301 statuses). A CDX lookup's
+    * urls are driver-held by construction — it is a point-query API. */
+  private def cdxUrls(s: SparkSession): Seq[String] =
+    s.read.parquet(htmlDocs).filter(col("doc_id") % 10 === 3)
+      .select("url").collect().map(_.getString(0)).toSeq
+
+  /** q324: PERSISTED CDX INDEX lookup ([[graft.sources.CdxIndex]]) —
+    * Common Crawl's url → (shard, offset, length, status, digest) index
+    * as the third persisted-index family (after the q309 inverted index
+    * and the q292 ANN index). Build walks the shards once and writes
+    * locations partitioned by an md5 url bucket; THIS query reads only
+    * the queried urls' bucket dirs — never crawl bytes. For the gzipped
+    * shard the indexed extent is the record's own gzip MEMBER (the CC
+    * contract: a production store serves it as one ranged GET). The
+    * oracle recomputes status/digest from the packed source of truth —
+    * a wrong offset surfaces in q325, a wrong digest here. */
+  def q324CdxLookup(s: SparkSession, dir: String): DataFrame =
+    CdxIndex.lookup(s, CdxIndex.path(s, warcShards), cdxUrls(s))
+      .select(col("url"), col("shard_id"), col("http_status"), col("body_md5"))
+
+  /** q325: CDX RANDOM-ACCESS FETCH — re-read the looked-up pages from
+    * their (offset, length) slices alone: the shard scan is pruned to
+    * exactly the named shards, each record re-parses from its slice
+    * ([[graft.operators.Warc.fetchRecord]] — gzip members inflated
+    * individually), and NO shard is ever walked. The md5 of every
+    * re-fetched body must equal the oracle's from the packed source —
+    * one wrong byte in an offset, a member boundary, or the slice
+    * parse breaks the hash. */
+  def q325CdxFetch(s: SparkSession, dir: String): DataFrame =
+    CdxIndex.fetch(s, CdxIndex.path(s, warcShards), warcShards, cdxUrls(s))
+      .select(col("target_uri").as("url"), col("http_status"),
+        md5(col("body")).as("body_md5"))
+
+  /** q326: the crawl's LINK GRAPH ([[graft.operators.Html.linkEdges]]) —
+    * (src, dst, w) edges from every `<a href>` target of the status-200
+    * pages, resolved against the page url (absolute kept, path-absolute
+    * host-prefixed, the rest a documented drop). Codegen'd regexp
+    * builtins end to end: one explode + ONE (src, dst) groupBy; at crawl
+    * scale this edge table IS the web graph, and nothing downstream
+    * touches page bytes again. Oracle: the identical regex chain with
+    * the pattern interpolated from the operator's constant. */
+  def q326LinkGraph(s: SparkSession, dir: String): DataFrame =
+    Html.linkEdges(
+      Warc.responses(Warc.readShards(s, warcShards), status = Some(200))
+        .select(col("target_uri").as("url"), col("body").cast("string").as("html")))
+
+  /** q327: CRAWL PAGERANK — the q109 fixed-point integer PageRank
+    * ([[graft.operators.PageRank.ranks]]) over the q326 link graph, node
+    * universe = every url that appears as a source or target. Link
+    * targets have no out-edges (the crawl hasn't fetched them), so they
+    * act as dangling sinks — the operator's pinned dangling semantics,
+    * replayed bit-for-bit by the oracle's three unrolled iterations.
+    * This is the harvest-rank shape a crawler uses to PRIORITIZE its
+    * frontier: well-linked undiscovered urls rank highest. */
+  def q327CrawlRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = q326LinkGraph(s, dir)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    graft.operators.PageRank.ranks(s, nodes, edges, iters = 3)
+      .select(col("node").as("url"), col("rank"))
+  }
+
+  /** q328: INCREMENTAL CDX maintenance — index built over shards 0-4,
+    * the gzipped shard 5 ingested by [[graft.sources.CdxIndex.append]]
+    * (locates the BATCH only; the history is never re-walked), then the
+    * q324 lookup served from the incrementally-built index. Same oracle
+    * as q324: the maintenance path must be indistinguishable from a
+    * fresh build. */
+  def q328CdxAppend(s: SparkSession, dir: String): DataFrame =
+    CdxIndex.lookup(s, CdxIndex.pathIncremental(s, warcShards), cdxUrls(s))
+      .select(col("url"), col("shard_id"), col("http_status"), col("body_md5"))
 
   /** q308: overlapping-window chunking ([[graft.operators.Chunker]]) —
     * the splitter between cleaning and embedding: 64-token windows at
@@ -2056,6 +2130,11 @@ object LlmQueries {
     "q307_crawl_frontier" -> (q307CrawlFrontier _),
     "q308_chunk_docs" -> (q308ChunkDocs _),
     "q312_warc_charset" -> (q312WarcCharset _),
+    "q324_cdx_lookup" -> (q324CdxLookup _),
+    "q325_cdx_fetch" -> (q325CdxFetch _),
+    "q326_link_graph" -> (q326LinkGraph _),
+    "q327_crawl_rank" -> (q327CrawlRank _),
+    "q328_cdx_append" -> (q328CdxAppend _),
     "q319_psl_domains" -> (q319PslDomains _),
     "q321_jpeg_color" -> (q321JpegColor _),
     "q322_color_neardup" -> (q322ColorNeardup _),
@@ -3099,11 +3178,90 @@ object LlmQueries {
     "q312_warc_charset" ->
       s"""SELECT url, charset, text
          |FROM read_parquet('$warcCharsetPages')""".stripMargin,
-    // stored-expectation oracle: label + decoded text were written by
-    // the fixture generator independently of the engine's byte walk
-    "q312_warc_charset" ->
-      s"""SELECT url, charset, text
-         |FROM read_parquet('$warcCharsetPages')""".stripMargin,
+    // pack-and-recover: status/digest recomputed from the packed source
+    // (q295 formulas) over the lookup's deterministic url sample; the
+    // engine side serves them from the WRITTEN index buckets alone
+    "q324_cdx_lookup" ->
+      s"""SELECT url, CAST(doc_id % 6 AS BIGINT) AS shard_id,
+         |  CAST(CASE WHEN doc_id % 53 = 7 THEN 404
+         |            WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS INT) AS http_status,
+         |  md5(CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END) AS body_md5
+         |FROM read_parquet('$htmlDocs') WHERE doc_id % 10 = 3""".stripMargin,
+    // same truth through the random-access path: every re-fetched body
+    // must hash identically to the packed source
+    "q325_cdx_fetch" ->
+      s"""SELECT url,
+         |  CAST(CASE WHEN doc_id % 53 = 7 THEN 404
+         |            WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS INT) AS http_status,
+         |  md5(CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END) AS body_md5
+         |FROM read_parquet('$htmlDocs') WHERE doc_id % 10 = 3""".stripMargin,
+    // the identical regex chain over the packed pages (pattern
+    // interpolated from the operator's constant), restricted to the
+    // status-200 population the WARC walk serves
+    "q326_link_graph" ->
+      s"""WITH pages AS (
+         |  SELECT url, html FROM read_parquet('$htmlDocs')
+         |  WHERE doc_id % 53 NOT IN (7, 21)),
+         |lk AS (SELECT url AS src,
+         |         unnest(regexp_extract_all(html, '${Html.HrefPattern}', 1)) AS href
+         |       FROM pages),
+         |rr AS (SELECT src,
+         |         CASE WHEN href LIKE '%://%' THEN href
+         |              WHEN href LIKE '/%'
+         |                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+         |         END AS dst
+         |       FROM lk)
+         |SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |FROM rr WHERE dst IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the q109 unrolled integer fixed point over the q326 edges — link
+    // targets dangle (no out-edges), exactly the operator's pinned
+    // dangling semantics
+    "q327_crawl_rank" -> {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    (SELECT base15 FROM consts) +
+           |      (85 * COALESCE(c.s, 0)) // 100 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT p.dst, CAST(sum((r.rank * p.p) // 1000000) AS BIGINT) AS s
+           |    FROM p JOIN $prev r ON p.src = r.node GROUP BY p.dst) c
+           |  ON n.node = c.dst)""".stripMargin
+      s"""WITH pages AS (
+         |  SELECT url, html FROM read_parquet('$htmlDocs')
+         |  WHERE doc_id % 53 NOT IN (7, 21)),
+         |lk AS (SELECT url AS src,
+         |         unnest(regexp_extract_all(html, '${Html.HrefPattern}', 1)) AS href
+         |       FROM pages),
+         |rr AS (SELECT src,
+         |         CASE WHEN href LIKE '%://%' THEN href
+         |              WHEN href LIKE '/%'
+         |                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+         |         END AS dst
+         |       FROM lk),
+         |e AS (SELECT src, dst, count(*) AS w
+         |      FROM rr WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+         |p AS (SELECT e.src, e.dst, (e.w * 1000000) // outw.ow AS p
+         |      FROM e JOIN outw ON e.src = outw.src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |consts AS (
+         |  SELECT 1000000000000 // count(*) AS base,
+         |         (15 * (1000000000000 // count(*))) // 100 AS base15
+         |  FROM nodes),
+         |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),
+         |${iterCte("r0", "r1")},
+         |${iterCte("r1", "r2")},
+         |${iterCte("r2", "r3")}
+         |SELECT node AS url, rank FROM r3""".stripMargin
+    },
+    // the maintenance path must be indistinguishable from a fresh build
+    "q328_cdx_append" ->
+      s"""SELECT url, CAST(doc_id % 6 AS BIGINT) AS shard_id,
+         |  CAST(CASE WHEN doc_id % 53 = 7 THEN 404
+         |            WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS INT) AS http_status,
+         |  md5(CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END) AS body_md5
+         |FROM read_parquet('$htmlDocs') WHERE doc_id % 10 = 3""".stripMargin,
     "q299_paragraph_hist_screen" ->
       s"""WITH $htmlBlockCtes,
          |hist AS (SELECT DISTINCT text AS ht FROM hblk WHERE doc_id < 150)

@@ -35,6 +35,39 @@ object WebCorpusQueries {
 
   @volatile private var cachedFull: Option[String] = None
   @volatile private var cachedInc: Option[String] = None
+  @volatile private var cachedStream: Option[String] = None
+  @volatile private var cachedBase: Option[String] = None
+
+  /** The shared shards-0-4 BASE both incremental materializations append
+    * onto — built once per pass, then RESTORED by file copy (the
+    * snapshot-restore shape of real ops). The measured operator of
+    * q317/q323 is the append/stream path; paying the identical base
+    * build twice more per bench pass would time setup, not semantics. */
+  private def builtBase(s: SparkSession): String = synchronized {
+    cachedBase.getOrElse {
+      val out = Files.createTempDirectory("graft-webcorpus-base").toString
+      WebCorpusApp.build(s, warcShards, robotsFx, out,
+        shardPred = col("shard_id") =!= 5)
+      cachedBase = Some(out)
+      out
+    }
+  }
+
+  private def restoreBase(s: SparkSession, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(builtBase(s))
+    val out = java.nio.file.Paths.get(dst)
+    val stream = java.nio.file.Files.walk(src)
+    try stream.iterator().asScala.foreach { p =>
+      val t = out.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally stream.close()
+    // the copy is a NEW table lineage for Spark: drop cached listings
+    Seq("corpus", "rejects", "paragraph_hashes", "embeddings", "ledger",
+      "manifest").foreach(t => s.catalog.refreshByPath(s"$dst/$t"))
+  }
 
   /** Build once per JVM over ALL shards. */
   private def built(s: SparkSession): String = synchronized {
@@ -51,11 +84,30 @@ object WebCorpusQueries {
   private def builtIncremental(s: SparkSession): String = synchronized {
     cachedInc.getOrElse {
       val out = Files.createTempDirectory("graft-webcorpus-inc").toString
-      WebCorpusApp.build(s, warcShards, robotsFx, out,
-        shardPred = col("shard_id") =!= 5)
+      restoreBase(s, out)
       WebCorpusApp.append(s, warcShards, robotsFx, out, batchId = "shard-5",
         shardPred = col("shard_id") === 5)
       cachedInc = Some(out)
+      out
+    }
+  }
+
+  /** The STREAMING materialization: the same build as [[builtIncremental]]
+    * (shards 0-4), but shard 5 arrives through
+    * [[WebCorpusApp.streamIngest]] — landed as a file in a watched
+    * directory, discovered by the file source, appended by a foreachBatch
+    * micro-batch under checkpoint + ledger + tagged-file guarantees.
+    * q323's oracle is q317's VERBATIM: streaming arrival must produce the
+    * bit-identical corpus the batch append does. */
+  private def builtStreaming(s: SparkSession): String = synchronized {
+    cachedStream.getOrElse {
+      val out = Files.createTempDirectory("graft-webcorpus-stream").toString
+      restoreBase(s, out)
+      val incoming = s"$out/incoming"
+      s.read.parquet(warcShards).filter(col("shard_id") === 5)
+        .coalesce(1).write.parquet(incoming)
+      WebCorpusApp.streamIngest(s, incoming, robotsFx, out)
+      cachedStream = Some(out)
       out
     }
   }
@@ -64,7 +116,8 @@ object WebCorpusQueries {
     * materialized corpora so every bench pass pays the real build and
     * append cost instead of timing the memo no-op. */
   def resetMaterializedState(): Unit = synchronized {
-    for (dir <- cachedFull.toSeq ++ cachedInc.toSeq) {
+    for (dir <- cachedFull.toSeq ++ cachedInc.toSeq ++ cachedStream.toSeq ++
+        cachedBase.toSeq) {
       try {
         val root = java.nio.file.Paths.get(dir)
         if (java.nio.file.Files.exists(root)) {
@@ -76,6 +129,8 @@ object WebCorpusQueries {
     }
     cachedFull = None
     cachedInc = None
+    cachedStream = None
+    cachedBase = None
   }
 
   // -------------------------------------------------------------- queries
@@ -118,6 +173,16 @@ object WebCorpusQueries {
     * the current max). The oracle replays BOTH phases. */
   def q317WebcorpusAppend(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${builtIncremental(s)}/corpus")
+      .select("url", "fp", "pos", "shard")
+
+  /** q323: the STREAMING corpus — shard 5 ingested by
+    * [[WebCorpusApp.streamIngest]] (file source → foreachBatch →
+    * the crash-atomic [[WebCorpusApp.appendBatch]]) instead of the
+    * batch append. Same oracle as q317: the streaming path must
+    * produce the BIT-IDENTICAL corpus — arrival through a checkpointed
+    * micro-batch must not change a row, an fp, or a position. */
+  def q323WebcorpusStream(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${builtStreaming(s)}/corpus")
       .select("url", "fp", "pos", "shard")
 
   /** q318: brute-force cosine top-10 over the WRITTEN document
@@ -182,7 +247,8 @@ object WebCorpusQueries {
     "q315_webcorpus_manifest" -> (q315WebcorpusManifest _),
     "q316_webcorpus_search" -> (q316WebcorpusSearch _),
     "q317_webcorpus_append" -> (q317WebcorpusAppend _),
-    "q318_webcorpus_knn" -> (q318WebcorpusKnn _))
+    "q318_webcorpus_knn" -> (q318WebcorpusKnn _),
+    "q323_webcorpus_stream" -> (q323WebcorpusStream _))
 
   // ------------------------------------------------------- oracle SQL
 
@@ -326,6 +392,17 @@ object WebCorpusQueries {
        |${phaseCtes("x1", "doc_id % 6 <> 5", None)},
        |${phaseCtes("x2", "doc_id % 6 = 5", Some("x1"))}""".stripMargin
 
+  /** The two-phase incremental corpus replay — shared by q317 (batch
+    * append) and q323 (streaming append), which must agree bit-for-bit. */
+  private lazy val incCorpusSql: String =
+    s"""$incPrelude,
+       |${rankCte("x1", None)},
+       |${rankCte("x2", Some("x1"))},
+       |u AS (SELECT url, fp, pos FROM rkx1 UNION ALL SELECT url, fp, pos FROM rkx2)
+       |SELECT url, fp, CAST(pos AS BIGINT) AS pos,
+       |  CAST((pos - 1) // ${WebCorpusApp.ShardSize} AS BIGINT) AS shard
+       |FROM u""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q313_webcorpus" ->
       s"""$buildPrelude,
@@ -379,14 +456,10 @@ object WebCorpusQueries {
          |          + coalesce(sum(CASE WHEN tok = 'quality' THEN s END), 0.0) AS score
          |        FROM sc GROUP BY 1, 2)
          |SELECT url, score FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    "q317_webcorpus_append" ->
-      s"""$incPrelude,
-         |${rankCte("x1", None)},
-         |${rankCte("x2", Some("x1"))},
-         |u AS (SELECT url, fp, pos FROM rkx1 UNION ALL SELECT url, fp, pos FROM rkx2)
-         |SELECT url, fp, CAST(pos AS BIGINT) AS pos,
-         |  CAST((pos - 1) // ${WebCorpusApp.ShardSize} AS BIGINT) AS shard
-         |FROM u""".stripMargin,
+    "q317_webcorpus_append" -> incCorpusSql,
+    // streaming arrival must be bit-identical to the batch append —
+    // q323 shares q317's oracle by construction
+    "q323_webcorpus_stream" -> incCorpusSql,
     "q318_webcorpus_knn" ->
       s"""$buildPrelude,
          |${rankCte("w", None)},

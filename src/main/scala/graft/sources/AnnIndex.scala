@@ -115,20 +115,28 @@ object AnnIndex {
 
   /** Ingest a batch into an EXISTING index: read the written quantizers
     * (bounded metadata reads), assign + encode the batch only, append
-    * its postings. The history is never re-read or re-encoded. */
-  def append(s: SparkSession, root: String, batch: DataFrame): Unit =
+    * its postings. The history is never re-read or re-encoded. With
+    * `batchTag` the append is a revocable tagged file move
+    * ([[Sinks.appendTagged]]) for crash-atomic callers. */
+  def append(s: SparkSession, root: String, batch: DataFrame,
+             batchTag: Option[String] = None): Unit =
     writePostings(batch.select(col("vec_id"), col("embedding")), root,
-      readCentroids(s, root), readCodebooks(s, root), "append")
+      readCentroids(s, root), readCodebooks(s, root), "append", batchTag)
 
   private def writePostings(e: DataFrame, out: String,
                             centroids: Seq[Seq[Double]],
                             codebooks: Seq[IndexedSeq[Array[Double]]],
-                            mode: String): Unit = {
+                            mode: String,
+                            batchTag: Option[String] = None): Unit = {
     val subLen = centroids.head.length / PqM
-    e.select(col("vec_id").cast("long").as("vec_id") +:
-        Similarity.ivfAssign(col("embedding"), centroids).as("cell") +:
-        Pq.codeCols(col("embedding"), codebooks, subLen): _*)
-      .write.mode(mode).partitionBy("cell").parquet(s"$out/postings")
+    val coded = e.select(col("vec_id").cast("long").as("vec_id") +:
+      Similarity.ivfAssign(col("embedding"), centroids).as("cell") +:
+      Pq.codeCols(col("embedding"), codebooks, subLen): _*)
+    batchTag match {
+      case Some(b) => Sinks.appendTagged(coded, s"$out/postings", b, Seq("cell"))
+      case None =>
+        coded.write.mode(mode).partitionBy("cell").parquet(s"$out/postings")
+    }
   }
 
   /** The written coarse quantizer, ordered by cell — ~k rows. */

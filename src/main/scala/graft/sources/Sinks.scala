@@ -54,6 +54,99 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  // --------------------------------------------------- revocable appends
+
+  /** File-name prefix carrying a batch tag: `b-<16 md5 hex>-<part name>`.
+    * The tag makes an append REVOCABLE — every file a batch contributed
+    * is identifiable after a crash, so [[purgeTagged]] can delete the
+    * files of batches that never reached their ledger commit. This is
+    * the minimal transaction-log idea (Delta/Iceberg keep the same
+    * information in a log; here it rides the file NAME so plain parquet
+    * readers stay untouched). */
+  private[graft] def tagOf(batchId: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(batchId.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  private val TaggedName = "^b-([0-9a-f]{16})-".r
+
+  /** Tagged append: stage-write the batch next to the table, then move
+    * its data files IN with the `b-<tag>-` name prefix (partition
+    * subdirectories preserved, so `partitionBy` layouts keep their
+    * pruning structure). Each rename is atomic; a crash mid-move leaves
+    * only tagged files, which the next [[purgeTagged]] revokes — the
+    * append as a whole becomes atomic at the caller's ledger commit. */
+  def appendTagged(df: DataFrame, path: String, batchId: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val tag = tagOf(batchId)
+    val stage = new Path(s"$path.__stage-$tag")
+    f.delete(stage, true)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    // move data files (recursively — partition dirs), tag in the name;
+    // listFiles returns QUALIFIED paths (file:/...), so strip against the
+    // qualified stage prefix
+    val stagePrefix = f.makeQualified(stage).toString
+    val it = f.listFiles(stage, true)
+    val moves = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_")) {
+        val rel = f.makeQualified(p).toString
+          .stripPrefix(stagePrefix).stripPrefix("/")
+        val relDir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i)
+        }
+        val dstDir = if (relDir.isEmpty) new Path(path) else new Path(path, relDir)
+        moves += ((p, new Path(dstDir, s"b-$tag-${p.getName}")))
+      }
+    }
+    moves.foreach { case (src, dst) =>
+      f.mkdirs(dst.getParent)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"tagged append move failed: $src -> $dst")
+    }
+    f.delete(stage, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Revoke uncommitted appends: delete every `b-<tag>-` data file under
+    * `path` (recursively) whose tag is NOT in `committedTags`, plus any
+    * leftover stage directories. Call with the ledger's committed tag
+    * set before appending — recovery is then a deterministic replay of
+    * the crashed batch. Returns the number of files deleted. Cost is a
+    * file LISTING of the table, never a data read. */
+  def purgeTagged(spark: SparkSession, path: String,
+                  committedTags: Set[String]): Int = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return 0
+    var purged = 0
+    // leftover stages from crashed appendTagged calls
+    f.listStatus(root.getParent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(root.getName + ".__stage-")) {
+        val tag = n.stripPrefix(root.getName + ".__stage-")
+        if (!committedTags.contains(tag)) { f.delete(st.getPath, true); purged += 1 }
+      }
+    }
+    val it = f.listFiles(root, true)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      TaggedName.findFirstMatchIn(p.getName).foreach { m =>
+        if (!committedTags.contains(m.group(1))) doomed += p
+      }
+    }
+    doomed.foreach { p => f.delete(p, false); purged += 1 }
+    if (purged > 0) spark.catalog.refreshByPath(path)
+    purged
+  }
+
   /** Does a table exist at `path`? (One namenode call.) */
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))

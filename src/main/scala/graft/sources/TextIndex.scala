@@ -96,23 +96,32 @@ object TextIndex {
   }
 
   private def writeAll(docs: DataFrame, out: String, mode: String,
-                       buckets: Int): Unit = {
+                       buckets: Int, tag: Option[String] = None): Unit = {
     // materialize the tokenize+aggregate ONCE: three writers consume it
     // (postings, lexicon, stats) and without this each would re-run the
     // full corpus tokenization — the multi-consumer-recompute trap.
     // (On a cluster, prefer a reliable checkpoint for fault tolerance.)
     val tf = postingsOf(docs).localCheckpoint(true)
-    tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
-        bucketCol(col("tok"), buckets).as("term_bucket"))
-      .write.mode(mode).partitionBy("term_bucket").parquet(s"$out/postings")
-    tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$out/lexicon")
+    // when a batch id is supplied, appends are REVOCABLE tagged file
+    // moves ([[Sinks.appendTagged]]) so a caller's ledger commit makes
+    // the three-table append atomic under crash
+    def write(df: DataFrame, path: String, parts: Seq[String]): Unit =
+      tag match {
+        case Some(b) => Sinks.appendTagged(df, path, b, parts)
+        case None =>
+          val w = df.write.mode(mode)
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+      }
+    write(tf.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        bucketCol(col("tok"), buckets).as("term_bucket")),
+      s"$out/postings", Seq("term_bucket"))
+    write(tf.groupBy("tok").agg(count(lit(1)).as("df")), s"$out/lexicon", Nil)
     // stats derive from tf too (dl repeats per posting; one row per doc
     // via the distinct) — no third corpus scan
-    tf.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).cast("long").as("total_tokens"))
-      .write.mode(mode).parquet(s"$out/stats")
+    write(tf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).cast("long").as("total_tokens")),
+      s"$out/stats", Nil)
   }
 
   private def build(s: SparkSession, docs: DataFrame, out: String): Unit =
@@ -157,10 +166,15 @@ object TextIndex {
   }
 
   /** Ingest a batch into an EXISTING index: the batch's postings, df
-    * DELTAS and stat deltas are appended; nothing else is touched. */
-  def append(s: SparkSession, root: String, batch: DataFrame): Unit =
+    * DELTAS and stat deltas are appended; nothing else is touched.
+    * With `batchTag` the three appends are revocable tagged file moves
+    * ([[Sinks.appendTagged]]): a caller that commits the tag to a
+    * ledger afterwards gets crash-atomic index maintenance — an
+    * uncommitted tag's files are swept by [[Sinks.purgeTagged]]. */
+  def append(s: SparkSession, root: String, batch: DataFrame,
+             batchTag: Option[String] = None): Unit =
     writeAll(batch.select(col("doc_id"), col("text")), root, "append",
-      bucketsOf(s, root))
+      bucketsOf(s, root), batchTag)
 
   /** Exact corpus stats from the written (append-only) stats rows. */
   def readStats(s: SparkSession, root: String): (Long, Long) = {

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Warc
+import graft.sources.CdxIndex
+
+/** The persisted CDX index: full-coverage invariants the oracle rows
+  * (q324/q325 — a url sample) can't pin — every response locatable,
+  * every location re-fetchable bit-exactly (both framings), bucket
+  * pruning real at the file level, malformed slices harmless. */
+class CdxIndexSpec extends AnyFunSuite with SharedSpark {
+
+  private val fixture = "/root/repo/fixtures/warc_shards.parquet"
+  private lazy val root = CdxIndex.path(spark, fixture)
+
+  private lazy val walkTruth =
+    Warc.responses(Warc.readShards(spark, fixture))
+      .select(col("target_uri").as("url"), col("shard_id"),
+        md5(col("body")).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("locations cover every response exactly once, across both framings") {
+    val locs = spark.read.parquet(s"$root/locations")
+    assert(locs.count() == walkTruth.size)
+    assert(locs.select("url").distinct().count() == walkTruth.size)
+    // the gzipped shard (5) contributes member-extent locations
+    assert(locs.filter(col("shard_id") === 5).count() > 0)
+    // index digests equal the full walk's
+    val idx = locs.select("url", "shard_id", "body_md5")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(idx == walkTruth)
+  }
+
+  test("every location re-fetches its record bit-exactly (offsets + member boundaries)") {
+    val all = spark.read.parquet(s"$root/locations")
+      .select("url").collect().map(_.getString(0)).toSeq
+    val fetched = CdxIndex.fetch(spark, root, fixture, all)
+      .select(col("target_uri").as("url"), md5(col("body")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fetched.size == walkTruth.size)
+    assert(fetched == walkTruth.map { case (u, (_, m)) => u -> m })
+  }
+
+  test("lookup prunes to the queried urls' bucket directories (partition filter in the scan)") {
+    val url = walkTruth.keys.min
+    val df = CdxIndex.lookup(spark, root, Seq(url))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("url_bucket"),
+      s"no bucket pruning in:\n$plan")
+    assert(df.count() == 1)
+  }
+
+  test("fetch reads only the named shards (pushdown prunes the rest)") {
+    // a single url names a single shard — the scan's pushed filter must
+    // restrict shard_id before any payload is touched
+    val url = walkTruth.keys.min
+    val df = CdxIndex.fetch(spark, root, fixture, Seq(url))
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PushedFilters") && l.contains("shard_id"))
+    assert(scanLine.exists(_.matches(".*PushedFilters[^\\]]*shard_id.*")),
+      s"shard_id not pushed into the shard scan:\n${df.queryExecution.executedPlan}")
+    assert(df.count() == 1)
+  }
+
+  test("incremental append is indistinguishable from a fresh build (every location row)") {
+    val inc = CdxIndex.pathIncremental(spark, fixture)
+    def rows(r: String) = spark.read.parquet(s"$r/locations")
+      .select("url", "shard_id", "offset", "length", "http_status",
+        "body_md5", "url_bucket")
+      .collect().map(_.toSeq).toSet
+    assert(rows(inc) == rows(root))
+  }
+
+  test("malformed slices are harmless: out-of-range and torn fetches yield None") {
+    val payload = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nabcd".getBytes("US-ASCII")
+    assert(Warc.fetchRecord(0L, gz = false, payload, -1L, 10L).isEmpty)
+    assert(Warc.fetchRecord(0L, gz = false, payload, 0L, payload.length + 1L).isEmpty)
+    assert(Warc.fetchRecord(0L, gz = false, payload, 0L, 0L).isEmpty)
+    // a non-gzip slice fetched as gz must not throw
+    assert(Warc.fetchRecord(0L, gz = true, payload, 0L, payload.length.toLong).isEmpty)
+  }
+}

@@ -286,4 +286,31 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
       .as[Long].collect().toSeq == Seq(2L, 3L))
     assert(!new java.io.File(path + ".__tmp").exists())
   }
+
+  test("appendTagged + purgeTagged: uncommitted batches are revocable, committed ones survive") {
+    val path = Files.createTempDirectory("graft-tagged").toString + "/t"
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(path)
+    Sinks.appendTagged(Seq((4L, "a")).toDF("id", "p"), path, "batch-1",
+      partitionBy = Seq("p"))
+    Sinks.appendTagged(Seq((5L, "c")).toDF("id", "p"), path, "batch-2",
+      partitionBy = Seq("p"))
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // batch-2 never committed: purge revokes exactly its files — including
+    // the partition directory the batch itself introduced (p=c)
+    val purged = Sinks.purgeTagged(spark, path,
+      committedTags = Set(Sinks.tagOf("batch-1")))
+    assert(purged >= 1)
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+    // idempotent: nothing left to purge
+    assert(Sinks.purgeTagged(spark, path, Set(Sinks.tagOf("batch-1"))) == 0)
+    // a leftover stage dir from a crashed appendTagged is swept too
+    val stray = new java.io.File(s"$path.__stage-${Sinks.tagOf("batch-9")}")
+    stray.mkdirs()
+    assert(Sinks.purgeTagged(spark, path, Set.empty) >= 1)
+    assert(!stray.exists())
+  }
 }

@@ -254,4 +254,56 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
     assert(streamed == batch)
   }
+
+  test("warc stream to a PARQUET sink: checkpointed restart is exactly-once, equals the batch walk") {
+    // the q311 surface uses a memory sink as the oracle-checked table; a
+    // production crawl appends to files — this leg pins the file-sink +
+    // checkpoint path: stop after the first window, land more shards,
+    // restart on the same checkpoint, and the final table must equal the
+    // batch container walk with zero duplicates (_spark_metadata commits
+    // make partially-written batches invisible to readers).
+    import graft.operators.{Warc, WarcShard}
+    val fixture = "/root/repo/fixtures/warc_shards.parquet"
+    val tmp = Files.createTempDirectory("graft-warc-file-sink").toString
+    val src = s"$tmp/shards"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def land(id: Long): Unit = {
+      val stage = s"$tmp/stage/$id"
+      spark.read.parquet(fixture).filter(col("shard_id") === id)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for shard $id"))
+      val dst = java.nio.file.Paths.get(s"$src/shard-$id.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + id * 1000L)
+    }
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val shards = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        .selectExpr("shard_id", "gz", "payload").as[WarcShard]
+      val q = Warc.records(shards)
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("url"), col("http_status"),
+          md5(col("body")).as("body_md5"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0L to 3L).foreach(land); runOnce() // first life: 4 shards
+    land(4L); land(5L); runOnce()       // restart: only the 2 new files
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = Warc.records(Warc.readShards(spark, fixture))
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri").as("url"), col("http_status"),
+        md5(col("body")).as("body_md5"))
+    assert(streamed.count() == batch.count(), "duplicate or missing rows after restart")
+    val streamedSet = streamed.collect().map(_.toSeq).toSet
+    assert(streamedSet == batch.collect().map(_.toSeq).toSet)
+  }
 }

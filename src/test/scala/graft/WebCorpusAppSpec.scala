@@ -139,6 +139,98 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     assert(viaIndex._2 == direct)
   }
 
+  private def landShard(fixture: String, id: Long, dir: String): Unit = {
+    val stage = Files.createTempDirectory("graft-land").toString
+    spark.read.parquet(fixture).filter(col("shard_id") === id)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file for shard $id"))
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dst = java.nio.file.Paths.get(s"$dir/shard-$id.parquet")
+    Files.move(part.toPath, dst)
+    // deterministic discovery order: the file source processes by mtime
+    dst.toFile.setLastModified(1700000000000L + id * 1000L)
+  }
+
+  private def annPostings(dir: String) =
+    spark.read.parquet(s"$dir/ann_index/postings")
+      .select("vec_id", "cell").collect().map(_.toSeq).toSet
+
+  test("crash at any failpoint, then replay the batch id: bit-identical to a clean append") {
+    import graft.sources.TextIndex
+    for (step <- Seq("table_append", "index_append")) {
+      val out = freshDir()
+      WebCorpusApp.build(spark, shards, robots, out, shardPred = col("shard_id") =!= 5)
+      val nBefore = spark.read.parquet(s"$out/corpus").count()
+      WebCorpusApp.crashAfter = Some(step)
+      val e = intercept[IllegalStateException] {
+        WebCorpusApp.append(spark, shards, robots, out, "shard-5", col("shard_id") === 5)
+      }
+      WebCorpusApp.crashAfter = None
+      assert(e.getMessage.contains(step))
+      // the crash struck AFTER the table appends: uncommitted tagged rows
+      // are visible to a raw reader (the documented dirty-read window) and
+      // the ledger — the commit point — still has only the build entry
+      spark.catalog.refreshByPath(s"$out/corpus")
+      assert(spark.read.parquet(s"$out/corpus").count() > nBefore,
+        "crashed attempt left nothing to purge — failpoint fired too early")
+      assert(spark.read.parquet(s"$out/ledger")
+        .collect().map(_.getString(0)).toSet == Set("__init"))
+      // replay of the SAME batch id: purge uncommitted, apply once
+      WebCorpusApp.append(spark, shards, robots, out, "shard-5", col("shard_id") === 5)
+      assert(corpusRows(out) == corpusRows(inc), s"corpus diverged after $step crash")
+      val ph = spark.read.parquet(s"$out/paragraph_hashes")
+      assert(ph.count() == ph.distinct().count(),
+        "crashed attempt's paragraph hashes were appended twice")
+      assert(TextIndex.readStats(spark, s"$out/text_index") ==
+        TextIndex.readStats(spark, s"$inc/text_index"),
+        s"text-index stats diverged after $step crash")
+      assert(annPostings(out) == annPostings(inc),
+        s"ann postings diverged after $step crash")
+      assert(spark.read.parquet(s"$out/ledger")
+        .collect().map(_.getString(0)).toSet == Set("__init", "shard-5"))
+    }
+  }
+
+  test("streaming ingest: per-file micro-batches, mid-stream crash + restart converge to the batch result") {
+    // reference: the same two batches applied through the batch append
+    val ref = freshDir()
+    WebCorpusApp.build(spark, shards, robots, ref, shardPred = col("shard_id") < 4)
+    WebCorpusApp.append(spark, shards, robots, ref, "b4", col("shard_id") === 4)
+    WebCorpusApp.append(spark, shards, robots, ref, "b5", col("shard_id") === 5)
+
+    val out = freshDir()
+    WebCorpusApp.build(spark, shards, robots, out, shardPred = col("shard_id") < 4)
+    val incoming = s"$out/incoming"
+    landShard(shards, 4, incoming)
+    WebCorpusApp.streamIngest(spark, incoming, robots, out) // stream-0: shard 4
+    landShard(shards, 5, incoming)
+    // crash INSIDE the shard-5 micro-batch, after the index appends but
+    // before its ledger commit — the hardest recovery point
+    WebCorpusApp.crashAfter = Some("index_append")
+    val e = intercept[Exception] {
+      WebCorpusApp.streamIngest(spark, incoming, robots, out)
+    }
+    WebCorpusApp.crashAfter = None
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("index_append"), s"unexpected failure: $chain")
+    // restart: the checkpoint re-delivers the SAME files under the SAME
+    // batch id; appendBatch purges the crashed attempt and applies once
+    WebCorpusApp.streamIngest(spark, incoming, robots, out)
+    assert(corpusRows(out) == corpusRows(ref),
+      "streaming corpus diverged from the batch-append corpus")
+    assert(annPostings(out) == annPostings(ref))
+    assert(spark.read.parquet(s"$out/ledger")
+      .collect().map(_.getString(0)).toSet ==
+      Set("__init", "stream-0", "stream-1"))
+    // a further restart with nothing new is a FULL no-op
+    val before = corpusRows(out)
+    WebCorpusApp.streamIngest(spark, incoming, robots, out)
+    assert(corpusRows(out) == before)
+  }
+
   test("no cartesian product anywhere in the build pipeline plan") {
     val plan = spark.read.parquet(s"$full/corpus").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
