@@ -901,6 +901,37 @@ object ScaleBench {
           s"""{"query":"cdx_scale","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
       }
     }
+    // Variant probe: WET WRITER throughput — packConversions priced at
+    // both scales and framings; the claim is bytes/sec/core flat as the
+    // corpus grows (one shuffle on the shard key, then per-partition
+    // byte assembly). Payload mass ≈ text + ~150 B/record of headers.
+    if (only.exists(_.contains("wet_write"))) {
+      try {
+        def run(label: String, dir: String, gz: Boolean, shards: Int): Unit = {
+          val docs = graft.sources.Tables.documents(spark, dir).select(
+            concat(lit("wet://doc/"), col("doc_id")).as("url"), col("text"),
+            (col("doc_id") % shards).as("shard_id"))
+          val packed = graft.operators.Warc
+            .packConversions(docs, "url", "text", "shard_id",
+              date = "2026-01-01T00:00:00Z", gz = gz)
+          packed.toDF().agg(count(lit(1))).head() // untimed warmup
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val r = packed.toDF()
+            .agg(count(lit(1)), sum(length(col("payload")))).head()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (n, bytes) = (r.getLong(0), r.getLong(1))
+          println(f"""{"query":"$label","shards":$n%d,"payload_mb":${mb(bytes)}%s,"sec":${math.round(sec * 1000) / 1000.0}%s,"mb_per_sec":${math.round(mb(bytes) / sec * 10) / 10.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s}""")
+        }
+        run("wet_write_plain_x1", src, gz = false, 64)
+        run("wet_write_gz_x1", src, gz = true, 64)
+        run("wet_write_plain_x10", out, gz = false, 256)
+        run("wet_write_gz_x10", out, gz = true, 256)
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"wet_write","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
+      }
+    }
     // Variant probe: FULL-GRAPH 4-truss at sf0.1 — the un-oriented wedge
     // form measured 109 s here (NOTES_r10), which is why q257 ships on
     // the vetted backbone; the degree-oriented support rewrite should

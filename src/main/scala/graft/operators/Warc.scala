@@ -3,7 +3,7 @@ package graft.operators
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.GZIPInputStream
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One WARC shard file: the unit of crawl storage AND of parallelism —
@@ -88,18 +88,107 @@ object Warc {
     status.fold(recs)(st => recs.filter(col("http_status") === st))
   }
 
+  /** WARC SINK — pack text rows into WARC/1.0 `conversion` records, the
+    * WET-shaped derived artifact Common Crawl publishes next to every
+    * crawl (extracted text, one record per page). PINNED record layout
+    * (the oracle rebuilds these exact bytes, so it cannot drift):
+    *
+    * {{{
+    * WARC/1.0\r\n
+    * WARC-Type: conversion\r\n
+    * WARC-Target-URI: <url>\r\n
+    * WARC-Date: <date>\r\n
+    * Content-Type: text/plain\r\n
+    * Content-Length: <UTF-8 byte length of text>\r\n
+    * \r\n
+    * <text>\r\n\r\n
+    * }}}
+    *
+    * Scale shape: rows are hash-repartitioned on the shard key and
+    * sorted (shard, url) WITHIN partitions — no global sort — then one
+    * pass per partition assembles each shard's bytes (records in url
+    * order, so shard payloads are DETERMINISTIC). One output row per
+    * shard; a production job writes each payload as an object-store
+    * file. `gz = true` emits the Common Crawl framing — one gzip member
+    * per record, members concatenated — which [[records]] and
+    * [[gzipMembers]]/CDX fetch read back; gzip bytes are
+    * deflate-parameter-dependent, so the gz contract is verified by
+    * ROUND-TRIP (reader equality), the plain contract by byte md5. */
+  def packConversions(rows: DataFrame, urlCol: String, textCol: String,
+                      shardCol: String, date: String,
+                      gz: Boolean = false): Dataset[WarcShard] = {
+    import rows.sparkSession.implicits._
+    rows.select(col(shardCol).cast("long").as("shard_id"),
+        col(urlCol).cast("string").as("url"),
+        col(textCol).cast("string").as("text"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "url")
+      .mapPartitions { it =>
+        new Iterator[WarcShard] {
+          private var cur: Option[(Long, ByteArrayOutputStream)] = None
+          private var pending: Option[WarcShard] = None
+          private def record(url: String, text: String): Array[Byte] = {
+            val body = text.getBytes("UTF-8")
+            val head = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+              s"Content-Type: text/plain\r\nContent-Length: ${body.length}\r\n\r\n")
+              .getBytes("UTF-8")
+            val out = new Array[Byte](head.length + body.length + 4)
+            System.arraycopy(head, 0, out, 0, head.length)
+            System.arraycopy(body, 0, out, head.length, body.length)
+            out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+            out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+            if (!gz) out
+            else { // one gzip member per record (the CC framing)
+              val bos = new ByteArrayOutputStream(out.length / 2 + 32)
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              try { g.write(out); g.finish() } finally g.close()
+              bos.toByteArray
+            }
+          }
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val r = it.next()
+              val (sid, url, text) = (r.getLong(0), r.getString(1), r.getString(2))
+              cur match {
+                case Some((id, buf)) if id == sid => buf.write(record(url, text))
+                case Some((id, buf)) =>
+                  pending = Some(WarcShard(id, gz, buf.toByteArray))
+                  cur = Some((sid, new ByteArrayOutputStream(1 << 16)))
+                  cur.get._2.write(record(url, text))
+                case None =>
+                  cur = Some((sid, new ByteArrayOutputStream(1 << 16)))
+                  cur.get._2.write(record(url, text))
+              }
+            }
+            if (pending.isEmpty && !it.hasNext) {
+              pending = cur.map { case (id, buf) => WarcShard(id, gz, buf.toByteArray) }
+              cur = None
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.nonEmpty }
+          override def next(): WarcShard = {
+            advance(); val s = pending.get; pending = None; s
+          }
+        }
+      }
+  }
+
   /** CDX locations: one row per HTTP response record, carrying the byte
     * extent a random-access fetch needs plus the identity fields a CDX
     * lookup serves (url, status, content digest). Same walk discipline
     * as [[records]]: one task per shard, per-shard state, zero shuffle.
-    * Records without a target URI (warcinfo) and non-response types are
-    * not locations — the CDX serves page lookups. */
-  def recordLocations(shards: Dataset[WarcShard]): Dataset[WarcLoc] = {
+    * Records without a target URI (warcinfo) are never locations;
+    * `warcTypes` picks what the index serves — `response` for a crawl
+    * store (the default page lookup), `conversion` for a WET sidecar. */
+  def recordLocations(shards: Dataset[WarcShard],
+                      warcTypes: Set[String] = Set("response")): Dataset[WarcLoc] = {
     import shards.sparkSession.implicits._
-    shards.mapPartitions(_.flatMap(locateShard))
+    shards.mapPartitions(_.flatMap(locateShard(_, warcTypes)))
   }
 
-  private[graft] def locateShard(sh: WarcShard): Seq[WarcLoc] = {
+  private[graft] def locateShard(sh: WarcShard,
+      warcTypes: Set[String] = Set("response")): Seq[WarcLoc] = {
     val out = Seq.newBuilder[WarcLoc]
     var idx = 0
     def emit(bytes: Array[Byte], extent: (Long, Long) => (Long, Long)): Unit = {
@@ -107,7 +196,7 @@ object Warc {
       while (pos >= 0) {
         parseRecord(sh.shard_id, idx, bytes, pos) match {
           case Some((rec, next)) =>
-            if (rec.warc_type == "response" && rec.target_uri.nonEmpty) {
+            if (warcTypes.contains(rec.warc_type) && rec.target_uri.nonEmpty) {
               val (off, len) = extent(pos.toLong, (next - pos).toLong)
               out += WarcLoc(sh.shard_id, idx, rec.target_uri.get, off, len,
                 rec.http_status.getOrElse(-1),
@@ -332,7 +421,11 @@ object Warc {
       recCt.exists(_.toLowerCase.startsWith("application/http")) && warcType == "response"
     val (st, hct, body) =
       if (isHttpResponse) parseHttp(b, blockStart, clen.toInt)
-      else (None, None, None)
+      else
+        // non-HTTP blocks (conversion/metadata/resource) ARE their body —
+        // the WET round-trip and CDX-over-WET paths read them directly
+        (None, None, Some(java.util.Arrays.copyOfRange(
+          b, blockStart, blockStart + clen.toInt)))
     Some((WarcRec(shardId, idx, warcType,
       hs.get("warc-target-uri"), hs.get("warc-date"), recCt, clen,
       st, hct, body), blockStart + clen.toInt))

@@ -920,6 +920,61 @@ object LlmQueries {
     CdxIndex.lookup(s, CdxIndex.pathIncremental(s, warcShards), cdxUrls(s))
       .select(col("url"), col("shard_id"), col("http_status"), col("body_md5"))
 
+  /** q331: POLITENESS SCHEDULER — the crawl loop's last planning step:
+    * the q307 frontier assigned to fetch WAVES, at most 2 fetches per
+    * REGISTRABLE DOMAIN (the PSL key — api.* and www.* of one
+    * registrant share the budget) per wave, FIFO by canonical url.
+    * Wave w is the url set a fetcher may issue in parallel on its w-th
+    * round without violating per-registrant rate limits. One window
+    * keyed on the domain: partitions are domain-sized, never
+    * frontier-sized — the q168-class empty-PARTITION-BY hazard cannot
+    * arise. */
+  def q331FrontierSchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Url.withRegisteredDomain(q307CrawlFrontier(s, dir), "host",
+        s.read.parquet(pslFx))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("registered_domain").orderBy("canonical_url")))
+      .select(col("canonical_url"), col("registered_domain"),
+        expr("CAST((rn - 1) div 2 AS BIGINT)").as("wave"))
+  }
+
+  private val WetDate = "2026-01-01T00:00:00Z"
+
+  private def wetInput(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      concat(lit("https://corpus.local/doc"), col("doc_id")).as("url"),
+      col("text"), (col("doc_id") % 8).as("shard_id"))
+
+  /** q329: WARC WRITER ([[graft.operators.Warc.packConversions]]) — the
+    * engine EMITS crawl artifacts, not just consumes them: the documents
+    * table packed as WET-shaped `conversion` records (the derived
+    * artifact Common Crawl publishes), 8 shards, records in url order so
+    * each shard's bytes are DETERMINISTIC. The oracle rebuilds the exact
+    * record bytes from the pinned layout and md5s the assembled shard —
+    * one wrong header byte, length, separator, or record order breaks
+    * the hash. Scale shape: one shuffle on the shard key, one assembly
+    * pass per shard, one output row (= one object-store file) each. */
+  def q329WarcWrite(s: SparkSession, dir: String): DataFrame =
+    Warc.packConversions(wetInput(s, dir), "url", "text", "shard_id",
+        date = WetDate)
+      .toDF()
+      .select(col("shard_id"), length(col("payload")).cast("long").as("payload_bytes"),
+        md5(col("payload")).as("payload_md5"))
+
+  /** q330: WRITER↔READER round-trip under the Common Crawl GZ framing —
+    * the same pack with one gzip member per record, read back by the
+    * engine's own container walk. Gzip bytes are deflate-parameter-
+    * dependent (not oracle-replayable), so THIS is the gz contract: the
+    * walk must recover every record's url and exact body from the
+    * writer's members; the oracle states the truth from the source
+    * table. */
+  def q330WetRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Warc.records(Warc.packConversions(wetInput(s, dir), "url", "text",
+        "shard_id", date = WetDate, gz = true))
+      .select(col("target_uri").as("url"), col("warc_type"),
+        col("block_len"), md5(col("body")).as("body_md5"))
+
   /** q308: overlapping-window chunking ([[graft.operators.Chunker]]) —
     * the splitter between cleaning and embedding: 64-token windows at
     * stride 48 (16-token overlap), the tail ANCHORED to end at the last
@@ -2135,6 +2190,9 @@ object LlmQueries {
     "q326_link_graph" -> (q326LinkGraph _),
     "q327_crawl_rank" -> (q327CrawlRank _),
     "q328_cdx_append" -> (q328CdxAppend _),
+    "q329_warc_write" -> (q329WarcWrite _),
+    "q330_wet_roundtrip" -> (q330WetRoundtrip _),
+    "q331_frontier_schedule" -> (q331FrontierSchedule _),
     "q319_psl_domains" -> (q319PslDomains _),
     "q321_jpeg_color" -> (q321JpegColor _),
     "q322_color_neardup" -> (q322ColorNeardup _),
@@ -3262,6 +3320,57 @@ object LlmQueries {
          |            WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS INT) AS http_status,
          |  md5(CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END) AS body_md5
          |FROM read_parquet('$htmlDocs') WHERE doc_id % 10 = 3""".stripMargin,
+    // the WRITER's exact bytes rebuilt from the pinned record layout —
+    // record order (url), every header, the byte-length Content-Length,
+    // and the separators all land in one md5 per shard
+    "q329_warc_write" ->
+      s"""WITH r AS (SELECT doc_id % 8 AS shard_id,
+         |    'https://corpus.local/doc' || doc_id AS url, text FROM documents),
+         |rec AS (SELECT shard_id, url,
+         |    'WARC/1.0' || chr(13) || chr(10) ||
+         |    'WARC-Type: conversion' || chr(13) || chr(10) ||
+         |    'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+         |    'WARC-Date: $WetDate' || chr(13) || chr(10) ||
+         |    'Content-Type: text/plain' || chr(13) || chr(10) ||
+         |    'Content-Length: ' || strlen(text) || chr(13) || chr(10) ||
+         |    chr(13) || chr(10) || text ||
+         |    chr(13) || chr(10) || chr(13) || chr(10) AS bytes
+         |  FROM r)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(strlen(string_agg(bytes, '' ORDER BY url)) AS BIGINT) AS payload_bytes,
+         |  md5(string_agg(bytes, '' ORDER BY url)) AS payload_md5
+         |FROM rec GROUP BY shard_id""".stripMargin,
+    // gz bytes are deflate-parameter-dependent — the contract is the
+    // ROUND-TRIP: the engine's walk must recover every record exactly
+    "q330_wet_roundtrip" ->
+      s"""SELECT 'https://corpus.local/doc' || doc_id AS url,
+         |  'conversion' AS warc_type,
+         |  CAST(strlen(text) AS BIGINT) AS block_len,
+         |  md5(text) AS body_md5
+         |FROM documents""".stripMargin,
+    // the q307 frontier + the q320 PSL longest-match domain machinery,
+    // then the wave window replayed verbatim
+    "q331_frontier_schedule" ->
+      s"""WITH f AS (SELECT * FROM ($q307OracleSql)),
+         |lab AS (SELECT host, string_split(host, '.') AS ls FROM f),
+         |cand AS (SELECT host, g.k AS k,
+         |           array_to_string(ls[len(ls) - g.k + 1 : len(ls)], '.') AS suffix
+         |         FROM (SELECT DISTINCT host, ls FROM lab) x,
+         |           LATERAL (SELECT unnest(generate_series(1, least(4, len(ls)))) AS k) g),
+         |hit AS (SELECT c.host, max(c.k) AS bestk
+         |        FROM cand c JOIN read_parquet('$pslFx') p USING (suffix)
+         |        GROUP BY c.host),
+         |rd AS (SELECT l.host,
+         |         array_to_string(
+         |           l.ls[len(l.ls) - least(len(l.ls), coalesce(t.bestk + 1, 2)) + 1 : len(l.ls)],
+         |           '.') AS registered_domain
+         |       FROM (SELECT DISTINCT host, ls FROM lab) l LEFT JOIN hit t USING (host)),
+         |j AS (SELECT f.canonical_url, rd.registered_domain
+         |      FROM f JOIN rd USING (host))
+         |SELECT canonical_url, registered_domain,
+         |  CAST((row_number() OVER (PARTITION BY registered_domain
+         |          ORDER BY canonical_url) - 1) // 2 AS BIGINT) AS wave
+         |FROM j""".stripMargin,
     "q299_paragraph_hist_screen" ->
       s"""WITH $htmlBlockCtes,
          |hist AS (SELECT DISTINCT text AS ht FROM hblk WHERE doc_id < 150)

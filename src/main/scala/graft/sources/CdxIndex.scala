@@ -36,9 +36,10 @@ object CdxIndex {
   val Buckets = 16
 
   def buildFrom(s: SparkSession, shards: org.apache.spark.sql.Dataset[WarcShard],
-                out: String, buckets: Int = Buckets): Unit = {
+                out: String, buckets: Int = Buckets,
+                warcTypes: Set[String] = Set("response")): Unit = {
     import s.implicits._
-    val locs = Warc.recordLocations(shards).toDF()
+    val locs = Warc.recordLocations(shards, warcTypes).toDF()
       .withColumn("url_bucket", bucketCol(col("url"), buckets))
     Sinks.overwriteSwapPartitioned(locs, s"$out/locations", "url_bucket")
     Seq(buckets).toDF("n_buckets").coalesce(1)

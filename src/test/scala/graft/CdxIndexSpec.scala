@@ -73,6 +73,30 @@ class CdxIndexSpec extends AnyFunSuite with SharedSpark {
     assert(rows(inc) == rows(root))
   }
 
+  test("CDX over the WET sidecar: conversion records indexed and fetched from gzip members") {
+    // the engine's own WARC WRITER feeds its own CDX: pack documents as
+    // gz conversion shards, index with warcTypes=conversion, and every
+    // fetched body must hash to the source text
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(lit("wet://doc/"), col("doc_id")).as("url"),
+        col("text"), (col("doc_id") % 4).as("shard_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-cdx").toString
+    Warc.packConversions(docs, "url", "text", "shard_id",
+        date = "2026-01-01T00:00:00Z", gz = true)
+      .toDF().write.parquet(s"$dir/shards")
+    CdxIndex.buildFrom(spark, Warc.readShards(spark, s"$dir/shards"),
+      s"$dir/cdx", warcTypes = Set("conversion"))
+    val truth = docs.select(col("url"), md5(col("text")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val locs = spark.read.parquet(s"$dir/cdx/locations")
+    assert(locs.count() == truth.size) // every conversion record located once
+    val sample = truth.keys.toSeq.sorted.take(7)
+    val fetched = CdxIndex.fetch(spark, s"$dir/cdx", s"$dir/shards", sample)
+      .select(col("target_uri").as("url"), md5(col("body")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fetched == sample.map(u => u -> truth(u)).toMap)
+  }
+
   test("malformed slices are harmless: out-of-range and torn fetches yield None") {
     val payload = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nabcd".getBytes("US-ASCII")
     assert(Warc.fetchRecord(0L, gz = false, payload, -1L, 10L).isEmpty)
