@@ -144,6 +144,10 @@ object WebCorpusApp {
     refresh(spark, outDir)
     val pages = decodePages(shards).sever() // the build's recompute cut
     val nPages = pages.count()
+    // an empty batch (zero decodable pages — e.g. a zero-data streaming
+    // micro-batch) must leave NO trace, not an empty ledger entry:
+    // re-delivery recomputes the same no-op, so idempotence holds
+    if (nPages == 0) return
     val written = spark.read.parquet(s"$outDir/corpus")
     val maxPos = written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
     val staged = runPipeline(spark, pages, robotsPath,
@@ -217,7 +221,10 @@ object WebCorpusApp {
     * code; arrival order affects only position offsets. */
   def streamIngest(spark: SparkSession, srcDir: String, robotsPath: String,
                    outDir: String, maxFilesPerTrigger: Int = 1): Unit = {
-    val schema = spark.read.parquet(srcDir).schema
+    // the shard schema is the CONTRACT, not a property of whatever files
+    // happen to be present — inferring from srcDir would crash a stream
+    // started before the first shard lands
+    val schema = org.apache.spark.sql.Encoders.product[graft.operators.WarcShard].schema
     val shards = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)

@@ -106,7 +106,10 @@ object Html {
           .as("href"))
       .withColumn("dst",
         when(col("href").contains("://"), col("href"))
-          .when(col("href").startsWith("/"),
+          // the host-prefix branch requires a RECOGNIZABLE host in src:
+          // regexp_extract returns '' on no match, which would silently
+          // emit the bare path as a "resolved" url
+          .when(col("href").startsWith("/") && col("src").rlike("^https?://"),
             concat(regexp_extract(col("src"), "^(https?://[^/]+)", 1),
               col("href")))
           .otherwise(lit(null)))

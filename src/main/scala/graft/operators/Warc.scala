@@ -33,9 +33,13 @@ case class WarcRec(
   * reads WITHOUT walking the shard. For `gz` (Common Crawl-framed)
   * shards the extent is the record's own COMPRESSED gzip member — the
   * exact contract of Common Crawl's CDX index, where a production
-  * object store serves the member as one ranged GET. */
-case class WarcLoc(shard_id: Long, rec_idx: Int, url: String, offset: Long,
-                   length: Long, http_status: Int, body_md5: String)
+  * object store serves the member as one ranged GET. `slice_idx` is the
+  * record's position WITHIN its slice — 0 except when a gz member packs
+  * several records (legal WARC, not the CC norm), where the fetch must
+  * walk to the right one. */
+case class WarcLoc(shard_id: Long, rec_idx: Int, slice_idx: Int, url: String,
+                   offset: Long, length: Long, http_status: Int,
+                   body_md5: String)
 
 /** WARC/1.0 (ISO 28500) container walk — the format web crawls actually
   * arrive in, and therefore the true FIRST operator of a web-corpus
@@ -127,7 +131,10 @@ object Warc {
         new Iterator[WarcShard] {
           private var cur: Option[(Long, ByteArrayOutputStream)] = None
           private var pending: Option[WarcShard] = None
-          private def record(url: String, text: String): Array[Byte] = {
+          private def record(url0: String, text: String): Array[Byte] = {
+            // CR/LF in a url would inject header lines and corrupt the
+            // record framing — strip them (a url never legally holds them)
+            val url = url0.replace("\r", "").replace("\n", "")
             val body = text.getBytes("UTF-8")
             val head = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
               s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
@@ -193,16 +200,23 @@ object Warc {
     var idx = 0
     def emit(bytes: Array[Byte], extent: (Long, Long) => (Long, Long)): Unit = {
       var pos = indexOf(bytes, Magic, 0)
+      var inSlice = 0
       while (pos >= 0) {
         parseRecord(sh.shard_id, idx, bytes, pos) match {
           case Some((rec, next)) =>
             if (warcTypes.contains(rec.warc_type) && rec.target_uri.nonEmpty) {
               val (off, len) = extent(pos.toLong, (next - pos).toLong)
-              out += WarcLoc(sh.shard_id, idx, rec.target_uri.get, off, len,
-                rec.http_status.getOrElse(-1),
+              // a plain record is its own slice (slice_idx 0 by
+              // construction: `extent` narrows to [pos, next)); a gz
+              // member is the slice, so the record's position within
+              // the member is what the fetch must walk to
+              val sliceIdx = if (sh.gz) inSlice else 0
+              out += WarcLoc(sh.shard_id, idx, sliceIdx, rec.target_uri.get,
+                off, len, rec.http_status.getOrElse(-1),
                 md5hex(rec.body.getOrElse(Array.emptyByteArray)))
             }
             idx += 1
+            inSlice += 1
             pos = indexOf(bytes, Magic, next)
           case None =>
             pos = indexOf(bytes, Magic, pos + Magic.length)
@@ -219,17 +233,32 @@ object Warc {
     out.result()
   }
 
-  /** Random-access record fetch: parse the ONE record at a CDX-indexed
+  /** Random-access record fetch: parse the record at a CDX-indexed
     * (offset, length) slice — never a shard walk. `gz` slices are one
-    * gzip member (inflated alone, same bomb cap). Out-of-range or
+    * gzip member (inflated alone, same bomb cap); `sliceIdx` walks to
+    * the right record when a member packs several (legal WARC — the
+    * walk is bounded by the member, not the shard). Out-of-range or
     * malformed slices yield None, never an exception. */
   def fetchRecord(shardId: Long, gz: Boolean, payload: Array[Byte],
-                  offset: Long, length: Long): Option[WarcRec] = {
+                  offset: Long, length: Long,
+                  sliceIdx: Int = 0): Option[WarcRec] = {
     if (offset < 0 || length <= 0 || offset + length > payload.length) return None
     val slice = java.util.Arrays.copyOfRange(
       payload, offset.toInt, (offset + length).toInt)
     val bytes = if (gz) gunzipAll(slice).getOrElse(return None) else slice
-    parseRecord(shardId, 0, bytes, 0).map(_._1)
+    var pos = indexOf(bytes, Magic, 0)
+    var i = 0
+    while (pos >= 0) {
+      parseRecord(shardId, i, bytes, pos) match {
+        case Some((rec, next)) =>
+          if (i == sliceIdx) return Some(rec)
+          i += 1
+          pos = indexOf(bytes, Magic, next)
+        case None =>
+          pos = indexOf(bytes, Magic, pos + Magic.length)
+      }
+    }
+    None
   }
 
   private def md5hex(b: Array[Byte]): String =

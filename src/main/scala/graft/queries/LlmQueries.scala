@@ -3265,7 +3265,7 @@ object LlmQueries {
          |       FROM pages),
          |rr AS (SELECT src,
          |         CASE WHEN href LIKE '%://%' THEN href
-         |              WHEN href LIKE '/%'
+         |              WHEN href LIKE '/%' AND regexp_matches(src, '^https?://')
          |                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
          |         END AS dst
          |       FROM lk)
@@ -3292,7 +3292,7 @@ object LlmQueries {
          |       FROM pages),
          |rr AS (SELECT src,
          |         CASE WHEN href LIKE '%://%' THEN href
-         |              WHEN href LIKE '/%'
+         |              WHEN href LIKE '/%' AND regexp_matches(src, '^https?://')
          |                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
          |         END AS dst
          |       FROM lk),

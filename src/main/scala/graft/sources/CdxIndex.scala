@@ -74,7 +74,7 @@ object CdxIndex {
     s.read.parquet(s"$root/locations")
       .filter(col("url_bucket").isin(buckets: _*))
       .filter(col("url").isin(urls: _*))
-      .select("url", "shard_id", "rec_idx", "offset", "length",
+      .select("url", "shard_id", "rec_idx", "slice_idx", "offset", "length",
         "http_status", "body_md5")
   }
 
@@ -87,19 +87,19 @@ object CdxIndex {
             urls: Seq[String]): DataFrame = {
     import s.implicits._
     val locs = lookup(s, root, urls)
-      .select("shard_id", "offset", "length")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .select("shard_id", "offset", "length", "slice_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     val shardIds = locs.map(_._1).distinct.toSeq
-    val locDf = locs.toSeq.toDF("shard_id", "offset", "length")
+    val locDf = locs.toSeq.toDF("shard_id", "offset", "length", "slice_idx")
     Warc.readShards(s, shardsPath)
       .filter(col("shard_id").isin(shardIds: _*)) // pushed to the scan
       .toDF()
       .join(broadcast(locDf), Seq("shard_id"))
       .select(col("shard_id"), col("gz"), col("payload"),
-        col("offset"), col("length"))
-      .as[(Long, Boolean, Array[Byte], Long, Long)]
-      .flatMap { case (sid, gz, payload, off, len) =>
-        Warc.fetchRecord(sid, gz, payload, off, len)
+        col("offset"), col("length"), col("slice_idx"))
+      .as[(Long, Boolean, Array[Byte], Long, Long, Int)]
+      .flatMap { case (sid, gz, payload, off, len, si) =>
+        Warc.fetchRecord(sid, gz, payload, off, len, si)
       }
       .toDF()
   }

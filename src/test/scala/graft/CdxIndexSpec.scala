@@ -97,6 +97,31 @@ class CdxIndexSpec extends AnyFunSuite with SharedSpark {
     assert(fetched == sample.map(u => u -> truth(u)).toMap)
   }
 
+  test("a gz member packing SEVERAL records: slice_idx walks the fetch to the right one") {
+    // legal WARC, not the CC norm: two conversion records in ONE gzip
+    // member — the member extent is shared, so without the slice index a
+    // fetch of the second url would silently return the first record
+    def rec(url: String, text: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Type: text/plain\r\nContent-Length: ${text.length}\r\n\r\n" +
+        text + "\r\n\r\n").getBytes("UTF-8")
+    val member = rec("wet://a", "alpha text") ++ rec("wet://b", "beta text")
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(member); g.close()
+    val shard = graft.operators.WarcShard(0L, gz = true, bos.toByteArray)
+    val locs = Warc.locateShard(shard, Set("conversion"))
+    assert(locs.map(l => (l.url, l.slice_idx)).toSet ==
+      Set(("wet://a", 0), ("wet://b", 1)))
+    assert(locs.map(l => (l.offset, l.length)).distinct.size == 1,
+      "both records must share the member extent")
+    val fetched = locs.map(l => Warc.fetchRecord(0L, gz = true, shard.payload,
+      l.offset, l.length, l.slice_idx).get)
+    assert(fetched.map(r => (r.target_uri.get,
+      new String(r.body.get, "UTF-8"))).toSet ==
+      Set(("wet://a", "alpha text"), ("wet://b", "beta text")))
+  }
+
   test("malformed slices are harmless: out-of-range and torn fetches yield None") {
     val payload = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nabcd".getBytes("US-ASCII")
     assert(Warc.fetchRecord(0L, gz = false, payload, -1L, 10L).isEmpty)

@@ -97,4 +97,20 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
       .queryExecution.executedPlan.toString
     assert(mplan.contains("Exchange"))
   }
+
+  test("linkEdges: quoted/unquoted hrefs resolve; hostless srcs never emit bare paths") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/p", """x <a href="/q">q</a> y <a href=/r>r</a> <a href="https://b.com/z">z</a> <a href="#frag">f</a>"""),
+      ("not-a-url", """<a href="/leak">must not resolve</a> <a href="https://c.com/ok">abs ok</a>"""))
+      .toDF("url", "html")
+    val edges = Html.linkEdges(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(
+      ("https://a.com/p", "https://a.com/q"),
+      ("https://a.com/p", "https://a.com/r"),
+      ("https://a.com/p", "https://b.com/z"),
+      ("not-a-url", "https://c.com/ok")),
+      s"got $edges")
+  }
 }

@@ -203,6 +203,12 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     val out = freshDir()
     WebCorpusApp.build(spark, shards, robots, out, shardPred = col("shard_id") < 4)
     val incoming = s"$out/incoming"
+    // a stream started before the first shard lands is a clean no-op
+    // (schema is the WarcShard contract, never inferred from the dir)
+    Files.createDirectories(java.nio.file.Paths.get(incoming))
+    val corpusBefore = corpusRows(out)
+    WebCorpusApp.streamIngest(spark, incoming, robots, out)
+    assert(corpusRows(out) == corpusBefore)
     landShard(shards, 4, incoming)
     WebCorpusApp.streamIngest(spark, incoming, robots, out) // stream-0: shard 4
     landShard(shards, 5, incoming)
