@@ -26,6 +26,7 @@ case class WarcRec(
     block_len: Long,
     http_status: Option[Int],
     http_content_type: Option[String],
+    http_location: Option[String],
     body: Option[Array[Byte]])
 
 /** One CDX-style record location: where a response record lives inside
@@ -448,42 +449,46 @@ object Warc {
     val recCt = hs.get("content-type")
     val isHttpResponse =
       recCt.exists(_.toLowerCase.startsWith("application/http")) && warcType == "response"
-    val (st, hct, body) =
+    val (st, hct, loc, body) =
       if (isHttpResponse) parseHttp(b, blockStart, clen.toInt)
       else
         // non-HTTP blocks (conversion/metadata/resource) ARE their body —
         // the WET round-trip and CDX-over-WET paths read them directly
-        (None, None, Some(java.util.Arrays.copyOfRange(
+        (None, None, None, Some(java.util.Arrays.copyOfRange(
           b, blockStart, blockStart + clen.toInt)))
     Some((WarcRec(shardId, idx, warcType,
       hs.get("warc-target-uri"), hs.get("warc-date"), recCt, clen,
-      st, hct, body), blockStart + clen.toInt))
+      st, hct, loc, body), blockStart + clen.toInt))
   }
 
   /** HTTP response block: status line, case-insensitive headers, body
     * after the blank line (inner Content-Length honored when sane). */
-  private def parseHttp(b: Array[Byte], start: Int,
-                        len: Int): (Option[Int], Option[String], Option[Array[Byte]]) = {
+  private def parseHttp(b: Array[Byte], start: Int, len: Int):
+      (Option[Int], Option[String], Option[String], Option[Array[Byte]]) = {
     val end = start + len
     val he = indexOf(b, "\r\n\r\n".getBytes("US-ASCII"), start)
-    if (he < 0 || he >= end) return (None, None, None)
+    if (he < 0 || he >= end) return (None, None, None, None)
     val head = new String(b, start, he - start, "US-ASCII")
     val lines = head.split("\r\n")
-    if (lines.isEmpty) return (None, None, None)
+    if (lines.isEmpty) return (None, None, None, None)
     val statusParts = lines(0).split(" ", 3)
     val st =
       if (statusParts.length >= 2 && statusParts(0).startsWith("HTTP/"))
         statusParts(1).toIntOption
       else None
     val hs = headerMap(lines.drop(1))
+    // Location: the redirect target a crawler must chase (3xx) — exposed
+    // so the frontier can fold redirect targets back in (q332/q333)
+    val loc = hs.get("location")
     val bodyStart = he + 4
     val rem = end - bodyStart
-    if (rem < 0) return (st, hs.get("content-type"), None)
+    if (rem < 0) return (st, hs.get("content-type"), loc, None)
     val bl = hs.get("content-length").flatMap(parseLong) match {
       case Some(n) if n >= 0 && n <= rem => n.toInt
       case _                             => rem
     }
-    (st, hs.get("content-type"), Some(java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + bl)))
+    (st, hs.get("content-type"), loc,
+      Some(java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + bl)))
   }
 
   private def headerMap(lines: Array[String]): Map[String, String] =

@@ -939,6 +939,34 @@ object LlmQueries {
         expr("CAST((rn - 1) div 2 AS BIGINT)").as("wave"))
   }
 
+  /** q332: REDIRECT MAP — the crawl's 301 responses with their
+    * `Location` target ([[graft.operators.Warc]] now exposes the
+    * header) CANONICALIZED (q300 rules: cased scheme/host lowered,
+    * default port stripped, tracking params dropped, params sorted,
+    * fragment removed — the fixture's Location is decorated on purpose).
+    * The first step of redirect-chasing: map the moved url to the
+    * canonical identity the frontier dedups on. */
+  def q332RedirectMap(s: SparkSession, dir: String): DataFrame =
+    Warc.responses(Warc.readShards(s, warcShards), status = Some(301))
+      .select(col("target_uri").as("url"), col("http_location").as("location"))
+      .withColumn("canonical_target", Url.canonicalize(col("location")))
+
+  /** q333: redirect targets FOLDED INTO THE FRONTIER — the q307 gating
+    * applied to where the 301s point: canonical dedup, then the robots
+    * longest-match verdict for the target paths (the example.com rule
+    * set, wildcards included). A crawler that drops redirects loses
+    * pages; one that chases them without re-gating violates robots. */
+  def q333RedirectFrontier(s: SparkSession, dir: String): DataFrame = {
+    val t = q332RedirectMap(s, dir)
+      .select(col("canonical_target").as("canonical_url")).distinct()
+      .withColumn("host", Url.host(col("canonical_url")))
+      .withColumn("path", Url.normPath(col("canonical_url")))
+    Robots.allowDecisions(t,
+        Robots.rules(Robots.readRobots(s, robotsFx), "graftbot"),
+        keyCol = "canonical_url")
+      .select(col("canonical_url"), col("allowed"), col("matched_rule"))
+  }
+
   private val WetDate = "2026-01-01T00:00:00Z"
 
   private def wetInput(s: SparkSession, dir: String): DataFrame =
@@ -2193,6 +2221,8 @@ object LlmQueries {
     "q329_warc_write" -> (q329WarcWrite _),
     "q330_wet_roundtrip" -> (q330WetRoundtrip _),
     "q331_frontier_schedule" -> (q331FrontierSchedule _),
+    "q332_redirect_map" -> (q332RedirectMap _),
+    "q333_redirect_frontier" -> (q333RedirectFrontier _),
     "q319_psl_domains" -> (q319PslDomains _),
     "q321_jpeg_color" -> (q321JpegColor _),
     "q322_color_neardup" -> (q322ColorNeardup _),
@@ -3348,6 +3378,34 @@ object LlmQueries {
          |  CAST(strlen(text) AS BIGINT) AS block_len,
          |  md5(text) AS body_md5
          |FROM documents""".stripMargin,
+    // pack-and-recover: the Location header is a packing formula and the
+    // canonical form is the STATED intent per q300 rule class
+    "q332_redirect_map" ->
+      s"""SELECT url,
+         |  'HTTPS://EXAMPLE.com:443/doc' || doc_id ||
+         |    '/moved?utm_source=crawl&b=2&a=1#frag' AS location,
+         |  'https://example.com/doc' || doc_id || '/moved?a=1&b=2' AS canonical_target
+         |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21""".stripMargin,
+    // the redirect targets through the robots longest-match replay (the
+    // example.com rule set, wildcard patterns via the shared conversion)
+    "q333_redirect_frontier" ->
+      s"""WITH t AS (SELECT DISTINCT doc_id,
+         |    'https://example.com/doc' || doc_id || '/moved?a=1&b=2' AS cu,
+         |    '/doc' || doc_id || '/moved' AS path
+         |  FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21),
+         |r AS (SELECT site, exp_allow[i.i] AS allow, exp_path[i.i] AS rule_path
+         |      FROM read_parquet('$robotsFx'),
+         |        LATERAL (SELECT unnest(generate_series(1, len(exp_path))) AS i) i),
+         |j AS (SELECT t.cu, t.path, r.allow, r.rule_path
+         |      FROM t LEFT JOIN r ON r.site = 'example.com'
+         |       AND regexp_matches(t.path, ${graft.operators.Robots.patternRegexSqlFor("r.rule_path")})),
+         |b AS (SELECT *, row_number() OVER (PARTITION BY cu
+         |        ORDER BY len(rule_path) DESC NULLS LAST,
+         |                 allow DESC NULLS LAST,
+         |                 rule_path DESC NULLS LAST) AS rn FROM j)
+         |SELECT cu AS canonical_url, coalesce(allow, TRUE) AS allowed,
+         |  coalesce(rule_path, '') AS matched_rule
+         |FROM b WHERE rn = 1""".stripMargin,
     // the q307 frontier + the q320 PSL longest-match domain machinery,
     // then the wave window replayed verbatim
     "q331_frontier_schedule" ->

@@ -175,6 +175,41 @@ object WebCorpusQueries {
     s.read.parquet(s"${builtIncremental(s)}/corpus")
       .select("url", "fp", "pos", "shard")
 
+  /** q334: DECONTAMINATION over the WRITTEN corpus — the release gate
+    * between the crawl-built corpus and a trainer: every corpus page
+    * screened for verbatim 8-GRAM overlap with the benchmark set (the
+    * q248 machinery composed onto the web corpus). The benchmark is the
+    * sf documents slice (doc_id ≡ 0 mod 23) PLUS the corpus pages at
+    * pos ≡ 0 mod 7 — modeling the real failure this gate exists for:
+    * benchmarks are web-derived, so some corpus pages ARE in them. The
+    * leaked pages read taint 1000, their near neighbors light up on
+    * shared grams, clean pages read 0 — every regime observable. Eval
+    * grams are broadcast-small at any corpus scale; the train side
+    * streams; nothing is all-pairs. */
+  def q334WebcorpusDecontam(s: SparkSession, dir: String): DataFrame = {
+    val corpus = s.read.parquet(s"${built(s)}/corpus")
+      .select(col("url"), col("pos"), col("text"))
+    def grams(df: DataFrame, id: Seq[String]) = df
+      .select(id.map(col) :+
+        expr("filter(split(lower(text), ' '), t -> length(t) > 0)").as("ws"): _*)
+      .filter(size(col("ws")) >= 8)
+      .select(id.map(col) :+
+        explode(expr("transform(sequence(0, size(ws) - 8), i -> " +
+          "concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]," +
+          " ws[i+4], ws[i+5], ws[i+6], ws[i+7]))")).as("g"): _*)
+    val bench = graft.sources.Tables.documents(s, dir)
+      .filter(col("doc_id") % 23 === 0).select(col("text"))
+      .unionByName(corpus.filter(col("pos") % 7 === 0).select(col("text")))
+    val ev = grams(bench.withColumn("k", lit(1L)), Seq("k"))
+      .select("g").distinct()
+    val tr = grams(corpus, Seq("url")).distinct()
+    val totals = tr.groupBy("url").agg(count(lit(1)).as("n_grams"))
+    val hits = tr.join(ev, "g").groupBy("url").agg(count(lit(1)).as("hit"))
+    totals.join(hits, Seq("url"), "left").na.fill(0L, Seq("hit"))
+      .select(col("url"), col("n_grams"),
+        col("hit"), expr("hit * 1000 div n_grams").as("taint_permille"))
+  }
+
   /** q323: the STREAMING corpus — shard 5 ingested by
     * [[WebCorpusApp.streamIngest]] (file source → foreachBatch →
     * the crash-atomic [[WebCorpusApp.appendBatch]]) instead of the
@@ -248,7 +283,8 @@ object WebCorpusQueries {
     "q316_webcorpus_search" -> (q316WebcorpusSearch _),
     "q317_webcorpus_append" -> (q317WebcorpusAppend _),
     "q318_webcorpus_knn" -> (q318WebcorpusKnn _),
-    "q323_webcorpus_stream" -> (q323WebcorpusStream _))
+    "q323_webcorpus_stream" -> (q323WebcorpusStream _),
+    "q334_webcorpus_decontam" -> (q334WebcorpusDecontam _))
 
   // ------------------------------------------------------- oracle SQL
 
@@ -460,6 +496,37 @@ object WebCorpusQueries {
     // streaming arrival must be bit-identical to the batch append —
     // q323 shares q317's oracle by construction
     "q323_webcorpus_stream" -> incCorpusSql,
+    // the corpus replay feeds BOTH sides: train = every written page,
+    // bench = the sf documents slice + the leaked pos%7 pages
+    "q334_webcorpus_decontam" ->
+      s"""$buildPrelude,
+         |${rankCte("w", None)},
+         |bench AS (
+         |  SELECT text FROM documents WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT text FROM rkw WHERE pos % 7 = 0),
+         |bt AS (SELECT list_filter(string_split(lower(text), ' '),
+         |                t -> length(t) > 0) AS ws FROM bench),
+         |eg AS (SELECT DISTINCT
+         |         concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+         |                   ws[i+5], ws[i+6], ws[i+7], ws[i+8]) AS g
+         |       FROM bt, LATERAL unnest(generate_series(0, len(ws) - 8)) t(i)
+         |       WHERE len(ws) >= 8),
+         |ct AS (SELECT url, list_filter(string_split(lower(text), ' '),
+         |                t -> length(t) > 0) AS ws FROM rkw),
+         |tg AS (SELECT DISTINCT url,
+         |         concat_ws(' ', ws[i+1], ws[i+2], ws[i+3], ws[i+4],
+         |                   ws[i+5], ws[i+6], ws[i+7], ws[i+8]) AS g
+         |       FROM ct, LATERAL unnest(generate_series(0, len(ws) - 8)) t(i)
+         |       WHERE len(ws) >= 8),
+         |tot AS (SELECT url, CAST(count(*) AS BIGINT) AS n_grams
+         |        FROM tg GROUP BY 1),
+         |h AS (SELECT tg.url, CAST(count(*) AS BIGINT) AS hit
+         |      FROM tg JOIN eg USING (g) GROUP BY 1)
+         |SELECT tot.url, tot.n_grams,
+         |  CAST(coalesce(h.hit, 0) AS BIGINT) AS hit,
+         |  CAST(coalesce(h.hit, 0) * 1000 // tot.n_grams AS BIGINT) AS taint_permille
+         |FROM tot LEFT JOIN h USING (url)""".stripMargin,
     "q318_webcorpus_knn" ->
       s"""$buildPrelude,
          |${rankCte("w", None)},

@@ -69,7 +69,12 @@ def http_response(doc_id, html):
              f"Content-Length: {len(body)}",
              "Server: graft-fixture/1.0"]
     if st == 301:
-        lines.append(f"Location: https://example.com/doc{doc_id}/moved")
+        # DECORATED on purpose: cased scheme/host, default port, tracking
+        # param, unsorted params, fragment — the redirect-following query
+        # (q332) must canonicalize the target, and the expected canonical
+        # form is a formula (the q300 pack-and-recover convention)
+        lines.append("Location: HTTPS://EXAMPLE.com:443/doc"
+                     f"{doc_id}/moved?utm_source=crawl&b=2&a=1#frag")
     return ("\r\n".join(lines) + "\r\n\r\n").encode("ascii") + body
 
 
