@@ -121,7 +121,15 @@ object Warc {
     * ROUND-TRIP (reader equality), the plain contract by byte md5. */
   def packConversions(rows: DataFrame, urlCol: String, textCol: String,
                       shardCol: String, date: String,
-                      gz: Boolean = false): Dataset[WarcShard] = {
+                      gz: Boolean = false): Dataset[WarcShard] =
+    packRecords(rows, urlCol, textCol, shardCol, date, gz,
+      warcType = "conversion", contentType = "text/plain")
+
+  /** The general form: any non-HTTP record type — `conversion` is the
+    * WET artifact, `metadata` with a JSON body is the WAT artifact. */
+  def packRecords(rows: DataFrame, urlCol: String, textCol: String,
+                  shardCol: String, date: String, gz: Boolean,
+                  warcType: String, contentType: String): Dataset[WarcShard] = {
     import rows.sparkSession.implicits._
     rows.select(col(shardCol).cast("long").as("shard_id"),
         col(urlCol).cast("string").as("url"),
@@ -137,9 +145,9 @@ object Warc {
             // record framing — strip them (a url never legally holds them)
             val url = url0.replace("\r", "").replace("\n", "")
             val body = text.getBytes("UTF-8")
-            val head = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            val head = (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
               s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
-              s"Content-Type: text/plain\r\nContent-Length: ${body.length}\r\n\r\n")
+              s"Content-Type: $contentType\r\nContent-Length: ${body.length}\r\n\r\n")
               .getBytes("UTF-8")
             val out = new Array[Byte](head.length + body.length + 4)
             System.arraycopy(head, 0, out, 0, head.length)

@@ -939,6 +939,38 @@ object LlmQueries {
         expr("CAST((rn - 1) div 2 AS BIGINT)").as("wave"))
   }
 
+  /** q335: WAT EXPORT — the metadata sidecar completing the Common Crawl
+    * artifact triple (WARC read+write ✓, WET q329/q330 ✓, CDX q324 ✓):
+    * one `metadata` record per response with a PINNED-LAYOUT JSON body
+    * {"url","status","content_type","body_bytes","n_links"} — the
+    * header-derived fields a crawl consumer reads without touching page
+    * bytes (n_links = the q326 href pattern counted per page). Fields
+    * are emitted verbatim (pinned subset: header-token fields cannot
+    * carry quotes/backslashes per RFC 9110; a general JSON escaper would
+    * be unreplayable noise here). Packed by [[graft.operators.Warc
+    * .packRecords]] into per-shard deterministic bytes; the oracle
+    * rebuilds record AND body bytes from the packing formulas and md5s
+    * each assembled shard. */
+  def q335WatExport(s: SparkSession, dir: String): DataFrame = {
+    val r = Warc.responses(Warc.readShards(s, warcShards))
+    val json = concat(
+      lit("{\"url\":\""), col("target_uri"),
+      lit("\",\"status\":"), col("http_status").cast("string"),
+      lit(",\"content_type\":\""), col("http_content_type"),
+      lit("\",\"body_bytes\":"), length(col("body")).cast("string"),
+      lit(",\"n_links\":"),
+      size(regexp_extract_all(col("body").cast("string"),
+        lit(Html.HrefPattern), lit(1))).cast("string"),
+      lit("}"))
+    Warc.packRecords(
+        r.select(col("target_uri").as("url"), json.as("text"), col("shard_id")),
+        "url", "text", "shard_id", date = WetDate, gz = false,
+        warcType = "metadata", contentType = "application/json")
+      .toDF()
+      .select(col("shard_id"), length(col("payload")).cast("long").as("payload_bytes"),
+        md5(col("payload")).as("payload_md5"))
+  }
+
   /** q332: REDIRECT MAP — the crawl's 301 responses with their
     * `Location` target ([[graft.operators.Warc]] now exposes the
     * header) CANONICALIZED (q300 rules: cased scheme/host lowered,
@@ -2223,6 +2255,7 @@ object LlmQueries {
     "q331_frontier_schedule" -> (q331FrontierSchedule _),
     "q332_redirect_map" -> (q332RedirectMap _),
     "q333_redirect_frontier" -> (q333RedirectFrontier _),
+    "q335_wat_export" -> (q335WatExport _),
     "q319_psl_domains" -> (q319PslDomains _),
     "q321_jpeg_color" -> (q321JpegColor _),
     "q322_color_neardup" -> (q322ColorNeardup _),
@@ -3378,6 +3411,38 @@ object LlmQueries {
          |  CAST(strlen(text) AS BIGINT) AS block_len,
          |  md5(text) AS body_md5
          |FROM documents""".stripMargin,
+    // WAT shard bytes rebuilt whole: json body from the q295 packing
+    // formulas (status/ctype/body/link-count), then the pinned record
+    // layout, records in url order, one md5 per assembled shard
+    "q335_wat_export" -> {
+      val crlf = "chr(13) || chr(10)"
+      s"""WITH d AS (
+         |  SELECT doc_id % 6 AS shard_id, url,
+         |    CASE WHEN doc_id % 53 = 7 THEN 404
+         |         WHEN doc_id % 53 = 21 THEN 301 ELSE 200 END AS st,
+         |    CASE WHEN doc_id % 10 = 3 THEN 'Text/HTML; charset=utf-8'
+         |         ELSE 'text/html; charset=utf-8' END AS ct,
+         |    CASE WHEN doc_id % 53 = 21 THEN '' ELSE html END AS body
+         |  FROM read_parquet('$htmlDocs')),
+         |j AS (SELECT shard_id, url,
+         |    '{"url":"' || url || '","status":' || st ||
+         |    ',"content_type":"' || ct || '","body_bytes":' || strlen(body) ||
+         |    ',"n_links":' || len(regexp_extract_all(body, '${Html.HrefPattern}', 1)) ||
+         |    '}' AS js
+         |  FROM d),
+         |rec AS (SELECT shard_id, url,
+         |    'WARC/1.0' || $crlf || 'WARC-Type: metadata' || $crlf ||
+         |    'WARC-Target-URI: ' || url || $crlf ||
+         |    'WARC-Date: $WetDate' || $crlf ||
+         |    'Content-Type: application/json' || $crlf ||
+         |    'Content-Length: ' || strlen(js) || $crlf || $crlf ||
+         |    js || $crlf || $crlf AS bytes
+         |  FROM j)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(strlen(string_agg(bytes, '' ORDER BY url)) AS BIGINT) AS payload_bytes,
+         |  md5(string_agg(bytes, '' ORDER BY url)) AS payload_md5
+         |FROM rec GROUP BY shard_id""".stripMargin
+    },
     // pack-and-recover: the Location header is a packing formula and the
     // canonical form is the STATED intent per q300 rule class
     "q332_redirect_map" ->
