@@ -90,29 +90,135 @@ object Html {
     * to mean the same thing under java.util.regex and RE2. */
   val HrefPattern: String = """<a href="?([^"> ]+)"?"""
 
+  // ---- RFC 3986 reference resolution (the pinned, bounded subset) ----
+  //
+  // On real pages the MAJORITY of <a href> targets are page-relative, so
+  // a link graph that drops them loses most intra-site edges (r14
+  // verdict #1). Resolution here is RFC 3986 §5.2 reduced to a
+  // deterministic regex chain every step of which runs identically under
+  // java.util.regex (Spark codegen'd builtins) and RE2 (the DuckDB
+  // oracle) — the constants below are interpolated into BOTH sides.
+
+  /** src qualifies as a resolution base iff it starts with a lowercase
+    * http(s) scheme — regexp_extract returns '' on no match, which would
+    * silently emit a bare path as a "resolved" url. */
+  private[graft] val SrcOkPattern = "^https?://"
+
+  /** scheme://authority of the base (query/fragment excluded). */
+  private[graft] val SrcBasePattern = "^(https?://[^/?#]+)"
+
+  /** Path of the base url (no query/fragment); '' when absent. */
+  private[graft] val SrcPathPattern = "^https?://[^/?#]+([^?#]*)"
+
+  /** A scheme-prefixed href that is NOT an absolute http-style url —
+    * mailto:, javascript:, tel:, data: — always dropped. */
+  private[graft] val OtherSchemePattern = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+  /** A path segment that is NOT `.` or `..` — RE2-safe (no lookahead,
+    * DuckDB's engine has none): first char a non-dot, or a dot followed
+    * by a non-dot, or `..` followed by at least one more char. A plain
+    * `[^/]+` here would match `..` itself and collapse `/../../` to `/`
+    * — deleting two ups while canceling only one segment. */
+  private[graft] val RealSeg = "(?:[^./][^/]*|\\.[^./][^/]*|\\.\\.[^/]+)"
+
+  /** Dot-segment removal (RFC 3986 §5.2.4) as a PINNED BOUNDED regex
+    * chain: (pattern, passes), each pass a GLOBAL replace with '/',
+    * applied in order. Bounds (documented subset): runs of `./` deeper
+    * than ~4 and `seg/../` nesting deeper than 4 levels keep their
+    * residue — real hrefs sit far inside these bounds. The final step
+    * clamps excess `..` at the root (RFC: they are removed). */
+  private[graft] val DotSegmentSteps: Seq[(String, Int)] = Seq(
+    "/\\./" -> 2, // ./ segments (2 global passes: adjacent matches share a '/')
+    "/\\.$" -> 1, // trailing /.
+    s"/$RealSeg/\\.\\./" -> 4, // seg/.. pairs, innermost-first, depth ≤ 4
+    s"/$RealSeg/\\.\\.$$" -> 1, // trailing seg/..
+    "^(?:/\\.\\.)+(?:/|$)" -> 1) // excess .. at the root
+
+  private[graft] def removeDotSegments(c: Column): Column =
+    DotSegmentSteps.foldLeft(c) { case (acc, (pat, passes)) =>
+      (1 to passes).foldLeft(acc)((a, _) => regexp_replace(a, pat, "/"))
+    }
+
+  /** DuckDB twin of [[removeDotSegments]] over the SQL expression `e` —
+    * DuckDB's regexp_replace needs the explicit 'g' flag to match
+    * Spark's always-global semantics. */
+  private[graft] def removeDotSegmentsSqlFor(e: String): String =
+    DotSegmentSteps.foldLeft(e) { case (acc, (pat, passes)) =>
+      (1 to passes).foldLeft(acc)((a, _) => s"regexp_replace($a, '$pat', '/', 'g')")
+    }
+
+  /** Resolve one href against its page url — the when-chain (branch
+    * order is the contract; [[resolveHrefSqlFor]] is the DuckDB twin):
+    *
+    *  1. contains `://`  → absolute: kept verbatim;
+    *  2. starts `//`     → protocol-relative: base SCHEME + `:` + href
+    *     (MUST precede the path-absolute branch — `//cdn.x.com/a` starts
+    *     with `/` too, and the path branch would emit the bogus
+    *     `https://page.com//cdn.x.com/a`);
+    *  3. `scheme:` form  → mailto:/javascript:/tel:/data: — dropped;
+    *  4. starts `#`      → fragment-only self-reference: dropped;
+    *  5. starts `/`      → path-absolute: base scheme+authority + href;
+    *  6. starts `?`      → query-only: scheme+authority + base path + href;
+    *  7. otherwise       → page-relative: scheme+authority +
+    *     dot-normalized (base DIRECTORY + href), where the directory is
+    *     the base path up to its last `/` (RFC 3986 §5.3 merge);
+    * branches 2/5/6/7 require a recognizable http(s) base (else drop).
+    * Fragments inside resolved targets are kept verbatim, and the dot
+    * normalization runs over the href's own query residue too — both
+    * pinned simplifications, noise-level on real links. */
+  def resolveHref(src: Column, href: Column): Column = {
+    val srcOk = src.rlike(SrcOkPattern)
+    val base = regexp_extract(src, SrcBasePattern, 1)
+    val spath0 = regexp_extract(src, SrcPathPattern, 1)
+    val spath = when(spath0 === "", lit("/")).otherwise(spath0)
+    val sdir = regexp_replace(spath, "[^/]+$", "")
+    when(href.contains("://"), href)
+      .when(href.startsWith("//") && srcOk,
+        concat(regexp_extract(src, "^(https?):", 1), lit(":"), href))
+      .when(href.rlike(OtherSchemePattern), lit(null))
+      .when(href.startsWith("#"), lit(null))
+      .when(href.startsWith("/") && srcOk, concat(base, href))
+      .when(href.startsWith("?") && srcOk, concat(base, spath, href))
+      .when(srcOk, concat(base, removeDotSegments(concat(sdir, href))))
+      .otherwise(lit(null))
+  }
+
+  /** The [[resolveHref]] CASE in DuckDB SQL over expressions `src` and
+    * `href` — every pattern interpolated from the constants above, so
+    * the two replays cannot drift (the Robots.patternRegexSqlFor
+    * convention). */
+  def resolveHrefSqlFor(src: String, href: String): String = {
+    val srcOk = s"regexp_matches($src, '$SrcOkPattern')"
+    val base = s"regexp_extract($src, '$SrcBasePattern', 1)"
+    val spath = s"(CASE WHEN regexp_extract($src, '$SrcPathPattern', 1) = ''" +
+      s" THEN '/' ELSE regexp_extract($src, '$SrcPathPattern', 1) END)"
+    val sdir = s"regexp_replace($spath, '[^/]+$$', '', 'g')"
+    s"""CASE WHEN $href LIKE '%://%' THEN $href
+       |  WHEN substr($href, 1, 2) = '//' AND $srcOk
+       |    THEN regexp_extract($src, '^(https?):', 1) || ':' || $href
+       |  WHEN regexp_matches($href, '$OtherSchemePattern') THEN NULL
+       |  WHEN substr($href, 1, 1) = '#' THEN NULL
+       |  WHEN substr($href, 1, 1) = '/' AND $srcOk THEN $base || $href
+       |  WHEN substr($href, 1, 1) = '?' AND $srcOk THEN $base || $spath || $href
+       |  WHEN $srcOk THEN $base || ${removeDotSegmentsSqlFor(s"($sdir || $href)")}
+       |  ELSE NULL END""".stripMargin
+  }
+
   /** The crawl's LINK GRAPH: (src, dst, w) edges from every `<a href>`
-    * target, resolved against the page's own url — absolute targets
-    * kept, path-absolute targets prefixed with the page's scheme+host,
-    * anything else (protocol-relative, page-relative, fragment-only)
-    * dropped as a documented subset. Pure codegen'd regexp builtins:
-    * one narrow explode, then ONE shuffle — the (src, dst) groupBy. At
-    * crawl scale the edge table is the web graph itself; downstream
-    * consumers ([[PageRank]], HITS, spam heuristics) shuffle it by key,
-    * never the page bytes. */
+    * target, [[resolveHref]]-resolved against the page's own url —
+    * absolute, protocol-relative, path-absolute, query-only, and
+    * page-relative (dot segments normalized) targets all resolve;
+    * fragment-only and non-http-scheme targets drop. Pure codegen'd
+    * regexp builtins: one narrow explode, then ONE shuffle — the
+    * (src, dst) groupBy. At crawl scale the edge table is the web graph
+    * itself; downstream consumers ([[PageRank]], HITS, spam heuristics)
+    * shuffle it by key, never the page bytes. */
   def linkEdges(pages: DataFrame, urlCol: String = "url",
                 htmlCol: String = "html"): DataFrame =
     pages.select(col(urlCol).as("src"),
         explode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
           .as("href"))
-      .withColumn("dst",
-        when(col("href").contains("://"), col("href"))
-          // the host-prefix branch requires a RECOGNIZABLE host in src:
-          // regexp_extract returns '' on no match, which would silently
-          // emit the bare path as a "resolved" url
-          .when(col("href").startsWith("/") && col("src").rlike("^https?://"),
-            concat(regexp_extract(col("src"), "^(https?://[^/]+)", 1),
-              col("href")))
-          .otherwise(lit(null)))
+      .withColumn("dst", resolveHref(col("src"), col("href")))
       .filter(col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
 

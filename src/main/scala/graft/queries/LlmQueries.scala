@@ -33,6 +33,7 @@ object LlmQueries {
   private val warcCharsetShards = "/root/repo/fixtures/warc_charset_shards.parquet"
   private val warcCharsetPages = "/root/repo/fixtures/warc_charset_pages.parquet"
   private val pslFx = "/root/repo/fixtures/psl.parquet"
+  private val linkPagesFx = "/root/repo/fixtures/link_pages.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -893,6 +894,23 @@ object LlmQueries {
     Html.linkEdges(
       Warc.responses(Warc.readShards(s, warcShards), status = Some(200))
         .select(col("target_uri").as("url"), col("body").cast("string").as("html")))
+
+  /** q336: RELATIVE URL RESOLUTION in the link graph
+    * ([[graft.operators.Html.resolveHref]]) — the RFC 3986 §5.2 subset
+    * over a fixture whose hrefs exercise EVERY branch: absolute,
+    * protocol-relative (`//cdn…` scheme-prefixed — NOT mistaken for
+    * path-absolute), other-scheme drops (mailto:/javascript:/tel:),
+    * fragment-only drops, path-absolute, query-only, and page-relative
+    * merge-paths with `./`, `seg/..` nesting to the pinned depth-4
+    * bound, and excess `..` clamped at the root. On real pages the
+    * relative class is the MAJORITY of links, so this is what keeps the
+    * q326 graph / q327 rank / q331 frontier from dropping most
+    * intra-site edges. Three independent replays of one pinned formula:
+    * this operator chain, the oracle SQL (patterns interpolated from
+    * the operator constants), and the fixture generator's Python twin
+    * with hand-pinned expectations. */
+  def q336LinkResolve(s: SparkSession, dir: String): DataFrame =
+    Html.linkEdges(s.read.parquet(linkPagesFx))
 
   /** q327: CRAWL PAGERANK — the q109 fixed-point integer PageRank
     * ([[graft.operators.PageRank.ranks]]) over the q326 link graph, node
@@ -2248,6 +2266,7 @@ object LlmQueries {
     "q324_cdx_lookup" -> (q324CdxLookup _),
     "q325_cdx_fetch" -> (q325CdxFetch _),
     "q326_link_graph" -> (q326LinkGraph _),
+    "q336_link_resolve" -> (q336LinkResolve _),
     "q327_crawl_rank" -> (q327CrawlRank _),
     "q328_cdx_append" -> (q328CdxAppend _),
     "q329_warc_write" -> (q329WarcWrite _),
@@ -3327,10 +3346,18 @@ object LlmQueries {
          |         unnest(regexp_extract_all(html, '${Html.HrefPattern}', 1)) AS href
          |       FROM pages),
          |rr AS (SELECT src,
-         |         CASE WHEN href LIKE '%://%' THEN href
-         |              WHEN href LIKE '/%' AND regexp_matches(src, '^https?://')
-         |                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
-         |         END AS dst
+         |         ${Html.resolveHrefSqlFor("src", "href")} AS dst
+         |       FROM lk)
+         |SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         |FROM rr WHERE dst IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the SAME interpolated resolution formula over the branch-coverage
+    // fixture — relative/dot-segment/protocol-relative hrefs included
+    "q336_link_resolve" ->
+      s"""WITH lk AS (SELECT url AS src,
+         |         unnest(regexp_extract_all(html, '${Html.HrefPattern}', 1)) AS href
+         |       FROM read_parquet('$linkPagesFx')),
+         |rr AS (SELECT src,
+         |         ${Html.resolveHrefSqlFor("src", "href")} AS dst
          |       FROM lk)
          |SELECT src, dst, CAST(count(*) AS BIGINT) AS w
          |FROM rr WHERE dst IS NOT NULL GROUP BY 1, 2""".stripMargin,
@@ -3354,10 +3381,7 @@ object LlmQueries {
          |         unnest(regexp_extract_all(html, '${Html.HrefPattern}', 1)) AS href
          |       FROM pages),
          |rr AS (SELECT src,
-         |         CASE WHEN href LIKE '%://%' THEN href
-         |              WHEN href LIKE '/%' AND regexp_matches(src, '^https?://')
-         |                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
-         |         END AS dst
+         |         ${Html.resolveHrefSqlFor("src", "href")} AS dst
          |       FROM lk),
          |e AS (SELECT src, dst, count(*) AS w
          |      FROM rr WHERE dst IS NOT NULL GROUP BY 1, 2),

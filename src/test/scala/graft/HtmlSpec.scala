@@ -113,4 +113,47 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
       ("not-a-url", "https://c.com/ok")),
       s"got $edges")
   }
+
+  test("resolveHref: every RFC 3986 subset branch, hand-pinned") {
+    import spark.implicits._
+    // (src, href, expected-dst-or-null) — expectations computed BY HAND
+    val cases = Seq(
+      // absolute kept verbatim
+      ("https://a.com/d/p.html", "https://b.com/x", "https://b.com/x"),
+      // protocol-relative gets the BASE scheme — and is NOT treated as
+      // path-absolute (the r14-advice regression: //cdn.a.com/x must
+      // never resolve to https://a.com//cdn.a.com/x)
+      ("https://a.com/d/p.html", "//cdn.a.com/x", "https://cdn.a.com/x"),
+      ("http://a.com/d/p.html", "//cdn.a.com/x", "http://cdn.a.com/x"),
+      // other schemes and fragment-only drop
+      ("https://a.com/d/p.html", "mailto:x@a.com", null),
+      ("https://a.com/d/p.html", "javascript:void(0)", null),
+      ("https://a.com/d/p.html", "#top", null),
+      // path-absolute, query-only
+      ("https://a.com/d/p.html", "/root", "https://a.com/root"),
+      ("https://a.com/d/p.html", "?q=2", "https://a.com/d/p.html?q=2"),
+      // page-relative merge against the base DIRECTORY
+      ("https://a.com/d/p.html", "n.html", "https://a.com/d/n.html"),
+      ("https://a.com/d/p.html", "./n.html", "https://a.com/d/n.html"),
+      ("https://a.com/d/p.html", "../up.html", "https://a.com/up.html"),
+      ("https://a.com/d/", "img/x.png", "https://a.com/d/img/x.png"),
+      ("https://a.com", "rel.html", "https://a.com/rel.html"),
+      // nested + excess dots: depth-4 bound and root clamp
+      ("https://f.com/d1/d2/d3/d4/f.html", "../../../../r.html", "https://f.com/r.html"),
+      ("https://a.com/d/p.html", "a/b/../c.html", "https://a.com/d/a/c.html"),
+      ("https://a.com/d/p.html", "../../../e.html", "https://a.com/e.html"),
+      // unrecognizable base: only absolutes survive
+      ("HTTP://d.com/x", "/drop", null),
+      ("HTTP://d.com/x", "rel.html", null),
+      // base query is excluded from the merge directory
+      ("https://e.com/a?q=1", "b.html", "https://e.com/b.html"))
+    val got = cases.toDF("src", "href", "want")
+      .withColumn("got", Html.resolveHref(col("src"), col("href")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"),
+        s"${r.getAs[String]("src")} + ${r.getAs[String]("href")}: " +
+          s"got ${r.getAs[String]("got")}, want ${r.getAs[String]("want")}")
+    }
+  }
 }
