@@ -412,6 +412,21 @@ object WebCorpusApp {
 
   // ------------------------------------------------------ derived tables
 
+  /** COMMITTED read of an appended table (r14 advice): the shipped read
+    * path for corpus consumers. [[appendBatch]]'s uncommitted tagged
+    * files are visible to a plain `spark.read.parquet` between the
+    * table append and the ledger commit (and after a crash, until the
+    * next append purges) — this reader consults the LEDGER and drops
+    * files whose batch tag is uncommitted ([[Sinks.readCommitted]]; one
+    * file listing, never a data read). The text/ANN index read paths
+    * take raw paths and stay purge-disciplined instead: they are only
+    * consistent after purge-on-entry or a clean commit — the
+    * single-writer constraint [[appendBatch]] documents. */
+  def readCommitted(spark: SparkSession, outDir: String,
+                    table: String): DataFrame =
+    Sinks.readCommitted(spark, s"$outDir/$table",
+      ledger(spark, outDir).keySet.map(Sinks.tagOf))
+
   private def ledger(spark: SparkSession, outDir: String): Map[String, Long] = {
     val p = s"$outDir/ledger"
     if (!Sinks.exists(spark, p)) Map.empty

@@ -134,6 +134,12 @@ object Warc {
     rows.select(col(shardCol).cast("long").as("shard_id"),
         col(urlCol).cast("string").as("url"),
         col(textCol).cast("string").as("text"))
+      // a record needs a target and a body: null url/text rows (e.g. a
+      // null-propagated header field upstream) are DROPPED here rather
+      // than NPE-ing the packer mid-shard (r14 advice) — the caller
+      // coalesces if it wants empty-body records
+      .filter(col("shard_id").isNotNull && col("url").isNotNull &&
+        col("text").isNotNull)
       .repartition(col("shard_id"))
       .sortWithinPartitions("shard_id", "url")
       .mapPartitions { it =>
@@ -207,9 +213,12 @@ object Warc {
       warcTypes: Set[String] = Set("response")): Seq[WarcLoc] = {
     val out = Seq.newBuilder[WarcLoc]
     var idx = 0
+    var parsedInUnit = 0
+    var divergent = false // a member held bytes its own walk couldn't frame
     def emit(bytes: Array[Byte], extent: (Long, Long) => (Long, Long)): Unit = {
       var pos = indexOf(bytes, Magic, 0)
       var inSlice = 0
+      parsedInUnit = 0
       while (pos >= 0) {
         parseRecord(sh.shard_id, idx, bytes, pos) match {
           case Some((rec, next)) =>
@@ -226,19 +235,53 @@ object Warc {
             }
             idx += 1
             inSlice += 1
+            parsedInUnit += 1
             pos = indexOf(bytes, Magic, next)
           case None =>
+            // a magic whose record can't be framed INSIDE this unit —
+            // in a gz member that is the signature of a record spanning
+            // member boundaries (legal WARC, not the CC framing)
+            divergent = true
             pos = indexOf(bytes, Magic, pos + Magic.length)
         }
       }
     }
-    if (sh.gz)
+    if (sh.gz) {
       // CC framing: the member IS the record's fetch unit — record
       // offsets inside the inflated member are irrelevant to a ranged GET
       gzipMembers(sh.payload).foreach { case (mOff, mLen, bytes) =>
         emit(bytes, (_, _) => (mOff, mLen))
+        // a non-empty member with ZERO framed records is continuation
+        // bytes of a spanning record (or garbage) — either way the
+        // member-extent contract does not hold for this shard
+        if (bytes.nonEmpty && parsedInUnit == 0) divergent = true
       }
-    else emit(sh.payload, (pos, len) => (pos, len))
+      if (divergent) {
+        // FALLBACK (r14 advice): the member walk would silently drop
+        // records the concatenated walk can parse. Re-index from the
+        // concatenation with whole-shard extents — every record stays
+        // findable and fetchable (fetchRecord inflates the slice and
+        // walks to slice_idx); only the ranged-GET economy degrades,
+        // and only for this legal-but-non-CC shard.
+        out.clear(); idx = 0
+        val all = gunzipAll(sh.payload).getOrElse(Array.emptyByteArray)
+        var pos = indexOf(all, Magic, 0)
+        var slice = 0
+        while (pos >= 0) {
+          parseRecord(sh.shard_id, idx, all, pos) match {
+            case Some((rec, next)) =>
+              if (warcTypes.contains(rec.warc_type) && rec.target_uri.nonEmpty)
+                out += WarcLoc(sh.shard_id, idx, slice, rec.target_uri.get,
+                  0L, sh.payload.length.toLong, rec.http_status.getOrElse(-1),
+                  md5hex(rec.body.getOrElse(Array.emptyByteArray)))
+              idx += 1; slice += 1
+              pos = indexOf(all, Magic, next)
+            case None =>
+              pos = indexOf(all, Magic, pos + Magic.length)
+          }
+        }
+      }
+    } else emit(sh.payload, (pos, len) => (pos, len))
     out.result()
   }
 

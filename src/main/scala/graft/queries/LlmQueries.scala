@@ -971,13 +971,18 @@ object LlmQueries {
     * each assembled shard. */
   def q335WatExport(s: SparkSession, dir: String): DataFrame = {
     val r = Warc.responses(Warc.readShards(s, warcShards))
+    // nullable header fields COALESCE to '' — a response without a
+    // Content-Type header (common in real crawls; parseHttp yields None)
+    // must emit a record with an empty field, not null-propagate the
+    // whole JSON away (r14 advice); status defaults to -1, the
+    // parse-failure sentinel the walk already uses
     val json = concat(
       lit("{\"url\":\""), col("target_uri"),
-      lit("\",\"status\":"), col("http_status").cast("string"),
-      lit(",\"content_type\":\""), col("http_content_type"),
-      lit("\",\"body_bytes\":"), length(col("body")).cast("string"),
+      lit("\",\"status\":"), coalesce(col("http_status"), lit(-1)).cast("string"),
+      lit(",\"content_type\":\""), coalesce(col("http_content_type"), lit("")),
+      lit("\",\"body_bytes\":"), coalesce(length(col("body")), lit(0)).cast("string"),
       lit(",\"n_links\":"),
-      size(regexp_extract_all(col("body").cast("string"),
+      size(regexp_extract_all(coalesce(col("body").cast("string"), lit("")),
         lit(Html.HrefPattern), lit(1))).cast("string"),
       lit("}"))
     Warc.packRecords(

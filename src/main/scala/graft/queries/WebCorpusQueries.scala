@@ -141,14 +141,14 @@ object WebCorpusQueries {
     * replays the complete pipeline, so any drift anywhere upstream of
     * the write lands here. */
   def q313Webcorpus(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${built(s)}/corpus")
+    WebCorpusApp.readCommitted(s, built(s), "corpus")
       .select("url", "fp", "n_tokens", "n_pars", "n_kept", "pos", "shard")
 
   /** q314: the reject LEDGER — (url, stage) for every non-surviving
     * page: the per-stage attribution a curation team audits (and the
     * proof each pipeline stage did its own work on its own population). */
   def q314WebcorpusRejects(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${built(s)}/rejects")
+    WebCorpusApp.readCommitted(s, built(s), "rejects")
 
   /** q315: the MANIFEST — one row of per-stage counts + corpus/shard/
     * paragraph-state sizes: the handshake a consumer validates. */
@@ -162,7 +162,7 @@ object WebCorpusQueries {
   def q316WebcorpusSearch(s: SparkSession, dir: String): DataFrame = {
     val out = built(s)
     val hits = indexedBm25(s, s"$out/text_index", Seq("training", "quality"), 10)
-    hits.join(s.read.parquet(s"$out/corpus").select(col("pos"), col("url")),
+    hits.join(WebCorpusApp.readCommitted(s, out, "corpus").select(col("pos"), col("url")),
         hits("doc_id") === col("pos"))
       .select(col("url"), col("score"))
   }
@@ -172,7 +172,7 @@ object WebCorpusQueries {
     * the paragraph-hash history, corpus fps; positions appended after
     * the current max). The oracle replays BOTH phases. */
   def q317WebcorpusAppend(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${builtIncremental(s)}/corpus")
+    WebCorpusApp.readCommitted(s, builtIncremental(s), "corpus")
       .select("url", "fp", "pos", "shard")
 
   /** q334: DECONTAMINATION over the WRITTEN corpus — the release gate
@@ -187,7 +187,7 @@ object WebCorpusQueries {
     * grams are broadcast-small at any corpus scale; the train side
     * streams; nothing is all-pairs. */
   def q334WebcorpusDecontam(s: SparkSession, dir: String): DataFrame = {
-    val corpus = s.read.parquet(s"${built(s)}/corpus")
+    val corpus = WebCorpusApp.readCommitted(s, built(s), "corpus")
       .select(col("url"), col("pos"), col("text"))
     def grams(df: DataFrame, id: Seq[String]) = df
       .select(id.map(col) :+
@@ -217,7 +217,7 @@ object WebCorpusQueries {
     * produce the BIT-IDENTICAL corpus — arrival through a checkpointed
     * micro-batch must not change a row, an fp, or a position. */
   def q323WebcorpusStream(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${builtStreaming(s)}/corpus")
+    WebCorpusApp.readCommitted(s, builtStreaming(s), "corpus")
       .select("url", "fp", "pos", "shard")
 
   /** q318: brute-force cosine top-10 over the WRITTEN document
@@ -227,8 +227,8 @@ object WebCorpusQueries {
     * spec-checked against. */
   def q318WebcorpusKnn(s: SparkSession, dir: String): DataFrame = {
     val out = built(s)
-    val corpus = s.read.parquet(s"$out/corpus").select(col("url"), col("pos"))
-    val emb = s.read.parquet(s"$out/embeddings")
+    val corpus = WebCorpusApp.readCommitted(s, out, "corpus").select(col("url"), col("pos"))
+    val emb = WebCorpusApp.readCommitted(s, out, "embeddings")
       .join(corpus, col("vec_id") === col("pos"))
     // the query vector is ONE bounded row — inline it as a literal (the
     // q292 convention) so the scan stays a narrow projection with no

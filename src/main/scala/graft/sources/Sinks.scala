@@ -147,6 +147,38 @@ object Sinks {
     purged
   }
 
+  /** COMMITTED view of a tagged-append table (r14 advice): between
+    * [[appendTagged]] and the caller's ledger commit — or after a crash,
+    * before the next purge — uncommitted `b-<tag>-` files are visible
+    * to any plain parquet reader. This reader makes the ledger
+    * discipline enforceable at READ time: list the table's files (one
+    * namenode listing, never a data read), drop files whose tag is not
+    * in `committedTags`, and read the rest. Untagged files (the build's
+    * overwriteSwap output) are always committed. Fast path: when no
+    * uncommitted file exists the read is the ordinary full-table scan —
+    * identical plan, partition discovery intact. */
+  def readCommitted(spark: SparkSession, path: String,
+                    committedTags: Set[String]): DataFrame = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dirty = false
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val n = p.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+        TaggedName.findFirstMatchIn(n) match {
+          case Some(m) if !committedTags.contains(m.group(1)) => dirty = true
+          case _ => keep += p.toString
+        }
+      }
+    }
+    if (!dirty) spark.read.parquet(path)
+    else if (keep.isEmpty) spark.read.parquet(path).limit(0) // schema only
+    else spark.read.option("basePath", path).parquet(keep.toSeq: _*)
+  }
+
   /** Does a table exist at `path`? (One namenode call.) */
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))

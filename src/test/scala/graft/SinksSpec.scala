@@ -313,4 +313,28 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(Sinks.purgeTagged(spark, path, Set.empty) >= 1)
     assert(!stray.exists())
   }
+
+  test("readCommitted: uncommitted tagged files are invisible; clean tables read normally (r14 advice)") {
+    val path = Files.createTempDirectory("graft-committed").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").write.partitionBy("p").parquet(path)
+    Sinks.appendTagged(Seq((3L, "a")).toDF("id", "p"), path, "batch-1",
+      partitionBy = Seq("p"))
+    Sinks.appendTagged(Seq((4L, "c")).toDF("id", "p"), path, "batch-2",
+      partitionBy = Seq("p"))
+    spark.catalog.refreshByPath(path)
+    // a PLAIN reader observes the dirty rows — that is the window the
+    // committed reader exists to close
+    assert(spark.read.parquet(path).count() == 4)
+    // only batch-1 committed: its rows + the untagged build rows show,
+    // batch-2's do not; partition columns survive the pruned listing
+    val seen = Sinks.readCommitted(spark, path, Set(Sinks.tagOf("batch-1")))
+      .select("id", "p").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(seen == Seq((1L, "a"), (2L, "b"), (3L, "a")), s"got $seen")
+    // both committed: identical to the plain read (fast path)
+    assert(Sinks.readCommitted(spark, path,
+      Set(Sinks.tagOf("batch-1"), Sinks.tagOf("batch-2"))).count() == 4)
+    // nothing committed, only tagged files: schema-only empty frame
+    val none = Sinks.readCommitted(spark, path, Set.empty)
+    assert(none.count() == 2) // untagged build rows are always committed
+  }
 }

@@ -106,6 +106,70 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       .filter(col("main_text") =!= col("mt2")).count() == 0)
   }
 
+  test("gz member-spanning records: CDX locations fall back to the concatenated walk (r14 advice)") {
+    // legal WARC, NOT the CC framing: one gzip member does not align to
+    // one record — record B spans the member boundary. The member-wise
+    // walk alone would silently drop B from the index while records()
+    // still parses it; the fallback must keep index == walk.
+    def rec(url: String, body: String): Array[Byte] = {
+      val b = body.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes("UTF-8") ++
+        b ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val all = rec("https://s.com/a", "alpha") ++
+      rec("https://s.com/b", "bravo-spans-the-boundary") ++
+      rec("https://s.com/c", "charlie")
+    // split INSIDE record B (B starts after A; cut 20 bytes into B)
+    val cut = rec("https://s.com/a", "alpha").length + 20
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val payload = gzip(all.take(cut)) ++ gzip(all.drop(cut))
+    val sh = WarcShard(9L, gz = true, payload)
+    // the concatenated walk sees all three
+    assert(Warc.parseShard(sh).flatMap(_.target_uri) ==
+      Seq("https://s.com/a", "https://s.com/b", "https://s.com/c"))
+    // ...and so must the index (fallback extents = the whole shard)
+    val locs = Warc.locateShard(sh, Set("resource"))
+    assert(locs.map(_.url) ==
+      Seq("https://s.com/a", "https://s.com/b", "https://s.com/c"), s"got $locs")
+    // every location remains FETCHABLE through the normal slice path
+    locs.foreach { l =>
+      val r = Warc.fetchRecord(9L, gz = true, payload, l.offset, l.length, l.slice_idx)
+      assert(r.exists(_.target_uri.contains(l.url)), s"fetch failed for $l")
+    }
+    // and a well-framed CC shard still gets per-member ranged extents
+    val cc = WarcShard(10L, gz = true,
+      gzip(rec("https://s.com/a", "alpha")) ++ gzip(rec("https://s.com/b", "bravo")))
+    val ccLocs = Warc.locateShard(cc, Set("resource"))
+    assert(ccLocs.length == 2 && ccLocs(0).offset == 0 && ccLocs(1).offset > 0)
+  }
+
+  test("packRecords: null url/text/shard rows are dropped, never an NPE (r14 advice)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some(0L), Option("https://a.com/1"), Option("alpha")),
+      (Some(0L), None: Option[String], Option("no url")),
+      (Some(0L), Option("https://a.com/3"), None: Option[String]),
+      (None: Option[Long], Option("https://a.com/4"), Option("no shard")),
+      (Some(0L), Option("https://a.com/5"), Option("omega")))
+      .toDF("shard_id", "url", "text")
+    val shards = Warc.packRecords(rows, "url", "text", "shard_id",
+      date = "2026-01-01T00:00:00Z", gz = false,
+      warcType = "metadata", contentType = "application/json").collect()
+    assert(shards.length == 1)
+    // only the two complete rows became records, in url order
+    val recs = Warc.records(
+      spark.createDataset(shards.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.product[WarcShard])).collect()
+    assert(recs.map(_.target_uri.get).toSeq ==
+      Seq("https://a.com/1", "https://a.com/5"))
+    assert(recs.forall(_.warc_type == "metadata"))
+  }
+
   test("decodeBody: pinned charset fallback order and alias normalization") {
     import Warc.decodeBody
     def b(s: String, enc: String) = s.getBytes(enc)
