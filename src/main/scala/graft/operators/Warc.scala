@@ -513,7 +513,24 @@ object Warc {
   }
 
   /** HTTP response block: status line, case-insensitive headers, body
-    * after the blank line (inner Content-Length honored when sane). */
+    * after the blank line. Body framing and decoding (r14 verdict #2 —
+    * raw non-CC captures routinely store both, and skipping them feeds
+    * framing garbage into extraction/dedup downstream):
+    *
+    *  1. `Transfer-Encoding: chunked` → de-chunk ([[dechunk]]: hex size
+    *     lines, chunk extensions ignored, trailers ignored); per RFC
+    *     9112 Content-Length is IGNORED when chunked. Malformed chunk
+    *     framing falls back to the raw block remainder (pinned: a torn
+    *     capture should degrade to what a framing-blind reader sees,
+    *     not vanish);
+    *  2. else inner `Content-Length` honored when sane, block remainder
+    *     otherwise (unchanged);
+    *  3. `Content-Encoding: gzip|x-gzip` → multi-member inflate under
+    *     the bomb cap; `deflate` → zlib-wrapped first, raw-deflate
+    *     fallback (the dual browsers accept). Failure yields a None
+    *     body (the record stays classified, its bytes unusable);
+    *     unknown codings (br, zstd — codecs this engine does not carry)
+    *     keep the RAW bytes as a documented subset. */
   private def parseHttp(b: Array[Byte], start: Int, len: Int):
       (Option[Int], Option[String], Option[String], Option[Array[Byte]]) = {
     val end = start + len
@@ -534,12 +551,81 @@ object Warc {
     val bodyStart = he + 4
     val rem = end - bodyStart
     if (rem < 0) return (st, hs.get("content-type"), loc, None)
-    val bl = hs.get("content-length").flatMap(parseLong) match {
-      case Some(n) if n >= 0 && n <= rem => n.toInt
-      case _                             => rem
+    val chunked = hs.get("transfer-encoding")
+      .exists(_.toLowerCase.contains("chunked"))
+    val framed: Array[Byte] =
+      if (chunked)
+        dechunk(b, bodyStart, end).getOrElse(
+          java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + rem))
+      else {
+        val bl = hs.get("content-length").flatMap(parseLong) match {
+          case Some(n) if n >= 0 && n <= rem => n.toInt
+          case _                             => rem
+        }
+        java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + bl)
+      }
+    val body = hs.get("content-encoding").map(_.trim.toLowerCase) match {
+      case Some("gzip") | Some("x-gzip") => gunzipAll(framed)
+      case Some("deflate")               => inflateDeflate(framed)
+      case _                             => Some(framed)
     }
-    (st, hs.get("content-type"), loc,
-      Some(java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + bl)))
+    (st, hs.get("content-type"), loc, body)
+  }
+
+  /** RFC 9112 §7.1 chunked-body decode over `b[start, end)`: hex size
+    * line (chunk extensions after ';' ignored) CRLF data CRLF, repeated;
+    * a 0-size chunk terminates (trailer fields ignored). None on any
+    * framing violation — torn chunk, bad hex, missing CRLF — and the
+    * caller falls back to the raw remainder. Bounded by the record
+    * block; never throws. */
+  private[graft] def dechunk(b: Array[Byte], start: Int, end: Int): Option[Array[Byte]] = {
+    val crlf = "\r\n".getBytes("US-ASCII")
+    val out = new ByteArrayOutputStream(math.min(end - start, 1 << 16))
+    var pos = start
+    while (pos < end) {
+      val lineEnd = indexOf(b, crlf, pos)
+      if (lineEnd < 0 || lineEnd >= end) return None
+      val line = new String(b, pos, lineEnd - pos, "US-ASCII").trim
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try Integer.parseInt(hex, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0) return None
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      val dataStart = lineEnd + 2
+      if (dataStart + size + 2 > end) return None // torn chunk
+      out.write(b, dataStart, size)
+      if (b(dataStart + size) != '\r' || b(dataStart + size + 1) != '\n')
+        return None
+      pos = dataStart + size + 2
+    }
+    None // ran out of block before the 0-chunk
+  }
+
+  /** `Content-Encoding: deflate` inflate: zlib-wrapped first (the RFC
+    * meaning), raw-deflate fallback (the historic-server bug browsers
+    * accept). Shares the bomb cap; None on failure. */
+  private[graft] def inflateDeflate(p: Array[Byte]): Option[Array[Byte]] =
+    inflateWith(p, nowrap = false).orElse(inflateWith(p, nowrap = true))
+
+  private def inflateWith(p: Array[Byte], nowrap: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(p)
+      val bos = new ByteArrayOutputStream(math.min(p.length * 2, 1 << 16))
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        total += n
+        if (total > MaxInflatedBytes) return None
+        bos.write(buf, 0, n)
+      }
+      Some(bos.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
   }
 
   private def headerMap(lines: Array[String]): Map[String, String] =

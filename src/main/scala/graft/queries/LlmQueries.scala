@@ -34,6 +34,8 @@ object LlmQueries {
   private val warcCharsetPages = "/root/repo/fixtures/warc_charset_pages.parquet"
   private val pslFx = "/root/repo/fixtures/psl.parquet"
   private val linkPagesFx = "/root/repo/fixtures/link_pages.parquet"
+  private val warcHttpShards = "/root/repo/fixtures/warc_http_shards.parquet"
+  private val warcHttpPages = "/root/repo/fixtures/warc_http_pages.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -845,6 +847,20 @@ object LlmQueries {
     * step diverges on the string compare. */
   def q312WarcCharset(s: SparkSession, dir: String): DataFrame =
     Warc.decodedResponses(Warc.readShards(s, warcCharsetShards))
+      .select(col("url"), col("charset"), col("text"))
+
+  /** q337: HTTP BODY FRAMING decode ([[graft.operators.Warc]] parseHttp
+    * — r14 verdict #2): `Transfer-Encoding: chunked` de-framing (chunk
+    * extensions + trailers ignored), `Content-Encoding: gzip/x-gzip`
+    * inflate, `deflate` in BOTH the zlib-wrapped and raw forms, the two
+    * COMPOSED (gzip inside chunks), malformed chunk framing falling
+    * back to the raw remainder, a truncated gzip body yielding the
+    * empty text (None body), and chunked+legacy-charset showing the
+    * framing runs BEFORE the charset ladder. PACK-AND-RECOVER with a
+    * STORED expectation (the q312 convention): the fixture keeps the
+    * expected text per url, written independently of the engine. */
+  def q337WarcHttpDecode(s: SparkSession, dir: String): DataFrame =
+    Warc.decodedResponses(Warc.readShards(s, warcHttpShards))
       .select(col("url"), col("charset"), col("text"))
 
   /** The CDX lookup's url set — a bounded, deterministic page sample
@@ -2268,6 +2284,7 @@ object LlmQueries {
     "q307_crawl_frontier" -> (q307CrawlFrontier _),
     "q308_chunk_docs" -> (q308ChunkDocs _),
     "q312_warc_charset" -> (q312WarcCharset _),
+    "q337_warc_http_decode" -> (q337WarcHttpDecode _),
     "q324_cdx_lookup" -> (q324CdxLookup _),
     "q325_cdx_fetch" -> (q325CdxFetch _),
     "q326_link_graph" -> (q326LinkGraph _),
@@ -3323,6 +3340,11 @@ object LlmQueries {
     "q312_warc_charset" ->
       s"""SELECT url, charset, text
          |FROM read_parquet('$warcCharsetPages')""".stripMargin,
+    // stored-expectation oracle: the de-framed/inflated/decoded text was
+    // written by the fixture generator independently of the engine walk
+    "q337_warc_http_decode" ->
+      s"""SELECT url, charset, text
+         |FROM read_parquet('$warcHttpPages')""".stripMargin,
     // pack-and-recover: status/digest recomputed from the packed source
     // (q295 formulas) over the lookup's deterministic url sample; the
     // engine side serves them from the WRITTEN index buckets alone

@@ -170,6 +170,31 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(recs.forall(_.warc_type == "metadata"))
   }
 
+  test("chunked/gzip/deflate HTTP bodies decode through the walk (r14 verdict #2)") {
+    val httpShards = Warc.readShards(spark,
+      "/root/repo/fixtures/warc_http_shards.parquet")
+    val got = Warc.decodedResponses(httpShards)
+      .select("url", "charset", "text").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val want = spark.read.parquet("/root/repo/fixtures/warc_http_pages.parquet")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (url, exp) =>
+      assert(got(url) == exp, s"$url: got ${got(url)}, want $exp")
+    }
+    // spot-pin the families: chunked (A), gzip (B), composed (C), raw
+    // deflate (E), malformed-chunk fallback keeps the framing bytes (G),
+    // truncated gzip -> '' (H), chunked+legacy charset (I)
+    assert(got("https://framed.example.net/page0")._2.startsWith("page p0 body"))
+    assert(got("https://framed.example.net/page5")._2.startsWith("page p5 body"))
+    assert(got("https://framed.example.net/page10")._2.startsWith("page p10 body"))
+    assert(got("https://framed.example.net/page18")._2.startsWith("page p18 body"))
+    assert(got("https://framed.example.net/page24")._2.contains("\r\n"))
+    assert(got("https://framed.example.net/page26")._2 == "")
+    assert(got("https://framed.example.net/page27") ==
+      (("windows-1252", s"p27 café “quality” résumé"))) // WORDS(27 % 6)
+  }
+
   test("decodeBody: pinned charset fallback order and alias normalization") {
     import Warc.decodeBody
     def b(s: String, enc: String) = s.getBytes(enc)

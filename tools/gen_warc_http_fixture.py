@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""HTTP body-framing WARC fixture (dev tool; output is committed).
+
+Raw (non-Common-Crawl) WARC captures routinely store HTTP bodies exactly
+as the server sent them: Transfer-Encoding: chunked framing and/or
+Content-Encoding: gzip/deflate compression. A walker that ignores both
+decodes framing garbage and silently poisons extraction/dedup
+(r14 verdict #2). PACK-AND-RECOVER with a stored expectation:
+
+  warc_http_pages.parquet  (url, charset, text) — what Warc.decodedResponses
+                           must RECOVER from the container bytes
+  warc_http_shards.parquet one plain WARC/1.0 shard packing each framing:
+
+  group A (0-4)   Transfer-Encoding: chunked, plain utf-8 text, several
+                  chunks incl. a chunk extension (";ext=1") and trailers
+  group B (5-9)   Content-Encoding: gzip (whole body one gzip stream)
+  group C (10-14) chunked + gzip COMBINED (gzip bytes inside chunks —
+                  the transfer encoding wraps the content encoding)
+  group D (15-17) Content-Encoding: deflate, zlib-wrapped (RFC form)
+  group E (18-20) Content-Encoding: deflate, RAW deflate (the historic
+                  server bug browsers accept)
+  group F (21-23) plain control rows (no special framing)
+  group G (24-25) MALFORMED chunk framing (bad hex size line) — the
+                  pinned fallback: body = raw block remainder, so the
+                  stored expectation is the raw framed bytes as text
+  group H (26)    truncated gzip body -> body None -> decodes to ''
+  group I (27-28) chunked body carrying a legacy charset (windows-1252
+                  declared in the header) — framing then charset decode
+
+Everything deterministic: zlib with fixed level, gzip with mtime=0.
+"""
+import gzip
+import pathlib
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+OUT_SHARDS = ROOT / "fixtures" / "warc_http_shards.parquet"
+OUT_PAGES = ROOT / "fixtures" / "warc_http_pages.parquet"
+
+WORDS = ["data", "model", "corpus", "quality", "stream", "index"]
+
+
+def chunk(body, sizes, ext_on=None, trailers=False, bad_hex=False):
+    """Chunked transfer encoding of `body` split at `sizes`."""
+    out = bytearray()
+    pos = 0
+    for k, n in enumerate(sizes):
+        part = body[pos:pos + n]
+        pos += n
+        size_line = "%x" % len(part)
+        if bad_hex and k == 0:
+            size_line = "zz"  # malformed: not hex
+        if ext_on is not None and k == ext_on:
+            size_line += ";ext=1"
+        out += size_line.encode("ascii") + b"\r\n" + part + b"\r\n"
+    out += b"0\r\n"
+    if trailers:
+        out += b"X-Trailer: t\r\n"
+    out += b"\r\n"
+    return bytes(out)
+
+
+def gz(b):
+    import io
+    bio = io.BytesIO()
+    with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as g:
+        g.write(b)
+    return bio.getvalue()
+
+
+def record(headers, block):
+    h = headers + [("Content-Length", str(len(block)))]
+    head = "WARC/1.0\r\n" + "".join("%s: %s\r\n" % (k, v) for k, v in h) + "\r\n"
+    return head.encode("ascii") + block + b"\r\n\r\n"
+
+
+def http(lines, body):
+    return ("\r\n".join(["HTTP/1.1 200 OK"] + lines) + "\r\n\r\n").encode("ascii") + body
+
+
+pages = []  # (i, http_headers, wire_body, expected_charset, expected_text)
+for i in range(29):
+    w = WORDS[i % 6]
+    text = "page p%d body of %s and %s — framed" % (i, w, WORDS[(i + 2) % 6])
+    raw = text.encode("utf-8")
+    if i < 5:  # A: chunked
+        sizes = [7, 11, len(raw) - 18]
+        wire = chunk(raw, sizes, ext_on=(1 if i % 2 == 0 else None),
+                     trailers=(i % 2 == 1))
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Transfer-Encoding: chunked"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 10:  # B: gzip
+        wire = gz(raw)
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: gzip" if i % 2 == 0 else "Content-Encoding: x-gzip"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 15:  # C: chunked THEN gzip (transfer wraps content)
+        gzb = gz(raw)
+        wire = chunk(gzb, [9, len(gzb) - 9])
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Transfer-Encoding: chunked", "Content-Encoding: gzip"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 18:  # D: zlib-wrapped deflate
+        wire = zlib.compress(raw, 6)
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: deflate"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 21:  # E: raw deflate
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        wire = c.compress(raw) + c.flush()
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: deflate"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 24:  # F: plain
+        wire = raw
+        hdr = ["Content-Type: text/html; charset=utf-8"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 26:  # G: malformed chunk framing -> raw remainder fallback
+        wire = chunk(raw, [7, len(raw) - 7], bad_hex=True)
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Transfer-Encoding: chunked"]
+        expected = wire.decode("utf-8")  # the raw framed bytes as text
+        pages.append((i, hdr, wire, "utf-8", expected))
+    elif i < 27:  # H: truncated gzip -> body None -> ''
+        wire = gz(raw)[:10]
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: gzip"]
+        pages.append((i, hdr, wire, "utf-8", ""))
+    else:  # I: chunked + legacy charset
+        t2 = "p%d café “%s” résumé" % (i, w)
+        raw2 = t2.encode("cp1252")
+        wire = chunk(raw2, [5, len(raw2) - 5])
+        hdr = ["Content-Type: text/html; charset=windows-1252",
+               "Transfer-Encoding: chunked"]
+        pages.append((i, hdr, wire, "windows-1252", t2))
+
+buf = bytearray()
+urls, labels, texts = [], [], []
+for i, hdr, wire, label, expected in pages:
+    url = "https://framed.example.net/page%d" % i
+    buf += record(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", url),
+         ("WARC-Date", "2026-08-01T01:%02d:00Z" % (i % 60)),
+         ("WARC-Record-ID", "<urn:graft:http-%d>" % i),
+         ("Content-Type", "application/http; msgtype=response")],
+        http(hdr, wire))
+    urls.append(url)
+    labels.append(label)
+    texts.append(expected)
+
+pq.write_table(pa.table({
+    "shard_id": pa.array([0], pa.int64()),
+    "gz": pa.array([False], pa.bool_()),
+    "payload": pa.array([bytes(buf)], pa.binary()),
+}), OUT_SHARDS)
+pq.write_table(pa.table({
+    "url": pa.array(urls, pa.string()),
+    "charset": pa.array(labels, pa.string()),
+    "text": pa.array(texts, pa.string()),
+}), OUT_PAGES)
+print("wrote %s (1 shard, %d pages) and %s" % (OUT_SHARDS, len(pages), OUT_PAGES))
