@@ -396,13 +396,26 @@ object Warc {
     "iso-8859-1" -> "iso-8859-1", "latin-1" -> "iso-8859-1",
     "latin1" -> "iso-8859-1", "iso8859-1" -> "iso-8859-1",
     "shift_jis" -> "shift_jis", "shift-jis" -> "shift_jis",
-    "sjis" -> "shift_jis")
+    "sjis" -> "shift_jis",
+    // CJK legacy ladder (r14 verdict #6) — a large share of the
+    // non-UTF-8 web; labels normalize per the WHATWG encoding table:
+    // euc-kr/ks_c_5601-1987 → euc-kr, gb2312 → gbk (the html5 rule),
+    // big5/big5-hkscs label family → big5
+    "euc-kr" -> "euc-kr", "euckr" -> "euc-kr",
+    "ks_c_5601-1987" -> "euc-kr", "korean" -> "euc-kr",
+    "gbk" -> "gbk", "gb2312" -> "gbk", "csgb2312" -> "gbk",
+    "gb18030" -> "gb18030",
+    "big5" -> "big5", "big-5" -> "big5")
 
   private val JavaCharsetOf: Map[String, java.nio.charset.Charset] = Map(
     "utf-8" -> java.nio.charset.StandardCharsets.UTF_8,
     "windows-1252" -> java.nio.charset.Charset.forName("windows-1252"),
     "iso-8859-1" -> java.nio.charset.StandardCharsets.ISO_8859_1,
-    "shift_jis" -> java.nio.charset.Charset.forName("Shift_JIS"))
+    "shift_jis" -> java.nio.charset.Charset.forName("Shift_JIS"),
+    "euc-kr" -> java.nio.charset.Charset.forName("EUC-KR"),
+    "gbk" -> java.nio.charset.Charset.forName("GBK"),
+    "gb18030" -> java.nio.charset.Charset.forName("GB18030"),
+    "big5" -> java.nio.charset.Charset.forName("Big5"))
 
   /** `charset=` parameter of a Content-Type value (quoted or bare),
     * normalized through the alias table; None when absent/unknown. */

@@ -214,6 +214,16 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(decodeBody(b("中文 ok", "UTF-8"), None) == (("utf-8", "中文 ok")))
     assert(decodeBody(b("résumé", "windows-1252"), Some("text/html")) ==
       (("windows-1252", "résumé")))
+    // CJK ladder (r14 verdict #6): EUC-KR, GB18030, Big5, and the
+    // WHATWG gb2312→GBK label rule
+    assert(decodeBody(b("데이터 품질", "EUC-KR"),
+      Some("text/html; charset=euc-kr")) == (("euc-kr", "데이터 품질")))
+    assert(decodeBody(b("数据 质量", "GB18030"),
+      Some("text/html; charset=GB18030")) == (("gb18030", "数据 质量")))
+    assert(decodeBody(b("資料 品質", "Big5"),
+      Some("text/html; charset=big5")) == (("big5", "資料 品質")))
+    assert(decodeBody(b("数据 模型", "GBK"),
+      Some("text/html; charset=gb2312")) == (("gbk", "数据 模型")))
     // unknown declared charset is treated as undeclared (utf-8 path)
     assert(decodeBody(b("plain", "UTF-8"),
       Some("text/html; charset=ebcdic-weird")) == (("utf-8", "plain")))

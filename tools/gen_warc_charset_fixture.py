@@ -14,10 +14,19 @@ is the WARC/1.0 shard packing those pages through each declaration path:
   group E (35-39) NO declaration, body is windows-1252 bytes (0xE9 etc.,
                   malformed as utf-8) -> the windows-1252 fallback
   group F (40-44) header declares utf-8 in QUOTED form (charset="utf-8")
+  group G (45-49) header declares EUC-KR (hangul) — CJK ladder, r15
+  group H (50-54) <meta charset=gb18030> (simplified hanzi)
+  group I (55-59) header declares Big5 (traditional hanzi)
+  group J (60-62) header declares GBK — canonical label "gbk"
+  group K (63-64) header declares gb2312 — the WHATWG rule maps the
+                  label to GBK, so the canonical label is "gbk"
 
 Shift_JIS texts avoid the codepoints whose mappings differ between
 Shift_JIS variants (wave dash, backslash/yen) - plain kana + common
 kanji only, so Python shift_jis and Java Shift_JIS agree byte-for-byte.
+The CJK texts stick to everyday hangul/hanzi for the same reason:
+Python euc_kr/gbk/gb18030/big5 and the JVM charsets of the same names
+agree byte-for-byte on these ranges.
 """
 import pathlib
 
@@ -37,7 +46,7 @@ def body_html(i, text, meta=""):
 
 
 pages = []  # (url, declared_ct, meta, body_text, encoding, canonical_label)
-for i in range(45):
+for i in range(65):
     w = WORDS[i % 6]
     if i < 10:  # header-declared windows-1252: smart quotes + accents
         text = "the “%s” café résumé of p%d – déjà vu" % (w, i)
@@ -59,10 +68,31 @@ for i in range(45):
     elif i < 40:  # undeclared windows-1252 bytes -> fallback path
         text = "p%d résumé “%s” fallback café" % (i, w)
         pages.append((i, "text/html", "", text, "cp1252", "windows-1252"))
-    else:  # quoted utf-8 declaration
+    elif i < 45:  # quoted utf-8 declaration
         text = "p%d café %s declared ✓" % (i, w)
         pages.append((i, 'text/html; charset="utf-8"', "", text,
                       "utf-8", "utf-8"))
+    elif i < 50:  # header-declared EUC-KR: everyday hangul
+        text = "p%d 데이터 품질 %s 말뭉치 검색" % (i, w)
+        pages.append((i, "text/html; charset=EUC-KR", "", text,
+                      "euc_kr", "euc-kr"))
+    elif i < 55:  # meta-declared gb18030: simplified hanzi
+        text = "p%d 数据 质量 %s 语料 索引" % (i, w)
+        pages.append((i, "text/html", "<meta charset=gb18030>", text,
+                      "gb18030", "gb18030"))
+    elif i < 60:  # header-declared Big5: traditional hanzi
+        text = "p%d 資料 品質 %s 語料 索引" % (i, w)
+        pages.append((i, "text/html; charset=Big5", "", text,
+                      "big5", "big5"))
+    elif i < 63:  # header-declared GBK
+        text = "p%d 数据 模型 %s 训练" % (i, w)
+        pages.append((i, "text/html; charset=GBK", "", text,
+                      "gbk", "gbk"))
+    else:  # gb2312 label -> GBK decode (the WHATWG rule); gb2312 bytes
+        # are a GBK subset, so encoding with gb2312 keeps the pack honest
+        text = "p%d 数据 集合 %s 清洗" % (i, w)
+        pages.append((i, "text/html; charset=gb2312", "", text,
+                      "gb2312", "gbk"))
 
 
 def record(warc_type, headers, block):
