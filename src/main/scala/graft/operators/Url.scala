@@ -132,6 +132,47 @@ object Url {
       .drop("__rd_key", "__rd_best")
   }
 
+  /** BOUNDED MULTI-HOP redirect resolution (r14 verdict #4): the
+    * ubiquitous real-web chain is http → https → www → 200, and a
+    * frontier that only chases one hop re-fetches every intermediate
+    * hop as if it were a page. Input: the redirect MAP — (srcCol,
+    * dstCol) edges, both already canonicalized (q332). Output one row
+    * per redirect source: (url, terminal_url, n_hops, unterminated).
+    *
+    * Semantics (pinned; the oracle unrolls the identical hops):
+    * terminal starts at the 1-hop target; each of the remaining
+    * `maxHops - 1` rounds advances it iff it has an outgoing edge.
+    * After the rounds, `unterminated` = the terminal STILL has an
+    * outgoing edge — true for every url on or into a redirect loop
+    * (301 cycles oscillate and never clear the flag) and for honest
+    * chains longer than `maxHops` (vanishingly rare: browsers cap
+    * around 20, crawlers at ~5). Loud, not fatal: one loop must flag
+    * its rows, never kill a 100 TB scan.
+    *
+    * Scale shape: `maxHops` bounded self-joins of the redirect map —
+    * the map is 3xx-row-sized (≪ corpus), each round one keyed
+    * equi-join, no iteration-to-fixpoint. */
+  def resolveChains(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst", maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(srcCol).cast("string").as("__e_src"),
+      col(dstCol).cast("string").as("__e_dst"))
+    var cur = e.select(col("__e_src").as("url"),
+      col("__e_dst").as("terminal_url"), lit(1L).as("n_hops"))
+    for (k <- 2 to maxHops) {
+      val hop = e.toDF(s"__h${k}_src", s"__h${k}_dst")
+      cur = cur.join(hop, col("terminal_url") === col(s"__h${k}_src"), "left")
+        .select(col("url"),
+          coalesce(col(s"__h${k}_dst"), col("terminal_url")).as("terminal_url"),
+          (col("n_hops") +
+            when(col(s"__h${k}_dst").isNotNull, 1L).otherwise(0L)).as("n_hops"))
+    }
+    val outs = e.select(col("__e_src").as("__o_src")).distinct()
+    cur.join(outs, col("terminal_url") === col("__o_src"), "left")
+      .select(col("url"), col("terminal_url"), col("n_hops"),
+        col("__o_src").isNotNull.as("unterminated"))
+  }
+
   /** Registrable domain of a (lowercased) host: last two labels, or
     * three when the last two are a pinned multi-part suffix; hosts with
     * ≤ 2 labels pass through. */

@@ -36,6 +36,8 @@ object LlmQueries {
   private val linkPagesFx = "/root/repo/fixtures/link_pages.parquet"
   private val warcHttpShards = "/root/repo/fixtures/warc_http_shards.parquet"
   private val warcHttpPages = "/root/repo/fixtures/warc_http_pages.parquet"
+  private val redirectShards = "/root/repo/fixtures/redirect_shards.parquet"
+  private val redirectExpected = "/root/repo/fixtures/redirect_expected.parquet"
 
   // ---------------------------------------------------------------- dedup
 
@@ -1036,6 +1038,25 @@ object LlmQueries {
         Robots.rules(Robots.readRobots(s, robotsFx), "graftbot"),
         keyCol = "canonical_url")
       .select(col("canonical_url"), col("allowed"), col("matched_rule"))
+  }
+
+  /** q338: MULTI-HOP REDIRECT CHAINS ([[graft.operators.Url
+    * .resolveChains]] — r14 verdict #4): the 301 responses' Location
+    * targets canonicalized (q332) into a redirect map, then iterated to
+    * the TERMINAL url under the pinned hop bound (4): the ubiquitous
+    * http→https→www→200 chain lands on its real page in 2 hops, a 301
+    * loop burns its hops and stays flagged `unterminated`, a dangling
+    * offsite hop terminates immediately. Fixture chains link up ONLY
+    * through canonicalization (the first Location is decorated — cased
+    * scheme/host, default port, tracking param, fragment). Oracle: the
+    * stored expectation replayed by the generator's Python twin of the
+    * same bounded iteration, hand-pinned rows asserted. */
+  def q338RedirectChains(s: SparkSession, dir: String): DataFrame = {
+    val edges = Warc.responses(Warc.readShards(s, redirectShards),
+        status = Some(301))
+      .select(col("target_uri").as("src"),
+        Url.canonicalize(col("http_location")).as("dst"))
+    Url.resolveChains(edges, "src", "dst", maxHops = 4)
   }
 
   private val WetDate = "2026-01-01T00:00:00Z"
@@ -2296,6 +2317,7 @@ object LlmQueries {
     "q331_frontier_schedule" -> (q331FrontierSchedule _),
     "q332_redirect_map" -> (q332RedirectMap _),
     "q333_redirect_frontier" -> (q333RedirectFrontier _),
+    "q338_redirect_chains" -> (q338RedirectChains _),
     "q335_wat_export" -> (q335WatExport _),
     "q319_psl_domains" -> (q319PslDomains _),
     "q321_jpeg_color" -> (q321JpegColor _),
@@ -3502,6 +3524,11 @@ object LlmQueries {
          |    '/moved?utm_source=crawl&b=2&a=1#frag' AS location,
          |  'https://example.com/doc' || doc_id || '/moved?a=1&b=2' AS canonical_target
          |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21""".stripMargin,
+    // stored-expectation oracle: the generator's Python twin replays the
+    // same bounded iteration over the same canonicalized edges
+    "q338_redirect_chains" ->
+      s"""SELECT url, terminal_url, n_hops, unterminated
+         |FROM read_parquet('$redirectExpected')""".stripMargin,
     // the redirect targets through the robots longest-match replay (the
     // example.com rule set, wildcard patterns via the shared conversion)
     "q333_redirect_frontier" ->

@@ -97,4 +97,30 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
     assert(got("site.zz") == "site.zz")
     assert(got("deep.sub.example.com") == "example.com")
   }
+
+  test("resolveChains: chains terminate, loops flag, hops bound (r14 verdict #4)") {
+    import spark.implicits._
+    val edges = Seq(
+      "http://c.org/p" -> "https://c.org/p",        // 3-hop chain head
+      "https://c.org/p" -> "https://www.c.org/p",
+      "https://loop.org/a" -> "https://loop.org/b", // 2-cycle
+      "https://loop.org/b" -> "https://loop.org/a",
+      "https://self.org/s" -> "https://self.org/s", // self-redirect
+      "https://d.org/x" -> "https://off.net/y")     // dangling
+      .toDF("src", "dst")
+    val got = Url.resolveChains(edges, maxHops = 4).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("http://c.org/p") == (("https://www.c.org/p", 2L, false)))
+    assert(got("https://c.org/p") == (("https://www.c.org/p", 1L, false)))
+    // the loop oscillates: 4 hops from a lands back on a, still flagged
+    assert(got("https://loop.org/a") == (("https://loop.org/a", 4L, true)))
+    assert(got("https://self.org/s") == (("https://self.org/s", 4L, true)))
+    assert(got("https://d.org/x") == (("https://off.net/y", 1L, false)))
+    // maxHops=1 is the single-hop map with the flag
+    val one = Url.resolveChains(edges, maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(one("http://c.org/p")) // its target still redirects
+    assert(!one("https://d.org/x"))
+  }
 }
