@@ -128,9 +128,36 @@ object Robots {
   /** The chosen-group rule list of one robots.txt, RFC group semantics,
     * file order. Total: malformed lines are skipped, never thrown on. */
   private[graft] def effectiveRules(txt: String,
-                                    agent: String): Seq[(Boolean, String)] = {
-    final case class Group(agents: mutable.Set[String],
-                           rules: mutable.ArrayBuffer[(Boolean, String)])
+                                    agent: String): Seq[(Boolean, String)] =
+    chosenGroups(txt, agent).flatMap(_.rules).toSeq
+
+  /** Per-site `Crawl-delay` for `agent` — the per-host politeness knob
+    * (r14 verdict #8; not in RFC 9309 but honored by Bing/Yandex-class
+    * crawlers and ubiquitous in the wild). Pinned semantics: integer
+    * seconds only (non-integer values ignored — a malformed directive
+    * must not stall a host forever), group selection IDENTICAL to
+    * [[effectiveRules]], and when several chosen groups declare it the
+    * MAX wins (the conservative merge). One row per site that declares
+    * one. */
+  def crawlDelays(files: Dataset[RobotsFile], agent: String): DataFrame = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      val ds = chosenGroups(f.robots_txt, agent).flatMap(_.delays)
+      if (ds.isEmpty) None else Some((f.site, ds.max))
+    }.toDF("site", "crawl_delay")
+  }
+
+  /** One parsed group: its agent tokens, (allow, path) rules in file
+    * order, and any integer Crawl-delay declarations. */
+  private final case class Group(
+      agents: mutable.Set[String],
+      rules: mutable.ArrayBuffer[(Boolean, String)],
+      delays: mutable.ArrayBuffer[Int])
+
+  /** The groups [[effectiveRules]]/[[crawlDelays]] read: a SPECIFIC
+    * `agent` group makes every `*` group ignored; multiple matching
+    * groups merge in file order. */
+  private def chosenGroups(txt: String, agent: String): Seq[Group] = {
     val groups = mutable.ArrayBuffer.empty[Group]
     var collectingAgents = false
     txt.split("\r\n|\n", -1).foreach { raw =>
@@ -143,7 +170,8 @@ object Robots {
           key match {
             case "user-agent" =>
               if (!collectingAgents) {
-                groups += Group(mutable.Set.empty, mutable.ArrayBuffer.empty)
+                groups += Group(mutable.Set.empty,
+                  mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
                 collectingAgents = true
               }
               if (value.nonEmpty) groups.last.agents += value.toLowerCase
@@ -152,10 +180,19 @@ object Robots {
               // empty pattern matches nothing; rules before any group drop
               if (groups.nonEmpty && value.nonEmpty)
                 groups.last.rules += ((key == "allow", value))
-            // RFC 9309: unrecognized lines are IGNORED ENTIRELY — they
-            // must not end agent collection, or an innocuous
-            // `Crawl-delay` between two User-agent lines would split one
-            // group into two and detach its rules from the first agent
+            case "crawl-delay" =>
+              // the VALUE attaches to the current group, but the line
+              // keeps the RFC ignore-unrecognized GROUPING semantics:
+              // it must NOT end agent collection (pinned by spec — a
+              // Crawl-delay between two User-agent lines would
+              // otherwise split one group in two and detach its rules
+              // from the first agent); pre-group declarations drop
+              if (groups.nonEmpty)
+                value.toIntOption.filter(_ >= 0)
+                  .foreach(groups.last.delays += _)
+            // RFC 9309: other unrecognized lines are IGNORED ENTIRELY —
+            // same grouping rule (e.g. an innocuous `Sitemap` between
+            // two User-agent lines)
             case _ => ()
           }
         } else () // malformed line: ignored entirely, same rule
@@ -163,8 +200,7 @@ object Robots {
     }
     val a = agent.toLowerCase
     val specific = groups.filter(_.agents.contains(a))
-    val chosen = if (specific.nonEmpty) specific
-                 else groups.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules).toSeq
+    if (specific.nonEmpty) specific.toSeq
+    else groups.filter(_.agents.contains("*")).toSeq
   }
 }

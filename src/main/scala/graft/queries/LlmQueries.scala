@@ -975,6 +975,31 @@ object LlmQueries {
         expr("CAST((rn - 1) div 2 AS BIGINT)").as("wave"))
   }
 
+  /** q339: CRAWL-DELAY-AWARE SCHEDULER ([[graft.operators.Robots
+    * .crawlDelays]] — r14 verdict #8): the q307 frontier scheduled
+    * per HOST under each host's declared `Crawl-delay` — fetch k
+    * (0-based, FIFO by canonical url) of a host with delay d runs at
+    * wave k·max(1,d), so a wave-per-second fetcher honors the declared
+    * spacing; undeclared hosts default to the 1-per-wave cadence.
+    * Delay parsing shares [[Robots]] group selection (a specific
+    * graftbot group beats `*`; several chosen groups merge by MAX; a
+    * non-integer value is ignored — the fixture exercises all three).
+    * One window keyed on the host (bounded partitions, the q331
+    * argument); the delay table is robots-sized — broadcast. */
+  def q339CrawlDelaySchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val delays = Robots.crawlDelays(Robots.readRobots(s, robotsFx), "graftbot")
+    q307CrawlFrontier(s, dir)
+      .join(broadcast(delays), col("host") === col("site"), "left")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(1)).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("host").orderBy("canonical_url")))
+      .select(col("canonical_url"), col("host"), col("crawl_delay"),
+        ((col("rn") - 1).cast("long") *
+          greatest(col("crawl_delay"), lit(1L))).as("wave"))
+  }
+
   /** q335: WAT EXPORT — the metadata sidecar completing the Common Crawl
     * artifact triple (WARC read+write ✓, WET q329/q330 ✓, CDX q324 ✓):
     * one `metadata` record per response with a PINNED-LAYOUT JSON body
@@ -2318,6 +2343,7 @@ object LlmQueries {
     "q332_redirect_map" -> (q332RedirectMap _),
     "q333_redirect_frontier" -> (q333RedirectFrontier _),
     "q338_redirect_chains" -> (q338RedirectChains _),
+    "q339_crawl_delay_schedule" -> (q339CrawlDelaySchedule _),
     "q335_wat_export" -> (q335WatExport _),
     "q319_psl_domains" -> (q319PslDomains _),
     "q321_jpeg_color" -> (q321JpegColor _),
@@ -3524,6 +3550,19 @@ object LlmQueries {
          |    '/moved?utm_source=crawl&b=2&a=1#frag' AS location,
          |  'https://example.com/doc' || doc_id || '/moved?a=1&b=2' AS canonical_target
          |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21""".stripMargin,
+    // the q307 frontier + the STORED per-site delay expectation, the
+    // same FIFO window and k*max(1,d) wave formula
+    "q339_crawl_delay_schedule" ->
+      s"""WITH f AS (SELECT * FROM ($q307OracleSql)),
+         |d AS (SELECT site, exp_crawl_delay FROM read_parquet('$robotsFx')
+         |      WHERE exp_crawl_delay IS NOT NULL),
+         |j AS (SELECT f.canonical_url, f.host,
+         |        CAST(coalesce(d.exp_crawl_delay, 1) AS BIGINT) AS crawl_delay
+         |      FROM f LEFT JOIN d ON f.host = d.site)
+         |SELECT canonical_url, host, crawl_delay,
+         |  CAST((row_number() OVER (PARTITION BY host ORDER BY canonical_url) - 1)
+         |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
+         |FROM j""".stripMargin,
     // stored-expectation oracle: the generator's Python twin replays the
     // same bounded iteration over the same canonicalized edges
     "q338_redirect_chains" ->

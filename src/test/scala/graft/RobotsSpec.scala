@@ -118,6 +118,33 @@ class RobotsSpec extends AnyFunSuite with SharedSpark {
     assert(Robots.effectiveRules(txt2, "a") == Seq((true, "/ok")))
   }
 
+  test("crawlDelays: group selection, max-merge, non-integer ignored (r14 verdict #8)") {
+    import spark.implicits._
+    val files = Seq(
+      // specific group wins: * declares 9, graftbot declares 2
+      ("a.com", "User-agent: *\nCrawl-delay: 9\nDisallow: /x\n" +
+        "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /y\n"),
+      // two chosen groups -> MAX merge
+      ("b.com", "User-agent: graftbot\nCrawl-delay: 4\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 7\n"),
+      // non-integer and negative are ignored; none left -> no row
+      ("c.com", "User-agent: *\nCrawl-delay: fast\nCrawl-delay: -3\nDisallow: /z\n"),
+      // no declaration at all
+      ("d.com", "User-agent: *\nDisallow: /w\n"),
+      // falls to the * group (no graftbot group)
+      ("e.com", "User-agent: *\nCrawl-delay: 5\n"))
+      .map { case (s, t) => graft.operators.RobotsFile(s, t) }.toDS()
+    val got = Robots.crawlDelays(files, "graftbot").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a.com" -> 2, "b.com" -> 7, "e.com" -> 5), s"got $got")
+    // the fixture's stored expectations round-trip
+    val fx = Robots.crawlDelays(
+      Robots.readRobots(spark, "/root/repo/fixtures/robots.parquet"), "graftbot")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fx == Map("www.example.com" -> 10, "example.com" -> 2,
+      "api.news.example.co.uk" -> 3), s"got $fx")
+  }
+
   test("allowDecisions: longest match wins, Allow breaks ties, default allow") {
     val urls = Seq(
       (1L, "h", "/a/25/x"), // disallow /a/2 vs allow /a/25: longer wins

@@ -29,9 +29,10 @@ OUT = ROOT / "fixtures" / "robots.parquet"
 SITES = []
 
 
-def site(name, txt, rules):
-    """rules: expected (allow, path) for agent graftbot, file order."""
-    SITES.append((name, txt, rules))
+def site(name, txt, rules, delay=None):
+    """rules: expected (allow, path) for agent graftbot, file order;
+    delay: expected graftbot Crawl-delay (None when undeclared/invalid)."""
+    SITES.append((name, txt, rules, delay))
 
 
 # graftbot has its OWN group here: the * group must be IGNORED entirely.
@@ -55,9 +56,13 @@ site(
     "Allow: /a/1*\r\n"                          # trailing-* (= prefix) form
     "\r\n"
     "User-agent: otherbot\r\n"
-    "Disallow: /\r\n",
+    "Disallow: /\r\n"
+    "\r\n"
+    "User-agent: graftbot\r\n"                  # 2nd graftbot group: no rules,
+    "Crawl-delay: 4\r\n",                       # a SECOND delay -> max merge
     [(False, "/a/2"), (True, "/a/25"), (False, "/a/7"),
-     (False, "/a/*0$"), (True, "/a/1*")])
+     (False, "/a/*0$"), (True, "/a/1*")],
+    delay=10)
 
 # the WebCorpusApp crawl host (plain + wildcard rules): /doc7 blocks the
 # /doc7x tree with a /doc75 carve-out; /doc*9$ blocks every path ending
@@ -66,10 +71,12 @@ site(
 site(
     "example.com",
     "User-agent: graftbot\n"
+    "Crawl-delay: 2\n"
     "Disallow: /doc7\n"
     "Allow: /doc75\n"
     "Disallow: /doc*9$\n",
-    [(False, "/doc7"), (True, "/doc75"), (False, "/doc*9$")])
+    [(False, "/doc7"), (True, "/doc75"), (False, "/doc*9$")],
+    delay=2)
 
 # only a * group (LF endings, comments, blank lines, empty Disallow,
 # two UA lines sharing the group, Sitemap skipped)
@@ -82,8 +89,10 @@ site(
     "\n"
     "Allow: /a/33\n"
     "Disallow:\n"                               # empty: matches nothing
+    "Crawl-delay: 3\n"
     "Sitemap: https://api.news.example.co.uk/sitemap.xml\n",
-    [(False, "/a/3"), (True, "/a/33")])
+    [(False, "/a/3"), (True, "/a/33")],
+    delay=3)
 
 # block everything
 site(
@@ -94,21 +103,24 @@ site(
 # a host the URL table never visits: parsed, then unused by the filter
 site(
     "unvisited.example.net",
-    "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok\n",
-    [(False, "/private"), (True, "/private/ok")])
+    "User-agent: graftbot\nCrawl-delay: fast\n"
+    "Disallow: /private\nAllow: /private/ok\n",
+    [(False, "/private"), (True, "/private/ok")],
+    delay=None)
 
 # NOTE: unvisited.example.net keeps the parsed-but-unused path; the
 # q305/q307 default-allow case is now example.com's /a/N population
 # (rules exist for the host but none match those paths).
 
 table = pa.table({
-    "site": pa.array([s for s, _, _ in SITES], pa.string()),
-    "robots_txt": pa.array([t for _, t, _ in SITES], pa.string()),
-    "exp_allow": pa.array([[a for a, _ in r] for _, _, r in SITES],
+    "site": pa.array([s for s, _, _, _ in SITES], pa.string()),
+    "robots_txt": pa.array([t for _, t, _, _ in SITES], pa.string()),
+    "exp_allow": pa.array([[a for a, _ in r] for _, _, r, _ in SITES],
                           pa.list_(pa.bool_())),
-    "exp_path": pa.array([[p for _, p in r] for _, _, r in SITES],
+    "exp_path": pa.array([[p for _, p in r] for _, _, r, _ in SITES],
                          pa.list_(pa.string())),
+    "exp_crawl_delay": pa.array([d for _, _, _, d in SITES], pa.int64()),
 })
 pq.write_table(table, OUT)
 print(f"wrote {OUT}: {len(SITES)} sites, "
-      f"{sum(len(r) for _, _, r in SITES)} expected graftbot rules")
+      f"{sum(len(r) for _, _, r, _ in SITES)} expected graftbot rules")
