@@ -643,7 +643,7 @@ object ScaleBench {
         // up as candidate-quality decay (stale cells, mis-assigned
         // appends), which is the production-relevant axis
         def recallAt10(root: String, current: org.apache.spark.sql.DataFrame,
-                       candidates: Int = 200): Double = {
+                       candidates: Int = 200, auto: Boolean = false): Double = {
           val hits = queries.map { case (qid, qv) =>
             val d2 = aggregate(zip_with(col("embedding"),
               lit(qv), (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
@@ -651,9 +651,14 @@ object ScaleBench {
               .select(col("vec_id"), d2.as("s"))
               .orderBy(col("s").asc, col("vec_id")).limit(10)
               .collect().map(_.getLong(0)).toSet
-            val cands = graft.sources.AnnIndex
+            // auto: the SELF-SCALING budget derived from the written
+            // cell counts (r15) — no caller constant anywhere
+            val cands = (if (auto)
+              graft.sources.AnnIndex.searchCandidates(spark, root, qv,
+                nprobe = 2, excludeId = qid)
+            else graft.sources.AnnIndex
               .searchTopK(spark, root, qv, nprobe = 2, excludeId = qid,
-                topK = candidates)
+                topK = candidates))
               .select("vec_id")
             val got = current.join(cands, "vec_id")
               .select(col("vec_id"), d2.as("s"))
@@ -669,13 +674,17 @@ object ScaleBench {
         graft.sources.AnnIndex.buildFrom(spark, base, dir)
         var current = base
         val checkpoints = Seq.newBuilder[(Int, Double)]
+        val autoCheckpoints = Seq.newBuilder[(Int, Double)]
         checkpoints += 40 -> recallAt10(dir, current)
+        autoCheckpoints += 40 -> recallAt10(dir, current, auto = true)
         (4 to 9).foreach { k =>
           graft.sources.AnnIndex.append(spark, dir,
             emb.filter(col("vec_id") % 10 === k))
           current = emb.filter(col("vec_id") % 10 <= k)
-          if (k == 5 || k == 7 || k == 9)
+          if (k == 5 || k == 7 || k == 9) {
             checkpoints += (k + 1) * 10 -> recallAt10(dir, current)
+            autoCheckpoints += (k + 1) * 10 -> recallAt10(dir, current, auto = true)
+          }
         }
         val dir2 = java.nio.file.Files
           .createTempDirectory("graft-ann-rebuild").toString + "/idx"
@@ -687,10 +696,10 @@ object ScaleBench {
         // candidate dilution, not quantizer drift
         val propIncr = recallAt10(dir, emb, candidates = 500)
         val propRebuilt = recallAt10(dir2, emb, candidates = 500)
-        val rows = checkpoints.result()
+        def fmt(cs: Seq[(Int, Double)]): String = cs
           .map { case (pct, r) => s"""{"corpus_pct":$pct,"recall10":${math.round(r * 1000) / 1000.0}}""" }
           .mkString("[", ",", "]")
-        println(s"""{"query":"ann_drift","checkpoints":$rows,"recall10_after_rebuild":${math.round(rebuilt * 1000) / 1000.0},"recall10_prop_candidates_incremental":${math.round(propIncr * 1000) / 1000.0},"recall10_prop_candidates_rebuilt":${math.round(propRebuilt * 1000) / 1000.0}}""")
+        println(s"""{"query":"ann_drift","checkpoints":${fmt(checkpoints.result())},"auto_budget_checkpoints":${fmt(autoCheckpoints.result())},"recall10_after_rebuild":${math.round(rebuilt * 1000) / 1000.0},"recall10_prop_candidates_incremental":${math.round(propIncr * 1000) / 1000.0},"recall10_prop_candidates_rebuilt":${math.round(propRebuilt * 1000) / 1000.0}}""")
       } catch {
         case e: Throwable => println(
           s"""{"query":"ann_drift","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")

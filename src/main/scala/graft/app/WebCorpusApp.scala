@@ -412,6 +412,50 @@ object WebCorpusApp {
 
   // ------------------------------------------------------ derived tables
 
+  /** Corpus MAINTENANCE (r14 verdict #7): every tagged append leaves
+    * per-batch files, so after thousands of batches every read pays
+    * file-count-proportional footer/open overhead long before data
+    * volume matters. One scheduled pass folds the debt:
+    *
+    *  1. purge uncommitted tags (crash leftovers) — compaction must
+    *     fold COMMITTED rows only;
+    *  2. compact each flat table ([[Sinks.compact]]: footer-count
+    *     sizing, round-robin rewrite, swap-commit — rows unchanged);
+    *  3. fold the text index's df/stat DELTA rows
+    *     ([[TextIndex.compact]]) and compact both partitioned postings
+    *     tables per partition DIRECTORY (bucket/cell structure — and
+    *     therefore partition pruning — preserved);
+    *  4. recompute the manifest from the rewritten tables (damage in
+    *     the fold would surface against the oracle here).
+    *
+    * Crash-safe under the SAME ledger discipline as ingest: each
+    * rewrite is an atomic swap of content-identical rows, so a crash
+    * at ANY point leaves every table in a committed state (old or
+    * compacted layout — same rows either way), the ledger untouched
+    * (replayed batch ids still no-op), and the next maintain() or
+    * append converges. Single writer, as always. */
+  def maintain(spark: SparkSession, outDir: String,
+               targetRowsPerFile: Long = 1L << 20): Unit = {
+    val committed = ledger(spark, outDir).keySet.map(Sinks.tagOf)
+    appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
+    refresh(spark, outDir)
+    Seq("corpus", "rejects", "paragraph_hashes", "embeddings")
+      .filter(t => Sinks.exists(spark, s"$outDir/$t"))
+      .foreach { t =>
+        Sinks.compact(spark, s"$outDir/$t", targetRowsPerFile)
+        spark.catalog.refreshByPath(s"$outDir/$t")
+      }
+    if (Sinks.exists(spark, s"$outDir/text_index"))
+      TextIndex.compact(spark, s"$outDir/text_index")
+    Seq(s"$outDir/text_index/postings", s"$outDir/ann_index/postings")
+      .foreach { p =>
+        Sinks.partitionDirs(spark, p)
+          .foreach(d => Sinks.compact(spark, d, targetRowsPerFile))
+        if (Sinks.exists(spark, p)) spark.catalog.refreshByPath(p)
+      }
+    auditDerived(spark, outDir)
+  }
+
   /** COMMITTED read of an appended table (r14 advice): the shipped read
     * path for corpus consumers. [[appendBatch]]'s uncommitted tagged
     * files are visible to a plain `spark.read.parquet` between the

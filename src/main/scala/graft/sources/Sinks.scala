@@ -183,6 +183,33 @@ object Sinks {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** The `col=value` partition directories of a partitioned table (one
+    * listing) — the unit [[compact]] runs over so only fragmented
+    * partitions pay a rewrite. */
+  def partitionDirs(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.toString)
+  }
+
+  /** Data-file count under `path` (recursive listing; `_`/`.` metadata
+    * files excluded) — the fragmentation measure maintenance watches. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return 0
+    var n = 0
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** Small-file compaction: rewrite a table (or ONE partition directory of
     * a partitioned table) into `ceil(rows / targetRowsPerFile)` files, with
     * [[swapCommit]]'s crash guarantees. Incremental appends and streaming

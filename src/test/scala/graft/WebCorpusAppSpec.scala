@@ -193,6 +193,58 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("maintain(): N appends -> compaction folds files, every result bit-identical, ledger intact (r14 verdict #7)") {
+    import graft.sources.{Sinks, TextIndex}
+    val out = freshDir()
+    WebCorpusApp.build(spark, shards, robots, out, shardPred = col("shard_id") < 4)
+    WebCorpusApp.append(spark, shards, robots, out, "b4", col("shard_id") === 4)
+    WebCorpusApp.append(spark, shards, robots, out, "b5", col("shard_id") === 5)
+    // a crashed append's uncommitted tagged leftovers sit in the table
+    Sinks.appendTagged(spark.read.parquet(s"$out/corpus").limit(3),
+      s"$out/corpus", "crashed-batch")
+    spark.catalog.refreshByPath(s"$out/corpus")
+    // the before-state, through the COMMITTED reader (the plain read
+    // would see the dirty rows)
+    def committedRows() = WebCorpusApp.readCommitted(spark, out, "corpus")
+      .select("url", "fp", "n_tokens", "pos", "shard")
+      .collect().map(_.toSeq).toSet
+    val rowsBefore = committedRows()
+    val manifestBefore = spark.read.parquet(s"$out/manifest").head().toSeq
+    val statsBefore = TextIndex.readStats(spark, s"$out/text_index")
+    val dfBefore = TextIndex.readDf(spark, s"$out/text_index",
+      Seq("training", "quality")).collect().map(_.toSeq).toSet
+    val annBefore = annPostings(out)
+    val filesBefore = Seq("corpus", "rejects", "paragraph_hashes", "embeddings",
+      "text_index/postings", "ann_index/postings")
+      .map(t => t -> Sinks.dataFileCount(spark, s"$out/$t")).toMap
+    WebCorpusApp.maintain(spark, out)
+    // the fold: fewer files everywhere appends fragmented, same rows
+    val filesAfter = filesBefore.keys
+      .map(t => t -> Sinks.dataFileCount(spark, s"$out/$t")).toMap
+    assert(filesAfter.values.sum < filesBefore.values.sum,
+      s"no fold: $filesBefore -> $filesAfter")
+    Seq("corpus", "text_index/postings", "ann_index/postings").foreach { t =>
+      assert(filesAfter(t) < filesBefore(t), s"$t did not compact: " +
+        s"${filesBefore(t)} -> ${filesAfter(t)}")
+    }
+    assert(committedRows() == rowsBefore, "maintain changed corpus rows")
+    // the uncommitted leftovers are GONE even for a plain reader
+    assert(spark.read.parquet(s"$out/corpus")
+      .select("url", "fp", "n_tokens", "pos", "shard")
+      .collect().map(_.toSeq).toSet == rowsBefore)
+    assert(spark.read.parquet(s"$out/manifest").head().toSeq == manifestBefore)
+    assert(TextIndex.readStats(spark, s"$out/text_index") == statsBefore)
+    assert(TextIndex.readDf(spark, s"$out/text_index",
+      Seq("training", "quality")).collect().map(_.toSeq).toSet == dfBefore)
+    assert(annPostings(out) == annBefore)
+    // ledger untouched: a committed batch id still replays as a no-op
+    WebCorpusApp.append(spark, shards, robots, out, "b5", col("shard_id") === 5)
+    assert(committedRows() == rowsBefore)
+    // and maintain is idempotent
+    WebCorpusApp.maintain(spark, out)
+    assert(committedRows() == rowsBefore)
+  }
+
   test("streaming ingest: per-file micro-batches, mid-stream crash + restart converge to the batch result") {
     // reference: the same two batches applied through the batch append
     val ref = freshDir()
