@@ -1010,6 +1010,21 @@ object Multimodal {
       pos += 2
       m
     }
+    /** Current byte offset — where the NEXT byte would be read. After a
+      * scan's last block the entropy stream has stopped at (or just
+      * before) the next marker; the progressive multi-scan walk resumes
+      * its segment parse from here. */
+    def bytePos: Int = pos
+    /** `size` raw bits MSB-first (the RECEIVE of F.2.2.4); -1 when the
+      * stream ends. size = 0 returns 0. */
+    def receive(size: Int): Int = {
+      var r = 0; var k = 0
+      while (k < size) {
+        val b = bit(); if (b < 0) return -1
+        r = (r << 1) | b; k += 1
+      }
+      r
+    }
   }
 
   /** REAL baseline-sequential JPEG decode to a grayscale raster:
@@ -1118,8 +1133,10 @@ object Multimodal {
             // (4:2:0); chroma always 1×1
             if (compHV(0) != 0x11 && (nf == 1 || compHV(0) != 0x22)) return None
             if (nf == 3 && (compHV(1) != 0x11 || compHV(2) != 0x11)) return None
+          case 0xc2 => // SOF2: the progressive path (r14 verdict #3)
+            return jpegDecodeProgressive(p, wantChroma)
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-            return None // progressive/extended/arithmetic: out of scope
+            return None // extended/arithmetic: out of scope
           case 0xdd => // DRI
             if (e - s < 2) return None
             restartInterval = u16be(p, s)
@@ -1285,6 +1302,377 @@ object Multimodal {
       sinceRestart += 1
     }
     Some(JpegPlanes(w, h, gray, cbP, crP, cw, chh, yH, yV))
+  }
+
+  /** PROGRESSIVE (SOF2) JPEG decode (r14 verdict #3) — the second most
+    * common real-web JPEG layout; without it a large slice of crawled
+    * images is invisible to the near-dup screens. Full spectral
+    * selection + successive approximation per ISO/IEC 10918-1 Annex G:
+    * coefficients accumulate across scans in per-component zigzag
+    * buffers (DC first/refine, AC first/refine with EOBRUN run-length
+    * coding and the correction-bit protocol), then dequantize +
+    * [[IdctK]] once at EOI — so progressive pixels are BIT-IDENTICAL
+    * to a baseline encoding of the same quantized coefficients, and
+    * the oracle's coefficient-formula replay needs no new arithmetic.
+    *
+    * Supported layout (documented subset): 8-bit precision, 1 or 3
+    * components, ALL sampling factors 1×1 (grayscale + 4:4:4 — every
+    * component shares one full-resolution block grid, so interleaved
+    * DC MCU order equals per-component raster order); 4:2:0
+    * progressive yields None. Fast-luma contract preserved: chroma
+    * scans are entropy-walked (the next scan's offset demands it) but
+    * chroma only dequantizes/IDCTs under `wantChroma`. Restart markers
+    * reset DC predictors AND the EOB run. Malformed anything yields
+    * None, never garbage pixels. */
+  private[graft] def jpegDecodeProgressive(p: Array[Byte],
+                                           wantChroma: Boolean): Option[JpegPlanes] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = -1; var h = -1; var nf = 0
+    val compId = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var restartInterval = 0
+    // per-component coefficient accumulators, ZIGZAG order, 64 per block
+    var coefs: Array[Array[Int]] = null
+    var nBlocks = 0 // shared grid: all components 1×1
+    var sawScan = false
+    val preds = new Array[Int](3)
+    var eobrun = 0
+
+    // one AC-first-scan block (G.1.2.2): runs/sizes with the value
+    // point-transformed (<< Al on decode), EOBn starting an EOB run
+    def acFirst(blk: Array[Int], off: Int, tab: JpegHuff,
+                ss: Int, se: Int, al: Int, br: JpegBits): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val sym = tab.decode(br); if (sym < 0) return false
+        val r = sym >> 4; val s = sym & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val more = br.receive(r); if (more < 0) return false
+              eobrun += more
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se || s > 10) return false
+          val bits = br.receive(s); if (bits < 0) return false
+          val v = if (bits < (1 << (s - 1))) bits - (1 << s) + 1 else bits
+          blk(off + k) = v << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    // one AC-refinement block (G.1.2.3, the libjpeg shape): new ±1<<Al
+    // coefficients placed after `r` ZERO-HISTORY positions, correction
+    // bits read at every nonzero-history position crossed, EOB runs
+    // correcting the band tail
+    def acRefine(blk: Array[Int], off: Int, tab: JpegHuff,
+                 ss: Int, se: Int, al: Int, br: JpegBits): Boolean = {
+      val p1 = 1 << al; val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (k <= se && !broke) {
+          val sym = tab.decode(br); if (sym < 0) return false
+          var r = sym >> 4; val s = sym & 15
+          var newval = 0
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val more = br.receive(r); if (more < 0) return false
+                eobrun += more
+              }
+              eobrun += 1 // this block consumes one EOB of the run
+              broke = true
+            }
+            // r == 15: ZRL — skip 16 zero-history positions below
+          } else {
+            if (s != 1) return false
+            val bit = br.bit(); if (bit < 0) return false
+            newval = if (bit == 1) p1 else m1
+          }
+          if (!broke) {
+            var placed = false
+            while (k <= se && !placed) {
+              val cur = blk(off + k)
+              if (cur != 0) {
+                val bit = br.bit(); if (bit < 0) return false
+                if (bit == 1 && (cur & p1) == 0)
+                  blk(off + k) = if (cur >= 0) cur + p1 else cur + m1
+                k += 1
+              } else {
+                r -= 1
+                if (r < 0) placed = true // the slot (break position)
+                else k += 1
+              }
+            }
+            if (newval != 0) {
+              if (k > se) return false
+              blk(off + k) = newval
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val cur = blk(off + k)
+          if (cur != 0) {
+            val bit = br.bit(); if (bit < 0) return false
+            if (bit == 1 && (cur & p1) == 0)
+              blk(off + k) = if (cur >= 0) cur + p1 else cur + m1
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    // decode one scan's entropy data; returns the byte offset just past
+    // it (the next marker's 0xFF), or -1 on a malformed stream
+    def decodeScan(scomps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+                   dataStart: Int): Int = {
+      val br = new JpegBits(p, dataStart)
+      java.util.Arrays.fill(preds, 0)
+      eobrun = 0
+      var sinceRestart = 0
+      var b = 0
+      var ok = true
+      while (b < nBlocks && ok) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          val mk = br.syncMarker()
+          if (mk < 0xd0 || mk > 0xd7) return -1
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+          sinceRestart = 0
+        }
+        if (ss == 0) {
+          // DC scan — interleaved over its components (all 1×1: the MCU
+          // grid IS the shared block grid)
+          var i = 0
+          while (i < scomps.length && ok) {
+            val c = scomps(i)
+            val blk = coefs(c); val off = b * 64
+            if (ah == 0) {
+              val dcSize = dcTabs(compDc(c)).decode(br)
+              if (dcSize < 0 || dcSize > 11) ok = false
+              else {
+                var diff = 0
+                if (dcSize > 0) {
+                  val bits = br.receive(dcSize)
+                  if (bits < 0) { ok = false }
+                  else diff = if (bits < (1 << (dcSize - 1))) bits - (1 << dcSize) + 1 else bits
+                }
+                if (ok) { preds(c) += diff; blk(off) = preds(c) << al }
+              }
+            } else {
+              val bit = br.bit()
+              if (bit < 0) ok = false
+              else if (bit == 1) blk(off) |= (1 << al)
+            }
+            i += 1
+          }
+        } else {
+          val c = scomps(0)
+          val blk = coefs(c); val off = b * 64
+          ok =
+            if (ah == 0) acFirst(blk, off, acTabs(compAc(c)), ss, se, al, br)
+            else acRefine(blk, off, acTabs(compAc(c)), ss, se, al, br)
+        }
+        b += 1
+        sinceRestart += 1
+      }
+      if (!ok) return -1
+      // skip any padding bits: the next marker starts at the first
+      // FF-non-stuffing byte at or after the reader position
+      var j = br.bytePos
+      while (j + 1 < p.length &&
+        !((p(j) & 0xff) == 0xff && (p(j + 1) & 0xff) != 0x00)) j += 1
+      if (j + 1 >= p.length) -1 else j
+    }
+
+    var i = 2
+    var done = false
+    while (!done) {
+      if (i + 1 >= p.length || (p(i) & 0xff) != 0xff) return None
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+      if (j >= p.length) return None
+      val marker = p(j) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1
+      else if (marker == 0xd9) done = true // EOI
+      else {
+        if (j + 2 >= p.length) return None
+        val len = u16be(p, j + 1)
+        if (len < 2 || j + 1 + len > p.length) return None
+        val s = j + 3
+        val e = j + 1 + len
+        var next = e
+        marker match {
+          case 0xdb =>
+            var o = s
+            while (o < e) {
+              val pq = (p(o) & 0xff) >> 4; val tq = (p(o) & 0xff) & 15
+              if (pq != 0 || tq > 3 || o + 65 > e) return None
+              qt(tq) = Array.tabulate(64)(z => p(o + 1 + z) & 0xff)
+              o += 65
+            }
+          case 0xc4 =>
+            var o = s
+            while (o < e) {
+              val tc = (p(o) & 0xff) >> 4; val th = (p(o) & 0xff) & 15
+              if (tc > 1 || th > 3 || o + 17 > e) return None
+              val bits = Array.tabulate(16)(l => p(o + 1 + l) & 0xff)
+              val n = bits.sum
+              if (n == 0 || n > 256 || o + 17 + n > e) return None
+              var cc = 0; var l = 0
+              while (l < 16) {
+                cc += bits(l)
+                if (cc > (1 << (l + 1))) return None
+                cc <<= 1
+                l += 1
+              }
+              val vals = Array.tabulate(n)(k => p(o + 17 + k) & 0xff)
+              val tab = new JpegHuff(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              o += 17 + n
+            }
+          case 0xc2 => // SOF2 frame header
+            if (w >= 0) return None // second frame: malformed
+            if (e - s < 6 || (p(s) & 0xff) != 8) return None
+            h = u16be(p, s + 1); w = u16be(p, s + 3)
+            nf = p(s + 5) & 0xff
+            if (nf != 1 && nf != 3) return None
+            if (e - s < 6 + 3 * nf) return None
+            var c = 0
+            while (c < nf) {
+              compId(c) = p(s + 6 + 3 * c) & 0xff
+              val hv = p(s + 7 + 3 * c) & 0xff
+              if (hv != 0x11) return None // pinned subset: all 1×1
+              compTq(c) = p(s + 8 + 3 * c) & 0xff
+              if (compTq(c) > 3) return None
+              c += 1
+            }
+            if (w <= 0 || h <= 0 || w.toLong * h > GrayPixelCap) return None
+            nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
+            coefs = Array.fill(nf)(new Array[Int](nBlocks * 64))
+          case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // a non-progressive frame in this walk: bail
+          case 0xdd =>
+            if (e - s < 2) return None
+            restartInterval = u16be(p, s)
+          case 0xda => // SOS: one scan of the progression
+            if (coefs == null) return None
+            val ns = p(s) & 0xff
+            if (ns < 1 || ns > nf || e - s < 1 + 2 * ns + 3) return None
+            val scomps = new Array[Int](ns)
+            var k = 0
+            while (k < ns) {
+              val cs = p(s + 1 + 2 * k) & 0xff
+              val sel = p(s + 2 + 2 * k) & 0xff
+              val idx = compId.indexOf(cs)
+              if (idx < 0 || idx >= nf) return None
+              scomps(k) = idx
+              compDc(idx) = sel >> 4; compAc(idx) = sel & 15
+              if (compDc(idx) > 3 || compAc(idx) > 3) return None
+              k += 1
+            }
+            val sp = s + 1 + 2 * ns
+            val ss = p(sp) & 0xff; val se = p(sp + 1) & 0xff
+            val ah = (p(sp + 2) & 0xff) >> 4; val al = (p(sp + 2) & 0xff) & 15
+            if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) return None
+            if (ss == 0 && se != 0) return None // DC scan is exactly Ss=Se=0
+            if (ss > 0 && ns != 1) return None // AC scans: one component
+            // table presence for exactly what this scan reads
+            var t = 0
+            while (t < ns) {
+              val c = scomps(t)
+              if (ss == 0 && ah == 0 && dcTabs(compDc(c)) == null) return None
+              if (ss > 0 && acTabs(compAc(c)) == null) return None
+              t += 1
+            }
+            val after = decodeScan(scomps, ss, se, ah, al, e)
+            if (after < 0) return None
+            sawScan = true
+            next = after
+          case _ => () // APPn / COM
+        }
+        i = next
+      }
+    }
+    if (coefs == null || !sawScan) return None
+    var ci = 0
+    while (ci < nf) { if (qt(compTq(ci)) == null) return None; ci += 1 }
+    // dequantize + pinned IDCT, per component
+    val bw = (w + 7) / 8
+    val deq = new Array[Long](64)
+    def plane(c: Int, tw: Int, th: Int): Array[Int] = {
+      val out = new Array[Int](tw * th)
+      val q = qt(compTq(c))
+      val blk = coefs(c)
+      var b = 0
+      while (b < nBlocks) {
+        java.util.Arrays.fill(deq, 0L)
+        var z = 0
+        while (z < 64) {
+          val v = blk(b * 64 + z)
+          if (v != 0) deq(ZigV(z) * 8 + ZigU(z)) = v.toLong * q(z)
+          z += 1
+        }
+        val bx = (b % bw) * 8; val by = (b / bw) * 8
+        var y = 0
+        while (y < 8) {
+          val py = by + y
+          if (py < th) {
+            var x = 0
+            while (x < 8) {
+              val px = bx + x
+              if (px < tw) {
+                var sum = 0L
+                var v = 0
+                while (v < 8) {
+                  val kvy = IdctK(v * 8 + y)
+                  if (kvy != 0) {
+                    var u = 0
+                    while (u < 8) {
+                      val f = deq(v * 8 + u)
+                      if (f != 0L) sum += f * IdctK(u * 8 + x) * kvy
+                      u += 1
+                    }
+                  }
+                  v += 1
+                }
+                val pix = ((sum + (1L << 19)) >> 20).toInt + 128
+                out(py * tw + px) = if (pix < 0) 0 else if (pix > 255) 255 else pix
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        b += 1
+      }
+      out
+    }
+    val gray = plane(0, w, h)
+    val emitChroma = wantChroma && nf == 3
+    if (emitChroma)
+      Some(JpegPlanes(w, h, gray, plane(1, w, h), plane(2, w, h), w, h, 1, 1))
+    else Some(JpegPlanes(w, h, gray, null, null, w, h, 1, 1))
   }
 
   /** Grayscale raster from REAL container bytes (GIF, 24-bpp BMP, 8-bit

@@ -2413,7 +2413,9 @@ object LlmQueries {
        |    CASE WHEN media_id IN (89, 90) THEN 88
        |         WHEN media_id IN (93, 94, 100) THEN 92
        |         WHEN media_id = 102 THEN 101
-       |         WHEN media_id IN (106, 107) THEN 105
+       |         -- 125/126: PROGRESSIVE re-encodes of the 105 family —
+       |         -- same coefficient formulas, SOF2 serialization
+       |         WHEN media_id IN (106, 107, 125, 126) THEN 105
        |         WHEN media_id = 117 THEN 116
        |         WHEN media_id IN (121, 122) THEN 120
        |         ELSE media_id END AS seed
@@ -2458,7 +2460,7 @@ object LlmQueries {
        |  SELECT media_id, w, h, k,
        |    (CASE WHEN zt.z = 0
        |        THEN ((seed*5 + b*11) % 61) - 30
-       |             + CASE WHEN media_id IN (107, 122) AND b % 3 = 0 THEN 8 ELSE 0 END
+       |             + CASE WHEN media_id IN (107, 122, 126) AND b % 3 = 0 THEN 8 ELSE 0 END
        |      WHEN (seed + b*3 + zt.z*5) % 7 = 0
        |        THEN ((seed*3 + b*7 + zt.z*11) % 19) - 9
        |      ELSE 0 END) * (1 + (zt.z % 5))

@@ -48,7 +48,8 @@ import graft.operators.{Pq, Similarity}
   * full rebuild at every candidate budget (0.34/0.34 and 0.59/0.59
   * recall@10). What decays recall is CANDIDATE-BUDGET DILUTION (a fixed
   * ADC top-K covers a shrinking fraction of the probed cells), restored
-  * by scaling the rerank candidate budget to ~10% of probed-cell mass —
+  * by scaling the rerank candidate budget with the index's posting mass
+  * (the pinned [[BudgetPermille]] law [[searchCandidates]] applies) —
   * so the production rebuild cadence is about growing the CELL COUNT
   * with the corpus (k ~ √n, the q263 policy), not about retraining for
   * drift. */
@@ -201,10 +202,15 @@ object AnnIndex {
   // ------------------------------------------ self-scaling search budget
 
   /** Pinned budget derivation (the r14 drift study made it a law): the
-    * ADC candidate screen must cover ~1/10 of the PROBED posting mass —
+    * ADC candidate screen must cover ~1/10 of the TOTAL posting mass —
     * a FIXED budget covers a shrinking fraction as appends grow the
-    * cells, and recall decays by dilution while the quantizers are
-    * still fine. 100‰ with a floor of 50. */
+    * index, and recall decays by dilution while the quantizers are
+    * still fine. 100‰ of the total reproduces the study's budgets
+    * exactly (200 at the 2000-vector checkpoint, 500 at 5000 — the
+    * value that restored recall); total, not probed-cell mass, because
+    * cell skew makes probed mass a noisy under-estimate (measured r15:
+    * probed-mass budgets sat 0.30-0.35 where the total-mass law gives
+    * 0.56-0.59). Floor 50. */
   private[graft] val BudgetPermille = 100L
   private[graft] val BudgetFloor = 50
 
@@ -214,11 +220,10 @@ object AnnIndex {
     s.read.parquet(s"$root/postings").groupBy("cell").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-  /** The derived candidate budget for a probe set:
-    * max(floor, probed_mass · permille / 1000). */
-  def candidateBudget(s: SparkSession, root: String, probes: Seq[Int]): Int = {
-    val counts = cellCounts(s, root)
-    val mass = probes.map(counts.getOrElse(_, 0L)).sum
+  /** The derived candidate budget:
+    * max(floor, total_postings · permille / 1000). */
+  def candidateBudget(s: SparkSession, root: String): Int = {
+    val mass = cellCounts(s, root).values.sum
     math.max(BudgetFloor.toLong, mass * BudgetPermille / 1000L).toInt
   }
 
@@ -227,15 +232,13 @@ object AnnIndex {
     * from the WRITTEN postings' cell counts at query time, so recall
     * holds flat as incremental appends grow the index (measured:
     * SCALE_EVIDENCE §ann drift — the fixed budget decayed 0.56→0.34
-    * over 2.5× growth; the ~10%-of-probed-mass budget restored 0.59).
+    * over 2.5× growth; this derived budget holds it restored).
     * Returns the ADC candidate rows for the caller's exact rerank (the
     * documented two-stage shape). */
   def searchCandidates(s: SparkSession, root: String, query: Array[Double],
-                       nprobe: Int, excludeId: Long): DataFrame = {
-    val probes = probeCells(s, root, query, nprobe)
+                       nprobe: Int, excludeId: Long): DataFrame =
     searchTopK(s, root, query, nprobe, excludeId,
-      topK = candidateBudget(s, root, probes))
-  }
+      topK = candidateBudget(s, root))
 
   /** Drop every written index (test hook — Bench does NOT reset between
     * passes: write-once/read-many is the index's contract, the

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 71) // 30 fixture-codec + 28 GIF/BMP/PNG + 13 real JPEG
+    assert(decoded.count() == 75) // 30 fixture-codec + 28 GIF/BMP/PNG + 17 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -406,7 +406,12 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // the round-14 chroma family: 121 is the HUE-SHIFTED twin of
       // 120 (identical Y), 122 the DC-perturbed near-dup - the LUMA
       // stack pairs all three; colorNearDupPairs separates them
-      (120L, 121L), (120L, 122L), (121L, 122L)))
+      (120L, 121L), (120L, 122L), (121L, 122L),
+      // the PROGRESSIVE leg (r15): 125 re-encodes 105's coefficients
+      // through SOF2 (exact pixels, cross-LAYOUT duplicate), 126
+      // re-encodes the 107 perturbation — the whole 105-family pairs
+      (105L, 125L), (106L, 125L), (107L, 126L),
+      (105L, 126L), (106L, 126L), (125L, 126L), (107L, 125L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -549,11 +554,16 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       116 -> (116, false, true), 117 -> (116, false, true),
       118 -> (118, false, true), 119 -> (119, false, false),
       120 -> (120, false, true), 121 -> (120, false, true),
-      122 -> (120, true, true), 123 -> (123, false, true))
+      122 -> (120, true, true), 123 -> (123, false, true),
+      // PROGRESSIVE rows (r15): same coefficient formulas through the
+      // SOF2 multi-scan path — DC/AC first + refinement must land on
+      // the identical pinned-IDCT pixels (125 ≡ 105's, 126 ≡ 107's)
+      124 -> (124, false, false), 125 -> (105, false, false),
+      126 -> (105, true, false), 127 -> (127, false, false))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 13)
+    assert(rows.length == 17)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
       val (seed, pt, sub) = fams(id)
@@ -705,7 +715,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val rows = spark.read.parquet(fixture)
       .filter(col("exp_rsum").isNotNull)
       .select("media_id", "payload", "exp_rsum", "exp_gsum", "exp_bsum").collect()
-    assert(rows.length == 13)
+    assert(rows.length == 17)
     rows.foreach { r =>
       val dec = Multimodal.jpegRgb(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegRgb rejected jpeg ${r.getLong(0)}")
@@ -713,7 +723,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(rp.foldLeft(0L)(_ + _) == r.getLong(2), s"rsum jpeg ${r.getLong(0)}")
       assert(gp.foldLeft(0L)(_ + _) == r.getLong(3), s"gsum jpeg ${r.getLong(0)}")
       assert(bp.foldLeft(0L)(_ + _) == r.getLong(4), s"bsum jpeg ${r.getLong(0)}")
-      if (r.getLong(0) <= 109L) { // grayscale: R = G = B = Y
+      if (r.getLong(0) <= 109L || r.getLong(0) >= 124L) { // grayscale: R = G = B = Y
         val (_, _, y) = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload")).get
         assert(rp.sameElements(y) && gp.sameElements(y) && bp.sameElements(y))
       }
@@ -722,7 +732,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   test("jpegRgb agrees with ImageIO: exact-res color within ±4, 4:2:0 within filter tolerance") {
     val rows = spark.read.parquet(fixture)
-      .filter(col("exp_rsum").isNotNull && col("media_id") >= 116)
+      // 116-123 only: the progressive rows (124+) are GRAYSCALE, and
+      // ImageIO's getRGB pushes gray rasters through a gamma conversion
+      // (the jpegGray raw-raster test covers their ImageIO agreement)
+      .filter(col("exp_rsum").isNotNull &&
+        col("media_id") >= 116 && col("media_id") <= 123)
       .select("media_id", "payload").collect()
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")

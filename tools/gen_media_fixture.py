@@ -1029,6 +1029,187 @@ for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
     bitss.append(None)
     n_sampless.append(None)
 
+# ---- rows 124-127: PROGRESSIVE (SOF2) grayscale JPEGs — round 15. The
+# SAME jpeg_qc quantized coefficients as the baseline rows, serialized
+# through a full Annex G progression (spectral selection + successive
+# approximation), so the expected pixels replay through the identical
+# pinned-IDCT coefficient formula — and row 125 is a progressive
+# RE-ENCODE of row 105 (bit-identical pixels: the cross-layout exact
+# duplicate a crawl near-dup screen must collapse). Scan script
+# (exercises every progressive mode):
+#   1. DC first    Ss=0 Se=0  Ah=0 Al=1   (diffs of coef>>1, floor)
+#   2. AC first    Ss=1 Se=5  Ah=0 Al=1   (values truncated toward 0)
+#   3. AC first    Ss=6 Se=63 Ah=0 Al=1
+#   4. DC refine   Ss=0 Se=0  Ah=1 Al=0   (one raw bit per block)
+#   5. AC refine   Ss=1 Se=5  Ah=1 Al=0   (correction-bit protocol)
+#   6. AC refine   Ss=6 Se=63 Ah=1 Al=0
+# EOB runs are encoded per-block (EOB0) — legal, and what the per-block
+# run-length encoder below emits.
+
+
+def jpeg_bytes_progressive(seed, w, h, perturb):
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    Q = [1 + (z % 5) for z in range(64)]
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
+    ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
+    blocks = [[jpeg_qc(seed, b, z, perturb) for z in range(64)]
+              for b in range(bw * bh)]
+
+    acc = [0, 0]
+    out = bytearray()
+
+    def put(val, size):
+        for k in range(size - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> k) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0)
+                acc[0] = acc[1] = 0
+
+    def put_code(codes, sym):
+        code, ln = codes[sym]
+        put(code, ln)
+
+    def flush_scan():
+        if acc[1]:
+            pad = 8 - acc[1]
+            fin = (acc[0] << pad) | ((1 << pad) - 1)
+            out.append(fin)
+            if fin == 0xFF:
+                out.append(0)
+            acc[0] = acc[1] = 0
+        scan = bytes(out)
+        out.clear()
+        return scan
+
+    def dc_first(al):
+        pred = 0
+        for c in blocks:
+            v = c[0] >> al                 # point transform: floor
+            diff = v - pred
+            pred = v
+            s = abs(diff).bit_length()
+            put_code(dc_codes, s)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return flush_scan()
+
+    def dc_refine(al):
+        for c in blocks:
+            put((c[0] >> al) & 1, 1)
+        return flush_scan()
+
+    def ac_first(ss, se, al):
+        for c in blocks:
+            vals = []
+            for k in range(ss, se + 1):
+                a = abs(c[k]) >> al        # point transform: toward zero
+                vals.append(a if c[k] >= 0 else -a)
+            last = len(vals) - 1
+            while last >= 0 and vals[last] == 0:
+                last -= 1
+            k = 0
+            while k <= last:
+                run = 0
+                while vals[k] == 0:
+                    run += 1
+                    k += 1
+                while run >= 16:
+                    put_code(ac_codes, 0xF0)
+                    run -= 16
+                v = vals[k]
+                s = abs(v).bit_length()
+                put_code(ac_codes, (run << 4) | s)
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+            if last < len(vals) - 1:
+                put_code(ac_codes, 0x00)   # EOB0
+        return flush_scan()
+
+    def ac_refine(ss, se, al):
+        # the libjpeg encode_mcu_AC_refine shape with per-block EOB0
+        for c in blocks:
+            eob = ss - 1                  # last NEWLY-nonzero position
+            for k in range(ss, se + 1):
+                if (abs(c[k]) >> al) == 1:
+                    eob = k
+            r = 0
+            br = []                        # buffered correction bits
+            for k in range(ss, se + 1):
+                temp = abs(c[k]) >> al
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    put_code(ac_codes, 0xF0)
+                    r -= 16
+                    for b in br:
+                        put(b, 1)
+                    br = []
+                if temp > 1:               # history coefficient: one bit
+                    br.append(temp & 1)
+                    continue
+                put_code(ac_codes, (r << 4) | 1)
+                put(1 if c[k] > 0 else 0, 1)
+                for b in br:
+                    put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                put_code(ac_codes, 0x00)   # EOB0
+                for b in br:
+                    put(b, 1)
+        return flush_scan()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    bits_dc = [0] * 16
+    bits_dc[3] = len(DC_SYMS)
+    bits_ac = [0] * 16
+    bits_ac[6] = len(AC_SYMS)
+    return (b"\xFF\xD8"
+            + seg(0xDB, bytes([0x00]) + bytes(Q))
+            + seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                  + bytes([1, 1, 0x11, 0]))
+            + seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
+            + sos(0, 0, 0, 1) + dc_first(1)
+            + sos(1, 5, 0, 1) + ac_first(1, 5, 1)
+            + sos(6, 63, 0, 1) + ac_first(6, 63, 1)
+            + sos(0, 0, 1, 0) + dc_refine(0)
+            + sos(1, 5, 1, 0) + ac_refine(1, 5, 0)
+            + sos(6, 63, 1, 0) + ac_refine(6, 63, 0)
+            + b"\xFF\xD9")
+
+
+PROG_JPEG_ROWS = [
+    (124, 124, 24, 16, False),  # unrelated progressive image
+    (125, 105, 24, 16, False),  # progressive RE-ENCODE of 105: exact pixels
+    (126, 105, 24, 16, True),   # progressive near-dup (the 107 DC rule)
+    (127, 127, 20, 12, False),  # non-multiple-of-8 dims (crop path)
+]
+for i, seed, w, h, perturb in PROG_JPEG_ROWS:
+    payload = jpeg_bytes_progressive(seed, w, h, perturb)
+    ids.append(i)
+    mimes.append("image/jpeg")
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
 # ---- round 14: pinned CHROMA-reconstruction expectations for the jpeg
 # rows — an INDEPENDENT Python implementation of the engine's pinned
 # integer pipeline (IDCT -> nearest upsample -> 16-bit fixed-point
@@ -1122,11 +1303,16 @@ def ahash64(plane, w, h):
 
 
 exp_cols = {}
-for i, seed, w, h, perturb in JPEG_ROWS:
+for i, seed, w, h, perturb in JPEG_ROWS + PROG_JPEG_ROWS:
     yp = y_plane(seed, w, h, False, perturb)
     rp, gp, bp = rgb_planes(yp, None, None, w, h, 1)
     exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
                    *ahash64(rp, w, h), *ahash64(bp, w, h))
+
+# the progressive re-encode must be PIXEL-identical to its baseline
+# twin (125 vs 105, 126 vs 107) — same coefficients, different container
+assert exp_cols[125] == exp_cols[105], "progressive re-encode diverged"
+assert exp_cols[126] == exp_cols[107], "perturbed progressive diverged"
 for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
     yp = y_plane(seed, w, h, sub, perturb)
     cb_comp, cr_comp = (2, 1) if cswap else (1, 2)
