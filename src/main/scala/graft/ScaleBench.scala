@@ -686,6 +686,9 @@ object ScaleBench {
             autoCheckpoints += (k + 1) * 10 -> recallAt10(dir, current, auto = true)
           }
         }
+        // the derived budgets at the endpoints, logged so the evidence
+        // shows the law's VALUES, not just its effect
+        val budget100 = graft.sources.AnnIndex.candidateBudget(spark, dir)
         val dir2 = java.nio.file.Files
           .createTempDirectory("graft-ann-rebuild").toString + "/idx"
         graft.sources.AnnIndex.buildFrom(spark, emb, dir2)
@@ -699,7 +702,7 @@ object ScaleBench {
         def fmt(cs: Seq[(Int, Double)]): String = cs
           .map { case (pct, r) => s"""{"corpus_pct":$pct,"recall10":${math.round(r * 1000) / 1000.0}}""" }
           .mkString("[", ",", "]")
-        println(s"""{"query":"ann_drift","checkpoints":${fmt(checkpoints.result())},"auto_budget_checkpoints":${fmt(autoCheckpoints.result())},"recall10_after_rebuild":${math.round(rebuilt * 1000) / 1000.0},"recall10_prop_candidates_incremental":${math.round(propIncr * 1000) / 1000.0},"recall10_prop_candidates_rebuilt":${math.round(propRebuilt * 1000) / 1000.0}}""")
+        println(s"""{"query":"ann_drift","checkpoints":${fmt(checkpoints.result())},"auto_budget_checkpoints":${fmt(autoCheckpoints.result())},"derived_budget_at_100pct":$budget100,"recall10_after_rebuild":${math.round(rebuilt * 1000) / 1000.0},"recall10_prop_candidates_incremental":${math.round(propIncr * 1000) / 1000.0},"recall10_prop_candidates_rebuilt":${math.round(propRebuilt * 1000) / 1000.0}}""")
       } catch {
         case e: Throwable => println(
           s"""{"query":"ann_drift","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
@@ -793,6 +796,86 @@ object ScaleBench {
       } catch {
         case e: Throwable => println(
           s"""{"query":"webcorpus_scale","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
+      }
+    }
+    // Variant probe: CORPUS MAINTENANCE (r15) — ten separate tagged
+    // appends fragment every table into per-batch files; maintain()
+    // folds them. Measured: data-file counts and a representative read
+    // (corpus aggregate over all columns) before/after, plus the fold's
+    // own cost; corpus rows must be bit-identical across the fold.
+    if (only.exists(_.contains("webcorpus_maintain"))) {
+      try {
+        import spark.implicits._
+        val robotsFx = "/root/repo/fixtures/robots.parquet"
+        val base = graft.operators.Warc
+          .readShards(spark, "/root/repo/fixtures/warc_shards.parquet")
+          .collect()
+        def rewriteHost(b: Array[Byte], k: Int): Array[Byte] = {
+          val pat = "example.com".getBytes("US-ASCII")
+          val rep = f"examp$k%02d.com".getBytes("US-ASCII")
+          val o = java.util.Arrays.copyOf(b, b.length)
+          var i = 0
+          while (i <= o.length - pat.length) {
+            var j = 0
+            while (j < pat.length && o(i + j) == pat(j)) j += 1
+            if (j == pat.length) {
+              System.arraycopy(rep, 0, o, i, rep.length); i += pat.length
+            } else i += 1
+          }
+          o
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-webcorpus-maintain").toString
+        spark.createDataset(
+          (0 until 10).flatMap { k =>
+            base.map { s =>
+              val plain =
+                if (s.gz) graft.operators.Warc.gunzipAll(s.payload).get
+                else s.payload
+              graft.operators.WarcShard(k.toLong * 6 + s.shard_id, gz = false,
+                if (k == 0) plain else rewriteHost(plain, k))
+            }
+          }).toDF().write.mode("overwrite").parquet(s"$dir/shards")
+        graft.app.WebCorpusApp.build(spark, s"$dir/shards", robotsFx,
+          s"$dir/out", shardPred = col("shard_id") < 6)
+        (1 until 10).foreach { k =>
+          graft.app.WebCorpusApp.append(spark, s"$dir/shards", robotsFx,
+            s"$dir/out", batchId = s"b$k",
+            shardPred = col("shard_id") >= k * 6 && col("shard_id") < (k + 1) * 6)
+        }
+        val tables = Seq("corpus", "rejects", "paragraph_hashes", "embeddings",
+          "text_index/postings", "text_index/lexicon", "text_index/stats",
+          "ann_index/postings")
+        def files() = tables
+          .map(t => graft.sources.Sinks.dataFileCount(spark, s"$dir/out/$t")).sum
+        def readProbe(): (Double, Long) = {
+          spark.catalog.refreshByPath(s"$dir/out/corpus")
+          val t0 = System.nanoTime()
+          val n = spark.read.parquet(s"$dir/out/corpus")
+            .agg(count(lit(1)), sum(length(col("text"))), sum(col("n_tokens")))
+            .head().getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val filesBefore = files()
+        val (readB, rowsB) = readProbe()
+        val fp0 = spark.read.parquet(s"$dir/out/corpus")
+          .agg(sum(crc32(col("fp")))).head().getLong(0)
+        val t0 = System.nanoTime()
+        graft.app.WebCorpusApp.maintain(spark, s"$dir/out")
+        val maintainSec = (System.nanoTime() - t0) / 1e9
+        val filesAfter = files()
+        val (readA, rowsA) = readProbe()
+        val fp1 = spark.read.parquet(s"$dir/out/corpus")
+          .agg(sum(crc32(col("fp")))).head().getLong(0)
+        require(rowsA == rowsB && fp0 == fp1, "maintain changed the corpus")
+        println(f"""{"query":"webcorpus_maintain","batches":10,"corpus_rows":$rowsB%d,"data_files_before":$filesBefore%d,"data_files_after":$filesAfter%d,"read_sec_before":${math.round(readB * 1000) / 1000.0}%s,"read_sec_after":${math.round(readA * 1000) / 1000.0}%s,"maintain_sec":${math.round(maintainSec * 1000) / 1000.0}%s}""")
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch {
+        case e: Throwable => println(
+          s"""{"query":"webcorpus_maintain","error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}""")
       }
     }
     // Variant probe: the CDX INDEX at crawl scale. Replicas carry

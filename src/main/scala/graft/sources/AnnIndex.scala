@@ -202,16 +202,21 @@ object AnnIndex {
   // ------------------------------------------ self-scaling search budget
 
   /** Pinned budget derivation (the r14 drift study made it a law): the
-    * ADC candidate screen must cover ~1/10 of the TOTAL posting mass —
+    * ADC candidate screen must cover ~1/4 of the TOTAL posting mass —
     * a FIXED budget covers a shrinking fraction as appends grow the
     * index, and recall decays by dilution while the quantizers are
-    * still fine. 100‰ of the total reproduces the study's budgets
-    * exactly (200 at the 2000-vector checkpoint, 500 at 5000 — the
-    * value that restored recall); total, not probed-cell mass, because
-    * cell skew makes probed mass a noisy under-estimate (measured r15:
-    * probed-mass budgets sat 0.30-0.35 where the total-mass law gives
-    * 0.56-0.59). Floor 50. */
-  private[graft] val BudgetPermille = 100L
+    * still fine. 250‰ of the total reproduces the study's budgets
+    * exactly (its fixed 200 at the 800-vector build = 25%; its
+    * restoring 500 at the 2000-vector endpoint = 25%). TOTAL, not
+    * probed-cell mass: cell skew makes probed mass a noisy
+    * under-estimate (measured r15 — probed-mass laws sat at 0.21-0.35
+    * where the study's budgets give 0.56-0.59). Floor 50. At the
+    * pinned 4-cell/4×4-codebook fixture scale the screen is coarse, so
+    * the fraction is large; production indexes grow the cell count
+    * with the corpus (k ~ √n, q263), which shrinks the per-query
+    * fraction while this law keeps recall budget-stable between
+    * rebuilds. */
+  private[graft] val BudgetPermille = 250L
   private[graft] val BudgetFloor = 50
 
   /** Per-cell posting counts — parquet metadata work (count over the
