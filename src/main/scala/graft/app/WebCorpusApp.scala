@@ -33,6 +33,12 @@ import graft.sources.{AnnIndex, Sinks, TextIndex}
   *                         the bounded state (~16 B/paragraph) that makes
   *                         incremental ingest possible without re-reading
   *                         corpus text
+  *  - `links`            — (url, dst_canonical, w): the crawl's LINK
+  *                         TABLE, extracted at decode time from every
+  *                         fetched 200 page (RFC 3986 resolution +
+  *                         canonical targets) — what the next-cycle
+  *                         frontier, crawl PageRank, and spam heuristics
+  *                         read instead of page bytes
   *  - `manifest`         — one row of per-stage counts: the handshake a
   *                         consumer validates before reading a shard
   *  - `ledger`           — applied-batch ledger (exactly-once appends
@@ -96,6 +102,7 @@ object WebCorpusApp {
     Sinks.overwriteSwap(corpus, s"$outDir/corpus")
     Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects")
     Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes")
+    Sinks.overwriteSwap(linksOf(pages), s"$outDir/links")
     refresh(spark, outDir)
     writeLedger(spark, outDir, Map("__init" -> nPages))
     auditDerived(spark, outDir)
@@ -168,6 +175,7 @@ object WebCorpusApp {
     Sinks.appendTagged(ranked, s"$outDir/corpus", batchId)
     Sinks.appendTagged(rejects, s"$outDir/rejects", batchId)
     Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId)
+    Sinks.appendTagged(linksOf(pages).sever(), s"$outDir/links", batchId)
     refresh(spark, outDir)
     failpoint("table_append")
     // index maintenance BEFORE the commit (a crash here must revoke the
@@ -194,10 +202,26 @@ object WebCorpusApp {
     writeLedger(spark, outDir, entries)
   }
 
+  /** The crawl's LINK TABLE from one decoded page set — the artifact a
+    * crawler's next-cycle planning reads (the reference analog: the
+    * scraped link table its DAGs crawl from). Extracted HERE, at decode
+    * time, because this is the only moment the raw page bytes are in
+    * hand — every downstream consumer (frontier, PageRank, spam
+    * heuristics) reads (url, dst_canonical, w) and never re-touches
+    * crawl bytes. Links come from EVERY fetched 200 page (a crawler
+    * harvests from duplicates and rejects too — their links are real);
+    * targets resolve through the RFC 3986 subset ([[Html.resolveHref]])
+    * and land CANONICALIZED, the key the frontier dedups on. */
+  private def linksOf(pages: DataFrame): DataFrame =
+    Html.linkEdges(pages, urlCol = "url", htmlCol = "html")
+      .select(col("src").as("url"),
+        Url.canonicalize(col("dst")).as("dst_canonical"), col("w"))
+      .groupBy("url", "dst_canonical").agg(sum(col("w")).as("w"))
+
   /** Every table an append contributes tagged files to (purge targets —
     * the index roots are walked recursively, partition dirs included). */
   private val appendedTables = Seq("corpus", "rejects", "paragraph_hashes",
-    "embeddings", "text_index/postings", "text_index/lexicon",
+    "links", "embeddings", "text_index/postings", "text_index/lexicon",
     "text_index/stats", "ann_index/postings")
 
   /** Test-only crash injection: when set, [[appendBatch]] throws after
@@ -439,7 +463,7 @@ object WebCorpusApp {
     val committed = ledger(spark, outDir).keySet.map(Sinks.tagOf)
     appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
     refresh(spark, outDir)
-    Seq("corpus", "rejects", "paragraph_hashes", "embeddings")
+    Seq("corpus", "rejects", "paragraph_hashes", "links", "embeddings")
       .filter(t => Sinks.exists(spark, s"$outDir/$t"))
       .foreach { t =>
         Sinks.compact(spark, s"$outDir/$t", targetRowsPerFile)
@@ -454,6 +478,43 @@ object WebCorpusApp {
         if (Sinks.exists(spark, p)) spark.catalog.refreshByPath(p)
       }
     auditDerived(spark, outDir)
+  }
+
+  /** The NEXT-CRAWL FRONTIER from written state alone (r15 — closes the
+    * crawl loop): distinct canonical link targets minus every
+    * already-fetched canonical url (corpus ∪ rejects — by the
+    * accounting invariant that IS the decoded page set), through the
+    * robots longest-match verdict, scheduled per host under the
+    * declared Crawl-delay (fetch k of a host at wave k·max(1,d)).
+    * Output: (canonical_url, host, crawl_delay, wave). Zero page bytes
+    * touched — the links artifact + two key columns + broadcast-sized
+    * robots tables; the one window is keyed on the host. */
+  def frontier(spark: SparkSession, outDir: String,
+               robotsPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val links = readCommitted(spark, outDir, "links")
+    val crawled = readCommitted(spark, outDir, "corpus")
+      .select(col("canonical_url"))
+      .unionByName(readCommitted(spark, outDir, "rejects")
+        .select(Url.canonicalize(col("url")).as("canonical_url")))
+      .distinct()
+    val cands = links.select(col("dst_canonical").as("canonical_url")).distinct()
+      .join(crawled, Seq("canonical_url"), "left_anti")
+      .withColumn("host", Url.host(col("canonical_url")))
+      .withColumn("path", Url.normPath(col("canonical_url")))
+    val gated = Robots.allowDecisions(cands,
+        Robots.rules(Robots.readRobots(spark, robotsPath), Agent),
+        keyCol = "canonical_url")
+      .filter(col("allowed"))
+    val delays = Robots.crawlDelays(Robots.readRobots(spark, robotsPath), Agent)
+    gated.join(broadcast(delays), col("host") === col("site"), "left")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(1)).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("host").orderBy("canonical_url")))
+      .select(col("canonical_url"), col("host"), col("crawl_delay"),
+        ((col("rn") - 1).cast("long") *
+          greatest(col("crawl_delay"), lit(1L))).as("wave"))
   }
 
   /** COMMITTED read of an appended table (r14 advice): the shipped read
@@ -487,7 +548,7 @@ object WebCorpusApp {
   }
 
   private def refresh(spark: SparkSession, outDir: String): Unit =
-    Seq("corpus", "rejects", "paragraph_hashes")
+    Seq("corpus", "rejects", "paragraph_hashes", "links")
       .foreach(t => spark.catalog.refreshByPath(s"$outDir/$t"))
 
   /** Manifest recomputed from the WRITTEN tables (write damage surfaces

@@ -65,8 +65,8 @@ object WebCorpusQueries {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally stream.close()
     // the copy is a NEW table lineage for Spark: drop cached listings
-    Seq("corpus", "rejects", "paragraph_hashes", "embeddings", "ledger",
-      "manifest").foreach(t => s.catalog.refreshByPath(s"$dst/$t"))
+    Seq("corpus", "rejects", "paragraph_hashes", "links", "embeddings",
+      "ledger", "manifest").foreach(t => s.catalog.refreshByPath(s"$dst/$t"))
   }
 
   /** Build once per JVM over ALL shards. */
@@ -276,7 +276,38 @@ object WebCorpusQueries {
       .limit(k)
   }
 
+  /** q340: the WRITTEN LINK TABLE — the crawl's link graph as a build
+    * artifact ([[WebCorpusApp]] extracts it at decode time from every
+    * fetched 200 page, resolves targets through the RFC 3986 subset and
+    * CANONICALIZES them), read back through the committed reader. This
+    * is the reference's scraped-link-table analog: every next-cycle
+    * consumer (frontier, crawl PageRank, spam heuristics) reads these
+    * three columns and never re-touches page bytes. Oracle: extraction +
+    * resolution replayed over the packed pages; the fixture's resolved
+    * targets are already in canonical form, so the engine running the
+    * FULL canonicalizer must land on them identically — any
+    * canonicalization drift breaks the compare. */
+  def q340WebcorpusLinks(s: SparkSession, dir: String): DataFrame =
+    WebCorpusApp.readCommitted(s, built(s), "links")
+
+  /** q341: the NEXT-CRAWL FRONTIER — the query that CLOSES THE CRAWL
+    * LOOP over written state alone: distinct canonical link targets,
+    * minus every already-fetched canonical url (corpus ∪ rejects — the
+    * accounting invariant says that is exactly the decoded page set),
+    * through the robots longest-match verdict, scheduled per host under
+    * the declared Crawl-delay (the q339 wave rule — example.com's
+    * delay-2 spaces its waves observably). Zero page bytes touched:
+    * links + corpus-keys + rejects-keys + two broadcast-sized robots
+    * tables. The already-crawled subtraction is structurally exercised
+    * here (no fixture page links to a fetched url) and OBSERVED in
+    * WebCorpusAppSpec's loop-closure leg on a synthetic crawl whose
+    * pages link to each other. */
+  def q341WebcorpusFrontier(s: SparkSession, dir: String): DataFrame =
+    WebCorpusApp.frontier(s, built(s), robotsFx)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_webcorpus_links" -> (q340WebcorpusLinks _),
+    "q341_webcorpus_frontier" -> (q341WebcorpusFrontier _),
     "q313_webcorpus" -> (q313Webcorpus _),
     "q314_webcorpus_rejects" -> (q314WebcorpusRejects _),
     "q315_webcorpus_manifest" -> (q315WebcorpusManifest _),
@@ -439,7 +470,61 @@ object WebCorpusQueries {
        |  CAST((pos - 1) // ${WebCorpusApp.ShardSize} AS BIGINT) AS shard
        |FROM u""".stripMargin
 
+  /** Extraction + RFC 3986 resolution over the packed 200-status pages —
+    * the q326 chain with the pattern/formula constants interpolated from
+    * the operators; the resolved targets ARE canonical on this fixture,
+    * so the engine's full canonicalizer must be the identity on them. */
+  private val linksCtes: String =
+    s"""lpages AS (
+       |  SELECT url, html FROM read_parquet('$htmlDocs')
+       |  WHERE doc_id % 53 NOT IN (7, 21)),
+       |llk AS (SELECT url,
+       |          unnest(regexp_extract_all(html, '${graft.operators.Html.HrefPattern}', 1)) AS href
+       |        FROM lpages),
+       |lrr AS (SELECT url,
+       |          ${graft.operators.Html.resolveHrefSqlFor("url", "href")} AS dst
+       |        FROM llk)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the written artifact vs the replayed extraction+resolution chain
+    "q340_webcorpus_links" ->
+      s"""WITH $linksCtes
+         |SELECT url, dst AS dst_canonical, CAST(count(*) AS BIGINT) AS w
+         |FROM lrr WHERE dst IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // link targets minus every decoded page url (corpus ∪ rejects = the
+    // decoded set, and page urls are canonical on this fixture), then
+    // the robots longest-match + the crawl-delay wave rule — all from
+    // the stored robots expectations
+    "q341_webcorpus_frontier" ->
+      s"""WITH $linksCtes,
+         |$rulesCte,
+         |cand AS (SELECT DISTINCT dst AS cu FROM lrr WHERE dst IS NOT NULL),
+         |crawled AS (SELECT DISTINCT url FROM lpages),
+         |fr AS (SELECT cu FROM cand WHERE cu NOT IN (SELECT url FROM crawled)),
+         |hp AS (SELECT cu,
+         |         regexp_extract(cu, '^https?://(?:[^@/]*@)?([^:/?#]+)', 1) AS host,
+         |         CASE WHEN regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1) = ''
+         |              THEN '/' ELSE regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1)
+         |         END AS path
+         |       FROM fr),
+         |rbs AS (SELECT f.cu, f.host, rr.allow, rr.rule_path,
+         |          row_number() OVER (PARTITION BY f.cu
+         |            ORDER BY len(rr.rule_path) DESC NULLS LAST,
+         |                     rr.allow DESC NULLS LAST,
+         |                     rr.rule_path DESC NULLS LAST) AS rn
+         |        FROM hp f LEFT JOIN rrules rr
+         |          ON f.host = rr.site
+         |         AND regexp_matches(f.path, ${Robots.patternRegexSqlFor("rr.rule_path")})),
+         |alw AS (SELECT cu, host FROM rbs WHERE rn = 1 AND coalesce(allow, TRUE)),
+         |dly AS (SELECT site, exp_crawl_delay FROM read_parquet('$robotsFx')
+         |        WHERE exp_crawl_delay IS NOT NULL),
+         |j AS (SELECT a.cu, a.host,
+         |        CAST(coalesce(d.exp_crawl_delay, 1) AS BIGINT) AS crawl_delay
+         |      FROM alw a LEFT JOIN dly d ON a.host = d.site)
+         |SELECT cu AS canonical_url, host, crawl_delay,
+         |  CAST((row_number() OVER (PARTITION BY host ORDER BY cu) - 1)
+         |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
+         |FROM j""".stripMargin,
     "q313_webcorpus" ->
       s"""$buildPrelude,
          |${rankCte("w", None)}

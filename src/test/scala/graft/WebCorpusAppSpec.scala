@@ -193,6 +193,72 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("crawl-loop closure: frontier = link targets minus FETCHED pages, delay-scheduled (synthetic inter-linked site)") {
+    import spark.implicits._
+    // three fetched pages on one host that LINK TO EACH OTHER — the
+    // case the fixture crawl cannot observe (its pages only link to
+    // never-fetched urls). A links to B (fetched -> excluded), to a
+    // RELATIVE d.html and a protocol-relative target (both must resolve
+    // before they can be frontier rows); B links back to A (fetched)
+    // and to /e; C's links are mailto/fragment noise (dropped).
+    def para(seed: Int): String = (0 until 3).map { j =>
+      val w = Seq("data", "model", "corpus", "quality", "stream", "index")
+      s"<p>the p$seed of ${w((seed + j) % 6)} and a ${w((seed + j + 1) % 6)} " +
+        s"to the ${w((seed + j + 2) % 6)} in ${w((seed + j + 3) % 6)} " +
+        s"${w((seed + j + 4) % 6)} extra tokens for the quality gate</p>"
+    }.mkString
+    def page(links: String, seed: Int): String =
+      s"<html><head><title>s$seed</title></head><body>$links${para(seed)}</body></html>"
+    def rec(url: String, html: String): Array[Byte] = {
+      val body = html.getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    // 37 linkless filler pages keep the corpus big enough for the ANN
+    // index's mod-10 training sample (the build always writes indexes)
+    val filler = (10 until 47).map(k =>
+      rec(s"https://loopsite.example.net/fill$k", page("", k)))
+      .reduce(_ ++ _)
+    val payload =
+      rec("https://loopsite.example.net/a", page(
+        """<a href="/b">b</a> <a href="d.html">d</a> <a href="//cdn.example.net/lib">cdn</a>""", 1)) ++
+      rec("https://loopsite.example.net/b", page(
+        """<a href="/a">a</a> <a href="/e">e</a>""", 2)) ++
+      rec("https://loopsite.example.net/c", page(
+        """<a href="mailto:x@y.z">m</a> <a href="#top">f</a>""", 3)) ++ filler
+    val dir = freshDir()
+    Seq((0L, false, payload)).toDF("shard_id", "gz", "payload")
+      .write.parquet(s"$dir/shards")
+    WebCorpusApp.build(spark, s"$dir/shards", robots, s"$dir/out")
+    // the written link table resolved + canonicalized everything
+    val links = spark.read.parquet(s"$dir/out/links")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(links == Set(
+      ("https://loopsite.example.net/a", "https://loopsite.example.net/b"),
+      ("https://loopsite.example.net/a", "https://loopsite.example.net/d.html"),
+      ("https://loopsite.example.net/a", "https://cdn.example.net/lib"),
+      ("https://loopsite.example.net/b", "https://loopsite.example.net/a"),
+      ("https://loopsite.example.net/b", "https://loopsite.example.net/e")),
+      s"got $links")
+    // the frontier EXCLUDES the fetched pages a and b (the loop-closure
+    // subtraction) and keeps the three unfetched targets, one wave each
+    // (no Crawl-delay declared for these hosts -> cadence 1)
+    val fr = WebCorpusApp.frontier(spark, s"$dir/out", robots)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fr.keySet == Set(
+      "https://loopsite.example.net/d.html",
+      "https://loopsite.example.net/e",
+      "https://cdn.example.net/lib"), s"got $fr")
+    // FIFO waves per host: d.html before e on the loopsite host
+    assert(fr("https://loopsite.example.net/d.html") == 0L)
+    assert(fr("https://loopsite.example.net/e") == 1L)
+    assert(fr("https://cdn.example.net/lib") == 0L)
+  }
+
   test("maintain(): N appends -> compaction folds files, every result bit-identical, ledger intact (r14 verdict #7)") {
     import graft.sources.{Sinks, TextIndex}
     val out = freshDir()
@@ -214,8 +280,8 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     val dfBefore = TextIndex.readDf(spark, s"$out/text_index",
       Seq("training", "quality")).collect().map(_.toSeq).toSet
     val annBefore = annPostings(out)
-    val filesBefore = Seq("corpus", "rejects", "paragraph_hashes", "embeddings",
-      "text_index/postings", "ann_index/postings")
+    val filesBefore = Seq("corpus", "rejects", "paragraph_hashes", "links",
+      "embeddings", "text_index/postings", "ann_index/postings")
       .map(t => t -> Sinks.dataFileCount(spark, s"$out/$t")).toMap
     WebCorpusApp.maintain(spark, out)
     // the fold: fewer files everywhere appends fragmented, same rows
