@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 75) // 30 fixture-codec + 28 GIF/BMP/PNG + 17 real JPEG
+    assert(decoded.count() == 76) // 30 fixture-codec + 28 GIF/BMP/PNG + 18 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -559,11 +559,14 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // SOF2 multi-scan path — DC/AC first + refinement must land on
       // the identical pinned-IDCT pixels (125 ≡ 105's, 126 ≡ 107's)
       124 -> (124, false, false), 125 -> (105, false, false),
-      126 -> (105, true, false), 127 -> (127, false, false))
+      126 -> (105, true, false), 127 -> (127, false, false),
+      // 128: COLOR 4:4:4 progressive — interleaved DC scans; the Y
+      // plane still follows jpeg_qc in raster block order
+      128 -> (128, false, false))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 17)
+    assert(rows.length == 18)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
       val (seed, pt, sub) = fams(id)
@@ -715,7 +718,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val rows = spark.read.parquet(fixture)
       .filter(col("exp_rsum").isNotNull)
       .select("media_id", "payload", "exp_rsum", "exp_gsum", "exp_bsum").collect()
-    assert(rows.length == 17)
+    assert(rows.length == 18)
     rows.foreach { r =>
       val dec = Multimodal.jpegRgb(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegRgb rejected jpeg ${r.getLong(0)}")
@@ -723,7 +726,8 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(rp.foldLeft(0L)(_ + _) == r.getLong(2), s"rsum jpeg ${r.getLong(0)}")
       assert(gp.foldLeft(0L)(_ + _) == r.getLong(3), s"gsum jpeg ${r.getLong(0)}")
       assert(bp.foldLeft(0L)(_ + _) == r.getLong(4), s"bsum jpeg ${r.getLong(0)}")
-      if (r.getLong(0) <= 109L || r.getLong(0) >= 124L) { // grayscale: R = G = B = Y
+      if (r.getLong(0) <= 109L ||
+          (r.getLong(0) >= 124L && r.getLong(0) <= 127L)) { // grayscale: R = G = B = Y
         val (_, _, y) = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload")).get
         assert(rp.sameElements(y) && gp.sameElements(y) && bp.sameElements(y))
       }
@@ -732,18 +736,20 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   test("jpegRgb agrees with ImageIO: exact-res color within ±4, 4:2:0 within filter tolerance") {
     val rows = spark.read.parquet(fixture)
-      // 116-123 only: the progressive rows (124+) are GRAYSCALE, and
-      // ImageIO's getRGB pushes gray rasters through a gamma conversion
-      // (the jpegGray raw-raster test covers their ImageIO agreement)
+      // 116-123 + the color progressive 128: the grayscale progressive
+      // rows (124-127) are excluded because ImageIO's getRGB pushes gray
+      // rasters through a gamma conversion (the jpegGray raw-raster test
+      // covers their ImageIO agreement)
       .filter(col("exp_rsum").isNotNull &&
-        col("media_id") >= 116 && col("media_id") <= 123)
+        ((col("media_id") >= 116 && col("media_id") <= 123) ||
+          col("media_id") === 128))
       .select("media_id", "payload").collect()
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
       val (w, h, rp, gp, bp) = Multimodal.jpegRgb(p).get
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
       assert(img != null && img.getWidth == w && img.getHeight == h)
-      val is444 = r.getLong(0) == 119L
+      val is444 = r.getLong(0) == 119L || r.getLong(0) == 128L
       var sumAbs = 0L; var maxAbs = 0
       for (y <- 0 until h; x <- 0 until w) {
         val rgb = img.getRGB(x, y)

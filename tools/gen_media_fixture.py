@@ -1188,6 +1188,176 @@ def jpeg_bytes_progressive(seed, w, h, perturb):
             + b"\xFF\xD9")
 
 
+# row 128: COLOR 4:4:4 progressive — the INTERLEAVED DC scan (three
+# components per MCU, separate predictors and DC tables) plus
+# per-component AC scans; Y follows jpeg_qc (raster block order), chroma
+# follows jpeg_qc_chroma on the same block counter (the row-119 4:4:4
+# convention), so the stored color expectations replay unchanged.
+
+
+def jpeg_bytes_progressive_color(seed, w, h):
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    Q = [1 + (z % 5) for z in range(64)]
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
+    ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
+    dc2_codes = {sym: (i, 5) for i, sym in enumerate(DC_SYMS)}
+    ac2_codes = {sym: (i, 8) for i, sym in enumerate(AC_SYMS)}
+    comps = []  # per component: list of 64-coef blocks
+    comps.append([[jpeg_qc(seed, b, z, False) for z in range(64)]
+                  for b in range(bw * bh)])
+    for comp in (1, 2):
+        comps.append([[jpeg_qc_chroma(seed, comp, b, z) for z in range(64)]
+                      for b in range(bw * bh)])
+
+    acc = [0, 0]
+    out = bytearray()
+
+    def put(val, size):
+        for k in range(size - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> k) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0)
+                acc[0] = acc[1] = 0
+
+    def put_code(codes, sym):
+        code, ln = codes[sym]
+        put(code, ln)
+
+    def flush_scan():
+        if acc[1]:
+            pad = 8 - acc[1]
+            fin = (acc[0] << pad) | ((1 << pad) - 1)
+            out.append(fin)
+            if fin == 0xFF:
+                out.append(0)
+            acc[0] = acc[1] = 0
+        scan = bytes(out)
+        out.clear()
+        return scan
+
+    def dc_first_interleaved(al):
+        preds = [0, 0, 0]
+        for b in range(bw * bh):
+            for c in range(3):
+                v = comps[c][b][0] >> al
+                diff = v - preds[c]
+                preds[c] = v
+                s = abs(diff).bit_length()
+                put_code(dc_codes if c == 0 else dc2_codes, s)
+                if s:
+                    put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return flush_scan()
+
+    def dc_refine_interleaved(al):
+        for b in range(bw * bh):
+            for c in range(3):
+                put((comps[c][b][0] >> al) & 1, 1)
+        return flush_scan()
+
+    def ac_first_c(c, ss, se, al):
+        codes = ac_codes if c == 0 else ac2_codes
+        for blk in comps[c]:
+            vals = []
+            for k in range(ss, se + 1):
+                a = abs(blk[k]) >> al
+                vals.append(a if blk[k] >= 0 else -a)
+            last = len(vals) - 1
+            while last >= 0 and vals[last] == 0:
+                last -= 1
+            k = 0
+            while k <= last:
+                run = 0
+                while vals[k] == 0:
+                    run += 1
+                    k += 1
+                while run >= 16:
+                    put_code(codes, 0xF0)
+                    run -= 16
+                v = vals[k]
+                s = abs(v).bit_length()
+                put_code(codes, (run << 4) | s)
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+            if last < len(vals) - 1:
+                put_code(codes, 0x00)
+        return flush_scan()
+
+    def ac_refine_c(c, ss, se, al):
+        codes = ac_codes if c == 0 else ac2_codes
+        for blk in comps[c]:
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if (abs(blk[k]) >> al) == 1:
+                    eob = k
+            r = 0
+            br = []
+            for k in range(ss, se + 1):
+                temp = abs(blk[k]) >> al
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    put_code(codes, 0xF0)
+                    r -= 16
+                    for b in br:
+                        put(b, 1)
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                put_code(codes, (r << 4) | 1)
+                put(1 if blk[k] > 0 else 0, 1)
+                for b in br:
+                    put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                put_code(codes, 0x00)
+                for b in br:
+                    put(b, 1)
+        return flush_scan()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(comps_sel, ss, se, ah, al):
+        body = bytes([len(comps_sel)])
+        for cid, sel in comps_sel:
+            body += bytes([cid, sel])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    bits_dc = [0] * 16
+    bits_dc[3] = len(DC_SYMS)
+    bits_ac = [0] * 16
+    bits_ac[6] = len(AC_SYMS)
+    bits_dc2 = [0] * 16
+    bits_dc2[4] = len(DC_SYMS)
+    bits_ac2 = [0] * 16
+    bits_ac2[7] = len(AC_SYMS)
+    return (b"\xFF\xD8"
+            + seg(0xDB, bytes([0x00]) + bytes(Q) + bytes([0x01]) + bytes(QC))
+            + seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                  + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+            + seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
+            + seg(0xC4, bytes([0x01]) + bytes(bits_dc2) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x11]) + bytes(bits_ac2) + bytes(AC_SYMS))
+            + sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+            + dc_first_interleaved(1)
+            + sos([(1, 0x00)], 1, 63, 0, 1) + ac_first_c(0, 1, 63, 1)
+            + sos([(2, 0x11)], 1, 63, 0, 1) + ac_first_c(1, 1, 63, 1)
+            + sos([(3, 0x11)], 1, 63, 0, 1) + ac_first_c(2, 1, 63, 1)
+            + sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
+            + dc_refine_interleaved(0)
+            + sos([(1, 0x00)], 1, 63, 1, 0) + ac_refine_c(0, 1, 63, 0)
+            + sos([(2, 0x11)], 1, 63, 1, 0) + ac_refine_c(1, 1, 63, 0)
+            + sos([(3, 0x11)], 1, 63, 1, 0) + ac_refine_c(2, 1, 63, 0)
+            + b"\xFF\xD9")
+
+
 PROG_JPEG_ROWS = [
     (124, 124, 24, 16, False),  # unrelated progressive image
     (125, 105, 24, 16, False),  # progressive RE-ENCODE of 105: exact pixels
@@ -1209,6 +1379,22 @@ for i, seed, w, h, perturb in PROG_JPEG_ROWS:
     channelss.append(None)
     bitss.append(None)
     n_sampless.append(None)
+
+# row 128: the color 4:4:4 progressive (interleaved DC scans)
+_p128 = jpeg_bytes_progressive_color(128, 24, 16)
+ids.append(128)
+mimes.append("image/jpeg")
+payloads.append(_p128)
+widths.append(24)
+heights.append(16)
+n_bytes.append(len(_p128))
+checksums.append(sum(_p128) % 9973)
+n_frames.append(None)
+fpss.append(None)
+sample_rates.append(None)
+channelss.append(None)
+bitss.append(None)
+n_sampless.append(None)
 
 # ---- round 14: pinned CHROMA-reconstruction expectations for the jpeg
 # rows — an INDEPENDENT Python implementation of the engine's pinned
@@ -1313,6 +1499,16 @@ for i, seed, w, h, perturb in JPEG_ROWS + PROG_JPEG_ROWS:
 # twin (125 vs 105, 126 vs 107) — same coefficients, different container
 assert exp_cols[125] == exp_cols[105], "progressive re-encode diverged"
 assert exp_cols[126] == exp_cols[107], "perturbed progressive diverged"
+
+# row 128: color 4:4:4 progressive — the 4:4:4 expectation machinery
+# (row 119's path) over the progressive serialization's coefficients
+_yp128 = y_plane(128, 24, 16, False, False)
+_cb128 = chroma_plane(128, 1, 24, 16, False)
+_cr128 = chroma_plane(128, 2, 24, 16, False)
+_r128, _g128, _b128 = rgb_planes(_yp128, _cb128, _cr128, 24, 16, 1)
+exp_cols[128] = (sum(map(sum, _r128)), sum(map(sum, _g128)),
+                 sum(map(sum, _b128)),
+                 *ahash64(_r128, 24, 16), *ahash64(_b128, 24, 16))
 for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
     yp = y_plane(seed, w, h, sub, perturb)
     cb_comp, cr_comp = (2, 1) if cswap else (1, 2)
