@@ -492,6 +492,21 @@ object WebCorpusApp {
   def frontier(spark: SparkSession, outDir: String,
                robotsPath: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    frontierCandidates(spark, outDir, robotsPath)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("host").orderBy("canonical_url")))
+      .select(col("canonical_url"), col("host"), col("crawl_delay"),
+        ((col("rn") - 1).cast("long") *
+          greatest(col("crawl_delay"), lit(1L))).as("wave"))
+  }
+
+  /** [[frontier]]'s gated candidate set BEFORE wave assignment —
+    * (canonical_url, host, crawl_delay): link targets minus fetched,
+    * robots-allowed, per-host delay attached. Exposed so schedulers can
+    * pick their own within-host order (FIFO in [[frontier]]; harvest
+    * rank in the q343 composition). */
+  def frontierCandidates(spark: SparkSession, outDir: String,
+                         robotsPath: String): DataFrame = {
     val links = readCommitted(spark, outDir, "links")
     val crawled = readCommitted(spark, outDir, "corpus")
       .select(col("canonical_url"))
@@ -510,11 +525,7 @@ object WebCorpusApp {
     gated.join(broadcast(delays), col("host") === col("site"), "left")
       .withColumn("crawl_delay",
         coalesce(col("crawl_delay"), lit(1)).cast("long"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("host").orderBy("canonical_url")))
-      .select(col("canonical_url"), col("host"), col("crawl_delay"),
-        ((col("rn") - 1).cast("long") *
-          greatest(col("crawl_delay"), lit(1L))).as("wave"))
+      .select("canonical_url", "host", "crawl_delay")
   }
 
   /** COMMITTED read of an appended table (r14 advice): the shipped read
