@@ -173,8 +173,12 @@ object Html {
     val spath = when(spath0 === "", lit("/")).otherwise(spath0)
     val sdir = regexp_replace(spath, "[^/]+$", "")
     when(href.contains("://"), href)
-      .when(href.startsWith("//") && srcOk,
+      .when(href.startsWith("//") && href.rlike("^//[^/]") && srcOk,
         concat(regexp_extract(src, "^(https?):", 1), lit(":"), href))
+      // a degenerate '//' or schemeless '///path' has no authority to
+      // resolve against — drop it BEFORE the path-absolute branch can
+      // mistake it for a path
+      .when(href.startsWith("//"), lit(null))
       .when(href.rlike(OtherSchemePattern), lit(null))
       .when(href.startsWith("#"), lit(null))
       .when(href.startsWith("/") && srcOk, concat(base, href))
@@ -194,8 +198,10 @@ object Html {
       s" THEN '/' ELSE regexp_extract($src, '$SrcPathPattern', 1) END)"
     val sdir = s"regexp_replace($spath, '[^/]+$$', '', 'g')"
     s"""CASE WHEN $href LIKE '%://%' THEN $href
-       |  WHEN substr($href, 1, 2) = '//' AND $srcOk
+       |  WHEN substr($href, 1, 2) = '//' AND regexp_matches($href, '^//[^/]')
+       |       AND $srcOk
        |    THEN regexp_extract($src, '^(https?):', 1) || ':' || $href
+       |  WHEN substr($href, 1, 2) = '//' THEN NULL
        |  WHEN regexp_matches($href, '$OtherSchemePattern') THEN NULL
        |  WHEN substr($href, 1, 1) = '#' THEN NULL
        |  WHEN substr($href, 1, 1) = '/' AND $srcOk THEN $base || $href

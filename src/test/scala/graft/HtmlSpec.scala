@@ -125,6 +125,10 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
       // never resolve to https://a.com//cdn.a.com/x)
       ("https://a.com/d/p.html", "//cdn.a.com/x", "https://cdn.a.com/x"),
       ("http://a.com/d/p.html", "//cdn.a.com/x", "http://cdn.a.com/x"),
+      // degenerate protocol-relative forms carry no authority: dropped,
+      // never mistaken for a path
+      ("https://a.com/d/p.html", "//", null),
+      ("https://a.com/d/p.html", "///x", null),
       // other schemes and fragment-only drop
       ("https://a.com/d/p.html", "mailto:x@a.com", null),
       ("https://a.com/d/p.html", "javascript:void(0)", null),

@@ -53,8 +53,10 @@ def resolve(src, href):
     sdir = re.sub(r"[^/]+$", "", spath)
     if "://" in href:
         return href
-    if href.startswith("//") and src_ok:
+    if href.startswith("//") and re.match(r"^//[^/]", href) and src_ok:
         return re.match(r"^(https?):", src).group(1) + ":" + href
+    if href.startswith("//"):
+        return None  # degenerate '//' / schemeless '///p': no authority
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", href):
         return None
     if href.startswith("#"):
@@ -89,6 +91,8 @@ PAGES = [
         ("../other/../root.html", "https://site-b.com/root.html"),
         ("javascript:void(0)", None),
         ("//site-b.com/proto", "https://site-b.com/proto"),
+        ("//", None),       # degenerate protocol-relative: no authority
+        ("///x", None),     # schemeless empty-authority form
     ]),
     ("https://site-c.com", [
         ("rel.html", "https://site-c.com/rel.html"),
