@@ -843,9 +843,9 @@ object ScaleBench {
             s"$dir/out", batchId = s"b$k",
             shardPred = col("shard_id") >= k * 6 && col("shard_id") < (k + 1) * 6)
         }
-        val tables = Seq("corpus", "rejects", "paragraph_hashes", "embeddings",
-          "text_index/postings", "text_index/lexicon", "text_index/stats",
-          "ann_index/postings")
+        val tables = Seq("corpus", "rejects", "paragraph_hashes", "links",
+          "embeddings", "text_index/postings", "text_index/lexicon",
+          "text_index/stats", "ann_index/postings")
         def files() = tables
           .map(t => graft.sources.Sinks.dataFileCount(spark, s"$dir/out/$t")).sum
         def readProbe(): (Double, Long) = {
