@@ -150,7 +150,11 @@ object Html {
   /** Resolve one href against its page url — the when-chain (branch
     * order is the contract; [[resolveHrefSqlFor]] is the DuckDB twin):
     *
-    *  1. contains `://`  → absolute: kept verbatim;
+    *  1. starts `http(s)://` → absolute http-style url: kept verbatim
+    *     (anchored, NOT a bare `://` containment — an embedded-url href
+    *     like `/redirect?u=https://partner.com` is path-absolute and
+    *     must resolve through branch 5, and `javascript://x` must fall
+    *     to the scheme drop in branch 3);
     *  2. starts `//`     → protocol-relative: base SCHEME + `:` + href
     *     (MUST precede the path-absolute branch — `//cdn.x.com/a` starts
     *     with `/` too, and the path branch would emit the bogus
@@ -172,7 +176,7 @@ object Html {
     val spath0 = regexp_extract(src, SrcPathPattern, 1)
     val spath = when(spath0 === "", lit("/")).otherwise(spath0)
     val sdir = regexp_replace(spath, "[^/]+$", "")
-    when(href.contains("://"), href)
+    when(href.rlike(SrcOkPattern), href)
       .when(href.startsWith("//") && href.rlike("^//[^/]") && srcOk,
         concat(regexp_extract(src, "^(https?):", 1), lit(":"), href))
       // a degenerate '//' or schemeless '///path' has no authority to
@@ -197,7 +201,7 @@ object Html {
     val spath = s"(CASE WHEN regexp_extract($src, '$SrcPathPattern', 1) = ''" +
       s" THEN '/' ELSE regexp_extract($src, '$SrcPathPattern', 1) END)"
     val sdir = s"regexp_replace($spath, '[^/]+$$', '', 'g')"
-    s"""CASE WHEN $href LIKE '%://%' THEN $href
+    s"""CASE WHEN regexp_matches($href, '$SrcOkPattern') THEN $href
        |  WHEN substr($href, 1, 2) = '//' AND regexp_matches($href, '^//[^/]')
        |       AND $srcOk
        |    THEN regexp_extract($src, '^(https?):', 1) || ':' || $href

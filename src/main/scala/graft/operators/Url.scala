@@ -151,12 +151,19 @@ object Url {
     *
     * Scale shape: `maxHops` bounded self-joins of the redirect map —
     * the map is 3xx-row-sized (≪ corpus), each round one keyed
-    * equi-join, no iteration-to-fixpoint. */
+    * equi-join, no iteration-to-fixpoint.
+    *
+    * The map is FUNCTIONALIZED first: duplicate src rows (two 301
+    * captures of one url with different Location targets — recrawls,
+    * A/B redirects) would otherwise fan out multiplicatively through
+    * each self-join and again at the unterminated join. Pinned choice:
+    * `min(dst)` per src — deterministic, and replayed by the oracle. */
   def resolveChains(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst", maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col(srcCol).cast("string").as("__e_src"),
-      col(dstCol).cast("string").as("__e_dst"))
+        col(dstCol).cast("string").as("__e_dst"))
+      .groupBy("__e_src").agg(min(col("__e_dst")).as("__e_dst"))
     var cur = e.select(col("__e_src").as("url"),
       col("__e_dst").as("terminal_url"), lit(1L).as("n_hops"))
     for (k <- 2 to maxHops) {

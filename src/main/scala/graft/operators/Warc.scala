@@ -626,7 +626,10 @@ object Warc {
     val inf = new java.util.zip.Inflater(nowrap)
     try {
       inf.setInput(p)
-      val bos = new ByteArrayOutputStream(math.min(p.length * 2, 1 << 16))
+      // NOT p.length * 2: a >=1 GiB framed body overflows Int to negative
+      // and ByteArrayOutputStream(negative) throws — the clamp to 64 KiB
+      // makes the multiply pointless anyway (the stream grows on demand)
+      val bos = new ByteArrayOutputStream(math.min(p.length, 1 << 16))
       val buf = new Array[Byte](1 << 16)
       var total = 0L
       while (!inf.finished()) {

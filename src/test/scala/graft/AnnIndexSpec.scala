@@ -72,14 +72,15 @@ class AnnIndexSpec extends AnyFunSuite with SharedSpark {
     assert(r1 == r2)
   }
 
-  test("self-scaling candidate budget: max(floor, 10% of posting mass), grows with appends (r14 verdict #5)") {
+  test("self-scaling candidate budget: max(floor, 25% of posting mass), grows with appends (r14 verdict #5)") {
     val root = AnnIndex.path(spark, sfDir)
     val counts = AnnIndex.cellCounts(spark, root)
     val total = Tables.embeddings(spark, sfDir).count()
     // the counts are the written postings, cell-complete
     assert(counts.values.sum == total)
     // the pinned derivation, replayed by hand: the study's law — the
-    // screen covers 10% of the INDEX (200 at 2000 vectors, 500 at 5000)
+    // screen covers 25% (250 permille) of the INDEX: 200 at the 800-vector
+    // build, 500 at the 2000-vector incremental state (SCALE_EVIDENCE §ann)
     val want = math.max(AnnIndex.BudgetFloor.toLong,
       total * AnnIndex.BudgetPermille / 1000L).toInt
     assert(AnnIndex.candidateBudget(spark, root) == want)

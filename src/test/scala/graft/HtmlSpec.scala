@@ -150,7 +150,16 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
       ("HTTP://d.com/x", "/drop", null),
       ("HTTP://d.com/x", "rel.html", null),
       // base query is excluded from the merge directory
-      ("https://e.com/a?q=1", "b.html", "https://e.com/b.html"))
+      ("https://e.com/a?q=1", "b.html", "https://e.com/b.html"),
+      // embedded-url hrefs (r15 advice): '://' INSIDE the href must not
+      // bypass resolution — the absolute branch is anchored ^https?://
+      ("https://g.com/out/p.html", "/redirect?u=https://partner.com",
+        "https://g.com/redirect?u=https://partner.com"),
+      ("https://g.com/out/p.html", "go?next=http://x.org/a",
+        "https://g.com/out/go?next=http://x.org/a"),
+      ("https://g.com/out/p.html", "javascript://alert(1)", null),
+      // uppercase scheme is not the pinned lowercase absolute form
+      ("https://g.com/out/p.html", "HTTPS://upper.com/x", null))
     val got = cases.toDF("src", "href", "want")
       .withColumn("got", Html.resolveHref(col("src"), col("href")))
       .collect()

@@ -106,7 +106,11 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
       "https://loop.org/a" -> "https://loop.org/b", // 2-cycle
       "https://loop.org/b" -> "https://loop.org/a",
       "https://self.org/s" -> "https://self.org/s", // self-redirect
-      "https://d.org/x" -> "https://off.net/y")     // dangling
+      "https://d.org/x" -> "https://off.net/y",     // dangling
+      // duplicate capture (r15 advice): two Locations for one src must
+      // functionalize to min(dst), never fan out through the hop joins
+      "https://dup.org/s" -> "https://dup.org/t2",
+      "https://dup.org/s" -> "https://dup.org/t1")
       .toDF("src", "dst")
     val got = Url.resolveChains(edges, maxHops = 4).collect()
       .map(r => r.getString(0) ->
@@ -117,6 +121,10 @@ class UrlSpec extends AnyFunSuite with SharedSpark {
     assert(got("https://loop.org/a") == (("https://loop.org/a", 4L, true)))
     assert(got("https://self.org/s") == (("https://self.org/s", 4L, true)))
     assert(got("https://d.org/x") == (("https://off.net/y", 1L, false)))
+    // duplicate src: exactly ONE output row, the min(dst) target
+    assert(got("https://dup.org/s") == (("https://dup.org/t1", 1L, false)))
+    assert(Url.resolveChains(edges, maxHops = 4)
+      .filter(col("url") === "https://dup.org/s").count() == 1L)
     // maxHops=1 is the single-hop map with the flag
     val one = Url.resolveChains(edges, maxHops = 1).collect()
       .map(r => r.getString(0) -> r.getBoolean(3)).toMap

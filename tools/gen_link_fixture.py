@@ -51,8 +51,8 @@ def resolve(src, href):
     mp = re.match(r"^https?://[^/?#]+([^?#]*)", src)
     spath = (mp.group(1) if mp else "") or "/"
     sdir = re.sub(r"[^/]+$", "", spath)
-    if "://" in href:
-        return href
+    if re.match(r"^https?://", href):
+        return href  # anchored: embedded-url hrefs are NOT absolute
     if href.startswith("//") and re.match(r"^//[^/]", href) and src_ok:
         return re.match(r"^(https?):", src).group(1) + ":" + href
     if href.startswith("//"):
@@ -121,6 +121,21 @@ PAGES = [
         ("//cdn.plain.org/z", "http://cdn.plain.org/z"),
         ("r.html", "http://plain.org/p/r.html"),
         ("tel:+123456", None),
+    ]),
+    # embedded-url hrefs (r15 advice): '://' INSIDE the href must not be
+    # mistaken for an absolute target — the absolute branch is anchored
+    # to ^https?://, so these resolve as path-absolute/query/relative,
+    # and javascript:// falls to the other-scheme drop
+    ("https://site-g.com/out/page.html", [
+        ("/redirect?u=https://partner.com",
+         "https://site-g.com/redirect?u=https://partner.com"),
+        ("go?next=http://x.org/a",
+         "https://site-g.com/out/go?next=http://x.org/a"),
+        ("?back=https://site-g.com/out/page.html",
+         "https://site-g.com/out/page.html?back=https://site-g.com/out/page.html"),
+        ("javascript://alert(1)", None),
+        ("HTTPS://upper.com/x", None),  # uppercase scheme: not the pinned
+                                        # lowercase absolute form → scheme drop
     ]),
 ]
 

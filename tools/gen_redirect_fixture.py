@@ -68,6 +68,13 @@ pages.append(("https://loop.example.org/b",
               "https://loop.example.org/a", "https://loop.example.org/a"))
 pages.append(("https://dangle.example.org/x",
               "https://offsite.example.net/y", "https://offsite.example.net/y"))
+# duplicate capture (r15 advice): ONE url 301-captured twice with two
+# different Location targets — the resolver must functionalize the map
+# (pinned min(dst)) instead of fanning out through every hop join
+pages.append(("https://dup.example.org/s",
+              "https://dup.example.org/t2", "https://dup.example.org/t2"))
+pages.append(("https://dup.example.org/s",
+              "https://dup.example.org/t1", "https://dup.example.org/t1"))
 
 buf = bytearray()
 for i, (url, loc, _) in enumerate(pages):
@@ -88,7 +95,11 @@ pq.write_table(pa.table({
 }), OUT_SHARDS)
 
 # ---- expectation: replay the pinned bounded iteration ----
-edges = {u: c for (u, _, c) in pages if c is not None}
+# functionalize first (the operator's pinned min(dst)-per-src rule)
+edges = {}
+for (u, _, c) in pages:
+    if c is not None:
+        edges[u] = c if u not in edges else min(edges[u], c)
 rows = []
 for src, first in sorted(edges.items()):
     t, h = first, 1
@@ -113,6 +124,10 @@ assert by_url["https://loop.example.org/b"] == (
 # dangling: offsite target has no outgoing edge
 assert by_url["https://dangle.example.org/x"] == (
     "https://dangle.example.org/x", "https://offsite.example.net/y", 1, False)
+# duplicate capture: ONE row, the min(dst) target, no fan-out
+assert by_url["https://dup.example.org/s"] == (
+    "https://dup.example.org/s", "https://dup.example.org/t1", 1, False)
+assert len(rows) == len(edges)
 
 pq.write_table(pa.table({
     "url": pa.array([r[0] for r in rows], pa.string()),
