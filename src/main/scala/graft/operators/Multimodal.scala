@@ -1033,8 +1033,9 @@ object Multimodal {
     * run-length with EOB and ZRL, byte stuffing, restart markers),
     * dequantization, de-zigzag, and the PINNED integer IDCT above.
     * Supported layouts: 8-bit precision, non-progressive, grayscale
-    * (one component) or interleaved YCbCr at 4:4:4 (all 1×1) and 4:2:0
-    * (luma 2×2, four Y blocks per MCU) — the dominant real-world
+    * (one component) or interleaved YCbCr with luma sampling factors in
+    * {1,2} per axis — 4:4:4 (1×1), 4:2:0 (2×2, four Y blocks per MCU),
+    * 4:2:2 (2×1), 4:4:0 (1×2) — chroma always 1×1: the real-world
     * shapes. Color decodes take the FAST-LUMA path: chroma blocks are
     * entropy-decoded (the interleaved stream cannot be advanced
     * otherwise — per-component Huffman/quant selectors honored) but
@@ -1129,10 +1130,17 @@ object Multimodal {
               if (compTq(c) > 3) return None
               c += 1
             }
-            // supported sampling: luma 1×1 (4:4:4 / grayscale) or 2×2
-            // (4:2:0); chroma always 1×1
-            if (compHV(0) != 0x11 && (nf == 1 || compHV(0) != 0x22)) return None
-            if (nf == 3 && (compHV(1) != 0x11 || compHV(2) != 0x11)) return None
+            // supported sampling: luma factors in {1,2} per axis — 4:4:4
+            // (1×1), 4:2:0 (2×2), 4:2:2 (2×1), 4:4:0 (1×2); chroma
+            // always 1×1; grayscale is a single full-resolution grid.
+            // The MCU walk below is generic in (yH, yV), so the r15
+            // verdict's 4:2:2 item is exactly this relaxed guard.
+            if (nf == 1 && compHV(0) != 0x11) return None
+            if (nf == 3) {
+              val yHf = compHV(0) >> 4; val yVf = compHV(0) & 15
+              if (yHf < 1 || yHf > 2 || yVf < 1 || yVf > 2) return None
+              if (compHV(1) != 0x11 || compHV(2) != 0x11) return None
+            }
           case 0xc2 => // SOF2: the progressive path (r14 verdict #3)
             return jpegDecodeProgressive(p, wantChroma)
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
@@ -1315,15 +1323,21 @@ object Multimodal {
     * to a baseline encoding of the same quantized coefficients, and
     * the oracle's coefficient-formula replay needs no new arithmetic.
     *
-    * Supported layout (documented subset): 8-bit precision, 1 or 3
-    * components, ALL sampling factors 1×1 (grayscale + 4:4:4 — every
-    * component shares one full-resolution block grid, so interleaved
-    * DC MCU order equals per-component raster order); 4:2:0
-    * progressive yields None. Fast-luma contract preserved: chroma
-    * scans are entropy-walked (the next scan's offset demands it) but
-    * chroma only dequantizes/IDCTs under `wantChroma`. Restart markers
-    * reset DC predictors AND the EOB run. Malformed anything yields
-    * None, never garbage pixels. */
+    * Supported layout: 8-bit precision, 1 or 3 components, luma
+    * sampling factors in {1,2} per axis (4:4:4, 4:2:0, 4:2:2, 4:4:0 —
+    * the r15 verdict's majority class, real-web progressive photos are
+    * overwhelmingly 4:2:0), chroma always 1×1. Interleaved scans (DC,
+    * Ns>1) walk the FRAME MCU grid — hc×vc blocks per component per
+    * MCU including the spec's right/bottom PADDING blocks (entropy-
+    * coded, they advance the DC predictors, discarded on output);
+    * non-interleaved scans (every AC scan, and DC scans with Ns=1)
+    * walk the component's REAL block raster with no padding, per
+    * ISO 10918-1 A.2. Restart intervals count MCUs when interleaved,
+    * data units when not — the same `unit` counter here. Fast-luma
+    * contract preserved: chroma scans are entropy-walked (the next
+    * scan's offset demands it) but chroma only dequantizes/IDCTs under
+    * `wantChroma`. Restart markers reset DC predictors AND the EOB
+    * run. Malformed anything yields None, never garbage pixels. */
   private[graft] def jpegDecodeProgressive(p: Array[Byte],
                                            wantChroma: Boolean): Option[JpegPlanes] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
@@ -1335,10 +1349,20 @@ object Multimodal {
     val compTq = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    val compH = new Array[Int](3) // horizontal sampling factor
+    val compV = new Array[Int](3) // vertical sampling factor
     var restartInterval = 0
-    // per-component coefficient accumulators, ZIGZAG order, 64 per block
+    // per-component coefficient accumulators, ZIGZAG order, 64 per
+    // block, laid out on the PADDED (MCU-complete) grid — interleaved
+    // scans write padding blocks there, non-interleaved scans and the
+    // output walk index real blocks through the padded stride
     var coefs: Array[Array[Int]] = null
-    var nBlocks = 0 // shared grid: all components 1×1
+    var mcusX = 0; var mcusY = 0 // frame MCU grid (hmax/vmax-sized)
+    val padBw = new Array[Int](3) // padded blocks per row = mcusX * h_c
+    val realBw = new Array[Int](3) // ceil(comp width / 8)
+    val realBh = new Array[Int](3) // ceil(comp height / 8)
+    val compW = new Array[Int](3) // component plane dims
+    val compHt = new Array[Int](3)
     var sawScan = false
     val preds = new Array[Int](3)
     var eobrun = 0
@@ -1442,17 +1466,48 @@ object Multimodal {
       true
     }
 
+    // one component's DC entry at coefficient offset `off`: first scan
+    // (ah == 0) is Huffman diff coding point-transformed << al; refine
+    // appends one raw bit at weight 1 << al
+    def dcOne(c: Int, off: Int, ah: Int, al: Int, br: JpegBits): Boolean = {
+      val blk = coefs(c)
+      if (ah == 0) {
+        val dcSize = dcTabs(compDc(c)).decode(br)
+        if (dcSize < 0 || dcSize > 11) return false
+        var diff = 0
+        if (dcSize > 0) {
+          val bits = br.receive(dcSize)
+          if (bits < 0) return false
+          diff = if (bits < (1 << (dcSize - 1))) bits - (1 << dcSize) + 1 else bits
+        }
+        preds(c) += diff
+        blk(off) = preds(c) << al
+      } else {
+        val bit = br.bit()
+        if (bit < 0) return false
+        if (bit == 1) blk(off) |= (1 << al)
+      }
+      true
+    }
+
     // decode one scan's entropy data; returns the byte offset just past
-    // it (the next marker's 0xFF), or -1 on a malformed stream
+    // it (the next marker's 0xFF), or -1 on a malformed stream. The
+    // walk unit is an MCU when the scan is interleaved (Ns > 1), a
+    // single data unit of the scan's one component otherwise — restart
+    // intervals count these same units (ISO 10918-1 A.2).
     def decodeScan(scomps: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
                    dataStart: Int): Int = {
       val br = new JpegBits(p, dataStart)
       java.util.Arrays.fill(preds, 0)
       eobrun = 0
       var sinceRestart = 0
-      var b = 0
+      val interleaved = scomps.length > 1
+      val nUnits: Long =
+        if (interleaved) mcusX.toLong * mcusY
+        else realBw(scomps(0)).toLong * realBh(scomps(0))
+      var u = 0L
       var ok = true
-      while (b < nBlocks && ok) {
+      while (u < nUnits && ok) {
         if (restartInterval > 0 && sinceRestart == restartInterval) {
           val mk = br.syncMarker()
           if (mk < 0xd0 || mk > 0xd7) return -1
@@ -1460,40 +1515,38 @@ object Multimodal {
           eobrun = 0
           sinceRestart = 0
         }
-        if (ss == 0) {
-          // DC scan — interleaved over its components (all 1×1: the MCU
-          // grid IS the shared block grid)
+        if (interleaved) {
+          // MCU walk (DC scans only: AC scans are Ns=1 by construction):
+          // each component contributes its h×v block patch, raster order
+          // within the MCU, padding blocks included
+          val mx = (u % mcusX).toInt; val my = (u / mcusX).toInt
           var i = 0
           while (i < scomps.length && ok) {
             val c = scomps(i)
-            val blk = coefs(c); val off = b * 64
-            if (ah == 0) {
-              val dcSize = dcTabs(compDc(c)).decode(br)
-              if (dcSize < 0 || dcSize > 11) ok = false
-              else {
-                var diff = 0
-                if (dcSize > 0) {
-                  val bits = br.receive(dcSize)
-                  if (bits < 0) { ok = false }
-                  else diff = if (bits < (1 << (dcSize - 1))) bits - (1 << dcSize) + 1 else bits
-                }
-                if (ok) { preds(c) += diff; blk(off) = preds(c) << al }
+            var v = 0
+            while (v < compV(c) && ok) {
+              var hh = 0
+              while (hh < compH(c) && ok) {
+                val row = my * compV(c) + v; val colB = mx * compH(c) + hh
+                ok = dcOne(c, (row * padBw(c) + colB) * 64, ah, al, br)
+                hh += 1
               }
-            } else {
-              val bit = br.bit()
-              if (bit < 0) ok = false
-              else if (bit == 1) blk(off) |= (1 << al)
+              v += 1
             }
             i += 1
           }
         } else {
+          // single-component scan: the component's REAL block raster,
+          // indexed through the padded stride
           val c = scomps(0)
-          val blk = coefs(c); val off = b * 64
+          val row = (u / realBw(c)).toInt; val colB = (u % realBw(c)).toInt
+          val off = (row * padBw(c) + colB) * 64
           ok =
-            if (ah == 0) acFirst(blk, off, acTabs(compAc(c)), ss, se, al, br)
-            else acRefine(blk, off, acTabs(compAc(c)), ss, se, al, br)
+            if (ss == 0) dcOne(c, off, ah, al, br)
+            else if (ah == 0) acFirst(coefs(c), off, acTabs(compAc(c)), ss, se, al, br)
+            else acRefine(coefs(c), off, acTabs(compAc(c)), ss, se, al, br)
         }
-        b += 1
+        u += 1
         sinceRestart += 1
       }
       if (!ok) return -1
@@ -1562,14 +1615,35 @@ object Multimodal {
             while (c < nf) {
               compId(c) = p(s + 6 + 3 * c) & 0xff
               val hv = p(s + 7 + 3 * c) & 0xff
-              if (hv != 0x11) return None // pinned subset: all 1×1
+              compH(c) = hv >> 4; compV(c) = hv & 15
               compTq(c) = p(s + 8 + 3 * c) & 0xff
               if (compTq(c) > 3) return None
               c += 1
             }
+            // supported sampling: the baseline decoder's subset — luma
+            // factors in {1,2} per axis, chroma 1×1, grayscale 1×1
+            if (nf == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+            if (nf == 3) {
+              if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2)
+                return None
+              if (compH(1) != 1 || compV(1) != 1 ||
+                  compH(2) != 1 || compV(2) != 1) return None
+            }
             if (w <= 0 || h <= 0 || w.toLong * h > GrayPixelCap) return None
-            nBlocks = ((w + 7) / 8) * ((h + 7) / 8)
-            coefs = Array.fill(nf)(new Array[Int](nBlocks * 64))
+            val hmax = compH.take(nf).max; val vmax = compV.take(nf).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            coefs = new Array[Array[Int]](nf)
+            c = 0
+            while (c < nf) {
+              compW(c) = (w * compH(c) + hmax - 1) / hmax
+              compHt(c) = (h * compV(c) + vmax - 1) / vmax
+              realBw(c) = (compW(c) + 7) / 8
+              realBh(c) = (compHt(c) + 7) / 8
+              padBw(c) = mcusX * compH(c)
+              coefs(c) = new Array[Int](padBw(c) * (mcusY * compV(c)) * 64)
+              c += 1
+            }
           case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
             return None // a non-progressive frame in this walk: bail
           case 0xdd =>
@@ -1617,23 +1691,27 @@ object Multimodal {
     if (coefs == null || !sawScan) return None
     var ci = 0
     while (ci < nf) { if (qt(compTq(ci)) == null) return None; ci += 1 }
-    // dequantize + pinned IDCT, per component
-    val bw = (w + 7) / 8
+    // dequantize + pinned IDCT, per component: REAL blocks only, indexed
+    // through the padded stride (interleaved padding blocks discarded)
     val deq = new Array[Long](64)
-    def plane(c: Int, tw: Int, th: Int): Array[Int] = {
+    def plane(c: Int): Array[Int] = {
+      val tw = compW(c); val th = compHt(c)
       val out = new Array[Int](tw * th)
       val q = qt(compTq(c))
       val blk = coefs(c)
+      val nReal = realBw(c) * realBh(c)
       var b = 0
-      while (b < nBlocks) {
+      while (b < nReal) {
+        val bRow = b / realBw(c); val bCol = b % realBw(c)
+        val base = (bRow * padBw(c) + bCol) * 64
         java.util.Arrays.fill(deq, 0L)
         var z = 0
         while (z < 64) {
-          val v = blk(b * 64 + z)
+          val v = blk(base + z)
           if (v != 0) deq(ZigV(z) * 8 + ZigU(z)) = v.toLong * q(z)
           z += 1
         }
-        val bx = (b % bw) * 8; val by = (b / bw) * 8
+        val bx = bCol * 8; val by = bRow * 8
         var y = 0
         while (y < 8) {
           val py = by + y
@@ -1668,11 +1746,14 @@ object Multimodal {
       }
       out
     }
-    val gray = plane(0, w, h)
+    val gray = plane(0)
     val emitChroma = wantChroma && nf == 3
     if (emitChroma)
-      Some(JpegPlanes(w, h, gray, plane(1, w, h), plane(2, w, h), w, h, 1, 1))
-    else Some(JpegPlanes(w, h, gray, null, null, w, h, 1, 1))
+      Some(JpegPlanes(w, h, gray, plane(1), plane(2),
+        compW(1), compHt(1), compH(0), compV(0)))
+    else Some(JpegPlanes(w, h, gray, null, null,
+      if (nf == 3) compW(1) else w, if (nf == 3) compHt(1) else h,
+      compH(0), compV(0)))
   }
 
   /** Grayscale raster from REAL container bytes (GIF, 24-bpp BMP, 8-bit

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 76) // 30 fixture-codec + 28 GIF/BMP/PNG + 18 real JPEG
+    assert(decoded.count() == 80) // 30 fixture-codec + 28 GIF/BMP/PNG + 22 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -411,7 +411,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // through SOF2 (exact pixels, cross-LAYOUT duplicate), 126
       // re-encodes the 107 perturbation — the whole 105-family pairs
       (105L, 125L), (106L, 125L), (107L, 126L),
-      (105L, 126L), (106L, 126L), (125L, 126L), (107L, 125L)))
+      (105L, 126L), (106L, 126L), (125L, 126L), (107L, 125L),
+      // the SAMPLED progressive leg (r16): 129 re-encodes 116's
+      // coefficients through SOF2 at 4:2:0 (cross-layout duplicate of
+      // the 116/117 pair), 132 re-encodes the 4:2:2 baseline 131
+      (116L, 129L), (117L, 129L), (131L, 132L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -519,15 +523,16 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   // independent replay of the PINNED integer IDCT from the formula —
   // exercises none of the decoder's Huffman/dequant/bitstream machinery.
-  // sub420: the 4:2:0 Y-block geometry (4 Y blocks per 16×16 MCU, the
-  // global Y-block counter is MCU-major)
+  // (yh, yv): the luma sampling geometry — yh*yv Y blocks per MCU in
+  // raster order, the global Y-block counter MCU-major (1×1 = 4:4:4,
+  // 2×2 = 4:2:0, 2×1 = 4:2:2)
   private def jpegExpected(seed: Int, w: Int, h: Int, perturb: Boolean,
-                           px: Int, py: Int, sub420: Boolean = false): Int = {
-    val b =
-      if (sub420) {
-        val mcuW = (w + 15) / 16
-        ((py / 16) * mcuW + (px / 16)) * 4 + ((py % 16) / 8) * 2 + (px % 16) / 8
-      } else (py / 8) * ((w + 7) / 8) + (px / 8)
+                           px: Int, py: Int, yh: Int = 1, yv: Int = 1): Int = {
+    val b = {
+      val mcuW = (w + 8 * yh - 1) / (8 * yh)
+      ((py / (8 * yv)) * mcuW + px / (8 * yh)) * (yh * yv) +
+        ((py % (8 * yv)) / 8) * yh + (px % (8 * yh)) / 8
+    }
     val bx = px % 8; val by = py % 8
     var sum = 0L
     for (z <- 0 until 64) {
@@ -547,35 +552,42 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // (seed, perturbed, 4:2:0): 116-118 are interleaved COLOR 4:2:0 —
     // the decoder's fast-luma path must entropy-skip every chroma block
     // while landing the Y plane bit-exactly; 119 is 4:4:4 color
+    // (seed, perturbed, yh, yv) — luma sampling geometry per row
     val fams = Map(
-      105 -> (105, false, false), 106 -> (105, false, false),
-      107 -> (105, true, false), 108 -> (108, false, false),
-      109 -> (109, false, false),
-      116 -> (116, false, true), 117 -> (116, false, true),
-      118 -> (118, false, true), 119 -> (119, false, false),
-      120 -> (120, false, true), 121 -> (120, false, true),
-      122 -> (120, true, true), 123 -> (123, false, true),
+      105 -> (105, false, 1, 1), 106 -> (105, false, 1, 1),
+      107 -> (105, true, 1, 1), 108 -> (108, false, 1, 1),
+      109 -> (109, false, 1, 1),
+      116 -> (116, false, 2, 2), 117 -> (116, false, 2, 2),
+      118 -> (118, false, 2, 2), 119 -> (119, false, 1, 1),
+      120 -> (120, false, 2, 2), 121 -> (120, false, 2, 2),
+      122 -> (120, true, 2, 2), 123 -> (123, false, 2, 2),
       // PROGRESSIVE rows (r15): same coefficient formulas through the
       // SOF2 multi-scan path — DC/AC first + refinement must land on
       // the identical pinned-IDCT pixels (125 ≡ 105's, 126 ≡ 107's)
-      124 -> (124, false, false), 125 -> (105, false, false),
-      126 -> (105, true, false), 127 -> (127, false, false),
+      124 -> (124, false, 1, 1), 125 -> (105, false, 1, 1),
+      126 -> (105, true, 1, 1), 127 -> (127, false, 1, 1),
       // 128: COLOR 4:4:4 progressive — interleaved DC scans; the Y
       // plane still follows jpeg_qc in raster block order
-      128 -> (128, false, false))
+      128 -> (128, false, 1, 1),
+      // r16 SAMPLED rows: 129 progressive 4:2:0 re-encode of 116;
+      // 130 progressive 4:2:0 at non-MCU-aligned width (the padding
+      // column of Y blocks is entropy-walked then discarded);
+      // 131 baseline 4:2:2; 132 its progressive re-encode
+      129 -> (116, false, 2, 2), 130 -> (130, false, 2, 2),
+      131 -> (131, false, 2, 1), 132 -> (131, false, 2, 1))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 18)
+    assert(rows.length == 22)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
-      val (seed, pt, sub) = fams(id)
+      val (seed, pt, yh, yv) = fams(id)
       val dec = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegGray rejected fixture jpeg $id")
       val (w, h, gray) = dec.get
       assert(w == r.getInt(2) && h == r.getInt(3))
       for (y <- 0 until h; x <- 0 until w)
-        assert(gray(y * w + x) == jpegExpected(seed, w, h, pt, x, y, sub),
+        assert(gray(y * w + x) == jpegExpected(seed, w, h, pt, x, y, yh, yv),
           s"jpeg $id pixel ($x,$y)")
     }
   }
@@ -718,7 +730,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val rows = spark.read.parquet(fixture)
       .filter(col("exp_rsum").isNotNull)
       .select("media_id", "payload", "exp_rsum", "exp_gsum", "exp_bsum").collect()
-    assert(rows.length == 18)
+    assert(rows.length == 22)
     rows.foreach { r =>
       val dec = Multimodal.jpegRgb(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegRgb rejected jpeg ${r.getLong(0)}")
@@ -736,13 +748,14 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   test("jpegRgb agrees with ImageIO: exact-res color within ±4, 4:2:0 within filter tolerance") {
     val rows = spark.read.parquet(fixture)
-      // 116-123 + the color progressive 128: the grayscale progressive
-      // rows (124-127) are excluded because ImageIO's getRGB pushes gray
-      // rasters through a gamma conversion (the jpegGray raw-raster test
-      // covers their ImageIO agreement)
+      // 116-123 + the color progressive 128 + the r16 sampled rows
+      // 129-132: the grayscale progressive rows (124-127) are excluded
+      // because ImageIO's getRGB pushes gray rasters through a gamma
+      // conversion (the jpegGray raw-raster test covers their ImageIO
+      // agreement)
       .filter(col("exp_rsum").isNotNull &&
         ((col("media_id") >= 116 && col("media_id") <= 123) ||
-          col("media_id") === 128))
+          col("media_id") >= 128))
       .select("media_id", "payload").collect()
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")

@@ -888,12 +888,16 @@ def jpeg_qc_chroma(seed, comp, b, z):
     return 0
 
 
-def jpeg_bytes_color(seed, w, h, subsampled, perturb=False, cswap=False):
+def jpeg_bytes_color(seed, w, h, subsampled, perturb=False, cswap=False,
+                     samp=None):
     """Baseline JFIF-style color JPEG from the coefficient formulas.
-    subsampled: True -> 4:2:0 (Y H=V=2), False -> 4:4:4 (all 1x1).
+    subsampled: True -> 4:2:0 (Y H=V=2), False -> 4:4:4 (all 1x1);
+    samp: explicit (yh, yv) luma sampling override (e.g. (2, 1) for
+    4:2:2) — chroma always 1x1.
     perturb: the row-107 DC rule (+8 on Y blocks b%3==0).
     cswap: swap the Cb and Cr coefficient formulas (hue shift at
     IDENTICAL luma)."""
+    yh, yv = samp if samp else ((2, 2) if subsampled else (1, 1))
     Q = [1 + (z % 5) for z in range(64)]
     dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
     ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
@@ -945,20 +949,13 @@ def jpeg_bytes_color(seed, w, h, subsampled, perturb=False, cswap=False):
             put(code, ln)
         return coefs[0]
 
-    if subsampled:
-        mw, mh = (w + 15) // 16, (h + 15) // 16
-    else:
-        mw, mh = (w + 7) // 8, (h + 7) // 8
+    mw = (w + 8 * yh - 1) // (8 * yh)
+    mh = (h + 8 * yv - 1) // (8 * yv)
     predY = predCb = predCr = 0
     bY = 0
     for m in range(mw * mh):
         cb_comp, cr_comp = (2, 1) if cswap else (1, 2)
-        if subsampled:
-            for _ in range(4):      # four Y blocks per MCU, raster order
-                predY = put_block([jpeg_qc(seed, bY, z, perturb) for z in range(64)],
-                                  predY, dc_codes, ac_codes)
-                bY += 1
-        else:
+        for _ in range(yh * yv):    # luma blocks per MCU, raster order
             predY = put_block([jpeg_qc(seed, bY, z, perturb) for z in range(64)],
                               predY, dc_codes, ac_codes)
             bY += 1
@@ -976,7 +973,7 @@ def jpeg_bytes_color(seed, w, h, subsampled, perturb=False, cswap=False):
     def seg(marker, body):
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
-    yhv = 0x22 if subsampled else 0x11
+    yhv = (yh << 4) | yv
     bits_dc = [0] * 16
     bits_dc[3] = len(DC_SYMS)
     bits_ac = [0] * 16
@@ -1358,6 +1355,206 @@ def jpeg_bytes_progressive_color(seed, w, h):
             + b"\xFF\xD9")
 
 
+# rows 129/130/132: SAMPLED progressive (round 16 — the real-web
+# majority class). Same coefficient formulas as the baseline color rows
+# (jpeg_qc on the MCU-major Y block counter, jpeg_qc_chroma per MCU), so
+# a progressive re-encode of a baseline row is PIXEL-IDENTICAL across
+# layouts. Interleaved DC scans walk the padded MCU grid — right-edge
+# PADDING blocks (non-aligned width) carry the formula's coefficients
+# and advance the DC predictor exactly as the spec requires, and the
+# decoder must entropy-walk then DISCARD them; AC scans walk each
+# component's REAL block raster (ISO 10918-1 A.2). Scan script = the
+# grayscale progression's six modes, color-interleaved DC.
+
+
+def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False):
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
+    ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
+    dc2_codes = {sym: (i, 5) for i, sym in enumerate(DC_SYMS)}
+    ac2_codes = {sym: (i, 8) for i, sym in enumerate(AC_SYMS)}
+    mcusX = (w + 8 * yh - 1) // (8 * yh)
+    mcusY = (h + 8 * yv - 1) // (8 * yv)
+    cw, ch2 = (w + yh - 1) // yh, (h + yv - 1) // yv
+
+    def y_coef(row, col):
+        b = (((row // yv) * mcusX + col // yh) * (yh * yv)
+             + (row % yv) * yh + (col % yh))
+        return [jpeg_qc(seed, b, z, perturb) for z in range(64)]
+
+    def c_coef(comp, row, col):
+        m = row * mcusX + col
+        return [jpeg_qc_chroma(seed, comp, m, z) for z in range(64)]
+
+    # real-raster block lists for the non-interleaved AC scans
+    comps_real = [
+        [y_coef(r, c) for r in range((h + 7) // 8)
+         for c in range((w + 7) // 8)],
+        [c_coef(1, r, c) for r in range((ch2 + 7) // 8)
+         for c in range((cw + 7) // 8)],
+        [c_coef(2, r, c) for r in range((ch2 + 7) // 8)
+         for c in range((cw + 7) // 8)],
+    ]
+
+    acc = [0, 0]
+    out = bytearray()
+
+    def put(val, size):
+        for k in range(size - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> k) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0)
+                acc[0] = acc[1] = 0
+
+    def put_code(codes, sym):
+        code, ln = codes[sym]
+        put(code, ln)
+
+    def flush_scan():
+        if acc[1]:
+            pad = 8 - acc[1]
+            fin = (acc[0] << pad) | ((1 << pad) - 1)
+            out.append(fin)
+            if fin == 0xFF:
+                out.append(0)
+            acc[0] = acc[1] = 0
+        scan = bytes(out)
+        out.clear()
+        return scan
+
+    def dc_units():
+        """(comp, coefs) in interleaved stream order over the PADDED
+        MCU grid — includes right/bottom padding blocks."""
+        for my in range(mcusY):
+            for mx in range(mcusX):
+                for v in range(yv):
+                    for hh in range(yh):
+                        yield 0, y_coef(my * yv + v, mx * yh + hh)
+                yield 1, c_coef(1, my, mx)
+                yield 2, c_coef(2, my, mx)
+
+    def dc_first_interleaved(al):
+        preds = [0, 0, 0]
+        for c, coefs in dc_units():
+            v = coefs[0] >> al
+            diff = v - preds[c]
+            preds[c] = v
+            s = abs(diff).bit_length()
+            put_code(dc_codes if c == 0 else dc2_codes, s)
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return flush_scan()
+
+    def dc_refine_interleaved(al):
+        for _, coefs in dc_units():
+            put((coefs[0] >> al) & 1, 1)
+        return flush_scan()
+
+    def ac_first_blocks(c, ss, se, al):
+        codes = ac_codes if c == 0 else ac2_codes
+        for blk in comps_real[c]:
+            vals = []
+            for k in range(ss, se + 1):
+                a = abs(blk[k]) >> al
+                vals.append(a if blk[k] >= 0 else -a)
+            last = len(vals) - 1
+            while last >= 0 and vals[last] == 0:
+                last -= 1
+            k = 0
+            while k <= last:
+                run = 0
+                while vals[k] == 0:
+                    run += 1
+                    k += 1
+                while run >= 16:
+                    put_code(codes, 0xF0)
+                    run -= 16
+                v = vals[k]
+                s = abs(v).bit_length()
+                put_code(codes, (run << 4) | s)
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+            if last < len(vals) - 1:
+                put_code(codes, 0x00)
+        return flush_scan()
+
+    def ac_refine_blocks(c, ss, se, al):
+        codes = ac_codes if c == 0 else ac2_codes
+        for blk in comps_real[c]:
+            eob = ss - 1
+            for k in range(ss, se + 1):
+                if (abs(blk[k]) >> al) == 1:
+                    eob = k
+            r = 0
+            br = []
+            for k in range(ss, se + 1):
+                temp = abs(blk[k]) >> al
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    put_code(codes, 0xF0)
+                    r -= 16
+                    for b in br:
+                        put(b, 1)
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                put_code(codes, (r << 4) | 1)
+                put(1 if blk[k] > 0 else 0, 1)
+                for b in br:
+                    put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                put_code(codes, 0x00)
+                for b in br:
+                    put(b, 1)
+        return flush_scan()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(comps_sel, ss, se, ah, al):
+        body = bytes([len(comps_sel)])
+        for cid, sel in comps_sel:
+            body += bytes([cid, sel])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    bits_dc = [0] * 16
+    bits_dc[3] = len(DC_SYMS)
+    bits_ac = [0] * 16
+    bits_ac[6] = len(AC_SYMS)
+    bits_dc2 = [0] * 16
+    bits_dc2[4] = len(DC_SYMS)
+    bits_ac2 = [0] * 16
+    bits_ac2[7] = len(AC_SYMS)
+    yhv = (yh << 4) | yv
+    return (b"\xFF\xD8"
+            + seg(0xDB, bytes([0x00]) + bytes([1 + (z % 5) for z in range(64)])
+                  + bytes([0x01]) + bytes(QC))
+            + seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                  + bytes([3, 1, yhv, 0, 2, 0x11, 1, 3, 0x11, 1]))
+            + seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
+            + seg(0xC4, bytes([0x01]) + bytes(bits_dc2) + bytes(DC_SYMS))
+            + seg(0xC4, bytes([0x11]) + bytes(bits_ac2) + bytes(AC_SYMS))
+            + sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+            + dc_first_interleaved(1)
+            + sos([(1, 0x00)], 1, 63, 0, 1) + ac_first_blocks(0, 1, 63, 1)
+            + sos([(2, 0x11)], 1, 63, 0, 1) + ac_first_blocks(1, 1, 63, 1)
+            + sos([(3, 0x11)], 1, 63, 0, 1) + ac_first_blocks(2, 1, 63, 1)
+            + sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
+            + dc_refine_interleaved(0)
+            + sos([(1, 0x00)], 1, 63, 1, 0) + ac_refine_blocks(0, 1, 63, 0)
+            + sos([(2, 0x11)], 1, 63, 1, 0) + ac_refine_blocks(1, 1, 63, 0)
+            + sos([(3, 0x11)], 1, 63, 1, 0) + ac_refine_blocks(2, 1, 63, 0)
+            + b"\xFF\xD9")
+
+
 PROG_JPEG_ROWS = [
     (124, 124, 24, 16, False),  # unrelated progressive image
     (125, 105, 24, 16, False),  # progressive RE-ENCODE of 105: exact pixels
@@ -1396,6 +1593,40 @@ channelss.append(None)
 bitss.append(None)
 n_sampless.append(None)
 
+# rows 129-132: sampled progressive + 4:2:2 (round 16).
+#   129  progressive 4:2:0 RE-ENCODE of row 116 — exact cross-layout
+#        duplicate of the baseline 4:2:0 family (116/117)
+#   130  unrelated progressive 4:2:0 at NON-MCU-ALIGNED width (w=24,
+#        MCU grid 2x1: one right-edge padding column of Y blocks in the
+#        interleaved DC scans)
+#   131  baseline 4:2:2 (luma 2x1)
+#   132  progressive 4:2:2 re-encode of 131 — cross-layout duplicate
+SAMP_JPEG_ROWS = [
+    # (id, seed, w, h, yh, yv, progressive)
+    (129, 116, 32, 16, 2, 2, True),
+    (130, 130, 24, 16, 2, 2, True),
+    (131, 131, 32, 16, 2, 1, False),
+    (132, 131, 32, 16, 2, 1, True),
+]
+for i, seed, w, h, yh, yv, prog in SAMP_JPEG_ROWS:
+    if prog:
+        payload = jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv)
+    else:
+        payload = jpeg_bytes_color(seed, w, h, True, samp=(yh, yv))
+    ids.append(i)
+    mimes.append("image/jpeg")
+    payloads.append(payload)
+    widths.append(w)
+    heights.append(h)
+    n_bytes.append(len(payload))
+    checksums.append(sum(payload) % 9973)
+    n_frames.append(None)
+    fpss.append(None)
+    sample_rates.append(None)
+    channelss.append(None)
+    bitss.append(None)
+    n_sampless.append(None)
+
 # ---- round 14: pinned CHROMA-reconstruction expectations for the jpeg
 # rows — an INDEPENDENT Python implementation of the engine's pinned
 # integer pipeline (IDCT -> nearest upsample -> 16-bit fixed-point
@@ -1431,24 +1662,28 @@ def idct_pixel(coefs, Q, bx, by):
     return 0 if pix < 0 else 255 if pix > 255 else pix
 
 
-def y_plane(seed, w, h, sub, perturb):
+def y_plane_s(seed, w, h, yh, yv, perturb):
+    """Luma expectation for luma sampling (yh, yv): the MCU-major global
+    Y-block counter, yh*yv sub-blocks per MCU in raster order."""
+    mcu_w = (w + 8 * yh - 1) // (8 * yh)
     out = [[0] * w for _ in range(h)]
     for py in range(h):
         for px in range(w):
-            if sub:
-                b = (((py // 16) * ((w + 15) // 16) + (px // 16)) * 4
-                     + ((py % 16) // 8) * 2 + (px % 16) // 8)
-            else:
-                b = (py // 8) * ((w + 7) // 8) + (px // 8)
+            b = (((py // (8 * yv)) * mcu_w + px // (8 * yh)) * (yh * yv)
+                 + ((py % (8 * yv)) // 8) * yh + (px % (8 * yh)) // 8)
             coefs = [jpeg_qc(seed, b, z, perturb) for z in range(64)]
             out[py][px] = idct_pixel(coefs, QY64, px % 8, py % 8)
     return out
 
 
-def chroma_plane(seed, comp, w, h, sub):
-    sx = 2 if sub else 1
-    cw, ch2 = (w + sx - 1) // sx, (h + sx - 1) // sx
-    mcu_w = (w + 15) // 16 if sub else (w + 7) // 8
+def y_plane(seed, w, h, sub, perturb):
+    return y_plane_s(seed, w, h, 2 if sub else 1, 2 if sub else 1, perturb)
+
+
+def chroma_plane_s(seed, comp, w, h, yh, yv):
+    """Chroma expectation (always 1x1): one block per MCU, raster."""
+    cw, ch2 = (w + yh - 1) // yh, (h + yv - 1) // yv
+    mcu_w = (w + 8 * yh - 1) // (8 * yh)
     out = [[0] * cw for _ in range(ch2)]
     for cy in range(ch2):
         for cx in range(cw):
@@ -1458,11 +1693,18 @@ def chroma_plane(seed, comp, w, h, sub):
     return out
 
 
+def chroma_plane(seed, comp, w, h, sub):
+    s = 2 if sub else 1
+    return chroma_plane_s(seed, comp, w, h, s, s)
+
+
 def clamp8(v):
     return 0 if v < 0 else 255 if v > 255 else v
 
 
-def rgb_planes(yP, cbP, crP, w, h, sx):
+def rgb_planes(yP, cbP, crP, w, h, sx, sy=None):
+    if sy is None:
+        sy = sx
     r = [[0] * w for _ in range(h)]
     g = [[0] * w for _ in range(h)]
     b = [[0] * w for _ in range(h)]
@@ -1472,8 +1714,8 @@ def rgb_planes(yP, cbP, crP, w, h, sx):
             if cbP is None:
                 r[yy][x] = g[yy][x] = b[yy][x] = Y
             else:
-                cb = cbP[yy // sx][x // sx] - 128
-                cr = crP[yy // sx][x // sx] - 128
+                cb = cbP[yy // sy][x // sx] - 128
+                cr = crP[yy // sy][x // sx] - 128
                 r[yy][x] = clamp8(Y + ((91881 * cr + 32768) >> 16))
                 g[yy][x] = clamp8(Y - ((22554 * cb + 46802 * cr + 32768) >> 16))
                 b[yy][x] = clamp8(Y + ((116130 * cb + 32768) >> 16))
@@ -1517,6 +1759,20 @@ for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
     rp, gp, bp = rgb_planes(yp, cbp, crp, w, h, 2 if sub else 1)
     exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
                    *ahash64(rp, w, h), *ahash64(bp, w, h))
+
+# rows 129-132: the sampled progressive / 4:2:2 family — same formula
+# machinery at (yh, yv)
+for i, seed, w, h, yh, yv, prog in SAMP_JPEG_ROWS:
+    yp = y_plane_s(seed, w, h, yh, yv, False)
+    cbp = chroma_plane_s(seed, 1, w, h, yh, yv)
+    crp = chroma_plane_s(seed, 2, w, h, yh, yv)
+    rp, gp, bp = rgb_planes(yp, cbp, crp, w, h, yh, yv)
+    exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
+                   *ahash64(rp, w, h), *ahash64(bp, w, h))
+# the cross-layout duplicates must be PIXEL-identical to their baseline
+# twins: 129 == 116 (4:2:0), 132 == 131 (4:2:2)
+assert exp_cols[129] == exp_cols[116], "progressive 4:2:0 re-encode diverged"
+assert exp_cols[132] == exp_cols[131], "progressive 4:2:2 re-encode diverged"
 
 # engineered-exactness assertions for the hue-shift family: identical
 # luma, different color signature; the perturbed row stays color-close
