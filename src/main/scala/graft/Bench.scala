@@ -80,8 +80,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val failedSet = scala.collection.mutable.Set[String]()
+    val pinnedConfs = queryConfs(spark)
     for (pass <- 1 to reps) {
       for ((name, fn) <- names) {
+        // per-query session-conf pins (q153's AQE floor): set around the
+        // timed run only, previous values restored after — a pin must
+        // never leak into the next query's plan
+        val pins = pinnedConfs.getOrElse(name, Map.empty[String, String])
+        val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        pins.foreach { case (k, v) => spark.conf.set(k, v) }
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -90,6 +97,9 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failedSet += name
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
       }
       // queries that persist() intermediates (q42/q64/q74/q96/...) would
@@ -150,6 +160,25 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson)
     println(metricLine(results.map(r => (r._1, r._2, r._3, r._4)), reps, sfDir))
     spark.stop()
+  }
+
+  /** Per-query session-conf pins, applied around the timed run only
+    * (r15 verdict #1 — bench-regime protection). q153's candidate
+    * self-join EXPLODES its input ~deg-fold; in the sort-merge regime
+    * AQE sizes stage reads from INPUT bytes and re-coalesces the
+    * aggregate back to ~cores tasks that spill multi-GB sorter arrays —
+    * the 2× bimodal flip BENCH_r11-r15 recorded on unchanged code. The
+    * operator's own deployment law (LinkPredict scaladoc, measured at
+    * sf1 in SCALE_EVIDENCE §q153) is `shuffle.partitions` ≈
+    * |candidates|/8M with `coalescePartitions.minPartitionNum` floored
+    * beside it; at bench scale (sf0.1, 147M candidates → 18) the floor
+    * is the session parallelism, so pinning minPartitionNum = cores
+    * keeps AQE from ever merging below the fast regime's task count. */
+  def queryConfs(spark: SparkSession): Map[String, Map[String, String]] = {
+    val floor = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt).toString
+    Map("q153_link_predict" -> Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> floor))
   }
 
   /** Queries whose medians always ride the stdout metric line — one per

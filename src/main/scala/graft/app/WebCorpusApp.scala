@@ -39,6 +39,12 @@ import graft.sources.{AnnIndex, Sinks, TextIndex}
   *                         canonical targets) — what the next-cycle
   *                         frontier, crawl PageRank, and spam heuristics
   *                         read instead of page bytes
+  *  - `redirects`        — (src, dst): the crawl's REDIRECT MAP from
+  *                         every 3xx response (canonical both sides,
+  *                         one dst per src) — the frontier resolves
+  *                         link targets through its chains so a target
+  *                         that redirects into the corpus is never
+  *                         re-scheduled
   *  - `manifest`         — one row of per-stage counts: the handshake a
   *                         consumer validates before reading a shard
   *  - `ledger`           — applied-batch ledger (exactly-once appends
@@ -86,12 +92,14 @@ object WebCorpusApp {
 
   def build(spark: SparkSession, shardsPath: String, robotsPath: String,
             outDir: String, shardPred: Column = lit(true)): Unit = {
-    // sever after the WARC walk + charset decode: three output writes
-    // (corpus, rejects, paragraph state) consume the pipeline — without
-    // the cut each would re-walk the crawl bytes (the multi-consumer-
-    // recompute trap; same rationale as TextIndex.writeAll)
-    val pages = decodePages(
+    // sever after the WARC walk + charset decode: every output write
+    // (corpus, rejects, paragraph state, links, redirects) consumes the
+    // pipeline — without the cut each would re-walk the crawl bytes
+    // (the multi-consumer-recompute trap; same rationale as
+    // TextIndex.writeAll)
+    val recs = decodeRecs(
       Warc.readShards(spark, shardsPath).filter(shardPred).toDF()).sever()
+    val pages = pagesOf(recs)
     val nPages = pages.count()
     val staged = runPipeline(spark, pages, robotsPath,
       histParHashes = None, corpusFps = None, crawledCanonical = None)
@@ -103,6 +111,7 @@ object WebCorpusApp {
     Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects")
     Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes")
     Sinks.overwriteSwap(linksOf(pages), s"$outDir/links")
+    Sinks.overwriteSwap(redirectsOf(recs), s"$outDir/redirects")
     refresh(spark, outDir)
     writeLedger(spark, outDir, Map("__init" -> nPages))
     auditDerived(spark, outDir)
@@ -149,11 +158,14 @@ object WebCorpusApp {
     val committed = applied.keySet.map(Sinks.tagOf)
     appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
     refresh(spark, outDir)
-    val pages = decodePages(shards).sever() // the build's recompute cut
+    val recs = decodeRecs(shards).sever() // the build's recompute cut
+    val pages = pagesOf(recs)
     val nPages = pages.count()
-    // an empty batch (zero decodable pages — e.g. a zero-data streaming
+    // an empty batch (zero decodable PAGES — e.g. a zero-data streaming
     // micro-batch) must leave NO trace, not an empty ledger entry:
-    // re-delivery recomputes the same no-op, so idempotence holds
+    // re-delivery recomputes the same no-op, so idempotence holds.
+    // Pinned consequence: a batch of ONLY 3xx records also no-ops (its
+    // redirects re-arrive with whatever batch carries real pages).
     if (nPages == 0) return
     val written = spark.read.parquet(s"$outDir/corpus")
     val maxPos = written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
@@ -176,6 +188,7 @@ object WebCorpusApp {
     Sinks.appendTagged(rejects, s"$outDir/rejects", batchId)
     Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId)
     Sinks.appendTagged(linksOf(pages).sever(), s"$outDir/links", batchId)
+    Sinks.appendTagged(redirectsOf(recs), s"$outDir/redirects", batchId)
     refresh(spark, outDir)
     failpoint("table_append")
     // index maintenance BEFORE the commit (a crash here must revoke the
@@ -221,8 +234,8 @@ object WebCorpusApp {
   /** Every table an append contributes tagged files to (purge targets —
     * the index roots are walked recursively, partition dirs included). */
   private val appendedTables = Seq("corpus", "rejects", "paragraph_hashes",
-    "links", "embeddings", "text_index/postings", "text_index/lexicon",
-    "text_index/stats", "ann_index/postings")
+    "links", "redirects", "embeddings", "text_index/postings",
+    "text_index/lexicon", "text_index/stats", "ann_index/postings")
 
   /** Test-only crash injection: when set, [[appendBatch]] throws after
     * the named step ("table_append" | "index_append") — BEFORE its
@@ -269,14 +282,47 @@ object WebCorpusApp {
   private case class Staged(survivors: DataFrame, rejects: DataFrame,
                             parHashes: DataFrame)
 
-  /** HTTP-200 responses, charset-decoded: (url, charset, html). */
-  private def decodePages(shards: DataFrame): DataFrame = {
+  /** ONE WARC walk feeding BOTH decode consumers (r15 verdict #3): the
+    * status-200 pages charset-decoded AND the 3xx redirect rows with
+    * their Location header — (url, http_status, http_location, charset,
+    * html). Harvesting redirects in the page walk costs nothing extra
+    * (the walk already parses every response record); a separate 3xx
+    * pass would re-read the raw crawl bytes end to end. Callers sever
+    * THIS frame once, then [[pagesOf]]/[[redirectsOf]] are narrow
+    * post-cut projections. */
+  private def decodeRecs(shards: DataFrame): DataFrame = {
     import shards.sparkSession.implicits._
-    Warc.decodedResponses(
-        shards.as[graft.operators.WarcShard], status = Some(200))
-      .filter(col("url") =!= "")
-      .select(col("url"), col("charset"), col("text").as("html"))
+    Warc.responses(shards.as[graft.operators.WarcShard], status = None)
+      .map { r =>
+        val st = r.http_status.getOrElse(-1)
+        val (cs, text) =
+          if (st == 200)
+            Warc.decodeBody(r.body.getOrElse(Array.emptyByteArray),
+              r.http_content_type)
+          else ("", "") // 3xx/4xx bodies never enter the corpus
+        (r.target_uri.getOrElse(""), st, r.http_location.getOrElse(""),
+          cs, text)
+      }
+      .toDF("url", "http_status", "http_location", "charset", "html")
   }
+
+  /** HTTP-200 responses of a decoded walk: (url, charset, html). */
+  private def pagesOf(recs: DataFrame): DataFrame =
+    recs.filter(col("http_status") === 200 && col("url") =!= "")
+      .select(col("url"), col("charset"), col("html"))
+
+  /** The crawl's REDIRECT MAP from one decoded walk — (src, dst), both
+    * canonical, functionalized to one dst per src (min — the
+    * [[Url.resolveChains]] contract): what the next-cycle frontier
+    * resolves link targets through so a target that 301-chains into the
+    * already-fetched corpus is never re-scheduled. 3xx statuses only;
+    * a 3xx without a Location is unusable and dropped. */
+  private def redirectsOf(recs: DataFrame): DataFrame =
+    recs.filter(col("http_status").isin(301, 302, 303, 307, 308) &&
+        col("url") =!= "" && col("http_location") =!= "")
+      .select(Url.canonicalize(col("url")).as("src"),
+        Url.canonicalize(col("http_location")).as("dst"))
+      .groupBy("src").agg(min(col("dst")).as("dst"))
 
   /** The full clean over one page set. History gates (`Some(...)`) turn
     * the same pipeline into the append path; `None`s make it the build.
@@ -463,7 +509,8 @@ object WebCorpusApp {
     val committed = ledger(spark, outDir).keySet.map(Sinks.tagOf)
     appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
     refresh(spark, outDir)
-    Seq("corpus", "rejects", "paragraph_hashes", "links", "embeddings")
+    Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects",
+        "embeddings")
       .filter(t => Sinks.exists(spark, s"$outDir/$t"))
       .foreach { t =>
         Sinks.compact(spark, s"$outDir/$t", targetRowsPerFile)
@@ -480,40 +527,89 @@ object WebCorpusApp {
     auditDerived(spark, outDir)
   }
 
+  /** Per-registrable-domain frontier budget (r15 verdict #4): a
+    * mega-host with millions of undiscovered urls must not put its
+    * whole candidate set through one scheduler window — real crawlers
+    * cap per-site frontier size before wave assignment. Far above every
+    * fixture frontier (the cap is the 100-TB guard, not a fixture
+    * behavior change); production tunes it per crawl budget. */
+  val FrontierDomainCap = 10000
+
   /** The NEXT-CRAWL FRONTIER from written state alone (r15 — closes the
-    * crawl loop): distinct canonical link targets minus every
-    * already-fetched canonical url (corpus ∪ rejects — by the
-    * accounting invariant that IS the decoded page set), through the
-    * robots longest-match verdict, scheduled per host under the
-    * declared Crawl-delay (fetch k of a host at wave k·max(1,d)).
-    * Output: (canonical_url, host, crawl_delay, wave). Zero page bytes
-    * touched — the links artifact + two key columns + broadcast-sized
-    * robots tables; the one window is keyed on the host. */
-  def frontier(spark: SparkSession, outDir: String,
-               robotsPath: String): DataFrame = {
+    * crawl loop; r16 — production-honest): distinct canonical link
+    * targets resolved through the written REDIRECT MAP to their chain
+    * TERMINAL ([[Url.resolveChains]] — a target that 301-chains into
+    * the already-fetched corpus is never re-scheduled, and what gets
+    * scheduled is the terminal the fetch would land on; redirect loops
+    * drop), minus every already-fetched canonical url (corpus ∪ rejects
+    * — by the accounting invariant that IS the decoded page set),
+    * through the robots longest-match verdict, scheduled per
+    * REGISTRABLE DOMAIN (the politeness key q331/q339 use — same-domain
+    * hosts share one budget) under the declared Crawl-delay (fetch k of
+    * a domain at wave k·max(1,d)), capped at `maxPerDomain` candidates
+    * per domain (FIFO by canonical url). Output: (canonical_url, host,
+    * registered_domain, crawl_delay, wave). Zero page bytes touched —
+    * the links + redirects artifacts, key columns, and broadcast-sized
+    * robots/PSL tables; the scheduler window is bounded by the
+    * two-phase cap. */
+  def frontier(spark: SparkSession, outDir: String, robotsPath: String,
+               psl: Option[DataFrame] = None,
+               maxPerDomain: Int = FrontierDomainCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    frontierCandidates(spark, outDir, robotsPath)
+    val cands = frontierCandidates(spark, outDir, robotsPath, psl)
+    // two-phase per-domain top-N: phase 1 keeps N per (domain, salt) so
+    // the final window reads at most N·64 rows per domain — one
+    // mega-domain never funnels its whole candidate set through a
+    // single window task
+    val phase1 = cands
+      .withColumn("__salt", pmod(xxhash64(col("canonical_url")), lit(64)))
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy(col("registered_domain"), col("__salt"))
+          .orderBy("canonical_url")))
+      .filter(col("__r1") <= maxPerDomain)
+      .drop("__salt", "__r1")
+    phase1
       .withColumn("rn", row_number().over(
-        Window.partitionBy("host").orderBy("canonical_url")))
-      .select(col("canonical_url"), col("host"), col("crawl_delay"),
+        Window.partitionBy("registered_domain").orderBy("canonical_url")))
+      .filter(col("rn") <= maxPerDomain)
+      .select(col("canonical_url"), col("host"), col("registered_domain"),
+        col("crawl_delay"),
         ((col("rn") - 1).cast("long") *
           greatest(col("crawl_delay"), lit(1L))).as("wave"))
   }
 
   /** [[frontier]]'s gated candidate set BEFORE wave assignment —
-    * (canonical_url, host, crawl_delay): link targets minus fetched,
-    * robots-allowed, per-host delay attached. Exposed so schedulers can
-    * pick their own within-host order (FIFO in [[frontier]]; harvest
-    * rank in the q343 composition). */
+    * (canonical_url, host, registered_domain, crawl_delay): link
+    * targets redirect-resolved to terminals, minus fetched,
+    * robots-allowed, per-domain delay attached. Exposed so schedulers
+    * can pick their own within-domain order (FIFO in [[frontier]];
+    * harvest rank in the q343 composition).
+    *
+    * `psl`: the public-suffix table for [[Url.withRegisteredDomain]];
+    * None falls back to the pinned-constant [[Url.registeredDomain]]
+    * rule. The Crawl-delay politeness key is the registrable domain on
+    * BOTH sides: robots sites map through the same rule and a domain's
+    * delay is the MAX over its sites (conservative — the q339
+    * convention). */
   def frontierCandidates(spark: SparkSession, outDir: String,
-                         robotsPath: String): DataFrame = {
+                         robotsPath: String,
+                         psl: Option[DataFrame] = None): DataFrame = {
     val links = readCommitted(spark, outDir, "links")
     val crawled = readCommitted(spark, outDir, "corpus")
       .select(col("canonical_url"))
       .unionByName(readCommitted(spark, outDir, "rejects")
         .select(Url.canonicalize(col("url")).as("canonical_url")))
       .distinct()
-    val cands = links.select(col("dst_canonical").as("canonical_url")).distinct()
+    // resolve each target through the written redirect map: fetch the
+    // chain TERMINAL (self when no redirect edge), drop loops
+    // (unterminated — fetching any loop member is wasted budget)
+    val chains = Url.resolveChains(
+      readCommitted(spark, outDir, "redirects"), "src", "dst", maxHops = 4)
+    val cands = links.select(col("dst_canonical").as("__target")).distinct()
+      .join(chains, col("__target") === col("url"), "left")
+      .filter(col("unterminated").isNull || !col("unterminated"))
+      .select(coalesce(col("terminal_url"), col("__target")).as("canonical_url"))
+      .distinct()
       .join(crawled, Seq("canonical_url"), "left_anti")
       .withColumn("host", Url.host(col("canonical_url")))
       .withColumn("path", Url.normPath(col("canonical_url")))
@@ -521,11 +617,19 @@ object WebCorpusApp {
         Robots.rules(Robots.readRobots(spark, robotsPath), Agent),
         keyCol = "canonical_url")
       .filter(col("allowed"))
-    val delays = Robots.crawlDelays(Robots.readRobots(spark, robotsPath), Agent)
-    gated.join(broadcast(delays), col("host") === col("site"), "left")
+    def domained(df: DataFrame, hostCol: String): DataFrame = psl.fold(
+      df.withColumn("registered_domain", Url.registeredDomain(col(hostCol))))(
+      p => Url.withRegisteredDomain(df, hostCol, p))
+    val delays = domained(
+        Robots.crawlDelays(Robots.readRobots(spark, robotsPath), Agent), "site")
+      .groupBy(col("registered_domain").as("__dly_domain"))
+      .agg(max(col("crawl_delay")).as("crawl_delay"))
+    domained(gated, "host")
+      .join(broadcast(delays),
+        col("registered_domain") === col("__dly_domain"), "left")
       .withColumn("crawl_delay",
         coalesce(col("crawl_delay"), lit(1)).cast("long"))
-      .select("canonical_url", "host", "crawl_delay")
+      .select("canonical_url", "host", "registered_domain", "crawl_delay")
   }
 
   /** COMMITTED read of an appended table (r14 advice): the shipped read
@@ -559,7 +663,7 @@ object WebCorpusApp {
   }
 
   private def refresh(spark: SparkSession, outDir: String): Unit =
-    Seq("corpus", "rejects", "paragraph_hashes", "links")
+    Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects")
       .foreach(t => spark.catalog.refreshByPath(s"$outDir/$t"))
 
   /** Manifest recomputed from the WRITTEN tables (write damage surfaces

@@ -542,8 +542,12 @@ object Warc {
     *     the bomb cap; `deflate` → zlib-wrapped first, raw-deflate
     *     fallback (the dual browsers accept). Failure yields a None
     *     body (the record stays classified, its bytes unusable);
-    *     unknown codings (br, zstd — codecs this engine does not carry)
-    *     keep the RAW bytes as a documented subset. */
+    *     KNOWN-COMPRESSED codings this engine carries no codec for
+    *     (br, zstd, compress — r15 advice) yield a None body exactly
+    *     like a failed gzip: compressed bytes must never reach the
+    *     charset ladder, where they would decode as mojibake and poison
+    *     extraction/dedup downstream. Genuinely unknown/identity
+    *     codings keep the raw bytes. */
   private def parseHttp(b: Array[Byte], start: Int, len: Int):
       (Option[Int], Option[String], Option[String], Option[Array[Byte]]) = {
     val end = start + len
@@ -580,7 +584,10 @@ object Warc {
     val body = hs.get("content-encoding").map(_.trim.toLowerCase) match {
       case Some("gzip") | Some("x-gzip") => gunzipAll(framed)
       case Some("deflate")               => inflateDeflate(framed)
-      case _                             => Some(framed)
+      // known-compressed, no codec carried: None, never mojibake
+      case Some("br") | Some("zstd") | Some("compress") | Some("x-compress") =>
+        None
+      case _ => Some(framed)
     }
     (st, hs.get("content-type"), loc, body)
   }

@@ -857,7 +857,9 @@ object LlmQueries {
     * inflate, `deflate` in BOTH the zlib-wrapped and raw forms, the two
     * COMPOSED (gzip inside chunks), malformed chunk framing falling
     * back to the raw remainder, a truncated gzip body yielding the
-    * empty text (None body), and chunked+legacy-charset showing the
+    * empty text (None body), br/zstd/compress bodies yielding the empty
+    * text too (known-compressed, no codec carried — never mojibake into
+    * the ladder; r15 advice), and chunked+legacy-charset showing the
     * framing runs BEFORE the charset ladder. PACK-AND-RECOVER with a
     * STORED expectation (the q312 convention): the fixture keeps the
     * expected text per url, written independently of the engine. */
@@ -2416,8 +2418,11 @@ object LlmQueries {
        |         -- 125/126: PROGRESSIVE re-encodes of the 105 family —
        |         -- same coefficient formulas, SOF2 serialization
        |         WHEN media_id IN (106, 107, 125, 126) THEN 105
-       |         WHEN media_id = 117 THEN 116
+       |         -- 129: progressive 4:2:0 re-encode of 116 (r16)
+       |         WHEN media_id IN (117, 129) THEN 116
        |         WHEN media_id IN (121, 122) THEN 120
+       |         -- 132: progressive 4:2:2 re-encode of the baseline 131
+       |         WHEN media_id = 132 THEN 131
        |         ELSE media_id END AS seed
        |  FROM read_parquet('$media')
        |  WHERE mime IN ('image/gif', 'image/bmp')
@@ -2467,10 +2472,16 @@ object LlmQueries {
        |    * kt[zzu[zt.z+1]*8 + bx + 1] * kt[zzv[zt.z+1]*8 + by + 1] AS term
        |  FROM (SELECT media_id, w, h, k, seed,
        |          -- grayscale/4:4:4: raster block order; 4:2:0 rows
-       |          -- (116-118): MCU-major Y-block order, 4 per 16×16 MCU
-       |          CASE WHEN media_id IN (116, 117, 118, 120, 121, 122, 123)
+       |          -- (116-118, progressive 129/130): MCU-major Y-block
+       |          -- order, 4 per 16×16 MCU; 4:2:2 rows (131/132):
+       |          -- 2 per 16×8 MCU (r16)
+       |          CASE WHEN media_id IN (116, 117, 118, 120, 121, 122, 123,
+       |                                 129, 130)
        |            THEN ((py // 16) * ((w + 15) // 16) + (px // 16)) * 4
        |                 + ((py % 16) // 8) * 2 + (px % 16) // 8
+       |          WHEN media_id IN (131, 132)
+       |            THEN ((py // 8) * ((w + 15) // 16) + (px // 16)) * 2
+       |                 + (px % 16) // 8
        |            ELSE (py // 8) * ((w + 7) // 8) + (px // 8) END AS b,
        |          px % 8 AS bx, py % 8 AS by
        |        FROM grid WHERE mime = 'image/jpeg') jb,
@@ -3548,9 +3559,15 @@ object LlmQueries {
     // canonical form is the STATED intent per q300 rule class
     "q332_redirect_map" ->
       s"""SELECT url,
-         |  'HTTPS://EXAMPLE.com:443/doc' || doc_id ||
-         |    '/moved?utm_source=crawl&b=2&a=1#frag' AS location,
-         |  'https://example.com/doc' || doc_id || '/moved?a=1&b=2' AS canonical_target
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN 'HTTPS://EXAMPLE.com:443/doc' || (doc_id - 1) ||
+         |         '?utm_source=crawl#frag'
+         |    ELSE 'HTTPS://EXAMPLE.com:443/doc' || doc_id ||
+         |         '/moved?utm_source=crawl&b=2&a=1#frag' END AS location,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN 'https://example.com/doc' || (doc_id - 1)
+         |    ELSE 'https://example.com/doc' || doc_id || '/moved?a=1&b=2'
+         |  END AS canonical_target
          |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21""".stripMargin,
     // the q307 frontier + the STORED per-site delay expectation, the
     // same FIFO window and k*max(1,d) wave formula
@@ -3574,8 +3591,12 @@ object LlmQueries {
     // example.com rule set, wildcard patterns via the shared conversion)
     "q333_redirect_frontier" ->
       s"""WITH t AS (SELECT DISTINCT doc_id,
-         |    'https://example.com/doc' || doc_id || '/moved?a=1&b=2' AS cu,
-         |    '/doc' || doc_id || '/moved' AS path
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN 'https://example.com/doc' || (doc_id - 1)
+         |      ELSE 'https://example.com/doc' || doc_id || '/moved?a=1&b=2'
+         |    END AS cu,
+         |    CASE WHEN doc_id % 2 = 0 THEN '/doc' || (doc_id - 1)
+         |         ELSE '/doc' || doc_id || '/moved' END AS path
          |  FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21),
          |r AS (SELECT site, exp_allow[i.i] AS allow, exp_path[i.i] AS rule_path
          |      FROM read_parquet('$robotsFx'),

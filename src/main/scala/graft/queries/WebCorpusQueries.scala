@@ -29,6 +29,7 @@ object WebCorpusQueries {
   private val htmlDocs = "/root/repo/fixtures/html_docs.parquet"
   private val warcShards = "/root/repo/fixtures/warc_shards.parquet"
   private val robotsFx = "/root/repo/fixtures/robots.parquet"
+  private val pslFx = "/root/repo/fixtures/psl.parquet"
   private val Doc0Url = "https://example.com/doc0"
 
   // ------------------------------------------------------ materialization
@@ -65,8 +66,9 @@ object WebCorpusQueries {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally stream.close()
     // the copy is a NEW table lineage for Spark: drop cached listings
-    Seq("corpus", "rejects", "paragraph_hashes", "links", "embeddings",
-      "ledger", "manifest").foreach(t => s.catalog.refreshByPath(s"$dst/$t"))
+    Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects",
+      "embeddings", "ledger", "manifest")
+      .foreach(t => s.catalog.refreshByPath(s"$dst/$t"))
   }
 
   /** Build once per JVM over ALL shards. */
@@ -292,19 +294,25 @@ object WebCorpusQueries {
     WebCorpusApp.readCommitted(s, built(s), "links")
 
   /** q341: the NEXT-CRAWL FRONTIER — the query that CLOSES THE CRAWL
-    * LOOP over written state alone: distinct canonical link targets,
-    * minus every already-fetched canonical url (corpus ∪ rejects — the
-    * accounting invariant says that is exactly the decoded page set),
-    * through the robots longest-match verdict, scheduled per host under
-    * the declared Crawl-delay (the q339 wave rule — example.com's
-    * delay-2 spaces its waves observably). Zero page bytes touched:
-    * links + corpus-keys + rejects-keys + two broadcast-sized robots
-    * tables. The already-crawled subtraction is structurally exercised
-    * here (no fixture page links to a fetched url) and OBSERVED in
+    * LOOP over written state alone: distinct canonical link targets
+    * resolved through the written REDIRECT MAP to their chain terminals
+    * (r16 — the fixture's /doc74 target 301-chains to the FETCHED
+    * /doc73 and must vanish; /doc21 chains to the never-fetched
+    * /doc21/moved and is scheduled as that terminal), minus every
+    * already-fetched canonical url (corpus ∪ rejects — the accounting
+    * invariant says that is exactly the decoded page set), through the
+    * robots longest-match verdict, scheduled per REGISTRABLE DOMAIN
+    * (PSL longest-match — the q331 politeness key) under the declared
+    * Crawl-delay (the q339 wave rule — example.com's delay-2 spaces its
+    * waves observably), capped per domain (the cap is the 100-TB
+    * guard; fixture frontiers sit far below it). Zero page bytes
+    * touched: links + redirects + corpus-keys + rejects-keys +
+    * broadcast-sized robots/PSL tables. The gate is also OBSERVED in
     * WebCorpusAppSpec's loop-closure leg on a synthetic crawl whose
     * pages link to each other. */
   def q341WebcorpusFrontier(s: SparkSession, dir: String): DataFrame =
-    WebCorpusApp.frontier(s, built(s), robotsFx)
+    WebCorpusApp.frontier(s, built(s), robotsFx,
+      psl = Some(s.read.parquet(pslFx)))
 
   @volatile private var maintainedInc = false
 
@@ -340,11 +348,15 @@ object WebCorpusQueries {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val ranks = graft.operators.PageRank.ranks(s, nodes, edges, iters = 3)
-    WebCorpusApp.frontierCandidates(s, out, robotsFx)
+    // candidates are redirect-resolved TERMINALS (r16): a terminal that
+    // never appeared as a link target carries the dangling base rank 0
+    WebCorpusApp.frontierCandidates(s, out, robotsFx,
+        psl = Some(s.read.parquet(pslFx)))
       .join(ranks, col("canonical_url") === col("node"), "left")
       .withColumn("rank", coalesce(col("rank"), lit(0L)))
-      .withColumn("rn", row_number().over(Window.partitionBy("host")
-        .orderBy(col("rank").desc, col("canonical_url"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("registered_domain")
+          .orderBy(col("rank").desc, col("canonical_url"))))
       .select(col("canonical_url"), col("host"), col("rank"),
         ((col("rn") - 1).cast("long") *
           greatest(col("crawl_delay"), lit(1L))).as("wave"))
@@ -532,44 +544,107 @@ object WebCorpusQueries {
        |          ${graft.operators.Html.resolveHrefSqlFor("url", "href")} AS dst
        |        FROM llk)""".stripMargin
 
+  /** Redirect-map replay + the bounded 4-hop terminal resolution + the
+    * fetched gate (r16 — mirrors [[WebCorpusApp.frontierCandidates]]):
+    * the map from the warc fixture's 301 formula (even sources chain to
+    * the fetched previous doc, odd to the never-fetched /moved),
+    * functionalized min(dst) per src, four coalescing hop lookups, loop
+    * members dropped (terminal still has an outgoing edge), then minus
+    * the decoded page set. Ends at `fr`: the resolved candidate urls.
+    * Requires `lrr`/`lpages` from [[linksCtes]] upstream. */
+  private val chainCtes: String =
+    s"""rmap AS (SELECT 'https://example.com/doc' || doc_id AS src,
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN 'https://example.com/doc' || (doc_id - 1)
+       |      ELSE 'https://example.com/doc' || doc_id || '/moved?a=1&b=2'
+       |    END AS dst
+       |  FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21),
+       |rm AS (SELECT src, min(dst) AS dst FROM rmap GROUP BY src),
+       |cand0 AS (SELECT DISTINCT dst AS cu FROM lrr WHERE dst IS NOT NULL),
+       |ch1 AS (SELECT c.cu, coalesce(m.dst, c.cu) AS t
+       |        FROM cand0 c LEFT JOIN rm m ON c.cu = m.src),
+       |ch2 AS (SELECT cu, coalesce(m.dst, t) AS t
+       |        FROM ch1 LEFT JOIN rm m ON ch1.t = m.src),
+       |ch3 AS (SELECT cu, coalesce(m.dst, t) AS t
+       |        FROM ch2 LEFT JOIN rm m ON ch2.t = m.src),
+       |ch4 AS (SELECT cu, coalesce(m.dst, t) AS t
+       |        FROM ch3 LEFT JOIN rm m ON ch3.t = m.src),
+       |res AS (SELECT DISTINCT t AS cu FROM ch4
+       |        WHERE t NOT IN (SELECT src FROM rm)),
+       |crawled AS (SELECT DISTINCT url FROM lpages),
+       |fr AS (SELECT cu FROM res WHERE cu NOT IN (SELECT url FROM crawled))""".stripMargin
+
+  /** PSL longest-match registrable domain over a host-keyed CTE (the
+    * q331 machinery, prefix-parameterized so one oracle can map both
+    * the candidate hosts and the Crawl-delay sites): listed suffix of k
+    * labels → one label + the suffix; unlisted → last two labels. Ends
+    * at `${"$"}{p}rd`: (host, registered_domain). */
+  private def rdCtesFor(p: String, srcCte: String, hostCol: String): String =
+    s"""${p}lab AS (SELECT $hostCol AS host, string_split($hostCol, '.') AS ls
+       |        FROM (SELECT DISTINCT $hostCol FROM $srcCte)),
+       |${p}cnd AS (SELECT host, g.k AS k,
+       |          array_to_string(ls[len(ls) - g.k + 1 : len(ls)], '.') AS suffix
+       |        FROM ${p}lab,
+       |          LATERAL (SELECT unnest(generate_series(1, least(4, len(ls)))) AS k) g),
+       |${p}hit AS (SELECT c.host, max(c.k) AS bestk
+       |        FROM ${p}cnd c JOIN read_parquet('$pslFx') s USING (suffix)
+       |        GROUP BY c.host),
+       |${p}rd AS (SELECT l.host,
+       |         array_to_string(
+       |           l.ls[len(l.ls) - least(len(l.ls), coalesce(t.bestk + 1, 2)) + 1 : len(l.ls)],
+       |           '.') AS registered_domain
+       |       FROM ${p}lab l LEFT JOIN ${p}hit t USING (host))""".stripMargin
+
+  /** Robots longest-match gate over `fr` + the PSL domain + the
+    * domain-MAX Crawl-delay — shared tail of the two frontier oracles.
+    * Ends at `j`: (cu, host, registered_domain, crawl_delay). */
+  private val frontierGateCtes: String =
+    s"""hp AS (SELECT cu,
+       |         regexp_extract(cu, '^https?://(?:[^@/]*@)?([^:/?#]+)', 1) AS host,
+       |         CASE WHEN regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1) = ''
+       |              THEN '/' ELSE regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1)
+       |         END AS path
+       |       FROM fr),
+       |rbs AS (SELECT f.cu, f.host, rr.allow, rr.rule_path,
+       |          row_number() OVER (PARTITION BY f.cu
+       |            ORDER BY len(rr.rule_path) DESC NULLS LAST,
+       |                     rr.allow DESC NULLS LAST,
+       |                     rr.rule_path DESC NULLS LAST) AS rn
+       |        FROM hp f LEFT JOIN rrules rr
+       |          ON f.host = rr.site
+       |         AND regexp_matches(f.path, ${Robots.patternRegexSqlFor("rr.rule_path")})),
+       |alw AS (SELECT cu, host FROM rbs WHERE rn = 1 AND coalesce(allow, TRUE)),
+       |${rdCtesFor("h", "alw", "host")},
+       |dly AS (SELECT site, exp_crawl_delay FROM read_parquet('$robotsFx')
+       |        WHERE exp_crawl_delay IS NOT NULL),
+       |${rdCtesFor("d", "dly", "site")},
+       |dmax AS (SELECT r.registered_domain,
+       |           CAST(max(d.exp_crawl_delay) AS BIGINT) AS crawl_delay
+       |         FROM dly d JOIN drd r ON d.site = r.host GROUP BY 1),
+       |j AS (SELECT a.cu, a.host, hrd.registered_domain,
+       |        CAST(coalesce(m.crawl_delay, 1) AS BIGINT) AS crawl_delay
+       |      FROM alw a
+       |        JOIN hrd ON a.host = hrd.host
+       |        LEFT JOIN dmax m
+       |          ON hrd.registered_domain = m.registered_domain)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the written artifact vs the replayed extraction+resolution chain
     "q340_webcorpus_links" ->
       s"""WITH $linksCtes
          |SELECT url, dst AS dst_canonical, CAST(count(*) AS BIGINT) AS w
          |FROM lrr WHERE dst IS NOT NULL GROUP BY 1, 2""".stripMargin,
-    // link targets minus every decoded page url (corpus ∪ rejects = the
-    // decoded set, and page urls are canonical on this fixture), then
-    // the robots longest-match + the crawl-delay wave rule — all from
-    // the stored robots expectations
+    // link targets redirect-resolved to terminals (r16), minus every
+    // decoded page url (corpus ∪ rejects = the decoded set, and page
+    // urls are canonical on this fixture), then the robots
+    // longest-match + the PSL domain + the crawl-delay wave rule
     "q341_webcorpus_frontier" ->
       s"""WITH $linksCtes,
          |$rulesCte,
-         |cand AS (SELECT DISTINCT dst AS cu FROM lrr WHERE dst IS NOT NULL),
-         |crawled AS (SELECT DISTINCT url FROM lpages),
-         |fr AS (SELECT cu FROM cand WHERE cu NOT IN (SELECT url FROM crawled)),
-         |hp AS (SELECT cu,
-         |         regexp_extract(cu, '^https?://(?:[^@/]*@)?([^:/?#]+)', 1) AS host,
-         |         CASE WHEN regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1) = ''
-         |              THEN '/' ELSE regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1)
-         |         END AS path
-         |       FROM fr),
-         |rbs AS (SELECT f.cu, f.host, rr.allow, rr.rule_path,
-         |          row_number() OVER (PARTITION BY f.cu
-         |            ORDER BY len(rr.rule_path) DESC NULLS LAST,
-         |                     rr.allow DESC NULLS LAST,
-         |                     rr.rule_path DESC NULLS LAST) AS rn
-         |        FROM hp f LEFT JOIN rrules rr
-         |          ON f.host = rr.site
-         |         AND regexp_matches(f.path, ${Robots.patternRegexSqlFor("rr.rule_path")})),
-         |alw AS (SELECT cu, host FROM rbs WHERE rn = 1 AND coalesce(allow, TRUE)),
-         |dly AS (SELECT site, exp_crawl_delay FROM read_parquet('$robotsFx')
-         |        WHERE exp_crawl_delay IS NOT NULL),
-         |j AS (SELECT a.cu, a.host,
-         |        CAST(coalesce(d.exp_crawl_delay, 1) AS BIGINT) AS crawl_delay
-         |      FROM alw a LEFT JOIN dly d ON a.host = d.site)
-         |SELECT cu AS canonical_url, host, crawl_delay,
-         |  CAST((row_number() OVER (PARTITION BY host ORDER BY cu) - 1)
+         |$chainCtes,
+         |$frontierGateCtes
+         |SELECT cu AS canonical_url, host, registered_domain, crawl_delay,
+         |  CAST((row_number() OVER (PARTITION BY registered_domain ORDER BY cu) - 1)
          |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
          |FROM j""".stripMargin,
     "q313_webcorpus" ->
@@ -660,36 +735,15 @@ object WebCorpusQueries {
          |${iterCte("r0", "r1")},
          |${iterCte("r1", "r2")},
          |${iterCte("r2", "r3")},
-         |cand AS (SELECT DISTINCT dst AS cu FROM lrr WHERE dst IS NOT NULL),
-         |crawled AS (SELECT DISTINCT url FROM lpages),
-         |fr AS (SELECT cu FROM cand WHERE cu NOT IN (SELECT url FROM crawled)),
-         |hp AS (SELECT cu,
-         |         regexp_extract(cu, '^https?://(?:[^@/]*@)?([^:/?#]+)', 1) AS host,
-         |         CASE WHEN regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1) = ''
-         |              THEN '/' ELSE regexp_extract(cu, '^https?://[^/?#]+([^?#]*)', 1)
-         |         END AS path
-         |       FROM fr),
-         |rbs AS (SELECT f.cu, f.host, rr.allow, rr.rule_path,
-         |          row_number() OVER (PARTITION BY f.cu
-         |            ORDER BY len(rr.rule_path) DESC NULLS LAST,
-         |                     rr.allow DESC NULLS LAST,
-         |                     rr.rule_path DESC NULLS LAST) AS rn
-         |        FROM hp f LEFT JOIN rrules rr
-         |          ON f.host = rr.site
-         |         AND regexp_matches(f.path, ${Robots.patternRegexSqlFor("rr.rule_path")})),
-         |alw AS (SELECT cu, host FROM rbs WHERE rn = 1 AND coalesce(allow, TRUE)),
-         |dly AS (SELECT site, exp_crawl_delay FROM read_parquet('$robotsFx')
-         |        WHERE exp_crawl_delay IS NOT NULL),
-         |j AS (SELECT a.cu, a.host,
-         |        CAST(coalesce(d.exp_crawl_delay, 1) AS BIGINT) AS crawl_delay,
-         |        CAST(coalesce(r3.rank, 0) AS BIGINT) AS rank
-         |      FROM alw a
-         |        LEFT JOIN dly d ON a.host = d.site
-         |        LEFT JOIN r3 ON a.cu = r3.node)
+         |$chainCtes,
+         |$frontierGateCtes,
+         |jr AS (SELECT j.*, CAST(coalesce(r3.rank, 0) AS BIGINT) AS rank
+         |       FROM j LEFT JOIN r3 ON j.cu = r3.node)
          |SELECT cu AS canonical_url, host, rank,
-         |  CAST((row_number() OVER (PARTITION BY host ORDER BY rank DESC, cu) - 1)
+         |  CAST((row_number() OVER (PARTITION BY registered_domain
+         |          ORDER BY rank DESC, cu) - 1)
          |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
-         |FROM j""".stripMargin
+         |FROM jr""".stripMargin
     },
     // the corpus replay feeds BOTH sides: train = every written page,
     // bench = the sf documents slice + the leaked pos%7 pages

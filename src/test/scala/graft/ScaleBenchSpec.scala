@@ -58,4 +58,19 @@ class ScaleBenchSpec extends AnyFunSuite with SharedSpark {
       assert(offCols.subsetOf(cols), s"$table: $offCols vs $cols")
     }
   }
+
+  test("bench pins q153's AQE floor to the session parallelism (r15 verdict #1)") {
+    // the q153 regime law (LinkPredict scaladoc, SCALE_EVIDENCE §q153):
+    // sort-merge-regime AQE re-coalesces the exploding candidate join to
+    // ~cores spilling tasks unless coalescePartitions.minPartitionNum is
+    // floored — the bench applies it around the timed run only
+    val pins = Bench.queryConfs(spark)
+    val q153 = pins("q153_link_predict")
+    val want = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt).toString
+    assert(q153 ==
+      Map("spark.sql.adaptive.coalescePartitions.minPartitionNum" -> want))
+    // every pinned name is a real registry query
+    assert(pins.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
 }

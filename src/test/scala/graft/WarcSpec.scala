@@ -193,6 +193,11 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(got("https://framed.example.net/page26")._2 == "")
     assert(got("https://framed.example.net/page27") ==
       (("windows-1252", s"p27 café “quality” résumé"))) // WORDS(27 % 6)
+    // group J (r15 advice): br/zstd/compress bodies are KNOWN compressed
+    // with no codec carried -> None body -> '', never charset mojibake
+    assert(got("https://framed.example.net/page29")._2 == "")
+    assert(got("https://framed.example.net/page30")._2 == "")
+    assert(got("https://framed.example.net/page31")._2 == "")
   }
 
   test("decodeBody: pinned charset fallback order and alias normalization") {

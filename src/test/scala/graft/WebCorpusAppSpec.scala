@@ -223,13 +223,32 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     val filler = (10 until 47).map(k =>
       rec(s"https://loopsite.example.net/fill$k", page("", k)))
       .reduce(_ ++ _)
+    // 301 records (r16): moved1 redirects INTO the fetched corpus (its
+    // chain terminal is a — any link target chaining here must vanish
+    // from the frontier), moved2 redirects to the never-fetched fresh
+    // (scheduled as its TERMINAL), loopx/loopy form a 301 cycle (a loop
+    // member is wasted budget — dropped)
+    def rec301(url: String, location: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 301 Moved Permanently\r\nLocation: $location\r\n" +
+        "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
     val payload =
       rec("https://loopsite.example.net/a", page(
         """<a href="/b">b</a> <a href="d.html">d</a> <a href="//cdn.example.net/lib">cdn</a>""", 1)) ++
       rec("https://loopsite.example.net/b", page(
-        """<a href="/a">a</a> <a href="/e">e</a>""", 2)) ++
+        """<a href="/a">a</a> <a href="/e">e</a> <a href="/moved1">m1</a> """ +
+          """<a href="/moved2">m2</a> <a href="/loopx">lx</a>""", 2)) ++
       rec("https://loopsite.example.net/c", page(
-        """<a href="mailto:x@y.z">m</a> <a href="#top">f</a>""", 3)) ++ filler
+        """<a href="mailto:x@y.z">m</a> <a href="#top">f</a>""", 3)) ++
+      rec301("https://loopsite.example.net/moved1", "https://loopsite.example.net/a") ++
+      rec301("https://loopsite.example.net/moved2", "https://loopsite.example.net/fresh") ++
+      rec301("https://loopsite.example.net/loopx", "https://loopsite.example.net/loopy") ++
+      rec301("https://loopsite.example.net/loopy", "https://loopsite.example.net/loopx") ++
+      filler
     val dir = freshDir()
     Seq((0L, false, payload)).toDF("shard_id", "gz", "payload")
       .write.parquet(s"$dir/shards")
@@ -242,21 +261,47 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
       ("https://loopsite.example.net/a", "https://loopsite.example.net/d.html"),
       ("https://loopsite.example.net/a", "https://cdn.example.net/lib"),
       ("https://loopsite.example.net/b", "https://loopsite.example.net/a"),
-      ("https://loopsite.example.net/b", "https://loopsite.example.net/e")),
+      ("https://loopsite.example.net/b", "https://loopsite.example.net/e"),
+      ("https://loopsite.example.net/b", "https://loopsite.example.net/moved1"),
+      ("https://loopsite.example.net/b", "https://loopsite.example.net/moved2"),
+      ("https://loopsite.example.net/b", "https://loopsite.example.net/loopx")),
       s"got $links")
+    // the written redirect map holds the three 301 sources
+    val rmap = spark.read.parquet(s"$dir/out/redirects")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rmap == Set(
+      ("https://loopsite.example.net/moved1", "https://loopsite.example.net/a"),
+      ("https://loopsite.example.net/moved2", "https://loopsite.example.net/fresh"),
+      ("https://loopsite.example.net/loopx", "https://loopsite.example.net/loopy"),
+      ("https://loopsite.example.net/loopy", "https://loopsite.example.net/loopx")),
+      s"got $rmap")
     // the frontier EXCLUDES the fetched pages a and b (the loop-closure
-    // subtraction) and keeps the three unfetched targets, one wave each
-    // (no Crawl-delay declared for these hosts -> cadence 1)
+    // subtraction), DROPS moved1 (its 301 chain terminates at the
+    // fetched a) and the loopx cycle member, and schedules moved2 as
+    // its TERMINAL fresh. Politeness keys on the REGISTRABLE DOMAIN:
+    // loopsite.example.net and cdn.example.net share one example.net
+    // wave budget (FIFO by canonical url, cadence 1 — no Crawl-delay
+    // declared for this domain).
     val fr = WebCorpusApp.frontier(spark, s"$dir/out", robots)
-      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      .collect().map(r => (r.getString(0), (r.getString(2), r.getLong(4)))).toMap
     assert(fr.keySet == Set(
+      "https://cdn.example.net/lib",
       "https://loopsite.example.net/d.html",
       "https://loopsite.example.net/e",
-      "https://cdn.example.net/lib"), s"got $fr")
-    // FIFO waves per host: d.html before e on the loopsite host
-    assert(fr("https://loopsite.example.net/d.html") == 0L)
-    assert(fr("https://loopsite.example.net/e") == 1L)
-    assert(fr("https://cdn.example.net/lib") == 0L)
+      "https://loopsite.example.net/fresh"), s"got $fr")
+    assert(fr.values.forall(_._1 == "example.net"), s"got $fr")
+    assert(fr("https://cdn.example.net/lib")._2 == 0L)
+    assert(fr("https://loopsite.example.net/d.html")._2 == 1L)
+    assert(fr("https://loopsite.example.net/e")._2 == 2L)
+    assert(fr("https://loopsite.example.net/fresh")._2 == 3L)
+    // per-domain budget (r15 verdict #4): the cap bounds the schedule
+    // to the first N candidates of the domain's FIFO order
+    val capped = WebCorpusApp.frontier(spark, s"$dir/out", robots,
+        maxPerDomain = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(capped == Map(
+      "https://cdn.example.net/lib" -> 0L,
+      "https://loopsite.example.net/d.html" -> 1L), s"got $capped")
   }
 
   test("maintain(): N appends -> compaction folds files, every result bit-identical, ledger intact (r14 verdict #7)") {

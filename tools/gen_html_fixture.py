@@ -127,8 +127,13 @@ def page(d, paras, extra_navs=0, ckey=None, raw_paras=False):
             body.append(p_open + t + p_close)
     for k in range(extra_navs):
         body.append(nav_block(d + 31 * (k + 1), 5 + (d + k) % 3))
-    body.append('<footer><a href="/about">about the site</a> '
-                '<a href="/terms">terms of it</a></footer>')
+    # r16: a few pages link to 301 SOURCES (doc74 chains to the fetched
+    # doc73, doc21 to the never-fetched /doc21/moved) so the frontier's
+    # redirect-terminal gate is exercised by the fixture itself
+    extra = ('<a href="/doc74">moved archive</a> '
+             '<a href="/doc21">old index</a> ' if d % 100 == 3 else '')
+    body.append('<footer>%s<a href="/about">about the site</a> '
+                '<a href="/terms">terms of it</a></footer>' % extra)
     style = "<style>body { color: #%03d; } /* a > b */</style>" % (d % 1000)
     script = ('<script type="text/javascript">var x = "<p>not a tag</p>"; '
               'if (x < %d) { x = x + 1; }</script>' % (d % 97))

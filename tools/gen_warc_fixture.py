@@ -72,9 +72,18 @@ def http_response(doc_id, html):
         # DECORATED on purpose: cased scheme/host, default port, tracking
         # param, unsorted params, fragment — the redirect-following query
         # (q332) must canonicalize the target, and the expected canonical
-        # form is a formula (the q300 pack-and-recover convention)
-        lines.append("Location: HTTPS://EXAMPLE.com:443/doc"
-                     f"{doc_id}/moved?utm_source=crawl&b=2&a=1#frag")
+        # form is a formula (the q300 pack-and-recover convention).
+        # r16 sub-rule: EVEN 301 sources redirect INTO the corpus — the
+        # Location canonicalizes to the previous doc's url (status 200,
+        # fetched), so a link target chaining here must be dropped by
+        # the frontier's redirect-terminal gate; odd sources keep the
+        # never-fetched /moved target.
+        if doc_id % 2 == 0:
+            lines.append("Location: HTTPS://EXAMPLE.com:443/doc"
+                         f"{doc_id - 1}?utm_source=crawl#frag")
+        else:
+            lines.append("Location: HTTPS://EXAMPLE.com:443/doc"
+                         f"{doc_id}/moved?utm_source=crawl&b=2&a=1#frag")
     return ("\r\n".join(lines) + "\r\n\r\n").encode("ascii") + body
 
 

@@ -26,6 +26,11 @@ decodes framing garbage and silently poisons extraction/dedup
   group H (26)    truncated gzip body -> body None -> decodes to ''
   group I (27-28) chunked body carrying a legacy charset (windows-1252
                   declared in the header) — framing then charset decode
+  group J (29-31) Content-Encoding: br / zstd / compress — KNOWN
+                  compressed codings the engine carries no codec for
+                  (r15 advice): body must be None (decodes to ''), never
+                  raw compressed bytes mojibaking through the charset
+                  ladder into extraction/dedup
 
 Everything deterministic: zlib with fixed level, gzip with mtime=0.
 """
@@ -82,7 +87,7 @@ def http(lines, body):
 
 
 pages = []  # (i, http_headers, wire_body, expected_charset, expected_text)
-for i in range(29):
+for i in range(32):
     w = WORDS[i % 6]
     text = "page p%d body of %s and %s — framed" % (i, w, WORDS[(i + 2) % 6])
     raw = text.encode("utf-8")
@@ -130,13 +135,22 @@ for i in range(29):
         hdr = ["Content-Type: text/html; charset=utf-8",
                "Content-Encoding: gzip"]
         pages.append((i, hdr, wire, "utf-8", ""))
-    else:  # I: chunked + legacy charset
+    elif i < 29:  # I: chunked + legacy charset
         t2 = "p%d café “%s” résumé" % (i, w)
         raw2 = t2.encode("cp1252")
         wire = chunk(raw2, [5, len(raw2) - 5])
         hdr = ["Content-Type: text/html; charset=windows-1252",
                "Transfer-Encoding: chunked"]
         pages.append((i, hdr, wire, "windows-1252", t2))
+    else:  # J: known-compressed coding without a codec -> None body
+        coding = {29: "br", 30: "zstd", 31: "compress"}[i]
+        # stand-in compressed bytes (the engine never decodes them; it
+        # must refuse on the header alone) — zlib output is realistic
+        # non-text garbage under a deterministic level
+        wire = zlib.compress(raw, 6)
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: %s" % coding]
+        pages.append((i, hdr, wire, "utf-8", ""))
 
 buf = bytearray()
 urls, labels, texts = [], [], []
