@@ -362,7 +362,20 @@ object WebCorpusQueries {
           greatest(col("crawl_delay"), lit(1L))).as("wave"))
   }
 
+  /** q344: the WRITTEN REDIRECT MAP — the crawl's 3xx artifact as a
+    * build output (r16): harvested in the SAME walk that decodes pages
+    * (no second pass over crawl bytes), canonical on both sides,
+    * functionalized to one dst per src (min — the
+    * [[graft.operators.Url.resolveChains]] contract), read back through
+    * the committed reader. This is the table the q341/q343 frontier
+    * resolves chains through. Oracle: the warc fixture's 301 Location
+    * formula (even sources → the FETCHED previous doc, odd → the
+    * never-fetched /moved) canonicalized by formula. */
+  def q344WebcorpusRedirects(s: SparkSession, dir: String): DataFrame =
+    WebCorpusApp.readCommitted(s, built(s), "redirects")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_webcorpus_redirects" -> (q344WebcorpusRedirects _),
     "q340_webcorpus_links" -> (q340WebcorpusLinks _),
     "q341_webcorpus_frontier" -> (q341WebcorpusFrontier _),
     "q342_webcorpus_maintain" -> (q342WebcorpusMaintain _),
@@ -629,6 +642,15 @@ object WebCorpusQueries {
        |          ON hrd.registered_domain = m.registered_domain)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the written 3xx artifact vs the fixture's Location formula,
+    // canonical form stated per the q300 pack-and-recover convention
+    "q344_webcorpus_redirects" ->
+      s"""SELECT 'https://example.com/doc' || doc_id AS src,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN 'https://example.com/doc' || (doc_id - 1)
+         |    ELSE 'https://example.com/doc' || doc_id || '/moved?a=1&b=2'
+         |  END AS dst
+         |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21""".stripMargin,
     // the written artifact vs the replayed extraction+resolution chain
     "q340_webcorpus_links" ->
       s"""WITH $linksCtes
