@@ -2416,10 +2416,12 @@ object LlmQueries {
        |         WHEN media_id IN (93, 94, 100) THEN 92
        |         WHEN media_id = 102 THEN 101
        |         -- 125/126: PROGRESSIVE re-encodes of the 105 family —
-       |         -- same coefficient formulas, SOF2 serialization
-       |         WHEN media_id IN (106, 107, 125, 126) THEN 105
-       |         -- 129: progressive 4:2:0 re-encode of 116 (r16)
-       |         WHEN media_id IN (117, 129) THEN 116
+       |         -- same coefficient formulas, SOF2 serialization;
+       |         -- 133: the DRI=3 restart re-encode (r16)
+       |         WHEN media_id IN (106, 107, 125, 126, 133) THEN 105
+       |         -- 129: progressive 4:2:0 re-encode of 116 (r16);
+       |         -- 134: the same with DRI=2 restarts in every scan
+       |         WHEN media_id IN (117, 129, 134) THEN 116
        |         WHEN media_id IN (121, 122) THEN 120
        |         -- 132: progressive 4:2:2 re-encode of the baseline 131
        |         WHEN media_id = 132 THEN 131
@@ -2476,7 +2478,7 @@ object LlmQueries {
        |          -- order, 4 per 16×16 MCU; 4:2:2 rows (131/132):
        |          -- 2 per 16×8 MCU (r16)
        |          CASE WHEN media_id IN (116, 117, 118, 120, 121, 122, 123,
-       |                                 129, 130)
+       |                                 129, 130, 134)
        |            THEN ((py // 16) * ((w + 15) // 16) + (px // 16)) * 4
        |                 + ((py % 16) // 8) * 2 + (px % 16) // 8
        |          WHEN media_id IN (131, 132)

@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 80) // 30 fixture-codec + 28 GIF/BMP/PNG + 22 real JPEG
+    assert(decoded.count() == 82) // 30 fixture-codec + 28 GIF/BMP/PNG + 24 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -415,7 +415,12 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // the SAMPLED progressive leg (r16): 129 re-encodes 116's
       // coefficients through SOF2 at 4:2:0 (cross-layout duplicate of
       // the 116/117 pair), 132 re-encodes the 4:2:2 baseline 131
-      (116L, 129L), (117L, 129L), (131L, 132L)))
+      (116L, 129L), (117L, 129L), (131L, 132L),
+      // the RESTART leg (r16): 133 re-encodes 105 with DRI=3 (pairs
+      // with the whole 105 family), 134 re-encodes 116 progressively
+      // with DRI=2 — markers are pure framing, pixels identical
+      (105L, 133L), (106L, 133L), (107L, 133L), (125L, 133L), (126L, 133L),
+      (116L, 134L), (117L, 134L), (129L, 134L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -574,11 +579,15 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // column of Y blocks is entropy-walked then discarded);
       // 131 baseline 4:2:2; 132 its progressive re-encode
       129 -> (116, false, 2, 2), 130 -> (130, false, 2, 2),
-      131 -> (131, false, 2, 1), 132 -> (131, false, 2, 1))
+      131 -> (131, false, 2, 1), 132 -> (131, false, 2, 1),
+      // r16 RESTART rows: 133 baseline DRI=3 re-encode of 105, 134
+      // progressive 4:2:0 DRI=2 re-encode of 116 — the RSTn resync +
+      // predictor/EOBRUN resets must be pixel-invisible
+      133 -> (105, false, 1, 1), 134 -> (116, false, 2, 2))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 22)
+    assert(rows.length == 24)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
       val (seed, pt, yh, yv) = fams(id)
@@ -730,7 +739,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val rows = spark.read.parquet(fixture)
       .filter(col("exp_rsum").isNotNull)
       .select("media_id", "payload", "exp_rsum", "exp_gsum", "exp_bsum").collect()
-    assert(rows.length == 22)
+    assert(rows.length == 24)
     rows.foreach { r =>
       val dec = Multimodal.jpegRgb(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegRgb rejected jpeg ${r.getLong(0)}")
@@ -738,7 +747,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(rp.foldLeft(0L)(_ + _) == r.getLong(2), s"rsum jpeg ${r.getLong(0)}")
       assert(gp.foldLeft(0L)(_ + _) == r.getLong(3), s"gsum jpeg ${r.getLong(0)}")
       assert(bp.foldLeft(0L)(_ + _) == r.getLong(4), s"bsum jpeg ${r.getLong(0)}")
-      if (r.getLong(0) <= 109L ||
+      if (r.getLong(0) <= 109L || r.getLong(0) == 133L ||
           (r.getLong(0) >= 124L && r.getLong(0) <= 127L)) { // grayscale: R = G = B = Y
         val (_, _, y) = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload")).get
         assert(rp.sameElements(y) && gp.sameElements(y) && bp.sameElements(y))
@@ -748,14 +757,14 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   test("jpegRgb agrees with ImageIO: exact-res color within ±4, 4:2:0 within filter tolerance") {
     val rows = spark.read.parquet(fixture)
-      // 116-123 + the color progressive 128 + the r16 sampled rows
-      // 129-132: the grayscale progressive rows (124-127) are excluded
-      // because ImageIO's getRGB pushes gray rasters through a gamma
-      // conversion (the jpegGray raw-raster test covers their ImageIO
-      // agreement)
+      // 116-123 + the color progressive 128 + the r16 sampled/restart
+      // rows 129-132 and 134: the GRAYSCALE rows (124-127 progressive,
+      // 133 restart) are excluded because ImageIO's getRGB pushes gray
+      // rasters through a gamma conversion (the jpegGray raw-raster
+      // test covers their ImageIO agreement)
       .filter(col("exp_rsum").isNotNull &&
         ((col("media_id") >= 116 && col("media_id") <= 123) ||
-          col("media_id") >= 128))
+          (col("media_id") >= 128 && col("media_id") =!= 133)))
       .select("media_id", "payload").collect()
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")

@@ -657,7 +657,12 @@ def jpeg_qc(seed, b, z, perturb):
     return 0
 
 
-def jpeg_bytes_seeded(seed, w, h, perturb):
+def jpeg_bytes_seeded(seed, w, h, perturb, restart=0):
+    """restart > 0 (r16): emit a DRI segment and a byte-aligned RSTn
+    marker every `restart` MCUs, resetting the DC predictor — the
+    resync machinery every long real-world scan carries. Markers are
+    never byte-stuffed; the 1-padded final data byte before one IS
+    stuffed when it lands on 0xFF (the flush_scan convention)."""
     bw, bh = (w + 7) // 8, (h + 7) // 8
     Q = [1 + (z % 5) for z in range(64)]
     dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
@@ -676,8 +681,25 @@ def jpeg_bytes_seeded(seed, w, h, perturb):
                     out.append(0)       # byte stuffing
                 acc[0] = acc[1] = 0
 
+    rst = [0]
+
+    def align_rst():
+        if acc[1]:
+            pad = 8 - acc[1]
+            fin = (acc[0] << pad) | ((1 << pad) - 1)
+            out.append(fin)
+            if fin == 0xFF:
+                out.append(0)
+            acc[0] = acc[1] = 0
+        out.append(0xFF)
+        out.append(0xD0 + (rst[0] & 7))
+        rst[0] += 1
+
     pred = 0
     for b in range(bw * bh):
+        if restart and b > 0 and b % restart == 0:
+            align_rst()
+            pred = 0
         coefs = [jpeg_qc(seed, b, z, perturb) for z in range(64)]
         diff = coefs[0] - pred
         pred = coefs[0]
@@ -722,12 +744,14 @@ def jpeg_bytes_seeded(seed, w, h, perturb):
     bits_dc[3] = len(DC_SYMS)          # all DC codes 4 bits long
     bits_ac = [0] * 16
     bits_ac[6] = len(AC_SYMS)          # all AC codes 7 bits long
+    dri = seg(0xDD, restart.to_bytes(2, "big")) if restart else b""
     return (b"\xFF\xD8"
             + seg(0xDB, bytes([0x00]) + bytes(Q))
             + seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
                   + bytes([1, 1, 0x11, 0]))
             + seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(DC_SYMS))
             + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
+            + dri
             + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
             + bytes(out) + b"\xFF\xD9")
 
@@ -1367,7 +1391,8 @@ def jpeg_bytes_progressive_color(seed, w, h):
 # grayscale progression's six modes, color-interleaved DC.
 
 
-def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False):
+def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False,
+                                     restart=0):
     dc_codes = {sym: (i, 4) for i, sym in enumerate(DC_SYMS)}
     ac_codes = {sym: (i, 7) for i, sym in enumerate(AC_SYMS)}
     dc2_codes = {sym: (i, 5) for i, sym in enumerate(DC_SYMS)}
@@ -1424,37 +1449,63 @@ def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False):
         out.clear()
         return scan
 
-    def dc_units():
-        """(comp, coefs) in interleaved stream order over the PADDED
-        MCU grid — includes right/bottom padding blocks."""
-        for my in range(mcusY):
-            for mx in range(mcusX):
-                for v in range(yv):
-                    for hh in range(yh):
-                        yield 0, y_coef(my * yv + v, mx * yh + hh)
-                yield 1, c_coef(1, my, mx)
-                yield 2, c_coef(2, my, mx)
+    rst = [0]
+
+    def align_rst():
+        # byte-align (1-padding, stuffed when it lands on 0xFF), then a
+        # raw RSTn marker — markers are never byte-stuffed
+        if acc[1]:
+            pad = 8 - acc[1]
+            fin = (acc[0] << pad) | ((1 << pad) - 1)
+            out.append(fin)
+            if fin == 0xFF:
+                out.append(0)
+            acc[0] = acc[1] = 0
+        out.append(0xFF)
+        out.append(0xD0 + (rst[0] & 7))
+        rst[0] += 1
+
+    def mcu_units(my, mx):
+        """(comp, coefs) of ONE MCU in interleaved stream order —
+        right/bottom padding blocks included."""
+        for v in range(yv):
+            for hh in range(yh):
+                yield 0, y_coef(my * yv + v, mx * yh + hh)
+        yield 1, c_coef(1, my, mx)
+        yield 2, c_coef(2, my, mx)
 
     def dc_first_interleaved(al):
+        rst[0] = 0
         preds = [0, 0, 0]
-        for c, coefs in dc_units():
-            v = coefs[0] >> al
-            diff = v - preds[c]
-            preds[c] = v
-            s = abs(diff).bit_length()
-            put_code(dc_codes if c == 0 else dc2_codes, s)
-            if s:
-                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        for m in range(mcusY * mcusX):
+            if restart and m > 0 and m % restart == 0:
+                align_rst()
+                preds = [0, 0, 0]
+            for c, coefs in mcu_units(m // mcusX, m % mcusX):
+                v = coefs[0] >> al
+                diff = v - preds[c]
+                preds[c] = v
+                s = abs(diff).bit_length()
+                put_code(dc_codes if c == 0 else dc2_codes, s)
+                if s:
+                    put(diff if diff > 0 else diff + (1 << s) - 1, s)
         return flush_scan()
 
     def dc_refine_interleaved(al):
-        for _, coefs in dc_units():
-            put((coefs[0] >> al) & 1, 1)
+        rst[0] = 0
+        for m in range(mcusY * mcusX):
+            if restart and m > 0 and m % restart == 0:
+                align_rst()
+            for _, coefs in mcu_units(m // mcusX, m % mcusX):
+                put((coefs[0] >> al) & 1, 1)
         return flush_scan()
 
     def ac_first_blocks(c, ss, se, al):
         codes = ac_codes if c == 0 else ac2_codes
-        for blk in comps_real[c]:
+        rst[0] = 0
+        for bi, blk in enumerate(comps_real[c]):
+            if restart and bi > 0 and bi % restart == 0:
+                align_rst()  # non-interleaved: every `restart` data units
             vals = []
             for k in range(ss, se + 1):
                 a = abs(blk[k]) >> al
@@ -1482,7 +1533,10 @@ def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False):
 
     def ac_refine_blocks(c, ss, se, al):
         codes = ac_codes if c == 0 else ac2_codes
-        for blk in comps_real[c]:
+        rst[0] = 0
+        for bi, blk in enumerate(comps_real[c]):
+            if restart and bi > 0 and bi % restart == 0:
+                align_rst()
             eob = ss - 1
             for k in range(ss, se + 1):
                 if (abs(blk[k]) >> al) == 1:
@@ -1533,6 +1587,7 @@ def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False):
     bits_ac2 = [0] * 16
     bits_ac2[7] = len(AC_SYMS)
     yhv = (yh << 4) | yv
+    dri = seg(0xDD, restart.to_bytes(2, "big")) if restart else b""
     return (b"\xFF\xD8"
             + seg(0xDB, bytes([0x00]) + bytes([1 + (z % 5) for z in range(64)])
                   + bytes([0x01]) + bytes(QC))
@@ -1542,6 +1597,7 @@ def jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv, perturb=False):
             + seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(AC_SYMS))
             + seg(0xC4, bytes([0x01]) + bytes(bits_dc2) + bytes(DC_SYMS))
             + seg(0xC4, bytes([0x11]) + bytes(bits_ac2) + bytes(AC_SYMS))
+            + dri
             + sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
             + dc_first_interleaved(1)
             + sos([(1, 0x00)], 1, 63, 0, 1) + ac_first_blocks(0, 1, 63, 1)
@@ -1602,15 +1658,24 @@ n_sampless.append(None)
 #   131  baseline 4:2:2 (luma 2x1)
 #   132  progressive 4:2:2 re-encode of 131 — cross-layout duplicate
 SAMP_JPEG_ROWS = [
-    # (id, seed, w, h, yh, yv, progressive)
-    (129, 116, 32, 16, 2, 2, True),
-    (130, 130, 24, 16, 2, 2, True),
-    (131, 131, 32, 16, 2, 1, False),
-    (132, 131, 32, 16, 2, 1, True),
+    # (id, seed, w, h, yh, yv, progressive, restart)
+    (129, 116, 32, 16, 2, 2, True, 0),
+    (130, 130, 24, 16, 2, 2, True, 0),
+    (131, 131, 32, 16, 2, 1, False, 0),
+    (132, 131, 32, 16, 2, 1, True, 0),
+    # 133/134: RESTART MARKERS (r16) — the resync machinery every long
+    # real scan carries. 133 is a baseline grayscale re-encode of row
+    # 105 with DRI=3 (RSTn every 3 MCUs, DC predictor resets); 134 a
+    # progressive 4:2:0 re-encode of row 116 with DRI=2 (restarts in
+    # EVERY scan of the progression: interleaved DC counts MCUs,
+    # non-interleaved AC counts data units). Both must land on their
+    # twin's exact pixels — the markers are pure framing.
+    (134, 116, 32, 16, 2, 2, True, 2),
 ]
-for i, seed, w, h, yh, yv, prog in SAMP_JPEG_ROWS:
+for i, seed, w, h, yh, yv, prog, rsti in SAMP_JPEG_ROWS:
     if prog:
-        payload = jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv)
+        payload = jpeg_bytes_progressive_color_sub(seed, w, h, yh, yv,
+                                                   restart=rsti)
     else:
         payload = jpeg_bytes_color(seed, w, h, True, samp=(yh, yv))
     ids.append(i)
@@ -1626,6 +1691,25 @@ for i, seed, w, h, yh, yv, prog in SAMP_JPEG_ROWS:
     channelss.append(None)
     bitss.append(None)
     n_sampless.append(None)
+
+# row 133: baseline grayscale re-encode of row 105 with DRI=3 (see the
+# 133/134 comment above)
+GRAY_RESTART_ROWS = [(133, 105, 24, 16, False)]
+_p133 = jpeg_bytes_seeded(105, 24, 16, False, restart=3)
+assert b"\xff\xd0" in _p133 or b"\xff\xd1" in _p133, "no RSTn emitted"
+ids.append(133)
+mimes.append("image/jpeg")
+payloads.append(_p133)
+widths.append(24)
+heights.append(16)
+n_bytes.append(len(_p133))
+checksums.append(sum(_p133) % 9973)
+n_frames.append(None)
+fpss.append(None)
+sample_rates.append(None)
+channelss.append(None)
+bitss.append(None)
+n_sampless.append(None)
 
 # ---- round 14: pinned CHROMA-reconstruction expectations for the jpeg
 # rows — an INDEPENDENT Python implementation of the engine's pinned
@@ -1731,7 +1815,7 @@ def ahash64(plane, w, h):
 
 
 exp_cols = {}
-for i, seed, w, h, perturb in JPEG_ROWS + PROG_JPEG_ROWS:
+for i, seed, w, h, perturb in JPEG_ROWS + PROG_JPEG_ROWS + GRAY_RESTART_ROWS:
     yp = y_plane(seed, w, h, False, perturb)
     rp, gp, bp = rgb_planes(yp, None, None, w, h, 1)
     exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
@@ -1760,9 +1844,9 @@ for i, seed, w, h, sub, perturb, cswap in COLOR_JPEG_ROWS:
     exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
                    *ahash64(rp, w, h), *ahash64(bp, w, h))
 
-# rows 129-132: the sampled progressive / 4:2:2 family — same formula
-# machinery at (yh, yv)
-for i, seed, w, h, yh, yv, prog in SAMP_JPEG_ROWS:
+# rows 129-134: the sampled progressive / 4:2:2 / restart family — same
+# formula machinery at (yh, yv)
+for i, seed, w, h, yh, yv, prog, rsti in SAMP_JPEG_ROWS:
     yp = y_plane_s(seed, w, h, yh, yv, False)
     cbp = chroma_plane_s(seed, 1, w, h, yh, yv)
     crp = chroma_plane_s(seed, 2, w, h, yh, yv)
@@ -1770,9 +1854,13 @@ for i, seed, w, h, yh, yv, prog in SAMP_JPEG_ROWS:
     exp_cols[i] = (sum(map(sum, rp)), sum(map(sum, gp)), sum(map(sum, bp)),
                    *ahash64(rp, w, h), *ahash64(bp, w, h))
 # the cross-layout duplicates must be PIXEL-identical to their baseline
-# twins: 129 == 116 (4:2:0), 132 == 131 (4:2:2)
+# twins: 129 == 116 (4:2:0), 132 == 131 (4:2:2), and the restart
+# re-encodes 133 == 105 (baseline, DRI=3) / 134 == 116 (progressive,
+# DRI=2) — markers are pure framing
 assert exp_cols[129] == exp_cols[116], "progressive 4:2:0 re-encode diverged"
 assert exp_cols[132] == exp_cols[131], "progressive 4:2:2 re-encode diverged"
+assert exp_cols[133] == exp_cols[105], "restart baseline re-encode diverged"
+assert exp_cols[134] == exp_cols[116], "restart progressive re-encode diverged"
 
 # engineered-exactness assertions for the hue-shift family: identical
 # luma, different color signature; the perturbed row stays color-close
