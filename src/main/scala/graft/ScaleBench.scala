@@ -37,9 +37,11 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SCALE_REPL (default 10),
   * SPARK_GRAFT_SCALE_ONLY (comma list to restrict queries; the A/B
   * variant probes — ivf_scaled_cells, q153_map_parallel,
-  * dedup_ladder_ab, containment_ladder_ab, lsh_budget_ab, ktruss_full — run ONLY when
-  * named here explicitly: one deliberately refuses and several pay
-  * un-mitigated baselines, which has no place in a default artifact). */
+  * dedup_ladder_ab, containment_ladder_ab, lsh_budget_ab, ktruss_full,
+  * frontier_scaled (SPARK_GRAFT_FRONTIER_LEGS=x30ab for the cap A/B) —
+  * run ONLY when named here explicitly: one deliberately refuses and
+  * several pay un-mitigated baselines, which has no place in a default
+  * artifact). */
 object ScaleBench {
 
   /** Queries measured: every family with real data-volume exposure —
@@ -337,6 +339,76 @@ object ScaleBench {
       } catch {
         case e: Throwable => println(
           s"""{"query":"q153_map_parallel_sf1","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+      }
+    }
+    // Variant probe (r16): the NEW frontier at scale — redirect-chain
+    // resolution (4 keyed joins of the 3xx-sized map), PSL registrable-
+    // domain mapping (broadcast suffix join + one keyed agg), and the
+    // TWO-PHASE per-domain cap, over a synthetic link table whose
+    // MEGA-DOMAIN owns 30% of all candidates (the skew the cap exists
+    // for: one domain's whole candidate set must never sort in one
+    // window task). Measured at two candidate volumes; the claim is
+    // near-linear walls and a bounded max task under the skew.
+    if (only.exists(_.contains("frontier_scaled"))) {
+      val robotsFx = "/root/repo/fixtures/robots.parquet"
+      val pslFx = "/root/repo/fixtures/psl.parquet"
+      def uOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val dom = when(id % 10 < 3, lit("mega.com"))
+          .otherwise(concat(lit("d"), pmod(id, lit(100000L)), lit(".com")))
+        concat(lit("https://h"), pmod(id, lit(3L)), lit("."), dom,
+          lit("/p"), id)
+      }
+      def buildDir(n: Long): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-frontier-scale").toString
+        val cand = spark.range(n).select(col("id"), uOf(col("id")).as("u"))
+        cand.select(lit("https://seed.com/s").as("url"),
+            col("u").as("dst_canonical"), lit(1L).as("w"))
+          .write.parquet(s"$dir/links")
+        // 20% of candidates are already crawled
+        cand.filter(col("id") % 5 === 0)
+          .select(col("u").as("canonical_url"))
+          .write.parquet(s"$dir/corpus")
+        cand.filter(col("id") % 100000 === 7).select(col("u").as("url"))
+          .write.parquet(s"$dir/rejects")
+        // ~6% of candidates redirect: even ids chain INTO the crawled
+        // set (terminal fetched -> the gate must drop them), odd ids to
+        // fresh never-seen urls (scheduled as the terminal)
+        cand.filter(col("id") % 17 === 3)
+          .select(col("u").as("src"),
+            when(col("id") % 2 === 0, uOf(col("id") - col("id") % 5))
+              .otherwise(concat(lit("https://fresh-"), col("id"),
+                lit(".newdom.com/x"))).as("dst"))
+          .write.parquet(s"$dir/redirects")
+        dir
+      }
+      // the x10_uncapped leg is the A/B CONTROL: cap disabled, the
+      // mega-domain's whole surviving candidate set sorts in ONE final
+      // window task — the single-task ceiling the two-phase cap removes
+      val legs = sys.env.get("SPARK_GRAFT_FRONTIER_LEGS") match {
+        case Some("x30ab") => Seq( // the cap A/B at the skew that bites
+          ("x30", 30000000L, 1000), ("x30_uncapped", 30000000L, Int.MaxValue))
+        case _ => Seq(
+          ("x1", 1000000L, 1000), ("x10", 10000000L, 1000),
+          ("x10_uncapped", 10000000L, Int.MaxValue))
+      }
+      for ((label, n, cap) <- legs) {
+        try {
+          val dir = buildDir(n)
+          spark.sharedState.cacheManager.clearCache()
+          metrics.reset()
+          val t0 = System.nanoTime()
+          graft.app.WebCorpusApp.frontier(spark, dir, robotsFx,
+              psl = Some(spark.read.parquet(pslFx)), maxPerDomain = cap)
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(s"[stages] frontier_scaled_$label:")
+          metrics.topStages(6).foreach(System.err.println)
+          println(f"""{"query":"frontier_scaled_$label","sec":${math.round(sec * 1000) / 1000.0}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s,"shuffle_write_mb":${mb(metrics.shufWrite.get)}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s}""")
+        } catch {
+          case e: Throwable => println(
+            s"""{"query":"frontier_scaled_$label","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+        }
       }
     }
     // Variant probe: the DEDUP LADDER measured as a LADDER (the round-10
