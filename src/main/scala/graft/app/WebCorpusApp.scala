@@ -602,9 +602,17 @@ object WebCorpusApp {
       .distinct()
     // resolve each target through the written redirect map: fetch the
     // chain TERMINAL (self when no redirect edge), drop loops
-    // (unterminated — fetching any loop member is wasted budget)
-    val chains = Url.resolveChains(
-      readCommitted(spark, outDir, "redirects"), "src", "dst", maxHops = 4)
+    // (unterminated — fetching any loop member is wasted budget). A
+    // corpus written before the redirects artifact existed reads as an
+    // empty map (self-review r16: a missing dir must not throw)
+    val redirects =
+      if (Sinks.exists(spark, s"$outDir/redirects"))
+        readCommitted(spark, outDir, "redirects")
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("src", "dst")
+      }
+    val chains = Url.resolveChains(redirects, "src", "dst", maxHops = 4)
     val cands = links.select(col("dst_canonical").as("__target")).distinct()
       .join(chains, col("__target") === col("url"), "left")
       .filter(col("unterminated").isNull || !col("unterminated"))

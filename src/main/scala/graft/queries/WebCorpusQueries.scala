@@ -374,8 +374,21 @@ object WebCorpusQueries {
   def q344WebcorpusRedirects(s: SparkSession, dir: String): DataFrame =
     WebCorpusApp.readCommitted(s, built(s), "redirects")
 
+  /** q345: the FRONTIER FROM INCREMENTAL STATE (r16) — [[q341WebcorpusFrontier]]
+    * computed over the incremental materialization (shards 0-4 built,
+    * shard 5 appended as a ledgered batch): the links and redirects
+    * artifacts accumulated through tagged appends + the committed
+    * reader must compose into the BIT-IDENTICAL frontier the one-shot
+    * build produces — q345 shares q341's oracle verbatim (the q317/q323
+    * convention). This is the row that proves the crawl loop stays
+    * closed under the append path, not just the build. */
+  def q345WebcorpusFrontierInc(s: SparkSession, dir: String): DataFrame =
+    WebCorpusApp.frontier(s, builtIncremental(s), robotsFx,
+      psl = Some(s.read.parquet(pslFx)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q344_webcorpus_redirects" -> (q344WebcorpusRedirects _),
+    "q345_webcorpus_frontier_inc" -> (q345WebcorpusFrontierInc _),
     "q340_webcorpus_links" -> (q340WebcorpusLinks _),
     "q341_webcorpus_frontier" -> (q341WebcorpusFrontier _),
     "q342_webcorpus_maintain" -> (q342WebcorpusMaintain _),
@@ -641,6 +654,19 @@ object WebCorpusQueries {
        |        LEFT JOIN dmax m
        |          ON hrd.registered_domain = m.registered_domain)""".stripMargin
 
+  /** The replayed frontier — shared verbatim by q341 (one-shot build)
+    * and q345 (incremental state): candidates through chains, the
+    * robots gate, PSL domains, and the Crawl-delay wave rule. */
+  private lazy val frontierSql: String =
+    s"""WITH $linksCtes,
+       |$rulesCte,
+       |$chainCtes,
+       |$frontierGateCtes
+       |SELECT cu AS canonical_url, host, registered_domain, crawl_delay,
+       |  CAST((row_number() OVER (PARTITION BY registered_domain ORDER BY cu) - 1)
+       |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
+       |FROM j""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the written 3xx artifact vs the fixture's Location formula,
     // canonical form stated per the q300 pack-and-recover convention
@@ -660,15 +686,10 @@ object WebCorpusQueries {
     // decoded page url (corpus ∪ rejects = the decoded set, and page
     // urls are canonical on this fixture), then the robots
     // longest-match + the PSL domain + the crawl-delay wave rule
-    "q341_webcorpus_frontier" ->
-      s"""WITH $linksCtes,
-         |$rulesCte,
-         |$chainCtes,
-         |$frontierGateCtes
-         |SELECT cu AS canonical_url, host, registered_domain, crawl_delay,
-         |  CAST((row_number() OVER (PARTITION BY registered_domain ORDER BY cu) - 1)
-         |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
-         |FROM j""".stripMargin,
+    "q341_webcorpus_frontier" -> frontierSql,
+    // incremental state must compose into the SAME frontier — q345
+    // shares q341's oracle verbatim (the q317/q323 convention)
+    "q345_webcorpus_frontier_inc" -> frontierSql,
     "q313_webcorpus" ->
       s"""$buildPrelude,
          |${rankCte("w", None)}

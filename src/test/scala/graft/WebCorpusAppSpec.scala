@@ -302,6 +302,25 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
     assert(capped == Map(
       "https://cdn.example.net/lib" -> 0L,
       "https://loopsite.example.net/d.html" -> 1L), s"got $capped")
+    // LEGACY corpus (pre-r16, no redirects artifact): the frontier must
+    // read an empty map, not throw — targets then schedule unresolved
+    val legacy = s"$dir/legacy"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(legacy))
+    Seq("corpus", "rejects", "links", "ledger").foreach { t =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$dir/out/$t"), new java.io.File(s"$legacy/$t"))
+    }
+    val legacyFr = WebCorpusApp.frontier(spark, legacy, robots)
+      .collect().map(_.getString(0)).toSet
+    assert(legacyFr == Set(
+      "https://cdn.example.net/lib",
+      "https://loopsite.example.net/d.html",
+      "https://loopsite.example.net/e",
+      // without the map, the raw 301-source targets re-enter — exactly
+      // the pre-r16 behavior the redirects artifact fixes
+      "https://loopsite.example.net/moved1",
+      "https://loopsite.example.net/moved2",
+      "https://loopsite.example.net/loopx"), s"got $legacyFr")
   }
 
   test("maintain(): N appends -> compaction folds files, every result bit-identical, ledger intact (r14 verdict #7)") {
