@@ -147,6 +147,36 @@ object Robots {
     }.toDF("site", "crawl_delay")
   }
 
+  /** `Sitemap:` declarations of every robots.txt — the crawl-discovery
+    * hook sitemaps.org standardized and RFC 9309 §2.3 carries as the
+    * canonical "other record". Pinned semantics (the oracle replays
+    * them): GLOBAL — a Sitemap line belongs to the FILE, never a group
+    * (one sitting between two User-agent lines changes nothing, and the
+    * grouping parser above ignores it entirely); key case-insensitive,
+    * leading whitespace tolerated; trailing `#` comments stripped
+    * BEFORE parsing (the line-tokenizer rule every directive shares);
+    * the value is the whole trimmed remainder after the first `:`;
+    * empty values drop. One row per declaration, file order:
+    * (site, ord, sitemap_url). A site declaring none emits nothing —
+    * sitemap discovery is opt-in, unlike the default-allow rule gate. */
+  def sitemapUrls(files: Dataset[RobotsFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.flatMap { f =>
+      f.robots_txt.split("\r\n|\n", -1).iterator
+        .map(_.takeWhile(_ != '#').trim)
+        .flatMap { line =>
+          val ci = line.indexOf(':')
+          if (ci > 0 && line.substring(0, ci).trim.toLowerCase == "sitemap") {
+            val v = line.substring(ci + 1).trim
+            if (v.nonEmpty) Some(v) else None
+          } else None
+        }
+        .zipWithIndex
+        .map { case (u, i) => (f.site, i.toLong, u) }
+        .toSeq
+    }.toDF("site", "ord", "sitemap_url")
+  }
+
   /** One parsed group: its agent tokens, (allow, path) rules in file
     * order, and any integer Crawl-delay declarations. */
   private final case class Group(

@@ -1067,6 +1067,19 @@ object LlmQueries {
       .select(col("canonical_url"), col("allowed"), col("matched_rule"))
   }
 
+  /** q346: SITEMAP DISCOVERY FROM robots.txt
+    * ([[graft.operators.Robots.sitemapUrls]] — r16): the `Sitemap:`
+    * declarations every crawler harvests before it ever fetches a
+    * sitemap — sitemaps.org's standard hook, RFC 9309 §2.3's canonical
+    * "other record". Pinned semantics proven by the fixture: GLOBAL
+    * (one declaration sits BETWEEN two User-agent lines and neither
+    * joins a group nor splits one — the q305 rule replay would break if
+    * it did), case-insensitive key, leading whitespace, trailing
+    * comments stripped, whole-remainder values, file order. Oracle:
+    * the identical line walk in SQL over the same robots bytes. */
+  def q346RobotsSitemaps(s: SparkSession, dir: String): DataFrame =
+    Robots.sitemapUrls(Robots.readRobots(s, robotsFx))
+
   /** q338: MULTI-HOP REDIRECT CHAINS ([[graft.operators.Url
     * .resolveChains]] — r14 verdict #4): the 301 responses' Location
     * targets canonicalized (q332) into a redirect map, then iterated to
@@ -2344,6 +2357,7 @@ object LlmQueries {
     "q331_frontier_schedule" -> (q331FrontierSchedule _),
     "q332_redirect_map" -> (q332RedirectMap _),
     "q333_redirect_frontier" -> (q333RedirectFrontier _),
+    "q346_robots_sitemaps" -> (q346RobotsSitemaps _),
     "q338_redirect_chains" -> (q338RedirectChains _),
     "q339_crawl_delay_schedule" -> (q339CrawlDelaySchedule _),
     "q335_wat_export" -> (q335WatExport _),
@@ -3584,6 +3598,25 @@ object LlmQueries {
          |  CAST((row_number() OVER (PARTITION BY host ORDER BY canonical_url) - 1)
          |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
          |FROM j""".stripMargin,
+    // the identical comment-strip + key-match + remainder-value line
+    // walk in SQL over the same robots bytes; ord = per-site file order
+    "q346_robots_sitemaps" ->
+      s"""WITH f AS (SELECT site,
+         |    string_split(replace(robots_txt, chr(13), ''), chr(10)) AS ls
+         |  FROM read_parquet('$robotsFx')),
+         |l AS (SELECT site, g.i AS li,
+         |    trim(regexp_replace(ls[g.i], '#.*$$', ''), ' ' || chr(9)) AS line
+         |  FROM f, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+         |sm AS (SELECT site, li,
+         |    trim(substr(line, strpos(line, ':') + 1), ' ' || chr(9)) AS u
+         |  FROM l
+         |  WHERE strpos(line, ':') > 1
+         |    AND lower(trim(substr(line, 1, strpos(line, ':') - 1),
+         |                   ' ' || chr(9))) = 'sitemap')
+         |SELECT site,
+         |  CAST(row_number() OVER (PARTITION BY site ORDER BY li) - 1 AS BIGINT) AS ord,
+         |  u AS sitemap_url
+         |FROM sm WHERE u <> ''""".stripMargin,
     // stored-expectation oracle: the generator's Python twin replays the
     // same bounded iteration over the same canonicalized edges
     "q338_redirect_chains" ->

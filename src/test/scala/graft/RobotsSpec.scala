@@ -168,6 +168,24 @@ class RobotsSpec extends AnyFunSuite with SharedSpark {
     assert(got(5L) == ((true, "/t")))
   }
 
+  test("sitemapUrls: global, case/whitespace/comment tolerant, file order (r16)") {
+    val got = Robots.sitemapUrls(Robots.readRobots(spark, fixture))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      // pre-group UPPERCASE declaration with a trailing comment, then
+      // the between-groups one — file order, group-independent
+      ("www.example.com", 0L, "https://www.example.com/sitemap-index.xml.gz"),
+      ("www.example.com", 1L, "https://www.example.com/news-sitemap.xml"),
+      // indented lowercase key
+      ("example.com", 0L, "http://example.com/s.xml"),
+      // one BETWEEN two User-agent lines (must not split the group —
+      // the rule-parse test above would fail if it did), one in-group
+      ("api.news.example.co.uk", 0L,
+        "https://api.news.example.co.uk/sitemap-news.xml"),
+      ("api.news.example.co.uk", 1L,
+        "https://api.news.example.co.uk/sitemap.xml")), s"got $got")
+  }
+
   test("the decision join is host-equi + prefix filter, never urls × all-rules") {
     val urls = Seq((1L, "h", "/p")).toDF("doc_id", "host", "path")
     val rules = Seq(graft.operators.RobotsRule("h", 0, false, "/p")).toDS()

@@ -43,6 +43,9 @@ site(
     "www.example.com",
     "# robots for example.com\r\n"
     "Disallow: /ignored-no-group\r\n"          # before any UA: ignored
+    "SITEMAP: https://www.example.com/sitemap-index.xml.gz # master\r\n"
+    # ^ r16: sitemap discovery — upper-case key, PRE-group position
+    #   (Sitemap is global, groups are irrelevant), trailing comment
     "User-agent: *\r\n"
     "Disallow: /a/1\r\n"
     "Allow: /a/12\r\n"
@@ -58,6 +61,7 @@ site(
     "User-agent: otherbot\r\n"
     "Disallow: /\r\n"
     "\r\n"
+    "Sitemap: https://www.example.com/news-sitemap.xml\r\n"  # r16: between groups
     "User-agent: graftbot\r\n"                  # 2nd graftbot group: no rules,
     "Crawl-delay: 4\r\n",                       # a SECOND delay -> max merge
     [(False, "/a/2"), (True, "/a/25"), (False, "/a/7"),
@@ -74,7 +78,9 @@ site(
     "Crawl-delay: 2\n"
     "Disallow: /doc7\n"
     "Allow: /doc75\n"
-    "Disallow: /doc*9$\n",
+    "Disallow: /doc*9$\n"
+    "  sitemap: http://example.com/s.xml\n",   # r16: lowercase, indented
+
     [(False, "/doc7"), (True, "/doc75"), (False, "/doc*9$")],
     delay=2)
 
@@ -83,6 +89,10 @@ site(
 site(
     "api.news.example.co.uk",
     "User-agent: somebot\n"
+    # r16: an ignored line BETWEEN two User-agent lines must NOT end
+    # agent collection (RFC 9309 grouping) — if it split the group, the
+    # stored * rules would stop applying and q305's replay would break
+    "Sitemap: https://api.news.example.co.uk/sitemap-news.xml\n"
     "User-agent: *\n"
     "# block the /a/3 tree except /a/33\n"
     "Disallow: /a/3\n"
