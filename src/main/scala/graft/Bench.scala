@@ -202,15 +202,22 @@ object Bench {
     * BENCH_r07-r09 recorded "parsed": null because the full per-query
     * map is ~35 KB and the line's head fell off the window. So this
     * line carries the HEADLINE medians + the 10 slowest other queries
-    * at 3 decimals, plus the headline MINS (`queries_min` — the round-11
-    * driver box showed per-query IQRs of 5-48 s, so a median-only line
-    * invites false regression reads; min is the floor estimate that
-    * matches quiet-box numbers) — ~1.5 KB total; BenchLineSpec pins the
+    * at 3 decimals, plus the MINS of that same lined set (`queries_min`
+    * — the round-11 driver box showed per-query IQRs of 5-48 s, so a
+    * median-only line invites false regression reads; min is the floor
+    * estimate that matches quiet-box numbers. r16 verdict #1a widened
+    * mins from headline-only to headline + slowest-10: the slowest
+    * queries are exactly where a floor-vs-median split matters) —
+    * ~1.7 KB total; BenchLineSpec pins the
     * bound — and the full per-query payload lands in BENCH_LOCAL.json.
     * `results` is (name, medianSec, minSec, ok). */
   def metricLine(results: Seq[(String, Double, Double, Boolean)], reps: Int,
                  sfDir: String): String = {
     def r3(d: Double): String = (math.round(d * 1000) / 1000.0).toString
+    // mins are floor ESTIMATES — 2 decimals suffice and buy back the
+    // bytes the wider min map costs (the 2000-byte window arithmetic in
+    // BenchLineSpec)
+    def r2(d: Double): String = (math.round(d * 100) / 100.0).toString
     val failed = results.filterNot(_._4)
       .map(r => s""""${r._1}"""").mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
@@ -219,12 +226,16 @@ object Bench {
     val lined = results.filter(r => r._4 && Headline(r._1)) ++ slowest
     val lineQueries =
       lined.map(r => s""""${r._1}":${r3(r._2)}""").mkString("{", ",", "}")
-    val lineMins = results.filter(r => r._4 && Headline(r._1))
-      .map(r => s""""${r._1}":${r3(r._3)}""").mkString("{", ",", "}")
+    // mins ride for the slowest-10 too (r16 verdict #1a): a state-writing
+    // query's regression (the q317 class) is unattributable from driver
+    // artifacts when only its median is visible — the floor separates a
+    // plan regression from a slow-box pass
+    val lineMins =
+      lined.map(r => s""""${r._1}":${r2(r._3)}""").mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,""" +
       s""""policy":$MeasurementPolicy,""" +
       s""""n_queries":${results.count(_._4)},"queries":$lineQueries,""" +
       s""""queries_min":$lineMins,""" +
-      s""""failed":$failed,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s""""failed":$failed,"sf":"$sfDir"}"""
   }
 }

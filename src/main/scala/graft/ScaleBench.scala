@@ -393,12 +393,16 @@ object ScaleBench {
           ("x10_uncapped", 10000000L, Int.MaxValue))
       }
       for ((label, n, cap) <- legs) {
+        // each leg writes multi-GB links/corpus/redirects scratch parquet:
+        // delete it when the leg ends (r16 advice — a bench run must not
+        // leak tens of GB of /tmp), matching the other scale probes
+        var dir: Option[String] = None
         try {
-          val dir = buildDir(n)
+          dir = Some(buildDir(n))
           spark.sharedState.cacheManager.clearCache()
           metrics.reset()
           val t0 = System.nanoTime()
-          graft.app.WebCorpusApp.frontier(spark, dir, robotsFx,
+          graft.app.WebCorpusApp.frontier(spark, dir.get, robotsFx,
               psl = Some(spark.read.parquet(pslFx)), maxPerDomain = cap)
             .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -408,6 +412,12 @@ object ScaleBench {
         } catch {
           case e: Throwable => println(
             s"""{"query":"frontier_scaled_$label","error":"${Option(e.getMessage).getOrElse("").take(150).replace("\"", "'")}"}""")
+        } finally dir.foreach { d =>
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       }
     }

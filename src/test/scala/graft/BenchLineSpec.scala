@@ -19,7 +19,13 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("metric line fits the 2000-byte parser window with slack") {
     val line = Bench.metricLine(fakeResults, reps = 3, sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"metric line ${line.length} bytes — too close to the 2000-byte stdout tail")
+    // window arithmetic: the driver keeps the LAST 2000 stdout bytes and
+    // that tail also holds the runner's trailing line ("[success] Total
+    // time: NNN s (MM:SS), completed <date>" ≈ 70 bytes + newlines). The
+    // r16 widening (mins for the slowest-10 too) spent the old 200-byte
+    // slack; mins at 2 decimals + dropping the constant detail field
+    // bought it back to ≥ 120 bytes of trailing headroom.
+    assert(line.length < 1880, s"metric line ${line.length} bytes — too close to the 2000-byte stdout tail")
   }
 
   test("metric line is one line of well-formed JSON with the contract fields") {
@@ -50,6 +56,18 @@ class BenchLineSpec extends AnyFunSuite {
     }
     assert(line.contains(""""failed":["q153_link_predict"]"""))
     assert(!line.contains(""""q153_link_predict":-1"""))
+  }
+
+  test("the slowest-10 ride the line with median AND min (r16 verdict #1a)") {
+    val line = Bench.metricLine(fakeResults, reps = 3, sfDir = "/x")
+    // reconstruct the slowest-10 the same way metricLine picks them
+    val slowest = fakeResults.filter(_._4).filterNot(r => Bench.Headline(r._1))
+      .sortBy(-_._2).take(10).map(_._1)
+    assert(slowest.size == 10)
+    slowest.foreach { q =>
+      assert(line.sliding(q.length + 3).count(_ == s""""$q":""") == 2,
+        s"$q must carry median AND min")
+    }
   }
 
   test("headline names all exist in the registry") {
