@@ -114,6 +114,17 @@ object Html {
     * mailto:, javascript:, tel:, data: — always dropped. */
   private[graft] val OtherSchemePattern = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
+  /** The absolute-href form of [[SrcOkPattern]] — CASE-INSENSITIVE
+    * (r16 advice): RFC 3986 schemes compare case-insensitively, so
+    * `HTTP://x` / `Https://x` are real links a crawler must keep; the
+    * href is kept VERBATIM here and downstream canonicalization
+    * ([[Url.canonicalize]]) lowercases scheme and host. Still anchored
+    * (never a bare `://` containment — embedded-url hrefs resolve
+    * through the path branches; `javascript://x` falls to the scheme
+    * drop). The SRC side stays [[SrcOkPattern]]: base extraction
+    * patterns key on the lowercase form WARC target URIs carry. */
+  private[graft] val AbsHrefPattern = "(?i)^https?://"
+
   /** A path segment that is NOT `.` or `..` — RE2-safe (no lookahead,
     * DuckDB's engine has none): first char a non-dot, or a dot followed
     * by a non-dot, or `..` followed by at least one more char. A plain
@@ -150,11 +161,13 @@ object Html {
   /** Resolve one href against its page url — the when-chain (branch
     * order is the contract; [[resolveHrefSqlFor]] is the DuckDB twin):
     *
-    *  1. starts `http(s)://` → absolute http-style url: kept verbatim
-    *     (anchored, NOT a bare `://` containment — an embedded-url href
-    *     like `/redirect?u=https://partner.com` is path-absolute and
-    *     must resolve through branch 5, and `javascript://x` must fall
-    *     to the scheme drop in branch 3);
+    *  1. starts `http(s)://` in ANY case ([[AbsHrefPattern]] — scheme
+    *     case-insensitivity is RFC 3986; r16 advice) → absolute
+    *     http-style url: kept verbatim, downstream canonicalization
+    *     lowercases (anchored, NOT a bare `://` containment — an
+    *     embedded-url href like `/redirect?u=https://partner.com` is
+    *     path-absolute and must resolve through branch 5, and
+    *     `javascript://x` must fall to the scheme drop in branch 3);
     *  2. starts `//`     → protocol-relative: base SCHEME + `:` + href
     *     (MUST precede the path-absolute branch — `//cdn.x.com/a` starts
     *     with `/` too, and the path branch would emit the bogus
@@ -176,7 +189,7 @@ object Html {
     val spath0 = regexp_extract(src, SrcPathPattern, 1)
     val spath = when(spath0 === "", lit("/")).otherwise(spath0)
     val sdir = regexp_replace(spath, "[^/]+$", "")
-    when(href.rlike(SrcOkPattern), href)
+    when(href.rlike(AbsHrefPattern), href)
       .when(href.startsWith("//") && href.rlike("^//[^/]") && srcOk,
         concat(regexp_extract(src, "^(https?):", 1), lit(":"), href))
       // a degenerate '//' or schemeless '///path' has no authority to
@@ -201,7 +214,7 @@ object Html {
     val spath = s"(CASE WHEN regexp_extract($src, '$SrcPathPattern', 1) = ''" +
       s" THEN '/' ELSE regexp_extract($src, '$SrcPathPattern', 1) END)"
     val sdir = s"regexp_replace($spath, '[^/]+$$', '', 'g')"
-    s"""CASE WHEN regexp_matches($href, '$SrcOkPattern') THEN $href
+    s"""CASE WHEN regexp_matches($href, '$AbsHrefPattern') THEN $href
        |  WHEN substr($href, 1, 2) = '//' AND regexp_matches($href, '^//[^/]')
        |       AND $srcOk
        |    THEN regexp_extract($src, '^(https?):', 1) || ':' || $href
@@ -213,6 +226,74 @@ object Html {
        |  WHEN $srcOk THEN $base || ${removeDotSegmentsSqlFor(s"($sdir || $href)")}
        |  ELSE NULL END""".stripMargin
   }
+
+  // ---- publisher link/page directives (r16 verdict #3/#4) ----
+  //
+  // Real pages assert rel=nofollow on a large share of links (UGC,
+  // comments, paid) and noindex/nofollow on whole pages; a crawler that
+  // ignores them over-crawls and pollutes link-based rank. All four
+  // patterns below are CONSTANTS shared verbatim with the DuckDB oracle
+  // builders (the HrefPattern convention) — RE2-and-Java common ground,
+  // no backslashes (so both engines' string literals carry them as-is).
+
+  /** One anchor OPEN TAG — the unit of rel-aware link extraction. Same
+    * case/shape subset as [[HrefPattern]] (lowercase `<a `, attributes
+    * to the closing `>`); an unclosed tag yields nothing, like an
+    * unclosed `<a>` yields no link chars in [[blocks]]. */
+  val AnchorTagPattern: String = """(<a [^>]*>)"""
+
+  /** href of one captured anchor tag — [[HrefPattern]]'s href-first
+    * subset, anchored to the tag start. */
+  val TagHrefPattern: String = """^<a href="?([^"> ]+)"?"""
+
+  /** rel value containing the `nofollow` token inside one anchor tag —
+    * case-insensitive, list-tolerant (`rel="ugc nofollow"` matches). */
+  val RelNofollowPattern: String = """(?i) rel="?[^">]*nofollow"""
+
+  /** `<meta name=robots>` content value (the page-level directive;
+    * vocabulary: noindex / nofollow tokens, comma- or space-separated).
+    * rel/name-first attribute order, the fixture-pinned subset. */
+  val MetaRobotsPattern: String =
+    """(?i)<meta[^>]*name="?robots"?[^>]*content="?([^">]*)"""
+
+  /** `<link rel=canonical>` href value — the publisher's own canonical
+    * election hint. */
+  val CanonicalHrefPattern: String =
+    """(?i)<link[^>]*rel="?canonical"?[^>]*href="?([^"> ]+)"?"""
+
+  /** Lowercased robots-meta content of a page ('' when the tag is
+    * absent) — callers test for the `noindex` / `nofollow` tokens. */
+  def metaRobots(html: Column): Column =
+    lower(regexp_extract(html, MetaRobotsPattern, 1))
+
+  /** The page's canonical hint href ('' when absent); resolve with
+    * [[resolveHref]] against the page url, then canonicalize — the hint
+    * is just another src→dst edge for [[Url.resolveChains]]. */
+  def canonicalHref(html: Column): Column =
+    regexp_extract(html, CanonicalHrefPattern, 1)
+
+  /** [[linkEdges]] with the publisher's follow directives (r16 verdict
+    * #3): (src, dst, w, nofollow) — an anchor occurrence is nofollow if
+    * it carries rel=nofollow OR its whole page does (`pageNofollow`, a
+    * Column over `pages` — meta robots / X-Robots-Tag are the caller's
+    * surfaces: head tag and HTTP header); the EDGE is nofollow iff
+    * EVERY occurrence is (bool_and — an edge a publisher asserts
+    * follow-able anywhere stays follow-able; the pinned merge). Same
+    * scale shape as [[linkEdges]]: codegen'd regexp builtins, one
+    * narrow explode, ONE shuffle. */
+  def linkEdgesRel(pages: DataFrame, urlCol: String = "url",
+                   htmlCol: String = "html",
+                   pageNofollow: Column = lit(false)): DataFrame =
+    pages.select(col(urlCol).as("src"), pageNofollow.as("__pnf"),
+        explode(regexp_extract_all(col(htmlCol), lit(AnchorTagPattern), lit(1)))
+          .as("tag"))
+      .withColumn("href", regexp_extract(col("tag"), TagHrefPattern, 1))
+      .filter(col("href") =!= "")
+      .withColumn("dst", resolveHref(col("src"), col("href")))
+      .filter(col("dst").isNotNull)
+      .withColumn("nf", col("tag").rlike(RelNofollowPattern) || col("__pnf"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"), bool_and(col("nf")).as("nofollow"))
 
   /** The crawl's LINK GRAPH: (src, dst, w) edges from every `<a href>`
     * target, [[resolveHref]]-resolved against the page's own url —

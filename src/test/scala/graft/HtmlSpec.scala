@@ -114,6 +114,53 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
       s"got $edges")
   }
 
+  test("linkEdgesRel: per-anchor rel=nofollow, bool_and merge, page-level fold (r16 verdict #3)") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/p",
+        """<a href="/f">f</a> <a href="/n" rel="nofollow"></a> """ +
+          """<a href="/both" rel="nofollow">x</a> <a href="/both">y</a> """ +
+          """<a href="/ugc" rel="ugc nofollow">u</a>""", false),
+      // page-level nofollow (meta robots / X-Robots-Tag — the caller's
+      // column) flags every edge of the page
+      ("https://a.com/q", """<a href="/qq">qq</a>""", true))
+      .toDF("url", "html", "pnf")
+    val edges = Html.linkEdgesRel(pages, pageNofollow = col("pnf"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(edges == Set(
+      ("https://a.com/p", "https://a.com/f", 1L, false),
+      ("https://a.com/p", "https://a.com/n", 1L, true),
+      // one follow-able occurrence makes the EDGE follow-able (bool_and)
+      ("https://a.com/p", "https://a.com/both", 2L, false),
+      // nofollow inside a rel token list still counts
+      ("https://a.com/p", "https://a.com/ugc", 1L, true),
+      ("https://a.com/q", "https://a.com/qq", 1L, true)),
+      s"got $edges")
+  }
+
+  test("metaRobots / canonicalHref head-directive extraction, quoted and bare") {
+    import spark.implicits._
+    val rows = Seq(
+      ("""<head><meta name="robots" content="noindex, nofollow"></head>""",
+        "noindex, nofollow", ""),
+      ("""<head><META name=robots content=noindex></head>""", "noindex", ""),
+      ("""<head><meta name="viewport" content="width=1"></head>""", "", ""),
+      ("""<head><link rel="canonical" href="https://c.com/x"></head>""",
+        "", "https://c.com/x"),
+      ("""<head><link rel=canonical href=/y></head>""", "", "/y"),
+      ("""<head><link rel="stylesheet" href="/s.css"></head>""", "", ""))
+      .toDF("html", "wantMeta", "wantCanon")
+    rows.select(Html.metaRobots(col("html")).as("m"),
+        Html.canonicalHref(col("html")).as("c"),
+        col("wantMeta"), col("wantCanon"))
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(2), s"metaRobots: $r")
+        assert(r.getString(1) == r.getString(3), s"canonicalHref: $r")
+      }
+  }
+
   test("resolveHref: every RFC 3986 subset branch, hand-pinned") {
     import spark.implicits._
     // (src, href, expected-dst-or-null) — expectations computed BY HAND
@@ -158,8 +205,11 @@ class HtmlSpec extends AnyFunSuite with SharedSpark {
       ("https://g.com/out/p.html", "go?next=http://x.org/a",
         "https://g.com/out/go?next=http://x.org/a"),
       ("https://g.com/out/p.html", "javascript://alert(1)", null),
-      // uppercase scheme is not the pinned lowercase absolute form
-      ("https://g.com/out/p.html", "HTTPS://upper.com/x", null))
+      // uppercase/mixed-case schemes are real links (RFC 3986 scheme
+      // case-insensitivity — r16 advice): kept VERBATIM; downstream
+      // canonicalization lowercases scheme+host
+      ("https://g.com/out/p.html", "HTTPS://upper.com/x", "HTTPS://upper.com/x"),
+      ("https://g.com/out/p.html", "Http://Mixed.com/y", "Http://Mixed.com/y"))
     val got = cases.toDF("src", "href", "want")
       .withColumn("got", Html.resolveHref(col("src"), col("href")))
       .collect()
