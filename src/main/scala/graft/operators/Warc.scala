@@ -27,6 +27,7 @@ case class WarcRec(
     http_status: Option[Int],
     http_content_type: Option[String],
     http_location: Option[String],
+    http_robots_tag: Option[String],
     body: Option[Array[Byte]])
 
 /** One CDX-style record location: where a response record lives inside
@@ -513,16 +514,16 @@ object Warc {
     val recCt = hs.get("content-type")
     val isHttpResponse =
       recCt.exists(_.toLowerCase.startsWith("application/http")) && warcType == "response"
-    val (st, hct, loc, body) =
+    val (st, hct, loc, xrt, body) =
       if (isHttpResponse) parseHttp(b, blockStart, clen.toInt)
       else
         // non-HTTP blocks (conversion/metadata/resource) ARE their body —
         // the WET round-trip and CDX-over-WET paths read them directly
-        (None, None, None, Some(java.util.Arrays.copyOfRange(
+        (None, None, None, None, Some(java.util.Arrays.copyOfRange(
           b, blockStart, blockStart + clen.toInt)))
     Some((WarcRec(shardId, idx, warcType,
       hs.get("warc-target-uri"), hs.get("warc-date"), recCt, clen,
-      st, hct, loc, body), blockStart + clen.toInt))
+      st, hct, loc, xrt, body), blockStart + clen.toInt))
   }
 
   /** HTTP response block: status line, case-insensitive headers, body
@@ -540,22 +541,26 @@ object Warc {
     *     otherwise (unchanged);
     *  3. `Content-Encoding: gzip|x-gzip` → multi-member inflate under
     *     the bomb cap; `deflate` → zlib-wrapped first, raw-deflate
-    *     fallback (the dual browsers accept). Failure yields a None
+    *     fallback (the dual browsers accept); `br` → the bounded
+    *     RFC 7932 STORED-subset inflate ([[Brotli.inflateStored]] —
+    *     r16 verdict #6; compressed meta-blocks stay None, the
+    *     documented subset bound). Failure yields a None
     *     body (the record stays classified, its bytes unusable);
     *     KNOWN-COMPRESSED codings this engine carries no codec for
-    *     (br, zstd, compress — r15 advice) yield a None body exactly
+    *     (zstd, compress — r15 advice) yield a None body exactly
     *     like a failed gzip: compressed bytes must never reach the
     *     charset ladder, where they would decode as mojibake and poison
     *     extraction/dedup downstream. Genuinely unknown/identity
     *     codings keep the raw bytes. */
   private def parseHttp(b: Array[Byte], start: Int, len: Int):
-      (Option[Int], Option[String], Option[String], Option[Array[Byte]]) = {
+      (Option[Int], Option[String], Option[String], Option[String],
+       Option[Array[Byte]]) = {
     val end = start + len
     val he = indexOf(b, "\r\n\r\n".getBytes("US-ASCII"), start)
-    if (he < 0 || he >= end) return (None, None, None, None)
+    if (he < 0 || he >= end) return (None, None, None, None, None)
     val head = new String(b, start, he - start, "US-ASCII")
     val lines = head.split("\r\n")
-    if (lines.isEmpty) return (None, None, None, None)
+    if (lines.isEmpty) return (None, None, None, None, None)
     val statusParts = lines(0).split(" ", 3)
     val st =
       if (statusParts.length >= 2 && statusParts(0).startsWith("HTTP/"))
@@ -563,11 +568,15 @@ object Warc {
       else None
     val hs = headerMap(lines.drop(1))
     // Location: the redirect target a crawler must chase (3xx) — exposed
-    // so the frontier can fold redirect targets back in (q332/q333)
+    // so the frontier can fold redirect targets back in (q332/q333).
+    // X-Robots-Tag: the header-level robots directive (r17 — the form
+    // real servers use for non-HTML responses; same vocabulary as
+    // <meta name=robots>): exposed raw, interpreted by the pipeline.
     val loc = hs.get("location")
+    val xrt = hs.get("x-robots-tag")
     val bodyStart = he + 4
     val rem = end - bodyStart
-    if (rem < 0) return (st, hs.get("content-type"), loc, None)
+    if (rem < 0) return (st, hs.get("content-type"), loc, xrt, None)
     val chunked = hs.get("transfer-encoding")
       .exists(_.toLowerCase.contains("chunked"))
     val framed: Array[Byte] =
@@ -584,12 +593,17 @@ object Warc {
     val body = hs.get("content-encoding").map(_.trim.toLowerCase) match {
       case Some("gzip") | Some("x-gzip") => gunzipAll(framed)
       case Some("deflate")               => inflateDeflate(framed)
+      // br: the bounded RFC 7932 STORED-subset inflate (r16 verdict #6 —
+      // the framing `brotli -q 0` emits); compressed meta-blocks still
+      // yield None (the subset bound is documented at [[Brotli]]) —
+      // never mojibake either way
+      case Some("br") => Brotli.inflateStored(framed, MaxInflatedBytes)
       // known-compressed, no codec carried: None, never mojibake
-      case Some("br") | Some("zstd") | Some("compress") | Some("x-compress") =>
+      case Some("zstd") | Some("compress") | Some("x-compress") =>
         None
       case _ => Some(framed)
     }
-    (st, hs.get("content-type"), loc, body)
+    (st, hs.get("content-type"), loc, xrt, body)
   }
 
   /** RFC 9112 §7.1 chunked-body decode over `b[start, end)`: hex size

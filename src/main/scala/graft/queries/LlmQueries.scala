@@ -857,9 +857,11 @@ object LlmQueries {
     * inflate, `deflate` in BOTH the zlib-wrapped and raw forms, the two
     * COMPOSED (gzip inside chunks), malformed chunk framing falling
     * back to the raw remainder, a truncated gzip body yielding the
-    * empty text (None body), br/zstd/compress bodies yielding the empty
-    * text too (known-compressed, no codec carried — never mojibake into
-    * the ladder; r15 advice), and chunked+legacy-charset showing the
+    * empty text (None body), `br` inflated for real through the bounded
+    * RFC 7932 STORED subset ([[graft.operators.Brotli]] — r16 verdict
+    * #6; a COMPRESSED br meta-block and the codec-less zstd/compress
+    * still yield the empty text: refused, never mojibake into the
+    * ladder), and chunked+legacy-charset showing the
     * framing runs BEFORE the charset ladder. PACK-AND-RECOVER with a
     * STORED expectation (the q312 convention): the fixture keeps the
     * expected text per url, written independently of the engine. */

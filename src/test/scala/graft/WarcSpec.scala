@@ -193,11 +193,48 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(got("https://framed.example.net/page26")._2 == "")
     assert(got("https://framed.example.net/page27") ==
       (("windows-1252", s"p27 café “quality” résumé"))) // WORDS(27 % 6)
-    // group J (r15 advice): br/zstd/compress bodies are KNOWN compressed
-    // with no codec carried -> None body -> '', never charset mojibake
-    assert(got("https://framed.example.net/page29")._2 == "")
+    // group J: br in STORED mode is a real decode now (r16 verdict #6);
+    // zstd/compress stay codec-less -> None -> ''; a br COMPRESSED
+    // meta-block is outside the stored subset -> refused, never guessed
+    assert(got("https://framed.example.net/page29")._2.startsWith("page p29 body"))
     assert(got("https://framed.example.net/page30")._2 == "")
     assert(got("https://framed.example.net/page31")._2 == "")
+    assert(got("https://framed.example.net/page32")._2 == "")
+  }
+
+  test("Brotli.inflateStored: WBITS codes, metadata skip, bounds, refusals") {
+    import graft.operators.Brotli
+    // hand-frame: WBITS=16 ('0'), one 3-byte uncompressed block, last-empty.
+    // bits LSB-first: 0 | 0 | 00 | MLEN-1=2 (16 bits) | 1 | align | 'abc' | 1 | 1
+    def stored(data: Array[Byte]): Array[Byte] = {
+      val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def w(v: Int, n: Int): Unit = (0 until n).foreach(k => bits += ((v >> k) & 1))
+      w(0, 1); w(0, 1); w(0, 2); w(data.length - 1, 16); w(1, 1)
+      while (bits.length % 8 != 0) bits += 0
+      data.foreach(b => w(b & 0xff, 8))
+      w(1, 1); w(1, 1)
+      while (bits.length % 8 != 0) bits += 0
+      bits.grouped(8).map(g =>
+        g.zipWithIndex.map { case (b, k) => b << k }.sum.toByte).toArray
+    }
+    val abc = stored("abc".getBytes("US-ASCII"))
+    assert(Brotli.inflateStored(abc, 1L << 20).map(new String(_, "US-ASCII"))
+      .contains("abc"))
+    // truncated stream, empty input, over-cap output: refused
+    assert(Brotli.inflateStored(abc.dropRight(2), 1L << 20).isEmpty)
+    assert(Brotli.inflateStored(Array.emptyByteArray, 1L << 20).isEmpty)
+    assert(Brotli.inflateStored(abc, 2L).isEmpty)
+    // a compressed meta-block (ISUNCOMPRESSED=0) is out of subset:
+    // bits 0 | 0 | 00 | MLEN-1=9 | 0 | garbage
+    val comp = {
+      val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def w(v: Int, n: Int): Unit = (0 until n).foreach(k => bits += ((v >> k) & 1))
+      w(0, 1); w(0, 1); w(0, 2); w(9, 16); w(0, 1); w(0xAB, 8)
+      while (bits.length % 8 != 0) bits += 0
+      bits.grouped(8).map(g =>
+        g.zipWithIndex.map { case (b, k) => b << k }.sum.toByte).toArray
+    }
+    assert(Brotli.inflateStored(comp, 1L << 20).isEmpty)
   }
 
   test("decodeBody: pinned charset fallback order and alias normalization") {

@@ -26,13 +26,22 @@ decodes framing garbage and silently poisons extraction/dedup
   group H (26)    truncated gzip body -> body None -> decodes to ''
   group I (27-28) chunked body carrying a legacy charset (windows-1252
                   declared in the header) — framing then charset decode
-  group J (29-31) Content-Encoding: br / zstd / compress — KNOWN
-                  compressed codings the engine carries no codec for
-                  (r15 advice): body must be None (decodes to ''), never
-                  raw compressed bytes mojibaking through the charset
-                  ladder into extraction/dedup
+  group J (29-32) Content-Encoding: br / zstd / compress.
+                  r17: row 29 is a REAL RFC 7932 brotli stream in STORED
+                  mode — uncompressed meta-blocks + a metadata block,
+                  byte-for-byte what `brotli -q 0` frames for
+                  incompressible payloads — and the engine must inflate
+                  it to the expected text (Brotli.inflateStored).
+                  Row 32 is a br stream whose meta-block is COMPRESSED:
+                  out of the engine's documented stored subset (the full
+                  decode needs the RFC's 122 KB static dictionary), so
+                  the body must be None (decodes to ''), never garbage.
+                  zstd (30) / compress (31) stay codec-less -> None
+                  (r15 advice): never raw compressed bytes mojibaking
+                  through the charset ladder into extraction/dedup
 
-Everything deterministic: zlib with fixed level, gzip with mtime=0.
+Everything deterministic: zlib with fixed level, gzip with mtime=0,
+hand-framed brotli bits (LSB-first per the RFC).
 """
 import gzip
 import pathlib
@@ -76,6 +85,76 @@ def gz(b):
     return bio.getvalue()
 
 
+class _BrotliBits:
+    """LSB-first bit writer (RFC 7932 bit order)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, val, n):
+        for k in range(n):
+            self.bits.append((val >> k) & 1)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def raw(self, bs):
+        self.align()
+        for b in bs:
+            self.w(b, 8)
+
+    def out(self):
+        self.align()
+        by = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for k in range(8):
+                v |= self.bits[i + k] << k
+            by.append(v)
+        return bytes(by)
+
+
+def brotli_stored(data, meta_skip=b""):
+    """A conforming brotli stream in STORED mode: WBITS=16 header, an
+    optional metadata meta-block (skipped content), one uncompressed
+    meta-block carrying `data`, and the empty last block — the framing
+    `brotli -q 0` emits for incompressible payloads."""
+    assert 1 <= len(data) <= (1 << 16)
+    bw = _BrotliBits()
+    bw.w(0, 1)                      # WBITS code '0' -> 16
+    if meta_skip:
+        assert len(meta_skip) <= 255
+        bw.w(0, 1)                  # ISLAST = 0
+        bw.w(3, 2)                  # MNIBBLES code 3 -> metadata block
+        bw.w(0, 1)                  # reserved
+        bw.w(1, 2)                  # MSKIPBYTES = 1
+        bw.w(len(meta_skip) - 1, 8)  # MSKIPLEN - 1
+        bw.raw(meta_skip)
+    bw.w(0, 1)                      # ISLAST = 0
+    bw.w(0, 2)                      # MNIBBLES code 0 -> 4 nibbles
+    bw.w(len(data) - 1, 16)         # MLEN - 1
+    bw.w(1, 1)                      # ISUNCOMPRESSED
+    bw.raw(data)
+    bw.w(1, 1)                      # ISLAST
+    bw.w(1, 1)                      # ISLASTEMPTY
+    return bw.out()
+
+
+def brotli_compressed_stub():
+    """A brotli stream whose first meta-block is COMPRESSED
+    (ISUNCOMPRESSED=0) — valid brotli framing, outside the engine's
+    stored subset: the decode must refuse (None body), never guess."""
+    bw = _BrotliBits()
+    bw.w(0, 1)                      # WBITS 16
+    bw.w(0, 1)                      # ISLAST = 0
+    bw.w(0, 2)                      # 4 nibbles
+    bw.w(9, 16)                     # MLEN = 10
+    bw.w(0, 1)                      # ISUNCOMPRESSED = 0 -> compressed
+    bw.raw(b"\xde\xad\xbe\xef")     # opaque prefix-code bits (never read)
+    return bw.out()
+
+
 def record(headers, block):
     h = headers + [("Content-Length", str(len(block)))]
     head = "WARC/1.0\r\n" + "".join("%s: %s\r\n" % (k, v) for k, v in h) + "\r\n"
@@ -87,7 +166,7 @@ def http(lines, body):
 
 
 pages = []  # (i, http_headers, wire_body, expected_charset, expected_text)
-for i in range(32):
+for i in range(33):
     w = WORDS[i % 6]
     text = "page p%d body of %s and %s — framed" % (i, w, WORDS[(i + 2) % 6])
     raw = text.encode("utf-8")
@@ -142,14 +221,25 @@ for i in range(32):
         hdr = ["Content-Type: text/html; charset=windows-1252",
                "Transfer-Encoding: chunked"]
         pages.append((i, hdr, wire, "windows-1252", t2))
-    else:  # J: known-compressed coding without a codec -> None body
-        coding = {29: "br", 30: "zstd", 31: "compress"}[i]
+    elif i == 29:  # J: REAL brotli, stored mode (+ a metadata block)
+        wire = brotli_stored(raw, meta_skip=b"graft-meta")
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: br"]
+        pages.append((i, hdr, wire, "utf-8", text))
+    elif i < 32:  # J: known-compressed coding without a codec -> None body
+        coding = {30: "zstd", 31: "compress"}[i]
         # stand-in compressed bytes (the engine never decodes them; it
         # must refuse on the header alone) — zlib output is realistic
         # non-text garbage under a deterministic level
         wire = zlib.compress(raw, 6)
         hdr = ["Content-Type: text/html; charset=utf-8",
                "Content-Encoding: %s" % coding]
+        pages.append((i, hdr, wire, "utf-8", ""))
+    else:  # J: br with a COMPRESSED meta-block -> outside the stored
+        # subset -> None body (the documented bound, refused not guessed)
+        wire = brotli_compressed_stub()
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: br"]
         pages.append((i, hdr, wire, "utf-8", ""))
 
 buf = bytearray()
