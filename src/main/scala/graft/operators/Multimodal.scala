@@ -101,7 +101,15 @@ object Multimodal {
     * per ITU-T T.81 §B.1; stops cleanly (None) at SOS/EOI or any
     * malformed length, so a truncated or non-JPEG payload can never
     * produce garbage dims. Covers baseline AND progressive (SOF2) files. */
-  private[graft] def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+  private[graft] def jpegDims(p: Array[Byte]): Option[(Int, Int)] =
+    jpegDimsStored(p).map { case (w, h) =>
+      // EXIF fold (r17): orientations 5-8 transpose the display raster —
+      // report the dims every EXIF-aware consumer (and the perceptual
+      // stack, which rotate-normalizes at decode) agrees on
+      if (jpegExifOrientation(p) >= 5) (h, w) else (w, h)
+    }
+
+  private def jpegDimsStored(p: Array[Byte]): Option[(Int, Int)] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     var i = 2
     while (i + 1 < p.length) {
@@ -1048,13 +1056,127 @@ object Multimodal {
     * bounded by the pixel cap and by the entropy payload (a block costs
     * ≥ 2 bits, so a stream of L bytes bounds blocks by 4L). */
   private[graft] def jpegGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    jpegDecode(p, wantChroma = false).map(d => (d.w, d.h, d.y))
+    jpegDecode(p, wantChroma = false).map { d =>
+      orientRaster(d.w, d.h, d.y, jpegExifOrientation(p))
+    }
+
+  // --------------------------------------------- EXIF orientation (r17)
+  //
+  // A rotated re-save with Orientation=6 carries the SAME scene pixels
+  // transposed in storage; a perceptual screen that hashes the stored
+  // raster calls the pair unrelated (r16 verdict #7). The fix is
+  // rotate-NORMALIZATION at decode: every JPEG raster leaves the decoder
+  // in display orientation, so the 8 EXIF variants of one photo hash
+  // identically.
+
+  /** EXIF IFD0 Orientation (tag 0x0112) from the APP1 `Exif\0\0`
+    * segment: TIFF byte-order header honored (II and MM), IFD0 walked
+    * entry-by-entry, SHORT value read in the declared order. 1
+    * (identity) on absence or ANY malformation — orientation is a hint;
+    * a broken hint must never fail a decode. Bounded: one marker walk +
+    * one IFD scan, both inside the segment's declared length. */
+  private[graft] def jpegExifOrientation(p: Array[Byte]): Int = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return 1
+    var i = 2
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return 1
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+      if (j >= p.length) return 1
+      val marker = p(j) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1
+      else if (marker == 0xd9 || marker == 0xda) return 1 // entropy data: no APP1 ahead
+      else {
+        if (j + 2 >= p.length) return 1
+        val len = u16be(p, j + 1)
+        if (len < 2 || j + 1 + len > p.length) return 1
+        if (marker == 0xe1 && len >= 16 &&
+            p(j + 3) == 'E' && p(j + 4) == 'x' && p(j + 5) == 'i' &&
+            p(j + 6) == 'f' && p(j + 7) == 0 && p(j + 8) == 0) {
+          val t = j + 9 // TIFF header start
+          val end = j + 1 + len
+          val little =
+            if (p(t) == 'I' && p(t + 1) == 'I') true
+            else if (p(t) == 'M' && p(t + 1) == 'M') false
+            else return 1
+          def u16(o: Int): Int =
+            if (o + 1 >= end) -1
+            else if (little) (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+            else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+          def u32(o: Int): Long =
+            if (o + 3 >= end) -1L
+            else if (little) (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+              ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+            else ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+              ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+          if (u16(t + 2) != 42) return 1
+          val ifd0 = u32(t + 4)
+          if (ifd0 < 0 || t + ifd0 + 2 > end) return 1
+          val base = t + ifd0.toInt
+          val n = u16(base)
+          if (n < 0) return 1
+          var e = 0
+          while (e < n) {
+            val eo = base + 2 + 12 * e
+            if (eo + 12 > end) return 1
+            if (u16(eo) == 0x0112 && u16(eo + 2) == 3) { // SHORT
+              val v = u16(eo + 8) // value inline, first 2 bytes
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            e += 1
+          }
+          return 1
+        }
+        i = j + 1 + len
+      }
+    }
+    1
+  }
+
+  /** Apply EXIF orientation `o` to a stored raster, returning the
+    * DISPLAY raster (dims swap for 5-8). Inverse maps, pinned (the
+    * fixture's Python twin replays them integer-for-integer):
+    * displayed(x,y) reads stored(xs,ys) with
+    *   2: (w-1-x, y)        3: (w-1-x, h-1-y)   4: (x, h-1-y)
+    *   5: (y, x)            6: (y, h-1-x)       7: (w-1-y, h-1-x)
+    *   8: (w-1-y, x)
+    * o outside 2-8 is the identity (no copy). */
+  private[graft] def orientRaster(w: Int, h: Int, a: Array[Int],
+                                  o: Int): (Int, Int, Array[Int]) = {
+    if (o < 2 || o > 8) return (w, h, a)
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](a.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (xs, ys) = o match {
+          case 2 => (ow - 1 - x, y)
+          case 3 => (ow - 1 - x, oh - 1 - y)
+          case 4 => (x, oh - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case 8 => (w - 1 - y, x)
+        }
+        out(y * ow + x) = a(ys * w + xs)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
 
   /** Decoded JPEG planes: luma at full (w, h); when `wantChroma` was set
     * on a 3-component image, Cb/Cr at their natural (cw, ch) with the
     * luma sampling factors (sx, sy) for upsampling — null otherwise. */
   private[graft] final case class JpegPlanes(w: Int, h: Int, y: Array[Int],
-      cb: Array[Int], cr: Array[Int], cw: Int, chh: Int, sx: Int, sy: Int)
+      cb: Array[Int], cr: Array[Int], cw: Int, chh: Int, sx: Int, sy: Int,
+      // CMYK path (r17): RGB reconstructed during decode — the YCbCr
+      // upsample machinery does not apply to 4-component Adobe files
+      r: Array[Int] = null, g: Array[Int] = null, b: Array[Int] = null)
 
   private[graft] def jpegDecode(p: Array[Byte],
                                 wantChroma: Boolean): Option[JpegPlanes] = {
@@ -1064,10 +1186,11 @@ object Multimodal {
     val acTabs = new Array[JpegHuff](4)
     var w = -1; var h = -1
     var nf = 0
-    val compHV = new Array[Int](3)
-    val compTq = new Array[Int](3)
-    val compDc = new Array[Int](3)
-    val compAc = new Array[Int](3)
+    val compHV = new Array[Int](4)
+    val compTq = new Array[Int](4)
+    val compDc = new Array[Int](4)
+    val compAc = new Array[Int](4)
+    var adobeTransform = -1 // APP14 color-transform byte; -1 = absent
     var restartInterval = 0
     var dataStart = -1
     var i = 2
@@ -1121,7 +1244,8 @@ object Multimodal {
             if ((p(s) & 0xff) != 8) return None // precision
             h = u16be(p, s + 1); w = u16be(p, s + 3)
             nf = p(s + 5) & 0xff
-            if (nf != 1 && nf != 3) return None // grayscale or YCbCr
+            // grayscale, YCbCr, or 4-component Adobe CMYK/YCCK (r17)
+            if (nf != 1 && nf != 3 && nf != 4) return None
             if (e - s < 6 + 3 * nf) return None
             var c = 0
             while (c < nf) {
@@ -1135,12 +1259,19 @@ object Multimodal {
             // always 1×1; grayscale is a single full-resolution grid.
             // The MCU walk below is generic in (yH, yV), so the r15
             // verdict's 4:2:2 item is exactly this relaxed guard.
+            // 4-component files: 1×1 everywhere (the Adobe-CMYK norm).
             if (nf == 1 && compHV(0) != 0x11) return None
             if (nf == 3) {
               val yHf = compHV(0) >> 4; val yVf = compHV(0) & 15
               if (yHf < 1 || yHf > 2 || yVf < 1 || yVf > 2) return None
               if (compHV(1) != 0x11 || compHV(2) != 0x11) return None
             }
+            if (nf == 4 && (0 until 4).exists(compHV(_) != 0x11)) return None
+          case 0xee => // APP14 Adobe: the color-transform declaration
+            // layout: 'Adobe' ver(2) flags0(2) flags1(2) transform(1)
+            if (e - s >= 12 && p(s) == 'A' && p(s + 1) == 'd' &&
+                p(s + 2) == 'o' && p(s + 3) == 'b' && p(s + 4) == 'e')
+              adobeTransform = p(s + 11) & 0xff
           case 0xc2 => // SOF2: the progressive path (r14 verdict #3)
             return jpegDecodeProgressive(p, wantChroma)
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
@@ -1169,6 +1300,10 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || nf == 0) return None
+    // a 4-component file is uninterpretable without the Adobe transform
+    // declaration: T=0 (inverted CMYK) and T=2 (YCCK) are the pinned
+    // vocabulary; anything else refuses (never guessed ink semantics)
+    if (nf == 4 && adobeTransform != 0 && adobeTransform != 2) return None
     var ci = 0
     while (ci < nf) {
       if (qt(compTq(ci)) == null || dcTabs(compDc(ci)) == null ||
@@ -1186,15 +1321,18 @@ object Multimodal {
         nMcus * blocksPerMcu > 4L * (p.length - dataStart)) return None
     val gray = new Array[Int](w * h)
     // chroma planes at their natural resolution (ceil(w/sx) x ceil(h/sy));
-    // same pixel-cap regime as luma (cw*ch <= w*h)
-    val emitChroma = wantChroma && nf == 3
+    // same pixel-cap regime as luma (cw*ch <= w*h). A 4-component file
+    // reconstructs ALL planes regardless of wantChroma: its gray needs
+    // the full ink transform (there is no fast-luma shortcut in CMYK).
+    val emitChroma = (wantChroma && nf == 3) || nf == 4
     val cw = (w + yH - 1) / yH
     val chh = (h + yV - 1) / yV
     val cbP = if (emitChroma) new Array[Int](cw * chh) else null
     val crP = if (emitChroma) new Array[Int](cw * chh) else null
+    val kP = if (nf == 4) new Array[Int](cw * chh) else null
     val deq = new Array[Long](64) // dequantized, de-zigzagged: deq(v*8+u)
     val br = new JpegBits(p, dataStart)
-    val preds = new Array[Int](3)
+    val preds = new Array[Int](4)
     var m = 0L
     var sinceRestart = 0
     // one entropy-coded block of component `c`. `emit = false` is the
@@ -1302,14 +1440,49 @@ object Multimodal {
       while (c < nf) {
         if (!block(c, emit = emitChroma)) return None
         if (emitChroma)
-          idctInto(if (c == 1) cbP else crP, cw, chh,
+          idctInto(if (c == 1) cbP else if (c == 2) crP else kP, cw, chh,
             (m % mcuW).toInt * 8, (m / mcuW).toInt * 8)
         c += 1
       }
       m += 1
       sinceRestart += 1
     }
-    Some(JpegPlanes(w, h, gray, cbP, crP, cw, chh, yH, yV))
+    if (nf == 4) {
+      // PINNED Adobe ink reconstruction (r17; the fixture's Python twin
+      // replays it integer-for-integer). Adobe writers store INVERTED
+      // ink values, so:
+      //  T=0 (CMYK): ink C = 255 - s0, M = 255 - s1, Y = 255 - s2,
+      //              K = 255 - s3;
+      //  T=2 (YCCK): (R0,G0,B0) = the pinned 16-bit YCbCr→RGB over
+      //              (s0, s1, s2); C = 255 - R0, M = 255 - G0,
+      //              Y = 255 - B0; K = 255 - s3.
+      //  RGB: R = (255-C)·(255-K) div 255 (integer), same for G/B;
+      //  the luma raster is the pinned BT.601 integer luma over RGB.
+      def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+      val n = w * h
+      val rP = new Array[Int](n); val gP = new Array[Int](n)
+      val bP = new Array[Int](n); val g2 = new Array[Int](n)
+      var i2 = 0
+      while (i2 < n) {
+        val s0 = gray(i2); val s1 = cbP(i2); val s2 = crP(i2); val s3 = kP(i2)
+        val (r0, g0, b0) =
+          if (adobeTransform == 0) (s0, s1, s2)
+          else {
+            val cb = s1 - 128; val cr = s2 - 128
+            (clamp(s0 + ((91881 * cr + 32768) >> 16)),
+             clamp(s0 - ((22554 * cb + 46802 * cr + 32768) >> 16)),
+             clamp(s0 + ((116130 * cb + 32768) >> 16)))
+          }
+        // inks are Adobe-inverted: 255 - C == r0, 255 - K == s3
+        rP(i2) = r0 * s3 / 255
+        gP(i2) = g0 * s3 / 255
+        bP(i2) = b0 * s3 / 255
+        g2(i2) = lumaOf(rP(i2), gP(i2), bP(i2))
+        i2 += 1
+      }
+      Some(JpegPlanes(w, h, g2, null, null, cw, chh, 1, 1, rP, gP, bP))
+    } else
+      Some(JpegPlanes(w, h, gray, cbP, crP, cw, chh, yH, yV))
   }
 
   /** PROGRESSIVE (SOF2) JPEG decode (r14 verdict #3) — the second most
@@ -1787,8 +1960,12 @@ object Multimodal {
       : Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
     jpegDecode(p, wantChroma = true).map { d =>
       val n = d.w * d.h
-      val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
-      if (d.cb == null) {
+      val r = if (d.r != null) d.r else new Array[Int](n)
+      val g = if (d.r != null) d.g else new Array[Int](n)
+      val b = if (d.r != null) d.b else new Array[Int](n)
+      if (d.r != null) {
+        // CMYK path: RGB was reconstructed during decode
+      } else if (d.cb == null) {
         System.arraycopy(d.y, 0, r, 0, n)
         System.arraycopy(d.y, 0, g, 0, n)
         System.arraycopy(d.y, 0, b, 0, n)
@@ -1811,7 +1988,13 @@ object Multimodal {
           yy += 1
         }
       }
-      (d.w, d.h, r, g, b)
+      // rotate-normalize (r17): the color stack must agree with the luma
+      // stack on what "the image" is — same EXIF fold, every plane
+      val o = jpegExifOrientation(p)
+      val (ow, oh, r2) = orientRaster(d.w, d.h, r, o)
+      val (_, _, g2) = orientRaster(d.w, d.h, g, o)
+      val (_, _, b2) = orientRaster(d.w, d.h, b, o)
+      (ow, oh, r2, g2, b2)
     }
 
   /** Per-JPEG COLOR perceptual signature: the full RGB reconstruction

@@ -2433,8 +2433,14 @@ object LlmQueries {
        |         WHEN media_id = 102 THEN 101
        |         -- 125/126: PROGRESSIVE re-encodes of the 105 family —
        |         -- same coefficient formulas, SOF2 serialization;
-       |         -- 133: the DRI=3 restart re-encode (r16)
-       |         WHEN media_id IN (106, 107, 125, 126, 133) THEN 105
+       |         -- 133: the DRI=3 restart re-encode (r16);
+       |         -- 135: the EXIF Orientation=6 rotated re-save (r17) —
+       |         -- the engine rotate-normalizes at decode, so its
+       |         -- DISPLAYED raster is 105's bit for bit
+       |         WHEN media_id IN (106, 107, 125, 126, 133, 135) THEN 105
+       |         -- 136: the Adobe-CMYK re-save of 108 (r17) — the pinned
+       |         -- ink reconstruction lands exactly on 108's luma raster
+       |         WHEN media_id = 136 THEN 108
        |         -- 129: progressive 4:2:0 re-encode of 116 (r16);
        |         -- 134: the same with DRI=2 restarts in every scan
        |         WHEN media_id IN (117, 129, 134) THEN 116

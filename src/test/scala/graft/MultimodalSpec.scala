@@ -21,7 +21,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
         col("dec_bytes") =!= col("n_bytes") || col("dec_checksum") =!= col("checksum"))
       .count()
     assert(mismatches == 0)
-    assert(decoded.count() == 82) // 30 fixture-codec + 28 GIF/BMP/PNG + 24 real JPEG
+    assert(decoded.count() == 84) // 30 fixture-codec + 28 GIF/BMP/PNG + 26 real JPEG
   }
 
   test("videoMeta parses the fixture's REAL MP4 and AVI containers byte-level") {
@@ -420,7 +420,14 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // with the whole 105 family), 134 re-encodes 116 progressively
       // with DRI=2 — markers are pure framing, pixels identical
       (105L, 133L), (106L, 133L), (107L, 133L), (125L, 133L), (126L, 133L),
-      (116L, 134L), (117L, 134L), (129L, 134L)))
+      (116L, 134L), (117L, 134L), (129L, 134L),
+      // the EXIF leg (r17): 135 is the Orientation=6 rotated re-save of
+      // 105 — rotate-normalization makes it pair with the WHOLE family
+      (105L, 135L), (106L, 135L), (107L, 135L), (125L, 135L),
+      (126L, 135L), (133L, 135L),
+      // the CMYK leg (r17): 136 is the Adobe-CMYK re-save of 108 — the
+      // ink reconstruction lands on 108's luma raster exactly
+      (108L, 136L)))
     assert(pairs((92L, 100L)) == ((0L, 0L)))
     assert(pairs((101L, 102L)) == ((0L, 0L)))
     assert(pairs((88L, 90L)) == ((0L, 0L)))  // exact pixel copy: Hamming 0, L1 0
@@ -583,11 +590,16 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // r16 RESTART rows: 133 baseline DRI=3 re-encode of 105, 134
       // progressive 4:2:0 DRI=2 re-encode of 116 — the RSTn resync +
       // predictor/EOBRUN resets must be pixel-invisible
-      133 -> (105, false, 1, 1), 134 -> (116, false, 2, 2))
+      133 -> (105, false, 1, 1), 134 -> (116, false, 2, 2),
+      // r17: 135 is the EXIF Orientation=6 rotated re-save of 105 — the
+      // engine rotate-normalizes, so the DISPLAYED raster is 105's;
+      // 136 is the Adobe-CMYK re-save of 108 — the pinned ink
+      // reconstruction lands exactly on 108's luma raster
+      135 -> (105, false, 1, 1), 136 -> (108, false, 1, 1))
     val rows = spark.read.parquet(fixture)
       .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
       .select("media_id", "payload", "width", "height").collect()
-    assert(rows.length == 24)
+    assert(rows.length == 26)
     rows.foreach { r =>
       val id = r.getLong(0).toInt
       val (seed, pt, yh, yv) = fams(id)
@@ -606,8 +618,13 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // legitimately differ by small rounding, which is exactly why the
     // oracle replays OUR pinned spec instead of a third-party decoder.
     // ImageIO must still land within ±2 luma of ours on every pixel.
+    // 135/136 excluded: ImageIO is EXIF-BLIND (returns the stored 16×24
+    // raster, not the displayed 24×16) and its CMYK ink transform is its
+    // own, not the pinned one — both rows are pixel-pinned against their
+    // baseline twins in the family test above instead
     val rows = spark.read.parquet(fixture)
-      .filter(col("mime") === "image/jpeg" && col("media_id") >= 105)
+      .filter(col("mime") === "image/jpeg" && col("media_id") >= 105 &&
+        col("media_id") <= 134)
       .select("media_id", "payload").collect()
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
@@ -739,7 +756,7 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     val rows = spark.read.parquet(fixture)
       .filter(col("exp_rsum").isNotNull)
       .select("media_id", "payload", "exp_rsum", "exp_gsum", "exp_bsum").collect()
-    assert(rows.length == 24)
+    assert(rows.length == 26)
     rows.foreach { r =>
       val dec = Multimodal.jpegRgb(r.getAs[Array[Byte]]("payload"))
       assert(dec.isDefined, s"jpegRgb rejected jpeg ${r.getLong(0)}")
@@ -747,7 +764,10 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(rp.foldLeft(0L)(_ + _) == r.getLong(2), s"rsum jpeg ${r.getLong(0)}")
       assert(gp.foldLeft(0L)(_ + _) == r.getLong(3), s"gsum jpeg ${r.getLong(0)}")
       assert(bp.foldLeft(0L)(_ + _) == r.getLong(4), s"bsum jpeg ${r.getLong(0)}")
+      // r17: 135 (EXIF-rotated 105) is grayscale too; 136's CMYK
+      // reconstruction is engineered R = G = B = the 108 luma raster
       if (r.getLong(0) <= 109L || r.getLong(0) == 133L ||
+          r.getLong(0) >= 135L ||
           (r.getLong(0) >= 124L && r.getLong(0) <= 127L)) { // grayscale: R = G = B = Y
         val (_, _, y) = Multimodal.jpegGray(r.getAs[Array[Byte]]("payload")).get
         assert(rp.sameElements(y) && gp.sameElements(y) && bp.sameElements(y))
@@ -761,10 +781,14 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       // rows 129-132 and 134: the GRAYSCALE rows (124-127 progressive,
       // 133 restart) are excluded because ImageIO's getRGB pushes gray
       // rasters through a gamma conversion (the jpegGray raw-raster
-      // test covers their ImageIO agreement)
+      // test covers their ImageIO agreement); 135/136 (r17) are excluded
+      // because ImageIO is EXIF-BLIND (returns the stored raster) and
+      // its CMYK ink transform is its own, not the pinned one — both are
+      // pixel-pinned against their baseline twins in the family test
       .filter(col("exp_rsum").isNotNull &&
         ((col("media_id") >= 116 && col("media_id") <= 123) ||
-          (col("media_id") >= 128 && col("media_id") =!= 133)))
+          (col("media_id") >= 128 && col("media_id") <= 134 &&
+            col("media_id") =!= 133)))
       .select("media_id", "payload").collect()
     rows.foreach { r =>
       val p = r.getAs[Array[Byte]]("payload")
