@@ -26,8 +26,9 @@ import graft.sources.{AnnIndex, Sinks, TextIndex}
   *                         n_tokens, n_pars, n_kept, text, pos, shard
   *  - `rejects`          — (url, stage): WHY every non-surviving page
   *                         died, stage ∈ url_duplicate | robots_disallowed
-  *                         | no_content | paragraph_dup | language |
-  *                         quality | exact_duplicate | near_duplicate —
+  *                         | noindex | canonical_variant | no_content |
+  *                         paragraph_dup | language | quality |
+  *                         exact_duplicate | near_duplicate —
   *                         the lineage table a curation team audits
   *  - `paragraph_hashes` — one md5 per DISTINCT paragraph ever seen:
   *                         the bounded state (~16 B/paragraph) that makes
@@ -41,10 +42,18 @@ import graft.sources.{AnnIndex, Sinks, TextIndex}
   *                         read instead of page bytes
   *  - `redirects`        — (src, dst): the crawl's REDIRECT MAP from
   *                         every 3xx response (canonical both sides,
-  *                         one dst per src) — the frontier resolves
-  *                         link targets through its chains so a target
-  *                         that redirects into the corpus is never
-  *                         re-scheduled
+  *                         one dst per src GLOBALLY — within a batch by
+  *                         min(dst); across batches FIRST CAPTURE WINS:
+  *                         appends anti-join the committed srcs) — the
+  *                         frontier resolves link targets through its
+  *                         chains so a target that redirects into the
+  *                         corpus is never re-scheduled
+  *  - `canonicals`       — (src, dst): the publisher's own
+  *                         `<link rel=canonical>` election map (r17 —
+  *                         same canonical-both-sides, one-dst-per-src
+  *                         contract as `redirects`; self-hints dropped):
+  *                         the frontier resolves through redirects ∪
+  *                         canonicals and schedules hinted dsts
   *  - `manifest`         — one row of per-stage counts: the handshake a
   *                         consumer validates before reading a shard
   *  - `ledger`           — applied-batch ledger (exactly-once appends
@@ -112,6 +121,7 @@ object WebCorpusApp {
     Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes")
     Sinks.overwriteSwap(linksOf(pages), s"$outDir/links")
     Sinks.overwriteSwap(redirectsOf(recs), s"$outDir/redirects")
+    Sinks.overwriteSwap(canonicalsOf(pages), s"$outDir/canonicals")
     refresh(spark, outDir)
     writeLedger(spark, outDir, Map("__init" -> nPages))
     auditDerived(spark, outDir)
@@ -161,12 +171,42 @@ object WebCorpusApp {
     val recs = decodeRecs(shards).sever() // the build's recompute cut
     val pages = pagesOf(recs)
     val nPages = pages.count()
-    // an empty batch (zero decodable PAGES — e.g. a zero-data streaming
-    // micro-batch) must leave NO trace, not an empty ledger entry:
-    // re-delivery recomputes the same no-op, so idempotence holds.
-    // Pinned consequence: a batch of ONLY 3xx records also no-ops (its
-    // redirects re-arrive with whatever batch carries real pages).
-    if (nPages == 0) return
+    // this batch's 3xx map, deduped against the COMMITTED map (r16
+    // advice: the redirects table's one-dst-per-src contract must hold
+    // GLOBALLY, not per batch) — FIRST CAPTURE WINS: a recrawled src
+    // captured with a different Location in a later batch keeps its
+    // original committed row (deterministic under the ledger's batch
+    // order; an in-place min-merge would rewrite the whole table per
+    // batch for a tie-break no consumer needs — the frontier
+    // re-functionalizes through min(dst) either way). The anti-join
+    // reads the 3xx-sized map, never corpus data. Severed: it feeds an
+    // isEmpty probe and the tagged append below.
+    val committedRedirects =
+      if (Sinks.exists(spark, s"$outDir/redirects"))
+        Sinks.readCommitted(spark, s"$outDir/redirects", committed)
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("src", "dst")
+      }
+    val newRedirects = redirectsOf(recs)
+      .join(committedRedirects.select(col("src")), Seq("src"), "left_anti")
+      .sever()
+    if (nPages == 0) {
+      // a batch with zero decodable PAGES but real 3xx records must NOT
+      // no-op (r16 advice): redirects are only re-delivered with the
+      // SAME WARC records, so dropping a redirect-only batch loses its
+      // map entries permanently. Commit them under the same tagged-file
+      // + ledger discipline (nPages = 0). Corpus, rejects, indexes and
+      // the manifest are untouched by construction, so the audit is
+      // skipped. A batch with NEITHER pages nor new redirects leaves no
+      // trace at all: re-delivery recomputes the same no-op, so
+      // idempotence holds either way.
+      if (newRedirects.isEmpty) return
+      Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId)
+      spark.catalog.refreshByPath(s"$outDir/redirects")
+      writeLedger(spark, outDir, applied + (batchId -> 0L))
+      return
+    }
     val written = spark.read.parquet(s"$outDir/corpus")
     val maxPos = written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
     val staged = runPipeline(spark, pages, robotsPath,
@@ -188,7 +228,20 @@ object WebCorpusApp {
     Sinks.appendTagged(rejects, s"$outDir/rejects", batchId)
     Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId)
     Sinks.appendTagged(linksOf(pages).sever(), s"$outDir/links", batchId)
-    Sinks.appendTagged(redirectsOf(recs), s"$outDir/redirects", batchId)
+    Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId)
+    // canonical hints under the same first-capture-wins discipline as
+    // redirects (one dst per src globally)
+    val committedCanonicals =
+      if (Sinks.exists(spark, s"$outDir/canonicals"))
+        Sinks.readCommitted(spark, s"$outDir/canonicals", committed)
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("src", "dst")
+      }
+    Sinks.appendTagged(
+      canonicalsOf(pages)
+        .join(committedCanonicals.select(col("src")), Seq("src"), "left_anti"),
+      s"$outDir/canonicals", batchId)
     refresh(spark, outDir)
     failpoint("table_append")
     // index maintenance BEFORE the commit (a crash here must revoke the
@@ -224,17 +277,47 @@ object WebCorpusApp {
     * crawl bytes. Links come from EVERY fetched 200 page (a crawler
     * harvests from duplicates and rejects too — their links are real);
     * targets resolve through the RFC 3986 subset ([[Html.resolveHref]])
-    * and land CANONICALIZED, the key the frontier dedups on. */
+    * and land CANONICALIZED, the key the frontier dedups on.
+    * Each edge carries the publisher's FOLLOW directive (r16 verdict
+    * #3): `nofollow` is true iff every anchor occurrence says so —
+    * rel=nofollow on the anchor, or page-level nofollow from
+    * `<meta name=robots>` / the X-Robots-Tag header. The edge stays IN
+    * the table (the artifact records; consumers decide): the frontier
+    * and the crawl PageRank filter it out. */
   private def linksOf(pages: DataFrame): DataFrame =
-    Html.linkEdges(pages, urlCol = "url", htmlCol = "html")
+    Html.linkEdgesRel(pages, urlCol = "url", htmlCol = "html",
+        pageNofollow = Html.metaRobots(col("html")).contains("nofollow") ||
+          lower(col("x_robots")).contains("nofollow"))
       .select(col("src").as("url"),
-        Url.canonicalize(col("dst")).as("dst_canonical"), col("w"))
-      .groupBy("url", "dst_canonical").agg(sum(col("w")).as("w"))
+        Url.canonicalize(col("dst")).as("dst_canonical"), col("w"),
+        col("nofollow"))
+      .groupBy("url", "dst_canonical")
+      .agg(sum(col("w")).as("w"), bool_and(col("nofollow")).as("nofollow"))
+
+  /** The crawl's CANONICAL-HINT MAP (r16 verdict #4) — the publisher's
+    * own `<link rel=canonical>` election, harvested in the SAME decoded
+    * page set as [[linksOf]] (every fetched 200 page, rejected or not:
+    * the hint is real either way): (src, dst), both canonical, hint
+    * resolved against the page url through the RFC 3986 subset,
+    * SELF-canonical hints dropped (the ubiquitous no-op), min(dst) per
+    * src (the [[Url.resolveChains]] functionalization). The frontier
+    * resolves targets through redirects ∪ canonicals and seeds the
+    * hinted dsts; the pipeline's election gate rejects fetched variants
+    * whose hint names another fetched page. */
+  private def canonicalsOf(pages: DataFrame): DataFrame =
+    pages.withColumn("__hint", Html.canonicalHref(col("html")))
+      .filter(col("__hint") =!= "")
+      .withColumn("__dst0", Html.resolveHref(col("url"), col("__hint")))
+      .filter(col("__dst0").isNotNull)
+      .select(Url.canonicalize(col("url")).as("src"),
+        Url.canonicalize(col("__dst0")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src").agg(min(col("dst")).as("dst"))
 
   /** Every table an append contributes tagged files to (purge targets —
     * the index roots are walked recursively, partition dirs included). */
   private val appendedTables = Seq("corpus", "rejects", "paragraph_hashes",
-    "links", "redirects", "embeddings", "text_index/postings",
+    "links", "redirects", "canonicals", "embeddings", "text_index/postings",
     "text_index/lexicon", "text_index/stats", "ann_index/postings")
 
   /** Test-only crash injection: when set, [[appendBatch]] throws after
@@ -301,15 +384,18 @@ object WebCorpusApp {
               r.http_content_type)
           else ("", "") // 3xx/4xx bodies never enter the corpus
         (r.target_uri.getOrElse(""), st, r.http_location.getOrElse(""),
-          cs, text)
+          r.http_robots_tag.getOrElse(""), cs, text)
       }
-      .toDF("url", "http_status", "http_location", "charset", "html")
+      .toDF("url", "http_status", "http_location", "x_robots",
+        "charset", "html")
   }
 
-  /** HTTP-200 responses of a decoded walk: (url, charset, html). */
+  /** HTTP-200 responses of a decoded walk: (url, x_robots, charset,
+    * html) — `x_robots` is the raw X-Robots-Tag header ('' when absent),
+    * the header-level twin of the `<meta name=robots>` directive. */
   private def pagesOf(recs: DataFrame): DataFrame =
     recs.filter(col("http_status") === 200 && col("url") =!= "")
-      .select(col("url"), col("charset"), col("html"))
+      .select(col("url"), col("x_robots"), col("charset"), col("html"))
 
   /** The crawl's REDIRECT MAP from one decoded walk — (src, dst), both
     * canonical, functionalized to one dst per src (min — the
@@ -363,16 +449,53 @@ object WebCorpusApp {
       .select(col("url"), lit("robots_disallowed").as("stage"))
     val allowed = uniq.join(allowedUrls, Seq("url"), "left_semi")
 
+    // 2b. publisher noindex (r16 verdict #3) — `<meta name=robots>` or
+    //     the X-Robots-Tag header asserting noindex: gated like a
+    //     robots disallow but AFTER it (robots is the host's gate, this
+    //     the page's own), its own reject stage so the lineage table
+    //     attributes it. Narrow per-row regexes, no shuffle.
+    val withNoidx = allowed.withColumn("__noidx",
+      Html.metaRobots(col("html")).contains("noindex") ||
+        lower(col("x_robots")).contains("noindex"))
+    val indexable = withNoidx.filter(!col("__noidx")).drop("__noidx")
+    val rejNoindex = withNoidx.filter(col("__noidx"))
+      .select(col("url"), lit("noindex").as("stage"))
+
+    // 2c. canonical ELECTION (r16 verdict #4): a page whose
+    //     `<link rel=canonical>` hint resolves to a DIFFERENT canonical
+    //     url that is itself a fetched page is a publisher-declared
+    //     VARIANT — the elected member carries the content; the variant
+    //     rejects. Electorate = this run's url-deduped page set ∪ the
+    //     written corpus (append — rejected history pages don't elect:
+    //     their content was never kept). A hint to a never-fetched url
+    //     keeps the page (dropping it would lose the only copy); the
+    //     hint still seeds the frontier via the canonicals table.
+    val hinted = indexable.withColumn("__hint_raw",
+        Html.canonicalHref(col("html")))
+      .withColumn("__hint", when(col("__hint_raw") === "", lit(null))
+        .otherwise(Url.canonicalize(
+          Html.resolveHref(col("url"), col("__hint_raw")))))
+    val electorate = crawledCanonical
+      .fold(uniq.select(col("canonical_url")))(c =>
+        uniq.select(col("canonical_url")).unionByName(c.distinct()))
+      .distinct().select(col("canonical_url").as("__e"))
+    val rejCanonVar = hinted
+      .filter(col("__hint").isNotNull && col("__hint") =!= col("canonical_url"))
+      .join(electorate, col("__hint") === col("__e"), "left_semi")
+      .select(col("url"), lit("canonical_variant").as("stage"))
+    val elected = hinted.join(rejCanonVar.select("url"), Seq("url"), "left_anti")
+      .drop("__hint_raw", "__hint")
+
     // 3. content-block extraction (link-density rule); pages with no
     //    qualifying block at all are the link-farm rejects
     // severed: the regex extraction is the per-byte hot loop, and blocks
     // feed paragraph dedup, the paragraph-hash state AND the no-content
     // rejects — three consumers, one extraction pass
-    val blocks = Html.blocks(allowed, idCol = "url", htmlCol = "html")
+    val blocks = Html.blocks(elected, idCol = "url", htmlCol = "html")
       .filter(col("is_content"))
       .select(col("url"), col("pos"), col("text"))
       .sever()
-    val rejNoContent = allowed.join(blocks.select("url").distinct(),
+    val rejNoContent = elected.join(blocks.select("url").distinct(),
         Seq("url"), "left_anti")
       .select(col("url"), lit("no_content").as("stage"))
 
@@ -451,7 +574,8 @@ object WebCorpusApp {
       .select("url", "canonical_url", "host", "charset", "fp",
         "n_tokens", "n_pars", "n_kept", "text", "__h")
 
-    val rejects = Seq(rejUrlDup, rejCrawled, rejRobots, rejNoContent,
+    val rejects = Seq(rejUrlDup, rejCrawled, rejRobots, rejNoindex,
+      rejCanonVar, rejNoContent,
       rejParDup, rejLang, rejQuality, rejExact, rejNear, rejHistFp)
       .filter(_.columns.nonEmpty)
       .reduce(_ unionByName _)
@@ -510,7 +634,7 @@ object WebCorpusApp {
     appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
     refresh(spark, outDir)
     Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects",
-        "embeddings")
+        "canonicals", "embeddings")
       .filter(t => Sinks.exists(spark, s"$outDir/$t"))
       .foreach { t =>
         Sinks.compact(spark, s"$outDir/$t", targetRowsPerFile)
@@ -554,9 +678,10 @@ object WebCorpusApp {
     * two-phase cap. */
   def frontier(spark: SparkSession, outDir: String, robotsPath: String,
                psl: Option[DataFrame] = None,
-               maxPerDomain: Int = FrontierDomainCap): DataFrame = {
+               maxPerDomain: Int = FrontierDomainCap,
+               sitemaps: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = frontierCandidates(spark, outDir, robotsPath, psl)
+    val cands = frontierCandidates(spark, outDir, robotsPath, psl, sitemaps)
     // two-phase per-domain top-N: phase 1 keeps N per (domain, salt) so
     // the final window reads at most N·64 rows per domain — one
     // mega-domain never funnels its whole candidate set through a
@@ -590,30 +715,64 @@ object WebCorpusApp {
     * rule. The Crawl-delay politeness key is the registrable domain on
     * BOTH sides: robots sites map through the same rule and a domain's
     * delay is the MAX over its sites (conservative — the q339
-    * convention). */
+    * convention).
+    *
+    * `sitemaps`: the crawl's fetched-sitemap store — (url, xml) rows
+    * (r16 verdict #5). When provided, the `<loc>` entries of every
+    * ROBOTS-DECLARED file ([[Robots.sitemapUrls]] — undeclared files in
+    * the store are never read) seed the candidate pool alongside link
+    * targets, canonicalized and pushed through the same chain / fetched
+    * / robots / politeness gates — a crawler's whole point in reading
+    * `Sitemap:` lines is to schedule the listed URLs. */
   def frontierCandidates(spark: SparkSession, outDir: String,
                          robotsPath: String,
-                         psl: Option[DataFrame] = None): DataFrame = {
+                         psl: Option[DataFrame] = None,
+                         sitemaps: Option[DataFrame] = None): DataFrame = {
     val links = readCommitted(spark, outDir, "links")
+    // nofollow edges (r17) never seed the frontier — the publisher
+    // asserted the target is not endorsed; legacy link tables predate
+    // the column and read as all-follow
+    val followed =
+      if (links.columns.contains("nofollow")) links.filter(!col("nofollow"))
+      else links
     val crawled = readCommitted(spark, outDir, "corpus")
       .select(col("canonical_url"))
       .unionByName(readCommitted(spark, outDir, "rejects")
         .select(Url.canonicalize(col("url")).as("canonical_url")))
       .distinct()
-    // resolve each target through the written redirect map: fetch the
-    // chain TERMINAL (self when no redirect edge), drop loops
-    // (unterminated — fetching any loop member is wasted budget). A
-    // corpus written before the redirects artifact existed reads as an
-    // empty map (self-review r16: a missing dir must not throw)
-    val redirects =
-      if (Sinks.exists(spark, s"$outDir/redirects"))
-        readCommitted(spark, outDir, "redirects")
+    // resolve each target through the written redirect map ∪ the
+    // publisher canonical map (r17 — a canonical hint is just another
+    // functionalized src→dst edge): fetch the chain TERMINAL (self when
+    // no edge), drop loops (unterminated — fetching any loop member is
+    // wasted budget). A corpus written before these artifacts existed
+    // reads as an empty map (a missing dir must not throw)
+    def mapTable(name: String): DataFrame =
+      if (Sinks.exists(spark, s"$outDir/$name"))
+        readCommitted(spark, outDir, name).select(col("src"), col("dst"))
       else {
         import spark.implicits._
         Seq.empty[(String, String)].toDF("src", "dst")
       }
-    val chains = Url.resolveChains(redirects, "src", "dst", maxHops = 4)
-    val cands = links.select(col("dst_canonical").as("__target")).distinct()
+    val canonicals = mapTable("canonicals")
+    val edges = mapTable("redirects").unionByName(canonicals)
+    val chains = Url.resolveChains(edges, "src", "dst", maxHops = 4)
+    // candidate pool: follow-able link targets ∪ canonical-hint dsts
+    // (the publisher named them: discovery signals even when nothing
+    // links there yet) ∪ robots-declared sitemap locs (when provided)
+    val smLocs = sitemaps.fold {
+      import spark.implicits._
+      Seq.empty[String].toDF("__target")
+    } { sm =>
+      val declared = Robots.sitemapUrls(Robots.readRobots(spark, robotsPath))
+        .select(col("sitemap_url").as("__sm")).distinct()
+      graft.operators.Sitemap.urls(
+          sm.join(declared, sm("url") === col("__sm"), "left_semi"))
+        .select(Url.canonicalize(col("loc")).as("__target"))
+    }
+    val cands = followed.select(col("dst_canonical").as("__target"))
+      .unionByName(canonicals.select(col("dst").as("__target")))
+      .unionByName(smLocs)
+      .distinct()
       .join(chains, col("__target") === col("url"), "left")
       .filter(col("unterminated").isNull || !col("unterminated"))
       .select(coalesce(col("terminal_url"), col("__target")).as("canonical_url"))
@@ -671,7 +830,8 @@ object WebCorpusApp {
   }
 
   private def refresh(spark: SparkSession, outDir: String): Unit =
-    Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects")
+    Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects",
+        "canonicals")
       .foreach(t => spark.catalog.refreshByPath(s"$outDir/$t"))
 
   /** Manifest recomputed from the WRITTEN tables (write damage surfaces
@@ -684,7 +844,8 @@ object WebCorpusApp {
     val corpus = spark.read.parquet(s"$outDir/corpus")
     val rejects = spark.read.parquet(s"$outDir/rejects")
     val parHashes = spark.read.parquet(s"$outDir/paragraph_hashes")
-    val stages = Seq("url_duplicate", "robots_disallowed", "no_content",
+    val stages = Seq("url_duplicate", "robots_disallowed", "noindex",
+      "canonical_variant", "no_content",
       "paragraph_dup", "language", "quality", "exact_duplicate", "near_duplicate")
     val stageCounts = stages.map(st =>
       sum(when(col("stage") === st, 1L).otherwise(0L)).as(s"n_$st"))

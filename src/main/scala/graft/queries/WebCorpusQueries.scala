@@ -30,6 +30,7 @@ object WebCorpusQueries {
   private val warcShards = "/root/repo/fixtures/warc_shards.parquet"
   private val robotsFx = "/root/repo/fixtures/robots.parquet"
   private val pslFx = "/root/repo/fixtures/psl.parquet"
+  private val crawlSitemapsFx = "/root/repo/fixtures/crawl_sitemaps.parquet"
   private val Doc0Url = "https://example.com/doc0"
 
   // ------------------------------------------------------ materialization
@@ -343,7 +344,10 @@ object WebCorpusQueries {
   def q343WebcorpusFrontierRanked(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val out = built(s)
+    // nofollow edges carry no endorsement: excluded from the rank graph
+    // (r17 — the same rule the frontier's candidate pool applies)
     val edges = WebCorpusApp.readCommitted(s, out, "links")
+      .filter(!col("nofollow"))
       .select(col("url").as("src"), col("dst_canonical").as("dst"), col("w"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -386,9 +390,40 @@ object WebCorpusQueries {
     WebCorpusApp.frontier(s, builtIncremental(s), robotsFx,
       psl = Some(s.read.parquet(pslFx)))
 
+  /** q347: the WRITTEN CANONICAL-HINT MAP (r17 — the publisher's own
+    * `<link rel=canonical>` election as a build artifact): harvested in
+    * the same decoded page set as the links (every fetched 200 page —
+    * a rejected variant's hint is real), hint hrefs resolved through
+    * the RFC 3986 subset (the %53==46 population declares a RELATIVE
+    * href) and canonicalized, self-hints dropped, min(dst) per src.
+    * This is the second map the frontier resolves chains through
+    * (redirects ∪ canonicals) and the source of its hinted-dst seeds.
+    * Oracle: the head-injection formulas (%53==12 → the previous doc;
+    * %53==46 → the never-fetched /canon url). */
+  def q347WebcorpusCanonicals(s: SparkSession, dir: String): DataFrame =
+    WebCorpusApp.readCommitted(s, built(s), "canonicals")
+
+  /** q348: the SITEMAP-SEEDED frontier (r17 — discovery meets
+    * scheduling): q341's gating with the crawl's fetched-sitemap store
+    * passed in — the `<loc>` entries of every ROBOTS-DECLARED file
+    * (q346's `Sitemap:` harvest names `http://example.com/s.xml`; the
+    * store's undeclared decoy file must never be read) join the
+    * candidate pool, canonicalized (the `?b=2&amp;a=1` loc decodes and
+    * sorts to `?a=1&b=2`), and ride the SAME chain / fetched / robots /
+    * politeness gates: the already-fetched /doc3 vanishes, /doc21
+    * resolves through its 301 to the same terminal the link graph
+    * already schedules, /doc1009 dies on the `Disallow: /doc*9$`
+    * wildcard, and the two /smapnew urls schedule. */
+  def q348WebcorpusFrontierSitemap(s: SparkSession, dir: String): DataFrame =
+    WebCorpusApp.frontier(s, built(s), robotsFx,
+      psl = Some(s.read.parquet(pslFx)),
+      sitemaps = Some(s.read.parquet(crawlSitemapsFx)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q344_webcorpus_redirects" -> (q344WebcorpusRedirects _),
     "q345_webcorpus_frontier_inc" -> (q345WebcorpusFrontierInc _),
+    "q347_webcorpus_canonicals" -> (q347WebcorpusCanonicals _),
+    "q348_webcorpus_frontier_sitemap" -> (q348WebcorpusFrontierSitemap _),
     "q340_webcorpus_links" -> (q340WebcorpusLinks _),
     "q341_webcorpus_frontier" -> (q341WebcorpusFrontier _),
     "q342_webcorpus_maintain" -> (q342WebcorpusMaintain _),
@@ -428,6 +463,13 @@ object WebCorpusQueries {
       s" LEFT JOIN ph$h ON c.text = ph$h.text")
     val parHist = hist.fold("")(h =>
       s"ph$h AS (SELECT DISTINCT text FROM cb$h),\n")
+    // r17 canonical electorate: the run's url-deduped page set, plus the
+    // written corpus on the incremental phase (rejected history pages
+    // never elect — their content was never kept)
+    val histElect = hist.fold("")(h =>
+      s"""
+         |             OR 'https://example.com/doc' || (doc_id - 1)
+         |                IN (SELECT u FROM corpusurl$h)""".stripMargin)
     s"""ok$sfx AS (
        |  SELECT doc_id, url FROM read_parquet('$htmlDocs')
        |  WHERE doc_id % 53 NOT IN (7, 21) AND ($where)),
@@ -444,8 +486,16 @@ object WebCorpusQueries {
        |    ON rr.site = 'example.com'
        |   AND regexp_matches('/doc' || u.doc_id, ${Robots.patternRegexSqlFor("rr.rule_path")})),
        |al$sfx AS (SELECT doc_id, url FROM rb$sfx WHERE rn = 1 AND coalesce(allow, TRUE)),
+       |ni$sfx AS (
+       |  SELECT doc_id, url FROM al$sfx
+       |  WHERE doc_id % 53 NOT IN (34, 42)),
+       |cv$sfx AS (
+       |  SELECT doc_id, url FROM ni$sfx
+       |  WHERE NOT (doc_id % 53 = 12
+       |             AND ('https://example.com/doc' || (doc_id - 1)
+       |                  IN (SELECT url FROM uq$sfx)$histElect))),
        |cb$sfx AS (
-       |  SELECT a.url, h.pos, h.text FROM hcls h JOIN al$sfx a USING (doc_id)
+       |  SELECT a.url, h.pos, h.text FROM hcls h JOIN cv$sfx a USING (doc_id)
        |  WHERE h.is_content),
        |${parHist}pw$sfx AS (
        |  SELECT c.url, c.pos, c.text,
@@ -506,6 +556,9 @@ object WebCorpusQueries {
          |SELECT doc_id AS url, 'exact_duplicate' AS stage FROM surv$sfx
          |WHERE md5(text) IN (SELECT fp FROM corpusfp$h)
          |""".stripMargin)
+    val histElect = hist.fold("")(h =>
+      s""" OR 'https://example.com/doc' || (doc_id - 1)
+         |      IN (SELECT u FROM corpusurl$h)""".stripMargin)
     s"""SELECT url, 'url_duplicate' AS stage FROM (
        |  SELECT url, row_number() OVER (PARTITION BY url ORDER BY url) AS rn
        |  FROM ok$sfx) WHERE rn > 1
@@ -514,7 +567,15 @@ object WebCorpusQueries {
        |SELECT url, 'robots_disallowed' AS stage FROM rb$sfx
        |WHERE rn = 1 AND NOT coalesce(allow, TRUE)
        |UNION ALL
-       |SELECT url, 'no_content' AS stage FROM al$sfx
+       |SELECT url, 'noindex' AS stage FROM al$sfx
+       |WHERE doc_id % 53 IN (34, 42)
+       |UNION ALL
+       |SELECT url, 'canonical_variant' AS stage FROM ni$sfx
+       |WHERE doc_id % 53 = 12
+       |  AND ('https://example.com/doc' || (doc_id - 1)
+       |       IN (SELECT url FROM uq$sfx)$histElect)
+       |UNION ALL
+       |SELECT url, 'no_content' AS stage FROM cv$sfx
        |WHERE url NOT IN (SELECT DISTINCT url FROM cb$sfx)
        |UNION ALL
        |SELECT url, 'paragraph_dup' AS stage FROM pd$sfx WHERE n_kept = 0
@@ -561,13 +622,20 @@ object WebCorpusQueries {
     * so the engine's full canonicalizer must be the identity on them. */
   private val linksCtes: String =
     s"""lpages AS (
-       |  SELECT url, html FROM read_parquet('$htmlDocs')
+       |  SELECT doc_id, url, html FROM read_parquet('$htmlDocs')
        |  WHERE doc_id % 53 NOT IN (7, 21)),
-       |llk AS (SELECT url,
-       |          unnest(regexp_extract_all(html, '${graft.operators.Html.HrefPattern}', 1)) AS href
+       |ltag AS (SELECT doc_id, url,
+       |          unnest(regexp_extract_all(html, '${graft.operators.Html.AnchorTagPattern}', 1)) AS tag
        |        FROM lpages),
+       |llk AS (SELECT doc_id, url,
+       |          regexp_extract(tag, '${graft.operators.Html.TagHrefPattern}', 1) AS href,
+       |          (regexp_matches(tag, '${graft.operators.Html.RelNofollowPattern}')
+       |           OR doc_id % 53 = 34) AS nf
+       |        FROM ltag
+       |        WHERE regexp_extract(tag, '${graft.operators.Html.TagHrefPattern}', 1) <> ''),
        |lrr AS (SELECT url,
-       |          ${graft.operators.Html.resolveHrefSqlFor("url", "href")} AS dst
+       |          ${graft.operators.Html.resolveHrefSqlFor("url", "href")} AS dst,
+       |          nf
        |        FROM llk)""".stripMargin
 
   /** Redirect-map replay + the bounded 4-hop terminal resolution + the
@@ -578,15 +646,25 @@ object WebCorpusQueries {
     * members dropped (terminal still has an outgoing edge), then minus
     * the decoded page set. Ends at `fr`: the resolved candidate urls.
     * Requires `lrr`/`lpages` from [[linksCtes]] upstream. */
-  private val chainCtes: String =
+  private def chainCtesFor(extraCand: String): String =
     s"""rmap AS (SELECT 'https://example.com/doc' || doc_id AS src,
        |    CASE WHEN doc_id % 2 = 0
        |      THEN 'https://example.com/doc' || (doc_id - 1)
        |      ELSE 'https://example.com/doc' || doc_id || '/moved?a=1&b=2'
        |    END AS dst
        |  FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21),
-       |rm AS (SELECT src, min(dst) AS dst FROM rmap GROUP BY src),
-       |cand0 AS (SELECT DISTINCT dst AS cu FROM lrr WHERE dst IS NOT NULL),
+       |cmap AS (SELECT 'https://example.com/doc' || doc_id AS src,
+       |    CASE WHEN doc_id % 53 = 12
+       |      THEN 'https://example.com/doc' || (doc_id - 1)
+       |      ELSE 'https://example.com/canon' || doc_id
+       |    END AS dst
+       |  FROM read_parquet('$htmlDocs') WHERE doc_id % 53 IN (12, 46)),
+       |rm AS (SELECT src, min(dst) AS dst FROM
+       |         (SELECT src, dst FROM rmap UNION ALL SELECT src, dst FROM cmap)
+       |       GROUP BY src),
+       |cand0 AS (SELECT DISTINCT cu FROM (
+       |  SELECT dst AS cu FROM lrr WHERE dst IS NOT NULL AND NOT nf
+       |  UNION ALL SELECT dst AS cu FROM cmap$extraCand)),
        |ch1 AS (SELECT c.cu, coalesce(m.dst, c.cu) AS t
        |        FROM cand0 c LEFT JOIN rm m ON c.cu = m.src),
        |ch2 AS (SELECT cu, coalesce(m.dst, t) AS t
@@ -599,6 +677,10 @@ object WebCorpusQueries {
        |        WHERE t NOT IN (SELECT src FROM rm)),
        |crawled AS (SELECT DISTINCT url FROM lpages),
        |fr AS (SELECT cu FROM res WHERE cu NOT IN (SELECT url FROM crawled))""".stripMargin
+
+  /** The default candidate pool: follow-able link targets ∪ canonical
+    * dsts (r17 — nofollow edges never seed; hinted dsts always do). */
+  private val chainCtes: String = chainCtesFor("")
 
   /** PSL longest-match registrable domain over a host-keyed CTE (the
     * q331 machinery, prefix-parameterized so one oracle can map both
@@ -667,6 +749,48 @@ object WebCorpusQueries {
        |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
        |FROM j""".stripMargin
 
+  /** Robots `Sitemap:` declarations (the q346 line walk) + the DECLARED
+    * files' `<loc>` entries from the crawl's fetched-sitemap store,
+    * entity-decoded and canonicalized (these locs' only decoration is
+    * the `?b=2&amp;a=1` query, whose canonical form is the sorted
+    * `?a=1&b=2` — stated by formula, the q340 convention). Ends at
+    * `smlocs(cu)`. The store's undeclared decoy file is filtered by the
+    * declaration join. */
+  private val sitemapSeedCtes: String =
+    s"""smf AS (SELECT site,
+       |    string_split(replace(robots_txt, chr(13), ''), chr(10)) AS ls
+       |  FROM read_parquet('$robotsFx')),
+       |sml AS (SELECT trim(regexp_replace(ls[g.i], '#.*$$', ''), ' ' || chr(9)) AS line
+       |  FROM smf, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+       |smdecl AS (SELECT DISTINCT
+       |    trim(substr(line, strpos(line, ':') + 1), ' ' || chr(9)) AS u
+       |  FROM sml
+       |  WHERE strpos(line, ':') > 1
+       |    AND lower(trim(substr(line, 1, strpos(line, ':') - 1),
+       |                   ' ' || chr(9))) = 'sitemap'
+       |    AND trim(substr(line, strpos(line, ':') + 1), ' ' || chr(9)) <> ''),
+       |smraw AS (SELECT unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS blk
+       |  FROM read_parquet('$crawlSitemapsFx')
+       |  WHERE url IN (SELECT u FROM smdecl)),
+       |smlocs AS (SELECT replace(replace(
+       |    regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+       |    '&amp;', '&'), '?b=2&a=1', '?a=1&b=2') AS cu
+       |  FROM smraw
+       |  WHERE regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> '')""".stripMargin
+
+  /** q348's replay: [[frontierSql]] with the robots-declared sitemap
+    * locs unioned into the candidate pool — same chains, same gates. */
+  private lazy val frontierSitemapSql: String =
+    s"""WITH $linksCtes,
+       |$rulesCte,
+       |$sitemapSeedCtes,
+       |${chainCtesFor("\n  UNION ALL SELECT cu FROM smlocs")},
+       |$frontierGateCtes
+       |SELECT cu AS canonical_url, host, registered_domain, crawl_delay,
+       |  CAST((row_number() OVER (PARTITION BY registered_domain ORDER BY cu) - 1)
+       |       * greatest(crawl_delay, 1) AS BIGINT) AS wave
+       |FROM j""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the written 3xx artifact vs the fixture's Location formula,
     // canonical form stated per the q300 pack-and-recover convention
@@ -677,10 +801,15 @@ object WebCorpusQueries {
          |    ELSE 'https://example.com/doc' || doc_id || '/moved?a=1&b=2'
          |  END AS dst
          |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 = 21""".stripMargin,
-    // the written artifact vs the replayed extraction+resolution chain
+    // the written artifact vs the replayed extraction+resolution chain;
+    // r17: the follow directive rides along — an edge is nofollow iff
+    // every anchor occurrence is (rel=nofollow or the %53==34 page-level
+    // meta; the %53==42 X-Robots-Tag population is noindex-ONLY and must
+    // read follow here)
     "q340_webcorpus_links" ->
       s"""WITH $linksCtes
-         |SELECT url, dst AS dst_canonical, CAST(count(*) AS BIGINT) AS w
+         |SELECT url, dst AS dst_canonical, CAST(count(*) AS BIGINT) AS w,
+         |  bool_and(nf) AS nofollow
          |FROM lrr WHERE dst IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // link targets redirect-resolved to terminals (r16), minus every
     // decoded page url (corpus ∪ rejects = the decoded set, and page
@@ -690,6 +819,18 @@ object WebCorpusQueries {
     // incremental state must compose into the SAME frontier — q345
     // shares q341's oracle verbatim (the q317/q323 convention)
     "q345_webcorpus_frontier_inc" -> frontierSql,
+    // the head-injection formulas: %53==12 elects the previous doc,
+    // %53==46 hints a never-fetched /canon url (self-hints would drop,
+    // none exist in the fixture)
+    "q347_webcorpus_canonicals" ->
+      s"""SELECT 'https://example.com/doc' || doc_id AS src,
+         |  CASE WHEN doc_id % 53 = 12
+         |    THEN 'https://example.com/doc' || (doc_id - 1)
+         |    ELSE 'https://example.com/canon' || doc_id
+         |  END AS dst
+         |FROM read_parquet('$htmlDocs') WHERE doc_id % 53 IN (12, 46)""".stripMargin,
+    // q341's gating + the robots-declared sitemap locs in the pool
+    "q348_webcorpus_frontier_sitemap" -> frontierSitemapSql,
     "q313_webcorpus" ->
       s"""$buildPrelude,
          |${rankCte("w", None)}
@@ -708,6 +849,8 @@ object WebCorpusQueries {
          |SELECT
          |  (SELECT count(*) FROM rej WHERE stage = 'url_duplicate') AS n_url_duplicate,
          |  (SELECT count(*) FROM rej WHERE stage = 'robots_disallowed') AS n_robots_disallowed,
+         |  (SELECT count(*) FROM rej WHERE stage = 'noindex') AS n_noindex,
+         |  (SELECT count(*) FROM rej WHERE stage = 'canonical_variant') AS n_canonical_variant,
          |  (SELECT count(*) FROM rej WHERE stage = 'no_content') AS n_no_content,
          |  (SELECT count(*) FROM rej WHERE stage = 'paragraph_dup') AS n_paragraph_dup,
          |  (SELECT count(*) FROM rej WHERE stage = 'language') AS n_language,
@@ -764,7 +907,8 @@ object WebCorpusQueries {
       s"""WITH $linksCtes,
          |$rulesCte,
          |e AS (SELECT url AS src, dst, count(*) AS w
-         |      FROM lrr WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |      FROM lrr WHERE dst IS NOT NULL GROUP BY 1, 2
+         |      HAVING NOT bool_and(nf)),
          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
          |p AS (SELECT e.src, e.dst, (e.w * 1000000) // outw.ow AS p
          |      FROM e JOIN outw ON e.src = outw.src),

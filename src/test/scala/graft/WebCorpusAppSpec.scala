@@ -323,6 +323,135 @@ class WebCorpusAppSpec extends AnyFunSuite with SharedSpark {
       "https://loopsite.example.net/loopx"), s"got $legacyFr")
   }
 
+  test("publisher directives: nofollow flagged + unscheduled, noindex rejected, canonical variants elected (r16 verdict #3/#4)") {
+    import spark.implicits._
+    val host = "https://dirsite.example.net"
+    def para(seed: Int): String = (0 until 3).map { j =>
+      val w = Seq("data", "model", "corpus", "quality", "stream", "index")
+      s"<p>the p$seed of ${w((seed + j) % 6)} and a ${w((seed + j + 1) % 6)} " +
+        s"to the ${w((seed + j + 2) % 6)} in ${w((seed + j + 3) % 6)} " +
+        s"${w((seed + j + 4) % 6)} extra tokens for the quality gate</p>"
+    }.mkString
+    def page(links: String, seed: Int, head: String = ""): String =
+      s"<html><head><title>s$seed</title>$head</head><body>$links${para(seed)}</body></html>"
+    def rec(url: String, html: String, extraHttp: Seq[String] = Nil): Array[Byte] = {
+      val body = html.getBytes("UTF-8")
+      val http = ((Seq("HTTP/1.1 200 OK",
+        "Content-Type: text/html; charset=utf-8",
+        s"Content-Length: ${body.length}") ++ extraHttp).mkString("\r\n") +
+        "\r\n\r\n").getBytes("UTF-8") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    // enough fillers that the post-reject corpus still feeds the ANN
+    // index's mod-10 training sample (the build always writes indexes)
+    val filler = (10 until 58).map(k => rec(s"$host/fill$k", page("", k)))
+      .reduce(_ ++ _)
+    val payload =
+      // A: one follow link, one zero-text nofollow link
+      rec(s"$host/a", page(
+        """<a href="/keep">k</a> <a href="/skip" rel="nofollow"></a>""", 1)) ++
+      // B: page-level meta noindex,nofollow — rejected AND all links flagged
+      rec(s"$host/b", page("""<a href="/bonly">b</a>""", 2,
+        head = """<meta name="robots" content="noindex, nofollow">""")) ++
+      // C: header-level noindex ONLY — rejected, links stay follow-able
+      rec(s"$host/c", page("""<a href="/conly">c</a>""", 3),
+        extraHttp = Seq("X-Robots-Tag: noindex")) ++
+      // V1: canonical hint to the FETCHED /a — publisher-declared variant
+      rec(s"$host/v1", page("", 4,
+        head = s"""<link rel="canonical" href="$host/a">""")) ++
+      // V2: canonical hint to a NEVER-FETCHED url — kept, hint scheduled
+      rec(s"$host/v2", page("", 5,
+        head = """<link rel="canonical" href="/elected">""")) ++
+      filler
+    val dir = freshDir()
+    Seq((0L, false, payload)).toDF("shard_id", "gz", "payload")
+      .write.parquet(s"$dir/shards")
+    WebCorpusApp.build(spark, s"$dir/shards", robots, s"$dir/out")
+    // the link table carries the follow directive per edge
+    val links = spark.read.parquet(s"$dir/out/links")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(3)).toMap
+    assert(links((s"$host/a", s"$host/keep")) == false)
+    assert(links((s"$host/a", s"$host/skip")) == true)
+    assert(links((s"$host/b", s"$host/bonly")) == true, "meta nofollow must flag the page's edges")
+    assert(links((s"$host/c", s"$host/conly")) == false, "header noindex-only must NOT flag edges")
+    // noindex pages and the elected variant land in rejects with their stages
+    val rej = spark.read.parquet(s"$dir/out/rejects")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rej.get(s"$host/b").contains("noindex"))
+    assert(rej.get(s"$host/c").contains("noindex"))
+    assert(rej.get(s"$host/v1").contains("canonical_variant"))
+    // the canonicals artifact holds both hints, canonical both sides
+    val canon = spark.read.parquet(s"$dir/out/canonicals")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon == Map(s"$host/v1" -> s"$host/a", s"$host/v2" -> s"$host/elected"))
+    // corpus membership: the variant died, the unfetched-hint page stayed
+    val corpus = spark.read.parquet(s"$dir/out/corpus")
+      .collect().map(_.getString(0)).toSet
+    assert(corpus.contains(s"$host/a") && corpus.contains(s"$host/v2"))
+    assert(!corpus.contains(s"$host/b") && !corpus.contains(s"$host/c") &&
+      !corpus.contains(s"$host/v1"))
+    // frontier: nofollow targets never schedule; noindex-only C's link
+    // does; the canonical hint dst schedules
+    val fr = WebCorpusApp.frontier(spark, s"$dir/out", robots)
+      .collect().map(_.getString(0)).toSet
+    assert(fr.contains(s"$host/keep") && fr.contains(s"$host/conly") &&
+      fr.contains(s"$host/elected"), s"got $fr")
+    assert(!fr.contains(s"$host/skip") && !fr.contains(s"$host/bonly"), s"got $fr")
+  }
+
+  test("redirect-only batch COMMITS its map; recaptured src keeps its first dst; no-new-data batch leaves no trace (r16 advice)") {
+    import spark.implicits._
+    def rec301(url: String, location: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 301 Moved Permanently\r\nLocation: $location\r\n" +
+        "Content-Length: 0\r\n\r\n").getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+        http ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val out = freshDir()
+    WebCorpusApp.build(spark, shards, robots, out, shardPred = col("shard_id") <= 1)
+    val corpusBefore = corpusRows(out)
+    val redBefore = spark.read.parquet(s"$out/redirects").count()
+    // batch 1: ONLY a 301 record. Pre-r17 this no-opped and the map
+    // entry was lost forever (redirects only re-arrive with the same
+    // WARC records); now it commits under the ledger (nPages = 0).
+    val d1 = freshDir()
+    Seq((0L, false, rec301("https://ronly.example.net/m1",
+        "https://ronly.example.net/t1")))
+      .toDF("shard_id", "gz", "payload").write.parquet(s"$d1/shards")
+    WebCorpusApp.append(spark, s"$d1/shards", robots, out, "r-only-1", lit(true))
+    val led1 = spark.read.parquet(s"$out/ledger").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(led1.get("r-only-1").contains(0L), s"ledger: $led1")
+    val red1 = WebCorpusApp.readCommitted(spark, out, "redirects")
+    assert(red1.count() == redBefore + 1)
+    assert(red1.filter(col("src") === "https://ronly.example.net/m1" &&
+      col("dst") === "https://ronly.example.net/t1").count() == 1)
+    assert(corpusRows(out) == corpusBefore, "a redirect-only batch must not touch the corpus")
+    // replaying the committed id is a full no-op
+    WebCorpusApp.append(spark, s"$d1/shards", robots, out, "r-only-1", lit(true))
+    assert(WebCorpusApp.readCommitted(spark, out, "redirects").count() == redBefore + 1)
+    // batch 2 RECAPTURES m1 with a different Location: the committed
+    // row wins (one dst per src GLOBALLY — the anti-join drops the
+    // duplicate), and with nothing new to write the batch leaves no
+    // ledger trace (re-delivery recomputes the same no-op)
+    val d2 = freshDir()
+    Seq((0L, false, rec301("https://ronly.example.net/m1",
+        "https://ronly.example.net/zzz-other")))
+      .toDF("shard_id", "gz", "payload").write.parquet(s"$d2/shards")
+    WebCorpusApp.append(spark, s"$d2/shards", robots, out, "r-only-2", lit(true))
+    val dsts = WebCorpusApp.readCommitted(spark, out, "redirects")
+      .filter(col("src") === "https://ronly.example.net/m1")
+      .collect().map(_.getString(1)).toSeq
+    assert(dsts == Seq("https://ronly.example.net/t1"), s"got $dsts")
+    val led2 = spark.read.parquet(s"$out/ledger").collect().map(_.getString(0)).toSet
+    assert(!led2.contains("r-only-2"), s"ledger: $led2")
+  }
+
   test("maintain(): N appends -> compaction folds files, every result bit-identical, ledger intact (r14 verdict #7)") {
     import graft.sources.{Sinks, TextIndex}
     val out = freshDir()

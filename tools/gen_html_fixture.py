@@ -132,15 +132,36 @@ def page(d, paras, extra_navs=0, ckey=None, raw_paras=False):
     # redirect-terminal gate is exercised by the fixture itself
     extra = ('<a href="/doc74">moved archive</a> '
              '<a href="/doc21">old index</a> ' if d % 100 == 3 else '')
-    body.append('<footer>%s<a href="/about">about the site</a> '
-                '<a href="/terms">terms of it</a></footer>' % extra)
+    # r17: per-anchor rel=nofollow on a ZERO-TEXT anchor (strips to '' —
+    # no extracted-text change anywhere): its /nf{d} target must be
+    # flagged in the link table and never scheduled by the frontier
+    nf = '<a href="/nf%d" rel="nofollow"></a>' % d if d % 11 == 5 else ''
+    body.append('<footer>%s%s<a href="/about">about the site</a> '
+                '<a href="/terms">terms of it</a></footer>' % (extra, nf))
     style = "<style>body { color: #%03d; } /* a > b */</style>" % (d % 1000)
     script = ('<script type="text/javascript">var x = "<p>not a tag</p>"; '
               'if (x < %d) { x = x + 1; }</script>' % (d % 97))
     comment = "<!-- generated page %d\n     multi-line comment -->" % d
+    # r17 HEAD injections (all tag-only: zero extracted-text change):
+    #  - d%53==34: page-level robots meta — noindex (rejected at the
+    #    noindex gate) + nofollow (every outlink flagged in links);
+    #  - d%53==12: canonical VARIANT — declares the (always-fetched,
+    #    d-1 % 53 == 11 -> status 200) previous doc as canonical member:
+    #    the election gate rejects this page as canonical_variant;
+    #  - d%53==46: canonical hint to a NEVER-FETCHED url (RELATIVE href
+    #    — the hint resolves through the RFC 3986 chain): the page
+    #    stays, the hint's dst seeds the frontier.
+    head_extra = ""
+    if d % 53 == 34:
+        head_extra += '<meta name="robots" content="noindex, nofollow">'
+    if d % 53 == 12:
+        head_extra += ('<link rel="canonical" '
+                       'href="https://example.com/doc%d">' % (d - 1))
+    if d % 53 == 46:
+        head_extra += '<link rel="canonical" href="/canon%d">' % d
     return ("<!DOCTYPE html><html><head><title>doc %d</title>"
-            "<meta charset=utf-8>%s%s</head><body>%s%s%s</body></html>"
-            % (d, style, script, comment, "".join(body), comment))
+            "<meta charset=utf-8>%s%s%s</head><body>%s%s%s</body></html>"
+            % (d, head_extra, style, script, comment, "".join(body), comment))
 
 
 def norm_tokens(paras, ckey):

@@ -73,3 +73,42 @@ table = pa.table({
 pq.write_table(table, OUT)
 n = sum(x.count("<url>") for _, x in rows)
 print(f"wrote {OUT}: {len(rows)} sitemap files, {n} url entries")
+
+# ---------------------------------------------------------------- r17:
+# the WebCorpusApp crawl's OWN fetched-sitemap store (a separate table —
+# the q306/q307 discovery fixture above has formula-driven oracles that
+# must not absorb these rows). Contains EXACTLY the file the crawl
+# host's robots.txt declares (`sitemap: http://example.com/s.xml` — the
+# q346 discovery hook) plus a DECOY the robots never declares (the
+# sitemap-seeded frontier must read declared files only). Populations:
+#  - /doc3                  already FETCHED -> must NOT be scheduled;
+#  - /doc21                 a 301 SOURCE -> resolves through the redirect
+#                           map to its never-fetched terminal (already a
+#                           link target too: the union dedups);
+#  - /smapnew1?b=2&amp;a=1  new -> scheduled (entity decode + query sort);
+#  - /smapnew2              new -> scheduled;
+#  - /doc1009               new but robots-BLOCKED (Disallow: /doc*9$).
+OUT2 = ROOT / "fixtures" / "crawl_sitemaps.parquet"
+crawl_rows = [
+    ("http://example.com/s.xml",
+     '<?xml version="1.0" encoding="UTF-8"?>\n'
+     '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+     '  <url><loc>https://example.com/doc3</loc></url>\n'
+     '  <url>\n    <loc> https://example.com/doc21 </loc>\n'
+     '    <lastmod>2026-08-02</lastmod>\n  </url>\n'
+     '  <url><loc>https://example.com/smapnew1?b=2&amp;a=1</loc></url>\n'
+     '  <url><loc>https://example.com/smapnew2</loc></url>\n'
+     '  <url><loc>https://example.com/doc1009</loc></url>\n'
+     '</urlset>\n'),
+    ("https://example.com/undeclared-sitemap.xml",
+     '<?xml version="1.0" encoding="UTF-8"?>\n'
+     '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+     '  <url><loc>https://example.com/never-declared</loc></url>\n'
+     '</urlset>\n'),
+]
+table2 = pa.table({
+    "url": pa.array([u for u, _ in crawl_rows], pa.string()),
+    "xml": pa.array([x for _, x in crawl_rows], pa.string()),
+})
+pq.write_table(table2, OUT2)
+print(f"wrote {OUT2}: {len(crawl_rows)} crawl sitemap files")

@@ -68,6 +68,12 @@ def http_response(doc_id, html):
              f"Content-Type: {ctype_of(doc_id)}",
              f"Content-Length: {len(body)}",
              "Server: graft-fixture/1.0"]
+    # r17: header-level robots directive (the X-Robots-Tag form real
+    # servers use for non-HTML responses): noindex ONLY — the page is
+    # rejected at the noindex gate but its links stay followable
+    # (independence from the meta noindex,nofollow population at %53==34)
+    if st == 200 and doc_id % 53 == 42:
+        lines.append("X-Robots-Tag: noindex")
     if st == 301:
         # DECORATED on purpose: cased scheme/host, default port, tracking
         # param, unsorted params, fragment — the redirect-following query
