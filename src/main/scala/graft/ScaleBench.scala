@@ -873,6 +873,12 @@ object ScaleBench {
           s"$dir/out", batchId = "r9", shardPred = col("shard_id") >= 54)
         val sec = (System.nanoTime() - t0) / 1e9
         val (nPages, nCorpus) = manifestOf(s"$dir/out")
+        // r16 verdict #1b: STAGE ATTRIBUTION for the append — the bench's
+        // most expensive query (q317) regressed without the per-stage
+        // evidence to separate plan growth from box noise; the top stages
+        // land in SCALE_EVIDENCE alongside the wall numbers
+        System.err.println("[stages] webcorpus_append_1of10:")
+        metrics.topStages(10).foreach(System.err.println)
         println(f"""{"query":"webcorpus_append_1of10","pages_total":$nPages%d,"corpus":$nCorpus%d,"append_sec":${math.round(sec * 1000) / 1000.0}%s,"spill_disk_mb":${mb(metrics.diskSpill.get)}%s,"max_task_sec":${metrics.maxTaskMs.get / 1000.0}%s}""")
         rmTree(dir)
       } catch {
