@@ -542,9 +542,10 @@ object Warc {
     *  3. `Content-Encoding: gzip|x-gzip` → multi-member inflate under
     *     the bomb cap; `deflate` → zlib-wrapped first, raw-deflate
     *     fallback (the dual browsers accept); `br` → the bounded
-    *     RFC 7932 STORED-subset inflate ([[Brotli.inflateStored]] —
-    *     r16 verdict #6; compressed meta-blocks stay None, the
-    *     documented subset bound). Failure yields a None
+    *     FULL RFC 7932 inflate ([[Brotli.inflate]] — r17: compressed
+    *     meta-blocks, context modeling, static dictionary + transforms;
+    *     fixture-verified against the reference encoder). Failure
+    *     yields a None
     *     body (the record stays classified, its bytes unusable);
     *     KNOWN-COMPRESSED codings this engine carries no codec for
     *     (zstd, compress — r15 advice) yield a None body exactly
@@ -593,11 +594,9 @@ object Warc {
     val body = hs.get("content-encoding").map(_.trim.toLowerCase) match {
       case Some("gzip") | Some("x-gzip") => gunzipAll(framed)
       case Some("deflate")               => inflateDeflate(framed)
-      // br: the bounded RFC 7932 STORED-subset inflate (r16 verdict #6 —
-      // the framing `brotli -q 0` emits); compressed meta-blocks still
-      // yield None (the subset bound is documented at [[Brotli]]) —
-      // never mojibake either way
-      case Some("br") => Brotli.inflateStored(framed, MaxInflatedBytes)
+      // br: the bounded full RFC 7932 inflate (r17) — a malformed
+      // stream still yields None, never mojibake
+      case Some("br") => Brotli.inflate(framed, MaxInflatedBytes)
       // known-compressed, no codec carried: None, never mojibake
       case Some("zstd") | Some("compress") | Some("x-compress") =>
         None

@@ -193,19 +193,27 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(got("https://framed.example.net/page26")._2 == "")
     assert(got("https://framed.example.net/page27") ==
       (("windows-1252", s"p27 café “quality” résumé"))) // WORDS(27 % 6)
-    // group J: br in STORED mode is a real decode now (r16 verdict #6);
-    // zstd/compress stay codec-less -> None -> ''; a br COMPRESSED
-    // meta-block is outside the stored subset -> refused, never guessed
+    // group J (r17): the FULL RFC 7932 decode — stored mode (29) AND a
+    // real quality-11 compressed stream with dictionary references (33)
+    // both inflate; zstd/compress stay codec-less -> None -> ''; the
+    // malformed br rows (32: compressed meta-block truncated before its
+    // preamble; 34: real stream cut at half) refuse, never guess
     assert(got("https://framed.example.net/page29")._2.startsWith("page p29 body"))
     assert(got("https://framed.example.net/page30")._2 == "")
     assert(got("https://framed.example.net/page31")._2 == "")
     assert(got("https://framed.example.net/page32")._2 == "")
+    assert(got("https://framed.example.net/page33")._2.startsWith(
+      "page p33 the information of the government"))
+    assert(got("https://framed.example.net/page34")._2 == "")
   }
 
-  test("Brotli.inflateStored: WBITS codes, metadata skip, bounds, refusals") {
+  test("Brotli.inflate: hand-framed stored-mode streams, bounds, malformed refusals") {
     import graft.operators.Brotli
     // hand-frame: WBITS=16 ('0'), one 3-byte uncompressed block, last-empty.
     // bits LSB-first: 0 | 0 | 00 | MLEN-1=2 (16 bits) | 1 | align | 'abc' | 1 | 1
+    // (the stored framing stays a valid corner of the FULL r17 decoder;
+    // the real compressed-mode coverage lives in BrotliSpec's
+    // encoder-produced vectors)
     def stored(data: Array[Byte]): Array[Byte] = {
       val bits = scala.collection.mutable.ArrayBuffer[Int]()
       def w(v: Int, n: Int): Unit = (0 until n).foreach(k => bits += ((v >> k) & 1))
@@ -218,13 +226,14 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
         g.zipWithIndex.map { case (b, k) => b << k }.sum.toByte).toArray
     }
     val abc = stored("abc".getBytes("US-ASCII"))
-    assert(Brotli.inflateStored(abc, 1L << 20).map(new String(_, "US-ASCII"))
+    assert(Brotli.inflate(abc, 1L << 20).map(new String(_, "US-ASCII"))
       .contains("abc"))
     // truncated stream, empty input, over-cap output: refused
-    assert(Brotli.inflateStored(abc.dropRight(2), 1L << 20).isEmpty)
-    assert(Brotli.inflateStored(Array.emptyByteArray, 1L << 20).isEmpty)
-    assert(Brotli.inflateStored(abc, 2L).isEmpty)
-    // a compressed meta-block (ISUNCOMPRESSED=0) is out of subset:
+    assert(Brotli.inflate(abc.dropRight(2), 1L << 20).isEmpty)
+    assert(Brotli.inflate(Array.emptyByteArray, 1L << 20).isEmpty)
+    assert(Brotli.inflate(abc, 2L).isEmpty)
+    // a compressed meta-block whose few remaining bits cannot carry its
+    // prefix-code preamble: malformed, refused (never garbage)
     // bits 0 | 0 | 00 | MLEN-1=9 | 0 | garbage
     val comp = {
       val bits = scala.collection.mutable.ArrayBuffer[Int]()
@@ -234,7 +243,7 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       bits.grouped(8).map(g =>
         g.zipWithIndex.map { case (b, k) => b << k }.sum.toByte).toArray
     }
-    assert(Brotli.inflateStored(comp, 1L << 20).isEmpty)
+    assert(Brotli.inflate(comp, 1L << 20).isEmpty)
   }
 
   test("decodeBody: pinned charset fallback order and alias normalization") {

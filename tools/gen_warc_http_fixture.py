@@ -26,19 +26,20 @@ decodes framing garbage and silently poisons extraction/dedup
   group H (26)    truncated gzip body -> body None -> decodes to ''
   group I (27-28) chunked body carrying a legacy charset (windows-1252
                   declared in the header) — framing then charset decode
-  group J (29-32) Content-Encoding: br / zstd / compress.
-                  r17: row 29 is a REAL RFC 7932 brotli stream in STORED
-                  mode — uncompressed meta-blocks + a metadata block,
-                  byte-for-byte what `brotli -q 0` frames for
-                  incompressible payloads — and the engine must inflate
-                  it to the expected text (Brotli.inflateStored).
-                  Row 32 is a br stream whose meta-block is COMPRESSED:
-                  out of the engine's documented stored subset (the full
-                  decode needs the RFC's 122 KB static dictionary), so
-                  the body must be None (decodes to ''), never garbage.
-                  zstd (30) / compress (31) stay codec-less -> None
-                  (r15 advice): never raw compressed bytes mojibaking
-                  through the charset ladder into extraction/dedup
+  group J (29-34) Content-Encoding: br / zstd / compress.
+                  r17: the engine carries a FULL RFC 7932 decode.
+                  Row 29 is a brotli stream in STORED mode (uncompressed
+                  meta-blocks + a metadata block, the `brotli -q 0`
+                  framing); row 33 a REAL quality-11 COMPRESSED stream
+                  from the system encoder (prefix codes, context
+                  modeling, static dictionary) — both must inflate to
+                  their expected text. Row 32 (a compressed meta-block
+                  truncated before its prefix-code preamble) and row 34
+                  (a real q11 stream cut at half) are malformed -> None
+                  body (decodes to ''), never garbage. zstd (30) /
+                  compress (31) stay codec-less -> None (r15 advice):
+                  never raw compressed bytes mojibaking through the
+                  charset ladder into extraction/dedup
 
 Everything deterministic: zlib with fixed level, gzip with mtime=0,
 hand-framed brotli bits (LSB-first per the RFC).
@@ -141,10 +142,30 @@ def brotli_stored(data, meta_skip=b""):
     return bw.out()
 
 
+def brotli_real(data, quality, lgwin):
+    """A REAL compressed brotli stream from the system encoder
+    (libbrotlienc via ctypes) — prefix codes, context modeling and
+    static-dictionary references the engine's full RFC 7932 decode
+    (r17) must inflate bit-exactly."""
+    import ctypes
+    enc = ctypes.CDLL("libbrotlienc.so.1")
+    enc.BrotliEncoderCompress.restype = ctypes.c_int
+    enc.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+    out = ctypes.create_string_buffer(len(data) + 1024)
+    n = ctypes.c_size_t(len(out))
+    ok = enc.BrotliEncoderCompress(quality, lgwin, 0, len(data), data,
+                                   ctypes.byref(n), out)
+    assert ok == 1
+    return out.raw[: n.value]
+
+
 def brotli_compressed_stub():
     """A brotli stream whose first meta-block is COMPRESSED
-    (ISUNCOMPRESSED=0) — valid brotli framing, outside the engine's
-    stored subset: the decode must refuse (None body), never guess."""
+    (ISUNCOMPRESSED=0) but truncates before a parseable prefix-code
+    preamble — malformed: the decode must refuse (None body), never
+    guess."""
     bw = _BrotliBits()
     bw.w(0, 1)                      # WBITS 16
     bw.w(0, 1)                      # ISLAST = 0
@@ -166,7 +187,7 @@ def http(lines, body):
 
 
 pages = []  # (i, http_headers, wire_body, expected_charset, expected_text)
-for i in range(33):
+for i in range(35):
     w = WORDS[i % 6]
     text = "page p%d body of %s and %s — framed" % (i, w, WORDS[(i + 2) % 6])
     raw = text.encode("utf-8")
@@ -235,9 +256,28 @@ for i in range(33):
         hdr = ["Content-Type: text/html; charset=utf-8",
                "Content-Encoding: %s" % coding]
         pages.append((i, hdr, wire, "utf-8", ""))
-    else:  # J: br with a COMPRESSED meta-block -> outside the stored
-        # subset -> None body (the documented bound, refused not guessed)
+    elif i == 32:  # J: br whose compressed meta-block truncates before a
+        # parseable prefix-code preamble -> malformed -> None body
+        # (refused, never guessed)
         wire = brotli_compressed_stub()
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: br"]
+        pages.append((i, hdr, wire, "utf-8", ""))
+    elif i == 33:  # J (r17): REAL quality-11 COMPRESSED brotli — the
+        # form production servers actually send; the full RFC 7932
+        # decode (prefix codes, context modeling, static dictionary)
+        # must recover the text through the same HTTP framing path
+        t3 = ("page p%d the information of the government and the "
+              "different language through the public example "
+              "because there would be time" % i)
+        wire = brotli_real(t3.encode("utf-8"), quality=11, lgwin=22)
+        hdr = ["Content-Type: text/html; charset=utf-8",
+               "Content-Encoding: br"]
+        pages.append((i, hdr, wire, "utf-8", t3))
+    else:  # J (r17): a TRUNCATED real q11 brotli stream -> None body
+        t4 = "page p%d body of %s — truncated" % (i, WORDS[i % 6])
+        full = brotli_real((t4 * 20).encode("utf-8"), quality=11, lgwin=22)
+        wire = full[: max(4, len(full) // 2)]
         hdr = ["Content-Type: text/html; charset=utf-8",
                "Content-Encoding: br"]
         pages.append((i, hdr, wire, "utf-8", ""))
