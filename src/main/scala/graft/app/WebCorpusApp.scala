@@ -286,7 +286,7 @@ object WebCorpusApp {
     * and the crawl PageRank filter it out. */
   private def linksOf(pages: DataFrame): DataFrame =
     Html.linkEdgesRel(pages, urlCol = "url", htmlCol = "html",
-        pageNofollow = Html.metaRobots(col("html")).contains("nofollow") ||
+        pageNofollow = col("meta_robots").contains("nofollow") ||
           lower(col("x_robots")).contains("nofollow"))
       .select(col("src").as("url"),
         Url.canonicalize(col("dst")).as("dst_canonical"), col("w"),
@@ -305,7 +305,7 @@ object WebCorpusApp {
     * hinted dsts; the pipeline's election gate rejects fetched variants
     * whose hint names another fetched page. */
   private def canonicalsOf(pages: DataFrame): DataFrame =
-    pages.withColumn("__hint", Html.canonicalHref(col("html")))
+    pages.withColumn("__hint", col("canonical_hint"))
       .filter(col("__hint") =!= "")
       .withColumn("__dst0", Html.resolveHref(col("url"), col("__hint")))
       .filter(col("__dst0").isNotNull)
@@ -368,11 +368,18 @@ object WebCorpusApp {
   /** ONE WARC walk feeding BOTH decode consumers (r15 verdict #3): the
     * status-200 pages charset-decoded AND the 3xx redirect rows with
     * their Location header — (url, http_status, http_location, charset,
-    * html). Harvesting redirects in the page walk costs nothing extra
-    * (the walk already parses every response record); a separate 3xx
-    * pass would re-read the raw crawl bytes end to end. Callers sever
-    * THIS frame once, then [[pagesOf]]/[[redirectsOf]] are narrow
-    * post-cut projections. */
+    * html, meta_robots, canonical_hint). Harvesting redirects in the
+    * page walk costs nothing extra (the walk already parses every
+    * response record); a separate 3xx pass would re-read the raw crawl
+    * bytes end to end. The two PAGE-DIRECTIVE scalars (`meta_robots`,
+    * `canonical_hint` — r17) are extracted HERE, inside the severed
+    * frame, on purpose: three downstream branches (links, canonicals
+    * map, the pipeline's noindex + election gates) consume them, and
+    * each branch re-running its own full-html regex pass was the
+    * dominant cost of the r17 append regression (probe max task
+    * 0.28 s → 1.53 s before this cut). Callers sever THIS frame once,
+    * then [[pagesOf]]/[[redirectsOf]] are narrow post-cut projections
+    * and the directive regexes run exactly once per page. */
   private def decodeRecs(shards: DataFrame): DataFrame = {
     import shards.sparkSession.implicits._
     Warc.responses(shards.as[graft.operators.WarcShard], status = None)
@@ -388,14 +395,19 @@ object WebCorpusApp {
       }
       .toDF("url", "http_status", "http_location", "x_robots",
         "charset", "html")
+      .withColumn("meta_robots", Html.metaRobots(col("html")))
+      .withColumn("canonical_hint", Html.canonicalHref(col("html")))
   }
 
   /** HTTP-200 responses of a decoded walk: (url, x_robots, charset,
-    * html) — `x_robots` is the raw X-Robots-Tag header ('' when absent),
-    * the header-level twin of the `<meta name=robots>` directive. */
+    * html, meta_robots, canonical_hint) — `x_robots` is the raw
+    * X-Robots-Tag header ('' when absent), the header-level twin of the
+    * `<meta name=robots>` directive; the last two are the decode-time
+    * directive scalars (see [[decodeRecs]]). */
   private def pagesOf(recs: DataFrame): DataFrame =
     recs.filter(col("http_status") === 200 && col("url") =!= "")
-      .select(col("url"), col("x_robots"), col("charset"), col("html"))
+      .select(col("url"), col("x_robots"), col("charset"), col("html"),
+        col("meta_robots"), col("canonical_hint"))
 
   /** The crawl's REDIRECT MAP from one decoded walk — (src, dst), both
     * canonical, functionalized to one dst per src (min — the
@@ -455,7 +467,7 @@ object WebCorpusApp {
     //     the page's own), its own reject stage so the lineage table
     //     attributes it. Narrow per-row regexes, no shuffle.
     val withNoidx = allowed.withColumn("__noidx",
-      Html.metaRobots(col("html")).contains("noindex") ||
+      col("meta_robots").contains("noindex") ||
         lower(col("x_robots")).contains("noindex"))
     val indexable = withNoidx.filter(!col("__noidx")).drop("__noidx")
     val rejNoindex = withNoidx.filter(col("__noidx"))
@@ -470,8 +482,7 @@ object WebCorpusApp {
     //     their content was never kept). A hint to a never-fetched url
     //     keeps the page (dropping it would lose the only copy); the
     //     hint still seeds the frontier via the canonicals table.
-    val hinted = indexable.withColumn("__hint_raw",
-        Html.canonicalHref(col("html")))
+    val hinted = indexable.withColumn("__hint_raw", col("canonical_hint"))
       .withColumn("__hint", when(col("__hint_raw") === "", lit(null))
         .otherwise(Url.canonicalize(
           Html.resolveHref(col("url"), col("__hint_raw")))))
