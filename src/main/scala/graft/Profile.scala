@@ -25,6 +25,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("q153")) { profileQ153(spark, dir); spark.stop(); return }
+    if (args.contains("q153regime")) { profileQ153Regime(spark, dir); spark.stop(); return }
     if (args.contains("q142")) { profileQ142(spark, dir); spark.stop(); return }
 
     val docs = Tables.documents(spark, dir)
@@ -87,6 +88,48 @@ object Profile {
         graft.operators.Triangles.perNodeCounts(edges(), "pa", "pb",
           persistIntermediates = false))
       spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  /** Join-regime A/B for q153's bimodality (r17): run the shipped
+    * topPredictions under (a) bench defaults, (b) broadcast disabled
+    * (forced sort-merge/shuffled-hash), (c) broadcast forced large —
+    * 3 reps each, printing the time and the JOIN NODES of the final
+    * (post-AQE) executed plan, so the fast and slow modes can be mapped
+    * to a physical regime instead of guessed at. */
+  def profileQ153Regime(spark: SparkSession, dir: String): Unit = {
+    val und = graft.sources.CoPurchaseGraph.distinctEdges(spark, dir)
+    time("warmup (graph table)")(und.select(col("pa")))
+    def joinsOf(df: DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("AQEShuffleRead"))
+        .map(_.trim.take(90)).mkString(" | ")
+    }
+    val floor = spark.sparkContext.defaultParallelism.toString
+    for (rep <- 1 to 3;
+         (label, confs) <- Seq(
+           "bench-default" -> Map(
+             "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> floor),
+           "no-broadcast" -> Map(
+             "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> floor,
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"),
+           "broadcast-200m" -> Map(
+             "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> floor,
+             "spark.sql.autoBroadcastJoinThreshold" -> "200m",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "200m"))) {
+      val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val df = graft.operators.LinkPredict.topPredictions(und, hubCap = 200, k = 50)
+        val t0 = System.nanoTime()
+        val joins = joinsOf(df)
+        println(f"[regime] $label%-15s rep$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s  $joins")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 

@@ -82,7 +82,21 @@ object LinkPredict {
       .withColumn("w", expr(s"CAST($WeightScale DIV deg AS BIGINT)"))
     val viaZ = if (mapParallelism > 0)
       viaZ0.repartition(mapParallelism, col("src")) else viaZ0
-    viaZ.as("z1").join(viaZ.as("z2"),
+    // The self-join MUST stay in the shuffled (sort-merge) regime (r17,
+    // guide §3.1 "pick the strategy deliberately"): viaZ materializes
+    // near Spark's 10 MB broadcast threshold, so AQE flipped this join
+    // between regimes run to run — the bimodality BENCH_r16/r17 recorded
+    // (sf0.1, local[32]: SMJ 13-24 s, BHJ 73-90 s over 3×3 reps,
+    // Profile.profileQ153Regime). Broadcasting is catastrophic here
+    // even though the build side fits: the join EXPLODES ~100-fold, and
+    // a broadcast join runs inside the probe side's SCAN stage, whose
+    // task count is the written graph table's file count — candidate
+    // generation (and the map side of the aggregate exchange) loses the
+    // cluster's parallelism exactly where the operator needs it most.
+    // With the merge hint both sides are identical subplans served by
+    // ONE reused exchange, and the join always runs at the shuffle
+    // partition count the deployment law sizes.
+    viaZ.as("z1").hint("merge").join(viaZ.as("z2"),
         col("z1.src") === col("z2.src") && col("z1.dst") < col("z2.dst"))
       .select(col("z1.dst").as("a"), col("z2.dst").as("b"), col("z1.w").as("w"))
   }
