@@ -27,6 +27,7 @@ object Profile {
     if (args.contains("q153")) { profileQ153(spark, dir); spark.stop(); return }
     if (args.contains("q153regime")) { profileQ153Regime(spark, dir); spark.stop(); return }
     if (args.contains("q142")) { profileQ142(spark, dir); spark.stop(); return }
+    if (args.contains("webcorpus")) { profileWebcorpus(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, dir)
     println(s"[profile] docs partitions = ${docs.rdd.getNumPartitions}")
@@ -88,6 +89,58 @@ object Profile {
         graft.operators.Triangles.perNodeCounts(edges(), "pa", "pb",
           persistIntermediates = false))
       spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  /** JOB-level attribution of the webcorpus build/append at fixture scale
+    * (r17): q313/q317/q323 are dominated by per-action fixed overhead
+    * (330-page fixture, ~25 Spark actions each), so the lever is the
+    * NUMBER and cost of actions, not data volume. Registers a listener
+    * recording every job's wall time + call site, then runs the one-shot
+    * build, the base build, the restore copy, and the batch append the
+    * way q317 composes them, printing per-phase totals and the slowest
+    * jobs of each phase. */
+  def profileWebcorpus(spark: SparkSession): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val done = scala.collection.concurrent.TrieMap[Int, (String, Double)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.put(j.jobId, (Option(j.properties.getProperty("spark.job.description"))
+          .getOrElse(j.stageInfos.lastOption.map(_.name.take(70)).getOrElse("?")),
+          System.nanoTime()))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val st = jobs.remove(j.jobId)
+        if (st != null) done.put(j.jobId, (st._1, (System.nanoTime() - st._2) / 1e9))
+      }
+    })
+    val warcShards = "/root/repo/fixtures/warc_shards.parquet"
+    val robotsFx = "/root/repo/fixtures/robots.parquet"
+    def phase(label: String)(body: => Unit): Unit = {
+      done.clear()
+      val t0 = System.nanoTime()
+      body
+      Thread.sleep(300) // let the listener bus drain
+      val wall = (System.nanoTime() - t0) / 1e9
+      val byJob = done.values.toSeq
+      println(f"[webcorpus] $label%-22s wall ${wall}%7.2f s  jobs ${byJob.size}%3d  jobSum ${byJob.map(_._2).sum}%7.2f s")
+      byJob.groupBy(_._1).map { case (site, xs) => (site, xs.map(_._2).sum, xs.size) }
+        .toSeq.sortBy(-_._2).take(12).foreach { case (site, s, n) =>
+          println(f"[webcorpus]    $s%6.2f s  ×$n%-3d $site")
+        }
+    }
+    val full = java.nio.file.Files.createTempDirectory("graft-wcprof-full").toString
+    phase("build (6 shards)") {
+      graft.app.WebCorpusApp.build(spark, warcShards, robotsFx, full)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-wcprof-base").toString
+    phase("build base (5 shards)") {
+      graft.app.WebCorpusApp.build(spark, warcShards, robotsFx, base,
+        shardPred = col("shard_id") =!= 5)
+    }
+    phase("append shard 5") {
+      graft.app.WebCorpusApp.append(spark, warcShards, robotsFx, base,
+        batchId = "shard-5", shardPred = col("shard_id") === 5)
     }
   }
 

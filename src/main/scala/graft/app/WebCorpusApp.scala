@@ -97,6 +97,16 @@ object WebCorpusApp {
 
   val Agent = "graftbot"
 
+  /** Label every Spark job a phase issues (guide §1.5): the description
+    * is thread-local and propagated into SQLExecution's thread pool, so
+    * the UI (and the job-level profiler) can attribute the app's ~25
+    * actions per build/append to their pipeline phase instead of an
+    * anonymized lambda call site. Pure metadata — no plan change. */
+  private def labeled[T](s: SparkSession, l: String)(body: => T): T = {
+    s.sparkContext.setJobDescription(s"webcorpus: $l")
+    try body finally s.sparkContext.setJobDescription(null)
+  }
+
   // ---------------------------------------------------------------- build
 
   def build(spark: SparkSession, shardsPath: String, robotsPath: String,
@@ -106,25 +116,31 @@ object WebCorpusApp {
     // pipeline — without the cut each would re-walk the crawl bytes
     // (the multi-consumer-recompute trap; same rationale as
     // TextIndex.writeAll)
-    val recs = decodeRecs(
-      Warc.readShards(spark, shardsPath).filter(shardPred).toDF()).sever()
+    val recs = labeled(spark, "decode+sever")(decodeRecs(
+      Warc.readShards(spark, shardsPath).filter(shardPred).toDF()).sever())
     val pages = pagesOf(recs)
-    val nPages = pages.count()
+    val nPages = labeled(spark, "page count")(pages.count())
     val staged = runPipeline(spark, pages, robotsPath,
       histParHashes = None, corpusFps = None, crawledCanonical = None)
     val corpus = GlobalOrder.rank(staged.survivors, "__h", "url", out = "pos")
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("url", "canonical_url", "host", "charset", "fp",
         "n_tokens", "n_pars", "n_kept", "text", "pos", "shard")
-    Sinks.overwriteSwap(corpus, s"$outDir/corpus")
-    Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects")
-    Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes")
-    Sinks.overwriteSwap(linksOf(pages), s"$outDir/links")
-    Sinks.overwriteSwap(redirectsOf(recs), s"$outDir/redirects")
-    Sinks.overwriteSwap(canonicalsOf(pages), s"$outDir/canonicals")
+    labeled(spark, "corpus rank+write")(
+      Sinks.overwriteSwap(corpus, s"$outDir/corpus"))
+    labeled(spark, "rejects write")(
+      Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects"))
+    labeled(spark, "paragraph state write")(
+      Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes"))
+    labeled(spark, "links write")(
+      Sinks.overwriteSwap(linksOf(pages), s"$outDir/links"))
+    labeled(spark, "redirects write")(
+      Sinks.overwriteSwap(redirectsOf(recs), s"$outDir/redirects"))
+    labeled(spark, "canonicals write")(
+      Sinks.overwriteSwap(canonicalsOf(pages), s"$outDir/canonicals"))
     refresh(spark, outDir)
-    writeLedger(spark, outDir, Map("__init" -> nPages))
-    auditDerived(spark, outDir)
+    labeled(spark, "ledger")(writeLedger(spark, outDir, Map("__init" -> nPages)))
+    labeled(spark, "manifest audit")(auditDerived(spark, outDir))
     buildIndexes(spark, outDir)
   }
 
@@ -168,9 +184,10 @@ object WebCorpusApp {
     val committed = applied.keySet.map(Sinks.tagOf)
     appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
     refresh(spark, outDir)
-    val recs = decodeRecs(shards).sever() // the build's recompute cut
+    val recs = labeled(spark, "decode+sever")(
+      decodeRecs(shards).sever()) // the build's recompute cut
     val pages = pagesOf(recs)
-    val nPages = pages.count()
+    val nPages = labeled(spark, "page count")(pages.count())
     // this batch's 3xx map, deduped against the COMMITTED map (r16
     // advice: the redirects table's one-dst-per-src contract must hold
     // GLOBALLY, not per batch) — FIRST CAPTURE WINS: a recrawled src
@@ -188,9 +205,14 @@ object WebCorpusApp {
         import spark.implicits._
         Seq.empty[(String, String)].toDF("src", "dst")
       }
+    // NOT severed on the normal path (r17): `recs` is already the cut,
+    // [[Sinks.appendTagged]] stage-writes to a side dir (no read-write
+    // cycle against the committed table), and the tagged append is the
+    // plan's ONLY consumer — a sever here was one pure-overhead
+    // materialization per batch. The zero-page branch severs locally
+    // (there the frame feeds an isEmpty probe AND the append).
     val newRedirects = redirectsOf(recs)
       .join(committedRedirects.select(col("src")), Seq("src"), "left_anti")
-      .sever()
     if (nPages == 0) {
       // a batch with zero decodable PAGES but real 3xx records must NOT
       // no-op (r16 advice): redirects are only re-delivered with the
@@ -201,14 +223,16 @@ object WebCorpusApp {
       // skipped. A batch with NEITHER pages nor new redirects leaves no
       // trace at all: re-delivery recomputes the same no-op, so
       // idempotence holds either way.
-      if (newRedirects.isEmpty) return
-      Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId)
+      val nr = newRedirects.sever() // isEmpty probe + append: two consumers
+      if (nr.isEmpty) return
+      Sinks.appendTagged(nr, s"$outDir/redirects", batchId)
       spark.catalog.refreshByPath(s"$outDir/redirects")
       writeLedger(spark, outDir, applied + (batchId -> 0L))
       return
     }
     val written = spark.read.parquet(s"$outDir/corpus")
-    val maxPos = written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0)
+    val maxPos = labeled(spark, "max pos")(
+      written.agg(coalesce(max(col("pos")), lit(0L))).head().getLong(0))
     val staged = runPipeline(spark, pages, robotsPath,
       histParHashes = Some(spark.read.parquet(s"$outDir/paragraph_hashes")),
       corpusFps = Some(written.select("fp")),
@@ -216,19 +240,28 @@ object WebCorpusApp {
     // sever before the writes: the delta folds below re-read these rows,
     // and a post-refresh recompute would re-run the history gates against
     // state that now CONTAINS them (the CorpusApp self-read trap)
-    val ranked = GlobalOrder.rank(staged.survivors, "__h", "url", out = "pos0")
-      .withColumn("pos", col("pos0") + maxPos)
-      .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
-      .select("url", "canonical_url", "host", "charset", "fp",
-        "n_tokens", "n_pars", "n_kept", "text", "pos", "shard")
-      .sever()
-    val rejects = staged.rejects.sever()
-    val newHashes = staged.parHashes.sever()
-    Sinks.appendTagged(ranked, s"$outDir/corpus", batchId)
-    Sinks.appendTagged(rejects, s"$outDir/rejects", batchId)
-    Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId)
-    Sinks.appendTagged(linksOf(pages).sever(), s"$outDir/links", batchId)
-    Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId)
+    val ranked = labeled(spark, "batch rank+sever")(
+      GlobalOrder.rank(staged.survivors, "__h", "url", out = "pos0")
+        .withColumn("pos", col("pos0") + maxPos)
+        .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
+        .select("url", "canonical_url", "host", "charset", "fp",
+          "n_tokens", "n_pars", "n_kept", "text", "pos", "shard")
+        .sever())
+    val rejects = labeled(spark, "rejects sever")(staged.rejects.sever())
+    val newHashes = labeled(spark, "paragraph state sever")(staged.parHashes.sever())
+    labeled(spark, "corpus append")(
+      Sinks.appendTagged(ranked, s"$outDir/corpus", batchId))
+    labeled(spark, "rejects append")(
+      Sinks.appendTagged(rejects, s"$outDir/rejects", batchId))
+    labeled(spark, "paragraph state append")(
+      Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId))
+    // linksOf reads only the severed decode cut and the tagged append is
+    // its single consumer — unsevered on purpose (r17, same rationale as
+    // newRedirects above)
+    labeled(spark, "links append")(
+      Sinks.appendTagged(linksOf(pages), s"$outDir/links", batchId))
+    labeled(spark, "redirects append")(
+      Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId))
     // canonical hints under the same first-capture-wins discipline as
     // redirects (one dst per src globally)
     val committedCanonicals =
@@ -238,10 +271,10 @@ object WebCorpusApp {
         import spark.implicits._
         Seq.empty[(String, String)].toDF("src", "dst")
       }
-    Sinks.appendTagged(
+    labeled(spark, "canonicals append")(Sinks.appendTagged(
       canonicalsOf(pages)
         .join(committedCanonicals.select(col("src")), Seq("src"), "left_anti"),
-      s"$outDir/canonicals", batchId)
+      s"$outDir/canonicals", batchId))
     refresh(spark, outDir)
     failpoint("table_append")
     // index maintenance BEFORE the commit (a crash here must revoke the
@@ -249,23 +282,25 @@ object WebCorpusApp {
     // postings/df/stat DELTAS for the text index, assign+encode against
     // the WRITTEN quantizers for the ANN index; the history is never
     // re-read (q293/q310 convention)
-    TextIndex.append(spark, s"$outDir/text_index",
-      ranked.select(col("pos").as("doc_id"), col("text")), Some(batchId))
-    val emb = embeddingsOf(ranked).sever()
-    Sinks.appendTagged(emb, s"$outDir/embeddings", batchId)
+    labeled(spark, "text index append")(TextIndex.append(spark, s"$outDir/text_index",
+      ranked.select(col("pos").as("doc_id"), col("text")), Some(batchId)))
+    val emb = labeled(spark, "embeddings sever")(embeddingsOf(ranked).sever())
+    labeled(spark, "embeddings append")(
+      Sinks.appendTagged(emb, s"$outDir/embeddings", batchId))
     spark.catalog.refreshByPath(s"$outDir/embeddings")
-    AnnIndex.append(spark, s"$outDir/ann_index",
-      emb.select(col("vec_id"), col("embedding")), Some(batchId))
+    labeled(spark, "ann index append")(AnnIndex.append(spark, s"$outDir/ann_index",
+      emb.select(col("vec_id"), col("embedding")), Some(batchId)))
     failpoint("index_append")
     // manifest BEFORE the commit: a crash after the ledger swap must
     // leave nothing stale (replay of a committed batch is a no-op and
     // would never repair it); a crash after the manifest but before the
     // commit is converged by the replay, which purges and rewrites
     val entries = applied + (batchId -> nPages)
-    auditDerived(spark, outDir, nPagesOverride = Some(entries.values.sum))
+    labeled(spark, "manifest audit")(
+      auditDerived(spark, outDir, nPagesOverride = Some(entries.values.sum)))
     // THE commit point (atomic swap): before this line the batch never
     // happened (next call purges its files); after it, replay is a no-op
-    writeLedger(spark, outDir, entries)
+    labeled(spark, "ledger")(writeLedger(spark, outDir, entries))
   }
 
   /** The crawl's LINK TABLE from one decoded page set — the artifact a
@@ -440,8 +475,14 @@ object WebCorpusApp {
       .withColumn("path", Url.normPath(col("url")))
     val gated = crawledCanonical.fold(canon)(c =>
       canon.join(c.distinct(), Seq("canonical_url"), "left_anti"))
-    val keepers = gated.groupBy("canonical_url").agg(min(col("url")).as("__keep"))
-    val withKeep = gated.join(keepers, "canonical_url")
+    // min-over-window, not groupBy+join-back (r17, guide §2.4): the keeper
+    // url is a per-canonical-key min attached to every row — one keyed
+    // exchange; the old groupBy+join shape shuffled the pages a second
+    // time (and at corpus scale the keeper side is corpus-sized, so the
+    // join could never broadcast)
+    val withKeep = gated.withColumn("__keep",
+      min(col("url")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_url")))
     val uniq = withKeep.filter(col("url") === col("__keep")).drop("__keep")
     val rejUrlDup = withKeep.filter(col("url") =!= col("__keep"))
       .select(col("url"), lit("url_duplicate").as("stage"))
@@ -502,10 +543,11 @@ object WebCorpusApp {
     // severed: the regex extraction is the per-byte hot loop, and blocks
     // feed paragraph dedup, the paragraph-hash state AND the no-content
     // rejects — three consumers, one extraction pass
-    val blocks = Html.blocks(elected, idCol = "url", htmlCol = "html")
-      .filter(col("is_content"))
-      .select(col("url"), col("pos"), col("text"))
-      .sever()
+    val blocks = labeled(spark, "block extraction sever")(
+      Html.blocks(elected, idCol = "url", htmlCol = "html")
+        .filter(col("is_content"))
+        .select(col("url"), col("pos"), col("text"))
+        .sever())
     val rejNoContent = elected.join(blocks.select("url").distinct(),
         Seq("url"), "left_anti")
       .select(col("url"), lit("no_content").as("stage"))
@@ -515,10 +557,10 @@ object WebCorpusApp {
     //    paragraph are the boilerplate/exact-copy rejects.
     // severed: the dedup's groupBy+join output feeds the paragraph_dup
     // rejects, the doc reassembly AND (via scored) every later stage
-    val pd = (histParHashes match {
+    val pd = labeled(spark, "paragraph dedup sever")((histParHashes match {
       case None => Dedup.paragraphDedup(blocks, idCol = "url")
       case Some(h) => Dedup.paragraphDedupWithHistory(blocks, h, idCol = "url")
-    }).sever()
+    }).sever())
     val rejParDup = pd.filter(col("n_kept") === 0)
       .select(col("url"), lit("paragraph_dup").as("stage"))
     val docs = pd.filter(col("n_kept") > 0)
@@ -533,37 +575,52 @@ object WebCorpusApp {
     }
 
     // 5. language + quality gates — the ONE scoring definition shared
-    //    with the one-shot clean (corpusScoredOf), language first
-    val scored = graft.queries.LlmQueries
+    //    with the one-shot clean (corpusScoredOf), language first.
+    // severed HERE, at the scoring output (r17): the lexicon-hit scoring
+    // chain is the pipeline's per-token hot loop and THREE branches
+    // consume it (the language rejects, the quality rejects, and the
+    // qualified survivors) — before this cut the two reject legs each
+    // re-ran the full scoring projection inside the rejects union
+    val scored = labeled(spark, "scoring sever")(graft.queries.LlmQueries
       .corpusScoredOf(docs.select(col("url").as("doc_id"), col("text")))
       .select(col("doc_id").as("url"), col("n_tokens"),
         col("predicted_lang"), col("is_quality"))
       .join(docs, "url")
+      .sever())
     val rejLang = scored.filter(col("predicted_lang") =!= "en")
       .select(col("url"), lit("language").as("stage"))
     val rejQuality = scored.filter(col("predicted_lang") === "en" && !col("is_quality"))
       .select(col("url"), lit("quality").as("stage"))
-    // severed: the scoring chain (langid n-grams, stopword ratios) is
-    // recomputed by the exact-dedup keeper join, the near-dup shingles
-    // AND the survivor projection without the cut
-    val qualified = scored.filter(col("predicted_lang") === "en" && col("is_quality"))
-      .withColumn("fp", md5(col("text")))
-      .sever()
+    // severed: the fp hash feeds the exact-dedup window, the near-dup
+    // shingles AND the survivor projection — one md5 pass, three readers
+    val qualified = labeled(spark, "quality score sever")(
+      scored.filter(col("predicted_lang") === "en" && col("is_quality"))
+        .withColumn("fp", md5(col("text")))
+        .sever())
 
-    // 6. exact dedup within the page set on the cleaned text (min url keeps)
-    val fpKeep = qualified.groupBy("fp").agg(min(col("url")).as("__keep"))
-    val withFpKeep = qualified.join(fpKeep, "fp")
+    // 6. exact dedup within the page set on the cleaned text (min url
+    //    keeps) — min-over-window, same §2.4 rationale as the url layer
+    val withFpKeep = qualified.withColumn("__keep",
+      min(col("url")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("fp")))
     val exact = withFpKeep.filter(col("url") === col("__keep")).drop("__keep")
     val rejExact = withFpKeep.filter(col("url") =!= col("__keep"))
       .select(col("url"), lit("exact_duplicate").as("stage"))
 
     // 7. near-dup ladder: PPJoin exact 3-shingle Jaccard >= 4/5, loser =
     //    the lexicographically larger url (the q64 convention)
-    val sets = Dedup.shingleSets(
-      exact.select(col("url").as("doc_id"), col("text")), "doc_id", "text", 3)
-      .localCheckpoint(true) // feeds both sides of the candidate self-join
-    val losers = Dedup.jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
-      .select(col("id_b").as("url")).distinct()
+    val sets = labeled(pages.sparkSession, "neardup shingles checkpoint")(
+      Dedup.shingleSets(
+        exact.select(col("url").as("doc_id"), col("text")), "doc_id", "text", 3)
+        .localCheckpoint(true)) // feeds both sides of the candidate self-join
+    // severed (r17): the PPJoin candidate self-join is the pipeline's
+    // most expensive join and BOTH the near-dup rejects and the survivor
+    // anti-join consume its output — without the cut the candidate join
+    // ran twice per build/append
+    val losers = labeled(pages.sparkSession, "neardup losers sever")(
+      Dedup.jaccardPairsExactOnSets(sets, thresholdNum = 4, thresholdDen = 5)
+        .select(col("id_b").as("url")).distinct()
+        .sever())
     val rejNear = losers.select(col("url"), lit("near_duplicate").as("stage"))
     val cleaned = exact.join(losers, Seq("url"), "left_anti")
 
@@ -876,13 +933,14 @@ object WebCorpusApp {
     * queries too). */
   private def buildIndexes(spark: SparkSession, outDir: String): Unit = {
     val written = spark.read.parquet(s"$outDir/corpus")
-    TextIndex.buildFrom(spark,
-      written.select(col("pos").as("doc_id"), col("text")), s"$outDir/text_index")
+    labeled(spark, "text index build")(TextIndex.buildFrom(spark,
+      written.select(col("pos").as("doc_id"), col("text")), s"$outDir/text_index"))
     val emb = embeddingsOf(written)
-    Sinks.overwriteSwap(emb, s"$outDir/embeddings")
+    labeled(spark, "embeddings write")(
+      Sinks.overwriteSwap(emb, s"$outDir/embeddings"))
     spark.catalog.refreshByPath(s"$outDir/embeddings")
-    AnnIndex.buildFrom(spark,
+    labeled(spark, "ann index build")(AnnIndex.buildFrom(spark,
       spark.read.parquet(s"$outDir/embeddings")
-        .select(col("vec_id"), col("embedding")), s"$outDir/ann_index")
+        .select(col("vec_id"), col("embedding")), s"$outDir/ann_index"))
   }
 }
