@@ -466,77 +466,81 @@ object WebCorpusApp {
                           histParHashes: Option[DataFrame],
                           corpusFps: Option[DataFrame],
                           crawledCanonical: Option[DataFrame]): Staged = {
-    // 1. URL layer: canonicalize, then first-occurrence dedup on the
-    //    canonical key (min url — the deterministic stand-in for
-    //    earliest-fetch), plus the already-crawled gate on append
+    // 1.-2c. THE GATE LEDGER (r17 — guide §2.3/§2.4): every pre-content
+    //    gate (url dedup, already-crawled, robots, noindex, canonical
+    //    election) verdicts in ONE narrow pass over the key columns —
+    //    page bytes never enter it. The old shape derived each reject
+    //    leg from its own stage of the chain, so the rejects union
+    //    re-ran canonicalization ~6×, the keeper window, the robots
+    //    longest-match and the hint resolution 2× each; the ledger runs
+    //    each exactly once, is severed once (~60 B/page), and every
+    //    consumer (the reject rows, the survivor gate, the page-metadata
+    //    re-attach) is a filter over the cut. Verdict PRIORITY is the
+    //    pipeline's stage order, pinned by the when-chain below: a page
+    //    that is both a url-duplicate and robots-disallowed attributes
+    //    as url_duplicate, exactly like the staged chain it replaces.
     val canon = pages
       .withColumn("canonical_url", Url.canonicalize(col("url")))
       .withColumn("host", Url.host(col("url")))
       .withColumn("path", Url.normPath(col("url")))
-    val gated = crawledCanonical.fold(canon)(c =>
-      canon.join(c.distinct(), Seq("canonical_url"), "left_anti"))
-    // min-over-window, not groupBy+join-back (r17, guide §2.4): the keeper
-    // url is a per-canonical-key min attached to every row — one keyed
-    // exchange; the old groupBy+join shape shuffled the pages a second
-    // time (and at corpus scale the keeper side is corpus-sized, so the
-    // join could never broadcast)
-    val withKeep = gated.withColumn("__keep",
-      min(col("url")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("canonical_url")))
-    val uniq = withKeep.filter(col("url") === col("__keep")).drop("__keep")
-    val rejUrlDup = withKeep.filter(col("url") =!= col("__keep"))
-      .select(col("url"), lit("url_duplicate").as("stage"))
-    // crawled-gate drops on append are url_duplicates too (same meaning:
-    // the canonical identity is already in the corpus)
-    val rejCrawled = crawledCanonical.fold(spark.emptyDataFrame.limit(0)) { c =>
-      canon.join(c.distinct(), Seq("canonical_url"), "left_semi")
-        .select(col("url"), lit("url_duplicate").as("stage"))
-    }
-
-    // 2. robots permission (broadcast-sized rule table, wildcard-aware)
-    val verdicts = Robots.allowDecisions(
-      uniq.select(col("url"), col("host"), col("path")),
+    val keys0 = canon.select("url", "canonical_url", "host", "path",
+      "charset", "meta_robots", "x_robots", "canonical_hint")
+    // already-crawled flag (append): left join + flag, not an anti join —
+    // the crawled rows must stay IN the frame to take their reject stage
+    val keys1 = crawledCanonical.fold(keys0.withColumn("__crawled", lit(false)))(
+      c => keys0.join(c.distinct().withColumn("__crawled", lit(true)),
+          Seq("canonical_url"), "left")
+        .withColumn("__crawled", coalesce(col("__crawled"), lit(false))))
+    // keeper = min url among the NON-crawled rows of a canonical group
+    // (min-over-window — one keyed exchange; conditional min ignores the
+    // crawled rows exactly like the old pre-window anti join did)
+    val keys2 = keys1.withColumn("__keep",
+      min(when(!col("__crawled"), col("url")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("canonical_url")))
+    // robots longest-match verdict, once per url (the groupBy inside
+    // allowDecisions dedups; joined back so frame row-identity — and any
+    // duplicate-url rows — survive verbatim)
+    val verd = Robots.allowDecisions(
+      keys0.select(col("url"), col("host"), col("path")),
       Robots.rules(Robots.readRobots(spark, robotsPath), Agent), keyCol = "url")
-    val allowedUrls = verdicts.filter(col("allowed")).select("url")
-    val rejRobots = verdicts.filter(!col("allowed"))
-      .select(col("url"), lit("robots_disallowed").as("stage"))
-    val allowed = uniq.join(allowedUrls, Seq("url"), "left_semi")
-
-    // 2b. publisher noindex (r16 verdict #3) — `<meta name=robots>` or
-    //     the X-Robots-Tag header asserting noindex: gated like a
-    //     robots disallow but AFTER it (robots is the host's gate, this
-    //     the page's own), its own reject stage so the lineage table
-    //     attributes it. Narrow per-row regexes, no shuffle.
-    val withNoidx = allowed.withColumn("__noidx",
-      col("meta_robots").contains("noindex") ||
-        lower(col("x_robots")).contains("noindex"))
-    val indexable = withNoidx.filter(!col("__noidx")).drop("__noidx")
-    val rejNoindex = withNoidx.filter(col("__noidx"))
-      .select(col("url"), lit("noindex").as("stage"))
-
-    // 2c. canonical ELECTION (r16 verdict #4): a page whose
-    //     `<link rel=canonical>` hint resolves to a DIFFERENT canonical
-    //     url that is itself a fetched page is a publisher-declared
-    //     VARIANT — the elected member carries the content; the variant
-    //     rejects. Electorate = this run's url-deduped page set ∪ the
-    //     written corpus (append — rejected history pages don't elect:
-    //     their content was never kept). A hint to a never-fetched url
-    //     keeps the page (dropping it would lose the only copy); the
-    //     hint still seeds the frontier via the canonicals table.
-    val hinted = indexable.withColumn("__hint_raw", col("canonical_hint"))
-      .withColumn("__hint", when(col("__hint_raw") === "", lit(null))
-        .otherwise(Url.canonicalize(
-          Html.resolveHref(col("url"), col("__hint_raw")))))
+      .select(col("url").as("__vu"), col("allowed"))
+    // electorate for the canonical election (r16 verdict #4): this run's
+    // url-deduped canonical set ∪ the written corpus — rejected history
+    // pages never elect (their content was never kept)
     val electorate = crawledCanonical
-      .fold(uniq.select(col("canonical_url")))(c =>
-        uniq.select(col("canonical_url")).unionByName(c.distinct()))
+      .fold(keys2.filter(!col("__crawled")).select(col("canonical_url")))(c =>
+        keys2.filter(!col("__crawled")).select(col("canonical_url"))
+          .unionByName(c.distinct()))
       .distinct().select(col("canonical_url").as("__e"))
-    val rejCanonVar = hinted
-      .filter(col("__hint").isNotNull && col("__hint") =!= col("canonical_url"))
-      .join(electorate, col("__hint") === col("__e"), "left_semi")
-      .select(col("url"), lit("canonical_variant").as("stage"))
-    val elected = hinted.join(rejCanonVar.select("url"), Seq("url"), "left_anti")
-      .drop("__hint_raw", "__hint")
+    val verdicted = keys2
+      .join(verd, col("url") === col("__vu"), "left").drop("__vu")
+      .withColumn("__noidx", col("meta_robots").contains("noindex") ||
+        lower(col("x_robots")).contains("noindex"))
+      .withColumn("__hint", when(col("canonical_hint") === "", lit(null))
+        .otherwise(Url.canonicalize(
+          Html.resolveHref(col("url"), col("canonical_hint")))))
+      .withColumn("__stage",
+        when(col("__crawled"), "url_duplicate")
+          .when(col("url") =!= col("__keep"), "url_duplicate")
+          .when(!coalesce(col("allowed"), lit(true)), "robots_disallowed")
+          .when(col("__noidx"), "noindex"))
+      .select("url", "canonical_url", "host", "charset", "__hint", "__stage")
+    // the election needs membership of __hint in the electorate — a left
+    // join with a flag (null hints match nothing); a hint to a
+    // never-fetched url keeps the page (dropping it would lose the only
+    // copy); the hint still seeds the frontier via the canonicals table
+    val ledger = labeled(spark, "gate ledger sever")(verdicted
+      .join(electorate.withColumn("__elect", lit(true)),
+        verdicted("__hint") === col("__e"), "left")
+      .withColumn("__stage", coalesce(col("__stage"),
+        when(col("__hint").isNotNull && col("__hint") =!= col("canonical_url")
+          && coalesce(col("__elect"), lit(false)), "canonical_variant")))
+      .select("url", "canonical_url", "host", "charset", "__stage")
+      .sever())
+    val rejPre = ledger.filter(col("__stage").isNotNull)
+      .select(col("url"), col("__stage").as("stage"))
+    val electedKeys = ledger.filter(col("__stage").isNull).select("url")
+    val elected = pages.join(electedKeys, Seq("url"), "left_semi")
 
     // 3. content-block extraction (link-density rule); pages with no
     //    qualifying block at all are the link-farm rejects
@@ -548,7 +552,7 @@ object WebCorpusApp {
         .filter(col("is_content"))
         .select(col("url"), col("pos"), col("text"))
         .sever())
-    val rejNoContent = elected.join(blocks.select("url").distinct(),
+    val rejNoContent = electedKeys.join(blocks.select("url").distinct(),
         Seq("url"), "left_anti")
       .select(col("url"), lit("no_content").as("stage"))
 
@@ -635,15 +639,14 @@ object WebCorpusApp {
         .select(col("url"), lit("exact_duplicate").as("stage"))
     }
     // re-attach the page-level metadata the paragraph groupBy dropped
-    val meta = allowed.select("url", "canonical_url", "host", "charset")
+    val meta = ledger.select("url", "canonical_url", "host", "charset")
     val survivors = gatedClean
       .join(meta, "url")
       .withColumn("__h", md5Long(col("url")))
       .select("url", "canonical_url", "host", "charset", "fp",
         "n_tokens", "n_pars", "n_kept", "text", "__h")
 
-    val rejects = Seq(rejUrlDup, rejCrawled, rejRobots, rejNoindex,
-      rejCanonVar, rejNoContent,
+    val rejects = Seq(rejPre, rejNoContent,
       rejParDup, rejLang, rejQuality, rejExact, rejNear, rejHistFp)
       .filter(_.columns.nonEmpty)
       .reduce(_ unionByName _)
