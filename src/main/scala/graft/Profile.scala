@@ -142,6 +142,9 @@ object Profile {
       graft.app.WebCorpusApp.append(spark, warcShards, robotsFx, base,
         batchId = "shard-5", shardPred = col("shard_id") === 5)
     }
+    phase("maintain") {
+      graft.app.WebCorpusApp.maintain(spark, base)
+    }
   }
 
   /** Join-regime A/B for q153's bimodality (r17): run the shipped

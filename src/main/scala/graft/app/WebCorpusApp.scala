@@ -713,11 +713,13 @@ object WebCorpusApp {
       }
     if (Sinks.exists(spark, s"$outDir/text_index"))
       TextIndex.compact(spark, s"$outDir/text_index")
+    // one partitioned rewrite per postings table (r17): the per-directory
+    // loop paid ~2 jobs + a swap per bucket/cell directory — see
+    // Sinks.compactPartitioned for the fold + file-size fallback
     Seq(s"$outDir/text_index/postings", s"$outDir/ann_index/postings")
       .foreach { p =>
-        Sinks.partitionDirs(spark, p)
-          .foreach(d => Sinks.compact(spark, d, targetRowsPerFile))
-        if (Sinks.exists(spark, p)) spark.catalog.refreshByPath(p)
+        if (Sinks.exists(spark, p))
+          Sinks.compactPartitioned(spark, p, targetRowsPerFile)
       }
     auditDerived(spark, outDir)
   }

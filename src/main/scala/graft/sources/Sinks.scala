@@ -229,6 +229,34 @@ object Sinks {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Compact a Hive-partitioned table in ONE pass (r17 — guide §6 "small
+    * files"): the per-partition-directory loop planned, counted, rewrote
+    * and swap-committed each `col=value` directory separately (~2 Spark
+    * jobs + a listing + a rename per directory — for a postings table
+    * with dozens of buckets that is the dominant cost of `maintain()`),
+    * where one partitioned read + `partitionBy` rewrite folds every
+    * directory in a single job and ONE atomic root swap. The hash
+    * repartition on the partition column lands each value in exactly one
+    * task, so each directory compacts to one file; directories whose row
+    * count exceeds `targetRowsPerFile` fall back to the per-directory
+    * path so the file-size contract holds (the per-partition row counts
+    * are one bounded aggregate over footer metadata). Structure — and
+    * therefore partition pruning — is preserved either way. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val dirs = partitionDirs(spark, path)
+    if (dirs.isEmpty) return
+    val partCol = new Path(dirs.head).getName.split("=")(0)
+    val df = spark.read.parquet(path)
+    val oversized = df.groupBy(partCol).count()
+      .filter(col("count") > targetRowsPerFile).limit(1).count() > 0
+    if (!oversized) overwriteSwapPartitioned(
+      df.repartition(col(partCol)), path, partCol)
+    else dirs.foreach(d => compact(spark, d, targetRowsPerFile))
+    spark.catalog.refreshByPath(path)
+  }
+
   /** S7: keyed UPSERT into a parquet table — the engine-level replacement for
     * the reference's Redshift `method='UPSERT'` load. Reads the current
     * table lazily, merges (updates win on key collision), and swap-commits;

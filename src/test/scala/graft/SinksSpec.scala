@@ -47,6 +47,40 @@ class SinksSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(path).as[(Int, String)].collect().toSet == before)
   }
 
+  test("compactPartitioned folds every partition dir in one pass, rows unchanged") {
+    val path = s"$tmpDir/t"
+    // 3 fragmented appends × 4 buckets -> ≥3 files per bucket dir
+    (1 to 3).foreach { i =>
+      Sinks.appendTagged(
+        (0 until 8).map(k => (k % 4, i * 100 + k)).toDF("bucket", "v"),
+        path, batchId = s"b$i", partitionBy = Seq("bucket"))
+    }
+    def filesIn(dir: String) = new java.io.File(s"$path/$dir").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(path).as[(Int, Int)].collect().toSet
+    assert(filesIn("bucket=0") >= 3)
+    Sinks.compactPartitioned(spark, path, targetRowsPerFile = 100L)
+    // one-pass fold: each bucket dir collapses to ONE file, rows identical
+    (0 until 4).foreach(b => assert(filesIn(s"bucket=$b") == 1))
+    assert(spark.read.parquet(path).as[(Int, Int)].collect().toSet == before)
+  }
+
+  test("compactPartitioned falls back per-dir when a partition exceeds the target") {
+    val path = s"$tmpDir/t"
+    (1 to 2).foreach { i =>
+      Sinks.appendTagged(
+        (0 until 12).map(k => (k % 2, i * 100 + k)).toDF("bucket", "v"),
+        path, batchId = s"b$i", partitionBy = Seq("bucket"))
+    }
+    val before = spark.read.parquet(path).as[(Int, Int)].collect().toSet
+    // 12 rows per bucket > 5 per file -> per-dir path must split, not 1 file
+    Sinks.compactPartitioned(spark, path, targetRowsPerFile = 5L)
+    def filesIn(dir: String) = new java.io.File(s"$path/$dir").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    (0 until 2).foreach(b => assert(filesIn(s"bucket=$b") == 3)) // ceil(12/5)
+    assert(spark.read.parquet(path).as[(Int, Int)].collect().toSet == before)
+  }
+
   test("append grows the table") {
     val path = s"$tmpDir/t"
     Sinks.append(Seq((1, "a")).toDF("k", "v"), path)
