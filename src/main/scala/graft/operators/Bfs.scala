@@ -58,7 +58,11 @@ object Bfs {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
         .sever()
-      visited = visited.unionAll(next).sever()
+      // visited is a union of ALREADY-severed rounds — re-severing it
+      // every round re-materialized the whole visited set (O(|visited|)
+      // per round, quadratic over the walk); the union of materialized
+      // scans is flat lineage and needs no new cut (r17)
+      visited = visited.unionAll(next)
       frontier = next.select("node")
       // bounded driver read: one scalar per round — an empty frontier
       // means every later round is a no-op, so stop shuffling for them
@@ -106,7 +110,7 @@ object Bfs {
         .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
         .select(col("lm"), col("node"), lit(r.toLong).as("dist"))
         .sever()
-      visited = visited.unionAll(next).sever()
+      visited = visited.unionAll(next) // severed rounds; no re-cut (see above)
       frontier = next.select("lm", "node")
       exhausted = next.isEmpty
     }

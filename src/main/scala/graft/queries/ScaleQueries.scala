@@ -1040,11 +1040,19 @@ object ScaleQueries {
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("source"), col("p.w1"), col("p.w2"))
+    // Surprise depends only on the bigram TYPE, so score the type table
+    // and join back once (r17, guide §2.3 "shuffle fewer bytes"): the old
+    // shape joined the per-OCCURRENCE stream by (w1, w2), then re-exchanged
+    // the joined occurrences by w1 for the history counts — two full
+    // occurrence-scale shuffles that the type-level join makes type-scale.
+    // c1 (history-count per w1) folds from cb by sum, identically.
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bg.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
+    val sb = cb.join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("surprise", expr("length(bin((c1 + v) div (cb + 1))) - 1"))
+      .select("w1", "w2", "surprise")
+    bg.join(sb, Seq("w1", "w2"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("surprise")).cast("long").as("sbits"))
@@ -1089,9 +1097,16 @@ object ScaleQueries {
     * "docs strictly below"; bucket = (3·below) div n, ties share a
     * bucket, no per-doc window anywhere. */
   def q284CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    // persisted (r17): the doc-level score table feeds BOTH the value-
+    // domain histogram and the fan-back join — without the cache the
+    // whole docSurprise chain (bigram explode + type join) ran twice in
+    // one plan (measured 4.6 s vs q280/q281's 1.5-1.7 s over the same
+    // base). Doc-level rows only (doc_id, source, mb); the q96 persist
+    // convention, reclaimed by Bench's between-pass cache clear.
     val sc = docSurprise(s, dir)
       .select(col("doc_id"), col("source"),
         expr("sbits * 1000 div n_bigrams").as("mb"))
+      .persist()
     val g = sc.groupBy("source", "mb").agg(count(lit(1)).as("c"))
     val cum = graft.operators.PrefixSum.inclusive(g, Seq("source"), "mb", "c", out = "cum")
       .withColumn("below", col("cum") - col("c"))
