@@ -24,6 +24,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.contains("pca")) { profilePca(spark, dir); spark.stop(); return }
     if (args.contains("q153")) { profileQ153(spark, dir); spark.stop(); return }
     if (args.contains("q153regime")) { profileQ153Regime(spark, dir); spark.stop(); return }
     if (args.contains("q142")) { profileQ142(spark, dir); spark.stop(); return }
@@ -64,6 +65,60 @@ object Profile {
     emb.groupBy("label").count().orderBy(desc("count")).show(5)
     time("lsh ann 6 planes")(Similarity.lshNearestNeighbor(emb, "vec_id", "embedding", 6))
     spark.stop()
+  }
+
+  /** Moment-pass A/B for q158/q159 (r18, driver-flagged q158 regression):
+    * the r17 shape — TWO jobs, each double-posexploding every vector into
+    * d² generated rows carrying a copy of the array, with a BigDecimal
+    * allocated per product by `cast(decimal(18,6))` — versus the r18
+    * [[graft.expressions.MomentMatrixAgg]] one-pass native aggregate.
+    * Prints the formatted plans (the plans/r18 before/after evidence:
+    * topComponent collects eagerly, so Explain on q158 only ever shows
+    * the final parallelize) and interleaved timings, plus an equality
+    * check of the resulting moment sums. */
+  def profilePca(spark: SparkSession, dir: String): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    time("warmup (emb scan)")(emb.select(col("vec_id")))
+    def oldFm = emb.select(col("embedding").as("__v"))
+      .select(posexplode(col("__v")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(col("xi").cast("double").cast("decimal(18,6)")).as("s"),
+        count(lit(1)).as("n"))
+    def oldSm = emb.select(col("embedding").as("__v"))
+      .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (col("xi").cast("double") * col("xj").cast("double"))
+          .cast("decimal(18,6)").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("sp"))
+    def newAgg = emb.agg(
+      graft.expressions.GraftFunctions.momentMatrix(col("embedding")).as("m"))
+    println("\n===== BEFORE (r17): second-moment double-posexplode job =====")
+    println(oldSm.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    println("\n===== AFTER (r18): one-pass MomentMatrixAgg job =====")
+    println(newAgg.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    for (rep <- 1 to 3) {
+      time(s"old fm+sm (2 jobs) rep$rep") { oldFm.write.format("noop").mode("overwrite").save(); oldSm }
+      time(s"new momentMatrix    rep$rep")(newAgg)
+    }
+    // exactness: the aggregate's sums equal the old formulation's sums
+    val m = newAgg.head().getSeq[java.math.BigDecimal](0)
+    val d = m(0).intValueExact()
+    val oldS = oldFm.collect().map(r => r.getInt(0) ->
+      BigInt(r.getDecimal(1).movePointRight(6).toBigIntegerExact)).toMap
+    val newS = (0 until d).map(i => i -> BigInt(m(2 + i).toBigIntegerExact)).toMap
+    val oldP = oldSm.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+      BigInt(r.getDecimal(2).movePointRight(6).toBigIntegerExact)).toMap
+    var k = 2 + d
+    val newP = (for (i <- 0 until d; j <- i until d) yield {
+      val v = (i, j) -> BigInt(m(k).toBigIntegerExact); k += 1; v
+    }).toMap
+    println(s"[pca] first moments equal:  ${oldS == newS}")
+    println(s"[pca] second moments equal: ${oldP == newP}")
   }
 
   /** Refresh the Triangles.counted persist-vs-recompute constant on the

@@ -69,6 +69,12 @@ object GraftFunctions {
     GraftSqlBridge.column(
       CountMinSketch(GraftSqlBridge.expression(item), d, w).toAggregateExpression())
 
+  /** One-pass exact PCA moment-matrix aggregate over a vector column
+    * (see [[MomentMatrixAgg]]). */
+  def momentMatrix(vec: Column): Column =
+    GraftSqlBridge.column(
+      MomentMatrixAgg(GraftSqlBridge.expression(vec)).toAggregateExpression())
+
   /** Bloom-filter build over a BIGINT key column (see [[BloomBuildAgg]]). */
   def bloomBuild(key: Column, numBits: Int, numHashes: Int): Column =
     GraftSqlBridge.column(

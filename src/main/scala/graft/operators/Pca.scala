@@ -12,15 +12,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Two-phase shape, sized for 100 TB:
   *
   *  1. EXACT DISTRIBUTED MOMENTS. One pass over the vectors computes the
-  *     first moments s_i and the upper-triangle raw second moments
-  *     S_ij = Σ x_i·x_j. The per-row product is plain double IEEE (bit
-  *     identical on any engine); the cross-row SUM goes through the
-  *     repo's DECIMAL(18,6) fixed-point trick, so the aggregate is
-  *     order-free and exactly reproducible by the SQL oracle. The
-  *     d·(d+1)/2 group keys mean map-side partial aggregation collapses
-  *     every partition to ≤ d² rows — the shuffle carries
-  *     O(d² · partitions), never O(rows). The d² per-row expansion costs
-  *     CPU, not shuffle, and vectorizes in codegen.
+  *     first moments s_i, the row count n, and the upper-triangle raw
+  *     second moments S_ij = Σ x_i·x_j — all in ONE native aggregate
+  *     ([[graft.expressions.MomentMatrixAgg]]). The per-row product is
+  *     plain double IEEE (bit identical on any engine); each product is
+  *     rounded to the repo's DECIMAL(18,6) fixed point and added into a
+  *     128-bit integer accumulator, so the cross-row SUM is order-free
+  *     and exactly reproducible by the SQL oracle. Each partition
+  *     collapses to one (d + d·(d+1)/2)-element buffer — the exchange
+  *     carries O(d² · partitions), never O(rows) — and the per-row cost
+  *     is a primitive d² loop with no row generation and no per-product
+  *     Decimal allocation (the double-posexplode formulation this
+  *     replaces duplicated the vector d× into generated rows and
+  *     allocated a BigDecimal per product; at local[32] that was the
+  *     r17 driver-flagged GC pathology).
   *  2. BOUNDED DRIVER SOLVE. The moment matrix (d=64 → 2080+64 rows) is
   *     collected — bounded by DIMENSION², not data, the same contract as
   *     the PQ codebook collects — and the scaled covariance
@@ -49,34 +54,20 @@ object Pca {
   def topComponent(emb: DataFrame, vecCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = emb.sparkSession
-    val base = emb.select(col(vecCol).as("__v"))
 
-    val fm = base
-      .select(posexplode(col("__v")).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg(sum(col("xi").cast("double").cast("decimal(18,6)")).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-    val d = fm.length
-    val n = BigInt(fm.head.getLong(2))
-    val b = Array.ofDim[BigInt](d)
-    fm.foreach(r => b(r.getInt(0)) =
-      BigInt(r.getDecimal(1).movePointRight(6).toBigIntegerExact))
-
-    val sm = base
-      .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
-      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"),
-        (col("xi").cast("double") * col("xj").cast("double"))
-          .cast("decimal(18,6)").as("p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p")).as("sp"))
-      .collect()
+    // one job, one collect: [d, n, s_0..s_{d-1}, p_00..p_(d-1)(d-1)],
+    // sums already scaled ×10⁶ (the unscaled DECIMAL(·,6) integers)
+    val m = emb
+      .agg(graft.expressions.GraftFunctions.momentMatrix(col(vecCol)).as("m"))
+      .head().getSeq[java.math.BigDecimal](0)
+    val d = m(0).intValueExact()
+    val n = BigInt(m(1).toBigIntegerExact)
+    val b = Array.tabulate(d)(i => BigInt(m(2 + i).toBigIntegerExact))
     val dm = Array.ofDim[BigInt](d, d)
-    sm.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val a = BigInt(r.getDecimal(2).movePointRight(6).toBigIntegerExact)
+    var k = 2 + d
+    for (i <- 0 until d; j <- i until d) {
+      val a = BigInt(m(k).toBigIntegerExact)
+      k += 1
       val dij = n * a * 1000000L - b(i) * b(j)
       dm(i)(j) = dij
       dm(j)(i) = dij
