@@ -25,6 +25,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("pca")) { profilePca(spark, dir); spark.stop(); return }
+    if (args.contains("loops")) { profileLoops(spark, dir); spark.stop(); return }
     if (args.contains("q153")) { profileQ153(spark, dir); spark.stop(); return }
     if (args.contains("q153regime")) { profileQ153Regime(spark, dir); spark.stop(); return }
     if (args.contains("q142")) { profileQ142(spark, dir); spark.stop(); return }
@@ -65,6 +66,61 @@ object Profile {
     emb.groupBy("label").count().orderBy(desc("count")).show(5)
     time("lsh ann 6 planes")(Similarity.lshNearestNeighbor(emb, "vec_id", "embedding", 6))
     spark.stop()
+  }
+
+  /** Iterative-loop plan capture + timing for the graph operators (r18):
+    * the loop rounds materialize eagerly inside each operator (sever =
+    * eager localCheckpoint), so Explain only ever shows the final severed
+    * scan — a QueryExecutionListener records every executed round plan
+    * instead. Prints per-round Exchange/Sort node counts and one full
+    * representative round plan per operator, plus interleaved timings.
+    * Run against stashed (r17) vs current code for the plans/r18
+    * before/after evidence. */
+  def profileLoops(spark: SparkSession, dir: String): Unit = {
+    val plans = scala.collection.mutable.Buffer[(String, String)]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.synchronized { plans += funcName -> qe.executedPlan.toString }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    val und = graft.sources.CoPurchaseGraph.distinctEdges(spark, dir)
+    time("warmup (graph table)")(und.select(col("pa")))
+    import spark.implicits._
+    def run(label: String)(body: => DataFrame): Unit = {
+      plans.synchronized(plans.clear())
+      Thread.sleep(200)
+      time(label)(body)
+      Thread.sleep(200)
+      val snap = plans.synchronized(plans.toVector)
+      snap.zipWithIndex.foreach { case ((fn, p), i) =>
+        val ex = p.linesIterator.count(_.contains("Exchange"))
+        val srt = p.linesIterator.count(l => l.trim.startsWith("+- Sort") ||
+          l.trim.startsWith(":- Sort") || l.trim.startsWith("Sort "))
+        println(s"[loops] $label job$i($fn): $ex Exchange, $srt Sort")
+      }
+      // one representative ROUND plan: the last checkpoint before the end
+      snap.reverse.find(_._1.contains("Checkpoint")).orElse(snap.lastOption)
+        .foreach { case (fn, p) =>
+          println(s"[loops] ===== $label representative round plan ($fn) =====")
+          println(p.linesIterator.take(60).mkString("\n"))
+        }
+    }
+    for (rep <- 1 to 2) {
+      run(s"q148 labelprop rep$rep")(
+        graft.operators.LabelProp.communities(und, "pa", "pb", rounds = 3))
+      run(s"q233-bfs hop3 rep$rep")(
+        graft.operators.Bfs.hopDistances(und, "pa", "pb",
+          Seq(1L).toDF("node"), "node", maxHops = 3))
+      run(s"q186 hits r2 rep$rep")(
+        graft.operators.Hits.scores(
+          Tables.lineitem(spark, dir).select(col("l_suppkey"), col("l_partkey")),
+          "l_suppkey", "l_partkey", rounds = 2))
+    }
   }
 
   /** Moment-pass A/B for q158/q159 (r18, driver-flagged q158 regression):

@@ -34,15 +34,20 @@ object Bfs {
   def hopDistances(edges: DataFrame, aCol: String, bCol: String,
                    seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    // both directions once, reused every round
+    // both directions once, partitioned by the join key at the cut with
+    // the layout DECLARED on the checkpoint scan (r18 — the LabelProp
+    // convention: AQE degrades the capture to unknown otherwise), so
+    // every round's frontier join reads it in place; only the frontier
+    // side ever moves
     val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .sever()
+      .severKeyed(Seq("src"), parts)
     var visited = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .sever()
@@ -51,13 +56,20 @@ object Bfs {
     var exhausted = false
     while (r < maxHops && !exhausted) {
       r += 1
+      // shuffled-hash pinned, frontier as build (r18 — the LabelProp
+      // rationale: AQE otherwise broadcasts the EDGE side every round);
+      // the explicit repartition pins the dedup exchange's count so the
+      // round output's layout is declarable — the next round's join is
+      // then exchange-free on both sides
       val next = adj
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node"))
+        .repartition(parts, col("node"))
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
-        .sever()
+        .severDeclared(Seq("node"), parts)
       // visited is a union of ALREADY-severed rounds — re-severing it
       // every round re-materialized the whole visited set (O(|visited|)
       // per round, quadratic over the walk); the union of materialized
@@ -85,14 +97,16 @@ object Bfs {
                           seeds: DataFrame, labelCol: String, seedCol: String,
                           maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // partitioned at the cut, layout declared — see [[hopDistances]] (r18)
     val adj = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .sever()
+      .severKeyed(Seq("src"), parts)
     var visited = seeds
       .select(col(labelCol).cast("long").as("lm"), col(seedCol).cast("long").as("node"))
       .distinct()
@@ -103,13 +117,18 @@ object Bfs {
     var exhausted = false
     while (r < maxHops && !exhausted) {
       r += 1
+      // shuffled-hash pinned, frontier as build; dedup exchange pinned
+      // by node and declared — see [[hopDistances]] (hash by node alone
+      // still clusters (lm, node) for the dedup and the anti join)
       val next = adj
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("lm"), col("dst").as("node"))
+        .repartition(parts, col("node"))
         .distinct()
         .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
         .select(col("lm"), col("node"), lit(r.toLong).as("dist"))
-        .sever()
+        .severDeclared(Seq("node"), parts)
       visited = visited.unionAll(next) // severed rounds; no re-cut (see above)
       frontier = next.select("lm", "node")
       exhausted = next.isEmpty

@@ -37,22 +37,28 @@ object CheapestPath {
   def distances(edges: DataFrame, aCol: String, bCol: String, wCol: String,
                 seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"),
         col(wCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-    // both directions once, reused every round
+    // both directions once, partitioned by the join key at the cut with
+    // the layout declared on the checkpoint scan (r18 — the LabelProp
+    // convention), so no round re-shuffles the 2·|E| adjacency side
     val adj = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .sever()
+      .severKeyed(Seq("src"), parts)
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .sever()
     for (_ <- 1 to rounds) {
+      // shuffled-hash pinned, distance table as build (r18 — the
+      // LabelProp rationale: AQE otherwise broadcasts the EDGE side)
       val relaxed = adj
-        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))

@@ -50,5 +50,32 @@ object Sever {
     * `localCheckpoint` call it replaces. */
   implicit class SeverOps[T](private val d: Dataset[T]) extends AnyVal {
     def sever(): Dataset[T] = Sever(d)
+
+    /** Sever WITH a declared hash layout (r18): repartition by `keys`
+      * into exactly `numPartitions`, materialize, and re-declare the
+      * layout on the checkpoint scan — Spark's checkpoint loses
+      * `outputPartitioning` under AQE (see
+      * [[org.apache.spark.sql.graft.GraftSqlBridge.declareCheckpointLayout]]),
+      * so without the declaration every round of an iterative operator
+      * re-shuffles the materialized side. Use for frames that are JOINED
+      * OR AGGREGATED ON `keys` repeatedly (adjacency lists, edge sets):
+      * the shuffle runs once, at the cut. */
+    def severKeyed(keys: Seq[String], numPartitions: Int): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      org.apache.spark.sql.graft.GraftSqlBridge.declareCheckpointLayout(
+        Sever(d.repartition(numPartitions, keys.map(col): _*)).toDF(),
+        keys, numPartitions)
+    }
+
+    /** Sever a frame whose plan ALREADY ends in
+      * `repartition(numPartitions, keys)` followed only by
+      * partitioning-preserving operators (aggregates keyed on a
+      * superset, projections keeping the keys), declaring that layout on
+      * the cut. PRECONDITION on the caller — a wrong declaration
+      * silently mis-joins; the oracle suite and the operators'
+      * partitioning-invariance specs are the net. */
+    def severDeclared(keys: Seq[String], numPartitions: Int): org.apache.spark.sql.DataFrame =
+      org.apache.spark.sql.graft.GraftSqlBridge.declareCheckpointLayout(
+        Sever(d).toDF(), keys, numPartitions)
   }
 }

@@ -40,22 +40,28 @@ object WidestPath {
   def capacities(edges: DataFrame, aCol: String, bCol: String, wCol: String,
                  seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"),
         col(wCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(max(col("w")).as("w"))
-    // both directions once, reused every round
+    // both directions once, partitioned by the join key at the cut with
+    // the layout declared on the checkpoint scan (r18 — the LabelProp
+    // convention), so no round re-shuffles the 2·|E| adjacency side
     val adj = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .sever()
+      .severKeyed(Seq("src"), parts)
     var cap = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(CapInf).as("cap"))
       .sever()
     for (_ <- 1 to rounds) {
+      // shuffled-hash pinned, capacity table as build (r18 — the
+      // LabelProp rationale: AQE otherwise broadcasts the EDGE side)
       val relaxed = adj
-        .join(cap.withColumnRenamed("node", "src"), Seq("src"))
+        .join(cap.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node"), least(col("cap"), col("w")).as("cap"))
       cap = cap.unionAll(relaxed)
         .groupBy("node").agg(max(col("cap")).as("cap"))
