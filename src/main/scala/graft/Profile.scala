@@ -26,6 +26,7 @@ object Profile {
 
     if (args.contains("pca")) { profilePca(spark, dir); spark.stop(); return }
     if (args.contains("loops")) { profileLoops(spark, dir); spark.stop(); return }
+    if (args.contains("tail")) { profileTail(spark, dir, args.filter(_.startsWith("q"))); spark.stop(); return }
     if (args.contains("q153")) { profileQ153(spark, dir); spark.stop(); return }
     if (args.contains("q153regime")) { profileQ153Regime(spark, dir); spark.stop(); return }
     if (args.contains("q142")) { profileQ142(spark, dir); spark.stop(); return }
@@ -66,6 +67,41 @@ object Profile {
     emb.groupBy("label").count().orderBy(desc("count")).show(5)
     time("lsh ann 6 planes")(Similarity.lshNearestNeighbor(emb, "vec_id", "embedding", 6))
     spark.stop()
+  }
+
+  /** Long-tail fixed-overhead attribution (r18, VERDICT #6): for each
+    * named query, decompose the per-rep wall into task time (sum of task
+    * durations / cores — the only data-proportional part), job/stage
+    * counts, and everything else (Catalyst planning, AQE
+    * re-optimization, scheduling, noop-commit) — the fixed per-query
+    * cost that dominates a fixture-scale suite. Usage:
+    *   sbt "runMain graft.Profile tail q85_normalize_dedup q102_bucketed_join" */
+  def profileTail(spark: SparkSession, dir: String, names: Array[String]): Unit = {
+    import org.apache.spark.scheduler._
+    val stats = new java.util.concurrent.atomic.AtomicLongArray(4)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        stats.getAndAdd(0, 1L)
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stats.getAndAdd(1, 1L)
+        stats.getAndAdd(2, s.stageInfo.numTasks.toLong)
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) stats.getAndAdd(3, t.taskInfo.duration)
+    })
+    val qs = if (names.nonEmpty) names.toSeq
+      else Seq("q334_webcorpus_decontam", "q85_normalize_dedup",
+        "q102_bucketed_join", "q124_subquery_sql", "q314_webcorpus_rejects")
+    for (rep <- 1 to 2; q <- qs) {
+      (0 to 3).foreach(stats.set(_, 0L))
+      Thread.sleep(200)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[tail] $q%-28s rep$rep wall ${wall}%6.2f s  jobs ${stats.get(0)}%3d  " +
+        f"stages ${stats.get(1)}%3d  tasks ${stats.get(2)}%5d  taskSum ${stats.get(3) / 1e3}%6.2f s")
+    }
   }
 
   /** Iterative-loop plan capture + timing for the graph operators (r18):
@@ -225,16 +261,31 @@ object Profile {
         if (st != null) done.put(j.jobId, (st._1, (System.nanoTime() - st._2) / 1e9))
       }
     })
+    // ACTION-level durations (QueryExecutionListener): include Catalyst
+    // analysis/optimization/physical planning and AQE re-optimization —
+    // the wall-minus-jobSum gap the job listener cannot see (r18)
+    val acts = scala.collection.concurrent.TrieMap[Long, (String, Double)]()
+    val actSeq = new java.util.concurrent.atomic.AtomicLong()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          acts.put(actSeq.incrementAndGet(), (fn, ns / 1e9))
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
     val warcShards = "/root/repo/fixtures/warc_shards.parquet"
     val robotsFx = "/root/repo/fixtures/robots.parquet"
     def phase(label: String)(body: => Unit): Unit = {
       done.clear()
+      acts.clear()
       val t0 = System.nanoTime()
       body
       Thread.sleep(300) // let the listener bus drain
       val wall = (System.nanoTime() - t0) / 1e9
       val byJob = done.values.toSeq
-      println(f"[webcorpus] $label%-22s wall ${wall}%7.2f s  jobs ${byJob.size}%3d  jobSum ${byJob.map(_._2).sum}%7.2f s")
+      val byAct = acts.values.toSeq
+      println(f"[webcorpus] $label%-22s wall ${wall}%7.2f s  jobs ${byJob.size}%3d  jobSum ${byJob.map(_._2).sum}%7.2f s  acts ${byAct.size}%3d  actSum ${byAct.map(_._2).sum}%7.2f s")
       byJob.groupBy(_._1).map { case (site, xs) => (site, xs.map(_._2).sum, xs.size) }
         .toSeq.sortBy(-_._2).take(12).foreach { case (site, s, n) =>
           println(f"[webcorpus]    $s%6.2f s  ×$n%-3d $site")

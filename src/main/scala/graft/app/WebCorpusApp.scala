@@ -107,6 +107,29 @@ object WebCorpusApp {
     try body finally s.sparkContext.setJobDescription(null)
   }
 
+  /** Run INDEPENDENT write actions concurrently (r18 — guide §2.6
+    * "overlap independent jobs": actions are only sequential because the
+    * driver calls them sequentially; a small pool lets the next write's
+    * tasks back-fill the executor tail of the current one, and overlaps
+    * the driver-side planning + tagged-file commit time that a
+    * fixture-scale append otherwise pays strictly serially, ~60% of its
+    * wall). Each task is label-wrapped on its own thread (descriptions
+    * are thread-local). Failures propagate: `get` rethrows, so a crashed
+    * write still aborts the batch BEFORE its ledger commit — the
+    * exactly-once contract is untouched, every write lands in its own
+    * directory, and the single sequential commit point stays last.
+    * 3 wide: enough to fill tails, not enough to fight for cores. */
+  private def inParallel(s: SparkSession, tasks: (String, () => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, math.max(1, tasks.size)))
+    try tasks.map { case (l, f) =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = labeled(s, l)(f())
+      })
+    }.foreach(_.get())
+    finally pool.shutdown()
+  }
+
   // ---------------------------------------------------------------- build
 
   def build(spark: SparkSession, shardsPath: String, robotsPath: String,
@@ -126,18 +149,18 @@ object WebCorpusApp {
       .withColumn("shard", expr(s"(pos - 1) div $ShardSize"))
       .select("url", "canonical_url", "host", "charset", "fp",
         "n_tokens", "n_pars", "n_kept", "text", "pos", "shard")
-    labeled(spark, "corpus rank+write")(
-      Sinks.overwriteSwap(corpus, s"$outDir/corpus"))
-    labeled(spark, "rejects write")(
-      Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects"))
-    labeled(spark, "paragraph state write")(
-      Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes"))
-    labeled(spark, "links write")(
-      Sinks.overwriteSwap(linksOf(pages), s"$outDir/links"))
-    labeled(spark, "redirects write")(
-      Sinks.overwriteSwap(redirectsOf(recs), s"$outDir/redirects"))
-    labeled(spark, "canonicals write")(
-      Sinks.overwriteSwap(canonicalsOf(pages), s"$outDir/canonicals"))
+    // the six output tables derive from already-severed frames and land
+    // in six distinct directories — independent writes, overlapped (§2.6)
+    inParallel(spark,
+      "corpus rank+write" -> (() => Sinks.overwriteSwap(corpus, s"$outDir/corpus")),
+      "rejects write" -> (() => Sinks.overwriteSwap(staged.rejects, s"$outDir/rejects")),
+      "paragraph state write" -> (() =>
+        Sinks.overwriteSwap(staged.parHashes, s"$outDir/paragraph_hashes")),
+      "links write" -> (() => Sinks.overwriteSwap(linksOf(pages), s"$outDir/links")),
+      "redirects write" -> (() =>
+        Sinks.overwriteSwap(redirectsOf(recs), s"$outDir/redirects")),
+      "canonicals write" -> (() =>
+        Sinks.overwriteSwap(canonicalsOf(pages), s"$outDir/canonicals")))
     refresh(spark, outDir)
     labeled(spark, "ledger")(writeLedger(spark, outDir, Map("__init" -> nPages)))
     labeled(spark, "manifest audit")(auditDerived(spark, outDir))
@@ -249,19 +272,6 @@ object WebCorpusApp {
         .sever())
     val rejects = labeled(spark, "rejects sever")(staged.rejects.sever())
     val newHashes = labeled(spark, "paragraph state sever")(staged.parHashes.sever())
-    labeled(spark, "corpus append")(
-      Sinks.appendTagged(ranked, s"$outDir/corpus", batchId))
-    labeled(spark, "rejects append")(
-      Sinks.appendTagged(rejects, s"$outDir/rejects", batchId))
-    labeled(spark, "paragraph state append")(
-      Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId))
-    // linksOf reads only the severed decode cut and the tagged append is
-    // its single consumer — unsevered on purpose (r17, same rationale as
-    // newRedirects above)
-    labeled(spark, "links append")(
-      Sinks.appendTagged(linksOf(pages), s"$outDir/links", batchId))
-    labeled(spark, "redirects append")(
-      Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId))
     // canonical hints under the same first-capture-wins discipline as
     // redirects (one dst per src globally)
     val committedCanonicals =
@@ -271,10 +281,26 @@ object WebCorpusApp {
         import spark.implicits._
         Seq.empty[(String, String)].toDF("src", "dst")
       }
-    labeled(spark, "canonicals append")(Sinks.appendTagged(
-      canonicalsOf(pages)
-        .join(committedCanonicals.select(col("src")), Seq("src"), "left_anti"),
-      s"$outDir/canonicals", batchId))
+    // six independent tagged appends into six distinct directories,
+    // overlapped (§2.6); every one lands before the ledger commit below,
+    // and a failure in any aborts the batch uncommitted (linksOf reads
+    // only the severed decode cut and the tagged append is its single
+    // consumer — unsevered on purpose, r17, same as newRedirects)
+    inParallel(spark,
+      "corpus append" -> (() =>
+        Sinks.appendTagged(ranked, s"$outDir/corpus", batchId)),
+      "rejects append" -> (() =>
+        Sinks.appendTagged(rejects, s"$outDir/rejects", batchId)),
+      "paragraph state append" -> (() =>
+        Sinks.appendTagged(newHashes, s"$outDir/paragraph_hashes", batchId)),
+      "links append" -> (() =>
+        Sinks.appendTagged(linksOf(pages), s"$outDir/links", batchId)),
+      "redirects append" -> (() =>
+        Sinks.appendTagged(newRedirects, s"$outDir/redirects", batchId)),
+      "canonicals append" -> (() => Sinks.appendTagged(
+        canonicalsOf(pages)
+          .join(committedCanonicals.select(col("src")), Seq("src"), "left_anti"),
+        s"$outDir/canonicals", batchId)))
     refresh(spark, outDir)
     failpoint("table_append")
     // index maintenance BEFORE the commit (a crash here must revoke the
@@ -282,14 +308,19 @@ object WebCorpusApp {
     // postings/df/stat DELTAS for the text index, assign+encode against
     // the WRITTEN quantizers for the ANN index; the history is never
     // re-read (q293/q310 convention)
-    labeled(spark, "text index append")(TextIndex.append(spark, s"$outDir/text_index",
-      ranked.select(col("pos").as("doc_id"), col("text")), Some(batchId)))
-    val emb = labeled(spark, "embeddings sever")(embeddingsOf(ranked).sever())
-    labeled(spark, "embeddings append")(
-      Sinks.appendTagged(emb, s"$outDir/embeddings", batchId))
-    spark.catalog.refreshByPath(s"$outDir/embeddings")
-    labeled(spark, "ann index append")(AnnIndex.append(spark, s"$outDir/ann_index",
-      emb.select(col("vec_id"), col("embedding")), Some(batchId)))
+    // the text-index append and the embeddings→ANN chain both read only
+    // the severed `ranked` cut — two independent branches, overlapped
+    inParallel(spark,
+      "text index append" -> (() =>
+        TextIndex.append(spark, s"$outDir/text_index",
+          ranked.select(col("pos").as("doc_id"), col("text")), Some(batchId))),
+      "embeddings + ann append" -> { () =>
+        val emb = embeddingsOf(ranked).sever()
+        Sinks.appendTagged(emb, s"$outDir/embeddings", batchId)
+        spark.catalog.refreshByPath(s"$outDir/embeddings")
+        AnnIndex.append(spark, s"$outDir/ann_index",
+          emb.select(col("vec_id"), col("embedding")), Some(batchId))
+      })
     failpoint("index_append")
     // manifest BEFORE the commit: a crash after the ledger swap must
     // leave nothing stale (replay of a committed batch is a no-op and
@@ -704,23 +735,25 @@ object WebCorpusApp {
     val committed = ledger(spark, outDir).keySet.map(Sinks.tagOf)
     appendedTables.foreach(t => Sinks.purgeTagged(spark, s"$outDir/$t", committed))
     refresh(spark, outDir)
-    Seq("corpus", "rejects", "paragraph_hashes", "links", "redirects",
-        "canonicals", "embeddings")
+    // every compaction rewrites its own table directory (atomic swap of
+    // content-identical rows) — independent maintenance units, overlapped
+    // 3-wide (§2.6); the one partitioned rewrite per postings table is
+    // r17's fold (see Sinks.compactPartitioned for the fallback)
+    val flat = Seq("corpus", "rejects", "paragraph_hashes", "links",
+        "redirects", "canonicals", "embeddings")
       .filter(t => Sinks.exists(spark, s"$outDir/$t"))
-      .foreach { t =>
+      .map(t => s"compact $t" -> { () =>
         Sinks.compact(spark, s"$outDir/$t", targetRowsPerFile)
         spark.catalog.refreshByPath(s"$outDir/$t")
-      }
-    if (Sinks.exists(spark, s"$outDir/text_index"))
-      TextIndex.compact(spark, s"$outDir/text_index")
-    // one partitioned rewrite per postings table (r17): the per-directory
-    // loop paid ~2 jobs + a swap per bucket/cell directory — see
-    // Sinks.compactPartitioned for the fold + file-size fallback
-    Seq(s"$outDir/text_index/postings", s"$outDir/ann_index/postings")
-      .foreach { p =>
-        if (Sinks.exists(spark, p))
-          Sinks.compactPartitioned(spark, p, targetRowsPerFile)
-      }
+      })
+    val idx =
+      (if (Sinks.exists(spark, s"$outDir/text_index"))
+        Seq("text index compact" -> (() => TextIndex.compact(spark, s"$outDir/text_index")))
+      else Nil) ++
+      Seq(s"$outDir/text_index/postings", s"$outDir/ann_index/postings")
+        .filter(p => Sinks.exists(spark, p))
+        .map(p => s"compact $p" -> (() => Sinks.compactPartitioned(spark, p, targetRowsPerFile)))
+    inParallel(spark, (flat ++ idx): _*)
     auditDerived(spark, outDir)
   }
 
@@ -938,14 +971,17 @@ object WebCorpusApp {
     * queries too). */
   private def buildIndexes(spark: SparkSession, outDir: String): Unit = {
     val written = spark.read.parquet(s"$outDir/corpus")
-    labeled(spark, "text index build")(TextIndex.buildFrom(spark,
-      written.select(col("pos").as("doc_id"), col("text")), s"$outDir/text_index"))
-    val emb = embeddingsOf(written)
-    labeled(spark, "embeddings write")(
-      Sinks.overwriteSwap(emb, s"$outDir/embeddings"))
-    spark.catalog.refreshByPath(s"$outDir/embeddings")
-    labeled(spark, "ann index build")(AnnIndex.buildFrom(spark,
-      spark.read.parquet(s"$outDir/embeddings")
-        .select(col("vec_id"), col("embedding")), s"$outDir/ann_index"))
+    // the text index and the embeddings→ANN chain both read only the
+    // written corpus — two independent branches, overlapped (§2.6)
+    inParallel(spark,
+      "text index build" -> (() => TextIndex.buildFrom(spark,
+        written.select(col("pos").as("doc_id"), col("text")), s"$outDir/text_index")),
+      "embeddings + ann build" -> { () =>
+        Sinks.overwriteSwap(embeddingsOf(written), s"$outDir/embeddings")
+        spark.catalog.refreshByPath(s"$outDir/embeddings")
+        AnnIndex.buildFrom(spark,
+          spark.read.parquet(s"$outDir/embeddings")
+            .select(col("vec_id"), col("embedding")), s"$outDir/ann_index")
+      })
   }
 }
