@@ -32,22 +32,34 @@ object Bfs {
     * count (seeds themselves at 0 — including seeds isolated from the
     * graph, which are still distance-0 members of the expansion). */
   def hopDistances(edges: DataFrame, aCol: String, bCol: String,
-                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
-    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+                   seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame =
+    hopDistancesOver(prepareAdjacency(edges, aCol, bCol), seeds, seedCol, maxHops)
+
+  /** The severed, src-keyed directed adjacency of an undirected edge
+    * list — both directions once, partitioned by the join key at the cut
+    * with the layout DECLARED on the checkpoint scan (r18 — the
+    * LabelProp convention: AQE degrades the capture to unknown
+    * otherwise). Exposed so a caller running SEVERAL sweeps over the
+    * same graph (q233's double sweep) materializes it once. */
+  def prepareAdjacency(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    // both directions once, partitioned by the join key at the cut with
-    // the layout DECLARED on the checkpoint scan (r18 — the LabelProp
-    // convention: AQE degrades the capture to unknown otherwise), so
-    // every round's frontier join reads it in place; only the frontier
-    // side ever moves
-    val adj = und.select(col("a").as("src"), col("b").as("dst"))
+    und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .severKeyed(Seq("src"), parts)
+  }
+
+  /** [[hopDistances]] over a [[prepareAdjacency]]-built frame. Every
+    * round's frontier join reads the adjacency in place; only the
+    * frontier side ever moves. */
+  def hopDistancesOver(adj: DataFrame, seeds: DataFrame, seedCol: String,
+                       maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val parts = adj.sparkSession.sessionState.conf.numShufflePartitions
     var visited = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .sever()

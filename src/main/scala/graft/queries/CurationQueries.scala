@@ -1790,15 +1790,19 @@ object CurationQueries {
     // parquet scan), never the corpus-scale basket-pair derivation the
     // pre-table version had to checkpoint against
     val und = graft.sources.CoPurchaseGraph.distinctEdges(s, dir)
-    val adj = und.unionAll(und.select(col("pb").as("pa"), col("pa").as("pb")))
-    val seed1 = adj.groupBy("pa").agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("pa")).limit(1)
-      .select(col("pa")).as[Long].head()
-    val bfs1 = graft.operators.Bfs.hopDistances(und, "pa", "pb",
+    // ONE severed, src-keyed adjacency shared by the seed-degree pick
+    // and BOTH sweeps (r18 — each hopDistances call was re-deriving and
+    // re-materializing the 2·|E| adjacency; the degree aggregate also
+    // reads the cut in place now)
+    val adj = graft.operators.Bfs.prepareAdjacency(und, "pa", "pb")
+    val seed1 = adj.groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(1)
+      .select(col("src")).as[Long].head()
+    val bfs1 = graft.operators.Bfs.hopDistancesOver(adj,
       Seq(seed1).toDF("node"), "node", maxHops = 3)
     val (seed2, ecc1) = bfs1.orderBy(col("dist").desc, col("node"))
       .limit(1).as[(Long, Long)].head()
-    val bfs2 = graft.operators.Bfs.hopDistances(und, "pa", "pb",
+    val bfs2 = graft.operators.Bfs.hopDistancesOver(adj,
       Seq(seed2).toDF("node"), "node", maxHops = 3)
     val ecc2 = bfs2.agg(max("dist")).as[Long].head()
     Seq((seed1, ecc1, seed2, ecc2, math.max(ecc1, ecc2)))
