@@ -33,7 +33,7 @@ object Hits {
     * scale; every surviving score is the deterministic integer the
     * unrolled recurrence defines.
     *
-    * The edge set is severed TWICE, hash-partitioned and sorted by each
+    * The edge set is severed TWICE, hash-partitioned by each
     * half-round's join key (r18 — the LabelProp convention: a sever
     * captures the materialized layout into its scan). Each half-round
     * alternates keys (hub update joins on p, auth update on s), so one

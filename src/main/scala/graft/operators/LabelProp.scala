@@ -40,7 +40,7 @@ object LabelProp {
     * same way share one exchange"; a sever's `localCheckpoint` CAPTURES
     * the materialized partitioning and ordering into its scan):
     *
-    *  - `adj` is hash-partitioned by src and sorted ONCE, at sever time,
+    *  - `adj` is hash-partitioned by src ONCE, at sever time,
     *    so every round's adjacency⋈labels join reuses that layout
     *    instead of re-shuffling (and re-sorting) 2·|E| rows per round;
     *  - `labels` leaves each round partitioned by node — renamed to the
